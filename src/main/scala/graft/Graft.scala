@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session + table plumbing shared by SparkEntry / Verify / Bench / tests.
+  *
+  * Scale notes: all configs here are cluster-safe — nothing pins partition
+  * counts inside operators; AQE re-plans at runtime. `local[32]` is only the
+  * test harness.
+  */
+object Graft {
+
+  /** Apply graft-wide configs to any builder (Verify/Bench own their master). */
+  def configure(b: SparkSession.Builder): SparkSession.Builder = b
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    // testdata events.ts is parquet TIMESTAMP(NANOS): read as long nanos if
+    // this Spark build has no native nanos type (operators normalize to
+    // epoch seconds either way).
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // timestamps in testdata are naive (isAdjustedToUTC=false); read them as
+    // plain TIMESTAMP under the UTC session so literals compare directly and
+    // filters still push down to the scan.
+    .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+
+  def session(master: String = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]"): SparkSession = {
+    val s = configure(
+      SparkSession.builder()
+        .master(master)
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.ui.enabled", "false")
+    ).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** One parquet table from a scale-factor dir. */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
+  def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
+  def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
+  def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
+  def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
+  def events(s: SparkSession, d: String): DataFrame = table(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+}

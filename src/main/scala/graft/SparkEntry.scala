@@ -1,13 +1,32 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.q1(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // relational core
+    "q1_agg" -> (Relational.q1 _),
+    "q3_join" -> (Relational.q3 _),
+    "q5_multijoin" -> (Relational.q5 _),
+    "window_topn" -> (Relational.windowTopN _),
+    // events
+    "events_hourly" -> (Events.hourly _),
+    "events_sessionize" -> (Events.sessionize _),
+    // text analysis
+    "text_tokens" -> (TextAnalysis.tokens _),
+    "text_quality" -> (TextAnalysis.quality _),
+    "text_langid" -> (TextAnalysis.langid _),
+  )
+
+  /** DuckDB-runnable oracle SQL per query key (same column names!). */
+  def oracleSql: Map[String, String] =
+    Relational.oracle ++ Events.oracle ++ TextAnalysis.oracle
 }

@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Graft
+
+/** Event-stream operators (batch twins of the streaming versions in
+  * `graft.streaming`): tumbling-window aggregation and gap-based
+  * sessionization.
+  *
+  * `events.ts` is parquet TIMESTAMP(NANOS) and arrives as long nanoseconds
+  * (see Graft.configure); operators normalize to epoch seconds with exact
+  * integer arithmetic (never double-divide an int64 nanosecond value —
+  * doubles lose precision above 2^53).
+  */
+object Events {
+
+  /** events with ts as epoch seconds (exact integer division). */
+  private def withSec(s: SparkSession, dir: String): DataFrame =
+    Graft.events(s, dir).withColumn("sec", expr("ts div 1000000000"))
+
+  /** Tumbling 1-hour windows per event type: count + summed value.
+    * Streaming twin: `graft.streaming.EventStreams.hourly`.
+    */
+  def hourly(s: SparkSession, dir: String): DataFrame =
+    withSec(s, dir)
+      .groupBy(expr("(sec div 3600) * 3600").as("hour_sec"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+
+  /** Gap-based sessionization (30-min inactivity gap) via lag + running sum.
+    * Streaming twin uses flatMapGroupsWithState; the batch form is two
+    * windows over the same (user_id, time) partitioning — a single shuffle.
+    */
+  def sessionize(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("sec"), col("event_id"))
+    withSec(s, dir)
+      .withColumn("prev_sec", lag(col("sec"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_sec").isNull || col("sec") - col("prev_sec") > 1800, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("new_session")).over(byUser))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("sec")).as("start_sec"),
+        max(col("sec")).as("end_sec"),
+        round(sum(col("value")), 2).as("sum_value"))
+  }
+
+  val oracle: Map[String, String] = Map(
+    "events_hourly" ->
+      """SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 AS hour_sec,
+        | event_type, count(*) AS n_events, round(sum(value),2) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "events_sessionize" ->
+      """WITH e AS (SELECT event_id, user_id, value,
+        |   CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+        |l AS (SELECT *, lag(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id) AS prev_sec FROM e),
+        |n AS (SELECT *, CASE WHEN prev_sec IS NULL OR sec - prev_sec > 1800 THEN 1 ELSE 0 END AS new_session FROM l),
+        |sid AS (SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY sec, event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id FROM n)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        | min(sec) AS start_sec, max(sec) AS end_sec, round(sum(value),2) AS sum_value
+        |FROM sid GROUP BY user_id, session_id""".stripMargin,
+  )
+}

@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Graft
+
+/** Relational / analytics core: grouped aggregation, multi-way joins with
+  * broadcast dims, window top-n. TPC-H-shaped so the DuckDB oracle can
+  * cross-check exactly.
+  *
+  * Scale notes: q1 is fully map-side-combinable; q3/q5 broadcast every
+  * dimension small enough and let AQE pick shuffle-join for fact-fact;
+  * top-k goes through TakeOrderedAndProject (per-partition heaps, no global
+  * sort).
+  */
+object Relational {
+  private val ts = (s: String) => lit(java.sql.Timestamp.valueOf(s + " 00:00:00.0"))
+
+  /** TPC-H Q1-style pricing summary. */
+  def q1(s: SparkSession, dir: String): DataFrame =
+    Graft.lineitem(s, dir)
+      .filter(col("l_shipdate") <= ts("1998-09-01"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("sum_disc_price"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_discount")), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+
+  /** TPC-H Q3-style: top unshipped-revenue orders for one segment. */
+  def q3(s: SparkSession, dir: String): DataFrame = {
+    val cust = Graft.customer(s, dir).filter(col("c_mktsegment") === "MACHINERY")
+    val ord = Graft.orders(s, dir).filter(col("o_orderdate") < ts("1998-01-01"))
+    val li = Graft.lineitem(s, dir).filter(col("l_shipdate") > ts("1998-01-01"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"))
+      .select(
+        col("l_orderkey"),
+        col("revenue"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("odate"),
+        col("o_orderpriority"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5-style: local-supplier revenue per nation in one region/year. */
+  def q5(s: SparkSession, dir: String): DataFrame = {
+    val ord = Graft.orders(s, dir)
+      .filter(col("o_orderdate") >= ts("1996-01-01") && col("o_orderdate") < ts("1997-01-01"))
+    Graft.lineitem(s, dir)
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Graft.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Graft.supplier(s, dir)),
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(Graft.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Graft.region(s, dir).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"))
+  }
+
+  /** Top-3 orders per customer by total price (window rank). */
+  def windowTopN(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Graft.orders(s, dir)
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("price"),
+        row_number().over(w).cast("long").as("rn"))
+      .filter(col("rn") <= 3)
+  }
+
+  val oracle: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity),2) AS sum_qty,
+        | round(sum(l_extendedprice),2) AS sum_base_price,
+        | round(sum(l_extendedprice*(1-l_discount)),4) AS sum_disc_price,
+        | round(avg(l_quantity),4) AS avg_qty,
+        | round(avg(l_discount),6) AS avg_disc,
+        | count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_join" ->
+      """SELECT l_orderkey,
+        | round(sum(l_extendedprice*(1-l_discount)),4) AS revenue,
+        | strftime(o_orderdate, '%Y-%m-%d') AS odate, o_orderpriority
+        |FROM lineitem JOIN orders ON l_orderkey=o_orderkey
+        | JOIN customer ON o_custkey=c_custkey
+        |WHERE c_mktsegment='MACHINERY'
+        | AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        | AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q5_multijoin" ->
+      """SELECT n_name, round(sum(l_extendedprice*(1-l_discount)),4) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey=o_orderkey
+        | JOIN customer ON o_custkey=c_custkey
+        | JOIN supplier ON l_suppkey=s_suppkey AND c_nationkey=s_nationkey
+        | JOIN nation ON s_nationkey=n_nationkey
+        | JOIN region ON n_regionkey=r_regionkey
+        |WHERE r_name='ASIA'
+        | AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        | AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY n_name""".stripMargin,
+    "window_topn" ->
+      """SELECT o_custkey, o_orderkey, round(o_totalprice,2) AS price, rn
+        |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+        |  row_number() OVER (PARTITION BY o_custkey
+        |                     ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        | FROM orders) WHERE rn <= 3""".stripMargin,
+  )
+}

@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Graft
+
+/** Text-analysis operators over `documents`: token counting (whitespace +
+  * BPE-ish regex), quality scoring, stopword-profile language ID.
+  *
+  * Everything is a single codegen'd projection per row (higher-order
+  * functions, no UDFs, no shuffle) — at 100 TB this is a pure map stage
+  * that scales linearly with input splits.
+  */
+object TextAnalysis {
+
+  private val stop = "('the','a','of','to','in','and','is','on')"
+
+  /** Whitespace tokens + BPE-ish sub-tokens (letter runs / digit runs /
+    * single punctuation).
+    */
+  def tokens(s: SparkSession, dir: String): DataFrame =
+    Graft.documents(s, dir).select(
+      col("doc_id"),
+      expr("cast(size(split(text, '\\\\s+')) as bigint)").as("n_ws_tokens"),
+      expr("cast(size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0)) as bigint)")
+        .as("n_subtokens"))
+
+  /** Length / stopword-ratio / mean-word-length quality score. */
+  def quality(s: SparkSession, dir: String): DataFrame =
+    Graft.documents(s, dir)
+      .select(col("doc_id"), col("text"), expr("split(text, '\\\\s+')").as("toks"))
+      .select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        expr("cast(size(toks) as bigint)").as("n_tokens"),
+        // micro-scaled integer ratios: pure integer arithmetic is the only
+        // thing that is exactly reproducible across engines (float literal
+        // typing and rounding tie-breaks differ between Spark and DuckDB).
+        expr(s"cast(size(filter(toks, t -> t in $stop)) as bigint) * 1000000 div size(toks)")
+          .as("stop_ratio_micros"),
+        expr("cast(aggregate(toks, 0, (a, t) -> a + length(t)) as bigint) * 1000000 div size(toks)")
+          .as("mean_wlen_micros"))
+      .withColumn("quality_micros",
+        expr("""  least(n_tokens, 100) * 4000
+                |+ (3 * (1000000 - stop_ratio_micros)) div 10
+                |+ (3 * least(mean_wlen_micros div 8, 1000000)) div 10""".stripMargin))
+
+  /** Stopword-profile language ID: score per language profile, argmax with
+    * a fixed tie-break order (en,de,fr,es,zh).
+    */
+  def langid(s: SparkSession, dir: String): DataFrame =
+    Graft.documents(s, dir)
+      .select(col("doc_id"), col("lang"), expr("split(lower(text), '\\\\s+')").as("toks"))
+      .select(
+        col("doc_id"), col("lang"),
+        expr("size(filter(toks, t -> t in ('the','a','of','is')))").cast("long").as("s_en"),
+        expr("size(filter(toks, t -> t in ('der','die','das','und')))").cast("long").as("s_de"),
+        expr("size(filter(toks, t -> t in ('le','la','et','les')))").cast("long").as("s_fr"),
+        expr("size(filter(toks, t -> t in ('el','los','las','y')))").cast("long").as("s_es"),
+        expr("size(filter(toks, t -> t in ('的','是','在','了')))").cast("long").as("s_zh"))
+      .withColumn("pred",
+        expr("""CASE
+                | WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en >= s_zh THEN 'en'
+                | WHEN s_de >= s_fr AND s_de >= s_es AND s_de >= s_zh THEN 'de'
+                | WHEN s_fr >= s_es AND s_fr >= s_zh THEN 'fr'
+                | WHEN s_es >= s_zh THEN 'es'
+                | ELSE 'zh' END""".stripMargin))
+
+  val oracle: Map[String, String] = Map(
+    "text_tokens" ->
+      """SELECT doc_id,
+        | len(string_split_regex(text, '\s+')) AS n_ws_tokens,
+        | len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_subtokens
+        |FROM documents""".stripMargin,
+    "text_quality" ->
+      """WITH t AS (SELECT doc_id, text, string_split_regex(text, '\s+') AS toks FROM documents),
+        |q AS (SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS n_chars,
+        |  len(toks) AS n_tokens,
+        |  len(list_filter(toks, t -> t IN ('the','a','of','to','in','and','is','on'))) * 1000000 // len(toks) AS stop_ratio_micros,
+        |  CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT) * 1000000 // len(toks) AS mean_wlen_micros
+        | FROM t)
+        |SELECT doc_id, n_chars, n_tokens, stop_ratio_micros, mean_wlen_micros,
+        |   least(n_tokens, 100) * 4000
+        | + (3 * (1000000 - stop_ratio_micros)) // 10
+        | + (3 * least(mean_wlen_micros // 8, 1000000)) // 10 AS quality_micros
+        |FROM q""".stripMargin,
+    "text_langid" ->
+      """WITH t AS (SELECT doc_id, lang, string_split_regex(lower(text), '\s+') AS toks FROM documents),
+        |sc AS (SELECT doc_id, lang,
+        |  len(list_filter(toks, t -> t IN ('the','a','of','is'))) AS s_en,
+        |  len(list_filter(toks, t -> t IN ('der','die','das','und'))) AS s_de,
+        |  len(list_filter(toks, t -> t IN ('le','la','et','les'))) AS s_fr,
+        |  len(list_filter(toks, t -> t IN ('el','los','las','y'))) AS s_es,
+        |  len(list_filter(toks, t -> t IN ('的','是','在','了'))) AS s_zh
+        | FROM t)
+        |SELECT doc_id, lang, s_en, s_de, s_fr, s_es, s_zh,
+        | CASE
+        |  WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en >= s_zh THEN 'en'
+        |  WHEN s_de >= s_fr AND s_de >= s_es AND s_de >= s_zh THEN 'de'
+        |  WHEN s_fr >= s_es AND s_fr >= s_zh THEN 'fr'
+        |  WHEN s_es >= s_zh THEN 'es'
+        |  ELSE 'zh' END AS pred
+        |FROM sc""".stripMargin,
+  )
+}

@@ -1,0 +1,67 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate: run Verify's parquet dumps
+against the DuckDB oracle at a given SF dir and diff exactly.
+
+Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+(run Verify first: sbt "runMain graft.Verify <sfDir> <outDir>")
+"""
+import sys, os, json, glob
+import duckdb
+import pandas as pd
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    # unify numeric dtypes so int32/int64/float compare by value
+    for c in df.columns:
+        if pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].astype("float64").round(9)
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_ok = 0
+    names = sorted(d for d in os.listdir(out_dir) if os.path.isdir(f"{out_dir}/{d}"))
+    for name in names:
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        got = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True) if files \
+            else pd.DataFrame()
+        if name not in oracle:
+            print(f"[rows-only] {name}: rows={len(got)} {'OK' if len(got) > 0 else 'EMPTY!'}")
+            n_ok += 1 if len(got) > 0 else 0
+            continue
+        try:
+            exp = con.sql(oracle[name]).df()
+        except Exception as e:
+            print(f"[FAIL] {name}: oracle SQL error: {e}")
+            continue
+        g, e = norm(got), norm(exp)
+        if list(g.columns) != list(e.columns):
+            print(f"[FAIL] {name}: columns {list(g.columns)} != {list(e.columns)}")
+            continue
+        if len(g) != len(e):
+            print(f"[FAIL] {name}: rows {len(g)} != {len(e)}")
+            continue
+        diff = (g != e) & ~(g.isna() & e.isna())
+        if diff.any().any():
+            bad = diff.any(axis=1)
+            print(f"[FAIL] {name}: {int(bad.sum())} mismatched rows; first:")
+            idx = bad.idxmax()
+            print("  spark:", g.loc[idx].to_dict())
+            print("  duck :", e.loc[idx].to_dict())
+            continue
+        print(f"[ok] {name}: {len(g)} rows")
+        n_ok += 1
+    print(f"== {n_ok}/{len(names)} green ==")
+    return 0 if n_ok == len(names) else 1
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
