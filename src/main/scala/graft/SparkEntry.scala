@@ -8,10 +8,20 @@ object SparkEntry {
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    Relational.q1(spark, "/root/testdata/sf0.001")
+    SemanticSearch.searchPipeline(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // reference surface: chunking + semantic search
+    "chunk_sentences" -> (Chunking.sentences _),
+    "chunk_words" -> (Chunking.words _),
+    "strip_citations" -> (Chunking.stripCitations _),
+    "doc_point_ids" -> (Chunking.pointIds _),
+    "doc_embed_meanpool" -> (SemanticSearch.meanPoolPositional _),
+    "topk_docs_cosine" -> ((s: SparkSession, d: String) => SemanticSearch.topDocs(s, d)),
+    "topk_chunks_filtered" -> ((s: SparkSession, d: String) => SemanticSearch.topChunksPerDoc(s, d)),
+    "highlight_window" -> (SemanticSearch.highlightWindow _),
+    "search_pipeline" -> (SemanticSearch.searchPipeline _),
     // relational core
     "q1_agg" -> (Relational.q1 _),
     "q3_join" -> (Relational.q3 _),
@@ -28,5 +38,6 @@ object SparkEntry {
 
   /** DuckDB-runnable oracle SQL per query key (same column names!). */
   def oracleSql: Map[String, String] =
-    Relational.oracle ++ Events.oracle ++ TextAnalysis.oracle
+    Relational.oracle ++ Events.oracle ++ TextAnalysis.oracle ++
+      Chunking.oracle ++ SemanticSearch.oracle
 }

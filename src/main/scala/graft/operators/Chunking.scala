@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Graft
+
+/** Document chunkers — the reference's ChunkLevel splitters
+  * (src/backend/data_fetching/data_fetcher.py:7-30: sentence='. ',
+  * paragraph='\n', section marker) re-expressed as a split + posexplode
+  * projection. One narrow map stage: chunking 100 TB is
+  * embarrassingly parallel and never shuffles.
+  */
+object Chunking {
+
+  /** Generic: one row per chunk with its 0-based position. */
+  def chunks(df: DataFrame, idCol: String, sepRegex: String): DataFrame =
+    df.select(col(idCol), posexplode(split(col("text"), sepRegex)).as(Seq("chunk_id", "chunk")))
+
+  /** Sentence-level chunks (reference ChunkLevel.SENTENCE, sep = '. '). */
+  def sentences(s: SparkSession, dir: String): DataFrame =
+    chunks(Graft.documents(s, dir), "doc_id", "\\. ")
+
+  /** Word/token-level chunks (finest granularity). */
+  def words(s: SparkSession, dir: String): DataFrame =
+    Graft.documents(s, dir)
+      .select(col("doc_id"), posexplode(split(col("text"), "\\s+")).as(Seq("pos", "tok")))
+
+  /** Citation-bracket stripping (reference fetch_pmcid.py:24's
+    * `\[[^\]]*\]` regex). The corpus has no brackets, so brackets are
+    * synthesized from metadata first, then stripped — exercising the
+    * same regex semantics end-to-end.
+    */
+  def stripCitations(s: SparkSession, dir: String): DataFrame =
+    Graft.documents(s, dir)
+      .select(col("doc_id"),
+        concat(lit("["), col("source"), lit("] "), col("text"), lit(" ["), col("lang"), lit("]"))
+          .as("bracketed"))
+      .select(col("doc_id"),
+        regexp_replace(col("bracketed"), "\\[[^\\]]*\\]", "").as("stripped"))
+      .select(col("doc_id"),
+        length(col("stripped")).cast("long").as("n_chars"),
+        md5(col("stripped")).as("digest"))
+
+  /** Deterministic point ids from the article id hash (reference
+    * qdrant.py:137 uses sha3-512 first 8 bytes; here: sha2-256 hex
+    * prefix — same idea, available in both engines).
+    */
+  def pointIds(s: SparkSession, dir: String): DataFrame =
+    Graft.documents(s, dir)
+      .select(col("doc_id"),
+        substring(sha2(col("doc_id").cast("string"), 256), 1, 16).as("point_id"))
+
+  val oracle: Map[String, String] = Map(
+    "chunk_sentences" ->
+      """SELECT doc_id, generate_subscripts(parts, 1) - 1 AS chunk_id, unnest(parts) AS chunk
+        |FROM (SELECT doc_id, string_split(text, '. ') AS parts FROM documents)""".stripMargin,
+    "chunk_words" ->
+      """SELECT doc_id, generate_subscripts(parts, 1) - 1 AS pos, unnest(parts) AS tok
+        |FROM (SELECT doc_id, string_split_regex(text, '\s+') AS parts FROM documents)""".stripMargin,
+    "strip_citations" ->
+      """SELECT doc_id,
+        | CAST(length(stripped) AS BIGINT) AS n_chars, md5(stripped) AS digest
+        |FROM (SELECT doc_id,
+        |  regexp_replace('[' || source || '] ' || text || ' [' || lang || ']',
+        |                 '\[[^\]]*\]', '', 'g') AS stripped
+        | FROM documents)""".stripMargin,
+    "doc_point_ids" ->
+      """SELECT doc_id, substring(sha256(CAST(doc_id AS VARCHAR)), 1, 16) AS point_id
+        |FROM documents""".stripMargin,
+  )
+}
