@@ -22,6 +22,17 @@ object SparkEntry {
     "topk_chunks_filtered" -> ((s: SparkSession, d: String) => SemanticSearch.topChunksPerDoc(s, d)),
     "highlight_window" -> (SemanticSearch.highlightWindow _),
     "search_pipeline" -> (SemanticSearch.searchPipeline _),
+    // dedup family
+    "dedup_exact" -> (Dedup.exact _),
+    "dedup_fingerprint" -> (Dedup.fingerprint _),
+    "dedup_ngram_jaccard" -> ((s: SparkSession, d: String) => Dedup.ngramJaccard(s, d)),
+    "dedup_minhash_lsh" -> (Dedup.minhashLsh _),
+    "dedup_simhash" -> (Dedup.simhash _),
+    "dedup_embedding" -> ((s: SparkSession, d: String) => Dedup.embeddingNearDup(s, d)),
+    // similarity search
+    "ann_bruteforce" -> ((s: SparkSession, d: String) => Ann.bruteForce(s, d)),
+    "ann_ivf" -> ((s: SparkSession, d: String) => Ann.ivf(s, d)),
+    "knn_join" -> ((s: SparkSession, d: String) => Ann.knnJoin(s, d)),
     // relational core
     "q1_agg" -> (Relational.q1 _),
     "q3_join" -> (Relational.q3 _),
@@ -39,5 +50,5 @@ object SparkEntry {
   /** DuckDB-runnable oracle SQL per query key (same column names!). */
   def oracleSql: Map[String, String] =
     Relational.oracle ++ Events.oracle ++ TextAnalysis.oracle ++
-      Chunking.oracle ++ SemanticSearch.oracle
+      Chunking.oracle ++ SemanticSearch.oracle ++ Dedup.oracle ++ Ann.oracle
 }

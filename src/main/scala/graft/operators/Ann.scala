@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Graft
+import graft.functions.VectorOps
+
+/** Approximate-nearest-neighbor search over the embedding column.
+  *
+  * Brute-force cosine top-k is the exact baseline (TakeOrderedAndProject:
+  * per-partition heaps, no global sort — scales as one scan). The IVF
+  * variant is the 100-TB path: vectors are assigned to centroids once
+  * (write-time partitioning in a real deployment), queries probe only the
+  * best cluster — the scan shrinks by the cluster fanout, and the
+  * centroid table stays broadcastable. kNN-join broadcasts the (small)
+  * query side and turns per-query top-k into one window rank.
+  */
+object Ann {
+
+  /** Exact brute-force top-k by cosine for the deterministic query vector
+    * (embedding of min vec_id).
+    */
+  def bruteForce(s: SparkSession, dir: String, k: Int = 10): DataFrame =
+    Graft.embeddings(s, dir)
+      .crossJoin(broadcast(SemanticSearch.queryVec(s, dir)))
+      .select(col("vec_id"), VectorOps.cosine6(col("embedding"), col("qvec")).as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(k)
+
+  /** Vector→centroid assignment (centroids = vec_id < 8, deterministic
+    * seeding; a real pipeline would k-means these — assignment plumbing
+    * is identical).
+    */
+  private def assignments(s: SparkSession, dir: String): DataFrame = {
+    val cents = Graft.embeddings(s, dir).filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("cscore").desc, col("cid"))
+    Graft.embeddings(s, dir)
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"),
+        col("cid"), VectorOps.cosine6(col("embedding"), col("cvec")).as("cscore"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+  }
+
+  /** IVF probe: assign all vectors to centroids, route the query to its
+    * best centroid, exact top-k inside that cluster only.
+    */
+  def ivf(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val assign = assignments(s, dir)
+    val minId = Graft.embeddings(s, dir).select(min(col("vec_id")).as("qid"))
+    val probe = assign.join(broadcast(minId), col("vec_id") === col("qid"))
+      .select(col("cid").as("probe_cid"))
+    assign
+      .join(broadcast(probe), col("cid") === col("probe_cid"))
+      .crossJoin(broadcast(SemanticSearch.queryVec(s, dir)))
+      .select(col("vec_id"), col("cid"),
+        VectorOps.cosine6(col("embedding"), col("qvec")).as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** kNN join: top-k neighbors for every query-side vector (vec_id % 100
+    * = 0), one broadcast + one window — never a per-query job.
+    */
+  def knnJoin(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val queries = Graft.embeddings(s, dir).filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("nb_id"))
+    Graft.embeddings(s, dir)
+      .crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("nb_id"),
+        VectorOps.cosine6(col("embedding"), col("qv")).as("score"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+  }
+
+  private val duckCosPair =
+    """list_sum(list_transform(range(1,65), i -> x.v[i] * y.v[i]))
+      | / (sqrt(list_sum(list_transform(range(1,65), i -> x.v[i] * x.v[i])))
+      |    * sqrt(list_sum(list_transform(range(1,65), i -> y.v[i] * y.v[i]))))""".stripMargin
+
+  private val duckE =
+    """e AS (SELECT vec_id, label,
+      | list_transform(embedding, z -> CAST(z AS DOUBLE)) AS v FROM embeddings)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "ann_bruteforce" ->
+      s"""WITH $duckE,
+         |q AS (SELECT v FROM e WHERE vec_id = (SELECT min(vec_id) FROM e))
+         |SELECT x.vec_id, round($duckCosPair, 6) AS score
+         |FROM e x, (SELECT v FROM q) y
+         |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin,
+    "ann_ivf" ->
+      s"""WITH $duckE,
+         |c AS (SELECT vec_id AS cid, v FROM e WHERE vec_id < 8),
+         |sc AS (SELECT x.vec_id, y.cid, round($duckCosPair, 6) AS cscore
+         |       FROM e x JOIN (SELECT cid, v FROM c) y ON true),
+         |asg AS (SELECT vec_id, cid FROM (
+         |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+         |          ORDER BY cscore DESC, cid) AS rn FROM sc) WHERE rn = 1),
+         |probe AS (SELECT cid AS probe_cid FROM asg
+         |          WHERE vec_id = (SELECT min(vec_id) FROM e)),
+         |clus AS (SELECT e.vec_id, asg.cid, e.v FROM e
+         |         JOIN asg ON e.vec_id = asg.vec_id
+         |         JOIN probe ON asg.cid = probe.probe_cid)
+         |SELECT x.vec_id, x.cid, round($duckCosPair, 6) AS score
+         |FROM clus x, (SELECT v FROM e WHERE vec_id = (SELECT min(vec_id) FROM e)) y
+         |ORDER BY score DESC, vec_id LIMIT 5""".stripMargin,
+    "knn_join" ->
+      s"""WITH $duckE,
+         |qs AS (SELECT vec_id AS q_id, v FROM e WHERE vec_id % 100 = 0)
+         |SELECT q_id, nb_id, score, rn FROM (
+         | SELECT y.q_id, x.vec_id AS nb_id, round($duckCosPair, 6) AS score,
+         |  row_number() OVER (PARTITION BY y.q_id
+         |    ORDER BY round($duckCosPair, 6) DESC, x.vec_id) AS rn
+         | FROM e x JOIN qs y ON x.vec_id != y.q_id)
+         |WHERE rn <= 3""".stripMargin,
+  )
+}

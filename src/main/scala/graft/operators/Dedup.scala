@@ -1,0 +1,184 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Graft
+import graft.functions.VectorOps
+
+/** Deduplication family for training-data pipelines: exact,
+  * fingerprint, n-gram Jaccard, MinHash+LSH, SimHash, embedding-cosine.
+  *
+  * Scale design: no operator ever does a global all-pairs compare.
+  * Candidate generation is always a co-partitioned self-join on a bucket
+  * key (shingle, LSH band, label block); everything upstream of the
+  * bucket shuffle is one codegen'd projection per row (shingling, minhash
+  * and simhash are higher-order array expressions, never exploded until
+  * the bucket key itself is needed).
+  *
+  * Similarity values exposed for oracle comparison are micro-scaled
+  * integers (exact cross-engine arithmetic) or 6dp-rounded cosines.
+  */
+object Dedup {
+
+  /** Exact dedup: group by content hash, keep the smallest id. */
+  def exact(s: SparkSession, dir: String): DataFrame =
+    Graft.documents(s, dir)
+      .groupBy(sha2(col("text"), 256).as("text_hash"))
+      .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_dups"))
+
+  /** OpenRefine-style fingerprint dedup: md5 of sorted distinct lowercase
+    * tokens — catches token-reordered / duplicated-word variants.
+    */
+  def fingerprint(s: SparkSession, dir: String): DataFrame =
+    Graft.documents(s, dir)
+      .groupBy(md5(concat_ws(" ",
+        array_sort(array_distinct(split(lower(col("text")), "\\s+"))))).as("fp"))
+      .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_dups"))
+
+  /** Distinct word-3-gram shingles as a single array expression (no
+    * explode until candidate generation).
+    */
+  private def shingleExpr: Column =
+    array_distinct(expr(
+      """transform(sequence(1, size(toks) - 2),
+        | i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))""".stripMargin))
+
+  private def withShingles(s: SparkSession, dir: String): DataFrame =
+    Graft.documents(s, dir)
+      .select(col("doc_id"), expr("split(text, '\\\\s+')").as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), shingleExpr.as("shingles"))
+
+  /** N-gram Jaccard near-dup pairs: shingle-inverted-index self-join
+    * (candidates share >= 1 shingle), Jaccard as exact integer micros.
+    * At 100 TB the shingle join is the standard inverted-index candidate
+    * pass — work is proportional to shared-shingle pairs, not all pairs.
+    */
+  def ngramJaccard(s: SparkSession, dir: String, tauMicros: Long = 500000L): DataFrame = {
+    val sh = withShingles(s, dir).select(col("doc_id"), explode(col("shingles")).as("sh"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("id_a"), col("n").as("na")), "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"), col("n").as("nb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        expr("inter * 1000000 div (na + nb - inter)").as("jaccard_micros"))
+      .filter(col("jaccard_micros") >= tauMicros)
+  }
+
+  /** MinHash signature: per seed, min over shingles of md5(seed|shingle)
+    * — a lexicographic-min hex string is a valid min-permutation hash and
+    * is bit-identical across engines.
+    */
+  private val minhashSigs: Column = expr(
+    """transform(sequence(0, 11),
+      | s -> array_min(transform(shingles, g -> md5(concat(cast(s as string), '|', g)))))""".stripMargin)
+
+  /** MinHash + banded LSH candidate pairs: 12 hashes in 4 bands of 3;
+    * docs sharing any band hash are candidates. One projection computes
+    * the full signature; the only shuffle is the band-bucket self-join.
+    */
+  def minhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val bands = withShingles(s, dir)
+      .select(col("doc_id"), minhashSigs.as("sigs"))
+      .select(col("doc_id"), posexplode(expr(
+        """transform(sequence(0, 3),
+          | b -> md5(concat(element_at(sigs, 3*b + 1), element_at(sigs, 3*b + 2), element_at(sigs, 3*b + 3))))""".stripMargin))
+        .as(Seq("band_id", "band_hash")))
+    bands.as("a").join(bands.as("b"),
+        col("a.band_id") === col("b.band_id") && col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+  }
+
+  /** 64-bit SimHash from md5-derived token bits, pure integer arithmetic
+    * (bit b of token t = bit (b mod 4) of hex digit (b div 4) of md5(t)).
+    * Emitted as a 64-char bitstring.
+    */
+  def simhash(s: SparkSession, dir: String): DataFrame =
+    Graft.documents(s, dir)
+      .select(col("doc_id"),
+        expr("transform(split(text, '\\\\s+'), t -> md5(t))").as("hs"))
+      .select(col("doc_id"), expr(
+        """concat_ws('', transform(sequence(0, 63), b ->
+          | CASE WHEN aggregate(hs, 0, (acc, h) ->
+          |   acc + (CASE WHEN ((instr('0123456789abcdef', substring(h, cast(b div 4 as int) + 1, 1)) - 1)
+          |       div (CASE WHEN b % 4 = 0 THEN 1 WHEN b % 4 = 1 THEN 2
+          |            WHEN b % 4 = 2 THEN 4 ELSE 8 END)) % 2 = 1
+          |     THEN 1 ELSE -1 END)) >= 0
+          | THEN '1' ELSE '0' END))""".stripMargin).as("simhash"))
+
+  /** Embedding near-dup pairs: cosine >= tau within label blocks (the
+    * blocking key caps pair counts; at scale the block is an LSH bucket).
+    */
+  def embeddingNearDup(s: SparkSession, dir: String, tau: Double = 0.35): DataFrame = {
+    val e = Graft.embeddings(s, dir).select(
+      col("vec_id"), col("label"), col("embedding"))
+    e.as("a").join(e.as("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        VectorOps.cosine6(col("a.embedding"), col("b.embedding")).as("cos"))
+      .filter(col("cos") >= tau)
+  }
+
+  private val duckShingles =
+    """t AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents
+      |      WHERE len(string_split_regex(text, '\s+')) >= 3),
+      |sar AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+      |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles FROM t)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT sha256(text) AS text_hash, min(doc_id) AS canonical_id, count(*) AS n_dups
+        |FROM documents GROUP BY 1""".stripMargin,
+    "dedup_fingerprint" ->
+      """SELECT md5(array_to_string(list_sort(list_distinct(
+        |  string_split_regex(lower(text), '\s+'))), ' ')) AS fp,
+        | min(doc_id) AS canonical_id, count(*) AS n_dups
+        |FROM documents GROUP BY 1""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      s"""WITH $duckShingles,
+         |s AS (SELECT doc_id, unnest(shingles) AS sh FROM sar),
+         |sz AS (SELECT doc_id, count(*) AS n FROM s GROUP BY 1),
+         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+         |      FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)
+         |SELECT id_a, id_b, inter * 1000000 // (x.n + y.n - inter) AS jaccard_micros
+         |FROM p JOIN sz x ON x.doc_id = id_a JOIN sz y ON y.doc_id = id_b
+         |WHERE inter * 1000000 // (x.n + y.n - inter) >= 500000""".stripMargin,
+    "dedup_minhash_lsh" ->
+      s"""WITH $duckShingles,
+         |sig AS (SELECT doc_id, list_transform(range(0, 12),
+         |         s -> list_min(list_transform(shingles, g -> md5(CAST(s AS VARCHAR) || '|' || g)))) AS sigs
+         |        FROM sar),
+         |bands AS (SELECT doc_id, b AS band_id,
+         |           md5(sigs[3*b + 1] || sigs[3*b + 2] || sigs[3*b + 3]) AS band_hash
+         |          FROM sig, range(0, 4) t(b))
+         |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |FROM bands a JOIN bands b
+         |  ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id""".stripMargin,
+    "dedup_simhash" ->
+      """WITH h AS (SELECT doc_id,
+        |  list_transform(string_split_regex(text, '\s+'), t -> md5(t)) AS hs FROM documents)
+        |SELECT doc_id, array_to_string(list_transform(range(0, 64), b ->
+        |  CASE WHEN list_sum(list_transform(hs, h ->
+        |    CASE WHEN ((strpos('0123456789abcdef', substring(h, (b // 4) + 1, 1)) - 1)
+        |        // (CASE WHEN b % 4 = 0 THEN 1 WHEN b % 4 = 1 THEN 2
+        |             WHEN b % 4 = 2 THEN 4 ELSE 8 END)) % 2 = 1
+        |      THEN 1 ELSE -1 END)) >= 0
+        |  THEN '1' ELSE '0' END), '') AS simhash
+        |FROM h""".stripMargin,
+    "dedup_embedding" ->
+      """WITH e AS (SELECT vec_id, label,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_sum(list_transform(range(1,65), i -> a.v[i] * b.v[i]))
+        |   / (sqrt(list_sum(list_transform(range(1,65), i -> a.v[i] * a.v[i])))
+        |      * sqrt(list_sum(list_transform(range(1,65), i -> b.v[i] * b.v[i])))), 6) AS cos
+        | FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, cos FROM p WHERE cos >= 0.35""".stripMargin,
+  )
+}
