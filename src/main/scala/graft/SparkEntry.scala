@@ -22,6 +22,8 @@ object SparkEntry {
     "topk_chunks_filtered" -> ((s: SparkSession, d: String) => SemanticSearch.topChunksPerDoc(s, d)),
     "highlight_window" -> (SemanticSearch.highlightWindow _),
     "search_pipeline" -> (SemanticSearch.searchPipeline _),
+    // multimodal plumbing (rows-only: no SQL-expressible oracle)
+    "multimodal_meta" -> (Multimodal.meta _),
     // dedup family
     "dedup_exact" -> (Dedup.exact _),
     "dedup_fingerprint" -> (Dedup.fingerprint _),

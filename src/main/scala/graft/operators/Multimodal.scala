@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Graft
+
+/** Multimodal-column plumbing: opaque `binary` payloads with typed
+  * metadata, batched feature extraction, and a STUBBED decoder.
+  *
+  * The real decode (image/audio libs) is not available in this
+  * environment, so `decodePayload` is an explicit stub and the pipeline
+  * runs a deterministic fake featurizer instead. Everything around it —
+  * schema (binary + metadata struct), fixed-shape feature vectors,
+  * per-partition batched execution — is real and tested.
+  *
+  * Scale notes: feature extraction is mapPartitions (one decoder init per
+  * partition, not per row — the Scala analog of mapInPandas batching);
+  * payloads never shuffle before the cheap metadata projection.
+  */
+object Multimodal {
+
+  val FeatureDim = 16
+
+  /** STUB: the real decoder (JPEG/PNG/audio frames) would go here.
+    * Deliberately unimplemented — no codec libraries in this build.
+    */
+  def decodePayload(payload: Array[Byte]): Nothing =
+    throw new NotImplementedError(
+      "media decode is stubbed: no codec libraries in this environment; " +
+        "use fakeFeatures for the deterministic test featurizer")
+
+  /** Deterministic fake featurizer standing in for decode+embed: a
+    * 16-bucket byte histogram, normalized by payload length. Fixed shape,
+    * stable across runs — exactly what the downstream plumbing needs.
+    */
+  def fakeFeatures(payload: Array[Byte]): Array[Double] = {
+    val h = new Array[Double](FeatureDim)
+    var i = 0
+    while (i < payload.length) { h((payload(i) & 0xff) % FeatureDim) += 1.0; i += 1 }
+    if (payload.length > 0) { var j = 0; while (j < FeatureDim) { h(j) /= payload.length; j += 1 } }
+    h
+  }
+
+  /** `documents` re-cast as a multimodal table: payload binary + typed
+    * metadata + extracted fixed-shape features.
+    */
+  def meta(s: SparkSession, dir: String): DataFrame = {
+    val withPayload = Graft.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        col("text").cast("binary").as("payload"))
+    extractFeatures(withPayload)
+  }
+
+  /** Batched feature extraction over a (doc_id, source, payload) frame:
+    * mapPartitions so a real decoder would init once per partition.
+    * Output schema: doc_id, source, n_bytes, digest, features[16].
+    */
+  def extractFeatures(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id"), col("source"), col("payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        // decoder/codec init would happen HERE, once per partition
+        it.map { case (id, src, payload) =>
+          (id, src, payload.length.toLong, fakeFeatures(payload))
+        }
+      }
+      .toDF("doc_id", "source", "n_bytes", "features")
+      .withColumn("digest", sha2(col("features").cast("string").cast("binary"), 256))
+  }
+}

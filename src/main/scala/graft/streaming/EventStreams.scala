@@ -1,0 +1,94 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming twins of graft.operators.Events: the same hourly
+  * tumbling aggregation and gap sessionization, expressed as an unbounded
+  * stream with watermarks and typed state.
+  *
+  * Scale notes: hourly is a streaming partial aggregation (state =
+  * per-window per-type sums, bounded by the watermark horizon);
+  * sessionize keeps one open-session state object per active user and
+  * emits sessions as they close — state size is O(active users), not
+  * O(events).
+  */
+object EventStreams {
+
+  /** Raw event row as produced by the testdata schema (ts in long
+    * nanoseconds, like the batch reader sees it).
+    */
+  case class RawEvent(event_id: Long, ts: Long, user_id: Long, event_type: String, value: Double)
+
+  case class SessionOut(user_id: Long, start_sec: Long, end_sec: Long, n_events: Long, sum_value: Double)
+
+  /** Open-session state (public: Spark codegen must reach the accessors). */
+  case class SessionState(start: Long, last: Long, n: Long, total: Double)
+
+  /** Normalize a raw stream: nanosecond long -> event-time timestamp. */
+  def withEventTime(events: DataFrame): DataFrame =
+    events.withColumn("event_time", timestamp_seconds(expr("ts div 1000000000")))
+
+  /** Tumbling 1-hour windowed count+sum per event type, 2h watermark.
+    * Batch twin: graft.operators.Events.hourly.
+    */
+  def hourly(events: DataFrame): DataFrame =
+    withEventTime(events)
+      .withWatermark("event_time", "2 hours")
+      .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .select(unix_timestamp(col("window.start")).as("hour_sec"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  /** Gap-based sessionization (30-min inactivity) with typed per-user
+    * state via flatMapGroupsWithState. Emits a session when a new event
+    * arrives more than `gapSec` after the last one, or when the user's
+    * state times out. Batch twin: graft.operators.Events.sessionize.
+    */
+  def sessionize(events: Dataset[RawEvent], gapSec: Long = 1800): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+
+    def fold(userId: Long, it: Iterator[RawEvent],
+             state: GroupState[SessionState]): Iterator[SessionOut] = {
+      if (state.hasTimedOut) {
+        val out = state.getOption.map(st =>
+          SessionOut(userId, st.start, st.last, st.n, st.total)).iterator
+        state.remove()
+        return out
+      }
+      val secs = it.map(e => (e.ts / 1000000000L, e.value)).toArray.sortBy(_._1)
+      var st = state.getOption.orNull
+      val closed = Vector.newBuilder[SessionOut]
+      secs.foreach { case (sec, v) =>
+        st match {
+          case null => st = SessionState(sec, sec, 1, v)
+          case prev if sec - prev.last > gapSec =>
+            closed += SessionOut(userId, prev.start, prev.last, prev.n, prev.total)
+            st = SessionState(sec, sec, 1, v)
+          case prev =>
+            st = SessionState(prev.start, sec, prev.n + 1, prev.total + v)
+        }
+      }
+      if (st != null) {
+        state.update(st)
+        state.setTimeoutTimestamp(st.last * 1000L + gapSec * 1000L)
+      }
+      closed.result().iterator
+    }
+
+    events
+      .withColumn("event_time", timestamp_seconds(expr("ts div 1000000000")))
+      .withWatermark("event_time", "1 hour")
+      .as[RawEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(fold)
+  }
+
+  /** File-source entry point: stream the events table from a directory of
+    * parquet (the batch table is one file; a production feed would be a
+    * growing directory or Kafka source — the plan is identical).
+    */
+  def fromParquetDir(spark: SparkSession, dir: String, schemaFrom: DataFrame): DataFrame =
+    spark.readStream.schema(schemaFrom.schema).parquet(dir)
+}

@@ -1,0 +1,51 @@
+package graft
+
+import graft.operators.{Ann, SemanticSearch}
+
+class AnnSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 64-dim vectors: id 0 (query) points at axis 0; ids 1..3 at
+  // decreasing similarity to it; 100 points away (and is a kNN query).
+  private def vec(axis0: Float, axis1: Float): Array[Float] = {
+    val a = new Array[Float](64); a(0) = axis0; a(1) = axis1; a
+  }
+
+  private lazy val dir = tempSfDir(
+    "embeddings" -> Seq(
+      (0L, vec(1.0f, 0.0f), 0),
+      (1L, vec(0.9f, 0.1f), 0),
+      (2L, vec(0.7f, 0.3f), 0),
+      (3L, vec(0.5f, 0.5f), 1),
+      (100L, vec(0.0f, 1.0f), 1),
+    ).toDF("vec_id", "embedding", "label"))
+
+  test("brute force ranks by cosine to the query vector") {
+    val got = Ann.bruteForce(spark, dir, k = 3).collect().map(_.getLong(0)).toSeq
+    assert(got === Seq(0L, 1L, 2L))
+  }
+
+  test("ivf probes the query's own cluster and ranks inside it") {
+    val got = Ann.ivf(spark, dir, k = 3).collect()
+    val ids = got.map(_.getLong(0)).toSeq
+    assert(ids.head === 0L)            // query itself tops its cluster
+    assert(got.map(_.getAs[Long]("cid")).distinct.length === 1)
+  }
+
+  test("knn join returns k neighbors per query vector") {
+    val got = Ann.knnJoin(spark, dir, k = 2).collect()
+    val perQ = got.groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+    assert(perQ === Map(0L -> 2, 100L -> 2))
+    // 100's nearest must be 3 (closest to axis 1)
+    val n100 = got.filter(r => r.getLong(0) == 100L).minBy(_.getAs[Long]("rn"))
+    assert(n100.getAs[Long]("nb_id") === 3L)
+  }
+
+  test("search pipeline returns docs ranked by doc score with context") {
+    val rows = SemanticSearch.searchPipeline(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val scores = rows.map(_.getAs[Double]("doc_score")).toSeq
+    assert(scores === scores.sorted.reverse)
+    rows.foreach(r => assert(r.getAs[String]("ctx_vecs").nonEmpty))
+  }
+}

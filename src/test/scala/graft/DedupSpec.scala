@@ -1,0 +1,68 @@
+package graft
+
+import graft.operators.Dedup
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 0/1 exact dups; 2 is 1 reordered; 3 is 1 with one word changed
+  // (near-dup); 4 unrelated.
+  private lazy val dir = tempSfDir(
+    "documents" -> Seq(
+      (0L, "spark shuffles data across the cluster for wide ops", "en", "s", 1L),
+      (1L, "spark shuffles data across the cluster for wide ops", "en", "s", 1L),
+      (2L, "ops wide for cluster the across data shuffles spark", "en", "s", 1L),
+      (3L, "spark shuffles data across the cluster for narrow ops", "en", "s", 1L),
+      (4L, "completely different text about databases and storage engines", "en", "s", 1L),
+    ).toDF("doc_id", "text", "lang", "source", "n_chars"))
+
+  test("exact dedup groups identical texts") {
+    val groups = Dedup.exact(spark, dir).collect()
+    assert(groups.length === 4)
+    val dup = groups.find(_.getAs[Long]("n_dups") == 2).get
+    assert(dup.getAs[Long]("canonical_id") === 0L)
+  }
+
+  test("fingerprint dedup catches token reorderings") {
+    val groups = Dedup.fingerprint(spark, dir).collect()
+    assert(groups.length === 3) // {0,1,2} fold together, {3}, {4}
+    assert(groups.map(_.getAs[Long]("n_dups")).sorted.toSeq === Seq(1L, 1L, 3L))
+  }
+
+  test("ngram jaccard finds near-dup pair and skips unrelated") {
+    val pairs = Dedup.ngramJaccard(spark, dir, tauMicros = 500000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)) && pairs.contains((0L, 3L)) && pairs.contains((1L, 3L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("minhash lsh surfaces exact and near dup candidates") {
+    val pairs = Dedup.minhashLsh(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))           // identical -> all bands agree
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("simhash: identical docs equal, near docs within small hamming") {
+    val sh = Dedup.simhash(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(sh(0L) === sh(1L))
+    val hamming = sh(0L).zip(sh(3L)).count { case (a, b) => a != b }
+    assert(hamming < 16, s"hamming=$hamming")
+    val far = sh(0L).zip(sh(4L)).count { case (a, b) => a != b }
+    assert(far > hamming)
+  }
+
+  test("embedding near-dup respects label blocking and threshold") {
+    val edir = tempSfDir(
+      "embeddings" -> Seq(
+        (0L, Array(1.0f, 0.0f, 0.0f), 0),
+        (1L, Array(0.999f, 0.04f, 0.0f), 0),  // near-dup of 0, same label
+        (2L, Array(1.0f, 0.0f, 0.0f), 1),     // identical to 0 but other label
+        (3L, Array(0.0f, 1.0f, 0.0f), 0),     // orthogonal
+      ).toDF("vec_id", "embedding", "label"))
+    val pairs = Dedup.embeddingNearDup(spark, edir, tau = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((0L, 1L)))
+  }
+}
