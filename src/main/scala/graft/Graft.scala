@@ -13,6 +13,7 @@ object Graft {
   /** Apply graft-wide configs to any builder (Verify/Bench own their master). */
   def configure(b: SparkSession.Builder): SparkSession.Builder = b
     .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.extensions", "graft.functions.GraftExtensions")
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
     // testdata events.ts is parquet TIMESTAMP(NANOS): read as long nanos if

@@ -1,0 +1,31 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session extension registering graft's native expressions so any
+  * session (including ones the driver builds) resolves them by name —
+  * wired via `spark.sql.extensions` in Graft.configure.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("fvec_dot"),
+      new ExpressionInfo(classOf[FloatVecDot].getName, "fvec_dot"),
+      (args: Seq[Expression]) => FloatVecDot(args.head, args(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("word_ngrams"),
+      new ExpressionInfo(classOf[WordNGrams].getName, "word_ngrams"),
+      (args: Seq[Expression]) => WordNGrams(args.head,
+        args(1).eval().asInstanceOf[Number].intValue())))
+    ext.injectFunction((
+      new FunctionIdentifier("fingerprint_md5"),
+      new ExpressionInfo(classOf[FingerprintMd5].getName, "fingerprint_md5"),
+      (args: Seq[Expression]) => FingerprintMd5(args.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("minhash_sigs"),
+      new ExpressionInfo(classOf[MinHashSigs].getName, "minhash_sigs"),
+      (args: Seq[Expression]) => MinHashSigs(args.head)))
+  }
+}

@@ -1,0 +1,87 @@
+package graft.functions
+
+import java.security.MessageDigest
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** JVM kernels behind the native text-hash expressions. Each produces
+  * values IDENTICAL to the portable SQL the oracles run (md5 hex,
+  * 48-bit prefix, (A_p*v+B_p) mod P permutations) — only faster.
+  */
+object TextHashes {
+
+  /** Distinct word n-gram shingles of a whitespace-tokenized text.
+    * Matches `array_distinct(transform(...concat_ws(' ',...)))` over
+    * `split(text,'\s+')` (split limit -1: Spark keeps trailing empties).
+    */
+  def wordNGrams(text: UTF8String, n: Int): ArrayData = {
+    val toks = text.toString.split("\\s+", -1)
+    if (toks.length < n) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String]((toks.length - n + 1) * 2)
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i + n <= toks.length) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) { if (j > 0) sb.append(' '); sb.append(toks(i + j)); j += 1 }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator(); var k = 0
+    while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** OpenRefine-style fingerprint: md5 hex of the sorted distinct
+    * whitespace tokens joined by ' '. Sort order is UTF8String binary —
+    * identical to Spark's array_sort and DuckDB's list_sort on VARCHAR.
+    */
+  def fingerprintMd5(text: UTF8String): UTF8String = {
+    val toks = text.toLowerCase.toString.split("\\s+", -1)
+    val set = new java.util.TreeSet[UTF8String]()
+    var i = 0
+    while (i < toks.length) { set.add(UTF8String.fromString(toks(i))); i += 1 }
+    val sb = new java.lang.StringBuilder(text.numBytes())
+    val it = set.iterator()
+    while (it.hasNext) { if (sb.length > 0) sb.append(' '); sb.append(it.next().toString) }
+    val d = MessageDigest.getInstance("MD5").digest(
+      sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val hex = new Array[Char](32)
+    var k = 0
+    while (k < 16) {
+      hex(2 * k) = "0123456789abcdef".charAt((d(k) >> 4) & 0xf)
+      hex(2 * k + 1) = "0123456789abcdef".charAt(d(k) & 0xf)
+      k += 1
+    }
+    UTF8String.fromString(new String(hex))
+  }
+
+  val MinHashK = 12
+  private val P = 1000000007L
+
+  /** MinHash signature: per shingle md5 -> 48-bit prefix v (= first 12
+    * hex digits big-endian) -> K universal-hash permutations -> min fold.
+    */
+  def minhashSigs(shingles: ArrayData): ArrayData = {
+    val md = MessageDigest.getInstance("MD5")
+    val mins = Array.fill(MinHashK)(P)
+    val n = shingles.numElements()
+    var i = 0
+    while (i < n) {
+      val d = md.digest(shingles.getUTF8String(i).getBytes)
+      md.reset()
+      // first 12 hex chars == first 6 digest bytes, big-endian
+      val v = ((d(0) & 0xffL) << 40) | ((d(1) & 0xffL) << 32) | ((d(2) & 0xffL) << 24) |
+        ((d(3) & 0xffL) << 16) | ((d(4) & 0xffL) << 8) | (d(5) & 0xffL)
+      var p = 0
+      while (p < MinHashK) {
+        val h = ((16385L + 77L * p) * v + 52361L + 9199L * p) % P
+        if (h < mins(p)) mins(p) = h
+        p += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+}

@@ -13,8 +13,15 @@ import org.apache.spark.sql.functions._
   */
 object VectorOps {
 
-  /** dot(a, b) with double accumulation. */
-  def dot(a: Column, b: Column): Column =
+  /** dot(a, b) with double accumulation — the native codegen'd
+    * FloatVecDot expression (registered by GraftExtensions).
+    */
+  def dot(a: Column, b: Column): Column = call_function("fvec_dot", a, b)
+
+  /** Higher-order-function dot (interpreted): kept for sessions without
+    * GraftExtensions; same values as [[dot]].
+    */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)

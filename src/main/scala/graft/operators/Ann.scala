@@ -35,14 +35,17 @@ object Ann {
   private def assignments(s: SparkSession, dir: String): DataFrame = {
     val cents = Graft.embeddings(s, dir).filter(col("vec_id") < 8)
       .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("cscore").desc, col("cid"))
+    // argmax centroid as ONE hash aggregation (max_by over a totally
+    // ordered (score, -cid) struct) — no window sort over the fanout.
     Graft.embeddings(s, dir)
       .crossJoin(broadcast(cents))
       .select(col("vec_id"), col("embedding"),
         col("cid"), VectorOps.cosine6(col("embedding"), col("cvec")).as("cscore"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .drop("rn")
+      .groupBy(col("vec_id"))
+      .agg(
+        max_by(struct(col("cid"), col("embedding")),
+          struct(col("cscore"), (-col("cid")).as("nc"))).as("best"))
+      .select(col("vec_id"), col("best.embedding").as("embedding"), col("best.cid").as("cid"))
   }
 
   /** IVF probe: assign all vectors to centroids, route the query to its

@@ -31,23 +31,16 @@ object Dedup {
     */
   def fingerprint(s: SparkSession, dir: String): DataFrame =
     Graft.documents(s, dir)
-      .groupBy(md5(concat_ws(" ",
-        array_sort(array_distinct(split(lower(col("text")), "\\s+"))))).as("fp"))
+      .groupBy(call_function("fingerprint_md5", col("text")).as("fp"))
       .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_dups"))
 
-  /** Distinct word-3-gram shingles as a single array expression (no
-    * explode until candidate generation).
+  /** Distinct word-3-gram shingles via the native word_ngrams kernel
+    * (one JVM call per row; no explode until candidate generation).
     */
-  private def shingleExpr: Column =
-    array_distinct(expr(
-      """transform(sequence(1, size(toks) - 2),
-        | i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))""".stripMargin))
-
   private def withShingles(s: SparkSession, dir: String): DataFrame =
     Graft.documents(s, dir)
-      .select(col("doc_id"), expr("split(text, '\\\\s+')").as("toks"))
-      .filter(size(col("toks")) >= 3)
-      .select(col("doc_id"), shingleExpr.as("shingles"))
+      .select(col("doc_id"), call_function("word_ngrams", col("text"), lit(3)).as("shingles"))
+      .filter(size(col("shingles")) >= 1)
 
   /** N-gram Jaccard near-dup pairs: shingle-inverted-index self-join
     * (candidates share >= 1 shingle), Jaccard as exact integer micros.
@@ -55,38 +48,48 @@ object Dedup {
     * pass — work is proportional to shared-shingle pairs, not all pairs.
     */
   def ngramJaccard(s: SparkSession, dir: String, tauMicros: Long = 500000L): DataFrame = {
-    val sh = withShingles(s, dir).select(col("doc_id"), explode(col("shingles")).as("sh"))
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = sh.as("a").join(sh.as("b"),
-        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+    // shingle-set size travels WITH each inverted-index row: no second
+    // scan, no sizes join after the pair aggregation.
+    val sh = withShingles(s, dir)
+      .select(col("doc_id"), size(col("shingles")).cast("long").as("n"),
+        explode(col("shingles")).as("sh"))
+    sh.as("a").join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id") &&
+          // size-compatibility pruning: jaccard >= tau forces
+          // min(n_a,n_b) >= tau * max(n_a,n_b); exactness-preserving,
+          // applied before the aggregation shuffle.
+          col("a.n") * lit(1000000L) >= col("b.n") * lit(tauMicros) &&
+          col("b.n") * lit(1000000L) >= col("a.n") * lit(tauMicros))
       .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select(col("doc_id").as("id_a"), col("n").as("na")), "id_a")
-      .join(sizes.select(col("doc_id").as("id_b"), col("n").as("nb")), "id_b")
+      .agg(count(lit(1)).as("inter"),
+        first(col("a.n")).as("na"), first(col("b.n")).as("nb"))
       .select(col("id_a"), col("id_b"),
         expr("inter * 1000000 div (na + nb - inter)").as("jaccard_micros"))
       .filter(col("jaccard_micros") >= tauMicros)
   }
 
-  /** MinHash signature: per seed, min over shingles of md5(seed|shingle)
-    * — a lexicographic-min hex string is a valid min-permutation hash and
-    * is bit-identical across engines.
+  /** First 12 hex digits of a hex string `h` as a 48-bit integer —
+    * portable SQL (posFn = instr for Spark, strpos for DuckDB).
     */
-  private val minhashSigs: Column = expr(
-    """transform(sequence(0, 11),
-      | s -> array_min(transform(shingles, g -> md5(concat(cast(s as string), '|', g)))))""".stripMargin)
+  private def hexToLong(h: String, posFn: String): String =
+    (1 to 12).map { k =>
+      s"cast($posFn('0123456789abcdef', substring($h, $k, 1)) - 1 as bigint) * ${1L << (4 * (12 - k))}"
+    }.mkString("(", " + ", ")")
 
   /** MinHash + banded LSH candidate pairs: 12 hashes in 4 bands of 3;
-    * docs sharing any band hash are candidates. One projection computes
-    * the full signature; the only shuffle is the band-bucket self-join.
+    * docs sharing any band hash are candidates. The signature is ONE
+    * native kernel call per row (md5 per shingle once, 48-bit prefix,
+    * integer permutations, min fold — graft.functions.TextHashes); the
+    * only shuffle is the band-bucket self-join.
     */
   def minhashLsh(s: SparkSession, dir: String): DataFrame = {
     val bands = withShingles(s, dir)
-      .select(col("doc_id"), minhashSigs.as("sigs"))
+      .select(col("doc_id"), call_function("minhash_sigs", col("shingles")).as("sigs"))
       .select(col("doc_id"), posexplode(expr(
         """transform(sequence(0, 3),
-          | b -> md5(concat(element_at(sigs, 3*b + 1), element_at(sigs, 3*b + 2), element_at(sigs, 3*b + 3))))""".stripMargin))
+          | b -> concat(cast(element_at(sigs, 3*b + 1) as string), '|',
+          |             cast(element_at(sigs, 3*b + 2) as string), '|',
+          |             cast(element_at(sigs, 3*b + 3) as string)))""".stripMargin))
         .as(Seq("band_id", "band_hash")))
     bands.as("a").join(bands.as("b"),
         col("a.band_id") === col("b.band_id") && col("a.band_hash") === col("b.band_hash") &&
@@ -116,12 +119,15 @@ object Dedup {
     * blocking key caps pair counts; at scale the block is an LSH bucket).
     */
   def embeddingNearDup(s: SparkSession, dir: String, tau: Double = 0.35): DataFrame = {
+    // norms are per-vector: compute once before the pair join, not per pair
     val e = Graft.embeddings(s, dir).select(
-      col("vec_id"), col("label"), col("embedding"))
+      col("vec_id"), col("label"), col("embedding"),
+      VectorOps.norm(col("embedding")).as("nrm"))
     e.as("a").join(e.as("b"),
         col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-        VectorOps.cosine6(col("a.embedding"), col("b.embedding")).as("cos"))
+        round(VectorOps.dot(col("a.embedding"), col("b.embedding"))
+          / (col("a.nrm") * col("b.nrm")), 6).as("cos"))
       .filter(col("cos") >= tau)
   }
 
@@ -151,11 +157,17 @@ object Dedup {
          |WHERE inter * 1000000 // (x.n + y.n - inter) >= 500000""".stripMargin,
     "dedup_minhash_lsh" ->
       s"""WITH $duckShingles,
-         |sig AS (SELECT doc_id, list_transform(range(0, 12),
-         |         s -> list_min(list_transform(shingles, g -> md5(CAST(s AS VARCHAR) || '|' || g)))) AS sigs
-         |        FROM sar),
+         |sig AS (SELECT doc_id,
+         |  list_reduce(
+         |    list_transform(
+         |      list_transform(list_transform(shingles, g -> md5(g)), h -> ${hexToLong("h", "strpos")}),
+         |      v -> list_transform(range(0, 12),
+         |             p -> ((16385 + 77 * p) * v + 52361 + 9199 * p) % 1000000007)),
+         |    (a, b) -> list_transform(range(1, 13), i -> least(a[i], b[i]))) AS sigs
+         |  FROM sar),
          |bands AS (SELECT doc_id, b AS band_id,
-         |           md5(sigs[3*b + 1] || sigs[3*b + 2] || sigs[3*b + 3]) AS band_hash
+         |           CAST(sigs[3*b + 1] AS VARCHAR) || '|' || CAST(sigs[3*b + 2] AS VARCHAR)
+         |            || '|' || CAST(sigs[3*b + 3] AS VARCHAR) AS band_hash
          |          FROM sig, range(0, 4) t(b))
          |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
          |FROM bands a JOIN bands b

@@ -81,21 +81,19 @@ object SemanticSearch {
     * "Relevance" here is a deterministic surrogate (min md5 of the token)
     * — the windowing is the operator under test, not the scorer.
     */
-  def highlightWindow(s: SparkSession, dir: String): DataFrame = {
-    val chunks = Chunking.words(s, dir)
-    val w = Window.partitionBy(col("doc_id")).orderBy(md5(col("tok")), col("pos"))
-    val centers = chunks
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("doc_id").as("c_doc"), col("pos").as("center_pos"))
-    chunks
-      .join(centers, col("doc_id") === col("c_doc") &&
-        abs(col("pos") - col("center_pos")) <= 1)
-      .groupBy(col("doc_id"), col("center_pos"))
-      .agg(array_join(
-        transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
-          x => x.getField("tok")), " ").as("context"))
-  }
+  def highlightWindow(s: SparkSession, dir: String): DataFrame =
+    // argmin over (md5(tok), pos) inside one projection + an array slice:
+    // no explode, no window sort, no join, NO SHUFFLE — same rows as the
+    // rank/join formulation, as a pure map over documents.
+    Graft.documents(s, dir)
+      .select(col("doc_id"), expr("split(text, '\\\\s+')").as("toks"))
+      .select(col("doc_id"), col("toks"),
+        expr("array_min(transform(toks, (t, i) -> struct(md5(t) as m, i as pos))).pos")
+          .as("center_pos"))
+      .select(col("doc_id"), col("center_pos").cast("long").as("center_pos"),
+        expr("""array_join(slice(toks, greatest(center_pos, 1),
+                | least(center_pos + 2, size(toks)) - greatest(center_pos, 1) + 1), ' ')""".stripMargin)
+          .as("context"))
 
   /** End-to-end flagship: query vec → top-3 docs → best chunk per doc →
     * ±1 neighbor chunk ids. One broadcast of the query, one window, one
