@@ -36,11 +36,14 @@ object Dedup {
 
   /** Distinct word-3-gram shingles via the native word_ngrams kernel
     * (one JVM call per row; no explode until candidate generation).
+    * No emptiness filter here: a `size(shingles) >= 1` predicate gets
+    * pushed below the projection and re-evaluates the kernel per
+    * reference — consumers guard downstream instead (explode drops
+    * empties for free; minhash filters on the sentinel signature).
     */
   private def withShingles(s: SparkSession, dir: String): DataFrame =
     Graft.documents(s, dir)
       .select(col("doc_id"), call_function("word_ngrams", col("text"), lit(3)).as("shingles"))
-      .filter(size(col("shingles")) >= 1)
 
   /** N-gram Jaccard near-dup pairs: shingle-inverted-index self-join
     * (candidates share >= 1 shingle), Jaccard as exact integer micros.
@@ -91,6 +94,10 @@ object Dedup {
           |             cast(element_at(sigs, 3*b + 2) as string), '|',
           |             cast(element_at(sigs, 3*b + 3) as string)))""".stripMargin))
         .as(Seq("band_id", "band_hash")))
+      // shingle-less docs carry the all-P sentinel signature; they must
+      // not bucket together. Filtering on the *generated* band string
+      // stays above the Generate (no pushdown re-evaluating the kernel).
+      .filter(col("band_hash") =!= "1000000007|1000000007|1000000007")
     bands.as("a").join(bands.as("b"),
         col("a.band_id") === col("b.band_id") && col("a.band_hash") === col("b.band_hash") &&
           col("a.doc_id") < col("b.doc_id"))
