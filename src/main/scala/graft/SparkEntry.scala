@@ -40,6 +40,12 @@ object SparkEntry {
     "q3_join" -> (Relational.q3 _),
     "q5_multijoin" -> (Relational.q5 _),
     "window_topn" -> (Relational.windowTopN _),
+    // analytics second wave
+    "q_rollup" -> (Analytics.rollupRevenue _),
+    "events_quantiles" -> (Analytics.eventQuantiles _),
+    "q_antijoin" -> (Analytics.customersNoOrders _),
+    "text_topk_tokens" -> (Analytics.topTokens _),
+    "events_funnel" -> (Analytics.funnel _),
     // events
     "events_hourly" -> (Events.hourly _),
     "events_sessionize" -> (Events.sessionize _),
@@ -52,5 +58,6 @@ object SparkEntry {
   /** DuckDB-runnable oracle SQL per query key (same column names!). */
   def oracleSql: Map[String, String] =
     Relational.oracle ++ Events.oracle ++ TextAnalysis.oracle ++
-      Chunking.oracle ++ SemanticSearch.oracle ++ Dedup.oracle ++ Ann.oracle
+      Chunking.oracle ++ SemanticSearch.oracle ++ Dedup.oracle ++ Ann.oracle ++
+      Analytics.oracle
 }

