@@ -30,6 +30,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ((s: SparkSession, d: String) => Dedup.ngramJaccard(s, d)),
     "dedup_minhash_lsh" -> (Dedup.minhashLsh _),
     "dedup_simhash" -> (Dedup.simhash _),
+    "dedup_simhash_pairs" -> ((s: SparkSession, d: String) => Dedup.simhashPairs(s, d)),
     "dedup_embedding" -> ((s: SparkSession, d: String) => Dedup.embeddingNearDup(s, d)),
     // similarity search
     "ann_bruteforce" -> ((s: SparkSession, d: String) => Ann.bruteForce(s, d)),

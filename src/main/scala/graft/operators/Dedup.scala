@@ -122,6 +122,28 @@ object Dedup {
           |     THEN 1 ELSE -1 END)) >= 0
           | THEN '1' ELSE '0' END))""".stripMargin).as("simhash"))
 
+  /** SimHash near-dup pairs: pigeonhole-banded hamming join. Split the
+    * 64-bit signature into 4 bands of 16 — hamming <= 3 guarantees at
+    * least one equal band, so candidates come from a band-bucket
+    * self-join (never all-pairs), then exact hamming verifies.
+    */
+  def simhashPairs(s: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
+    val sh = simhash(s, dir)
+    val bands = sh.select(col("doc_id"), col("simhash"),
+      posexplode(expr(
+        "transform(sequence(0, 3), b -> substring(simhash, 16 * b + 1, 16))"))
+        .as(Seq("band_id", "band_bits")))
+    bands.as("a").join(bands.as("b"),
+        col("a.band_id") === col("b.band_id") && col("a.band_bits") === col("b.band_bits") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        expr("""aggregate(sequence(1, 64), 0, (acc, i) ->
+                | acc + (CASE WHEN substring(a.simhash, i, 1) = substring(b.simhash, i, 1)
+                |        THEN 0 ELSE 1 END))""".stripMargin).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Embedding near-dup pairs: cosine >= tau within label blocks (the
     * blocking key caps pair counts; at scale the block is an LSH bucket).
     */
@@ -190,6 +212,28 @@ object Dedup {
         |      THEN 1 ELSE -1 END)) >= 0
         |  THEN '1' ELSE '0' END), '') AS simhash
         |FROM h""".stripMargin,
+    "dedup_simhash_pairs" ->
+      """WITH h AS (SELECT doc_id,
+        |  list_transform(string_split_regex(text, '\s+'), t -> md5(t)) AS hs FROM documents),
+        |sh AS (SELECT doc_id, array_to_string(list_transform(range(0, 64), b ->
+        |  CASE WHEN list_sum(list_transform(hs, h ->
+        |    CASE WHEN ((strpos('0123456789abcdef', substring(h, (b // 4) + 1, 1)) - 1)
+        |        // (CASE WHEN b % 4 = 0 THEN 1 WHEN b % 4 = 1 THEN 2
+        |             WHEN b % 4 = 2 THEN 4 ELSE 8 END)) % 2 = 1
+        |      THEN 1 ELSE -1 END)) >= 0
+        |  THEN '1' ELSE '0' END), '') AS simhash
+        |FROM h),
+        |bands AS (SELECT doc_id, simhash, b AS band_id,
+        |           substring(simhash, 16 * b + 1, 16) AS band_bits
+        |          FROM sh, range(0, 4) t(b)),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+        |          CAST(list_sum(list_transform(range(1, 65), i ->
+        |            CASE WHEN substring(a.simhash, i, 1) = substring(b.simhash, i, 1)
+        |            THEN 0 ELSE 1 END)) AS BIGINT) AS hamming
+        |         FROM bands a JOIN bands b
+        |           ON a.band_id = b.band_id AND a.band_bits = b.band_bits
+        |          AND a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, hamming FROM cand WHERE hamming <= 3""".stripMargin,
     "dedup_embedding" ->
       """WITH e AS (SELECT vec_id, label,
         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
