@@ -24,6 +24,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[FingerprintMd5].getName, "fingerprint_md5"),
       (args: Seq[Expression]) => FingerprintMd5(args.head)))
     ext.injectFunction((
+      new FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[Simhash64].getName, "simhash64"),
+      (args: Seq[Expression]) => Simhash64(args.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("simhash_bands"),
+      new ExpressionInfo(classOf[SimhashBands].getName, "simhash_bands"),
+      (args: Seq[Expression]) => SimhashBands(args.head)))
+    ext.injectFunction((
       new FunctionIdentifier("minhash_sigs"),
       new ExpressionInfo(classOf[MinHashSigs].getName, "minhash_sigs"),
       (args: Seq[Expression]) => MinHashSigs(args.head)))

@@ -52,6 +52,46 @@ case class FingerprintMd5(child: Expression) extends UnaryExpression {
   override def prettyName: String = "fingerprint_md5"
 }
 
+/** Native 64-bit SimHash bitstring in one kernel call per row. */
+case class Simhash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"simhash64 expects string, got ${child.dataType}")
+
+  override protected def nullSafeEval(t: Any): Any =
+    TextHashes.simhash64(t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashes.simhash64($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "simhash64"
+}
+
+/** Native SimHash 4x16-bit integer bands in one kernel call per row. */
+case class SimhashBands(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"simhash_bands expects string, got ${child.dataType}")
+
+  override protected def nullSafeEval(t: Any): Any =
+    TextHashes.simhashBands(t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashes.simhashBands($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "simhash_bands"
+}
+
 /** Native MinHash signature (K=12) over a shingle array — one kernel
   * call per row; values identical to the portable-SQL formulation the
   * DuckDB oracle runs.

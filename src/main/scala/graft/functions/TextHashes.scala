@@ -57,6 +57,56 @@ object TextHashes {
     UTF8String.fromString(new String(hex))
   }
 
+  /** SimHash sign accumulator: for bit b (= bit (b mod 4) of hex digit
+    * (b div 4) of md5(token)), sum +1/-1 over tokens. Same bit layout as
+    * the portable-SQL formulation.
+    */
+  private def simhashAcc(text: UTF8String): Array[Int] = {
+    val md = MessageDigest.getInstance("MD5")
+    val acc = new Array[Int](64)
+    val toks = text.toString.split("\\s+", -1)
+    var i = 0
+    while (i < toks.length) {
+      val d = md.digest(toks(i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      md.reset()
+      var b = 0
+      while (b < 64) {
+        val k = b >> 2 // hex digit index
+        val nib = if ((k & 1) == 0) (d(k >> 1) >> 4) & 0xf else d(k >> 1) & 0xf
+        acc(b) += (if (((nib >> (b & 3)) & 1) == 1) 1 else -1)
+        b += 1
+      }
+      i += 1
+    }
+    acc
+  }
+
+  /** 64-char SimHash bitstring ('1' where the sign sum is >= 0). */
+  def simhash64(text: UTF8String): UTF8String = {
+    val acc = simhashAcc(text)
+    val cs = new Array[Char](64)
+    var b = 0
+    while (b < 64) { cs(b) = if (acc(b) >= 0) '1' else '0'; b += 1 }
+    UTF8String.fromString(new String(cs))
+  }
+
+  /** SimHash as 4 x 16-bit integer bands (band b = bits 16b..16b+15,
+    * first bit most significant — matches conv(substring(bits),2,10)).
+    */
+  def simhashBands(text: UTF8String): ArrayData = {
+    val acc = simhashAcc(text)
+    val bands = new Array[Long](4)
+    var b = 0
+    while (b < 4) {
+      var v = 0L
+      var i = 0
+      while (i < 16) { v = (v << 1) | (if (acc(16 * b + i) >= 0) 1L else 0L); i += 1 }
+      bands(b) = v
+      b += 1
+    }
+    new GenericArrayData(bands)
+  }
+
   val MinHashK = 12
   private val P = 1000000007L
 

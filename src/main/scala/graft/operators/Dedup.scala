@@ -110,17 +110,11 @@ object Dedup {
     * Emitted as a 64-char bitstring.
     */
   def simhash(s: SparkSession, dir: String): DataFrame =
+    // native kernel: the SQL-HOF formulation gets its md5-token array
+    // inlined into the 64-position lambda by CollapseProject and
+    // recomputes every digest 64x per row
     Graft.documents(s, dir)
-      .select(col("doc_id"),
-        expr("transform(split(text, '\\\\s+'), t -> md5(t))").as("hs"))
-      .select(col("doc_id"), expr(
-        """concat_ws('', transform(sequence(0, 63), b ->
-          | CASE WHEN aggregate(hs, 0, (acc, h) ->
-          |   acc + (CASE WHEN ((instr('0123456789abcdef', substring(h, cast(b div 4 as int) + 1, 1)) - 1)
-          |       div (CASE WHEN b % 4 = 0 THEN 1 WHEN b % 4 = 1 THEN 2
-          |            WHEN b % 4 = 2 THEN 4 ELSE 8 END)) % 2 = 1
-          |     THEN 1 ELSE -1 END)) >= 0
-          | THEN '1' ELSE '0' END))""".stripMargin).as("simhash"))
+      .select(col("doc_id"), call_function("simhash64", col("text")).as("simhash"))
 
   /** SimHash near-dup pairs: pigeonhole-banded hamming join. Split the
     * 64-bit signature into 4 bands of 16 — hamming <= 3 guarantees at
@@ -128,20 +122,24 @@ object Dedup {
     * self-join (never all-pairs), then exact hamming verifies.
     */
   def simhashPairs(s: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
-    val sh = simhash(s, dir)
-    val bands = sh.select(col("doc_id"), col("simhash"),
-      posexplode(expr(
-        "transform(sequence(0, 3), b -> substring(simhash, 16 * b + 1, 16))"))
-        .as(Seq("band_id", "band_bits")))
+    // bands as INTEGERS from one kernel call, so the hamming verify is
+    // xor+bit_count (codegen'd primitive ops), not a 64-step interpreted
+    // fold per candidate pair
+    val bands = Graft.documents(s, dir)
+      .select(col("doc_id"), call_function("simhash_bands", col("text")).as("bl"))
+      .select(col("doc_id"), col("bl"),
+        posexplode(col("bl")).as(Seq("band_id", "band_long")))
     bands.as("a").join(bands.as("b"),
-        col("a.band_id") === col("b.band_id") && col("a.band_bits") === col("b.band_bits") &&
+        col("a.band_id") === col("b.band_id") && col("a.band_long") === col("b.band_long") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        expr("""aggregate(sequence(1, 64), 0, (acc, i) ->
-                | acc + (CASE WHEN substring(a.simhash, i, 1) = substring(b.simhash, i, 1)
-                |        THEN 0 ELSE 1 END))""".stripMargin).cast("long").as("hamming"))
-      .distinct()
+        expr("""cast(bit_count(element_at(a.bl, 1) ^ element_at(b.bl, 1))
+                |   + bit_count(element_at(a.bl, 2) ^ element_at(b.bl, 2))
+                |   + bit_count(element_at(a.bl, 3) ^ element_at(b.bl, 3))
+                |   + bit_count(element_at(a.bl, 4) ^ element_at(b.bl, 4)) as bigint)""".stripMargin)
+          .as("hamming"))
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** Embedding near-dup pairs: cosine >= tau within label blocks (the
@@ -223,15 +221,19 @@ object Dedup {
         |      THEN 1 ELSE -1 END)) >= 0
         |  THEN '1' ELSE '0' END), '') AS simhash
         |FROM h),
-        |bands AS (SELECT doc_id, simhash, b AS band_id,
-        |           substring(simhash, 16 * b + 1, 16) AS band_bits
-        |          FROM sh, range(0, 4) t(b)),
+        |bl AS (SELECT doc_id, list_transform(range(0, 4),
+        |         b -> CAST(list_sum(list_transform(range(1, 17), i ->
+        |           CASE WHEN substring(simhash, 16 * b + i, 1) = '1'
+        |           THEN (1::BIGINT << (16 - i)) ELSE 0 END)) AS BIGINT)) AS bands
+        |       FROM sh),
+        |bands AS (SELECT doc_id, bands AS bl, b AS band_id, bands[b + 1] AS band_long
+        |          FROM bl, range(0, 4) t(b)),
         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-        |          CAST(list_sum(list_transform(range(1, 65), i ->
-        |            CASE WHEN substring(a.simhash, i, 1) = substring(b.simhash, i, 1)
-        |            THEN 0 ELSE 1 END)) AS BIGINT) AS hamming
+        |          CAST(bit_count(xor(a.bl[1], b.bl[1])) + bit_count(xor(a.bl[2], b.bl[2]))
+        |             + bit_count(xor(a.bl[3], b.bl[3])) + bit_count(xor(a.bl[4], b.bl[4]))
+        |           AS BIGINT) AS hamming
         |         FROM bands a JOIN bands b
-        |           ON a.band_id = b.band_id AND a.band_bits = b.band_bits
+        |           ON a.band_id = b.band_id AND a.band_long = b.band_long
         |          AND a.doc_id < b.doc_id)
         |SELECT id_a, id_b, hamming FROM cand WHERE hamming <= 3""".stripMargin,
     "dedup_embedding" ->
