@@ -14,6 +14,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // reference surface: chunking + semantic search
     "chunk_sentences" -> (Chunking.sentences _),
+    "chunk_paragraphs" -> (Chunking.paragraphs _),
     "chunk_words" -> (Chunking.words _),
     "strip_citations" -> (Chunking.stripCitations _),
     "doc_point_ids" -> (Chunking.pointIds _),

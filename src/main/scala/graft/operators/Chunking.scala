@@ -20,6 +20,10 @@ object Chunking {
   def sentences(s: SparkSession, dir: String): DataFrame =
     chunks(Graft.documents(s, dir), "doc_id", "\\. ")
 
+  /** Paragraph-level chunks (reference ChunkLevel.PARAGRAPH, sep = '\n'). */
+  def paragraphs(s: SparkSession, dir: String): DataFrame =
+    chunks(Graft.documents(s, dir), "doc_id", "\n")
+
   /** Word/token-level chunks (finest granularity). */
   def words(s: SparkSession, dir: String): DataFrame =
     Graft.documents(s, dir)
@@ -54,6 +58,9 @@ object Chunking {
     "chunk_sentences" ->
       """SELECT doc_id, generate_subscripts(parts, 1) - 1 AS chunk_id, unnest(parts) AS chunk
         |FROM (SELECT doc_id, string_split(text, '. ') AS parts FROM documents)""".stripMargin,
+    "chunk_paragraphs" ->
+      """SELECT doc_id, generate_subscripts(parts, 1) - 1 AS chunk_id, unnest(parts) AS chunk
+        |FROM (SELECT doc_id, string_split(text, chr(10)) AS parts FROM documents)""".stripMargin,
     "chunk_words" ->
       """SELECT doc_id, generate_subscripts(parts, 1) - 1 AS pos, unnest(parts) AS tok
         |FROM (SELECT doc_id, string_split_regex(text, '\s+') AS parts FROM documents)""".stripMargin,

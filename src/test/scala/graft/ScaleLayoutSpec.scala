@@ -1,0 +1,50 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+
+/** Storage-layout evidence for the 100 TB design: bucketed tables make
+  * the dedup/ANN self-joins shuffle-free, partitioned tables prune at
+  * the scan. These are the write-time layouts a production deployment
+  * of this engine would use (SURVEY.md §5).
+  */
+class ScaleLayoutSpec extends SparkSpec with AdaptiveSparkPlanHelper {
+  import spark.implicits._
+
+  test("bucketed-by-label embeddings join without a shuffle") {
+    val emb = (0L until 200L).map(i => (i, Array.fill(4)(i.toFloat), (i % 10).toInt))
+      .toDF("vec_id", "embedding", "label")
+    emb.write.mode("overwrite").bucketBy(8, "label").sortBy("label")
+      .saveAsTable("emb_bucketed")
+
+    val t = spark.table("emb_bucketed")
+    val joined = t.as("a").join(t.as("b"),
+      $"a.label" === $"b.label" && $"a.vec_id" < $"b.vec_id")
+    joined.count()
+    val plan = joined.queryExecution.executedPlan
+    val exchanges = collectWithSubqueries(plan) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+    }
+    assert(exchanges.isEmpty,
+      s"bucketed self-join must not shuffle, found: $exchanges")
+  }
+
+  test("date-partitioned events prune partitions at the scan") {
+    val dir = Files.createTempDirectory("graft-partitioned").toString
+    val ev = (0 until 1000).map { i =>
+      (i.toLong, 1704067200L + i * 3600L,
+        java.time.LocalDate.ofEpochDay(19723L + i % 20).toString)
+    }.toDF("event_id", "sec", "day")
+    ev.write.mode("overwrite").partitionBy("day").parquet(dir)
+
+    val q = spark.read.parquet(dir).filter($"day" === "2024-01-05")
+    q.count()
+    val scans = q.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty)
+    val parts = scans.head.relation.location.listFiles(scans.head.partitionFilters, Nil)
+    assert(parts.length === 1, s"expected 1 pruned partition, got ${parts.length}")
+  }
+}

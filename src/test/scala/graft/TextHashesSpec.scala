@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.VectorOps
+
+/** Cross-validation: each native kernel must produce values identical to
+  * the portable SQL-HOF formulation it replaced (the same SQL the DuckDB
+  * oracles run).
+  */
+class TextHashesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    "spark shuffles data across the cluster for wide ops",
+    "ops wide for cluster the across data shuffles spark",
+    "a", "x y", "one two three four five six",
+  ).toDF("text")
+
+  test("simhash64 kernel == SQL-HOF simhash") {
+    val rows = docs.select(
+      call_function("simhash64", col("text")).as("native"),
+      expr(
+        """concat_ws('', transform(sequence(0, 63), b ->
+          | CASE WHEN aggregate(transform(split(text, '\\s+'), t -> md5(t)), 0, (acc, h) ->
+          |   acc + (CASE WHEN ((instr('0123456789abcdef', substring(h, cast(b div 4 as int) + 1, 1)) - 1)
+          |       div (CASE WHEN b % 4 = 0 THEN 1 WHEN b % 4 = 1 THEN 2
+          |            WHEN b % 4 = 2 THEN 4 ELSE 8 END)) % 2 = 1
+          |     THEN 1 ELSE -1 END)) >= 0
+          | THEN '1' ELSE '0' END))""".stripMargin).as("hof")).collect()
+    rows.foreach(r => assert(r.getString(0) === r.getString(1)))
+  }
+
+  test("simhash_bands kernel == conv(substring(simhash64))") {
+    val rows = docs.select(
+      call_function("simhash_bands", col("text")).as("native"),
+      expr(
+        """transform(sequence(0, 3), b ->
+          | cast(conv(substring(simhash64(text), 16 * b + 1, 16), 2, 10) as bigint))""".stripMargin)
+        .as("via_string")).collect()
+    rows.foreach(r => assert(r.getSeq[Long](0) === r.getSeq[Long](1)))
+  }
+
+  test("word_ngrams kernel == SQL-HOF shingles") {
+    val rows = docs.select(
+      call_function("word_ngrams", col("text"), lit(3)).as("native"),
+      // sequence(1, 0) DESCENDS in Spark, so guard short docs explicitly
+      expr(
+        """CASE WHEN size(split(text, '\\s+')) < 3 THEN array()
+          |ELSE array_distinct(transform(sequence(1, size(split(text, '\\s+')) - 2),
+          | i -> concat_ws(' ', element_at(split(text, '\\s+'), i),
+          |   element_at(split(text, '\\s+'), i + 1), element_at(split(text, '\\s+'), i + 2))))
+          |END""".stripMargin)
+        .as("hof")).collect()
+    rows.foreach(r => assert(r.getSeq[String](0) === r.getSeq[String](1)))
+  }
+
+  test("minhash_sigs kernel == SQL integer-permutation fold") {
+    val hexToLong = (1 to 12).map { k =>
+      s"cast(instr('0123456789abcdef', substring(h, $k, 1)) - 1 as bigint) * ${1L << (4 * (12 - k))}"
+    }.mkString("(", " + ", ")")
+    val rows = docs.select(call_function("word_ngrams", col("text"), lit(3)).as("shingles"))
+      .filter(size(col("shingles")) >= 1)
+      .select(
+        call_function("minhash_sigs", col("shingles")).as("native"),
+        expr(
+          s"""aggregate(
+             |  transform(
+             |    transform(transform(shingles, g -> md5(g)), h -> $hexToLong),
+             |    v -> transform(sequence(0, 11),
+             |           p -> ((16385 + 77 * p) * v + 52361 + 9199 * p) % 1000000007)),
+             |  array_repeat(cast(1000000007 as bigint), 12),
+             |  (acc, pv) -> zip_with(acc, pv, (x, y) -> least(x, y)))""".stripMargin).as("hof"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getSeq[Long](0) === r.getSeq[Long](1)))
+  }
+
+  test("fingerprint_md5 kernel == md5 of sorted distinct lowercase tokens") {
+    val rows = docs.select(
+      call_function("fingerprint_md5", col("text")).as("native"),
+      md5(concat_ws(" ", array_sort(array_distinct(split(lower(col("text")), "\\s+"))))).as("hof"))
+      .collect()
+    rows.foreach(r => assert(r.getString(0) === r.getString(1)))
+  }
+
+  test("fvec_dot == HOF dot on float and double arrays") {
+    val df = Seq((Array(1.5f, -2.0f, 3.25f), Array(0.5f, 4.0f, -1.0f))).toDF("a", "b")
+    val r = df.select(
+      VectorOps.dot(col("a"), col("b")).as("native"),
+      VectorOps.dotHof(col("a"), col("b")).as("hof")).head()
+    assert(r.getDouble(0) === r.getDouble(1))
+  }
+}
