@@ -15,6 +15,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[FloatVecDot].getName, "fvec_dot"),
       (args: Seq[Expression]) => FloatVecDot(args.head, args(1))))
     ext.injectFunction((
+      new FunctionIdentifier("fvec_cos"),
+      new ExpressionInfo(classOf[FloatVecCos].getName, "fvec_cos"),
+      (args: Seq[Expression]) => FloatVecCos(args.head, args(1))))
+    ext.injectFunction((
       new FunctionIdentifier("word_ngrams"),
       new ExpressionInfo(classOf[WordNGrams].getName, "word_ngrams"),
       (args: Seq[Expression]) => WordNGrams(args.head,

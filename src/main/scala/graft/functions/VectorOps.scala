@@ -29,8 +29,10 @@ object VectorOps {
   /** L2 norm. */
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** cosine similarity. */
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** cosine similarity — fused single-pass kernel (dot + both norms in
+    * one traversal; arithmetically identical to dot/(norm*norm)).
+    */
+  def cosine(a: Column, b: Column): Column = call_function("fvec_cos", a, b)
 
   /** cosine rounded to 6dp — the cross-engine comparison precision
     * (see SURVEY.md §6).

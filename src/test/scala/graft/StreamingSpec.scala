@@ -29,6 +29,20 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("file-source streaming reads the events table incrementally") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    val batch = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    batch.limit(100).write.mode("overwrite").parquet(dir)
+    val q = EventStreams.hourly(
+      graft.streaming.EventStreams.fromParquetDir(spark, dir, batch))
+      .writeStream.format("memory").queryName("file_hourly")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("file_hourly").count() > 0)
+    } finally q.stop()
+  }
+
   test("streaming sessionization closes sessions on gap") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[RawEvent]
