@@ -24,6 +24,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => WordNGrams(args.head,
         args(1).eval().asInstanceOf[Number].intValue())))
     ext.injectFunction((
+      new FunctionIdentifier("sorted_intersect_count"),
+      new ExpressionInfo(classOf[SortedIntersectCount].getName, "sorted_intersect_count"),
+      (args: Seq[Expression]) => SortedIntersectCount(args.head, args(1))))
+    ext.injectFunction((
       new FunctionIdentifier("fingerprint_md5"),
       new ExpressionInfo(classOf[FingerprintMd5].getName, "fingerprint_md5"),
       (args: Seq[Expression]) => FingerprintMd5(args.head)))

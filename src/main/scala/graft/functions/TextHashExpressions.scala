@@ -30,6 +30,33 @@ case class WordNGrams(child: Expression, n: Int) extends UnaryExpression {
   override def prettyName: String = "word_ngrams"
 }
 
+/** Intersection size of two sorted string arrays (two-pointer merge) —
+  * the verify step of the prefix-filtered set-similarity join.
+  */
+case class SortedIntersectCount(left: Expression, right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(StringType, _), ArrayType(StringType, _)) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"sorted_intersect_count expects two array<string>, got $l / $r")
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    TextHashes.sortedIntersectCount(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.TextHashes.sortedIntersectCount($a, $b)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "sorted_intersect_count"
+}
+
 /** Native document fingerprint: md5 of sorted distinct lowercase tokens
   * in one kernel call per row.
   */

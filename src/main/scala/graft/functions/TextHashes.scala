@@ -107,6 +107,21 @@ object TextHashes {
     new GenericArrayData(bands)
   }
 
+  /** Intersection size of two SORTED UTF8String arrays (two-pointer
+    * merge). Callers must pass array_sort'ed inputs.
+    */
+  def sortedIntersectCount(a: ArrayData, b: ArrayData): Long = {
+    var i = 0; var j = 0; var c = 0L
+    val na = a.numElements(); val nb = b.numElements()
+    while (i < na && j < nb) {
+      val cmp = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      if (cmp == 0) { c += 1; i += 1; j += 1 }
+      else if (cmp < 0) i += 1
+      else j += 1
+    }
+    c
+  }
+
   val MinHashK = 12
   private val P = 1000000007L
 

@@ -36,6 +36,15 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("prefix-filtered jaccard returns exactly the inverted-index result") {
+    val full = Dedup.ngramJaccard(spark, dir, tauMicros = 500000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val pref = Dedup.jaccardPrefix(spark, dir, tauMicros = 500000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pref === full)
+    assert(full.nonEmpty)
+  }
+
   test("minhash lsh surfaces exact and near dup candidates") {
     val pairs = Dedup.minhashLsh(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
