@@ -21,6 +21,7 @@ object SparkEntry {
     "doc_embed_meanpool" -> (SemanticSearch.meanPoolPositional _),
     "topk_docs_cosine" -> ((s: SparkSession, d: String) => SemanticSearch.topDocs(s, d)),
     "topk_chunks_filtered" -> ((s: SparkSession, d: String) => SemanticSearch.topChunksPerDoc(s, d)),
+    "topk_chunks_plan" -> ((s: SparkSession, d: String) => SemanticSearch.topChunksPerDocPlan(s, d)),
     "highlight_window" -> (SemanticSearch.highlightWindow _),
     "search_pipeline" -> (SemanticSearch.searchPipeline _),
     // multimodal plumbing (rows-only: no SQL-expressible oracle)

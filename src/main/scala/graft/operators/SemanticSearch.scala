@@ -76,6 +76,23 @@ object SemanticSearch {
       .filter(col("rn") <= n)
   }
 
+  /** Chunk scores against the query vector (shared by the window-rank
+    * and custom-plan top-k variants).
+    */
+  private def chunkScores(s: SparkSession, dir: String): DataFrame =
+    Graft.embeddings(s, dir)
+      .crossJoin(broadcast(queryVec(s, dir)))
+      .select(col("label"), col("vec_id"),
+        VectorOps.cosine6(col("embedding"), col("qvec")).as("chunk_score"))
+
+  /** Same result set as [[topChunksPerDoc]] (minus the rank column),
+    * through the custom TopKPerKey physical operator — bounded per-key
+    * heaps instead of a full window sort per document group.
+    */
+  def topChunksPerDocPlan(s: SparkSession, dir: String, n: Int = 2): DataFrame =
+    graft.plans.TopKPerKey(chunkScores(s, dir), Seq("label"),
+      Seq(("chunk_score", false), ("vec_id", true)), n)
+
   /** ±1-chunk context window around the most-relevant chunk of each doc
     * (reference responses.py:77-84), over word chunks of `documents`.
     * "Relevance" here is a deterministic surrogate (min md5 of the token)
@@ -154,6 +171,14 @@ object SemanticSearch {
          |cs AS (SELECT e.label, e.vec_id, ${duckCos("e.embedding")} AS chunk_score
          |       FROM embeddings e, q)
          |SELECT label, vec_id, chunk_score, rn FROM (
+         | SELECT *, row_number() OVER (PARTITION BY label
+         |            ORDER BY chunk_score DESC, vec_id) AS rn FROM cs)
+         |WHERE rn <= 2""".stripMargin,
+    "topk_chunks_plan" ->
+      s"""WITH $duckQuery,
+         |cs AS (SELECT e.label, e.vec_id, ${duckCos("e.embedding")} AS chunk_score
+         |       FROM embeddings e, q)
+         |SELECT label, vec_id, chunk_score FROM (
          | SELECT *, row_number() OVER (PARTITION BY label
          |            ORDER BY chunk_score DESC, vec_id) AS rn FROM cs)
          |WHERE rn <= 2""".stripMargin,

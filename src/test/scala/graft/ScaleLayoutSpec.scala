@@ -13,6 +13,12 @@ class ScaleLayoutSpec extends SparkSpec with AdaptiveSparkPlanHelper {
   import spark.implicits._
 
   test("bucketed-by-label embeddings join without a shuffle") {
+    spark.sql("DROP TABLE IF EXISTS emb_bucketed")
+    val loc = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), "emb_bucketed")
+    if (loc.exists()) {
+      loc.listFiles().foreach(_.delete()); loc.delete()
+    }
     val emb = (0L until 200L).map(i => (i, Array.fill(4)(i.toFloat), (i % 10).toInt))
       .toDF("vec_id", "embedding", "label")
     emb.write.mode("overwrite").bucketBy(8, "label").sortBy("label")

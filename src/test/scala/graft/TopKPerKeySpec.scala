@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.plans.{TopKPerKey, TopKPerKeyExec}
+
+class TopKPerKeySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val df = Seq(
+    ("a", 1L, 0.9), ("a", 2L, 0.8), ("a", 3L, 0.95), ("a", 4L, 0.8),
+    ("b", 5L, 0.1), ("b", 6L, 0.2),
+    ("c", 7L, 0.5),
+  ).toDF("key", "id", "score")
+
+  test("TopKPerKey == window rank result") {
+    val got = TopKPerKey(df, Seq("key"), Seq(("score", false), ("id", true)), 2)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val w = Window.partitionBy($"key").orderBy($"score".desc, $"id")
+    val expect = df.withColumn("rn", row_number().over(w)).filter($"rn" <= 2)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got === expect)
+    assert(got === Set(("a", 3L), ("a", 1L), ("b", 6L), ("b", 5L), ("c", 7L)))
+  }
+
+  test("plans through TopKPerKeyExec with a clustered exchange") {
+    val q = TopKPerKey(df, Seq("key"), Seq(("score", false), ("id", true)), 1)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"))
+  }
+
+  test("tie-break makes equal scores deterministic") {
+    val got = TopKPerKey(df, Seq("key"), Seq(("score", false), ("id", true)), 3)
+      .filter($"key" === "a").collect().map(_.getLong(1)).toSet
+    assert(got === Set(3L, 1L, 2L)) // 2 beats 4 on the id tie-break at 0.8
+  }
+}
