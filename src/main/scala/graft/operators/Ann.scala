@@ -53,8 +53,13 @@ object Ann {
     */
   def ivf(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
     val assign = assignments(s, dir)
-    val minId = Graft.embeddings(s, dir).select(min(col("vec_id")).as("qid"))
-    val probe = assign.join(broadcast(minId), col("vec_id") === col("qid"))
+    // the probe centroid needs only centroids x query (a few rows) — not
+    // a second evaluation of the full assignment subplan
+    val probe = Graft.embeddings(s, dir).filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      .crossJoin(broadcast(SemanticSearch.queryVec(s, dir)))
+      .select(col("cid"), VectorOps.cosine6(col("cvec"), col("qvec")).as("cscore"))
+      .orderBy(col("cscore").desc, col("cid")).limit(1)
       .select(col("cid").as("probe_cid"))
     assign
       .join(broadcast(probe), col("cid") === col("probe_cid"))
