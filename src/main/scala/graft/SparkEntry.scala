@@ -50,6 +50,7 @@ object SparkEntry {
     "q_antijoin" -> (Analytics.customersNoOrders _),
     "text_topk_tokens" -> (Analytics.topTokens _),
     "events_funnel" -> (Analytics.funnel _),
+    "events_approx_stats" -> (Analytics.approxStats _),
     // events
     "events_hourly" -> (Events.hourly _),
     "events_sessionize" -> (Events.sessionize _),

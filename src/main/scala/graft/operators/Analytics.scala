@@ -75,6 +75,21 @@ object Analytics {
       .groupBy(col("user_id"), col("first_click"))
       .agg(min(col("sec")).as("first_purchase"))
 
+  /** Sketch-based per-type stats: HLL distinct users + t-digest-style
+    * approximate percentiles. The 100 TB counterpart of
+    * [[eventQuantiles]] — sketches merge associatively (one partial-agg
+    * pass, bounded memory) where exact percentiles sort each group.
+    * Rows-only check: sketch outputs are engine-specific by design;
+    * EventsSpec bounds them against the exact values.
+    */
+  def approxStats(s: SparkSession, dir: String): DataFrame =
+    Graft.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        approx_count_distinct(col("user_id")).as("approx_users"),
+        expr("approx_percentile(value, array(0.5, 0.9, 0.99), 10000)").as("approx_pcts"),
+        count(lit(1)).as("n"))
+
   val oracle: Map[String, String] = Map(
     "q_rollup" ->
       """SELECT coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation,
