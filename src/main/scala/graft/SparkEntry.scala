@@ -39,6 +39,7 @@ object SparkEntry {
     "ann_bruteforce" -> ((s: SparkSession, d: String) => Ann.bruteForce(s, d)),
     "ann_ivf" -> ((s: SparkSession, d: String) => Ann.ivf(s, d)),
     "knn_join" -> ((s: SparkSession, d: String) => Ann.knnJoin(s, d)),
+    "embed_cluster_stats" -> (Ann.clusterStats _),
     // relational core
     "q1_agg" -> (Relational.q1 _),
     "q3_join" -> (Relational.q3 _),

@@ -86,6 +86,26 @@ object Ann {
       .filter(col("rn") <= k)
   }
 
+  /** Per-label embedding cluster statistics: member count, centroid
+    * norm, mean cosine of members to their centroid — the quality
+    * metrics an IVF/clustering pipeline monitors. One grouped pass for
+    * centroids + one broadcast join for the member cosines.
+    */
+  def clusterStats(s: SparkSession, dir: String): DataFrame = {
+    val cents = SemanticSearch.docVectors(s, dir)
+      .select(col("label").as("c_label"), col("dvec"))
+    Graft.embeddings(s, dir)
+      .join(broadcast(cents), col("label") === col("c_label"))
+      .select(col("label"),
+        VectorOps.cosine(col("embedding"), col("dvec")).as("cos_raw"),
+        VectorOps.norm(col("dvec")).as("cnorm"))
+      .groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("n_members"),
+        round(first(col("cnorm")), 6).as("centroid_norm"),
+        round(avg(col("cos_raw")), 6).as("mean_cos_to_centroid"))
+  }
+
   private val duckCosPair =
     """list_sum(list_transform(range(1,65), i -> x.v[i] * y.v[i]))
       | / (sqrt(list_sum(list_transform(range(1,65), i -> x.v[i] * x.v[i])))
@@ -118,6 +138,20 @@ object Ann {
          |SELECT x.vec_id, x.cid, round($duckCosPair, 6) AS score
          |FROM clus x, (SELECT v FROM e WHERE vec_id = (SELECT min(vec_id) FROM e)) y
          |ORDER BY score DESC, vec_id LIMIT 5""".stripMargin,
+    "embed_cluster_stats" ->
+      """WITH d AS (SELECT label, i AS pos, avg(CAST(embedding[i] AS DOUBLE)) AS v
+        |      FROM embeddings, range(1,65) t(i) GROUP BY 1, 2),
+        |cn AS (SELECT label, sqrt(sum(v * v)) AS cnorm FROM d GROUP BY label),
+        |mc AS (SELECT e.label, e.vec_id,
+        |        sum(CAST(e.embedding[d.pos] AS DOUBLE) * d.v) AS dot,
+        |        sqrt(sum(CAST(e.embedding[d.pos] AS DOUBLE) * CAST(e.embedding[d.pos] AS DOUBLE))) AS enorm
+        |       FROM embeddings e JOIN d ON e.label = d.label
+        |       GROUP BY e.label, e.vec_id)
+        |SELECT mc.label, count(*) AS n_members,
+        | round(max(cn.cnorm), 6) AS centroid_norm,
+        | round(avg(dot / (enorm * cn.cnorm)), 6) AS mean_cos_to_centroid
+        |FROM mc JOIN cn ON mc.label = cn.label
+        |GROUP BY mc.label""".stripMargin,
     "knn_join" ->
       s"""WITH $duckE,
          |qs AS (SELECT vec_id AS q_id, v FROM e WHERE vec_id % 100 = 0)

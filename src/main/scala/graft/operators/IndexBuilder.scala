@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Graft
+import graft.functions.VectorOps
+
+/** The reference's indexing/upload path (qdrant.py:139-176 `_upload`:
+  * MAIN doc-level collection + CHUNKS paragraph-level collection) as a
+  * Spark write-time layout:
+  *
+  *  - MAIN: one row per document — deterministic hash point id, the
+  *    mean-pooled document vector, payload columns.
+  *  - CHUNKS: one row per chunk — chunk vector + (doc, chunk_id,
+  *    section) metadata, written BUCKETED BY the document key so the
+  *    id-filtered per-document chunk lookup (reference qdrant.py:227)
+  *    and all candidate self-joins co-locate without a shuffle
+  *    (ScaleLayoutSpec demonstrates the bucketed-join property).
+  *
+  * Instead of Qdrant's HNSW, scale-out search uses the IVF layout: an
+  * extra centroid assignment column partitions CHUNKS so a probe scans
+  * one cluster (see Ann.ivf).
+  */
+object IndexBuilder {
+
+  /** Build both collections from chunk vectors (embeddings table schema:
+    * vec_id, embedding, label=document key).
+    */
+  def build(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val chunks = Graft.embeddings(s, dir)
+      .select(col("label").as("doc_key"), col("vec_id").as("chunk_id"), col("embedding"))
+    val main = chunks
+      .groupBy(col("doc_key"))
+      .agg(collect_list(col("embedding")).as("vecs"), count(lit(1)).as("n_chunks"))
+      .select(
+        col("doc_key"),
+        substring(sha2(col("doc_key").cast("string"), 256), 1, 16).as("point_id"),
+        VectorOps.meanPool(col("vecs"), SemanticSearch.Dim).as("doc_vec"),
+        col("n_chunks"))
+    (main, chunks)
+  }
+
+  /** Materialize the two collections: MAIN plain parquet (small: one row
+    * per doc), CHUNKS bucketed by doc_key. Returns re-loaded frames.
+    */
+  def write(s: SparkSession, dir: String, outDir: String, buckets: Int = 16): (DataFrame, DataFrame) = {
+    val (main, chunks) = build(s, dir)
+    main.write.mode("overwrite").parquet(s"$outDir/main")
+    s.sql("DROP TABLE IF EXISTS graft_chunks")
+    chunks.write.mode("overwrite")
+      .bucketBy(buckets, "doc_key").sortBy("doc_key", "chunk_id")
+      .option("path", s"$outDir/chunks")
+      .saveAsTable("graft_chunks")
+    (s.read.parquet(s"$outDir/main"), s.table("graft_chunks"))
+  }
+}
