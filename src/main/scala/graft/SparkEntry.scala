@@ -49,6 +49,9 @@ object SparkEntry {
     "q_rollup" -> (Analytics.rollupRevenue _),
     "events_quantiles" -> (Analytics.eventQuantiles _),
     "q_antijoin" -> (Analytics.customersNoOrders _),
+    "q_semijoin" -> (Analytics.customersWithOrders _),
+    "q_distinct" -> (Analytics.segmentDistinct _),
+    "window_running" -> (Analytics.runningSpend _),
     "text_topk_tokens" -> (Analytics.topTokens _),
     "events_funnel" -> (Analytics.funnel _),
     "events_approx_stats" -> (Analytics.approxStats _),

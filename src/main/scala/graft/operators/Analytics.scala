@@ -75,6 +75,36 @@ object Analytics {
       .groupBy(col("user_id"), col("first_click"))
       .agg(min(col("sec")).as("first_purchase"))
 
+  /** Customers WITH at least one open-ish order: left semi join. */
+  def customersWithOrders(s: SparkSession, dir: String): DataFrame =
+    Graft.customer(s, dir)
+      .join(Graft.orders(s, dir).filter(col("o_orderstatus") === "O"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_mktsegment"))
+
+  /** Exact distinct-count aggregation per segment (distinct-agg expand). */
+  def segmentDistinct(s: SparkSession, dir: String): DataFrame =
+    Graft.customer(s, dir)
+      .join(Graft.orders(s, dir), col("c_custkey") === col("o_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        countDistinct(col("c_custkey")).as("n_customers"),
+        countDistinct(col("o_orderpriority")).as("n_priorities"),
+        count(lit(1)).as("n_orders"))
+
+  /** Running (cumulative) spend per customer ordered by order date —
+    * unbounded-preceding window frame.
+    */
+  def runningSpend(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    Graft.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(sum(col("o_totalprice")).over(w), 2).as("cum_spend"))
+  }
+
   /** Sketch-based per-type stats: HLL distinct users + t-digest-style
     * approximate percentiles. The 100 TB counterpart of
     * [[eventQuantiles]] — sketches merge associatively (one partial-agg
@@ -111,6 +141,23 @@ object Analytics {
         | SELECT doc_id, unnest(list_distinct(string_split_regex(text, '\s+'))) AS tok
         | FROM documents)
         |GROUP BY tok ORDER BY df DESC, tok LIMIT 20""".stripMargin,
+    "q_semijoin" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_orderstatus = 'O')""".stripMargin,
+    "q_distinct" ->
+      """SELECT c_mktsegment,
+        | count(DISTINCT c_custkey) AS n_customers,
+        | count(DISTINCT o_orderpriority) AS n_priorities,
+        | count(*) AS n_orders
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
+    "window_running" ->
+      """SELECT o_custkey, o_orderkey,
+        | round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |   ORDER BY o_orderdate, o_orderkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cum_spend
+        |FROM orders""".stripMargin,
     "events_funnel" ->
       """WITH e AS (SELECT user_id, event_type,
         |  CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
