@@ -57,6 +57,7 @@ object SparkEntry {
     "events_approx_stats" -> (Analytics.approxStats _),
     // events
     "events_hourly" -> (Events.hourly _),
+    "events_asof" -> (Events.asofClickPurchase _),
     "events_sessionize" -> (Events.sessionize _),
     // text analysis
     "text_tokens" -> (TextAnalysis.tokens _),

@@ -47,7 +47,33 @@ object Events {
         round(sum(col("value")), 2).as("sum_value"))
   }
 
+  /** As-of join: each purchase matched to the user's most recent prior
+    * (or same-instant-earlier-id) click. Expressed as ONE ordered window
+    * with a conditional last-non-null — the scalable as-of pattern: no
+    * per-row range probe, no self-join; a single shuffle on user_id.
+    */
+  def asofClickPurchase(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("sec"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    withSec(s, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .withColumn("prior_click",
+        last(when(col("event_type") === "click", col("sec")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase" && col("prior_click").isNotNull)
+      .select(col("user_id"), col("event_id"), col("sec").as("purchase_sec"), col("prior_click"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "events_asof" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |   CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events
+        |  WHERE event_type IN ('click', 'purchase')),
+        |l AS (SELECT *, last_value(CASE WHEN event_type = 'click' THEN sec END IGNORE NULLS)
+        |  OVER (PARTITION BY user_id ORDER BY sec, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prior_click FROM e)
+        |SELECT user_id, event_id, sec AS purchase_sec, prior_click
+        |FROM l WHERE event_type = 'purchase' AND prior_click IS NOT NULL""".stripMargin,
     "events_hourly" ->
       """SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 AS hour_sec,
         | event_type, count(*) AS n_events, round(sum(value),2) AS sum_value
