@@ -41,6 +41,14 @@ class AnnSpec extends SparkSpec {
     assert(n100.getAs[Long]("nb_id") === 3L)
   }
 
+  test("ivf recall vs brute force on the real clustered corpus") {
+    val real = "/root/testdata/sf0.001"
+    val exact = Ann.bruteForce(spark, real, k = 5).collect().map(_.getLong(0)).toSet
+    val approx = Ann.ivf(spark, real, k = 5).collect().map(_.getLong(0)).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.4, s"ivf recall@5 = $recall (exact=$exact approx=$approx)")
+  }
+
   test("search pipeline returns docs ranked by doc score with context") {
     val rows = SemanticSearch.searchPipeline(spark, dir).collect()
     assert(rows.nonEmpty)
