@@ -29,17 +29,59 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("file-source streaming reads the events table incrementally") {
+  test("file-source streaming hourly agg equals the batch operator") {
     val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
     val batch = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-    batch.limit(100).write.mode("overwrite").parquet(dir)
+    batch.write.mode("overwrite").parquet(dir)
     val q = EventStreams.hourly(
       graft.streaming.EventStreams.fromParquetDir(spark, dir, batch))
       .writeStream.format("memory").queryName("file_hourly")
       .outputMode(OutputMode.Update()).start()
     try {
       q.processAllAvailable()
-      assert(spark.table("file_hourly").count() > 0)
+      // Update mode may emit a window more than once; keep the final state
+      val streamed = spark.table("file_hourly")
+        .groupBy("hour_sec", "event_type")
+        .agg(org.apache.spark.sql.functions.last("n_events").as("n_events"),
+          org.apache.spark.sql.functions.last("sum_value").as("sum_value"))
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      val batchRes = graft.operators.Events.hourly(spark, "/root/testdata/sf0.001")
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(streamed === batchRes)
+    } finally q.stop()
+  }
+
+  test("streaming sessionization matches batch sessions (closed ones)") {
+    implicit val sqlCtx = spark.sqlContext
+    val raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .as[RawEvent].collect()
+    val input = MemoryStream[RawEvent]
+    val q = EventStreams.sessionize(input.toDS())
+      .writeStream.format("memory").queryName("sessions_batch_parity")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(raw.toSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("sessions_batch_parity")
+        .as[EventStreams.SessionOut].collect()
+        .map(s => (s.user_id, s.start_sec, s.end_sec, s.n_events,
+          math.rint(s.sum_value * 100) / 100)).toSet
+      val batch = graft.operators.Events.sessionize(spark, "/root/testdata/sf0.001")
+        .collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("start_sec"),
+          r.getAs[Long]("end_sec"), r.getAs[Long]("n_events"), r.getAs[Double]("sum_value")))
+      // the stream emits a session when the next event closes it, or when
+      // the event-time timeout fires (watermark = max event time - 1h);
+      // each user's final session stays open unless it aged past that.
+      val lastStart = batch.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+      val watermark = raw.map(_.ts / 1000000000L).max - 3600L
+      val expected = batch.filter(s =>
+        lastStart(s._1) != s._2 || s._3 + 1800L <= watermark).toSet
+      assert(streamed === expected)
+      assert(streamed.nonEmpty)
     } finally q.stop()
   }
 
