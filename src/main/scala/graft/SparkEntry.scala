@@ -63,6 +63,7 @@ object SparkEntry {
     "text_tokens" -> (TextAnalysis.tokens _),
     "text_quality" -> (TextAnalysis.quality _),
     "text_langid" -> (TextAnalysis.langid _),
+    "text_winnow" -> (TextAnalysis.winnow _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column names!). */

@@ -79,6 +79,29 @@ case class FingerprintMd5(child: Expression) extends UnaryExpression {
   override def prettyName: String = "fingerprint_md5"
 }
 
+/** Native winnowing fingerprints (rolling-hash + window-min, k=8 w=4)
+  * in one kernel call per row.
+  */
+case class WinnowFingerprints(child: Expression, k: Int, w: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType && k >= 1 && w >= 1) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"winnow_fingerprints expects (string, k>=1, w>=1), got ${child.dataType}")
+
+  override protected def nullSafeEval(t: Any): Any =
+    TextHashes.winnowFingerprints(t.asInstanceOf[UTF8String], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashes.winnowFingerprints($c, $k, $w)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "winnow_fingerprints"
+}
+
 /** Native 64-bit SimHash bitstring in one kernel call per row. */
 case class Simhash64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StringType

@@ -122,6 +122,42 @@ object TextHashes {
     c
   }
 
+  /** Winnowing fingerprints (MOSS-style): polynomial rolling hash of
+    * every k-char window (base 31 mod 1e9+7, computed on code points),
+    * then the min hash of each w-window of those, distinct. Exactly the
+    * integer-SQL formulation the oracle runs; k=8, w=4.
+    */
+  def winnowFingerprints(text: UTF8String, k: Int, w: Int): ArrayData = {
+    val s = text.toString
+    val n = s.length
+    if (n < k) return new GenericArrayData(Array.emptyLongArray)
+    val p = 1000000007L
+    val m = n - k + 1
+    val hs = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      var h = 0L
+      var j = 0
+      while (j < k) { h = h * 31L + s.charAt(i + j).toLong; j += 1 }
+      hs(i) = h % p
+      i += 1
+    }
+    if (m < w) return new GenericArrayData(Array(hs.min))
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var a = 0
+    while (a + w <= m) {
+      var mn = hs(a)
+      var b = 1
+      while (b < w) { if (hs(a + b) < mn) mn = hs(a + b); b += 1 }
+      seen.add(mn)
+      a += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator(); var q = 0
+    while (it.hasNext) { out(q) = it.next(); q += 1 }
+    new GenericArrayData(out)
+  }
+
   val MinHashK = 12
   private val P = 1000000007L
 

@@ -41,6 +41,43 @@ object Multimodal {
     h
   }
 
+  /** Frame sampling plumbing: treat the payload as a sequence of
+    * fixed-size frames (a real decoder would yield decoded frames
+    * HERE), keep every `stride`-th frame with its index and timestamp
+    * slot. Output schema is what a video pipeline needs downstream:
+    * (doc_id, frame_idx, frame_payload, frame_bytes).
+    */
+  def sampleFrames(df: DataFrame, frameBytes: Int = 64, stride: Int = 4): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .flatMap { case (id, payload) =>
+        val n = payload.length / frameBytes
+        (0 until n by stride).map { f =>
+          (id, f.toLong, payload.slice(f * frameBytes, (f + 1) * frameBytes))
+        }
+      }
+      .toDF("doc_id", "frame_idx", "frame_payload")
+      .withColumn("frame_bytes", length(col("frame_payload")).cast("long"))
+  }
+
+  /** Resize plumbing: deterministic byte-level downsample standing in
+    * for an image resize (every `factor`-th byte) — keeps the
+    * fixed-ratio output-size contract a resize kernel must satisfy.
+    */
+  def resizePayload(df: DataFrame, factor: Int = 4): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .map { case (id, payload) =>
+        val out = new Array[Byte]((payload.length + factor - 1) / factor)
+        var i = 0
+        while (i < out.length) { out(i) = payload(i * factor); i += 1 }
+        (id, out, payload.length.toLong, out.length.toLong)
+      }
+      .toDF("doc_id", "resized", "orig_bytes", "resized_bytes")
+  }
+
   /** `documents` re-cast as a multimodal table: payload binary + typed
     * metadata + extracted fixed-shape features.
     */

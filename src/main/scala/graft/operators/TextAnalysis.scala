@@ -66,7 +66,32 @@ object TextAnalysis {
                 | WHEN s_es >= s_zh THEN 'es'
                 | ELSE 'zh' END""".stripMargin))
 
+  /** Winnowing rolling-hash document fingerprints (MOSS-style): one row
+    * per distinct fingerprint — the containment-search primitive
+    * (shared fingerprints locate copied passages across documents).
+    */
+  def winnow(s: SparkSession, dir: String): DataFrame =
+    Graft.documents(s, dir)
+      .select(col("doc_id"),
+        explode(call_function("winnow_fingerprints", col("text"), lit(8), lit(4))).as("fp"))
+
   val oracle: Map[String, String] = Map(
+    "text_winnow" ->
+      """WITH cs AS (SELECT doc_id,
+        |  list_transform(range(1, length(text) + 1), i -> CAST(ord(substring(text, i, 1)) AS BIGINT)) AS c
+        | FROM documents WHERE length(text) >= 8),
+        |hs AS (SELECT doc_id,
+        |  list_transform(range(1, len(c) - 6),
+        |   i -> (c[i]*27512614111 + c[i+1]*887503681 + c[i+2]*28629151 + c[i+3]*923521
+        |       + c[i+4]*29791 + c[i+5]*961 + c[i+6]*31 + c[i+7]) % 1000000007) AS h
+        | FROM cs),
+        |fp AS (SELECT doc_id,
+        |  CASE WHEN len(h) >= 4 THEN
+        |   list_distinct(list_transform(range(1, len(h) - 2),
+        |    i -> least(h[i], h[i+1], h[i+2], h[i+3])))
+        |  ELSE [list_min(h)] END AS fps
+        | FROM hs)
+        |SELECT doc_id, unnest(fps) AS fp FROM fp""".stripMargin,
     "text_tokens" ->
       """SELECT doc_id,
         | len(string_split_regex(text, '\s+')) AS n_ws_tokens,

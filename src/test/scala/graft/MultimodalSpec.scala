@@ -17,6 +17,24 @@ class MultimodalSpec extends SparkSpec {
     assert(math.abs(f1.sum - 1.0) < 1e-12)
   }
 
+  test("frame sampling keeps every stride-th fixed-size frame") {
+    val payload = Array.tabulate(256)(_.toByte) // 4 frames of 64
+    val df = Seq((1L, payload)).toDF("doc_id", "payload")
+    val frames = Multimodal.sampleFrames(df, frameBytes = 64, stride = 2).collect()
+    assert(frames.map(_.getAs[Long]("frame_idx")).sorted.toSeq === Seq(0L, 2L))
+    frames.foreach(r => assert(r.getAs[Long]("frame_bytes") === 64L))
+    val f0 = frames.find(_.getAs[Long]("frame_idx") == 0L).get
+    assert(f0.getAs[Array[Byte]]("frame_payload").toSeq === payload.slice(0, 64).toSeq)
+  }
+
+  test("resize keeps the fixed output-size contract") {
+    val df = Seq((1L, Array.tabulate(100)(_.toByte))).toDF("doc_id", "payload")
+    val r = Multimodal.resizePayload(df, factor = 4).collect().head
+    assert(r.getAs[Long]("orig_bytes") === 100L)
+    assert(r.getAs[Long]("resized_bytes") === 25L)
+    assert(r.getAs[Array[Byte]]("resized").toSeq === (0 until 100 by 4).map(_.toByte))
+  }
+
   test("extractFeatures keeps schema and batches per partition") {
     val df = Seq((1L, "s1", "abc".getBytes), (2L, "s2", "defg".getBytes))
       .toDF("doc_id", "source", "payload")
