@@ -55,6 +55,9 @@ object SparkEntry {
     "text_topk_tokens" -> (Analytics.topTokens _),
     "events_funnel" -> (Analytics.funnel _),
     "events_approx_stats" -> (Analytics.approxStats _),
+    "events_retention" -> (Analytics.retention _),
+    "dedup_minhash_est" -> (Dedup.minhashJaccardEst _),
+    "ann_ivf_multiprobe" -> ((s: SparkSession, d: String) => Ann.ivfMultiProbe(s, d)),
     // events
     "events_hourly" -> (Events.hourly _),
     "events_asof" -> (Events.asofClickPurchase _),

@@ -105,6 +105,20 @@ object Analytics {
         round(sum(col("o_totalprice")).over(w), 2).as("cum_spend"))
   }
 
+  /** Cohort retention: users grouped by first-active day, distinct
+    * actives per (cohort, day-age). Two grouped passes — both
+    * partial-agg friendly; the active-days set is tiny per user.
+    */
+  def retention(s: SparkSession, dir: String): DataFrame = {
+    val days = Graft.events(s, dir)
+      .select(col("user_id"), expr("(ts div 1000000000) div 86400").as("day"))
+      .distinct()
+    val cohorts = days.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    days.join(cohorts, "user_id")
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("age_days"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+  }
+
   /** Sketch-based per-type stats: HLL distinct users + t-digest-style
     * approximate percentiles. The 100 TB counterpart of
     * [[eventQuantiles]] — sketches merge associatively (one partial-agg
@@ -158,6 +172,14 @@ object Analytics {
         |   ORDER BY o_orderdate, o_orderkey
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cum_spend
         |FROM orders""".stripMargin,
+    "events_retention" ->
+      """WITH d AS (SELECT DISTINCT user_id,
+        |   CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day FROM events),
+        |c AS (SELECT user_id, min(day) AS cohort_day FROM d GROUP BY user_id)
+        |SELECT cohort_day, day - cohort_day AS age_days,
+        | count(DISTINCT d.user_id) AS n_active
+        |FROM d JOIN c ON d.user_id = c.user_id
+        |GROUP BY cohort_day, age_days""".stripMargin,
     "events_funnel" ->
       """WITH e AS (SELECT user_id, event_type,
         |  CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),

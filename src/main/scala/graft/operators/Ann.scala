@@ -70,6 +70,28 @@ object Ann {
       .limit(k)
   }
 
+  /** Multi-probe IVF: scan the query's best `nprobe` clusters instead of
+    * one — the recall/latency knob of every IVF deployment. Probe list
+    * comes from the (broadcastable) centroid set; the scan grows by
+    * nprobe/fanout, never back to full.
+    */
+  def ivfMultiProbe(s: SparkSession, dir: String, k: Int = 5, nprobe: Int = 2): DataFrame = {
+    val assign = assignments(s, dir)
+    val probes = Graft.embeddings(s, dir).filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      .crossJoin(broadcast(SemanticSearch.queryVec(s, dir)))
+      .select(col("cid"), VectorOps.cosine6(col("cvec"), col("qvec")).as("cscore"))
+      .orderBy(col("cscore").desc, col("cid")).limit(nprobe)
+      .select(col("cid").as("probe_cid"))
+    assign
+      .join(broadcast(probes), col("cid") === col("probe_cid"))
+      .crossJoin(broadcast(SemanticSearch.queryVec(s, dir)))
+      .select(col("vec_id"), col("cid"),
+        VectorOps.cosine6(col("embedding"), col("qvec")).as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** kNN join: top-k neighbors for every query-side vector (vec_id % 100
     * = 0), one broadcast + one window — never a per-query job.
     */
@@ -152,6 +174,23 @@ object Ann {
         | round(avg(dot / (enorm * cn.cnorm)), 6) AS mean_cos_to_centroid
         |FROM mc JOIN cn ON mc.label = cn.label
         |GROUP BY mc.label""".stripMargin,
+    "ann_ivf_multiprobe" ->
+      s"""WITH $duckE,
+         |c AS (SELECT vec_id AS cid, v FROM e WHERE vec_id < 8),
+         |sc AS (SELECT x.vec_id, y.cid, round($duckCosPair, 6) AS cscore
+         |       FROM e x JOIN (SELECT cid, v FROM c) y ON true),
+         |asg AS (SELECT vec_id, cid FROM (
+         |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+         |          ORDER BY cscore DESC, cid) AS rn FROM sc) WHERE rn = 1),
+         |qp AS (SELECT x.cid, round($duckCosPair, 6) AS cscore
+         |       FROM c x, (SELECT v FROM e WHERE vec_id = (SELECT min(vec_id) FROM e)) y),
+         |probes AS (SELECT cid AS probe_cid FROM qp ORDER BY cscore DESC, cid LIMIT 2),
+         |clus AS (SELECT e.vec_id, asg.cid, e.v FROM e
+         |         JOIN asg ON e.vec_id = asg.vec_id
+         |         JOIN probes ON asg.cid = probes.probe_cid)
+         |SELECT x.vec_id, x.cid, round($duckCosPair, 6) AS score
+         |FROM clus x, (SELECT v FROM e WHERE vec_id = (SELECT min(vec_id) FROM e)) y
+         |ORDER BY score DESC, vec_id LIMIT 5""".stripMargin,
     "knn_join" ->
       s"""WITH $duckE,
          |qs AS (SELECT vec_id AS q_id, v FROM e WHERE vec_id % 100 = 0)

@@ -116,6 +116,26 @@ object Dedup {
     Graft.documents(s, dir)
       .select(col("doc_id"), call_function("simhash64", col("text")).as("simhash"))
 
+  /** MinHash Jaccard ESTIMATION for LSH candidates: estimated similarity
+    * = fraction of agreeing signature components (scaled to micros).
+    * The cheap middle step of the classic pipeline — banded candidates →
+    * signature-agreement estimate → (optionally) exact verify on the
+    * survivors — signatures are 12 longs per doc, so the estimate never
+    * touches the original text.
+    */
+  def minhashJaccardEst(s: SparkSession, dir: String): DataFrame = {
+    val sigs = withShingles(s, dir)
+      .select(col("doc_id"), call_function("minhash_sigs", col("shingles")).as("sigs"))
+    val cand = minhashLsh(s, dir)
+    cand
+      .join(sigs.select(col("doc_id").as("id_a"), col("sigs").as("sa")), "id_a")
+      .join(sigs.select(col("doc_id").as("id_b"), col("sigs").as("sb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        expr("""aggregate(zip_with(sa, sb, (x, y) -> IF(x = y, 1, 0)),
+                | cast(0 as bigint), (acc, v) -> acc + v) * 1000000 div 12""".stripMargin)
+          .as("est_jaccard_micros"))
+  }
+
   /** Prefix-filtered Jaccard join (AllPairs-style): same result set as
     * [[ngramJaccard]], but only each doc's canonical-order prefix of
     * length n - ceil(tau*n) + 1 is indexed — if J(A,B) >= tau, the
@@ -220,6 +240,28 @@ object Dedup {
          |SELECT id_a, id_b, inter * 1000000 // (x.n + y.n - inter) AS jaccard_micros
          |FROM p JOIN sz x ON x.doc_id = id_a JOIN sz y ON y.doc_id = id_b
          |WHERE inter * 1000000 // (x.n + y.n - inter) >= 500000""".stripMargin,
+    "dedup_minhash_est" ->
+      s"""WITH $duckShingles,
+         |sig AS (SELECT doc_id,
+         |  list_reduce(
+         |    list_transform(
+         |      list_transform(list_transform(shingles, g -> md5(g)), h -> ${hexToLong("h", "strpos")}),
+         |      v -> list_transform(range(0, 12),
+         |             p -> ((16385 + 77 * p) * v + 52361 + 9199 * p) % 1000000007)),
+         |    (a, b) -> list_transform(range(1, 13), i -> least(a[i], b[i]))) AS sigs
+         |  FROM sar),
+         |bands AS (SELECT doc_id, b AS band_id,
+         |           CAST(sigs[3*b + 1] AS VARCHAR) || '|' || CAST(sigs[3*b + 2] AS VARCHAR)
+         |            || '|' || CAST(sigs[3*b + 3] AS VARCHAR) AS band_hash
+         |          FROM sig, range(0, 4) t(b)),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |         FROM bands a JOIN bands b
+         |           ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id)
+         |SELECT id_a, id_b,
+         | list_sum(list_transform(range(1, 13),
+         |   i -> CASE WHEN x.sigs[i] = y.sigs[i] THEN 1 ELSE 0 END)) * 1000000 // 12
+         |  AS est_jaccard_micros
+         |FROM cand JOIN sig x ON x.doc_id = id_a JOIN sig y ON y.doc_id = id_b""".stripMargin,
     // same result set as dedup_ngram_jaccard — the prefix filter is an
     // exactness-preserving candidate pruning, so the oracle is identical
     "dedup_jaccard_prefix" ->

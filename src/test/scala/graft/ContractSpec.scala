@@ -27,7 +27,8 @@ class ContractSpec extends SparkSpec {
     // candidate-pair queries may legitimately be empty at tiny SF —
     // everything else must produce rows
     val allowedEmpty = Set("dedup_ngram_jaccard", "dedup_jaccard_prefix",
-      "dedup_minhash_lsh", "dedup_simhash_pairs", "dedup_embedding", "q_antijoin")
+      "dedup_minhash_lsh", "dedup_minhash_est", "dedup_simhash_pairs",
+      "dedup_embedding", "q_antijoin")
     assert((empty.toSet -- allowedEmpty).isEmpty,
       s"unexpectedly empty at sf0.001: ${empty.toSet -- allowedEmpty}")
   }
