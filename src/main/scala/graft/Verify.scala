@@ -15,6 +15,7 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    var columnsByQuery = Map.empty[String, Seq[String]]
     SparkEntry.queries.foreach { case (name, fn) =>
       // pre-delete so a failing query can never leave a stale result
       // from an earlier run for the comparer to pick up
@@ -26,9 +27,17 @@ object Verify {
         }
         rm(target)
       }
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      // write rows in a deterministic total order (sorted column-name
+      // order) so the compare is correct whether or not the driver's
+      // hash is row-order-sensitive; the oracle SQL gets the matching
+      // ORDER BY wrapper below.
+      try {
+        val df = fn(spark, sfDir)
+        val sortCols = df.columns.sorted.map(org.apache.spark.sql.functions.col)
+        df.coalesce(1).sortWithinPartitions(sortCols: _*)
+          .write.mode("overwrite").parquet(s"$outDir/$name")
+        columnsByQuery += (name -> df.columns.toSeq)
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
@@ -44,8 +53,19 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // wrap each oracle in the same deterministic ORDER BY the parquet
+    // dump uses (full sorted column list = a total order for every
+    // query, since each output is unique on its key columns)
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) =>
+        val wrapped = columnsByQuery.get(k) match {
+          case Some(cols) =>
+            s"SELECT * FROM (\n$v\n) graft_ordered ORDER BY " +
+              cols.sorted.map(c => "\"" + c + "\"").mkString(", ")
+          case None => v
+        }
+        s"${q(k)}: ${q(wrapped)}"
+      }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }
