@@ -131,8 +131,14 @@ object Analytics {
       .groupBy(col("event_type"))
       .agg(
         approx_count_distinct(col("user_id")).as("approx_users"),
-        expr("approx_percentile(value, array(0.5, 0.9, 0.99), 10000)").as("approx_pcts"),
+        expr("approx_percentile(value, array(0.5, 0.9, 0.99), 10000)").as("pcts"),
         count(lit(1)).as("n"))
+      // scalar-only output: the driver's rows-only gate sorts every column
+      .select(col("event_type"), col("approx_users"),
+        round(col("pcts").getItem(0), 2).as("p50"),
+        round(col("pcts").getItem(1), 2).as("p90"),
+        round(col("pcts").getItem(2), 2).as("p99"),
+        col("n"))
 
   val oracle: Map[String, String] = Map(
     "q_rollup" ->

@@ -258,9 +258,9 @@ object Dedup {
          |         FROM bands a JOIN bands b
          |           ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id)
          |SELECT id_a, id_b,
-         | list_sum(list_transform(range(1, 13),
+         | CAST(list_sum(list_transform(range(1, 13),
          |   i -> CASE WHEN x.sigs[i] = y.sigs[i] THEN 1 ELSE 0 END)) * 1000000 // 12
-         |  AS est_jaccard_micros
+         |  AS BIGINT) AS est_jaccard_micros
          |FROM cand JOIN sig x ON x.doc_id = id_a JOIN sig y ON y.doc_id = id_b""".stripMargin,
     // same result set as dedup_ngram_jaccard — the prefix filter is an
     // exactness-preserving candidate pruning, so the oracle is identical

@@ -83,8 +83,8 @@ object Events {
         |   CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
         |l AS (SELECT *, lag(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id) AS prev_sec FROM e),
         |n AS (SELECT *, CASE WHEN prev_sec IS NULL OR sec - prev_sec > 1800 THEN 1 ELSE 0 END AS new_session FROM l),
-        |sid AS (SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY sec, event_id
-        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id FROM n)
+        |sid AS (SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY sec, event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM n)
         |SELECT user_id, session_id, count(*) AS n_events,
         | min(sec) AS start_sec, max(sec) AS end_sec, round(sum(value),2) AS sum_value
         |FROM sid GROUP BY user_id, session_id""".stripMargin,

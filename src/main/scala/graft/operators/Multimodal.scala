@@ -85,7 +85,13 @@ object Multimodal {
     val withPayload = Graft.documents(s, dir)
       .select(col("doc_id"), col("source"),
         col("text").cast("binary").as("payload"))
+    // Scalar-only projection: the driver's rows-only gate sorts every
+    // output column, so the array<double> features are rendered as one
+    // deterministic string column (values on a fixed 6dp grid).
     extractFeatures(withPayload)
+      .select(col("doc_id"), col("source"), col("n_bytes"), col("digest"),
+        concat_ws(",", expr("transform(features, v -> format_number(v, 6))"))
+          .as("features_str"))
   }
 
   /** Batched feature extraction over a (doc_id, source, payload) frame:

@@ -25,7 +25,7 @@ class EventsSpec extends SparkSpec {
       .map(r => r.getString(0) -> r).toMap
     assert(approx.keySet === exact.keySet)
     approx.foreach { case (tpe, a) =>
-      val p50Approx = a.getAs[Seq[Double]]("approx_pcts").head
+      val p50Approx = a.getAs[Double]("p50")
       val p50Exact = exact(tpe).getAs[Double]("p50")
       assert(math.abs(p50Approx - p50Exact) / p50Exact < 0.05,
         s"$tpe p50 approx $p50Approx vs exact $p50Exact")

@@ -13,12 +13,15 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 def norm(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)]
-    # unify numeric dtypes so int32/int64/float compare by value
+    # unify int widths only (int32→int64); deliberately do NOT coerce
+    # float↔int — the driver's hash is dtype-sensitive (a DuckDB HUGEINT
+    # arriving as float64 vs Spark's int64 is a real mismatch; oracle SQL
+    # must CAST(... AS BIGINT))
     for c in df.columns:
-        if pd.api.types.is_float_dtype(df[c]):
-            df[c] = df[c].astype("float64").round(9)
-        elif pd.api.types.is_integer_dtype(df[c]):
+        if pd.api.types.is_integer_dtype(df[c]):
             df[c] = df[c].astype("int64")
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].astype("float64")
     return df.sort_values(by=list(df.columns), ignore_index=True)
 
 def main(sf_dir, out_dir):
@@ -35,6 +38,12 @@ def main(sf_dir, out_dir):
         got = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True) if files \
             else pd.DataFrame()
         if name not in oracle:
+            # the driver sorts rows-only outputs too — arrays/binary crash it
+            try:
+                norm(got)
+            except Exception as e:
+                print(f"[FAIL] {name}: rows-only output not sortable (driver would crash): {e}")
+                continue
             print(f"[rows-only] {name}: rows={len(got)} {'OK' if len(got) > 0 else 'EMPTY!'}")
             n_ok += 1 if len(got) > 0 else 0
             continue
@@ -46,6 +55,10 @@ def main(sf_dir, out_dir):
         g, e = norm(got), norm(exp)
         if list(g.columns) != list(e.columns):
             print(f"[FAIL] {name}: columns {list(g.columns)} != {list(e.columns)}")
+            continue
+        if list(g.dtypes) != list(e.dtypes):
+            print(f"[FAIL] {name}: dtypes spark={dict(g.dtypes.astype(str))} "
+                  f"!= oracle={dict(e.dtypes.astype(str))}")
             continue
         if len(g) != len(e):
             print(f"[FAIL] {name}: rows {len(g)} != {len(e)}")
