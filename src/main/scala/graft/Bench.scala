@@ -16,9 +16,13 @@ object Bench {
       try SparkEntry.queries.get(w).foreach(_(spark, sfDir).count())
       catch { case _: Throwable => () }
     }
+    // optional comma-separated filter for single-query iteration
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     // two timed iterations per query, report the min: JIT/GC noise at
     // this data size swings single runs by ~30%
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }

@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Ad-hoc timing probe for operator internals (not part of the driver
+  * contract). Usage: runMain graft.Probe
+  */
+object Probe {
+  def main(args: Array[String]): Unit = {
+    val spark = Graft.session()
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime(); val n = f
+      println(f"[probe] $name%-40s ${(System.nanoTime() - t0) / 1e9}%8.3f s  rows=$n")
+    }
+    val docs = Graft.documents(spark, dir)
+    time("docs.count")(docs.count())
+    val sh = docs.select(col("doc_id"),
+      call_function("word_ngrams", col("text"), lit(3)).as("shingles"))
+    time("shingles kernel")(sh.select(sum(size(col("shingles")))).count())
+    time("shingles kernel x2")(sh.select(sum(size(col("shingles")))).count())
+    val sorted = sh.select(col("doc_id"), array_sort(col("shingles")).as("s"))
+    time("array_sort")(sorted.select(sum(size(col("s")))).count())
+    val ex = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
+    time("explode")(ex.count())
+    time("explode+agg")(ex.groupBy("s").count().count())
+    val exj = ex
+    time("self-join broadcast")(
+      exj.as("a").join(exj.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .count())
+    time("self-join shuffle")(
+      exj.as("a").hint("SHUFFLE_HASH").join(exj.as("b").hint("SHUFFLE_HASH"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id")).count())
+    val hx = docs.select(col("doc_id"),
+      explode(expr("transform(word_ngrams(text, 3), s -> xxhash64(s))")).as("h"))
+    time("hashed explode")(hx.count())
+    time("hashed self-join shuffle")(
+      hx.as("a").hint("SHUFFLE_HASH").join(hx.as("b").hint("SHUFFLE_HASH"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id")).count())
+    spark.stop()
+  }
+}

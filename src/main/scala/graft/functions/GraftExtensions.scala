@@ -25,6 +25,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => WordNGrams(args.head,
         args(1).eval().asInstanceOf[Number].intValue())))
     ext.injectFunction((
+      new FunctionIdentifier("word_ngram_hashes"),
+      new ExpressionInfo(classOf[WordNGramHashes].getName, "word_ngram_hashes"),
+      (args: Seq[Expression]) => WordNGramHashes(args.head,
+        args(1).eval().asInstanceOf[Number].intValue())))
+    ext.injectFunction((
       new FunctionIdentifier("sorted_intersect_count"),
       new ExpressionInfo(classOf[SortedIntersectCount].getName, "sorted_intersect_count"),
       (args: Seq[Expression]) => SortedIntersectCount(args.head, args(1))))

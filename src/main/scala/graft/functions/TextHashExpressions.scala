@@ -30,31 +30,63 @@ case class WordNGrams(child: Expression, n: Int) extends UnaryExpression {
   override def prettyName: String = "word_ngrams"
 }
 
-/** Intersection size of two sorted string arrays (two-pointer merge) —
-  * the verify step of the prefix-filtered set-similarity join.
+/** Intersection size of two sorted arrays (two-pointer merge) — the
+  * verify step of the prefix-filtered set-similarity join. Accepts
+  * array<string> or array<bigint> (the hashed-shingle representation).
   */
 case class SortedIntersectCount(left: Expression, right: Expression)
   extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
 
   override def dataType: DataType = LongType
 
+  private lazy val isLong = left.dataType match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
     case (ArrayType(StringType, _), ArrayType(StringType, _)) => TypeCheckResult.TypeCheckSuccess
+    case (ArrayType(LongType, _), ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
     case (l, r) => TypeCheckResult.TypeCheckFailure(
-      s"sorted_intersect_count expects two array<string>, got $l / $r")
+      s"sorted_intersect_count expects two array<string> or two array<bigint>, got $l / $r")
   }
 
   override protected def nullSafeEval(a: Any, b: Any): Any =
-    TextHashes.sortedIntersectCount(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    if (isLong) TextHashes.sortedIntersectCountLong(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    else TextHashes.sortedIntersectCount(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev,
-      (a, b) => s"graft.functions.TextHashes.sortedIntersectCount($a, $b)")
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fn = if (isLong) "sortedIntersectCountLong" else "sortedIntersectCount"
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.TextHashes.$fn($a, $b)")
+  }
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
 
   override def prettyName: String = "sorted_intersect_count"
+}
+
+/** Distinct word n-grams as SORTED xxhash64 longs in one kernel call —
+  * primitive join keys + primitive two-pointer verify for the
+  * set-similarity family (see TextHashes.wordNGramHashes).
+  */
+case class WordNGramHashes(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType && n >= 1) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"word_ngram_hashes expects (string, n>=1), got ${child.dataType}")
+
+  override protected def nullSafeEval(t: Any): Any =
+    TextHashes.wordNGramHashes(t.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashes.wordNGramHashes($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "word_ngram_hashes"
 }
 
 /** Native document fingerprint: md5 of sorted distinct lowercase tokens

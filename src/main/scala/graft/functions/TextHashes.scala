@@ -158,6 +158,47 @@ object TextHashes {
     new GenericArrayData(out)
   }
 
+  /** Distinct word n-gram shingles as SORTED 64-bit xxhash64 values —
+    * the set-similarity join representation: join keys and two-pointer
+    * intersections over primitive longs instead of shingle strings.
+    * Jaccard over the hashed sets equals Jaccard over the string sets
+    * unless xxhash64 collides (~1e-9 at 1e5 distinct shingles/doc).
+    */
+  def wordNGramHashes(text: UTF8String, n: Int): ArrayData = {
+    val toks = text.toString.split("\\s+", -1)
+    if (toks.length < n) return new GenericArrayData(Array.emptyLongArray)
+    val m = toks.length - n + 1
+    val hs = new Array[Long](m)
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i < m) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) { if (j > 0) sb.append(' '); sb.append(toks(i + j)); j += 1 }
+      val u = UTF8String.fromString(sb.toString)
+      hs(i) = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42L)
+      i += 1
+    }
+    java.util.Arrays.sort(hs)
+    var w = 0; var k = 0
+    while (k < m) { if (k == 0 || hs(k) != hs(k - 1)) { hs(w) = hs(k); w += 1 }; k += 1 }
+    new GenericArrayData(java.util.Arrays.copyOf(hs, w))
+  }
+
+  /** Intersection size of two SORTED long arrays (two-pointer merge). */
+  def sortedIntersectCountLong(a: ArrayData, b: ArrayData): Long = {
+    var i = 0; var j = 0; var c = 0L
+    val na = a.numElements(); val nb = b.numElements()
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+
   val MinHashK = 12
   private val P = 1000000007L
 

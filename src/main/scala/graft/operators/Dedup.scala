@@ -50,12 +50,27 @@ object Dedup {
     * At 100 TB the shingle join is the standard inverted-index candidate
     * pass — work is proportional to shared-shingle pairs, not all pairs.
     */
+  /** Shingle sets as SORTED xxhash64 longs (native kernel): primitive
+    * join keys for the inverted-index pass, primitive two-pointer verify.
+    * coalesce folds away the inferred isnotnull(...) filter that would
+    * otherwise re-evaluate the kernel below the projection.
+    */
+  private def withHashedShingles(s: SparkSession, dir: String): DataFrame =
+    Graft.documents(s, dir)
+      .select(col("doc_id"),
+        call_function("word_ngram_hashes", coalesce(col("text"), lit("")), lit(3))
+          .as("shingles"))
+
   def ngramJaccard(s: SparkSession, dir: String, tauMicros: Long = 500000L): DataFrame = {
     // shingle-set size travels WITH each inverted-index row: no second
-    // scan, no sizes join after the pair aggregation.
-    val sh = withShingles(s, dir)
+    // scan, no sizes join after the pair aggregation. SHUFFLE_HASH on the
+    // self-join: both sides shuffle the identical subtree on the shingle
+    // hash, so ReusedExchange computes the kernel + explode ONCE (a
+    // broadcast self-join would build and compute both sides separately).
+    val sh = withHashedShingles(s, dir)
       .select(col("doc_id"), size(col("shingles")).cast("long").as("n"),
         explode(col("shingles")).as("sh"))
+      .hint("SHUFFLE_HASH")
     sh.as("a").join(sh.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id") &&
           // size-compatibility pruning: jaccard >= tau forces
@@ -98,6 +113,9 @@ object Dedup {
       // not bucket together. Filtering on the *generated* band string
       // stays above the Generate (no pushdown re-evaluating the kernel).
       .filter(col("band_hash") =!= "1000000007|1000000007|1000000007")
+      // self-join via shuffle so ReusedExchange computes the signature
+      // subtree once (broadcast would build both sides separately)
+      .hint("SHUFFLE_HASH")
     bands.as("a").join(bands.as("b"),
         col("a.band_id") === col("b.band_id") && col("a.band_hash") === col("b.band_hash") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -128,8 +146,10 @@ object Dedup {
       .select(col("doc_id"), call_function("minhash_sigs", col("shingles")).as("sigs"))
     val cand = minhashLsh(s, dir)
     cand
-      .join(sigs.select(col("doc_id").as("id_a"), col("sigs").as("sa")), "id_a")
-      .join(sigs.select(col("doc_id").as("id_b"), col("sigs").as("sb")), "id_b")
+      .join(sigs.select(col("doc_id").as("id_a"), col("sigs").as("sa"))
+        .hint("SHUFFLE_HASH"), "id_a")
+      .join(sigs.select(col("doc_id").as("id_b"), col("sigs").as("sb"))
+        .hint("SHUFFLE_HASH"), "id_b")
       .select(col("id_a"), col("id_b"),
         expr("""aggregate(zip_with(sa, sb, (x, y) -> IF(x = y, 1, 0)),
                 | cast(0 as bigint), (acc, v) -> acc + v) * 1000000 div 12""".stripMargin)
@@ -151,12 +171,18 @@ object Dedup {
     * web-corpus regime. Both are kept; pick by shingle-frequency skew.
     */
   def jaccardPrefix(s: SparkSession, dir: String, tauMicros: Long = 500000L): DataFrame = {
-    val sorted = withShingles(s, dir)
-      .select(col("doc_id"), array_sort(col("shingles")).as("sh_sorted"),
+    // the kernel emits the hashes already sorted — canonical order for
+    // the prefix filter AND two-pointer-mergeable for the verify step
+    val sorted = withHashedShingles(s, dir)
+      .select(col("doc_id"), col("shingles").as("sh_sorted"),
         size(col("shingles")).cast("long").as("n"))
     // tau = 0.5: prefix length = n - ceil(n/2) + 1 (pure integers)
     val pre = sorted.select(col("doc_id"), col("n"),
       explode(expr("slice(sh_sorted, 1, cast(n - ((n + 1) div 2) + 1 as int))")).as("sh"))
+      .hint("SHUFFLE_HASH")
+    // SHUFFLE_HASH everywhere: the candidate self-join reuses one
+    // exchange of the exploded prefix, and the two verify join-backs
+    // reuse one exchange of `sorted` hashed by doc_id.
     val cands = pre.as("a").join(pre.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id") &&
           col("a.n") * lit(1000000L) >= col("b.n") * lit(tauMicros) &&
@@ -164,8 +190,10 @@ object Dedup {
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
     cands
-      .join(sorted.select(col("doc_id").as("id_a"), col("sh_sorted").as("sa"), col("n").as("na")), "id_a")
-      .join(sorted.select(col("doc_id").as("id_b"), col("sh_sorted").as("sb"), col("n").as("nb")), "id_b")
+      .join(sorted.select(col("doc_id").as("id_a"), col("sh_sorted").as("sa"), col("n").as("na"))
+        .hint("SHUFFLE_HASH"), "id_a")
+      .join(sorted.select(col("doc_id").as("id_b"), col("sh_sorted").as("sb"), col("n").as("nb"))
+        .hint("SHUFFLE_HASH"), "id_b")
       .select(col("id_a"), col("id_b"),
         call_function("sorted_intersect_count", col("sa"), col("sb")).as("inter"),
         col("na"), col("nb"))
@@ -187,6 +215,8 @@ object Dedup {
       .select(col("doc_id"), call_function("simhash_bands", col("text")).as("bl"))
       .select(col("doc_id"), col("bl"),
         posexplode(col("bl")).as(Seq("band_id", "band_long")))
+      // shuffle self-join → ReusedExchange → simhash kernel runs once
+      .hint("SHUFFLE_HASH")
     bands.as("a").join(bands.as("b"),
         col("a.band_id") === col("b.band_id") && col("a.band_long") === col("b.band_long") &&
           col("a.doc_id") < col("b.doc_id"))
