@@ -74,6 +74,77 @@ case class FloatVecDot(left: Expression, right: Expression) extends BinaryExpres
   override def prettyName: String = "fvec_dot"
 }
 
+/** JVM kernels for composite vector ops (called from generated code). */
+object VecKernels {
+
+  /** Spark-identical round-half-up at 6dp (Catalyst Round semantics). */
+  def round6(x: Double): Double =
+    java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** Single-pass cosine over two float arrays — same accumulation order
+    * as FloatVecCos (dot and norms left-to-right in double).
+    */
+  def cosF(x: ArrayData, y: ArrayData): Double = {
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = x.getFloat(i).toDouble; val yv = y.getFloat(i).toDouble
+      dot += xv * yv; na += xv * xv; nb += yv * yv
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** IVF assignment: id of the centroid maximizing (round6(cosine) desc,
+    * cid asc) — one pass over a broadcast array<struct<cid,cvec>>; the
+    * rounded-score tie-break matches the positional-SQL oracle exactly.
+    */
+  def ivfAssign(vec: ArrayData, cents: ArrayData): Long = {
+    var bestCid = -1L; var bestScore = -2.0
+    val m = cents.numElements()
+    var i = 0
+    while (i < m) {
+      val c = cents.getStruct(i, 2)
+      val cid = c.getLong(0)
+      val s = round6(cosF(vec, c.getArray(1)))
+      if (s > bestScore || (s == bestScore && cid < bestCid)) { bestScore = s; bestCid = cid }
+      i += 1
+    }
+    bestCid
+  }
+}
+
+/** IVF centroid assignment as ONE projection: no per-vector fanout join,
+  * no argmax aggregation shuffle — the centroid set rides along as a
+  * broadcast single-row array and the kernel scans it per vector.
+  */
+case class IvfAssign(left: Expression, right: Expression) extends BinaryExpression {
+  import org.apache.spark.sql.types.{LongType, StructType}
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(FloatType, _), ArrayType(st: StructType, _))
+      if st.length == 2 && st(0).dataType == LongType &&
+        (st(1).dataType match { case ArrayType(FloatType, _) => true; case _ => false }) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"ivf_assign expects (array<float>, array<struct<bigint,array<float>>>), got $l / $r")
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VecKernels.ivfAssign(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VecKernels.ivfAssign($a, $b)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "ivf_assign"
+}
+
 /** Fused cosine similarity: dot product and both norms in ONE pass over
   * the vectors (the dot/norm/norm composition traverses each array three
   * times). Result is arithmetically identical: sum-of-products and

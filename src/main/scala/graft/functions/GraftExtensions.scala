@@ -25,6 +25,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => WordNGrams(args.head,
         args(1).eval().asInstanceOf[Number].intValue())))
     ext.injectFunction((
+      new FunctionIdentifier("fvec_avg"),
+      new ExpressionInfo(classOf[FVecAvg].getName, "fvec_avg"),
+      (args: Seq[Expression]) => FVecAvg(args.head,
+        args(1).eval().asInstanceOf[Number].intValue()).toAggregateExpression()))
+    ext.injectFunction((
+      new FunctionIdentifier("ivf_assign"),
+      new ExpressionInfo(classOf[IvfAssign].getName, "ivf_assign"),
+      (args: Seq[Expression]) => IvfAssign(args.head, args(1))))
+    ext.injectFunction((
       new FunctionIdentifier("word_ngram_hashes"),
       new ExpressionInfo(classOf[WordNGramHashes].getName, "word_ngram_hashes"),
       (args: Seq[Expression]) => WordNGramHashes(args.head,

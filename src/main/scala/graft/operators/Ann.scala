@@ -33,19 +33,17 @@ object Ann {
     * is identical).
     */
   private def assignments(s: SparkSession, dir: String): DataFrame = {
+    // the centroid set rides along as ONE broadcast row holding an
+    // array<struct<cid,cvec>>; the native ivf_assign kernel computes the
+    // (rounded-cosine desc, cid asc) argmax per vector in a single
+    // projection — no x-centroids fanout join, no argmax agg shuffle.
+    // (collect_list order is irrelevant: the kernel tie-breaks totally.)
     val cents = Graft.embeddings(s, dir).filter(col("vec_id") < 8)
-      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
-    // argmax centroid as ONE hash aggregation (max_by over a totally
-    // ordered (score, -cid) struct) — no window sort over the fanout.
+      .agg(collect_list(struct(col("vec_id").as("cid"), col("embedding").as("cvec"))).as("cents"))
     Graft.embeddings(s, dir)
       .crossJoin(broadcast(cents))
       .select(col("vec_id"), col("embedding"),
-        col("cid"), VectorOps.cosine6(col("embedding"), col("cvec")).as("cscore"))
-      .groupBy(col("vec_id"))
-      .agg(
-        max_by(struct(col("cid"), col("embedding")),
-          struct(col("cscore"), (-col("cid")).as("nc"))).as("best"))
-      .select(col("vec_id"), col("best.embedding").as("embedding"), col("best.cid").as("cid"))
+        call_function("ivf_assign", col("embedding"), col("cents")).as("cid"))
   }
 
   /** IVF probe: assign all vectors to centroids, route the query to its

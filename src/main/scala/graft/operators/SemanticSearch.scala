@@ -42,17 +42,24 @@ object SemanticSearch {
     * (reference qdrant.py:123).
     */
   def docVectors(s: SparkSession, dir: String): DataFrame =
+    // fvec_avg: partial-aggregatable elementwise mean — only
+    // labels x (dim+1) doubles shuffle, vs collect_list shipping every
+    // vector to its group and folding with an interpreted lambda
     Graft.embeddings(s, dir)
       .groupBy(col("label"))
-      .agg(collect_list(col("embedding")).as("vecs"))
-      .select(col("label"), VectorOps.meanPool(col("vecs"), Dim).as("dvec"))
+      .agg(call_function("fvec_avg", col("embedding"), lit(Dim)).as("dvec"))
 
-  /** Mean-pool exposed positionally for the oracle: (label, pos, v). */
+  /** Mean-pool exposed positionally for the oracle: (label, pos, v).
+    * Aggregates FIRST (fvec_avg partial agg), explodes the C x dim
+    * result — the posexplode-then-group formulation multiplies shuffle
+    * rows by the dimension.
+    */
   def meanPoolPositional(s: SparkSession, dir: String): DataFrame =
     Graft.embeddings(s, dir)
-      .select(col("label"), posexplode(col("embedding")).as(Seq("pos0", "v0")))
-      .groupBy(col("label"), (col("pos0") + 1).as("pos"))
-      .agg(round(avg(col("v0").cast("double")), 6).as("v"))
+      .groupBy(col("label"))
+      .agg(call_function("fvec_avg", col("embedding"), lit(Dim)).as("dvec"))
+      .select(col("label"), posexplode(col("dvec")).as(Seq("pos0", "v0")))
+      .select(col("label"), (col("pos0") + 1).as("pos"), round(col("v0"), 6).as("v"))
 
   /** Top-k documents by cosine for the query vector. */
   def topDocs(s: SparkSession, dir: String, k: Int = 3): DataFrame =

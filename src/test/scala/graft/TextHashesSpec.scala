@@ -90,4 +90,63 @@ class TextHashesSpec extends SparkSpec {
       VectorOps.dotHof(col("a"), col("b")).as("hof")).head()
     assert(r.getDouble(0) === r.getDouble(1))
   }
+
+  test("word_ngram_hashes == sorted distinct xxhash64 of word_ngrams") {
+    val rows = docs.select(
+      call_function("word_ngram_hashes", col("text"), lit(3)).as("native"),
+      array_sort(expr("transform(word_ngrams(text, 3), s -> xxhash64(s))")).as("via_sql"))
+      .collect()
+    rows.foreach(r => assert(r.getSeq[Long](0) === r.getSeq[Long](1)))
+  }
+
+  test("sorted_intersect_count on long arrays == array_intersect size") {
+    val df = Seq(
+      (Array(1L, 3L, 5L, 9L), Array(2L, 3L, 5L, 10L)),
+      (Array.empty[Long], Array(1L, 2L)),
+      (Array(7L), Array(7L))).toDF("a", "b")
+    val rows = df.select(
+      call_function("sorted_intersect_count", col("a"), col("b")).as("native"),
+      size(array_intersect(col("a"), col("b"))).cast("long").as("via_sql")).collect()
+    rows.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+  }
+
+  test("fvec_avg == positional-explode mean") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, Array(1.0f, 2.0f, 4.0f)),
+      (0L, Array(3.0f, 0.0f, 8.0f)),
+      (1L, Array(-1.0f, 5.0f, 0.5f))).toDF("label", "embedding")
+    val viaAgg = df.groupBy(col("label"))
+      .agg(call_function("fvec_avg", col("embedding"), lit(3)).as("m"))
+      .select(col("label"), posexplode(col("m")).as(Seq("pos", "v")))
+    val viaExplode = df
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v0")))
+      .groupBy(col("label"), col("pos"))
+      .agg(avg(col("v0").cast("double")).as("v"))
+    val a = viaAgg.collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val b = viaExplode.collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(a.keySet === b.keySet)
+    a.foreach { case (k, v) => assert(math.abs(v - b(k)) < 1e-12, s"$k: $v vs ${b(k)}") }
+  }
+
+  test("ivf_assign == max_by over rounded cosine with cid tie-break") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)),
+      (10L, Array(0.9f, 0.1f)), (11L, Array(0.1f, 0.9f)), (12L, Array(0.7f, 0.7f)))
+      .toDF("vec_id", "embedding")
+    val cents = vecs.filter(col("vec_id") < 2)
+      .agg(collect_list(struct(col("vec_id").as("cid"), col("embedding").as("cvec"))).as("cents"))
+    val native = vecs.crossJoin(broadcast(cents))
+      .select(col("vec_id"), call_function("ivf_assign", col("embedding"), col("cents")).as("cid"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaJoin = vecs.crossJoin(
+        vecs.filter(col("vec_id") < 2).select(col("vec_id").as("cid"), col("embedding").as("cvec")))
+      .select(col("vec_id"), col("cid"),
+        round(VectorOps.cosine(col("embedding"), col("cvec")), 6).as("cs"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cid"), struct(col("cs"), (-col("cid")).as("nc"))).as("cid"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(native === viaJoin)
+  }
 }
