@@ -67,6 +67,12 @@ object SparkEntry {
     "text_quality" -> (TextAnalysis.quality _),
     "text_langid" -> (TextAnalysis.langid _),
     "text_winnow" -> (TextAnalysis.winnow _),
+    // training-data pipeline second wave
+    "text_repetition" -> (TextAnalysis.repetition _),
+    "text_redact_pii" -> (TextAnalysis.redactPii _),
+    "sample_stratified" -> (TextAnalysis.sampleStratified _),
+    "text_decontam" -> ((s: SparkSession, d: String) => TextAnalysis.decontaminate(s, d)),
+    "ann_lsh" -> ((s: SparkSession, d: String) => Ann.lsh(s, d)),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column names!). */

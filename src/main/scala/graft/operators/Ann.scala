@@ -90,6 +90,34 @@ object Ann {
       .limit(k)
   }
 
+  /** Signed-random-projection LSH ANN: each vector gets an 8-bit bucket
+    * (bit p = sign of dot with hyperplane p; hyperplanes are the vectors
+    * with id 8..15 — deterministic stand-ins for sampled planes), the
+    * query probes only its own bucket, exact cosine top-k inside. The
+    * LSH complement to IVF: bucketing is a pure per-row projection (no
+    * training/assignment pass at all), so index build is a map stage and
+    * bucket routing is a hash-partition at scale.
+    */
+  def lsh(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val planes = Graft.embeddings(s, dir)
+      .filter(col("vec_id") >= 8 && col("vec_id") < 16)
+      .agg(sort_array(collect_list(struct(col("vec_id").as("pid"), col("embedding").as("pvec"))))
+        .as("ps"))
+      .select(expr("transform(ps, x -> x.pvec)").as("planes"))
+    val sig = Graft.embeddings(s, dir)
+      .crossJoin(broadcast(planes))
+      .select(col("vec_id"), col("embedding"),
+        concat_ws("", expr("transform(planes, p -> IF(fvec_dot(embedding, p) >= 0, '1', '0'))"))
+          .as("bucket"))
+    val q = sig.orderBy(col("vec_id")).limit(1)
+      .select(col("embedding").as("qvec"), col("bucket").as("qbucket"))
+    sig.join(broadcast(q), col("bucket") === col("qbucket"))
+      .select(col("vec_id"), col("bucket"),
+        VectorOps.cosine6(col("embedding"), col("qvec")).as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** kNN join: top-k neighbors for every query-side vector (vec_id % 100
     * = 0), one broadcast + one window — never a per-query job.
     */
@@ -189,6 +217,23 @@ object Ann {
          |SELECT x.vec_id, x.cid, round($duckCosPair, 6) AS score
          |FROM clus x, (SELECT v FROM e WHERE vec_id = (SELECT min(vec_id) FROM e)) y
          |ORDER BY score DESC, vec_id LIMIT 5""".stripMargin,
+    "ann_lsh" ->
+      s"""WITH $duckE,
+         |p AS (SELECT vec_id AS pid, v AS pv FROM e WHERE vec_id >= 8 AND vec_id < 16),
+         |sig AS (SELECT x.vec_id, string_agg(
+         |          CASE WHEN list_sum(list_transform(range(1,65), i -> x.v[i] * p.pv[i])) >= 0
+         |          THEN '1' ELSE '0' END, '' ORDER BY p.pid) AS bucket
+         |        FROM e x, p GROUP BY x.vec_id),
+         |qb AS (SELECT bucket AS qbucket FROM sig
+         |       WHERE vec_id = (SELECT min(vec_id) FROM e)),
+         |qv AS (SELECT v FROM e WHERE vec_id = (SELECT min(vec_id) FROM e))
+         |SELECT s.vec_id, s.bucket,
+         | round(list_sum(list_transform(range(1,65), i -> x.v[i] * y.v[i]))
+         |  / (sqrt(list_sum(list_transform(range(1,65), i -> x.v[i] * x.v[i])))
+         |     * sqrt(list_sum(list_transform(range(1,65), i -> y.v[i] * y.v[i])))), 6) AS score
+         |FROM sig s JOIN e x ON s.vec_id = x.vec_id
+         |     JOIN qb ON s.bucket = qb.qbucket, qv y
+         |ORDER BY score DESC, s.vec_id LIMIT 5""".stripMargin,
     "knn_join" ->
       s"""WITH $duckE,
          |qs AS (SELECT vec_id AS q_id, v FROM e WHERE vec_id % 100 = 0)

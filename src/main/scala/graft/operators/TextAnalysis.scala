@@ -75,7 +75,129 @@ object TextAnalysis {
       .select(col("doc_id"),
         explode(call_function("winnow_fingerprints", col("text"), lit(8), lit(4))).as("fp"))
 
+  /** Gopher-style repetition score: fraction of word-3-grams that are
+    * duplicates of an earlier 3-gram in the same document (micro-scaled
+    * integer). High repetition = low-quality training text. Pure map
+    * stage: the distinct-shingle count comes from the word_ngrams kernel.
+    */
+  def repetition(s: SparkSession, dir: String): DataFrame =
+    Graft.documents(s, dir)
+      .select(col("doc_id"),
+        expr("cast(size(split(text, '\\\\s+')) - 2 as bigint)").as("n_ngrams"),
+        expr("cast(size(word_ngrams(text, 3)) as bigint)").as("n_distinct"))
+      .filter(col("n_ngrams") >= 1)
+      .select(col("doc_id"), col("n_ngrams"), col("n_distinct"),
+        expr("(n_ngrams - n_distinct) * 1000000 div n_ngrams").as("rep_micros"))
+
+  private val emailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  private val phoneRe = "\\+?[0-9][0-9 ()-]{6,}[0-9]"
+
+  /** PII scrub: redact email addresses and phone-number-shaped spans,
+    * with per-document match counts (the audit trail a removal pipeline
+    * keeps). Regexes are RE2-safe (no backrefs/lookaround) so Spark and
+    * the SQL oracle agree. Pure map stage.
+    */
+  def redactPii(s: SparkSession, dir: String): DataFrame =
+    // functions API, not expr(): SQL string literals re-escape
+    // backslashes and would corrupt the patterns
+    Graft.documents(s, dir)
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(emailRe), lit(0))).cast("long").as("n_emails"),
+        size(regexp_extract_all(col("text"), lit(phoneRe), lit(0))).cast("long").as("n_phones"),
+        regexp_replace(regexp_replace(col("text"), lit(emailRe), lit("<EMAIL>")),
+          lit(phoneRe), lit("<PHONE>")).as("redacted"))
+
+  /** Deterministic stratified sampling: per-language keep rates applied
+    * via a content-hash threshold (md5 of the id) — reproducible across
+    * runs and engines, no RNG state, embarrassingly parallel. The
+    * standard down-sampling pattern for mixing training-data sources.
+    */
+  def sampleStratified(s: SparkSession, dir: String): DataFrame =
+    Graft.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        expr(s"${hex8ToLong("md5(cast(doc_id as string))", "instr")} % 100").as("bucket"))
+      .filter(expr(
+        """bucket < CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 30
+          | WHEN 'fr' THEN 20 ELSE 10 END""".stripMargin))
+
+  /** Benchmark decontamination: documents sharing >= 2 winnowing
+    * fingerprints with any benchmark document (here: doc_id < 3 stands
+    * in for the eval set). The fingerprint join is the scalable
+    * containment check — candidate work is proportional to shared
+    * fingerprints; the benchmark side is broadcastable by construction.
+    */
+  def decontaminate(s: SparkSession, dir: String, minShared: Long = 2L): DataFrame = {
+    val fps = winnow(s, dir)
+    val bench = fps.filter(col("doc_id") < 3)
+      .select(col("fp"), col("doc_id").as("bench_id"))
+    fps.filter(col("doc_id") >= 3)
+      .join(broadcast(bench), "fp")
+      .groupBy(col("doc_id"), col("bench_id"))
+      // fingerprints are distinct per document (kernel dedupes), so
+      // count(*) is the shared-fingerprint count
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  /** First 8 hex digits of hex-string expression `h` as a long —
+    * portable (posFn = instr for Spark, strpos for DuckDB).
+    */
+  private def hex8ToLong(h: String, posFn: String): String =
+    (1 to 8).map { k =>
+      s"cast($posFn('0123456789abcdef', substring($h, $k, 1)) - 1 as bigint) * ${1L << (4 * (8 - k))}"
+    }.mkString("(", " + ", ")")
+
+  private val duckWinnowFp =
+    """cs AS (SELECT doc_id,
+      |  list_transform(range(1, length(text) + 1), i -> CAST(ord(substring(text, i, 1)) AS BIGINT)) AS c
+      | FROM documents WHERE length(text) >= 8),
+      |whs AS (SELECT doc_id,
+      |  list_transform(range(1, len(c) - 6),
+      |   i -> (c[i]*27512614111 + c[i+1]*887503681 + c[i+2]*28629151 + c[i+3]*923521
+      |       + c[i+4]*29791 + c[i+5]*961 + c[i+6]*31 + c[i+7]) % 1000000007) AS h
+      | FROM cs),
+      |wfp AS (SELECT doc_id,
+      |  CASE WHEN len(h) >= 4 THEN
+      |   list_distinct(list_transform(range(1, len(h) - 2),
+      |    i -> least(h[i], h[i+1], h[i+2], h[i+3])))
+      |  ELSE [list_min(h)] END AS fps
+      | FROM whs)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "text_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents),
+        |g AS (SELECT doc_id, len(toks) - 2 AS n_ngrams,
+        |        CAST(len(list_distinct(list_transform(range(1, len(toks) - 1),
+        |          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS BIGINT) AS n_distinct
+        |      FROM t WHERE len(toks) >= 3)
+        |SELECT doc_id, n_ngrams, n_distinct,
+        | (n_ngrams - n_distinct) * 1000000 // n_ngrams AS rep_micros
+        |FROM g""".stripMargin,
+    "text_redact_pii" ->
+      """SELECT doc_id,
+        | CAST(len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS BIGINT) AS n_emails,
+        | CAST(len(regexp_extract_all(text, '\+?[0-9][0-9 ()-]{6,}[0-9]')) AS BIGINT) AS n_phones,
+        | regexp_replace(regexp_replace(text,
+        |   '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+        |   '\+?[0-9][0-9 ()-]{6,}[0-9]', '<PHONE>', 'g') AS redacted
+        |FROM documents""".stripMargin,
+    "sample_stratified" -> {
+      val h = (1 to 8).map { k =>
+        s"CAST(strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), $k, 1)) - 1 AS BIGINT) * ${1L << (4 * (8 - k))}"
+      }.mkString("(", " + ", ")")
+      s"""SELECT doc_id, lang, $h % 100 AS bucket FROM documents
+         |WHERE $h % 100 < CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 30
+         |  WHEN 'fr' THEN 20 ELSE 10 END""".stripMargin
+    },
+    "text_decontam" ->
+      s"""WITH $duckWinnowFp,
+         |f AS (SELECT doc_id, unnest(fps) AS fp FROM wfp),
+         |b AS (SELECT fp, doc_id AS bench_id FROM f WHERE doc_id < 3)
+         |SELECT f.doc_id, b.bench_id, count(*) AS n_shared
+         |FROM f JOIN b ON f.fp = b.fp
+         |WHERE f.doc_id >= 3
+         |GROUP BY f.doc_id, b.bench_id
+         |HAVING count(*) >= 2""".stripMargin,
     "text_winnow" ->
       """WITH cs AS (SELECT doc_id,
         |  list_transform(range(1, length(text) + 1), i -> CAST(ord(substring(text, i, 1)) AS BIGINT)) AS c

@@ -49,6 +49,18 @@ class AnnSpec extends SparkSpec {
     assert(recall >= 0.4, s"ivf recall@5 = $recall (exact=$exact approx=$approx)")
   }
 
+  test("lsh query bucket contains the query and ranks by cosine") {
+    val real = "/root/testdata/sf0.001"
+    val rows = Ann.lsh(spark, real, k = 5).collect()
+    assert(rows.nonEmpty)
+    // all hits share one bucket, and the query vector (global min id,
+    // cosine 1.0 with itself) is the top hit
+    assert(rows.map(_.getAs[String]("bucket")).distinct.length === 1)
+    val scores = rows.map(_.getAs[Double]("score")).toSeq
+    assert(scores === scores.sorted.reverse)
+    assert(scores.head === 1.0)
+  }
+
   test("search pipeline returns docs ranked by doc score with context") {
     val rows = SemanticSearch.searchPipeline(spark, dir).collect()
     assert(rows.nonEmpty)
