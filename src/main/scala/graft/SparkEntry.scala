@@ -73,11 +73,12 @@ object SparkEntry {
     "sample_stratified" -> (TextAnalysis.sampleStratified _),
     "text_decontam" -> ((s: SparkSession, d: String) => TextAnalysis.decontaminate(s, d)),
     "ann_lsh" -> ((s: SparkSession, d: String) => Ann.lsh(s, d)),
+    "bm25_search" -> ((s: SparkSession, d: String) => KeywordSearch.bm25(s, d)),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column names!). */
   def oracleSql: Map[String, String] =
     Relational.oracle ++ Events.oracle ++ TextAnalysis.oracle ++
       Chunking.oracle ++ SemanticSearch.oracle ++ Dedup.oracle ++ Ann.oracle ++
-      Analytics.oracle
+      Analytics.oracle ++ KeywordSearch.oracle
 }

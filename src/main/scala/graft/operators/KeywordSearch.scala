@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Graft
+
+/** BM25 keyword ranking over `documents` — the lexical complement to the
+  * embedding pipeline (hybrid search = BM25 ∪ cosine, fused downstream).
+  *
+  * Scale design: one scan builds (doc, term, tf, dl); document frequency
+  * and corpus stats are tiny aggregates that broadcast back; the score is
+  * a single projection + per-doc sum — no shuffle carries text. The
+  * query-term filter prunes the exploded token stream immediately, so
+  * inverted-index volume is O(matching tokens), not O(corpus tokens).
+  *
+  * Every float constant is cast to double IDENTICALLY in the Spark plan
+  * and the oracle: bare literals parse as DECIMAL in both engines and
+  * decimal arithmetic diverges between them (see SURVEY.md §6).
+  */
+object KeywordSearch {
+
+  val QueryTerms = Seq("data", "model", "results", "analysis", "method")
+
+  /** BM25 (k1=1.2, b=0.75) of the fixed query against every document,
+    * top-k by (rounded score desc, doc_id).
+    */
+  def bm25(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val toks = Graft.documents(s, dir)
+      .select(col("doc_id"), expr("split(lower(text), '\\\\s+')").as("toks"))
+      .select(col("doc_id"), expr("cast(size(toks) as bigint)").as("dl"), col("toks"))
+    val stats = toks.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val tf = toks
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("tok"))
+      .filter(col("tok").isin(QueryTerms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val dft = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dft), "tok")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        expr(
+          """ln(cast(1 as double) +
+            |   (cast(n_docs as double) - cast(df as double) + cast(0.5 as double))
+            |   / (cast(df as double) + cast(0.5 as double)))
+            |* (cast(tf as double) * cast(2.2 as double))
+            |/ (cast(tf as double) + cast(1.2 as double)
+            |   * (cast(0.25 as double) + cast(0.75 as double)
+            |      * (cast(dl as double) * cast(n_docs as double) / cast(sum_dl as double))))""".stripMargin)
+          .as("term_score"))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("term_score")), 6).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  val oracle: Map[String, String] = Map(
+    "bm25_search" -> {
+      val terms = QueryTerms.map(t => s"'$t'").mkString(", ")
+      s"""WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks FROM documents),
+         |d AS (SELECT doc_id, len(toks) AS dl, toks FROM t),
+         |st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM d),
+         |tf AS (SELECT doc_id, dl, tok, count(*) AS tf
+         |       FROM (SELECT doc_id, dl, unnest(toks) AS tok FROM d)
+         |       WHERE tok IN ($terms) GROUP BY 1, 2, 3),
+         |dft AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1)
+         |SELECT doc_id, round(sum(
+         |  ln(CAST(1 AS DOUBLE) +
+         |     (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+         |     / (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+         |  * (CAST(tf AS DOUBLE) * CAST(2.2 AS DOUBLE))
+         |  / (CAST(tf AS DOUBLE) + CAST(1.2 AS DOUBLE)
+         |     * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE)
+         |        * (CAST(dl AS DOUBLE) * CAST(n_docs AS DOUBLE) / CAST(sum_dl AS DOUBLE))))), 6)
+         | AS bm25
+         |FROM tf JOIN dft USING (tok), st
+         |GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin
+    })
+}

@@ -85,6 +85,42 @@ object EventStreams {
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(fold)
   }
 
+  /** Streaming exact dedup: drop re-delivered events by id, keeping
+    * state only inside the watermark horizon (the unbounded-stream twin
+    * of dedup_exact — state is bounded by arrival skew, not stream
+    * length). At-least-once sources (Kafka, file replay) need exactly
+    * this before any downstream aggregation.
+    */
+  def dedupById(events: DataFrame): DataFrame =
+    withEventTime(events)
+      .withWatermark("event_time", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Stream-stream click->purchase attribution: each purchase joins the
+    * user's clicks in the preceding 30 minutes — an interval join where
+    * BOTH sides are unbounded; the time-range condition plus watermarks
+    * bound the join state on each side (the streaming twin of the
+    * batch as-of join).
+    */
+  def clickAttribution(events: DataFrame): DataFrame = {
+    val e = withEventTime(events)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("event_time").as("click_time"))
+      .withWatermark("click_time", "1 hour")
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("value"), col("event_time").as("purchase_time"))
+      .withWatermark("purchase_time", "1 hour")
+    purchases.join(clicks,
+      expr("""p_user = c_user AND
+             |click_time <= purchase_time AND
+             |click_time >= purchase_time - interval 30 minutes""".stripMargin))
+      .select(col("p_user").as("user_id"), col("purchase_id"), col("click_id"),
+        unix_timestamp(col("purchase_time")).as("purchase_sec"),
+        unix_timestamp(col("click_time")).as("click_sec"), col("value"))
+  }
+
   /** File-source entry point: stream the events table from a directory of
     * parquet (the batch table is one file; a production feed would be a
     * growing directory or Kafka source — the plan is identical).

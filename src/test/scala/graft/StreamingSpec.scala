@@ -85,6 +85,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup drops re-delivered event ids") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[RawEvent]
+    val q = EventStreams.dedupById(input.toDF())
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        RawEvent(1, ns(1000), 1, "click", 1.0),
+        RawEvent(1, ns(1000), 1, "click", 1.0), // duplicate delivery
+        RawEvent(2, ns(1100), 1, "view", 2.0))
+      q.processAllAvailable()
+      input.addData(RawEvent(1, ns(1000), 1, "click", 1.0)) // late replay
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").collect().map(_.getAs[Long]("event_id")).toSeq
+      assert(ids.sorted === Seq(1L, 2L))
+    } finally q.stop()
+  }
+
+  test("stream-stream attribution joins purchases to preceding clicks") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[RawEvent]
+    val q = EventStreams.clickAttribution(input.toDF())
+      .writeStream.format("memory").queryName("attrib_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        RawEvent(10, ns(1000), 1, "click", 0.0),    // within 30 min
+        RawEvent(11, ns(2500), 1, "click", 0.0),    // within 30 min
+        RawEvent(12, ns(100), 2, "click", 0.0),     // other user
+        RawEvent(13, ns(500), 1, "click", 0.0),     // > 30 min before? no: 2800-500=2300s > 1800 -> excluded
+        RawEvent(20, ns(2800), 1, "purchase", 9.99))
+      q.processAllAvailable()
+      val got = spark.table("attrib_out").collect()
+        .map(r => (r.getAs[Long]("purchase_id"), r.getAs[Long]("click_id"))).toSet
+      assert(got === Set((20L, 10L), (20L, 11L)))
+    } finally q.stop()
+  }
+
   test("streaming sessionization closes sessions on gap") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[RawEvent]
