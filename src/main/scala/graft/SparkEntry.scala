@@ -74,6 +74,9 @@ object SparkEntry {
     "text_decontam" -> ((s: SparkSession, d: String) => TextAnalysis.decontaminate(s, d)),
     "ann_lsh" -> ((s: SparkSession, d: String) => Ann.lsh(s, d)),
     "bm25_search" -> ((s: SparkSession, d: String) => KeywordSearch.bm25(s, d)),
+    "embed_quantize" -> (Ann.quantize _),
+    "ann_quantized" -> ((s: SparkSession, d: String) => Ann.quantizedSearch(s, d)),
+    "hybrid_rrf" -> ((s: SparkSession, d: String) => KeywordSearch.hybridRrf(s, d)),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column names!). */

@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
 /** Native dot product over two `array<float>` / `array<double>` columns.
@@ -96,6 +96,51 @@ object VecKernels {
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  /** Spark-identical round-half-up at 0dp (Catalyst Round semantics);
+    * half-up on BigDecimal = away from zero, matching C/DuckDB round().
+    */
+  def round0(x: Double): Long =
+    java.math.BigDecimal.valueOf(x).setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+
+  private def maxAbs(v: ArrayData): Double = {
+    val n = v.numElements()
+    var m = 0.0
+    var i = 0
+    while (i < n) { val a = math.abs(v.getFloat(i).toDouble); if (a > m) m = a; i += 1 }
+    m
+  }
+
+  /** int8 quantization: q_i = round(v_i / max|v| * 127) as longs. */
+  def quantize(v: ArrayData): ArrayData = {
+    val n = v.numElements()
+    val scale = maxAbs(v)
+    val out = new Array[Long](n)
+    if (scale != 0.0) {
+      var i = 0
+      while (i < n) { out(i) = round0(v.getFloat(i).toDouble / scale * 127.0); i += 1 }
+    }
+    new GenericArrayData(out)
+  }
+
+  /** [scale_micros, q_sum, q_norm2] of the int8 quantization, one pass. */
+  def q8Stats(v: ArrayData): ArrayData = {
+    val q = quantize(v)
+    val n = q.numElements()
+    var s = 0L; var s2 = 0L
+    var i = 0
+    while (i < n) { val x = q.getLong(i); s += x; s2 += x * x; i += 1 }
+    new GenericArrayData(Array(round0(maxAbs(v) * 1000000.0), s, s2))
+  }
+
+  /** Integer dot product over two long arrays (clamped to shorter). */
+  def lvecDot(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) { s += a.getLong(i) * b.getLong(i); i += 1 }
+    s
+  }
+
   /** IVF assignment: id of the centroid maximizing (round6(cosine) desc,
     * cid asc) — one pass over a broadcast array<struct<cid,cvec>>; the
     * rounded-score tie-break matches the positional-SQL oracle exactly.
@@ -113,6 +158,82 @@ object VecKernels {
     }
     bestCid
   }
+}
+
+/** Int8 scalar quantization as an `array<bigint>` (q_i = round-half-up of
+  * v_i / max|v| * 127) — ONE kernel call per row; the HOF formulation
+  * recomputes the max-abs aggregate per element after CollapseProject
+  * inlines it into the lambda.
+  */
+case class FVecQuantize(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.types.LongType
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"fvec_quantize expects array<float>, got $t")
+  }
+
+  override protected def nullSafeEval(a: Any): Any =
+    VecKernels.quantize(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VecKernels.quantize($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "fvec_quantize"
+}
+
+/** Quantization summary [scale_micros, q_sum, q_norm2] in one pass. */
+case class FVecQ8Stats(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.types.LongType
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"fvec_q8_stats expects array<float>, got $t")
+  }
+
+  override protected def nullSafeEval(a: Any): Any =
+    VecKernels.q8Stats(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VecKernels.q8Stats($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "fvec_q8_stats"
+}
+
+/** Integer dot product of two `array<bigint>` (quantized search). */
+case class LongVecDot(left: Expression, right: Expression) extends BinaryExpression {
+  import org.apache.spark.sql.types.LongType
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, _), ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"lvec_dot expects two array<bigint>, got $l / $r")
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VecKernels.lvecDot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VecKernels.lvecDot($a, $b)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "lvec_dot"
 }
 
 /** IVF centroid assignment as ONE projection: no per-vector fanout join,

@@ -25,6 +25,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => WordNGrams(args.head,
         args(1).eval().asInstanceOf[Number].intValue())))
     ext.injectFunction((
+      new FunctionIdentifier("fvec_quantize"),
+      new ExpressionInfo(classOf[FVecQuantize].getName, "fvec_quantize"),
+      (args: Seq[Expression]) => FVecQuantize(args.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("fvec_q8_stats"),
+      new ExpressionInfo(classOf[FVecQ8Stats].getName, "fvec_q8_stats"),
+      (args: Seq[Expression]) => FVecQ8Stats(args.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("lvec_dot"),
+      new ExpressionInfo(classOf[LongVecDot].getName, "lvec_dot"),
+      (args: Seq[Expression]) => LongVecDot(args.head, args(1))))
+    ext.injectFunction((
       new FunctionIdentifier("fvec_avg"),
       new ExpressionInfo(classOf[FVecAvg].getName, "fvec_avg"),
       (args: Seq[Expression]) => FVecAvg(args.head,

@@ -118,6 +118,35 @@ object Ann {
       .limit(k)
   }
 
+  /** Per-vector int8 scalar quantization summary: scale = max |v_i|,
+    * q_i = round(v_i / scale * 127). The 4x-memory-reduction layout every
+    * large vector index stores; emitted as exact integer summaries
+    * (component sum + sum of squares) so the oracle comparison is pure
+    * integer arithmetic. Pure map stage.
+    */
+  def quantize(s: SparkSession, dir: String): DataFrame =
+    Graft.embeddings(s, dir)
+      .select(col("vec_id"), call_function("fvec_q8_stats", col("embedding")).as("st"))
+      .select(col("vec_id"),
+        element_at(col("st"), 1).as("scale_micros"),
+        element_at(col("st"), 2).as("q_sum"),
+        element_at(col("st"), 3).as("q_norm2"))
+
+  /** Top-k by QUANTIZED dot product against the quantized query vector —
+    * the int8 search path: exact integer arithmetic end to end, 4x less
+    * memory traffic than float32, re-rank with full precision downstream
+    * if needed.
+    */
+  def quantizedSearch(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val q8 = Graft.embeddings(s, dir)
+      .select(col("vec_id"), call_function("fvec_quantize", col("embedding")).as("q"))
+    val qq = q8.orderBy(col("vec_id")).limit(1).select(col("q").as("qq"))
+    q8.crossJoin(broadcast(qq))
+      .select(col("vec_id"), call_function("lvec_dot", col("q"), col("qq")).as("qdot"))
+      .orderBy(col("qdot").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** kNN join: top-k neighbors for every query-side vector (vec_id % 100
     * = 0), one broadcast + one window — never a per-query job.
     */
@@ -217,6 +246,30 @@ object Ann {
          |SELECT x.vec_id, x.cid, round($duckCosPair, 6) AS score
          |FROM clus x, (SELECT v FROM e WHERE vec_id = (SELECT min(vec_id) FROM e)) y
          |ORDER BY score DESC, vec_id LIMIT 5""".stripMargin,
+    "embed_quantize" ->
+      s"""WITH $duckE,
+         |sc AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS scale FROM e),
+         |q AS (SELECT vec_id, scale,
+         |        CASE WHEN scale = CAST(0 AS DOUBLE) THEN list_transform(v, x -> CAST(0 AS BIGINT))
+         |        ELSE list_transform(v, x -> CAST(round(x / scale * CAST(127 AS DOUBLE)) AS BIGINT)) END AS qv
+         |      FROM sc)
+         |SELECT vec_id,
+         | CAST(round(scale * CAST(1000000 AS DOUBLE)) AS BIGINT) AS scale_micros,
+         | CAST(list_sum(qv) AS BIGINT) AS q_sum,
+         | CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS q_norm2
+         |FROM q""".stripMargin,
+    "ann_quantized" ->
+      s"""WITH $duckE,
+         |sc AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS scale FROM e),
+         |q AS (SELECT vec_id,
+         |        CASE WHEN scale = CAST(0 AS DOUBLE) THEN list_transform(v, x -> CAST(0 AS BIGINT))
+         |        ELSE list_transform(v, x -> CAST(round(x / scale * CAST(127 AS DOUBLE)) AS BIGINT)) END AS qv
+         |      FROM sc),
+         |qq AS (SELECT qv AS qqv FROM q WHERE vec_id = (SELECT min(vec_id) FROM q))
+         |SELECT q.vec_id,
+         | CAST(list_sum(list_transform(range(1, 65), i -> q.qv[i] * y.qqv[i])) AS BIGINT) AS qdot
+         |FROM q, qq y
+         |ORDER BY qdot DESC, vec_id LIMIT 10""".stripMargin,
     "ann_lsh" ->
       s"""WITH $duckE,
          |p AS (SELECT vec_id AS pid, v AS pv FROM e WHERE vec_id >= 8 AND vec_id < 16),

@@ -24,7 +24,13 @@ object KeywordSearch {
   /** BM25 (k1=1.2, b=0.75) of the fixed query against every document,
     * top-k by (rounded score desc, doc_id).
     */
-  def bm25(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
+  def bm25(s: SparkSession, dir: String, k: Int = 10): DataFrame =
+    bm25Scores(s, dir)
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(k)
+
+  /** BM25 score per matching document (unranked). */
+  def bm25Scores(s: SparkSession, dir: String): DataFrame = {
     val toks = Graft.documents(s, dir)
       .select(col("doc_id"), expr("split(lower(text), '\\\\s+')").as("toks"))
       .select(col("doc_id"), expr("cast(size(toks) as bigint)").as("dl"), col("toks"))
@@ -49,11 +55,86 @@ object KeywordSearch {
           .as("term_score"))
       .groupBy(col("doc_id"))
       .agg(round(sum(col("term_score")), 6).as("bm25"))
-      .orderBy(col("bm25").desc, col("doc_id"))
+  }
+
+  /** Hybrid search: reciprocal-rank fusion (c=60) of the lexical BM25
+    * ranking and the semantic cosine ranking, at the document-group
+    * level (label = doc_id % 10 is the corpus's doc->group bridge).
+    * The standard fusion when neither score is calibrated against the
+    * other; both rankings are tiny aggregates, so fusion is a
+    * broadcast-size full-outer join.
+    */
+  def hybridRrf(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val cosRank = SemanticSearch.docVectors(s, dir)
+      .crossJoin(broadcast(SemanticSearch.queryVec(s, dir)))
+      .select(col("label").cast("long").as("c_label"),
+        graft.functions.VectorOps.cosine6(col("dvec"), col("qvec")).as("score"))
+      .withColumn("r_cos",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("score").desc, col("c_label"))).cast("long"))
+    val bmRank = bm25Scores(s, dir)
+      .groupBy((col("doc_id") % 10).as("b_label"))
+      .agg(max(col("bm25")).as("bm"))
+      .withColumn("r_bm",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("bm").desc, col("b_label"))).cast("long"))
+    cosRank.join(bmRank, col("c_label") === col("b_label"), "full_outer")
+      .select(coalesce(col("c_label"), col("b_label")).as("label"),
+        (coalesce(expr("cast(1 as double) / (cast(60 as double) + r_cos)"), expr("cast(0 as double)"))
+          + coalesce(expr("cast(1 as double) / (cast(60 as double) + r_bm)"), expr("cast(0 as double)")))
+          .as("rrf"))
+      .orderBy(col("rrf").desc, col("label"))
       .limit(k)
   }
 
+  private def bmCtes(terms: String): String =
+    s"""t AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks FROM documents),
+       |d AS (SELECT doc_id, len(toks) AS dl, toks FROM t),
+       |st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM d),
+       |tf AS (SELECT doc_id, dl, tok, count(*) AS tf
+       |       FROM (SELECT doc_id, dl, unnest(toks) AS tok FROM d)
+       |       WHERE tok IN ($terms) GROUP BY 1, 2, 3),
+       |dft AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+       |scored AS (SELECT doc_id, round(sum(
+       |  ln(CAST(1 AS DOUBLE) +
+       |     (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+       |     / (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+       |  * (CAST(tf AS DOUBLE) * CAST(2.2 AS DOUBLE))
+       |  / (CAST(tf AS DOUBLE) + CAST(1.2 AS DOUBLE)
+       |     * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE)
+       |        * (CAST(dl AS DOUBLE) * CAST(n_docs AS DOUBLE) / CAST(sum_dl AS DOUBLE))))), 6)
+       |  AS bm25
+       | FROM tf JOIN dft USING (tok), st GROUP BY doc_id)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "hybrid_rrf" -> {
+      val terms = QueryTerms.map(t => s"'$t'").mkString(", ")
+      s"""WITH ${bmCtes(terms)},
+         |bl AS (SELECT CAST(doc_id % 10 AS BIGINT) AS b_label, max(bm25) AS bm
+         |       FROM scored GROUP BY 1),
+         |br AS (SELECT b_label, CAST(row_number() OVER (ORDER BY bm DESC, b_label) AS BIGINT) AS r_bm
+         |       FROM bl),
+         |e AS (SELECT vec_id, label,
+         |       list_transform(embedding, z -> CAST(z AS DOUBLE)) AS v FROM embeddings),
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = (SELECT min(vec_id) FROM e)),
+         |qn AS (SELECT sqrt(list_sum(list_transform(range(1,65),
+         |        i -> qv[i] * qv[i]))) AS nq FROM q),
+         |md AS (SELECT label, i AS pos, avg(v[i]) AS mv
+         |       FROM e, range(1,65) t2(i) GROUP BY 1, 2),
+         |ds AS (SELECT label,
+         |        sum(md.mv * q.qv[md.pos]) AS dot,
+         |        sqrt(sum(md.mv * md.mv)) AS nd
+         |       FROM md, q GROUP BY label),
+         |cs AS (SELECT CAST(label AS BIGINT) AS c_label,
+         |        round(dot / (nd * (SELECT nq FROM qn)), 6) AS score FROM ds),
+         |cr AS (SELECT c_label, CAST(row_number() OVER (ORDER BY score DESC, c_label) AS BIGINT) AS r_cos
+         |       FROM cs)
+         |SELECT coalesce(c_label, b_label) AS label,
+         | coalesce(CAST(1 AS DOUBLE) / (CAST(60 AS DOUBLE) + r_cos), CAST(0 AS DOUBLE))
+         | + coalesce(CAST(1 AS DOUBLE) / (CAST(60 AS DOUBLE) + r_bm), CAST(0 AS DOUBLE)) AS rrf
+         |FROM cr FULL OUTER JOIN br ON c_label = b_label
+         |ORDER BY rrf DESC, label LIMIT 10""".stripMargin
+    },
     "bm25_search" -> {
       val terms = QueryTerms.map(t => s"'$t'").mkString(", ")
       s"""WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks FROM documents),

@@ -61,6 +61,36 @@ class AnnSpec extends SparkSpec {
     assert(scores.head === 1.0)
   }
 
+  test("quantized search agrees with brute force on clearly-ranked vectors") {
+    // int8 quantization keeps relative order for well-separated cosines
+    val got = Ann.quantizedSearch(spark, dir, k = 3).collect().map(_.getLong(0)).toSeq
+    assert(got === Seq(0L, 1L, 2L))
+  }
+
+  test("quantize summary: bounds and exactness") {
+    val rows = Ann.quantize(spark, dir).collect()
+    rows.foreach { r =>
+      val norm2 = r.getAs[Long]("q_norm2")
+      // each of 64 components is in [-127, 127]
+      assert(norm2 >= 0 && norm2 <= 64L * 127 * 127)
+      assert(r.getAs[Long]("scale_micros") >= 0)
+    }
+    // vec 0 = unit vector on axis 0: q = [127, 0, ...] exactly
+    val v0 = rows.find(_.getLong(0) == 0L).get
+    assert(v0.getAs[Long]("q_sum") === 127L)
+    assert(v0.getAs[Long]("q_norm2") === 127L * 127)
+  }
+
+  test("hybrid rrf fuses both rankings with bounded scores") {
+    val rows = graft.operators.KeywordSearch.hybridRrf(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.nonEmpty)
+    val scores = rows.map(_.getAs[Double]("rrf")).toSeq
+    assert(scores === scores.sorted.reverse)
+    // max possible rrf = 1/61 + 1/61
+    scores.foreach(v => assert(v > 0 && v <= 2.0 / 61 + 1e-12))
+  }
+
   test("search pipeline returns docs ranked by doc score with context") {
     val rows = SemanticSearch.searchPipeline(spark, dir).collect()
     assert(rows.nonEmpty)
