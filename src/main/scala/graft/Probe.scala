@@ -37,6 +37,14 @@ object Probe {
     time("hashed self-join shuffle")(
       hx.as("a").hint("SHUFFLE_HASH").join(hx.as("b").hint("SHUFFLE_HASH"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id")).count())
+
+    val termsArr = array(Seq("data","model","results","analysis","method").map(lit): _*)
+    val tc = docs.select(col("doc_id"),
+      call_function("term_counts", coalesce(col("text"), lit("")), termsArr).as("tc"))
+    time("term_counts scan")(tc.select(sum(element_at(col("tc"),1))).count())
+    time("term_counts scan x2")(tc.select(sum(element_at(col("tc"),1))).count())
+    time("bm25 full")(graft.operators.KeywordSearch.bm25(spark, dir).count())
+    time("bm25 full x2")(graft.operators.KeywordSearch.bm25(spark, dir).count())
     spark.stop()
   }
 }

@@ -25,6 +25,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => WordNGrams(args.head,
         args(1).eval().asInstanceOf[Number].intValue())))
     ext.injectFunction((
+      new FunctionIdentifier("term_counts"),
+      new ExpressionInfo(classOf[TermCounts].getName, "term_counts"),
+      (args: Seq[Expression]) => TermCounts(args.head, args(1))))
+    ext.injectFunction((
       new FunctionIdentifier("fvec_quantize"),
       new ExpressionInfo(classOf[FVecQuantize].getName, "fvec_quantize"),
       (args: Seq[Expression]) => FVecQuantize(args.head)))

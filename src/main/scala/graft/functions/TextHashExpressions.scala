@@ -66,6 +66,32 @@ case class SortedIntersectCount(left: Expression, right: Expression)
   override def prettyName: String = "sorted_intersect_count"
 }
 
+/** Query-term frequencies [n_tokens, tf_1..tf_k] in one kernel call —
+  * document-at-a-time scoring without exploding the token stream.
+  */
+case class TermCounts(left: Expression, right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (StringType, ArrayType(StringType, _)) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"term_counts expects (string, array<string>), got $l / $r")
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    TextHashes.termCounts(a.asInstanceOf[UTF8String], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.TextHashes.termCounts($a, $b)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "term_counts"
+}
+
 /** Distinct word n-grams as SORTED xxhash64 longs in one kernel call —
   * primitive join keys + primitive two-pointer verify for the
   * set-similarity family (see TextHashes.wordNGramHashes).

@@ -199,6 +199,28 @@ object TextHashes {
     c
   }
 
+  /** Per-document query-term frequencies in one pass:
+    * [n_tokens, count(term_1), ..., count(term_k)] over the lowercased
+    * whitespace tokens — document-at-a-time BM25 scoring without
+    * exploding the token stream.
+    */
+  def termCounts(text: UTF8String, terms: ArrayData): ArrayData = {
+    val toks = text.toLowerCase.toString.split("\\s+", -1)
+    val k = terms.numElements()
+    val ts = new Array[String](k)
+    var j = 0
+    while (j < k) { ts(j) = terms.getUTF8String(j).toString; j += 1 }
+    val out = new Array[Long](k + 1)
+    out(0) = toks.length.toLong
+    var i = 0
+    while (i < toks.length) {
+      var p = 0
+      while (p < k) { if (ts(p) == toks(i)) out(p + 1) += 1; p += 1 }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   val MinHashK = 12
   private val P = 1000000007L
 

@@ -29,25 +29,34 @@ object KeywordSearch {
       .orderBy(col("bm25").desc, col("doc_id"))
       .limit(k)
 
-  /** BM25 score per matching document (unranked). */
+  /** BM25 score per matching document (unranked). Document-at-a-time:
+    * the term_counts kernel emits [dl, tf_1..tf_k] in one pass per doc,
+    * so the corpus token stream is never exploded or shuffled — only
+    * k rows per matching doc flow into the (broadcast-sized) df join.
+    */
   def bm25Scores(s: SparkSession, dir: String): DataFrame = {
-    val toks = Graft.documents(s, dir)
-      .select(col("doc_id"), expr("split(lower(text), '\\\\s+')").as("toks"))
-      .select(col("doc_id"), expr("cast(size(toks) as bigint)").as("dl"), col("toks"))
-    val stats = toks.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
-    val tf = toks
-      .select(col("doc_id"), col("dl"), explode(col("toks")).as("tok"))
-      .filter(col("tok").isin(QueryTerms: _*))
-      .groupBy(col("doc_id"), col("dl"), col("tok"))
-      .agg(count(lit(1)).as("tf"))
-    val dft = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    tf.join(broadcast(dft), "tok")
+    val termsArr = array(QueryTerms.map(lit): _*)
+    val tc = Graft.documents(s, dir)
+      .select(col("doc_id"),
+        call_function("term_counts", coalesce(col("text"), lit("")), termsArr).as("tc"))
+    // ONE corpus pass for every global: doc count, total length, and the
+    // per-term document frequencies (as one array column) — broadcast as
+    // a single row, so scoring is the only other scan.
+    val dfSums = QueryTerms.indices.map(i =>
+      sum(when(element_at(col("tc"), i + 2) > 0, 1L).otherwise(0L)).as(s"df_$i"))
+    val stats = tc.agg(count(lit(1)).as("n_docs"),
+        (sum(element_at(col("tc"), 1)).as("sum_dl") +: dfSums): _*)
+      .select(col("n_docs"), col("sum_dl"),
+        array(QueryTerms.indices.map(i => col(s"df_$i")): _*).as("dfs"))
+    tc.select(col("doc_id"), element_at(col("tc"), 1).as("dl"),
+        posexplode(expr("slice(tc, 2, size(tc) - 1)")).as(Seq("pos", "tf")))
+      .filter(col("tf") > 0)
       .crossJoin(broadcast(stats))
       .select(col("doc_id"),
         expr(
           """ln(cast(1 as double) +
-            |   (cast(n_docs as double) - cast(df as double) + cast(0.5 as double))
-            |   / (cast(df as double) + cast(0.5 as double)))
+            |   (cast(n_docs as double) - cast(element_at(dfs, pos + 1) as double) + cast(0.5 as double))
+            |   / (cast(element_at(dfs, pos + 1) as double) + cast(0.5 as double)))
             |* (cast(tf as double) * cast(2.2 as double))
             |/ (cast(tf as double) + cast(1.2 as double)
             |   * (cast(0.25 as double) + cast(0.75 as double)
