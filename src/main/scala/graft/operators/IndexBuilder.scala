@@ -26,18 +26,48 @@ object IndexBuilder {
   /** Build both collections from chunk vectors (embeddings table schema:
     * vec_id, embedding, label=document key).
     */
-  def build(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val chunks = Graft.embeddings(s, dir)
-      .select(col("label").as("doc_key"), col("vec_id").as("chunk_id"), col("embedding"))
+  def build(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    buildFrom(Graft.embeddings(s, dir)
+      .select(col("label").as("doc_key"), col("vec_id").as("chunk_id"), col("embedding")))
+
+  /** Build MAIN+CHUNKS from any (doc_key, chunk_id, embedding) frame. */
+  def buildFrom(chunks: DataFrame): (DataFrame, DataFrame) = {
     val main = chunks
       .groupBy(col("doc_key"))
-      .agg(collect_list(col("embedding")).as("vecs"), count(lit(1)).as("n_chunks"))
+      .agg(call_function("fvec_avg", col("embedding"), lit(SemanticSearch.Dim)).as("doc_vec"),
+        count(lit(1)).as("n_chunks"))
       .select(
         col("doc_key"),
         substring(sha2(col("doc_key").cast("string"), 256), 1, 16).as("point_id"),
-        VectorOps.meanPool(col("vecs"), SemanticSearch.Dim).as("doc_vec"),
-        col("n_chunks"))
+        col("doc_vec"), col("n_chunks"))
     (main, chunks)
+  }
+
+  /** Upsert a batch of chunk rows into an existing index (the Spark
+    * analog of the reference's `client.upsert` loop, qdrant.py:149-176):
+    * documents present in the batch are replaced wholesale — point ids
+    * are deterministic functions of the doc key, so re-upserting the
+    * same batch is idempotent. Untouched documents survive via an anti
+    * join. The merged index is written as a NEW versioned directory
+    * (immutable index generations + atomic pointer swap is the scale
+    * pattern; rewriting in place would race readers). Only the batch's
+    * doc keys shuffle: the anti join broadcasts the (small) replaced-key
+    * set against the bucketed existing index.
+    */
+  def upsert(s: SparkSession, indexDir: String, batch: DataFrame, outDir: String): (DataFrame, DataFrame) = {
+    val (newMain, newChunks) = buildFrom(batch)
+    val replacedKeys = newMain.select(col("doc_key")).distinct()
+    val oldMain = s.read.parquet(s"$indexDir/main")
+    val oldChunks = s.read.parquet(s"$indexDir/chunks")
+    val mergedMain = oldMain
+      .join(broadcast(replacedKeys), Seq("doc_key"), "left_anti")
+      .unionByName(newMain)
+    val mergedChunks = oldChunks
+      .join(broadcast(replacedKeys), Seq("doc_key"), "left_anti")
+      .unionByName(newChunks)
+    mergedMain.write.mode("overwrite").parquet(s"$outDir/main")
+    mergedChunks.write.mode("overwrite").parquet(s"$outDir/chunks")
+    (s.read.parquet(s"$outDir/main"), s.read.parquet(s"$outDir/chunks"))
   }
 
   /** Materialize the two collections: MAIN plain parquet (small: one row

@@ -23,6 +23,41 @@ class IndexBuilderSpec extends SparkSpec {
     assert(built.zip(viaPositional).forall { case (a, b) => math.abs(a - b) < 2e-6 })
   }
 
+  test("upsert replaces batch docs, keeps others, and is idempotent") {
+    import spark.implicits._
+    val v1 = Files.createTempDirectory("graft-index-v1").toString
+    val (m0, c0) = IndexBuilder.build(spark, dir)
+    m0.write.parquet(s"$v1/main")
+    c0.write.parquet(s"$v1/chunks")
+    val nDocs = m0.count()
+
+    // batch: replace doc_key 0 with ONE new chunk, add new doc_key 99
+    def unit(axis: Int): Array[Float] = {
+      val a = new Array[Float](SemanticSearch.Dim); a(axis) = 1.0f; a
+    }
+    val batch = Seq((0, 5000L, unit(0)), (99, 5001L, unit(1)))
+      .toDF("doc_key", "chunk_id", "embedding")
+
+    val v2 = Files.createTempDirectory("graft-index-v2").toString
+    val (m2, c2) = IndexBuilder.upsert(spark, v1, batch, v2)
+    assert(m2.count() === nDocs + 1)
+    val doc0 = m2.filter(col("doc_key") === 0).collect().head
+    assert(doc0.getAs[Long]("n_chunks") === 1L)
+    assert(doc0.getAs[scala.collection.Seq[Double]]("doc_vec").head === 1.0)
+    assert(m2.filter(col("doc_key") === 99).count() === 1)
+    assert(c2.filter(col("doc_key") === 0).count() === 1)
+    // untouched doc unchanged
+    val before = m0.filter(col("doc_key") === 1).collect().head.getAs[scala.collection.Seq[Double]]("doc_vec")
+    val after = m2.filter(col("doc_key") === 1).collect().head.getAs[scala.collection.Seq[Double]]("doc_vec")
+    assert(before === after)
+    // idempotent: upserting the same batch again changes nothing
+    val v3 = Files.createTempDirectory("graft-index-v3").toString
+    val (m3, _) = IndexBuilder.upsert(spark, v2, batch, v3)
+    assert(m3.count() === m2.count())
+    assert(m3.orderBy("doc_key").collect().map(_.getAs[String]("point_id")).toSeq ===
+      m2.orderBy("doc_key").collect().map(_.getAs[String]("point_id")).toSeq)
+  }
+
   test("chunks collection round-trips bucketed with chunk metadata") {
     val out = Files.createTempDirectory("graft-index").toString
     val (main, chunks) = IndexBuilder.write(spark, dir, out, buckets = 4)
