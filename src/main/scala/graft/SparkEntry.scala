@@ -62,6 +62,7 @@ object SparkEntry {
     "events_hourly" -> (Events.hourly _),
     "events_asof" -> (Events.asofClickPurchase _),
     "events_sessionize" -> (Events.sessionize _),
+    "events_topk_plan" -> ((s: SparkSession, d: String) => Events.topEventsPlan(s, d)),
     // text analysis
     "text_tokens" -> (TextAnalysis.tokens _),
     "text_quality" -> (TextAnalysis.quality _),

@@ -64,7 +64,22 @@ object Events {
       .select(col("user_id"), col("event_id"), col("sec").as("purchase_sec"), col("prior_click"))
   }
 
+  /** Per-event-type top-n events by value through the custom TopKPerKey
+    * plan (bounded per-key heaps, no per-group sort) — the same physical
+    * operator that serves per-document chunk top-k, on a second domain.
+    */
+  def topEventsPlan(s: SparkSession, dir: String, n: Int = 3): DataFrame =
+    graft.plans.TopKPerKey(
+      withSec(s, dir).select(col("event_type"), col("event_id"), col("sec"), col("value")),
+      Seq("event_type"), Seq(("value", false), ("event_id", true)), n)
+
   val oracle: Map[String, String] = Map(
+    "events_topk_plan" ->
+      """SELECT event_type, event_id, sec, value FROM (
+        | SELECT event_type, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec, value,
+        |  row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rn
+        | FROM events)
+        |WHERE rn <= 3""".stripMargin,
     "events_asof" ->
       """WITH e AS (SELECT event_id, user_id, event_type,
         |   CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events
