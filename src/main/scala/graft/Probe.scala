@@ -45,6 +45,7 @@ object Probe {
     time("term_counts scan x2")(tc.select(sum(element_at(col("tc"),1))).count())
     time("bm25 full")(graft.operators.KeywordSearch.bm25(spark, dir).count())
     time("bm25 full x2")(graft.operators.KeywordSearch.bm25(spark, dir).count())
+
     spark.stop()
   }
 }

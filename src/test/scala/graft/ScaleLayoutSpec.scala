@@ -53,4 +53,15 @@ class ScaleLayoutSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     val parts = scans.head.relation.location.listFiles(scans.head.partitionFilters, Nil)
     assert(parts.length === 1, s"expected 1 pruned partition, got ${parts.length}")
   }
+
+  test("dedup self-join reuses one exchange at runtime (AQE stage cache)") {
+    // SHUFFLE_HASH self-join: both sides shuffle the identical subtree,
+    // so the final adaptive plan must reference the first shuffle via
+    // ReusedExchange instead of recomputing the kernel+explode pass.
+    val jp = graft.operators.Dedup.jaccardPrefix(spark, "/root/testdata/sf0.001")
+    jp.collect()
+    val plan = jp.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange"),
+      s"expected ReusedExchange in the final adaptive plan:\n$plan")
+  }
 }
