@@ -35,6 +35,7 @@ object SparkEntry {
     "dedup_simhash" -> (Dedup.simhash _),
     "dedup_simhash_pairs" -> ((s: SparkSession, d: String) => Dedup.simhashPairs(s, d)),
     "dedup_embedding" -> ((s: SparkSession, d: String) => Dedup.embeddingNearDup(s, d)),
+    "dedup_embedding_lsh" -> ((s: SparkSession, d: String) => Dedup.embeddingNearDupLsh(s, d)),
     // similarity search
     "ann_bruteforce" -> ((s: SparkSession, d: String) => Ann.bruteForce(s, d)),
     "ann_ivf" -> ((s: SparkSession, d: String) => Ann.ivf(s, d)),

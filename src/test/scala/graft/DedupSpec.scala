@@ -74,4 +74,35 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs === Set((0L, 1L)))
   }
+
+  test("embedding LSH blocking recalls high-cosine pairs, subset of exact") {
+    // high-cosine near-dups collide in at least one SRP band w.h.p.;
+    // planes are vec_id 8..23, so give them spread-out directions
+    def vec(axis: Int, eps: Float): Array[Float] = {
+      val a = new Array[Float](64); a(axis) = 1.0f; a((axis + 1) % 64) = eps; a
+    }
+    val rows = (8L until 24L).map(i => (i, vec((i % 16).toInt * 4, 0.3f), 9)) ++ Seq(
+      (0L, vec(0, 0.00f), 0),
+      (1L, vec(0, 0.02f), 0),   // cos ~0.9998 with 0, same label
+      (2L, vec(0, 0.01f), 1),   // near 0 but different label
+      (3L, vec(32, 0.0f), 0))   // orthogonal
+    val edir = tempSfDir("embeddings" ->
+      rows.toDF("vec_id", "embedding", "label"))
+    val lsh = Dedup.embeddingNearDupLsh(spark, edir, tau = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.contains((0L, 1L)), s"high-cosine pair not recalled: $lsh")
+    val exact = Dedup.embeddingNearDup(spark, edir, tau = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), s"lsh $lsh must be a subset of exact $exact")
+  }
+
+  test("embedding LSH on real corpus is a recalled subset of exact pairs") {
+    val real = "/root/testdata/sf0.01"
+    val exact = Dedup.embeddingNearDup(spark, real)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.embeddingNearDupLsh(spark, real)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact))
+    assert(lsh.nonEmpty)
+  }
 }
