@@ -71,6 +71,8 @@ object SparkEntry {
     "text_winnow" -> (TextAnalysis.winnow _),
     // training-data pipeline second wave
     "text_repetition" -> (TextAnalysis.repetition _),
+    "text_normalize" -> (TextAnalysis.normalize _),
+    "q_cube" -> (Analytics.cubeOrders _),
     "text_redact_pii" -> (TextAnalysis.redactPii _),
     "sample_stratified" -> (TextAnalysis.sampleStratified _),
     "text_decontam" -> ((s: SparkSession, d: String) => TextAnalysis.decontaminate(s, d)),

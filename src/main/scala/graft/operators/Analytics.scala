@@ -140,7 +140,26 @@ object Analytics {
         round(col("pcts").getItem(2), 2).as("p99"),
         col("n"))
 
+  /** CUBE over (mktsegment, orderpriority): all four grouping sets in
+    * one pass (Expand + single aggregation — not four scans).
+    */
+  def cubeOrders(s: SparkSession, dir: String): DataFrame =
+    Graft.customer(s, dir)
+      .join(Graft.orders(s, dir), col("c_custkey") === col("o_custkey"))
+      .cube(col("c_mktsegment"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("sum_price"))
+      .select(
+        coalesce(col("c_mktsegment"), lit("ALL")).as("segment"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n_orders"), col("sum_price"))
+
   val oracle: Map[String, String] = Map(
+    "q_cube" ->
+      """SELECT coalesce(c_mktsegment, 'ALL') AS segment,
+        | coalesce(o_orderpriority, 'ALL') AS priority,
+        | count(*) AS n_orders, round(sum(o_totalprice), 2) AS sum_price
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |GROUP BY CUBE (c_mktsegment, o_orderpriority)""".stripMargin,
     "q_rollup" ->
       """SELECT coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation,
         | count(*) AS n_cust, round(sum(c_acctbal), 2) AS sum_bal

@@ -89,6 +89,19 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_ngrams"), col("n_distinct"),
         expr("(n_ngrams - n_distinct) * 1000000 div n_ngrams").as("rep_micros"))
 
+  /** Canonical text normalization: lowercase, strip non-alphanumerics
+    * (keeping spaces), collapse whitespace runs, trim — the first stage
+    * of every text-dedup/quality pipeline; emitted with before/after
+    * lengths for audit. Pure map stage.
+    */
+  def normalize(s: SparkSession, dir: String): DataFrame =
+    Graft.documents(s, dir)
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars_raw"),
+        trim(regexp_replace(regexp_replace(lower(col("text")),
+          lit("[^a-z0-9 ]"), lit("")), lit(" +"), lit(" "))).as("norm"))
+      .withColumn("n_chars_norm", length(col("norm")).cast("long"))
+
   private val emailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
   private val phoneRe = "\\+?[0-9][0-9 ()-]{6,}[0-9]"
 
@@ -164,6 +177,13 @@ object TextAnalysis {
       | FROM whs)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "text_normalize" ->
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_raw,
+        | trim(regexp_replace(regexp_replace(lower(text),
+        |   '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm,
+        | CAST(length(trim(regexp_replace(regexp_replace(lower(text),
+        |   '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS BIGINT) AS n_chars_norm
+        |FROM documents""".stripMargin,
     "text_repetition" ->
       """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents),
         |g AS (SELECT doc_id, len(toks) - 2 AS n_ngrams,
