@@ -46,6 +46,25 @@ object Probe {
     time("bm25 full")(graft.operators.KeywordSearch.bm25(spark, dir).count())
     time("bm25 full x2")(graft.operators.KeywordSearch.bm25(spark, dir).count())
 
+
+    val hs = docs.select(col("doc_id"),
+      call_function("word_ngram_hashes", coalesce(col("text"), lit("")), lit(3)).as("shingles"))
+    val sorted2 = hs.select(col("doc_id"), col("shingles").as("sh_sorted"),
+      size(col("shingles")).cast("long").as("n"))
+    val pre = sorted2.select(col("doc_id"), col("n"),
+      explode(expr("slice(sh_sorted, 1, cast(n - ((n + 1) div 2) + 1 as int))")).as("sh"))
+      .hint("SHUFFLE_HASH")
+    time("prefix explode")(pre.count())
+    val candsJ = pre.as("a").join(pre.as("b"),
+      col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id") &&
+        col("a.n") * lit(1000000L) >= col("b.n") * lit(500000L) &&
+        col("b.n") * lit(1000000L) >= col("a.n") * lit(500000L))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+    time("prefix self-join")(candsJ.count())
+    val cands2 = candsJ.distinct()
+    time("prefix self-join+distinct")(cands2.count())
+    time("jaccardPrefix full")(graft.operators.Dedup.jaccardPrefix(spark, dir).count())
+    time("ngram full")(graft.operators.Dedup.ngramJaccard(spark, dir).count())
     spark.stop()
   }
 }

@@ -78,6 +78,29 @@ object Multimodal {
       .toDF("doc_id", "resized", "orig_bytes", "resized_bytes")
   }
 
+  /** Batched feature extraction with an explicit batch shape: payloads
+    * are processed in fixed-size batches within each partition — the
+    * JVM analog of mapInPandas/Arrow record batches, where the decoder
+    * amortizes per-batch setup (GPU transfer, codec context) and peak
+    * memory is bounded by batchSize x payload, not partition x payload.
+    */
+  def extractFeaturesBatched(df: DataFrame, batchSize: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id"), col("source"), col("payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        // per-partition init HERE (once), per-batch setup amortized below
+        it.grouped(batchSize).flatMap { batch =>
+          // a real decoder would process `batch` as one unit HERE
+          batch.map { case (id, src, payload) =>
+            (id, src, payload.length.toLong, fakeFeatures(payload))
+          }
+        }
+      }
+      .toDF("doc_id", "source", "n_bytes", "features")
+  }
+
   /** `documents` re-cast as a multimodal table: payload binary + typed
     * metadata + extracted fixed-shape features.
     */

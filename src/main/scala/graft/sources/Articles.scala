@@ -105,4 +105,11 @@ object Articles {
       .mapPartitions(_.map(parsePmcXml))
       .toDF("article_id", "section_names", "sections")
   }
+
+  /** PDF ingestion — unimplemented in the reference too
+    * (fetch_pdf.py:1-3 raises NotImplementedError); kept for API parity.
+    */
+  def fromPdf(pdfDf: DataFrame): Nothing =
+    throw new NotImplementedError(
+      "PDF ingestion is unimplemented (matches the reference's fetch_from_pdf stub)")
 }

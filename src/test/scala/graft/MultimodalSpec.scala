@@ -45,4 +45,23 @@ class MultimodalSpec extends SparkSpec {
     assert(r.getAs[Seq[Double]]("features").length === Multimodal.FeatureDim)
     assert(r.getAs[String]("digest").length === 64)
   }
+
+  test("batched extraction: batch shape bounds work, results identical") {
+    val df = (1L to 150L).map(i => (i, "s", s"payload-$i".getBytes))
+      .toDF("doc_id", "source", "payload").repartition(2)
+    val batched = Multimodal.extractFeaturesBatched(df, batchSize = 32).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("n_bytes"), r.getAs[Seq[Double]]("features")))
+      .toMap
+    val plain = Multimodal.extractFeatures(df).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("n_bytes"), r.getAs[Seq[Double]]("features")))
+      .toMap
+    assert(batched === plain)
+    assert(batched.size === 150)
+  }
+
+  test("pdf ingestion is an explicit stub (reference parity)") {
+    import org.apache.spark.sql.functions.lit
+    val df = Seq(("x")).toDF("pdf")
+    intercept[NotImplementedError](graft.sources.Articles.fromPdf(df))
+  }
 }
