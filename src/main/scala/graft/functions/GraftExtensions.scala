@@ -11,6 +11,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.WindowTopKRule)
     ext.injectFunction((
       new FunctionIdentifier("fvec_dot"),
       new ExpressionInfo(classOf[FloatVecDot].getName, "fvec_dot"),

@@ -35,4 +35,40 @@ class TopKPerKeySpec extends SparkSpec {
       .filter($"key" === "a").collect().map(_.getLong(1)).toSet
     assert(got === Set(3L, 1L, 2L)) // 2 beats 4 on the id tie-break at 0.8
   }
+
+  test("optimizer rule rewrites rank<=k filters that drop the rank") {
+    val w = Window.partitionBy($"key").orderBy($"score".desc, $"id")
+    val q = df.withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 2)
+      .select($"key", $"id", $"score") // rn dropped -> rewrite applies
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"), s"expected TopKPerKeyExec:\n$plan")
+    assert(!plan.contains("Window"), s"window must be eliminated:\n$plan")
+    val got = q.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got === Set(("a", 3L), ("a", 1L), ("b", 6L), ("b", 5L), ("c", 7L)))
+  }
+
+  test("optimizer rule also matches rank = 1 and cast(rank as long)") {
+    val w = Window.partitionBy($"key").orderBy($"score".desc, $"id")
+    val q1 = df.withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1).select($"key", $"id")
+    assert(q1.queryExecution.executedPlan.toString.contains("TopKPerKey"))
+    assert(q1.collect().map(r => (r.getString(0), r.getLong(1))).toSet ===
+      Set(("a", 3L), ("b", 6L), ("c", 7L)))
+    val q2 = df.withColumn("rn", row_number().over(w).cast("long"))
+      .filter($"rn" <= 2L).select($"key", $"id")
+    assert(q2.queryExecution.executedPlan.toString.contains("TopKPerKey"),
+      q2.queryExecution.executedPlan.toString)
+  }
+
+  test("optimizer rule leaves queries that keep the rank untouched") {
+    val w = Window.partitionBy($"key").orderBy($"score".desc, $"id")
+    val q = df.withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 2)
+      .select($"key", $"id", $"rn") // rn kept -> must stay a Window
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("Window") || plan.contains("WindowGroupLimit"), plan)
+    assert(!plan.contains("TopKPerKey"), plan)
+  }
 }
