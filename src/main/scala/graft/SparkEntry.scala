@@ -73,6 +73,8 @@ object SparkEntry {
     "text_repetition" -> (TextAnalysis.repetition _),
     "text_normalize" -> (TextAnalysis.normalize _),
     "q_cube" -> (Analytics.cubeOrders _),
+    "events_zscore" -> (Analytics.zscoreOutliers _),
+    "events_histogram" -> (Analytics.valueHistogram _),
     "text_redact_pii" -> (TextAnalysis.redactPii _),
     "sample_stratified" -> (TextAnalysis.sampleStratified _),
     "text_decontam" -> ((s: SparkSession, d: String) => TextAnalysis.decontaminate(s, d)),

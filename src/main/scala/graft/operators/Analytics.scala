@@ -153,7 +153,44 @@ object Analytics {
         coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
         col("n_orders"), col("sum_price"))
 
+  /** Per-event-type z-score outliers (|z| >= 3): one grouped pass for
+    * (count, sum, sum-of-squares), broadcast back, score as a pure
+    * projection — mergeable moments, never a second scan of raw values.
+    */
+  def zscoreOutliers(s: SparkSession, dir: String): DataFrame = {
+    val stats = Graft.events(s, dir)
+      .groupBy(col("event_type").as("t"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sv"),
+        sum(col("value") * col("value")).as("svv"))
+    Graft.events(s, dir)
+      .join(broadcast(stats), col("event_type") === col("t"))
+      .select(col("event_id"), col("event_type"), col("value"),
+        expr("""round((value - sv / n)
+                | / sqrt((svv - sv * sv / n) / (n - 1)), 4)""".stripMargin).as("z"))
+      .filter(abs(col("z")) >= 3.0)
+  }
+
+  /** Tumbling value histogram per event type (width-50 buckets) —
+    * exact integer bucket arithmetic, one aggregation.
+    */
+  def valueHistogram(s: SparkSession, dir: String): DataFrame =
+    Graft.events(s, dir)
+      .groupBy(col("event_type"),
+        (floor(col("value") / 50) * 50).cast("long").as("bucket_lo"))
+      .agg(count(lit(1)).as("n"))
+
   val oracle: Map[String, String] = Map(
+    "events_zscore" ->
+      """WITH st AS (SELECT event_type AS t, count(*) AS n, sum(value) AS sv,
+        |   sum(value * value) AS svv FROM events GROUP BY 1)
+        |SELECT event_id, event_type, value,
+        | round((value - sv / n) / sqrt((svv - sv * sv / n) / (n - 1)), 4) AS z
+        |FROM events JOIN st ON event_type = t
+        |WHERE abs(round((value - sv / n) / sqrt((svv - sv * sv / n) / (n - 1)), 4)) >= 3.0""".stripMargin,
+    "events_histogram" ->
+      """SELECT event_type, CAST(floor(value / 50) * 50 AS BIGINT) AS bucket_lo,
+        | count(*) AS n
+        |FROM events GROUP BY 1, 2""".stripMargin,
     "q_cube" ->
       """SELECT coalesce(c_mktsegment, 'ALL') AS segment,
         | coalesce(o_orderpriority, 'ALL') AS priority,
