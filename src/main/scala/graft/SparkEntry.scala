@@ -75,6 +75,7 @@ object SparkEntry {
     "q_cube" -> (Analytics.cubeOrders _),
     "events_zscore" -> (Analytics.zscoreOutliers _),
     "events_histogram" -> (Analytics.valueHistogram _),
+    "events_props_json" -> (Analytics.propsJson _),
     "text_redact_pii" -> (TextAnalysis.redactPii _),
     "sample_stratified" -> (TextAnalysis.sampleStratified _),
     "text_decontam" -> ((s: SparkSession, d: String) => TextAnalysis.decontaminate(s, d)),

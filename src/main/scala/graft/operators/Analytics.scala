@@ -179,7 +179,26 @@ object Analytics {
         (floor(col("value") / 50) * 50).cast("long").as("bucket_lo"))
       .agg(count(lit(1)).as("n"))
 
+  /** Semi-structured props: JSON field extraction (no pre-parsing pass,
+    * schema-on-read) + grouped stats over the extracted value. At scale
+    * the extraction is a codegen'd projection on the scan — a dedicated
+    * parse stage would double-materialize the column.
+    */
+  def propsJson(s: SparkSession, dir: String): DataFrame =
+    Graft.events(s, dir)
+      .select(col("event_type"), get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("k")).as("n_k"), sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+
   val oracle: Map[String, String] = Map(
+    "events_props_json" ->
+      """SELECT event_type,
+        | count(DISTINCT CAST(props->>'$.k' AS BIGINT)) AS n_k,
+        | CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+        | min(CAST(props->>'$.k' AS BIGINT)) AS min_k,
+        | max(CAST(props->>'$.k' AS BIGINT)) AS max_k
+        |FROM events GROUP BY 1""".stripMargin,
     "events_zscore" ->
       """WITH st AS (SELECT event_type AS t, count(*) AS n, sum(value) AS sv,
         |   sum(value * value) AS svv FROM events GROUP BY 1)
