@@ -51,14 +51,14 @@ object Ann {
     */
   def ivf(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
     val assign = assignments(s, dir)
-    // the probe centroid needs only centroids x query (a few rows) — not
-    // a second evaluation of the full assignment subplan
-    val probe = Graft.embeddings(s, dir).filter(col("vec_id") < 8)
-      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
-      .crossJoin(broadcast(SemanticSearch.queryVec(s, dir)))
-      .select(col("cid"), VectorOps.cosine6(col("cvec"), col("qvec")).as("cscore"))
-      .orderBy(col("cscore").desc, col("cid")).limit(1)
-      .select(col("cid").as("probe_cid"))
+    // probe selection IS centroid assignment of the query vector — the
+    // same ivf_assign kernel on the 1-row query frame (tie-break
+    // identical to the orderBy cscore desc, cid asc formulation)
+    val cents = Graft.embeddings(s, dir).filter(col("vec_id") < 8)
+      .agg(collect_list(struct(col("vec_id").as("cid"), col("embedding").as("cvec"))).as("cents"))
+    val probe = SemanticSearch.queryVec(s, dir)
+      .crossJoin(broadcast(cents))
+      .select(call_function("ivf_assign", col("qvec"), col("cents")).as("probe_cid"))
     assign
       .join(broadcast(probe), col("cid") === col("probe_cid"))
       .crossJoin(broadcast(SemanticSearch.queryVec(s, dir)))

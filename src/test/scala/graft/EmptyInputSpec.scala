@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.Row
+import graft.operators._
+
+/** Degenerate-input robustness: operators must return empty results
+  * (not throw) on empty tables — at 100 TB some partition, date slice,
+  * or tenant will always be empty.
+  */
+class EmptyInputSpec extends SparkSpec {
+
+  private lazy val dir = {
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val evSchema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val embSchema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)), StructField("label", IntegerType)))
+    tempSfDir(
+      "documents" -> spark.createDataFrame(new java.util.ArrayList[Row](), docSchema),
+      "events" -> spark.createDataFrame(new java.util.ArrayList[Row](), evSchema),
+      "embeddings" -> spark.createDataFrame(new java.util.ArrayList[Row](), embSchema))
+  }
+
+  test("text/dedup operators return empty on an empty corpus") {
+    assert(Dedup.exact(spark, dir).count() === 0)
+    assert(Dedup.ngramJaccard(spark, dir).count() === 0)
+    assert(Dedup.jaccardPrefix(spark, dir).count() === 0)
+    assert(Dedup.minhashLsh(spark, dir).count() === 0)
+    assert(Chunking.words(spark, dir).count() === 0)
+    assert(TextAnalysis.repetition(spark, dir).count() === 0)
+    assert(TextAnalysis.winnow(spark, dir).count() === 0)
+    assert(KeywordSearch.bm25(spark, dir).count() === 0)
+  }
+
+  test("event operators return empty on an empty stream") {
+    assert(Events.sessionize(spark, dir).count() === 0)
+    assert(Events.hourly(spark, dir).count() === 0)
+    assert(Analytics.zscoreOutliers(spark, dir).count() === 0)
+    assert(Analytics.funnel(spark, dir).count() === 0)
+  }
+
+  test("vector operators return empty on an empty embedding table") {
+    assert(Ann.bruteForce(spark, dir).count() === 0)
+    assert(Dedup.embeddingNearDup(spark, dir).count() === 0)
+    assert(Dedup.embeddingNearDupLsh(spark, dir).count() === 0)
+    assert(SemanticSearch.docVectors(spark, dir).count() === 0)
+  }
+}
