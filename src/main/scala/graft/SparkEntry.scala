@@ -84,6 +84,7 @@ object SparkEntry {
     "embed_quantize" -> (Ann.quantize _),
     "ann_quantized" -> ((s: SparkSession, d: String) => Ann.quantizedSearch(s, d)),
     "hybrid_rrf" -> ((s: SparkSession, d: String) => KeywordSearch.hybridRrf(s, d)),
+    "ann_recall_eval" -> ((s: SparkSession, d: String) => Ann.recallEval(s, d)),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column names!). */

@@ -163,6 +163,21 @@ object Ann {
       .filter(col("rn") <= k)
   }
 
+  /** Index-quality evaluation: recall@k of the IVF probe against the
+    * exact brute-force top-k for the query vector — the metric every
+    * ANN deployment monitors when retuning nlist/nprobe. Both sides are
+    * k-row frames, so the evaluation adds one broadcast join to the two
+    * searches. Integer output (micros) for exact cross-engine compare.
+    */
+  def recallEval(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val exact = bruteForce(s, dir, k).select(col("vec_id"))
+    val approx = ivf(s, dir, k).select(col("vec_id").as("a_id"))
+    exact.join(broadcast(approx), col("vec_id") === col("a_id"))
+      .agg(count(lit(1)).as("n_overlap"))
+      .select(lit(k.toLong).as("k"), col("n_overlap"),
+        expr(s"n_overlap * 1000000 div $k").as("recall_micros"))
+  }
+
   /** Per-label embedding cluster statistics: member count, centroid
     * norm, mean cosine of members to their centroid — the quality
     * metrics an IVF/clustering pipeline monitors. One grouped pass for
@@ -246,6 +261,31 @@ object Ann {
          |SELECT x.vec_id, x.cid, round($duckCosPair, 6) AS score
          |FROM clus x, (SELECT v FROM e WHERE vec_id = (SELECT min(vec_id) FROM e)) y
          |ORDER BY score DESC, vec_id LIMIT 5""".stripMargin,
+    "ann_recall_eval" ->
+      s"""WITH $duckE,
+         |q AS (SELECT v FROM e WHERE vec_id = (SELECT min(vec_id) FROM e)),
+         |ex AS (SELECT x.vec_id,
+         |        round($duckCosPair, 6) AS score
+         |       FROM e x, (SELECT v FROM q) y
+         |       ORDER BY score DESC, vec_id LIMIT 5),
+         |c AS (SELECT vec_id AS cid, v FROM e WHERE vec_id < 8),
+         |sc AS (SELECT x.vec_id, y.cid, round($duckCosPair, 6) AS cscore
+         |       FROM e x JOIN (SELECT cid, v FROM c) y ON true),
+         |asg AS (SELECT vec_id, cid FROM (
+         |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+         |          ORDER BY cscore DESC, cid) AS rn FROM sc) WHERE rn = 1),
+         |probe AS (SELECT cid AS probe_cid FROM asg
+         |          WHERE vec_id = (SELECT min(vec_id) FROM e)),
+         |clus AS (SELECT e.vec_id, asg.cid, e.v FROM e
+         |         JOIN asg ON e.vec_id = asg.vec_id
+         |         JOIN probe ON asg.cid = probe.probe_cid),
+         |ap AS (SELECT x.vec_id,
+         |        round($duckCosPair, 6) AS score
+         |       FROM clus x, (SELECT v FROM q) y
+         |       ORDER BY score DESC, vec_id LIMIT 5),
+         |ov AS (SELECT count(*) AS n_overlap FROM ex JOIN ap ON ex.vec_id = ap.vec_id)
+         |SELECT CAST(5 AS BIGINT) AS k, n_overlap,
+         | n_overlap * 1000000 // 5 AS recall_micros FROM ov""".stripMargin,
     "embed_quantize" ->
       s"""WITH $duckE,
          |sc AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS scale FROM e),
