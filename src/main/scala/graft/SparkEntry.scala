@@ -85,6 +85,7 @@ object SparkEntry {
     "ann_quantized" -> ((s: SparkSession, d: String) => Ann.quantizedSearch(s, d)),
     "hybrid_rrf" -> ((s: SparkSession, d: String) => KeywordSearch.hybridRrf(s, d)),
     "ann_recall_eval" -> ((s: SparkSession, d: String) => Ann.recallEval(s, d)),
+    "ann_filtered" -> ((s: SparkSession, d: String) => Ann.filteredSearch(s, d)),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column names!). */

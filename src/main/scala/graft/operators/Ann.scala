@@ -163,6 +163,21 @@ object Ann {
       .filter(col("rn") <= k)
   }
 
+  /** Filtered vector search: cosine top-k restricted by a metadata
+    * predicate (label subset) — the payload-filter + search combination
+    * every vector DB exposes (reference: qdrant.py:227 filters CHUNKS
+    * by article_id). The filter lands in the scan (PushedFilters), so
+    * the probe cost is proportional to the selected slice.
+    */
+  def filteredSearch(s: SparkSession, dir: String, k: Int = 5): DataFrame =
+    Graft.embeddings(s, dir)
+      .filter(col("label").isin(1, 3, 5, 7, 9))
+      .crossJoin(broadcast(SemanticSearch.queryVec(s, dir)))
+      .select(col("vec_id"), col("label"),
+        VectorOps.cosine6(col("embedding"), col("qvec")).as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(k)
+
   /** Index-quality evaluation: recall@k of the IVF probe against the
     * exact brute-force top-k for the query vector — the metric every
     * ANN deployment monitors when retuning nlist/nprobe. Both sides are
@@ -260,6 +275,12 @@ object Ann {
          |         JOIN probes ON asg.cid = probes.probe_cid)
          |SELECT x.vec_id, x.cid, round($duckCosPair, 6) AS score
          |FROM clus x, (SELECT v FROM e WHERE vec_id = (SELECT min(vec_id) FROM e)) y
+         |ORDER BY score DESC, vec_id LIMIT 5""".stripMargin,
+    "ann_filtered" ->
+      s"""WITH $duckE,
+         |q AS (SELECT v FROM e WHERE vec_id = (SELECT min(vec_id) FROM e))
+         |SELECT x.vec_id, x.label, round($duckCosPair, 6) AS score
+         |FROM (SELECT * FROM e WHERE label IN (1, 3, 5, 7, 9)) x, (SELECT v FROM q) y
          |ORDER BY score DESC, vec_id LIMIT 5""".stripMargin,
     "ann_recall_eval" ->
       s"""WITH $duckE,

@@ -124,6 +124,49 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming chunk batches maintain the index via foreachBatch upsert") {
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-stream-index").toString
+    // generation 0: initial index from the real corpus
+    val (m0, c0) = graft.operators.IndexBuilder.build(spark, "/root/testdata/sf0.001")
+    m0.write.parquet(s"$base/v0/main")
+    c0.write.parquet(s"$base/v0/chunks")
+    val n0 = m0.count()
+
+    def unit(axis: Int): Array[Float] = {
+      val a = new Array[Float](graft.operators.SemanticSearch.Dim); a(axis) = 1.0f; a
+    }
+    // stream of (doc_key, chunk_id, embedding) chunk batches
+    val input = MemoryStream[(Int, Long, Array[Float])]
+    val gen = new java.util.concurrent.atomic.AtomicInteger(0)
+    val q = input.toDF().toDF("doc_key", "chunk_id", "embedding")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val g = gen.get()
+          graft.operators.IndexBuilder.upsert(
+            spark, s"$base/v$g", batch, s"$base/v${g + 1}")
+          gen.incrementAndGet()
+          ()
+        }
+      }
+      .start()
+    try {
+      input.addData((900, 9000L, unit(2)))   // new doc
+      q.processAllAvailable()
+      input.addData((900, 9001L, unit(3)))   // replace it in the next generation
+      q.processAllAvailable()
+      assert(gen.get() === 2)
+      val m2 = spark.read.parquet(s"$base/v2/main")
+      assert(m2.count() === n0 + 1)
+      val d900 = m2.filter(col("doc_key") === 900).collect().head
+      assert(d900.getAs[Long]("n_chunks") === 1L)
+      // latest generation reflects the LAST upsert (axis-3 unit vector)
+      assert(d900.getAs[scala.collection.Seq[Double]]("doc_vec")(3) === 1.0)
+    } finally q.stop()
+  }
+
   test("streaming sessionization closes sessions on gap") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[RawEvent]
