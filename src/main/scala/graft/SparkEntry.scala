@@ -36,6 +36,7 @@ object SparkEntry {
     "dedup_simhash_pairs" -> ((s: SparkSession, d: String) => Dedup.simhashPairs(s, d)),
     "dedup_embedding" -> ((s: SparkSession, d: String) => Dedup.embeddingNearDup(s, d)),
     "dedup_embedding_lsh" -> ((s: SparkSession, d: String) => Dedup.embeddingNearDupLsh(s, d)),
+    "dedup_clusters" -> ((s: SparkSession, d: String) => Dedup.clusters(s, d)),
     // similarity search
     "ann_bruteforce" -> ((s: SparkSession, d: String) => Ann.bruteForce(s, d)),
     "ann_ivf" -> ((s: SparkSession, d: String) => Ann.ivf(s, d)),

@@ -246,6 +246,49 @@ object Dedup {
       .filter(col("cos") >= tau)
   }
 
+  /** Near-dup clustering: connected components over the n-gram Jaccard
+    * pair graph via iterative min-label propagation (Pregel-lite:
+    * driver-coordinated rounds, data fully distributed; converges in
+    * O(component diameter) rounds — dup clusters are shallow). Each
+    * round is one join + partial-agg min; labels localCheckpoint so
+    * lineage stays flat. The fixpoint (every doc labeled with its
+    * component's min doc_id) is unique, hence deterministic. This is
+    * the step that turns pairwise dedup output into keep/drop decisions.
+    */
+  def clusters(s: SparkSession, dir: String, maxIters: Int = 20): DataFrame = {
+    val pairs = ngramJaccard(s, dir).select(col("id_a"), col("id_b"))
+    val edges = pairs
+      .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = Graft.documents(s, dir)
+      .select(col("doc_id"), col("doc_id").as("label"))
+      .localCheckpoint()
+    def labelSum(df: DataFrame): Long = {
+      val r = df.agg(sum(col("label"))).head()
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+    var prevSum = labelSum(labels)
+    var converged = false
+    var i = 0
+    while (i < maxIters && !converged) {
+      val nbrMin = edges
+        .join(labels.select(col("doc_id").as("nb"), col("label").as("nb_label")),
+          col("id_b") === col("nb"))
+        .groupBy(col("id_a")).agg(min(col("nb_label")).as("nmin"))
+      val next = labels.join(nbrMin, labels("doc_id") === nbrMin("id_a"), "left")
+        .select(labels("doc_id"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .localCheckpoint()
+      val sumNow = labelSum(next)
+      converged = sumNow == prevSum
+      prevSum = sumNow
+      labels = next
+      i += 1
+    }
+    edges.unpersist()
+    labels.select(col("doc_id"), col("label").as("cluster_rep"))
+  }
+
   /** Embedding near-dup at scale: banded SRP-LSH blocking. Each vector
     * gets a 16-bit sign signature (4 bands x 4 bits) from deterministic
     * hyperplanes (vectors id 8..23); candidate pairs must share a label
@@ -396,6 +439,21 @@ object Dedup {
         |           ON a.band_id = b.band_id AND a.band_long = b.band_long
         |          AND a.doc_id < b.doc_id)
         |SELECT id_a, id_b, hamming FROM cand WHERE hamming <= 3""".stripMargin,
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE $duckShingles,
+         |sh2 AS (SELECT doc_id, unnest(shingles) AS sh FROM sar),
+         |sz AS (SELECT doc_id, count(*) AS n FROM sh2 GROUP BY 1),
+         |pp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+         |       FROM sh2 a JOIN sh2 b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |pr AS (SELECT id_a, id_b
+         |       FROM pp JOIN sz x ON x.doc_id = id_a JOIN sz y ON y.doc_id = id_b
+         |       WHERE inter * 1000000 // (x.n + y.n - inter) >= 500000),
+         |und AS (SELECT id_a AS a, id_b AS b FROM pr UNION SELECT id_b, id_a FROM pr),
+         |reach(a, b) AS (SELECT a, b FROM und
+         |  UNION SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a WHERE u.b != r.a),
+         |rep AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_rep FROM reach GROUP BY a)
+         |SELECT d.doc_id, coalesce(rep.cluster_rep, d.doc_id) AS cluster_rep
+         |FROM documents d LEFT JOIN rep ON d.doc_id = rep.doc_id""".stripMargin,
     "dedup_embedding_lsh" ->
       """WITH e AS (SELECT vec_id, label,
         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),

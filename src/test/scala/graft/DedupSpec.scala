@@ -96,6 +96,25 @@ class DedupSpec extends SparkSpec {
     assert(lsh.subsetOf(exact), s"lsh $lsh must be a subset of exact $exact")
   }
 
+  test("clusters: multi-hop chains collapse to the min-id representative") {
+    // A~B, B~C by 3-gram jaccard >= 0.5, but A and C are NOT a pair
+    // themselves -> transitivity must still cluster all three; D isolated
+    val base = "alpha beta gamma delta epsilon zeta eta theta"
+    val cdir = tempSfDir(
+      "documents" -> Seq(
+        (10L, base + " one two", "en", "w", 1L),
+        (20L, base + " one three", "en", "w", 1L),        // ~ 10
+        (30L, base + " four three", "en", "w", 1L),       // ~ 20, farther from 10
+        (40L, "completely different words entirely here now", "en", "w", 1L),
+      ).toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val reps = Dedup.clusters(spark, cdir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reps(10L) === 10L)
+    assert(reps(20L) === 10L)
+    assert(reps(30L) === 10L, s"transitive closure failed: $reps")
+    assert(reps(40L) === 40L)
+  }
+
   test("embedding LSH on real corpus is a recalled subset of exact pairs") {
     val real = "/root/testdata/sf0.01"
     val exact = Dedup.embeddingNearDup(spark, real)
