@@ -260,7 +260,11 @@ object Dedup {
     val edges = pairs
       .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = Graft.documents(s, dir)
+    // propagate ONLY over vertices touched by an edge: the dup graph is
+    // orders of magnitude smaller than the corpus, so iteration cost
+    // tracks the pair graph; untouched docs stay identity-labeled via
+    // the final left join.
+    var labels = edges.select(col("id_a").as("doc_id")).distinct()
       .select(col("doc_id"), col("doc_id").as("label"))
       .localCheckpoint()
     def labelSum(df: DataFrame): Long = {
@@ -286,7 +290,10 @@ object Dedup {
       i += 1
     }
     edges.unpersist()
-    labels.select(col("doc_id"), col("label").as("cluster_rep"))
+    Graft.documents(s, dir).select(col("doc_id"))
+      .join(labels.select(col("doc_id").as("l_id"), col("label")),
+        col("doc_id") === col("l_id"), "left")
+      .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster_rep"))
   }
 
   /** Embedding near-dup at scale: banded SRP-LSH blocking. Each vector
