@@ -264,9 +264,14 @@ object Dedup {
     // orders of magnitude smaller than the corpus, so iteration cost
     // tracks the pair graph; untouched docs stay identity-labeled via
     // the final left join.
+    // one ACTION per round: persist + the convergence aggregate both
+    // materializes the iteration and reads its label sum (monotonically
+    // decreasing; stable sum == fixpoint). Each parent stays cached, so
+    // the growing logical lineage never re-executes.
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     var labels = edges.select(col("id_a").as("doc_id")).distinct()
       .select(col("doc_id"), col("doc_id").as("label"))
-      .localCheckpoint()
+      .persist(lvl)
     def labelSum(df: DataFrame): Long = {
       val r = df.agg(sum(col("label"))).head()
       if (r.isNullAt(0)) 0L else r.getLong(0)
@@ -282,8 +287,9 @@ object Dedup {
       val next = labels.join(nbrMin, labels("doc_id") === nbrMin("id_a"), "left")
         .select(labels("doc_id"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
-        .localCheckpoint()
+        .persist(lvl)
       val sumNow = labelSum(next)
+      labels.unpersist()
       converged = sumNow == prevSum
       prevSum = sumNow
       labels = next
