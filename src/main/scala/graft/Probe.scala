@@ -65,6 +65,22 @@ object Probe {
     time("prefix self-join+distinct")(cands2.count())
     time("jaccardPrefix full")(graft.operators.Dedup.jaccardPrefix(spark, dir).count())
     time("ngram full")(graft.operators.Dedup.ngramJaccard(spark, dir).count())
+
+    {
+      val sorted3 = docs.select(col("doc_id"),
+        call_function("word_ngram_hashes", coalesce(col("text"), lit("")), lit(3)).as("sh_sorted"))
+        .select(col("doc_id"), col("sh_sorted"), size(col("sh_sorted")).cast("long").as("n"))
+      val occ3 = sorted3.select(col("doc_id"), col("n"), explode(col("sh_sorted")).as("sh"))
+      val dfreq3 = occ3.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      val pre3 = occ3.join(dfreq3, "sh")
+        .groupBy(col("doc_id"), col("n"))
+        .agg(sort_array(collect_list(struct(col("df"), col("sh")))).as("ranked"))
+        .select(col("doc_id"), col("n"),
+          explode(expr("transform(slice(ranked, 1, cast(n - ((n + 1) div 2) + 1 as int)), r -> r.sh)")).as("sh"))
+      val cands3 = pre3.as("a").join(pre3.as("b"),
+          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      time("ppjoin candidates")(cands3.count())
+    }
     spark.stop()
   }
 }

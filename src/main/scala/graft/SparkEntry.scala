@@ -31,6 +31,7 @@ object SparkEntry {
     "dedup_fingerprint" -> (Dedup.fingerprint _),
     "dedup_ngram_jaccard" -> ((s: SparkSession, d: String) => Dedup.ngramJaccard(s, d)),
     "dedup_jaccard_prefix" -> ((s: SparkSession, d: String) => Dedup.jaccardPrefix(s, d)),
+    "dedup_jaccard_ppjoin" -> ((s: SparkSession, d: String) => Dedup.jaccardPpjoin(s, d)),
     "dedup_minhash_lsh" -> (Dedup.minhashLsh _),
     "dedup_simhash" -> (Dedup.simhash _),
     "dedup_simhash_pairs" -> ((s: SparkSession, d: String) => Dedup.simhashPairs(s, d)),

@@ -246,6 +246,53 @@ object Dedup {
       .filter(col("cos") >= tau)
   }
 
+  /** PPJoin-style frequency-ordered prefix join: identical result set to
+    * [[ngramJaccard]]/[[jaccardPrefix]], but each document's prefix is
+    * taken in GLOBAL document-frequency order (rarest shingles first),
+    * so prefix collisions approach the true result count instead of
+    * random-hash collisions. Costs one extra pass to compute shingle
+    * document frequencies (map-side-combined) and a re-rank join; pays
+    * off when prefix candidates dominate — the hot-shingle / huge-corpus
+    * regime. Verification is the same primitive two-pointer intersect
+    * over the hash-sorted arrays.
+    */
+  def jaccardPpjoin(s: SparkSession, dir: String, tauMicros: Long = 500000L): DataFrame = {
+    val sorted = withHashedShingles(s, dir)
+      .select(col("doc_id"), col("shingles").as("sh_sorted"),
+        size(col("shingles")).cast("long").as("n"))
+    val occ = sorted.select(col("doc_id"), col("n"), explode(col("sh_sorted")).as("sh"))
+      .hint("SHUFFLE_HASH")
+    val dfreq = occ.groupBy(col("sh")).agg(count(lit(1)).as("df")).hint("SHUFFLE_HASH")
+    // per-doc shingles re-ranked by (df asc, hash asc); prefix length
+    // n - ceil(tau*n) + 1 over THIS order (any consistent total order
+    // preserves the pigeonhole guarantee)
+    val pre = occ.join(dfreq, "sh")
+      .groupBy(col("doc_id"), col("n"))
+      .agg(sort_array(collect_list(struct(col("df"), col("sh")))).as("ranked"))
+      .select(col("doc_id"), col("n"),
+        explode(expr(
+          "transform(slice(ranked, 1, cast(n - ((n + 1) div 2) + 1 as int)), r -> r.sh)"))
+          .as("sh"))
+      .hint("SHUFFLE_HASH")
+    val cands = pre.as("a").join(pre.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id") &&
+          col("a.n") * lit(1000000L) >= col("b.n") * lit(tauMicros) &&
+          col("b.n") * lit(1000000L) >= col("a.n") * lit(tauMicros))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    cands
+      .join(sorted.select(col("doc_id").as("id_a"), col("sh_sorted").as("sa"), col("n").as("na"))
+        .hint("SHUFFLE_HASH"), "id_a")
+      .join(sorted.select(col("doc_id").as("id_b"), col("sh_sorted").as("sb"), col("n").as("nb"))
+        .hint("SHUFFLE_HASH"), "id_b")
+      .select(col("id_a"), col("id_b"),
+        call_function("sorted_intersect_count", col("sa"), col("sb")).as("inter"),
+        col("na"), col("nb"))
+      .select(col("id_a"), col("id_b"),
+        expr("inter * 1000000 div (na + nb - inter)").as("jaccard_micros"))
+      .filter(col("jaccard_micros") >= tauMicros)
+  }
+
   /** Near-dup clustering: connected components over the n-gram Jaccard
     * pair graph via iterative min-label propagation (Pregel-lite:
     * driver-coordinated rounds, data fully distributed; converges in
@@ -390,6 +437,17 @@ object Dedup {
     // same result set as dedup_ngram_jaccard — the prefix filter is an
     // exactness-preserving candidate pruning, so the oracle is identical
     "dedup_jaccard_prefix" ->
+      s"""WITH $duckShingles,
+         |s AS (SELECT doc_id, unnest(shingles) AS sh FROM sar),
+         |sz AS (SELECT doc_id, count(*) AS n FROM s GROUP BY 1),
+         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+         |      FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)
+         |SELECT id_a, id_b, inter * 1000000 // (x.n + y.n - inter) AS jaccard_micros
+         |FROM p JOIN sz x ON x.doc_id = id_a JOIN sz y ON y.doc_id = id_b
+         |WHERE inter * 1000000 // (x.n + y.n - inter) >= 500000""".stripMargin,
+    // same result set again: frequency-ordered prefixes are still an
+    // exactness-preserving candidate pruning
+    "dedup_jaccard_ppjoin" ->
       s"""WITH $duckShingles,
          |s AS (SELECT doc_id, unnest(shingles) AS sh FROM sar),
          |sz AS (SELECT doc_id, count(*) AS n FROM s GROUP BY 1),
