@@ -304,6 +304,54 @@ object Dedup {
     */
   def clusters(s: SparkSession, dir: String, maxIters: Int = 20): DataFrame = {
     val pairs = ngramJaccard(s, dir).select(col("id_a"), col("id_b"))
+    clustersOf(s, dir, pairs, maxIters)
+  }
+
+  /** Adaptive connected components over an (id_a, id_b) pair frame.
+    * Small edge sets (bounded by `driverEdgeLimit`, the same kind of
+    * size-bounded adaptivity as a broadcast-join decision) run
+    * union-find on the driver in one pass; larger graphs fall back to
+    * distributed min-label propagation. Both produce the identical
+    * unique fixpoint (component min id).
+    */
+  def clustersOf(s: SparkSession, dir: String, pairs: DataFrame, maxIters: Int = 20,
+                 driverEdgeLimit: Long = 1000000L): DataFrame = {
+    val cached = pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nEdges = cached.count()
+    val out =
+      if (nEdges <= driverEdgeLimit) clustersUnionFind(s, dir, cached)
+      else clustersPropagate(s, dir, cached, maxIters)
+    cached.unpersist()
+    out
+  }
+
+  /** Driver union-find for bounded edge sets: O(E α(E)) in one pass. */
+  private def clustersUnionFind(s: SparkSession, dir: String, pairs: DataFrame): DataFrame = {
+    val edges = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x
+      while (parent.getOrElse(c, c) != r) { val n = parent.getOrElse(c, c); parent(c) = r; c = n }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    val reps = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      .map(id => (id, find(id))).toSeq
+    import s.implicits._
+    val labelDf = reps.toDF("l_id", "label")
+    Graft.documents(s, dir).select(col("doc_id"))
+      .join(broadcast(labelDf), col("doc_id") === col("l_id"), "left")
+      .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster_rep"))
+  }
+
+  /** Distributed min-label propagation (the unbounded-graph path). */
+  private def clustersPropagate(s: SparkSession, dir: String, pairs: DataFrame,
+                                maxIters: Int): DataFrame = {
     val edges = pairs
       .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -115,6 +115,16 @@ class DedupSpec extends SparkSpec {
     assert(reps(40L) === 40L)
   }
 
+  test("cluster paths agree: driver union-find == distributed propagation") {
+    val real = "/root/testdata/sf0.001"
+    val pairs = Dedup.ngramJaccard(spark, real).select("id_a", "id_b")
+    val viaUf = Dedup.clustersOf(spark, real, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaProp = Dedup.clustersOf(spark, real, pairs, driverEdgeLimit = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaUf === viaProp)
+  }
+
   test("embedding LSH on real corpus is a recalled subset of exact pairs") {
     val real = "/root/testdata/sf0.01"
     val exact = Dedup.embeddingNearDup(spark, real)
