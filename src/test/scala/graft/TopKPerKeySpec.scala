@@ -62,6 +62,18 @@ class TopKPerKeySpec extends SparkSpec {
       q2.queryExecution.executedPlan.toString)
   }
 
+  test("optimizer rule fires for plain SQL window queries too") {
+    df.createOrReplaceTempView("topk_rule_sql_t")
+    val q = spark.sql(
+      """SELECT key, id, score FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY key ORDER BY score DESC, id) AS rn
+        |  FROM topk_rule_sql_t) WHERE rn <= 2""".stripMargin)
+    assert(q.queryExecution.executedPlan.toString.contains("TopKPerKey"),
+      q.queryExecution.executedPlan.toString)
+    val got = q.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got === Set(("a", 3L), ("a", 1L), ("b", 6L), ("b", 5L), ("c", 7L)))
+  }
+
   test("optimizer rule leaves queries that keep the rank untouched") {
     val w = Window.partitionBy($"key").orderBy($"score".desc, $"id")
     val q = df.withColumn("rn", row_number().over(w))
