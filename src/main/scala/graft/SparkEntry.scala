@@ -16,6 +16,7 @@ object SparkEntry {
     "chunk_sentences" -> (Chunking.sentences _),
     "chunk_paragraphs" -> (Chunking.paragraphs _),
     "chunk_words" -> (Chunking.words _),
+    "chunk_fixed" -> ((s: SparkSession, d: String) => Chunking.fixedWindows(s, d)),
     "strip_citations" -> (Chunking.stripCitations _),
     "doc_point_ids" -> (Chunking.pointIds _),
     "doc_embed_meanpool" -> (SemanticSearch.meanPoolPositional _),
@@ -74,6 +75,7 @@ object SparkEntry {
     // training-data pipeline second wave
     "text_repetition" -> (TextAnalysis.repetition _),
     "text_normalize" -> (TextAnalysis.normalize _),
+    "text_curation" -> ((s: SparkSession, d: String) => TextAnalysis.curate(s, d)),
     "q_cube" -> (Analytics.cubeOrders _),
     "events_zscore" -> (Analytics.zscoreOutliers _),
     "events_histogram" -> (Analytics.valueHistogram _),

@@ -29,6 +29,23 @@ object Chunking {
     Graft.documents(s, dir)
       .select(col("doc_id"), posexplode(split(col("text"), "\\s+")).as(Seq("pos", "tok")))
 
+  /** Fixed-size sliding-window chunks with overlap (window tokens,
+    * stride tokens) — the RAG-era chunker: every token is covered, each
+    * chunk shares window-stride tokens with its neighbor so retrieval
+    * never loses boundary context. Pure map stage (sequence + slice).
+    */
+  def fixedWindows(s: SparkSession, dir: String, window: Int = 32, stride: Int = 24): DataFrame =
+    Graft.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
+      .select(col("doc_id"), col("toks"),
+        expr(s"greatest(cast(ceil(cast(size(toks) - $window as double) / $stride) as int), 0)")
+          .as("extra"))
+      .select(col("doc_id"),
+        posexplode(expr(s"transform(sequence(0, extra), i -> " +
+          s"array_join(slice(toks, i * $stride + 1, $window), ' '))"))
+          .as(Seq("chunk_id", "chunk")))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"), col("chunk"))
+
   /** Citation-bracket stripping (reference fetch_pmcid.py:24's
     * `\[[^\]]*\]` regex). The corpus has no brackets, so brackets are
     * synthesized from metadata first, then stripped — exercising the
@@ -55,6 +72,14 @@ object Chunking {
         substring(sha2(col("doc_id").cast("string"), 256), 1, 16).as("point_id"))
 
   val oracle: Map[String, String] = Map(
+    "chunk_fixed" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents),
+        |g AS (SELECT doc_id, toks,
+        |        greatest(CAST(ceil(CAST(len(toks) - 32 AS DOUBLE) / 24) AS INT), 0) AS extra
+        |      FROM t)
+        |SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+        | array_to_string(list_slice(toks, i * 24 + 1, i * 24 + 32), ' ') AS chunk
+        |FROM (SELECT doc_id, toks, unnest(range(0, extra + 1)) AS i FROM g)""".stripMargin,
     "chunk_sentences" ->
       """SELECT doc_id, generate_subscripts(parts, 1) - 1 AS chunk_id, unnest(parts) AS chunk
         |FROM (SELECT doc_id, string_split(text, '. ') AS parts FROM documents)""".stripMargin,

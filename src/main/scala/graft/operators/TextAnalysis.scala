@@ -152,6 +152,24 @@ object TextAnalysis {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** End-to-end curation filter — the composed keep-decision of a
+    * training-data pipeline: language-ID agrees with the labeled lang,
+    * quality score clears the bar, and the document is its exact-dup
+    * group's canonical representative. One scan feeds all three
+    * predicates (langid + quality are projections; dedup canonicity is
+    * a semi join on the hash-group min).
+    */
+  def curate(s: SparkSession, dir: String, minQualityMicros: Long = 700000L): DataFrame = {
+    val l = langid(s, dir).select(col("doc_id"), col("lang"), col("pred"))
+      .filter(col("pred") === col("lang"))
+    val q = quality(s, dir).select(col("doc_id").as("q_id"), col("quality_micros"))
+      .filter(col("quality_micros") >= minQualityMicros)
+    val canon = Dedup.exact(s, dir).select(col("canonical_id"))
+    l.join(q, col("doc_id") === col("q_id"))
+      .join(canon, col("doc_id") === col("canonical_id"), "left_semi")
+      .select(col("doc_id"), col("pred"), col("quality_micros"))
+  }
+
   /** First 8 hex digits of hex-string expression `h` as a long —
     * portable (posFn = instr for Spark, strpos for DuckDB).
     */
@@ -177,6 +195,36 @@ object TextAnalysis {
       | FROM whs)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "text_curation" ->
+      """WITH t AS (SELECT doc_id, lang, string_split_regex(lower(text), '\s+') AS ltoks,
+        |            string_split_regex(text, '\s+') AS toks, text FROM documents),
+        |sc AS (SELECT doc_id, lang,
+        |  len(list_filter(ltoks, x -> x IN ('the','a','of','is'))) AS s_en,
+        |  len(list_filter(ltoks, x -> x IN ('der','die','das','und'))) AS s_de,
+        |  len(list_filter(ltoks, x -> x IN ('le','la','et','les'))) AS s_fr,
+        |  len(list_filter(ltoks, x -> x IN ('el','los','las','y'))) AS s_es,
+        |  len(list_filter(ltoks, x -> x IN ('的','是','在','了'))) AS s_zh
+        | FROM t),
+        |pr AS (SELECT doc_id, lang, CASE
+        |  WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en >= s_zh THEN 'en'
+        |  WHEN s_de >= s_fr AND s_de >= s_es AND s_de >= s_zh THEN 'de'
+        |  WHEN s_fr >= s_es AND s_fr >= s_zh THEN 'fr'
+        |  WHEN s_es >= s_zh THEN 'es'
+        |  ELSE 'zh' END AS pred FROM sc),
+        |q AS (SELECT doc_id,
+        |  len(list_filter(toks, x -> x IN ('the','a','of','to','in','and','is','on'))) * 1000000 // len(toks) AS srm,
+        |  CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) * 1000000 // len(toks) AS mwm,
+        |  len(toks) AS n_tokens
+        | FROM t),
+        |qm AS (SELECT doc_id,
+        |   least(n_tokens, 100) * 4000
+        | + (3 * (1000000 - srm)) // 10
+        | + (3 * least(mwm // 8, 1000000)) // 10 AS quality_micros FROM q),
+        |canon AS (SELECT min(doc_id) AS canonical_id FROM documents GROUP BY sha256(text))
+        |SELECT pr.doc_id, pr.pred, qm.quality_micros
+        |FROM pr JOIN qm ON pr.doc_id = qm.doc_id
+        |WHERE pr.pred = pr.lang AND qm.quality_micros >= 700000
+        |  AND pr.doc_id IN (SELECT canonical_id FROM canon)""".stripMargin,
     "text_normalize" ->
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_raw,
         | trim(regexp_replace(regexp_replace(lower(text),
