@@ -121,6 +121,39 @@ object EventStreams {
         unix_timestamp(col("click_time")).as("click_sec"), col("value"))
   }
 
+  case class TopKItem(event_id: Long, value: Double)
+  case class TopKState(items: Seq[TopKItem])
+  case class TopKOut(event_type: String, event_id: Long, value: Double, rank: Long)
+
+  /** Streaming per-key top-k by value: the unbounded twin of the batch
+    * TopKPerKey plan — a bounded k-item set lives in typed state per
+    * key, each micro-batch folds its rows in O(rows · log k)-ish work,
+    * and the CURRENT top-k is re-emitted whenever it changes (Update
+    * semantics). State is O(k · #keys) regardless of stream length.
+    */
+  def topKPerKey(events: Dataset[RawEvent], k: Int = 3): Dataset[TopKOut] = {
+    import events.sparkSession.implicits._
+
+    def fold(key: String, it: Iterator[RawEvent],
+             state: GroupState[TopKState]): Iterator[TopKOut] = {
+      val prev = state.getOption.map(_.items).getOrElse(Seq.empty)
+      val merged = (prev ++ it.map(e => TopKItem(e.event_id, e.value)))
+        .sortBy(x => (-x.value, x.event_id))
+        .take(k)
+      if (merged == prev) Iterator.empty
+      else {
+        state.update(TopKState(merged))
+        merged.iterator.zipWithIndex.map { case (x, i) =>
+          TopKOut(key, x.event_id, x.value, i + 1L)
+        }
+      }
+    }
+
+    events
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout())(fold)
+  }
+
   /** File-source entry point: stream the events table from a directory of
     * parquet (the batch table is one file; a production feed would be a
     * growing directory or Kafka source — the plan is identical).

@@ -85,6 +85,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming top-k per key tracks the batch top-k across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[RawEvent]
+    val q = EventStreams.topKPerKey(input.toDS(), k = 2)
+      .writeStream.format("memory").queryName("topk_out")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(
+        RawEvent(1, ns(10), 1, "click", 5.0),
+        RawEvent(2, ns(20), 1, "click", 9.0),
+        RawEvent(3, ns(30), 1, "view", 1.0))
+      q.processAllAvailable()
+      input.addData(RawEvent(4, ns(40), 1, "click", 7.0)) // displaces id 1
+      q.processAllAvailable()
+      input.addData(RawEvent(5, ns(50), 1, "click", 0.5)) // below top-2: no emit
+      q.processAllAvailable()
+      // last emitted state per (event_type, rank) is the live top-k
+      val live = spark.table("topk_out").collect()
+        .map(r => (r.getString(0), r.getLong(3)) -> r.getLong(1))
+        .groupBy(_._1).map { case (k2, vs) => k2 -> vs.last._2 }
+      assert(live(("click", 1L)) === 2L) // 9.0
+      assert(live(("click", 2L)) === 4L) // 7.0
+      assert(live(("view", 1L)) === 3L)
+    } finally q.stop()
+  }
+
   test("streaming dedup drops re-delivered event ids") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[RawEvent]
