@@ -34,6 +34,7 @@ object SparkEntry {
     "dedup_jaccard_prefix" -> ((s: SparkSession, d: String) => Dedup.jaccardPrefix(s, d)),
     "dedup_jaccard_ppjoin" -> ((s: SparkSession, d: String) => Dedup.jaccardPpjoin(s, d)),
     "dedup_minhash_lsh" -> (Dedup.minhashLsh _),
+    "dedup_minhash_verified" -> ((s: SparkSession, d: String) => Dedup.minhashVerified(s, d)),
     "dedup_simhash" -> (Dedup.simhash _),
     "dedup_simhash_pairs" -> ((s: SparkSession, d: String) => Dedup.simhashPairs(s, d)),
     "dedup_embedding" -> ((s: SparkSession, d: String) => Dedup.embeddingNearDup(s, d)),

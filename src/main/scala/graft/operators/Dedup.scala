@@ -246,6 +246,35 @@ object Dedup {
       .filter(col("cos") >= tau)
   }
 
+  /** The complete three-stage MinHash dedup pipeline as one query:
+    * banded-LSH candidates (cheap, signature-only) → signature-agreement
+    * estimate drops clearly-dissimilar pairs (>= estTauMicros) → exact
+    * Jaccard verify (primitive two-pointer intersect over hashed
+    * shingles) only on the survivors. Each stage's input shrinks by an
+    * order of magnitude — the standard shape for dedup at 100 TB, where
+    * exact verification of all LSH candidates would dominate.
+    */
+  def minhashVerified(s: SparkSession, dir: String,
+                      estTauMicros: Long = 333333L, tauMicros: Long = 500000L): DataFrame = {
+    val survivors = minhashJaccardEst(s, dir)
+      .filter(col("est_jaccard_micros") >= estTauMicros)
+      .select(col("id_a"), col("id_b"))
+    val sorted = withHashedShingles(s, dir)
+      .select(col("doc_id"), col("shingles").as("sh_sorted"),
+        size(col("shingles")).cast("long").as("n"))
+    survivors
+      .join(sorted.select(col("doc_id").as("id_a"), col("sh_sorted").as("sa"), col("n").as("na"))
+        .hint("SHUFFLE_HASH"), "id_a")
+      .join(sorted.select(col("doc_id").as("id_b"), col("sh_sorted").as("sb"), col("n").as("nb"))
+        .hint("SHUFFLE_HASH"), "id_b")
+      .select(col("id_a"), col("id_b"),
+        call_function("sorted_intersect_count", col("sa"), col("sb")).as("inter"),
+        col("na"), col("nb"))
+      .select(col("id_a"), col("id_b"),
+        expr("inter * 1000000 div (na + nb - inter)").as("jaccard_micros"))
+      .filter(col("jaccard_micros") >= tauMicros)
+  }
+
   /** PPJoin-style frequency-ordered prefix join: identical result set to
     * [[ngramJaccard]]/[[jaccardPrefix]], but each document's prefix is
     * taken in GLOBAL document-frequency order (rarest shingles first),
@@ -482,6 +511,37 @@ object Dedup {
          |   i -> CASE WHEN x.sigs[i] = y.sigs[i] THEN 1 ELSE 0 END)) * 1000000 // 12
          |  AS BIGINT) AS est_jaccard_micros
          |FROM cand JOIN sig x ON x.doc_id = id_a JOIN sig y ON y.doc_id = id_b""".stripMargin,
+    "dedup_minhash_verified" ->
+      s"""WITH $duckShingles,
+         |sig AS (SELECT doc_id,
+         |  list_reduce(
+         |    list_transform(
+         |      list_transform(list_transform(shingles, g -> md5(g)), h -> ${hexToLong("h", "strpos")}),
+         |      v -> list_transform(range(0, 12),
+         |             p -> ((16385 + 77 * p) * v + 52361 + 9199 * p) % 1000000007)),
+         |    (a, b) -> list_transform(range(1, 13), i -> least(a[i], b[i]))) AS sigs
+         |  FROM sar),
+         |bands AS (SELECT doc_id, b AS band_id,
+         |           CAST(sigs[3*b + 1] AS VARCHAR) || '|' || CAST(sigs[3*b + 2] AS VARCHAR)
+         |            || '|' || CAST(sigs[3*b + 3] AS VARCHAR) AS band_hash
+         |          FROM sig, range(0, 4) t(b)),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |         FROM bands a JOIN bands b
+         |           ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+         |sv AS (SELECT id_a, id_b FROM cand JOIN sig x ON x.doc_id = id_a
+         |       JOIN sig y ON y.doc_id = id_b
+         |       WHERE CAST(list_sum(list_transform(range(1, 13),
+         |         i -> CASE WHEN x.sigs[i] = y.sigs[i] THEN 1 ELSE 0 END)) * 1000000 // 12
+         |        AS BIGINT) >= 333333),
+         |sh2 AS (SELECT doc_id, unnest(shingles) AS sh FROM sar),
+         |sz AS (SELECT doc_id, count(*) AS n FROM sh2 GROUP BY 1),
+         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+         |      FROM sh2 a JOIN sh2 b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)
+         |SELECT sv.id_a, sv.id_b,
+         | inter * 1000000 // (x.n + y.n - inter) AS jaccard_micros
+         |FROM sv JOIN p ON sv.id_a = p.id_a AND sv.id_b = p.id_b
+         | JOIN sz x ON x.doc_id = sv.id_a JOIN sz y ON y.doc_id = sv.id_b
+         |WHERE inter * 1000000 // (x.n + y.n - inter) >= 500000""".stripMargin,
     // same result set as dedup_ngram_jaccard — the prefix filter is an
     // exactness-preserving candidate pruning, so the oracle is identical
     "dedup_jaccard_prefix" ->
