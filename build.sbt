@@ -14,6 +14,10 @@ run / fork := true
 // pass forked stdout through RAW (no "[info] " prefix) so Bench's one
 // JSON line is machine-parseable from the sbt output
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// the bench driver parses its JSON line out of the LAST 2000 chars of the
+// sbt output; suppress the trailing "[success] Total time: ..." line so the
+// JSON line is the final output and never pushed out of that window
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
