@@ -91,6 +91,18 @@ object SparkEntry {
     "hybrid_rrf" -> ((s: SparkSession, d: String) => KeywordSearch.hybridRrf(s, d)),
     "ann_recall_eval" -> ((s: SparkSession, d: String) => Ann.recallEval(s, d)),
     "ann_filtered" -> ((s: SparkSession, d: String) => Ann.filteredSearch(s, d)),
+    // round-3 wave: robust stats, window frames, decorrelated subqueries
+    "events_mad" -> (Analytics.madOutliers _),
+    "window_range" -> (Analytics.trailingSpend _),
+    "q_above_avg" -> (Analytics.aboveCustomerAvg _),
+    "q_argmin_join" -> (Analytics.cheapestPerPart _),
+    "tfidf_topk" -> ((s: SparkSession, d: String) => TextAnalysis.tfidfTopk(s, d)),
+    "cooccur_pmi" -> ((s: SparkSession, d: String) => TextAnalysis.cooccurPmi(s, d)),
+    "chunk_dedup" -> (Dedup.chunkDedup _),
+    "doc_dup_fraction" -> (Dedup.docDupFraction _),
+    "dedup_containment" -> ((s: SparkSession, d: String) => Dedup.containment(s, d)),
+    "kmeans_step" -> (Ann.kmeansStep _),
+    "ann_pq" -> ((s: SparkSession, d: String) => Ann.pq(s, d)),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column names!). */

@@ -191,7 +191,120 @@ object Analytics {
       .agg(countDistinct(col("k")).as("n_k"), sum(col("k")).as("sum_k"),
         min(col("k")).as("min_k"), max(col("k")).as("max_k"))
 
+  /** Robust per-type outlier stats: median, MAD (median absolute
+    * deviation), and the count of values beyond 3 MADs — the
+    * skew-resistant twin of [[zscoreOutliers]]. Medians are exact
+    * interpolated percentiles (grouped sorts); at 100 TB swap for the
+    * sketch path in [[approxStats]]. Both medians are rounded to 4dp
+    * BEFORE the dependent arithmetic so the outlier comparison is the
+    * same IEEE expression in both engines.
+    */
+  def madOutliers(s: SparkSession, dir: String): DataFrame = {
+    val e = Graft.events(s, dir).select(col("event_type"), col("value"))
+    val med = e.groupBy(col("event_type").as("mt"))
+      .agg(round(expr("percentile(value, 0.5)"), 4).as("med"))
+    val dev = e.join(broadcast(med), col("event_type") === col("mt"))
+    val mad = dev
+      .select(col("event_type").as("dt"), abs(col("value") - col("med")).as("dev"))
+      .groupBy(col("dt"))
+      .agg(round(expr("percentile(dev, 0.5)"), 4).as("mad"))
+    dev.join(broadcast(mad), col("event_type") === col("dt"))
+      .groupBy(col("event_type"))
+      .agg(first(col("med")).as("med"), first(col("mad")).as("mad"),
+        sum(when(abs(col("value") - col("med")) > col("mad") * 3, 1L).otherwise(0L))
+          .as("n_outliers"))
+  }
+
+  /** 30-day trailing spend per customer order — a RANGE window frame
+    * over integer epoch days (value-based, so same-day orders aggregate
+    * identically regardless of row order). Money travels as integer
+    * cents: float window sums are accumulation-order-sensitive, integer
+    * sums are exact and mergeable.
+    */
+  def trailingSpend(s: SparkSession, dir: String): DataFrame = {
+    val base = Graft.orders(s, dir).select(
+      col("o_custkey"), col("o_orderkey"),
+      datediff(col("o_orderdate").cast("date"), lit("1970-01-01").cast("date"))
+        .cast("long").as("day"),
+      expr("cast(round(o_totalprice * 100) as bigint)").as("cents"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey")).orderBy(col("day")).rangeBetween(-30, 0)
+    base.select(col("o_custkey"), col("o_orderkey"), col("day"),
+      sum(col("cents")).over(w).as("spend_30d_cents"),
+      count(lit(1)).over(w).as("n_orders_30d"))
+  }
+
+  /** Orders strictly above their customer's average order value — the
+    * correlated-scalar-subquery pattern, decorrelated into one window
+    * pass (no join, no second scan). The comparison is pure integer
+    * arithmetic (cents * n > sum_cents), exact at any scale.
+    */
+  def aboveCustomerAvg(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("o_custkey"))
+    Graft.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        expr("cast(round(o_totalprice * 100) as bigint)").as("cents"))
+      .withColumn("sum_cents", sum(col("cents")).over(w))
+      .withColumn("n", count(lit(1)).over(w))
+      .filter(col("cents") * col("n") > col("sum_cents"))
+      .select(col("o_orderkey"), col("o_custkey"), col("cents").as("price_cents"),
+        expr("sum_cents * 10000 div n").as("cust_avg_micros"))
+  }
+
+  /** Cheapest lineitem per part (argmin join): rank-1 window with a
+    * total-order tie-break. The rank column is dropped, so
+    * WindowTopKRule rewrites this into the bounded-heap TopKPerKey
+    * operator (k=1) — per-key argmin never global-sorts.
+    */
+  def cheapestPerPart(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("l_partkey"))
+      .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+    Graft.lineitem(s, dir)
+      .select(col("l_partkey"), col("l_orderkey"),
+        col("l_linenumber").cast("long").as("l_linenumber"), col("l_extendedprice"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+  }
+
   val oracle: Map[String, String] = Map(
+    "events_mad" ->
+      """WITH med AS (SELECT event_type AS mt, round(quantile_cont(value, 0.5), 4) AS med
+        |  FROM events GROUP BY 1),
+        |dev AS (SELECT event_type, value, med FROM events JOIN med ON event_type = mt),
+        |mad AS (SELECT event_type AS dt, round(quantile_cont(abs(value - med), 0.5), 4) AS mad
+        |  FROM dev GROUP BY 1)
+        |SELECT event_type, max(med) AS med, max(mad) AS mad,
+        | CAST(sum(CASE WHEN abs(value - med) > mad * 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM dev JOIN mad ON event_type = dt
+        |GROUP BY event_type""".stripMargin,
+    "window_range" ->
+      """WITH b AS (SELECT o_custkey, o_orderkey,
+        |  date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
+        |SELECT o_custkey, o_orderkey, CAST(day AS BIGINT) AS day,
+        | CAST(sum(cents) OVER w AS BIGINT) AS spend_30d_cents,
+        | count(*) OVER w AS n_orders_30d
+        |FROM b WINDOW w AS (PARTITION BY o_custkey ORDER BY day
+        |  RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)""".stripMargin,
+    "q_above_avg" ->
+      """WITH b AS (SELECT o_orderkey, o_custkey,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        |w AS (SELECT o_orderkey, o_custkey, cents,
+        |  CAST(sum(cents) OVER (PARTITION BY o_custkey) AS BIGINT) AS sum_cents,
+        |  count(*) OVER (PARTITION BY o_custkey) AS n FROM b)
+        |SELECT o_orderkey, o_custkey, cents AS price_cents,
+        | sum_cents * 10000 // n AS cust_avg_micros
+        |FROM w WHERE cents * n > sum_cents""".stripMargin,
+    "q_argmin_join" ->
+      """SELECT l_partkey, l_orderkey, l_linenumber, l_extendedprice FROM (
+        | SELECT l_partkey, l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |  l_extendedprice,
+        |  row_number() OVER (PARTITION BY l_partkey
+        |    ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn
+        | FROM lineitem)
+        |WHERE rn = 1""".stripMargin,
     "events_props_json" ->
       """SELECT event_type,
         | count(DISTINCT CAST(props->>'$.k' AS BIGINT)) AS n_k,

@@ -213,6 +213,69 @@ object Ann {
         round(avg(col("cos_raw")), 6).as("mean_cos_to_centroid"))
   }
 
+  /** One Lloyd iteration of k-means over the IVF centroids: assign all
+    * vectors (ivf_assign projection kernel), recompute each centroid as
+    * the member mean (fvec_avg partial aggregate — clusters x 65 doubles
+    * shuffle, never the vectors), report member count, the cosine
+    * between old and new centroid (convergence signal), and the new
+    * centroid norm. This is the index-training loop every IVF
+    * deployment runs; one iteration per pass keeps every stage
+    * partial-agg shaped at 100 TB.
+    */
+  def kmeansStep(s: SparkSession, dir: String): DataFrame = {
+    val newCents = assignments(s, dir)
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_members"),
+        call_function("fvec_avg", col("embedding"), lit(64)).as("nvec"))
+    val oldCents = Graft.embeddings(s, dir).filter(col("vec_id") < 8)
+      .select(col("vec_id").as("ocid"), col("embedding").as("ovec"))
+    newCents.join(broadcast(oldCents), col("cid") === col("ocid"))
+      .select(col("cid"), col("n_members"),
+        round(VectorOps.cosine(col("ovec"), col("nvec")), 6).as("shift_cos6"),
+        round(VectorOps.norm(col("nvec")), 6).as("new_norm6"))
+  }
+
+  /** Product-quantization ANN (ADC search): the 64-dim space splits into
+    * 4 subspaces of 16; each subspace has a 16-codeword codebook
+    * (deterministic: the sub-slices of vectors 16..31). Encoding is the
+    * ivf_assign argmax kernel per (vector, subspace); query scoring is
+    * asymmetric distance computation — the exact query sub-slices dotted
+    * with each code's centroid, summed across subspaces in fixed order.
+    * PQ stores 4 bytes/vector instead of 256: THE memory-bound scale
+    * path for 100 TB vector search (codebooks always broadcast; encoding
+    * and scoring are per-row projections + one 4-rows-per-vector sum).
+    */
+  def pq(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val toSubs = "transform(sequence(0, 3), m -> slice(%s, m * 16 + 1, 16))"
+    val subs = Graft.embeddings(s, dir)
+      .select(col("vec_id"), posexplode(expr(toSubs.format("embedding"))).as(Seq("m", "sub")))
+    val cb = Graft.embeddings(s, dir)
+      .filter(col("vec_id") >= 16 && col("vec_id") < 32)
+      .select((col("vec_id") - 16).as("cid"),
+        posexplode(expr(toSubs.format("embedding"))).as(Seq("cm", "cvec")))
+    val cents = cb.groupBy(col("cm"))
+      .agg(collect_list(struct(col("cid"), col("cvec"))).as("cents"))
+    val codes = subs.join(broadcast(cents), col("m") === col("cm"))
+      .select(col("vec_id"), col("m"),
+        call_function("ivf_assign", col("sub"), col("cents")).as("code"))
+    val qsubs = SemanticSearch.queryVec(s, dir)
+      .select(posexplode(expr(toSubs.format("qvec"))).as(Seq("qm", "qsub")))
+    codes
+      .join(broadcast(cb.select(col("cm").as("wm"), col("cid").as("wcid"), col("cvec").as("wvec"))),
+        col("m") === col("wm") && col("code") === col("wcid"))
+      .join(broadcast(qsubs), col("m") === col("qm"))
+      .select(col("vec_id"), col("m"), VectorOps.dot(col("qsub"), col("wvec")).as("d"))
+      .groupBy(col("vec_id"))
+      // fixed-order four-term sum (m0 + m1 + m2 + m3): double addition is
+      // order-sensitive; a bare sum() would merge in partition order
+      .agg(round(
+        max(when(col("m") === 0, col("d"))) + max(when(col("m") === 1, col("d"))) +
+          max(when(col("m") === 2, col("d"))) + max(when(col("m") === 3, col("d"))), 6)
+        .as("adc6"))
+      .orderBy(col("adc6").desc, col("vec_id"))
+      .limit(k)
+  }
+
   private val duckCosPair =
     """list_sum(list_transform(range(1,65), i -> x.v[i] * y.v[i]))
       | / (sqrt(list_sum(list_transform(range(1,65), i -> x.v[i] * x.v[i])))
@@ -223,6 +286,52 @@ object Ann {
       | list_transform(embedding, z -> CAST(z AS DOUBLE)) AS v FROM embeddings)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "kmeans_step" ->
+      s"""WITH $duckE,
+         |c AS (SELECT vec_id AS cid, v FROM e WHERE vec_id < 8),
+         |sc AS (SELECT x.vec_id, y.cid, round($duckCosPair, 6) AS cscore
+         |       FROM e x JOIN (SELECT cid, v FROM c) y ON true),
+         |asg AS (SELECT vec_id, cid FROM (
+         |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+         |          ORDER BY cscore DESC, cid) AS rn FROM sc) WHERE rn = 1),
+         |m AS (SELECT asg.cid, e.vec_id, e.v FROM e JOIN asg ON e.vec_id = asg.vec_id),
+         |nm AS (SELECT cid, count(*) AS n_members FROM m GROUP BY 1),
+         |nc AS (SELECT cid, i AS pos, avg(v[i]) AS nv
+         |       FROM m, range(1, 65) t(i) GROUP BY 1, 2),
+         |oc AS (SELECT vec_id AS cid, v AS ov FROM e WHERE vec_id < 8),
+         |d AS (SELECT nc.cid,
+         |        sum(oc.ov[nc.pos] * nc.nv) AS dot,
+         |        sqrt(sum(oc.ov[nc.pos] * oc.ov[nc.pos])) AS onorm,
+         |        sqrt(sum(nc.nv * nc.nv)) AS nnorm
+         |      FROM nc JOIN oc ON nc.cid = oc.cid GROUP BY 1)
+         |SELECT d.cid, nm.n_members,
+         | round(dot / (onorm * nnorm), 6) AS shift_cos6,
+         | round(nnorm, 6) AS new_norm6
+         |FROM d JOIN nm ON d.cid = nm.cid""".stripMargin,
+    "ann_pq" ->
+      s"""WITH $duckE,
+         |sub AS (SELECT vec_id, m, list_slice(v, m * 16 + 1, m * 16 + 16) AS s
+         |        FROM e, range(0, 4) t(m)),
+         |cb AS (SELECT vec_id - 16 AS cid, m, list_slice(v, m * 16 + 1, m * 16 + 16) AS s
+         |       FROM e, range(0, 4) t(m) WHERE vec_id >= 16 AND vec_id < 32),
+         |sc AS (SELECT x.vec_id, x.m, y.cid,
+         |        round(list_sum(list_transform(range(1, 17), i -> x.s[i] * y.s[i]))
+         |         / (sqrt(list_sum(list_transform(range(1, 17), i -> x.s[i] * x.s[i])))
+         |            * sqrt(list_sum(list_transform(range(1, 17), i -> y.s[i] * y.s[i])))), 6) AS cs
+         |       FROM sub x JOIN cb y ON x.m = y.m),
+         |code AS (SELECT vec_id, m, cid FROM (
+         |  SELECT vec_id, m, cid, row_number() OVER (PARTITION BY vec_id, m
+         |          ORDER BY cs DESC, cid) AS rn FROM sc) WHERE rn = 1),
+         |q AS (SELECT m, s FROM sub WHERE vec_id = (SELECT min(vec_id) FROM e)),
+         |contrib AS (SELECT code.vec_id, code.m,
+         |        list_sum(list_transform(range(1, 17), i -> q.s[i] * cb.s[i])) AS d
+         |       FROM code JOIN cb ON code.m = cb.m AND code.cid = cb.cid
+         |            JOIN q ON q.m = code.m)
+         |SELECT vec_id,
+         | round(max(CASE WHEN m = 0 THEN d END) + max(CASE WHEN m = 1 THEN d END)
+         |     + max(CASE WHEN m = 2 THEN d END) + max(CASE WHEN m = 3 THEN d END), 6) AS adc6
+         |FROM contrib GROUP BY vec_id
+         |ORDER BY adc6 DESC, vec_id LIMIT 10""".stripMargin,
     "ann_bruteforce" ->
       s"""WITH $duckE,
          |q AS (SELECT v FROM e WHERE vec_id = (SELECT min(vec_id) FROM e))

