@@ -103,6 +103,10 @@ object SparkEntry {
     "dedup_containment" -> ((s: SparkSession, d: String) => Dedup.containment(s, d)),
     "kmeans_step" -> (Ann.kmeansStep _),
     "ann_pq" -> ((s: SparkSession, d: String) => Ann.pq(s, d)),
+    "events_transitions" -> (Analytics.eventTransitions _),
+    "events_sliding" -> (Analytics.slidingCounts _),
+    "q_spend_quartiles" -> (Analytics.spendQuartiles _),
+    "text_unigram_logprob" -> (TextAnalysis.unigramLogprob _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column names!). */

@@ -268,7 +268,91 @@ object Analytics {
       .drop("rn")
   }
 
+  /** Event-type transition matrix (first-order Markov): per user the
+    * time-ordered next event via lead(), pair counts, and per-source
+    * transition probabilities as integer micros (window sum, no second
+    * pass). One shuffle on user_id + one on the 5x5 pair key.
+    */
+  def eventTransitions(s: SparkSession, dir: String): DataFrame = {
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val byFrom = org.apache.spark.sql.expressions.Window.partitionBy(col("from_type"))
+    Graft.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(byUser))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("sum_n", sum(col("n")).over(byFrom))
+      .select(col("from_type"), col("to_type"), col("n"),
+        expr("n * 1000000 div sum_n").as("prob_micros"))
+  }
+
+  /** Sliding-window aggregation (1 h window, 15 min slide) per event
+    * type — the batch twin of the streaming windowed aggregation; every
+    * event lands in 4 overlapping windows via Spark's native window()
+    * expansion (a projection, not a join). Window starts are epoch
+    * seconds for the cross-engine compare.
+    */
+  def slidingCounts(s: SparkSession, dir: String): DataFrame =
+    Graft.events(s, dir)
+      .select(col("event_type"), expr("timestamp_seconds(ts div 1000000000)").as("t"),
+        col("value"))
+      .groupBy(window(col("t"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("event_type"), col("window.start").cast("long").as("wstart"),
+        col("n"), col("sum_value"))
+
+  /** Customer spend quartiles WITHOUT a global sort: exact quantile
+    * thresholds from one aggregation pass (floor'd to integer cents —
+    * floor is tie-safe across engines where round() is not), broadcast
+    * back, bucket as a projection. ntile() would force a single-partition
+    * global window; this shape stays two partial-agg passes + a map at
+    * any scale.
+    */
+  def spendQuartiles(s: SparkSession, dir: String): DataFrame = {
+    val spend = Graft.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(expr("cast(round(o_totalprice * 100) as bigint)")).as("spend_cents"))
+    val th = spend.agg(
+      expr("cast(floor(percentile(spend_cents, 0.25)) as bigint)").as("t1"),
+      expr("cast(floor(percentile(spend_cents, 0.5)) as bigint)").as("t2"),
+      expr("cast(floor(percentile(spend_cents, 0.75)) as bigint)").as("t3"))
+    spend.crossJoin(broadcast(th))
+      .select(col("o_custkey"), col("spend_cents"),
+        expr("""1 + if(spend_cents > t1, 1, 0) + if(spend_cents > t2, 1, 0)
+                |  + if(spend_cents > t3, 1, 0)""".stripMargin).cast("long").as("quartile"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "events_transitions" ->
+      """WITH p AS (SELECT event_type AS from_type,
+        |  lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+        | FROM events),
+        |c AS (SELECT from_type, to_type, count(*) AS n FROM p
+        |      WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        | n * 1000000 // CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT) AS prob_micros
+        |FROM c""".stripMargin,
+    "events_sliding" ->
+      """WITH e AS (SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS sec, value
+        |  FROM events),
+        |w AS (SELECT event_type, (sec // 900) * 900 - j * 900 AS wstart, value
+        |      FROM e, range(0, 4) t(j))
+        |SELECT event_type, wstart, count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM w GROUP BY 1, 2""".stripMargin,
+    "q_spend_quartiles" ->
+      """WITH s AS (SELECT o_custkey,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS spend_cents
+        | FROM orders GROUP BY 1),
+        |th AS (SELECT CAST(floor(quantile_cont(spend_cents, 0.25)) AS BIGINT) AS t1,
+        |        CAST(floor(quantile_cont(spend_cents, 0.5)) AS BIGINT) AS t2,
+        |        CAST(floor(quantile_cont(spend_cents, 0.75)) AS BIGINT) AS t3 FROM s)
+        |SELECT o_custkey, spend_cents,
+        | CAST(1 + (CASE WHEN spend_cents > t1 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN spend_cents > t2 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN spend_cents > t3 THEN 1 ELSE 0 END) AS BIGINT) AS quartile
+        |FROM s, th""".stripMargin,
     "events_mad" ->
       """WITH med AS (SELECT event_type AS mt, round(quantile_cont(value, 0.5), 4) AS med
         |  FROM events GROUP BY 1),

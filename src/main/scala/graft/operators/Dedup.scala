@@ -485,21 +485,24 @@ object Dedup {
 
   /** Per-document duplication profile: what fraction of a document's
     * chunks also occur in at least one OTHER document — the
-    * keep/trim/drop signal of chunk-level dedup pipelines. One global
-    * chunk-hash aggregation + a join-back; both sides hash-partition on
-    * the chunk hash, so ReusedExchange computes the chunking subtree
-    * once (SHUFFLE_HASH, never broadcast — see SURVEY §4).
+    * keep/trim/drop signal of chunk-level dedup pipelines. Formulated as
+    * aggregate-then-window so the chunking projection runs ONCE: dedupe
+    * to (hash, doc) with per-doc occurrence counts, count docs per hash
+    * as an unordered window over the hash partition, roll up per doc. A
+    * join-back formulation computes the chunk subtree twice
+    * (countDistinct's partial agg blocks ReusedExchange) and shuffles
+    * the full instance stream one extra time.
     */
   def docDupFraction(s: SparkSession, dir: String): DataFrame = {
-    val ch = Chunking.fixedWindows(s, dir)
+    val dist = Chunking.fixedWindows(s, dir)
       .select(col("doc_id"), md5(col("chunk")).as("h"))
-      .hint("SHUFFLE_HASH")
-    val global = ch.groupBy(col("h"))
-      .agg(countDistinct(col("doc_id")).as("nd"))
-    ch.join(global, "h")
+      .groupBy(col("h"), col("doc_id"))
+      .agg(count(lit(1)).as("n_occ"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
+    dist.withColumn("nd", count(lit(1)).over(w))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_chunks"),
-        sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_shared_chunks"))
+      .agg(sum(col("n_occ")).as("n_chunks"),
+        sum(when(col("nd") >= 2, col("n_occ")).otherwise(0L)).as("n_shared_chunks"))
       .select(col("doc_id"), col("n_chunks"), col("n_shared_chunks"),
         expr("n_shared_chunks * 1000000 div n_chunks").as("dup_frac_micros"))
   }

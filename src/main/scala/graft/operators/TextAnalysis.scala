@@ -231,6 +231,30 @@ object TextAnalysis {
       .limit(20)
   }
 
+  /** CCNet-style unigram language-model scoring: corpus unigram
+    * probabilities, per-document mean negative log-likelihood — the
+    * classic "does this look like the corpus" quality filter. Each
+    * token's log-prob is quantized to integer micros BEFORE the per-doc
+    * sum, so the aggregation is order-independent integer arithmetic
+    * (a float sum would depend on partial-aggregate merge order). The
+    * unigram table is vocabulary-sized → broadcast join.
+    */
+  def unigramLogprob(s: SparkSession, dir: String): DataFrame = {
+    val toks = Graft.documents(s, dir)
+      .select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("tok"))
+    val nt = toks.agg(count(lit(1)).as("nt"))
+    val uni = toks.groupBy(col("tok")).agg(count(lit(1)).as("c1"))
+      .crossJoin(broadcast(nt))
+      .select(col("tok").as("u_tok"),
+        expr("cast(round(ln(cast(c1 as double) / cast(nt as double)) * 1000000) as bigint)")
+          .as("lp_micros"))
+    toks.join(broadcast(uni), col("tok") === col("u_tok"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_toks"), sum(col("lp_micros")).as("sum_lp"))
+      .select(col("doc_id"), col("n_toks"),
+        expr("(-sum_lp) div n_toks").as("nll_per_tok_micros"))
+  }
+
   /** First 8 hex digits of hex-string expression `h` as a long —
     * portable (posFn = instr for Spark, strpos for DuckDB).
     */
@@ -256,6 +280,17 @@ object TextAnalysis {
       | FROM whs)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "text_unigram_logprob" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok
+        |  FROM documents),
+        |nt AS (SELECT count(*) AS nt FROM toks),
+        |uni AS (SELECT tok, CAST(round(ln(CAST(count(*) AS DOUBLE)
+        |          / CAST((SELECT nt FROM nt) AS DOUBLE)) * 1000000) AS BIGINT) AS lp_micros
+        |        FROM toks GROUP BY tok)
+        |SELECT doc_id, count(*) AS n_toks,
+        | (-CAST(sum(lp_micros) AS BIGINT)) // count(*) AS nll_per_tok_micros
+        |FROM toks JOIN uni USING (tok)
+        |GROUP BY doc_id""".stripMargin,
     "tfidf_topk" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok
         |  FROM documents),

@@ -124,6 +124,40 @@ class Round3OpsSpec extends SparkSpec {
     }
   }
 
+  test("eventTransitions: probabilities per source sum to ~1e6") {
+    val rows = Analytics.eventTransitions(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("from_type")).foreach { case (from, rs) =>
+      val total = rs.map(_.getAs[Long]("prob_micros")).sum
+      // integer floor division loses < 1 micro per destination type
+      assert(total > 1000000L - rs.length && total <= 1000000L, s"$from sums to $total")
+    }
+  }
+
+  test("slidingCounts: every event lands in exactly 4 windows") {
+    val n = Analytics.slidingCounts(spark, dir).agg(sum("n")).head().getLong(0)
+    assert(n === 4L * Graft.events(spark, dir).count())
+  }
+
+  test("spendQuartiles: buckets ordered by spend, all four present") {
+    val rows = Analytics.spendQuartiles(spark, dir).collect()
+    assert(rows.map(_.getAs[Long]("quartile")).toSet === Set(1L, 2L, 3L, 4L))
+    val byQ = rows.groupBy(_.getAs[Long]("quartile"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("spend_cents")) }
+    for (q <- 1L to 3L)
+      assert(byQ(q).max <= byQ(q + 1).min,
+        s"quartile $q max overlaps ${q + 1} min")
+  }
+
+  test("unigramLogprob: NLL positive, n_toks conserved") {
+    val rows = TextAnalysis.unigramLogprob(spark, dir).collect()
+    assert(rows.length === Graft.documents(spark, dir).count())
+    rows.foreach { r =>
+      assert(r.getAs[Long]("nll_per_tok_micros") > 0L) // every p(w) < 1
+      assert(r.getAs[Long]("n_toks") > 0L)
+    }
+  }
+
   test("pq: ADC scores ranked, bounded by the product of norms") {
     val rows = Ann.pq(spark, dir).collect()
     assert(rows.length === 10)
