@@ -107,6 +107,8 @@ object SparkEntry {
     "events_sliding" -> (Analytics.slidingCounts _),
     "q_spend_quartiles" -> (Analytics.spendQuartiles _),
     "text_unigram_logprob" -> (TextAnalysis.unigramLogprob _),
+    "q_market_share" -> (Relational.marketShare _),
+    "q_nation_traffic" -> (Relational.nationTraffic _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column names!). */

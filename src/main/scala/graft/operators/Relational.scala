@@ -76,7 +76,82 @@ object Relational {
       .filter(col("rn") <= 3)
   }
 
+  /** Exact revenue in $1e-4 units: price_cents * (100 - discount
+    * hundredths). Both factors sit on 2dp grids, so this is the exact
+    * integer form of extendedprice * (1 - discount) — summable at any
+    * scale with zero float drift (long holds ~9e18; div-rescale before
+    * any further multiply).
+    */
+  private val revU = "cast(round(l_extendedprice * 100) as bigint)" +
+    " * (100 - cast(round(l_discount * 100) as bigint))"
+  private val duckRevU = "CAST(round(l_extendedprice * 100) AS BIGINT)" +
+    " * (100 - CAST(round(l_discount * 100) AS BIGINT))"
+
+  /** TPC-H Q8-flavored market share: each customer-nation's share of
+    * yearly revenue. Fact-fact join shuffles on orderkey; customer and
+    * nation broadcast; the per-year total is a window over the tiny
+    * (year x nation) aggregate. Shares are integer micros computed on
+    * div-rescaled dollars so the multiply never overflows long.
+    */
+  def marketShare(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("o_year"))
+    Graft.lineitem(s, dir)
+      .join(Graft.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Graft.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Graft.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"),
+        col("n_name").as("nation"))
+      .agg(sum(expr(revU)).as("revenue_e4"))
+      .withColumn("total_e4", sum(col("revenue_e4")).over(w))
+      .select(col("o_year"), col("nation"), col("revenue_e4"),
+        expr("(revenue_e4 div 10000) * 1000000 div (total_e4 div 10000)").as("share_micros"))
+  }
+
+  /** TPC-H Q7-flavored nation traffic: revenue shipped between distinct
+    * (customer nation, supplier nation) pairs. One orderkey shuffle;
+    * both nation lookups broadcast; the inequality filter lands before
+    * the aggregation.
+    */
+  def nationTraffic(s: SparkSession, dir: String): DataFrame = {
+    val custNation = Graft.customer(s, dir)
+      .join(broadcast(Graft.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    val suppNation = Graft.supplier(s, dir)
+      .join(broadcast(Graft.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    Graft.lineitem(s, dir)
+      .join(Graft.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(custNation), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .filter(col("cust_nation") =!= col("supp_nation"))
+      .groupBy(col("cust_nation"), col("supp_nation"))
+      .agg(count(lit(1)).as("n_items"), sum(expr(revU)).as("revenue_e4"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "q_market_share" ->
+      s"""WITH a AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, n_name AS nation,
+         |  CAST(sum($duckRevU) AS BIGINT) AS revenue_e4
+         | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN customer ON o_custkey = c_custkey
+         |  JOIN nation ON c_nationkey = n_nationkey
+         | GROUP BY 1, 2),
+         |t AS (SELECT *, CAST(sum(revenue_e4) OVER (PARTITION BY o_year) AS BIGINT) AS total_e4
+         |      FROM a)
+         |SELECT o_year, nation, revenue_e4,
+         | (revenue_e4 // 10000) * 1000000 // (total_e4 // 10000) AS share_micros
+         |FROM t""".stripMargin,
+    "q_nation_traffic" ->
+      s"""SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+         | count(*) AS n_items, CAST(sum($duckRevU) AS BIGINT) AS revenue_e4
+         |FROM lineitem
+         | JOIN orders ON l_orderkey = o_orderkey
+         | JOIN customer ON o_custkey = c_custkey
+         | JOIN nation cn ON c_nationkey = cn.n_nationkey
+         | JOIN supplier ON l_suppkey = s_suppkey
+         | JOIN nation sn ON s_nationkey = sn.n_nationkey
+         |WHERE cn.n_name != sn.n_name
+         |GROUP BY 1, 2""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity),2) AS sum_qty,

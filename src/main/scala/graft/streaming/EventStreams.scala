@@ -41,6 +41,19 @@ object EventStreams {
       .select(unix_timestamp(col("window.start")).as("hour_sec"),
         col("event_type"), col("n_events"), col("sum_value"))
 
+  /** Sliding 1-hour windows every 15 minutes per event type, 2h
+    * watermark — each event updates its 4 overlapping windows; state is
+    * bounded by (open windows x types). Batch twin:
+    * graft.operators.Analytics.slidingCounts.
+    */
+  def sliding(events: DataFrame): DataFrame =
+    withEventTime(events)
+      .withWatermark("event_time", "2 hours")
+      .groupBy(window(col("event_time"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("event_type"), unix_timestamp(col("window.start")).as("wstart"),
+        col("n"), col("sum_value"))
+
   /** Gap-based sessionization (30-min inactivity) with typed per-user
     * state via flatMapGroupsWithState. Emits a session when a new event
     * arrives more than `gapSec` after the last one, or when the user's

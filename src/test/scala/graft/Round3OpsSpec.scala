@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Analytics, Ann, Dedup, TextAnalysis}
+import graft.operators.{Analytics, Ann, Dedup, Relational, TextAnalysis}
 
 /** Round-3 operators: robust stats, range frames, decorrelated
   * subqueries, chunk-level dedup, TF-IDF/PMI, k-means step, PQ search.
@@ -155,6 +155,23 @@ class Round3OpsSpec extends SparkSpec {
     rows.foreach { r =>
       assert(r.getAs[Long]("nll_per_tok_micros") > 0L) // every p(w) < 1
       assert(r.getAs[Long]("n_toks") > 0L)
+    }
+  }
+
+  test("marketShare: yearly shares sum to ~1e6, revenue conserved") {
+    val rows = Relational.marketShare(spark, dir).collect()
+    rows.groupBy(_.getAs[Long]("o_year")).foreach { case (y, rs) =>
+      val total = rs.map(_.getAs[Long]("share_micros")).sum
+      assert(total > 1000000L - rs.length && total <= 1000000L, s"year $y sums to $total")
+    }
+  }
+
+  test("nationTraffic: no same-nation pairs, positive revenue") {
+    val rows = Relational.nationTraffic(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[String]("cust_nation") !== r.getAs[String]("supp_nation"))
+      assert(r.getAs[Long]("revenue_e4") > 0L)
     }
   }
 

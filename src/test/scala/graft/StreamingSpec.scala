@@ -53,6 +53,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming sliding windows equal the batch sliding operator") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-slide").toString
+    val batch = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    batch.write.mode("overwrite").parquet(dir)
+    val q = EventStreams.sliding(
+      EventStreams.fromParquetDir(spark, dir, batch))
+      .writeStream.format("memory").queryName("slide_out")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("slide_out")
+        .groupBy("event_type", "wstart")
+        .agg(org.apache.spark.sql.functions.last("n").as("n"),
+          org.apache.spark.sql.functions.last("sum_value").as("sum_value"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      val batchRes = graft.operators.Analytics.slidingCounts(spark, "/root/testdata/sf0.001")
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(streamed === batchRes)
+    } finally q.stop()
+  }
+
   test("streaming sessionization matches batch sessions (closed ones)") {
     implicit val sqlCtx = spark.sqlContext
     val raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
