@@ -109,6 +109,7 @@ object SparkEntry {
     "text_unigram_logprob" -> (TextAnalysis.unigramLogprob _),
     "q_market_share" -> (Relational.marketShare _),
     "q_nation_traffic" -> (Relational.nationTraffic _),
+    "events_dau_wau" -> (Analytics.dauWau _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column names!). */

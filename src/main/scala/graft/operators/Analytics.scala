@@ -324,7 +324,37 @@ object Analytics {
                 |  + if(spend_cents > t3, 1, 0)""".stripMargin).cast("long").as("quartile"))
   }
 
+  /** DAU / trailing-7-day WAU engagement per active day. Exact distinct
+    * over a sliding window cannot use a window sum (distinct doesn't
+    * merge), so each (user, day) activity row is exploded to the 7
+    * target days it counts toward — a bounded x7 expansion — then both
+    * distinct counts are grouped passes. At 100 TB the same shape runs
+    * on HLL sketches (events_approx_stats) with the explode unchanged.
+    */
+  def dauWau(s: SparkSession, dir: String): DataFrame = {
+    val ud = Graft.events(s, dir)
+      .select(col("user_id"), expr("ts div 1000000000 div 86400").as("day"))
+      .distinct()
+    val dau = ud.groupBy(col("day")).agg(countDistinct(col("user_id")).as("dau"))
+    val wau = ud
+      .select(col("user_id"), explode(expr("sequence(day, day + 6)")).as("td"))
+      .distinct()
+      .groupBy(col("td")).agg(countDistinct(col("user_id")).as("wau"))
+    dau.join(wau, col("day") === col("td"))
+      .select(col("day"), col("dau"), col("wau"),
+        expr("dau * 1000000 div wau").as("stickiness_micros"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "events_dau_wau" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+        |  CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day FROM events),
+        |dau AS (SELECT day, count(DISTINCT user_id) AS dau FROM ud GROUP BY 1),
+        |wau AS (SELECT td, count(DISTINCT user_id) AS wau FROM (
+        |  SELECT DISTINCT user_id, unnest(range(day, day + 7)) AS td FROM ud)
+        | GROUP BY 1)
+        |SELECT day, dau, wau, dau * 1000000 // wau AS stickiness_micros
+        |FROM dau JOIN wau ON day = td""".stripMargin,
     "events_transitions" ->
       """WITH p AS (SELECT event_type AS from_type,
         |  lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type

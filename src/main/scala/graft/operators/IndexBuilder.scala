@@ -70,6 +70,28 @@ object IndexBuilder {
     (s.read.parquet(s"$outDir/main"), s.read.parquet(s"$outDir/chunks"))
   }
 
+  /** Compact an index generation: upsert generations accumulate small
+    * unbucketed parquet fragments (each merge writes plain files);
+    * compaction rewrites CHUNKS into the bucketed+sorted layout and
+    * MAIN re-clustered by doc key, restoring the shuffle-free
+    * id-filtered lookup property and the small-file budget. Pure
+    * rewrite — row set must be identical (IndexBuilderSpec asserts
+    * read-equivalence); emitted as a NEW generation like upsert, so
+    * readers never see a half-compacted index.
+    */
+  def compact(s: SparkSession, indexDir: String, outDir: String, buckets: Int = 16): (DataFrame, DataFrame) = {
+    val main = s.read.parquet(s"$indexDir/main")
+    val chunks = s.read.parquet(s"$indexDir/chunks")
+    main.repartition(col("doc_key")).sortWithinPartitions("doc_key")
+      .write.mode("overwrite").parquet(s"$outDir/main")
+    s.sql("DROP TABLE IF EXISTS graft_chunks_compacted")
+    chunks.write.mode("overwrite")
+      .bucketBy(buckets, "doc_key").sortBy("doc_key", "chunk_id")
+      .option("path", s"$outDir/chunks")
+      .saveAsTable("graft_chunks_compacted")
+    (s.read.parquet(s"$outDir/main"), s.table("graft_chunks_compacted"))
+  }
+
   /** Materialize the two collections: MAIN plain parquet (small: one row
     * per doc), CHUNKS bucketed by doc_key. Returns re-loaded frames.
     */

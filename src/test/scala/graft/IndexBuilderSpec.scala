@@ -58,6 +58,36 @@ class IndexBuilderSpec extends SparkSpec {
       m2.orderBy("doc_key").collect().map(_.getAs[String]("point_id")).toSeq)
   }
 
+  test("compact preserves the row set and restores the bucketed layout") {
+    import spark.implicits._
+    // gen1: an upserted (fragmented, unbucketed) generation
+    val v1 = Files.createTempDirectory("graft-cpt-v1").toString
+    val (m0, c0) = IndexBuilder.build(spark, dir)
+    m0.write.parquet(s"$v1/main"); c0.write.parquet(s"$v1/chunks")
+    def unit(axis: Int): Array[Float] = {
+      val a = new Array[Float](SemanticSearch.Dim); a(axis) = 1.0f; a
+    }
+    val batch = Seq((0, 5000L, unit(0))).toDF("doc_key", "chunk_id", "embedding")
+    val v2 = Files.createTempDirectory("graft-cpt-v2").toString
+    val (m2, c2) = IndexBuilder.upsert(spark, v1, batch, v2)
+
+    val v3 = Files.createTempDirectory("graft-cpt-v3").toString
+    val (m3, c3) = IndexBuilder.compact(spark, v2, v3, buckets = 4)
+    // pure rewrite: identical row sets
+    assert(m3.orderBy("doc_key").collect().map(_.getAs[String]("point_id")).toSeq ===
+      m2.orderBy("doc_key").collect().map(_.getAs[String]("point_id")).toSeq)
+    assert(c3.count() === c2.count())
+    assert(c3.select("doc_key", "chunk_id").orderBy("doc_key", "chunk_id").collect().toSeq ===
+      c2.select("doc_key", "chunk_id").orderBy("doc_key", "chunk_id").collect().toSeq)
+    // bucketed again: the id-filtered self-join plans shuffle-free
+    val j = c3.as("a").join(c3.as("b"), "doc_key")
+    j.count()
+    val shuffles = j.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+    }
+    assert(shuffles.isEmpty, s"compacted chunks join must not shuffle: $shuffles")
+  }
+
   test("chunks collection round-trips bucketed with chunk metadata") {
     val out = Files.createTempDirectory("graft-index").toString
     val (main, chunks) = IndexBuilder.write(spark, dir, out, buckets = 4)

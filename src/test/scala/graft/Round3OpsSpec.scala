@@ -175,6 +175,16 @@ class Round3OpsSpec extends SparkSpec {
     }
   }
 
+  test("dauWau: DAU never exceeds WAU, stickiness within (0, 1e6]") {
+    val rows = Analytics.dauWau(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("dau") <= r.getAs[Long]("wau"))
+      val s = r.getAs[Long]("stickiness_micros")
+      assert(s > 0L && s <= 1000000L)
+    }
+  }
+
   test("pq: ADC scores ranked, bounded by the product of norms") {
     val rows = Ann.pq(spark, dir).collect()
     assert(rows.length === 10)
