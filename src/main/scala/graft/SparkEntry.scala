@@ -110,6 +110,7 @@ object SparkEntry {
     "q_market_share" -> (Relational.marketShare _),
     "q_nation_traffic" -> (Relational.nationTraffic _),
     "events_dau_wau" -> (Analytics.dauWau _),
+    "graph_pagerank" -> ((s: SparkSession, d: String) => Dedup.pagerank(s, d)),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column names!). */

@@ -530,6 +530,36 @@ object Dedup {
       .filter(col("overlap_micros") >= tauMicros)
   }
 
+  /** PageRank (2 unrolled iterations, damping 0.85) over the undirected
+    * near-dup pair graph — ranks which documents sit at the center of
+    * duplication clusters (dedup triage prioritizes high-rank docs).
+    * All rank arithmetic is integer micros (contrib = rank div deg,
+    * damped sum div 1e6), so iteration results are bit-identical across
+    * engines and partitionings. Each iteration is one edges⋈ranks join
+    * + one grouped sum, both co-partitioned on the vertex key; the graph
+    * is the pair output — orders of magnitude smaller than the corpus.
+    */
+  def pagerank(s: SparkSession, dir: String, iters: Int = 2): DataFrame = {
+    val pairs = ngramJaccard(s, dir).select(col("id_a"), col("id_b"))
+    val edges = pairs
+      .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    var ranks = deg.select(col("src").as("v"), lit(1000000L).as("rank_micros"))
+    for (_ <- 1 to iters) {
+      val contribs = edges.join(deg, "src")
+        .join(ranks, col("src") === col("v"))
+        .select(col("dst"), expr("rank_micros div deg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("sc"))
+      ranks = deg.select(col("src").as("v"))
+        .join(contribs, col("v") === col("dst"), "left")
+        .select(col("v"),
+          expr("150000 + (850000 * coalesce(sc, 0)) div 1000000").as("rank_micros"))
+    }
+    ranks.join(deg, col("v") === col("src"))
+      .select(col("v").as("doc_id"), col("deg"), col("rank_micros"))
+  }
+
   private val duckShingles =
     """t AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents
       |      WHERE len(string_split_regex(text, '\s+')) >= 3),
@@ -546,6 +576,30 @@ object Dedup {
       | FROM (SELECT doc_id, toks, unnest(range(0, extra + 1)) AS i FROM fw1))""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "graph_pagerank" ->
+      s"""WITH $duckShingles,
+         |s AS (SELECT doc_id, unnest(shingles) AS sh FROM sar),
+         |sz AS (SELECT doc_id, count(*) AS n FROM s GROUP BY 1),
+         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+         |      FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |pairs AS (SELECT id_a, id_b
+         |  FROM p JOIN sz x ON x.doc_id = id_a JOIN sz y ON y.doc_id = id_b
+         |  WHERE inter * 1000000 // (x.n + y.n - inter) >= 500000),
+         |e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |      UNION ALL SELECT id_b, id_a FROM pairs),
+         |d AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+         |r0 AS (SELECT src AS v, CAST(1000000 AS BIGINT) AS rank_micros FROM d),
+         |c1 AS (SELECT dst, CAST(sum(rank_micros // deg) AS BIGINT) AS sc
+         |       FROM e JOIN d USING (src) JOIN r0 ON src = v GROUP BY 1),
+         |r1 AS (SELECT d.src AS v,
+         |        150000 + (850000 * coalesce(sc, 0)) // 1000000 AS rank_micros
+         |       FROM d LEFT JOIN c1 ON d.src = c1.dst),
+         |c2 AS (SELECT dst, CAST(sum(rank_micros // deg) AS BIGINT) AS sc
+         |       FROM e JOIN d USING (src) JOIN r1 ON src = v GROUP BY 1),
+         |r2 AS (SELECT d.src AS v,
+         |        150000 + (850000 * coalesce(sc, 0)) // 1000000 AS rank_micros
+         |       FROM d LEFT JOIN c2 ON d.src = c2.dst)
+         |SELECT v AS doc_id, deg, rank_micros FROM r2 JOIN d ON v = d.src""".stripMargin,
     "chunk_dedup" ->
       s"""WITH $duckFixedChunks,
          |g AS (SELECT md5(chunk) AS chunk_hash, count(*) AS n_copies,

@@ -185,6 +185,20 @@ class Round3OpsSpec extends SparkSpec {
     }
   }
 
+  test("pagerank: ranks bounded, symmetric-degree graph conserves mass") {
+    val rows = Dedup.pagerank(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val rank = r.getAs[Long]("rank_micros")
+      assert(rank >= 150000L, s"rank below teleport floor: $rank")
+      assert(r.getAs[Long]("deg") >= 1L)
+    }
+    // total rank stays near n * 1e6 (integer floor loses < 1 micro/edge)
+    val total = rows.map(_.getAs[Long]("rank_micros")).sum
+    val n = rows.length.toLong
+    assert(total <= n * 1000000L && total > n * 1000000L - n - rows.map(_.getAs[Long]("deg")).sum)
+  }
+
   test("pq: ADC scores ranked, bounded by the product of norms") {
     val rows = Ann.pq(spark, dir).collect()
     assert(rows.length === 10)
