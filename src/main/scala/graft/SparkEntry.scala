@@ -111,6 +111,7 @@ object SparkEntry {
     "q_nation_traffic" -> (Relational.nationTraffic _),
     "events_dau_wau" -> (Analytics.dauWau _),
     "graph_pagerank" -> ((s: SparkSession, d: String) => Dedup.pagerank(s, d)),
+    "ann_pq_refine" -> ((s: SparkSession, d: String) => Ann.pqRefine(s, d)),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column names!). */

@@ -276,6 +276,22 @@ object Ann {
       .limit(k)
   }
 
+  /** Two-stage PQ search: ADC candidates (cheap, compressed domain) →
+    * exact cosine re-rank of the shortlist — the standard
+    * quality-recovery pattern of every PQ deployment. The candidate set
+    * (here 5x the final k) is a k-row frame, so the re-rank join
+    * broadcasts it and touches only shortlist vectors.
+    */
+  def pqRefine(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val shortlist = pq(s, dir, 5 * k).select(col("vec_id").as("cand_id"))
+    Graft.embeddings(s, dir)
+      .join(broadcast(shortlist), col("vec_id") === col("cand_id"))
+      .crossJoin(broadcast(SemanticSearch.queryVec(s, dir)))
+      .select(col("vec_id"), VectorOps.cosine6(col("embedding"), col("qvec")).as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(k)
+  }
+
   private val duckCosPair =
     """list_sum(list_transform(range(1,65), i -> x.v[i] * y.v[i]))
       | / (sqrt(list_sum(list_transform(range(1,65), i -> x.v[i] * x.v[i])))
@@ -284,6 +300,30 @@ object Ann {
   private val duckE =
     """e AS (SELECT vec_id, label,
       | list_transform(embedding, z -> CAST(z AS DOUBLE)) AS v FROM embeddings)""".stripMargin
+
+  /** Shared PQ CTE chain ending in `adc` = (vec_id, adc6). */
+  private val duckPqAdc =
+    """sub AS (SELECT vec_id, m, list_slice(v, m * 16 + 1, m * 16 + 16) AS s
+      |        FROM e, range(0, 4) t(m)),
+      |cb AS (SELECT vec_id - 16 AS cid, m, list_slice(v, m * 16 + 1, m * 16 + 16) AS s
+      |       FROM e, range(0, 4) t(m) WHERE vec_id >= 16 AND vec_id < 32),
+      |pqsc AS (SELECT x.vec_id, x.m, y.cid,
+      |        round(list_sum(list_transform(range(1, 17), i -> x.s[i] * y.s[i]))
+      |         / (sqrt(list_sum(list_transform(range(1, 17), i -> x.s[i] * x.s[i])))
+      |            * sqrt(list_sum(list_transform(range(1, 17), i -> y.s[i] * y.s[i])))), 6) AS cs
+      |       FROM sub x JOIN cb y ON x.m = y.m),
+      |code AS (SELECT vec_id, m, cid FROM (
+      |  SELECT vec_id, m, cid, row_number() OVER (PARTITION BY vec_id, m
+      |          ORDER BY cs DESC, cid) AS rn FROM pqsc) WHERE rn = 1),
+      |pqq AS (SELECT m, s FROM sub WHERE vec_id = (SELECT min(vec_id) FROM e)),
+      |contrib AS (SELECT code.vec_id, code.m,
+      |        list_sum(list_transform(range(1, 17), i -> pqq.s[i] * cb.s[i])) AS d
+      |       FROM code JOIN cb ON code.m = cb.m AND code.cid = cb.cid
+      |            JOIN pqq ON pqq.m = code.m),
+      |adc AS (SELECT vec_id,
+      |  round(max(CASE WHEN m = 0 THEN d END) + max(CASE WHEN m = 1 THEN d END)
+      |      + max(CASE WHEN m = 2 THEN d END) + max(CASE WHEN m = 3 THEN d END), 6) AS adc6
+      | FROM contrib GROUP BY vec_id)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "kmeans_step" ->
@@ -310,28 +350,16 @@ object Ann {
          |FROM d JOIN nm ON d.cid = nm.cid""".stripMargin,
     "ann_pq" ->
       s"""WITH $duckE,
-         |sub AS (SELECT vec_id, m, list_slice(v, m * 16 + 1, m * 16 + 16) AS s
-         |        FROM e, range(0, 4) t(m)),
-         |cb AS (SELECT vec_id - 16 AS cid, m, list_slice(v, m * 16 + 1, m * 16 + 16) AS s
-         |       FROM e, range(0, 4) t(m) WHERE vec_id >= 16 AND vec_id < 32),
-         |sc AS (SELECT x.vec_id, x.m, y.cid,
-         |        round(list_sum(list_transform(range(1, 17), i -> x.s[i] * y.s[i]))
-         |         / (sqrt(list_sum(list_transform(range(1, 17), i -> x.s[i] * x.s[i])))
-         |            * sqrt(list_sum(list_transform(range(1, 17), i -> y.s[i] * y.s[i])))), 6) AS cs
-         |       FROM sub x JOIN cb y ON x.m = y.m),
-         |code AS (SELECT vec_id, m, cid FROM (
-         |  SELECT vec_id, m, cid, row_number() OVER (PARTITION BY vec_id, m
-         |          ORDER BY cs DESC, cid) AS rn FROM sc) WHERE rn = 1),
-         |q AS (SELECT m, s FROM sub WHERE vec_id = (SELECT min(vec_id) FROM e)),
-         |contrib AS (SELECT code.vec_id, code.m,
-         |        list_sum(list_transform(range(1, 17), i -> q.s[i] * cb.s[i])) AS d
-         |       FROM code JOIN cb ON code.m = cb.m AND code.cid = cb.cid
-         |            JOIN q ON q.m = code.m)
-         |SELECT vec_id,
-         | round(max(CASE WHEN m = 0 THEN d END) + max(CASE WHEN m = 1 THEN d END)
-         |     + max(CASE WHEN m = 2 THEN d END) + max(CASE WHEN m = 3 THEN d END), 6) AS adc6
-         |FROM contrib GROUP BY vec_id
-         |ORDER BY adc6 DESC, vec_id LIMIT 10""".stripMargin,
+         |$duckPqAdc
+         |SELECT vec_id, adc6 FROM adc ORDER BY adc6 DESC, vec_id LIMIT 10""".stripMargin,
+    "ann_pq_refine" ->
+      s"""WITH $duckE,
+         |$duckPqAdc,
+         |cand AS (SELECT vec_id AS cand_id FROM adc ORDER BY adc6 DESC, vec_id LIMIT 25),
+         |qv AS (SELECT v FROM e WHERE vec_id = (SELECT min(vec_id) FROM e))
+         |SELECT x.vec_id, round($duckCosPair, 6) AS score
+         |FROM e x JOIN cand ON x.vec_id = cand.cand_id, (SELECT v FROM qv) y
+         |ORDER BY score DESC, vec_id LIMIT 5""".stripMargin,
     "ann_bruteforce" ->
       s"""WITH $duckE,
          |q AS (SELECT v FROM e WHERE vec_id = (SELECT min(vec_id) FROM e))

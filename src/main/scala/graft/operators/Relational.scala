@@ -95,9 +95,12 @@ object Relational {
     */
   def marketShare(s: SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("o_year"))
+    // customer is fact-sized at 100 TB — never explicitly broadcast;
+    // AQE converts the custkey join to broadcast when it measures small
     Graft.lineitem(s, dir)
       .join(Graft.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(Graft.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+      .join(Graft.customer(s, dir).select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
       .join(broadcast(Graft.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
       .groupBy(year(col("o_orderdate")).cast("long").as("o_year"),
         col("n_name").as("nation"))
@@ -113,6 +116,9 @@ object Relational {
     * the aggregation.
     */
   def nationTraffic(s: SparkSession, dir: String): DataFrame = {
+    // per-customer / per-supplier maps are fact-sized at 100 TB: the
+    // nation lookup itself broadcasts (25 rows), but the key joins stay
+    // shuffle-shaped and AQE downgrades them to broadcast when small
     val custNation = Graft.customer(s, dir)
       .join(broadcast(Graft.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
       .select(col("c_custkey"), col("n_name").as("cust_nation"))
@@ -121,8 +127,8 @@ object Relational {
       .select(col("s_suppkey"), col("n_name").as("supp_nation"))
     Graft.lineitem(s, dir)
       .join(Graft.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(custNation), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .join(custNation, col("o_custkey") === col("c_custkey"))
+      .join(suppNation, col("l_suppkey") === col("s_suppkey"))
       .filter(col("cust_nation") =!= col("supp_nation"))
       .groupBy(col("cust_nation"), col("supp_nation"))
       .agg(count(lit(1)).as("n_items"), sum(expr(revU)).as("revenue_e4"))

@@ -199,6 +199,18 @@ class Round3OpsSpec extends SparkSpec {
     assert(total <= n * 1000000L && total > n * 1000000L - n - rows.map(_.getAs[Long]("deg")).sum)
   }
 
+  test("pqRefine: exact re-rank scores match brute force on the overlap") {
+    val refined = Ann.pqRefine(spark, dir).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("score")).toMap
+    val exact = Ann.bruteForce(spark, dir, 50).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("score")).toMap
+    assert(refined.size === 5)
+    // every refined score is the TRUE cosine (identical to brute force)
+    refined.foreach { case (id, s) =>
+      exact.get(id).foreach(e => assert(e === s, s"vec $id score drifted"))
+    }
+  }
+
   test("pq: ADC scores ranked, bounded by the product of norms") {
     val rows = Ann.pq(spark, dir).collect()
     assert(rows.length === 10)
