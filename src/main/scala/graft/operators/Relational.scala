@@ -35,8 +35,11 @@ object Relational {
     val cust = Graft.customer(s, dir).filter(col("c_mktsegment") === "MACHINERY")
     val ord = Graft.orders(s, dir).filter(col("o_orderdate") < ts("1998-01-01"))
     val li = Graft.lineitem(s, dir).filter(col("l_shipdate") > ts("1998-01-01"))
+    // customer is SF-scaled (not a fixed dim): leave the join
+    // shuffle-shaped — AQE broadcasts it at runtime when the filtered
+    // side measures small, and the plan survives 100 TB unchanged
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
       .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"))
       .select(
@@ -52,10 +55,11 @@ object Relational {
   def q5(s: SparkSession, dir: String): DataFrame = {
     val ord = Graft.orders(s, dir)
       .filter(col("o_orderdate") >= ts("1996-01-01") && col("o_orderdate") < ts("1997-01-01"))
+    // customer/supplier are SF-scaled: AQE-decided joins (see q3)
     Graft.lineitem(s, dir)
       .join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(Graft.customer(s, dir)), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(Graft.supplier(s, dir)),
+      .join(Graft.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(Graft.supplier(s, dir),
         col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(Graft.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(Graft.region(s, dir).filter(col("r_name") === "ASIA")),

@@ -219,9 +219,12 @@ object TextAnalysis {
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_pair"))
     val totals = uni.agg(sum(col("c1")).as("nt"))
       .crossJoin(bi.agg(sum(col("n_pair")).as("nb")))
+    // the unigram table is vocabulary-sized — huge on a web corpus, so
+    // the count joins stay shuffle-shaped (AQE broadcasts when small);
+    // only the one-row totals frame is an unconditional broadcast
     bi.filter(col("n_pair") >= minPair)
-      .join(broadcast(uni.select(col("w").as("w1"), col("c1").as("n_w1"))), "w1")
-      .join(broadcast(uni.select(col("w").as("w2"), col("c1").as("n_w2"))), "w2")
+      .join(uni.select(col("w").as("w1"), col("c1").as("n_w1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c1").as("n_w2")), "w2")
       .crossJoin(broadcast(totals))
       .select(col("w1"), col("w2"), col("n_pair"), col("n_w1"), col("n_w2"),
         expr("""round(ln((cast(n_pair as double) * cast(nt as double) * cast(nt as double))
@@ -237,7 +240,8 @@ object TextAnalysis {
     * token's log-prob is quantized to integer micros BEFORE the per-doc
     * sum, so the aggregation is order-independent integer arithmetic
     * (a float sum would depend on partial-aggregate merge order). The
-    * unigram table is vocabulary-sized → broadcast join.
+    * unigram table is vocabulary-sized — AQE broadcasts it when it
+    * measures small, shuffle-joins it on a web-scale vocabulary.
     */
   def unigramLogprob(s: SparkSession, dir: String): DataFrame = {
     val toks = Graft.documents(s, dir)
@@ -248,7 +252,8 @@ object TextAnalysis {
       .select(col("tok").as("u_tok"),
         expr("cast(round(ln(cast(c1 as double) / cast(nt as double)) * 1000000) as bigint)")
           .as("lp_micros"))
-    toks.join(broadcast(uni), col("tok") === col("u_tok"))
+    // vocabulary-sized uni: AQE-decided join, not a forced broadcast
+    toks.join(uni, col("tok") === col("u_tok"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_toks"), sum(col("lp_micros")).as("sum_lp"))
       .select(col("doc_id"), col("n_toks"),
