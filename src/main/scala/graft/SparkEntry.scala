@@ -112,6 +112,8 @@ object SparkEntry {
     "events_dau_wau" -> (Analytics.dauWau _),
     "graph_pagerank" -> ((s: SparkSession, d: String) => Dedup.pagerank(s, d)),
     "ann_pq_refine" -> ((s: SparkSession, d: String) => Ann.pqRefine(s, d)),
+    "q_pivot" -> (Analytics.pivotOrders _),
+    "text_topk_approx" -> (Analytics.topTokensApprox _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column names!). */

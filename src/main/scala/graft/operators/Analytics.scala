@@ -345,7 +345,48 @@ object Analytics {
         expr("dau * 1000000 div wau").as("stickiness_micros"))
   }
 
+  /** Wide-table PIVOT: order counts per (segment x priority) with the
+    * priority domain pinned (pivot with an explicit value list is one
+    * Expand + one aggregation — an unpinned pivot adds a distinct-values
+    * collect first, a driver round-trip worth avoiding at scale).
+    */
+  def pivotOrders(s: SparkSession, dir: String): DataFrame =
+    Graft.customer(s, dir)
+      .join(Graft.orders(s, dir), col("c_custkey") === col("o_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"))
+      .pivot("o_orderpriority",
+        Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+      .agg(count(lit(1)))
+      .select(col("segment"),
+        coalesce(col("1-URGENT"), lit(0L)).as("n_urgent"),
+        coalesce(col("2-HIGH"), lit(0L)).as("n_high"),
+        coalesce(col("3-MEDIUM"), lit(0L)).as("n_medium"),
+        coalesce(col("4-NOT SPECIFIED"), lit(0L)).as("n_notspec"),
+        coalesce(col("5-LOW"), lit(0L)).as("n_low"))
+
+  /** Approximate frequent tokens via freqItems (a mergeable
+    * misra-gries-style summary): the sketch counterpart of
+    * text_topk_tokens — single pass, bounded memory, no global sort.
+    * Sketch contents are engine-specific, so this is rows-only; the
+    * spec bounds it against the exact top-20 (all must be present at
+    * this support threshold).
+    */
+  def topTokensApprox(s: SparkSession, dir: String): DataFrame =
+    Graft.documents(s, dir)
+      .select(explode(array_distinct(split(col("text"), "\\s+"))).as("tok"))
+      .stat.freqItems(Seq("tok"), 0.01)
+      .select(explode(col("tok_freqItems").cast("array<string>")).as("tok"))
+
   val oracle: Map[String, String] = Map(
+    "q_pivot" ->
+      """SELECT c_mktsegment AS segment,
+        | count(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS n_urgent,
+        | count(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END) AS n_high,
+        | count(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END) AS n_medium,
+        | count(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 END) AS n_notspec,
+        | count(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS n_low
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |GROUP BY 1""".stripMargin,
     "events_dau_wau" ->
       """WITH ud AS (SELECT DISTINCT user_id,
         |  CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day FROM events),

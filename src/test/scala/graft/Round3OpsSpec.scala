@@ -211,6 +211,23 @@ class Round3OpsSpec extends SparkSpec {
     }
   }
 
+  test("pivotOrders: row counts conserved across the pivoted columns") {
+    val rows = Analytics.pivotOrders(spark, dir).collect()
+    val total = rows.map(r => (1 to 5).map(i => r.getLong(i)).sum).sum
+    val expected = Graft.customer(spark, dir)
+      .join(Graft.orders(spark, dir), col("c_custkey") === col("o_custkey")).count()
+    assert(total === expected)
+  }
+
+  test("topTokensApprox: sketch contains every exact top-20 token") {
+    val approx = Analytics.topTokensApprox(spark, dir).collect()
+      .map(_.getString(0)).toSet
+    val exact = Analytics.topTokens(spark, dir).collect()
+      .map(_.getAs[String]("tok")).toSet
+    assert(exact.subsetOf(approx),
+      s"missing from sketch: ${exact.diff(approx)}")
+  }
+
   test("pq: ADC scores ranked, bounded by the product of norms") {
     val rows = Ann.pq(spark, dir).collect()
     assert(rows.length === 10)
