@@ -13,7 +13,7 @@ class ContractSpec extends SparkSpec {
 
   test("rows-only queries are exactly the documented set") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(rowsOnly === Set("multimodal_meta", "events_approx_stats"))
+    assert(rowsOnly === Set("multimodal_meta", "events_approx_stats", "text_topk_approx"))
   }
 
   test("entry (flagship search pipeline) returns rows at sf0.001") {
