@@ -114,6 +114,8 @@ object SparkEntry {
     "ann_pq_refine" -> ((s: SparkSession, d: String) => Ann.pqRefine(s, d)),
     "q_pivot" -> (Analytics.pivotOrders _),
     "text_topk_approx" -> (Analytics.topTokensApprox _),
+    "events_gapfill" -> (Analytics.gapfillHourly _),
+    "q_set_ops" -> (Analytics.userSetOps _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column names!). */

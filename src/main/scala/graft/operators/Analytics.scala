@@ -377,7 +377,55 @@ object Analytics {
       .stat.freqItems(Seq("tok"), 0.01)
       .select(explode(col("tok_freqItems").cast("array<string>")).as("tok"))
 
+  /** Time-series gap filling: the hourly count series per event type
+    * with missing hours materialized as zero rows (the step every
+    * charting/forecasting consumer needs). The dense hour grid comes
+    * from a per-type sequence explode — bounded by time-span x types,
+    * independent of event volume — and the left join back to the sparse
+    * counts is co-partitioned on (type, hour).
+    */
+  def gapfillHourly(s: SparkSession, dir: String): DataFrame = {
+    val counts = Graft.events(s, dir)
+      .select(col("event_type"), expr("ts div 1000000000 div 3600").as("hour"))
+      .groupBy(col("event_type"), col("hour"))
+      .agg(count(lit(1)).as("n"))
+    val grid = counts.groupBy(col("event_type"))
+      .agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
+      .select(col("event_type"), explode(expr("sequence(h0, h1)")).as("hour"))
+    grid.join(counts, Seq("event_type", "hour"), "left")
+      .select(col("event_type"), col("hour"), coalesce(col("n"), lit(0L)).as("n"))
+  }
+
+  /** Set operators over user activity: clicked-but-never-purchased
+    * (EXCEPT), clicked-and-purchased (INTERSECT), either (UNION
+    * DISTINCT) — Spark's native set operations, each a distinct-shaped
+    * aggregation, combined via three one-row cross joins.
+    */
+  def userSetOps(s: SparkSession, dir: String): DataFrame = {
+    def users(t: String) = Graft.events(s, dir)
+      .filter(col("event_type") === t).select(col("user_id")).distinct()
+    val clicks = users("click")
+    val purchases = users("purchase")
+    clicks.except(purchases).agg(count(lit(1)).as("n_click_only"))
+      .crossJoin(clicks.intersect(purchases).agg(count(lit(1)).as("n_both")))
+      .crossJoin(clicks.union(purchases).distinct().agg(count(lit(1)).as("n_either")))
+  }
+
   val oracle: Map[String, String] = Map(
+    "events_gapfill" ->
+      """WITH c AS (SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hour,
+        |  count(*) AS n FROM events GROUP BY 1, 2),
+        |g AS (SELECT event_type, unnest(range(h0, h1 + 1)) AS hour FROM (
+        |  SELECT event_type, min(hour) AS h0, max(hour) AS h1 FROM c GROUP BY 1))
+        |SELECT g.event_type, g.hour, coalesce(c.n, 0) AS n
+        |FROM g LEFT JOIN c ON g.event_type = c.event_type AND g.hour = c.hour""".stripMargin,
+    "q_set_ops" ->
+      """WITH cl AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+        |pu AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+        |SELECT
+        | (SELECT count(*) FROM (SELECT * FROM cl EXCEPT SELECT * FROM pu)) AS n_click_only,
+        | (SELECT count(*) FROM (SELECT * FROM cl INTERSECT SELECT * FROM pu)) AS n_both,
+        | (SELECT count(*) FROM (SELECT * FROM cl UNION SELECT * FROM pu)) AS n_either""".stripMargin,
     "q_pivot" ->
       """SELECT c_mktsegment AS segment,
         | count(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS n_urgent,

@@ -228,6 +228,27 @@ class Round3OpsSpec extends SparkSpec {
       s"missing from sketch: ${exact.diff(approx)}")
   }
 
+  test("gapfillHourly: dense grid, zero-filled gaps, counts conserved") {
+    val rows = Analytics.gapfillHourly(spark, dir).collect()
+    val byType = rows.groupBy(_.getAs[String]("event_type"))
+    byType.foreach { case (t, rs) =>
+      val hours = rs.map(_.getAs[Long]("hour")).sorted
+      assert(hours.length === (hours.max - hours.min + 1).toInt, s"$t grid has holes")
+    }
+    assert(rows.map(_.getAs[Long]("n")).sum === Graft.events(spark, dir).count())
+  }
+
+  test("userSetOps: inclusion-exclusion identity holds") {
+    val r = Analytics.userSetOps(spark, dir).collect().head
+    val clickers = Graft.events(spark, dir).filter(col("event_type") === "click")
+      .select("user_id").distinct().count()
+    val purchasers = Graft.events(spark, dir).filter(col("event_type") === "purchase")
+      .select("user_id").distinct().count()
+    assert(r.getAs[Long]("n_click_only") + r.getAs[Long]("n_both") === clickers)
+    assert(r.getAs[Long]("n_either") ===
+      clickers + purchasers - r.getAs[Long]("n_both"))
+  }
+
   test("pq: ADC scores ranked, bounded by the product of norms") {
     val rows = Ann.pq(spark, dir).collect()
     assert(rows.length === 10)
