@@ -98,6 +98,42 @@ object EventStreams {
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(fold)
   }
 
+  /** Last-seen event per user (streaming transition state). */
+  case class LastEvent(ts: Long, eventId: Long, eventType: String)
+
+  case class TransitionOut(user_id: Long, from_type: String, to_type: String)
+
+  /** Streaming first-order transitions: one LastEvent state per user;
+    * each arriving event emits the (previous -> current) pair and
+    * becomes the new state. Batch twin: Analytics.eventTransitions —
+    * identical pair stream when fed the same rows (same (ts, event_id)
+    * order), with bounded per-key state instead of a full-history
+    * window sort.
+    */
+  def transitions(events: Dataset[RawEvent]): Dataset[TransitionOut] = {
+    import events.sparkSession.implicits._
+
+    def fold(userId: Long, it: Iterator[RawEvent],
+             state: GroupState[LastEvent]): Iterator[TransitionOut] = {
+      val ordered = it.toArray.sortBy(e => (e.ts, e.event_id))
+      var last = state.getOption.orNull
+      val out = Vector.newBuilder[TransitionOut]
+      ordered.foreach { e =>
+        if (last != null) out += TransitionOut(userId, last.eventType, e.event_type)
+        last = LastEvent(e.ts, e.event_id, e.event_type)
+      }
+      if (last != null) state.update(last)
+      out.result().iterator
+    }
+
+    events
+      .withColumn("event_time", timestamp_seconds(expr("ts div 1000000000")))
+      .withWatermark("event_time", "1 hour")
+      .as[RawEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(fold)
+  }
+
   /** Streaming exact dedup: drop re-delivered events by id, keeping
     * state only inside the watermark horizon (the unbounded-stream twin
     * of dedup_exact — state is bounded by arrival skew, not stream

@@ -76,6 +76,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming transitions match the batch transition counts") {
+    implicit val sqlCtx = spark.sqlContext
+    val raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .as[RawEvent].collect()
+    val input = MemoryStream[RawEvent]
+    val q = EventStreams.transitions(input.toDS())
+      .writeStream.format("memory").queryName("transitions_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(raw.toSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("transitions_out")
+        .groupBy("from_type", "to_type")
+        .count().collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      val batch = graft.operators.Analytics.eventTransitions(spark, "/root/testdata/sf0.001")
+        .collect()
+        .map(r => (r.getAs[String]("from_type"), r.getAs[String]("to_type")) ->
+          r.getAs[Long]("n")).toMap
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("streaming sessionization matches batch sessions (closed ones)") {
     implicit val sqlCtx = spark.sqlContext
     val raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
