@@ -116,6 +116,7 @@ object SparkEntry {
     "text_topk_approx" -> (Analytics.topTokensApprox _),
     "events_gapfill" -> (Analytics.gapfillHourly _),
     "q_set_ops" -> (Analytics.userSetOps _),
+    "profile_docs" -> (TextAnalysis.profileDocs _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column names!). */

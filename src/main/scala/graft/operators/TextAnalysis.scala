@@ -260,6 +260,25 @@ object TextAnalysis {
         expr("(-sum_lp) div n_toks").as("nll_per_tok_micros"))
   }
 
+  /** Data-quality profile of the documents table: per column the null
+    * count and exact distinct count, in ONE aggregation pass (every
+    * metric is a partial-agg expression over the same scan) unpivoted
+    * to long format with stack(). The pre-training sanity check every
+    * data pipeline runs; at 100 TB swap exact distincts for
+    * approx_count_distinct — the shape is unchanged.
+    */
+  def profileDocs(s: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    val aggs = cols.flatMap { c =>
+      Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
+        countDistinct(col(c)).as(s"${c}_distinct"))
+    }
+    val stacked = cols.map(c => s"'$c', ${c}_nulls, ${c}_distinct").mkString(", ")
+    Graft.documents(s, dir)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(expr(s"stack(${cols.size}, $stacked) as (col_name, n_nulls, n_distinct)"))
+  }
+
   /** First 8 hex digits of hex-string expression `h` as a long —
     * portable (posFn = instr for Spark, strpos for DuckDB).
     */
@@ -285,6 +304,22 @@ object TextAnalysis {
       | FROM whs)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "profile_docs" ->
+      """SELECT 'doc_id' AS col_name,
+        | CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+        | count(DISTINCT doc_id) AS n_distinct FROM documents
+        |UNION ALL SELECT 'text',
+        | CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        | count(DISTINCT text) FROM documents
+        |UNION ALL SELECT 'lang',
+        | CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        | count(DISTINCT lang) FROM documents
+        |UNION ALL SELECT 'source',
+        | CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        | count(DISTINCT source) FROM documents
+        |UNION ALL SELECT 'n_chars',
+        | CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        | count(DISTINCT n_chars) FROM documents""".stripMargin,
     "text_unigram_logprob" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok
         |  FROM documents),

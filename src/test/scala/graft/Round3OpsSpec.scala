@@ -249,6 +249,17 @@ class Round3OpsSpec extends SparkSpec {
       clickers + purchasers - r.getAs[Long]("n_both"))
   }
 
+  test("profileDocs: one row per column, counts bounded by row count") {
+    val rows = TextAnalysis.profileDocs(spark, dir).collect()
+    val n = Graft.documents(spark, dir).count()
+    assert(rows.map(_.getAs[String]("col_name")).toSet ===
+      Set("doc_id", "text", "lang", "source", "n_chars"))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_nulls") === 0L)
+      assert(r.getAs[Long]("n_distinct") > 0L && r.getAs[Long]("n_distinct") <= n)
+    }
+  }
+
   test("pq: ADC scores ranked, bounded by the product of norms") {
     val rows = Ann.pq(spark, dir).collect()
     assert(rows.length === 10)
