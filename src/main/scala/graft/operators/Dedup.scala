@@ -541,10 +541,16 @@ object Dedup {
     */
   def pagerank(s: SparkSession, dir: String, iters: Int = 2): DataFrame = {
     val pairs = ngramJaccard(s, dir).select(col("id_a"), col("id_b"))
-    val edges = pairs
-      .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
-      .select(col("id_a").as("src"), col("id_b").as("dst"))
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    // both edge directions from ONE pass over the pair subtree (a union
+    // of pairs with its own swap computes the expensive pair join twice);
+    // persist because every iteration re-references edges and deg
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val edges = pairs.select(explode(array(
+        struct(col("id_a").as("src"), col("id_b").as("dst")),
+        struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .persist(lvl)
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg")).persist(lvl)
     var ranks = deg.select(col("src").as("v"), lit(1000000L).as("rank_micros"))
     for (_ <- 1 to iters) {
       val contribs = edges.join(deg, "src")
