@@ -404,8 +404,11 @@ object Analytics {
   def userSetOps(s: SparkSession, dir: String): DataFrame = {
     def users(t: String) = Graft.events(s, dir)
       .filter(col("event_type") === t).select(col("user_id")).distinct()
-    val clicks = users("click")
-    val purchases = users("purchase")
+    // each set operator evaluates both inputs: without the persist the
+    // two distinct subtrees execute three times each (six scans)
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val clicks = users("click").persist(lvl)
+    val purchases = users("purchase").persist(lvl)
     clicks.except(purchases).agg(count(lit(1)).as("n_click_only"))
       .crossJoin(clicks.intersect(purchases).agg(count(lit(1)).as("n_both")))
       .crossJoin(clicks.union(purchases).distinct().agg(count(lit(1)).as("n_either")))
