@@ -294,14 +294,16 @@ object Dedup {
     val dfreq = occ.groupBy(col("sh")).agg(count(lit(1)).as("df")).hint("SHUFFLE_HASH")
     // per-doc shingles re-ranked by (df asc, hash asc); prefix length
     // n - ceil(tau*n) + 1 over THIS order (any consistent total order
-    // preserves the pigeonhole guarantee)
+    // preserves the pigeonhole guarantee). Rank via a window, not
+    // collect_list + sort_array: the window sorts streams within the
+    // doc_id shuffle instead of materializing a per-doc struct array in
+    // aggregation memory (and skew-spills gracefully on huge docs).
+    val preW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))
     val pre = occ.join(dfreq, "sh")
-      .groupBy(col("doc_id"), col("n"))
-      .agg(sort_array(collect_list(struct(col("df"), col("sh")))).as("ranked"))
-      .select(col("doc_id"), col("n"),
-        explode(expr(
-          "transform(slice(ranked, 1, cast(n - ((n + 1) div 2) + 1 as int)), r -> r.sh)"))
-          .as("sh"))
+      .withColumn("rk", row_number().over(preW))
+      .filter(col("rk") <= expr("n - ((n + 1) div 2) + 1"))
+      .select(col("doc_id"), col("n"), col("sh"))
       .hint("SHUFFLE_HASH")
     val cands = pre.as("a").join(pre.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id") &&
