@@ -52,4 +52,22 @@ class EmptyInputSpec extends SparkSpec {
     assert(Dedup.embeddingNearDupLsh(spark, dir).count() === 0)
     assert(SemanticSearch.docVectors(spark, dir).count() === 0)
   }
+
+  test("round-3 operators return empty on empty tables") {
+    assert(Dedup.chunkDedup(spark, dir).count() === 0)
+    assert(Dedup.docDupFraction(spark, dir).count() === 0)
+    assert(Dedup.containment(spark, dir).count() === 0)
+    assert(Dedup.pagerank(spark, dir).count() === 0)
+    assert(TextAnalysis.tfidfTopk(spark, dir).count() === 0)
+    assert(TextAnalysis.cooccurPmi(spark, dir).count() === 0)
+    assert(TextAnalysis.unigramLogprob(spark, dir).count() === 0)
+    assert(Analytics.madOutliers(spark, dir).count() === 0)
+    assert(Analytics.eventTransitions(spark, dir).count() === 0)
+    assert(Analytics.slidingCounts(spark, dir).count() === 0)
+    assert(Analytics.dauWau(spark, dir).count() === 0)
+    assert(Analytics.gapfillHourly(spark, dir).count() === 0)
+    assert(Ann.kmeansStep(spark, dir).count() === 0)
+    assert(Ann.pq(spark, dir).count() === 0)
+    assert(Ann.pqRefine(spark, dir).count() === 0)
+  }
 }
