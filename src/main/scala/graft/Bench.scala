@@ -37,7 +37,12 @@ object Bench {
     // line overflowed it). Emit compact 3-decimal times and, if the full
     // per-query map would still overflow, keep only the slowest queries
     // and report how many fast ones were elided.
-    def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    def fmt(v: Double): String =
+      if (v < 0) "-1"
+      else {
+        val s = f"$v%.3f"
+        if (s.contains('.')) s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse else s
+      }
     def line(kept: Seq[(String, Double)], omitted: Int): String = {
       val qs = kept.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
@@ -47,7 +52,7 @@ object Bench {
     val bySlowest = results.toSeq.sortBy(-_._2)
     val out = Iterator.range(0, bySlowest.size + 1)
       .map(drop => line(bySlowest.dropRight(drop), drop))
-      .find(_.length <= 1800)
+      .find(_.length <= 1950)
       .getOrElse(line(Seq.empty, bySlowest.size))
     spark.stop()
     println(out)
