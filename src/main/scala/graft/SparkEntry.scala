@@ -117,6 +117,7 @@ object SparkEntry {
     "events_gapfill" -> (Analytics.gapfillHourly _),
     "q_set_ops" -> (Analytics.userSetOps _),
     "profile_docs" -> (TextAnalysis.profileDocs _),
+    "q_grouping_sets" -> (Analytics.groupingSetsRevenue _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column names!). */

@@ -26,6 +26,23 @@ object Analytics {
         coalesce(col("n_name"), lit("ALL")).as("nation"),
         col("n_cust"), col("sum_bal"))
 
+  /** Custom GROUPING SETS ((region), (nation)) — the two marginal
+    * aggregations in one Expand pass, without the cross-combinations
+    * CUBE would add or ROLLUP's hierarchy; completes the grouping trio
+    * with [[rollupRevenue]] and [[cubeOrders]].
+    */
+  def groupingSetsRevenue(s: SparkSession, dir: String): DataFrame =
+    Graft.customer(s, dir)
+      .join(broadcast(Graft.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Graft.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+      .groupingSets(Seq(Seq(col("r_name")), Seq(col("n_name"))),
+        col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_cust"), round(sum(col("c_acctbal")), 2).as("sum_bal"))
+      .select(
+        coalesce(col("r_name"), lit("ALL")).as("region"),
+        coalesce(col("n_name"), lit("ALL")).as("nation"),
+        col("n_cust"), col("sum_bal"))
+
   /** Exact per-type percentiles of event value (interpolated, the
     * quantile_cont contract). percentile() shuffles sorted values per
     * group — exact by design where approx sketches would not match an
@@ -429,6 +446,12 @@ object Analytics {
         | (SELECT count(*) FROM (SELECT * FROM cl EXCEPT SELECT * FROM pu)) AS n_click_only,
         | (SELECT count(*) FROM (SELECT * FROM cl INTERSECT SELECT * FROM pu)) AS n_both,
         | (SELECT count(*) FROM (SELECT * FROM cl UNION SELECT * FROM pu)) AS n_either""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation,
+        | count(*) AS n_cust, round(sum(c_acctbal), 2) AS sum_bal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY GROUPING SETS ((r_name), (n_name))""".stripMargin,
     "q_pivot" ->
       """SELECT c_mktsegment AS segment,
         | count(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS n_urgent,
