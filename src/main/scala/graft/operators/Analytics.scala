@@ -426,9 +426,16 @@ object Analytics {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val clicks = users("click").persist(lvl)
     val purchases = users("purchase").persist(lvl)
-    clicks.except(purchases).agg(count(lit(1)).as("n_click_only"))
+    // materialize the one-row result while the set caches are live, then
+    // release them — otherwise both user sets stay cached for the session
+    val out = clicks.except(purchases).agg(count(lit(1)).as("n_click_only"))
       .crossJoin(clicks.intersect(purchases).agg(count(lit(1)).as("n_both")))
       .crossJoin(clicks.union(purchases).distinct().agg(count(lit(1)).as("n_either")))
+      .persist(lvl)
+    out.count()
+    clicks.unpersist()
+    purchases.unpersist()
+    out
   }
 
   val oracle: Map[String, String] = Map(

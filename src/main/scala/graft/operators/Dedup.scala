@@ -471,19 +471,23 @@ object Dedup {
     * windows from [[Chunking.fixedWindows]] grouped by content hash;
     * groups with >= 2 copies report their copy count and canonical
     * (first) occurrence. Position travels as one encoded long
-    * (doc_id * 1e6 + chunk_id) so the canonical argmin is a plain
-    * map-side-combinable min — no struct min, no join-back.
+    * (doc_id << 32 | chunk_id) so the canonical argmin is a plain
+    * map-side-combinable min — no struct min, no join-back. chunk_id
+    * gets 32 bits (a doc would need ~10^11 chars to overflow); the
+    * encoding raises rather than silently colliding into doc_id+1.
     */
   def chunkDedup(s: SparkSession, dir: String): DataFrame =
     Chunking.fixedWindows(s, dir)
       .select(md5(col("chunk")).as("chunk_hash"),
-        (col("doc_id") * 1000000L + col("chunk_id")).as("pos_key"))
+        when(col("chunk_id") >= lit(4294967296L), raise_error(concat(
+            lit("chunk_id exceeds 32-bit encoding bound: "), col("chunk_id").cast("string"))))
+          .otherwise(shiftleft(col("doc_id"), 32) + col("chunk_id")).as("pos_key"))
       .groupBy(col("chunk_hash"))
       .agg(count(lit(1)).as("n_copies"), min(col("pos_key")).as("min_key"))
       .filter(col("n_copies") >= 2)
       .select(col("chunk_hash"), col("n_copies"),
-        expr("min_key div 1000000").as("canonical_doc"),
-        expr("min_key % 1000000").as("canonical_chunk"))
+        expr("min_key div 4294967296").as("canonical_doc"),
+        expr("min_key % 4294967296").as("canonical_chunk"))
 
   /** Per-document duplication profile: what fraction of a document's
     * chunks also occur in at least one OTHER document — the
@@ -564,8 +568,16 @@ object Dedup {
         .select(col("v"),
           expr("150000 + (850000 * coalesce(sc, 0)) div 1000000").as("rank_micros"))
     }
-    ranks.join(deg, col("v") === col("src"))
+    // materialize the (small, vertex-count-bounded) result while the
+    // edge/degree caches are live, then release them — without this the
+    // two iteration caches leak for the rest of the session
+    val out = ranks.join(deg, col("v") === col("src"))
       .select(col("v").as("doc_id"), col("deg"), col("rank_micros"))
+      .persist(lvl)
+    out.count()
+    edges.unpersist()
+    deg.unpersist()
+    out
   }
 
   private val duckShingles =
@@ -611,10 +623,10 @@ object Dedup {
     "chunk_dedup" ->
       s"""WITH $duckFixedChunks,
          |g AS (SELECT md5(chunk) AS chunk_hash, count(*) AS n_copies,
-         |        min(doc_id * 1000000 + chunk_id) AS min_key
+         |        min(doc_id * 4294967296 + chunk_id) AS min_key
          |      FROM fw GROUP BY 1)
-         |SELECT chunk_hash, n_copies, min_key // 1000000 AS canonical_doc,
-         | min_key % 1000000 AS canonical_chunk
+         |SELECT chunk_hash, n_copies, CAST(min_key // 4294967296 AS BIGINT) AS canonical_doc,
+         | CAST(min_key % 4294967296 AS BIGINT) AS canonical_chunk
          |FROM g WHERE n_copies >= 2""".stripMargin,
     "doc_dup_fraction" ->
       s"""WITH $duckFixedChunks,

@@ -140,8 +140,11 @@ object SemanticSearch {
       .join(ctx.select(col("b_label").as("x_label"), col("center_vec").as("x_center"), col("ctx_vecs")),
         col("label") === col("x_label") && col("center_vec") === col("x_center"))
       .select(col("label"), col("doc_score"), col("center_vec"), col("chunk_score"), col("ctx_vecs"))
-      // explicit result ranking: join output order is not a contract
+      // explicit result ranking: join output order is not a contract; the
+      // limit (joins preserve top's <= 3 rows) plans TakeOrderedAndProject
+      // — per-partition heaps — instead of a global sort
       .orderBy(col("doc_score").desc, col("label"))
+      .limit(3)
   }
 
   /** DuckDB-side cosine of a list column vs the query list, all-double. */

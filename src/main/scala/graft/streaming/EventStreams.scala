@@ -105,25 +105,42 @@ object EventStreams {
 
   /** Streaming first-order transitions: one LastEvent state per user;
     * each arriving event emits the (previous -> current) pair and
-    * becomes the new state. Batch twin: Analytics.eventTransitions —
-    * identical pair stream when fed the same rows (same (ts, event_id)
-    * order), with bounded per-key state instead of a full-history
-    * window sort.
+    * becomes the new state. State for a user idle past the 1h watermark
+    * horizon is expired via EventTimeTimeout (same policy as
+    * [[sessionize]]), so retained state is bounded by ACTIVE users, not
+    * all users ever seen. Batch twin: Analytics.eventTransitions —
+    * identical pair stream when fed the same rows in event-time order.
+    * Late-data caveat: an event arriving in a later micro-batch (but
+    * inside the watermark) pairs in ARRIVAL order, which can diverge
+    * from the batch twin's global event-time order — the spec feeds one
+    * batch per event-time window, documenting the contract.
     */
   def transitions(events: Dataset[RawEvent]): Dataset[TransitionOut] = {
     import events.sparkSession.implicits._
 
     def fold(userId: Long, it: Iterator[RawEvent],
              state: GroupState[LastEvent]): Iterator[TransitionOut] = {
-      val ordered = it.toArray.sortBy(e => (e.ts, e.event_id))
-      var last = state.getOption.orNull
-      val out = Vector.newBuilder[TransitionOut]
-      ordered.foreach { e =>
-        if (last != null) out += TransitionOut(userId, last.eventType, e.event_type)
-        last = LastEvent(e.ts, e.event_id, e.event_type)
+      if (state.hasTimedOut) {
+        state.remove()
+        Iterator.empty
+      } else {
+        val ordered = it.toArray.sortBy(e => (e.ts, e.event_id))
+        var last = state.getOption.orNull
+        val out = Vector.newBuilder[TransitionOut]
+        ordered.foreach { e =>
+          if (last != null) out += TransitionOut(userId, last.eventType, e.event_type)
+          last = LastEvent(e.ts, e.event_id, e.event_type)
+        }
+        if (last != null) {
+          state.update(last)
+          // expire an hour of event time past the last event; clamp above
+          // the current watermark (timeouts in the past are rejected)
+          state.setTimeoutTimestamp(math.max(
+            last.ts / 1000000000L * 1000L + 3600L * 1000L,
+            state.getCurrentWatermarkMs() + 1000L))
+        }
+        out.result().iterator
       }
-      if (last != null) state.update(last)
-      out.result().iterator
     }
 
     events
@@ -131,7 +148,7 @@ object EventStreams {
       .withWatermark("event_time", "1 hour")
       .as[RawEvent]
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(fold)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(fold)
   }
 
   /** Streaming exact dedup: drop re-delivered events by id, keeping

@@ -33,19 +33,30 @@ class StreamingSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
     val batch = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     batch.write.mode("overwrite").parquet(dir)
+    // Update mode may emit a window more than once; tag rows with their
+    // micro-batch id and keep the latest per key (last() over an
+    // unordered table is partition-order dependent)
+    val emitted = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, String, Long, Double)]
     val q = EventStreams.hourly(
       graft.streaming.EventStreams.fromParquetDir(spark, dir, batch))
-      .writeStream.format("memory").queryName("file_hourly")
-      .outputMode(OutputMode.Update()).start()
+      .writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val rows = df.collect().map(r =>
+          (batchId, r.getAs[Long]("hour_sec"), r.getAs[String]("event_type"),
+            r.getAs[Long]("n_events"), r.getAs[Double]("sum_value")))
+        emitted.synchronized { emitted ++= rows }
+        ()
+      }
+      .start()
     try {
       q.processAllAvailable()
-      // Update mode may emit a window more than once; keep the final state
-      val streamed = spark.table("file_hourly")
-        .groupBy("hour_sec", "event_type")
-        .agg(org.apache.spark.sql.functions.last("n_events").as("n_events"),
-          org.apache.spark.sql.functions.last("sum_value").as("sum_value"))
-        .collect()
-        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      val streamed = emitted.synchronized {
+        emitted.groupBy(t => (t._2, t._3))
+          .map { case (_, rows) => rows.maxBy(_._1) }
+          .map(t => (t._2, t._3, t._4, t._5)).toSet
+      }
       val batchRes = graft.operators.Events.hourly(spark, "/root/testdata/sf0.001")
         .collect()
         .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
@@ -57,18 +68,30 @@ class StreamingSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("graft-slide").toString
     val batch = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     batch.write.mode("overwrite").parquet(dir)
+    // Update mode re-emits a window whenever it changes; tag every row
+    // with its micro-batch id and keep the row from the LATEST batch per
+    // key — last() over an unordered collect is partition-order
+    // dependent and can pick a stale intermediate update
+    val emitted = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, Long, Long, Double)]
     val q = EventStreams.sliding(
       EventStreams.fromParquetDir(spark, dir, batch))
-      .writeStream.format("memory").queryName("slide_out")
-      .outputMode(OutputMode.Update()).start()
+      .writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val rows = df.collect().map(r =>
+          (batchId, r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        emitted.synchronized { emitted ++= rows }
+        ()
+      }
+      .start()
     try {
       q.processAllAvailable()
-      val streamed = spark.table("slide_out")
-        .groupBy("event_type", "wstart")
-        .agg(org.apache.spark.sql.functions.last("n").as("n"),
-          org.apache.spark.sql.functions.last("sum_value").as("sum_value"))
-        .collect()
-        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      val streamed = emitted.synchronized {
+        emitted.groupBy(t => (t._2, t._3))
+          .map { case (_, rows) => rows.maxBy(_._1) }
+          .map(t => (t._2, t._3, t._4, t._5)).toSet
+      }
       val batchRes = graft.operators.Analytics.slidingCounts(spark, "/root/testdata/sf0.001")
         .collect()
         .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
