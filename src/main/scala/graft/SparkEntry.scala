@@ -118,6 +118,10 @@ object SparkEntry {
     "q_set_ops" -> (Analytics.userSetOps _),
     "profile_docs" -> (TextAnalysis.profileDocs _),
     "q_grouping_sets" -> (Analytics.groupingSetsRevenue _),
+    // round-4 wave
+    "q_cust_dist" -> (Relational.custDist _),
+    "q_promo_share" -> (Relational.promoShare _),
+    "q_top_supplier" -> (Relational.topSupplier _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column names!). */

@@ -138,7 +138,80 @@ object Relational {
       .agg(count(lit(1)).as("n_items"), sum(expr(revU)).as("revenue_e4"))
   }
 
+  /** TPC-H Q13-flavored customer distribution: how many customers placed
+    * exactly N orders (including zero). LEFT OUTER join so orderless
+    * customers survive; two grouped passes, both map-side combinable. The
+    * second agg's input is one row per customer — already the small side.
+    */
+  def custDist(s: SparkSession, dir: String): DataFrame = {
+    // customer and orders are both fact-sized: shuffle join on custkey,
+    // AQE downgrades to broadcast when the filtered side measures small
+    val perCust = Graft.customer(s, dir).select(col("c_custkey"))
+      .join(Graft.orders(s, dir).select(col("o_custkey"), col("o_orderkey")),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+    perCust.groupBy(col("c_count")).agg(count(lit(1)).as("custdist"))
+  }
+
+  /** TPC-H Q14-flavored promo revenue share per ship-month: exact integer
+    * revenue ($1e-4 units) with a conditional sum, share in micros via the
+    * div-rescale trick (never a float division). One partkey shuffle; the
+    * month agg is map-side combinable.
+    */
+  def promoShare(s: SparkSession, dir: String): DataFrame = {
+    // part is SF-scaled: shuffle join, AQE decides broadcast at runtime
+    Graft.lineitem(s, dir)
+      .join(Graft.part(s, dir).select(col("p_partkey"), col("p_type")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", expr(revU)).otherwise(lit(0L))).as("promo_e4"),
+        sum(expr(revU)).as("total_e4"))
+      .select(col("ship_month"), col("promo_e4"), col("total_e4"),
+        expr("(promo_e4 div 10000) * 1000000 div (total_e4 div 10000)").as("promo_micros"))
+  }
+
+  /** TPC-H Q15-flavored top supplier: the supplier(s) with max revenue in
+    * one ship-year. No global sort and no driver round-trip: the per-supplier
+    * aggregate joins against its own 1-row max() via broadcast — scale-safe
+    * even when the supplier aggregate itself is huge.
+    */
+  def topSupplier(s: SparkSession, dir: String): DataFrame = {
+    val rev = Graft.lineitem(s, dir)
+      .filter(col("l_shipdate") >= ts("1997-01-01") && col("l_shipdate") < ts("1998-01-01"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(expr(revU)).as("total_revenue_e4"))
+    val top = rev.agg(max(col("total_revenue_e4")).as("max_rev_e4"))
+    rev.join(broadcast(top), col("total_revenue_e4") === col("max_rev_e4"))
+      .join(Graft.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue_e4"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "q_cust_dist" ->
+      """SELECT c_count, count(*) AS custdist
+        |FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+        |      FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+        |      GROUP BY c_custkey)
+        |GROUP BY c_count""".stripMargin,
+    "q_promo_share" ->
+      s"""SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+         | CAST(sum(CASE WHEN p_type = 'PROMO' THEN $duckRevU ELSE 0 END) AS BIGINT) AS promo_e4,
+         | CAST(sum($duckRevU) AS BIGINT) AS total_e4,
+         | (CAST(sum(CASE WHEN p_type = 'PROMO' THEN $duckRevU ELSE 0 END) AS BIGINT) // 10000)
+         |   * 1000000 // (CAST(sum($duckRevU) AS BIGINT) // 10000) AS promo_micros
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |GROUP BY 1""".stripMargin,
+    "q_top_supplier" ->
+      s"""WITH rev AS (SELECT l_suppkey, CAST(sum($duckRevU) AS BIGINT) AS total_revenue_e4
+         | FROM lineitem
+         | WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+         |   AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+         | GROUP BY l_suppkey)
+         |SELECT s_suppkey, s_name, total_revenue_e4
+         |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+         |WHERE total_revenue_e4 = (SELECT max(total_revenue_e4) FROM rev)""".stripMargin,
     "q_market_share" ->
       s"""WITH a AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, n_name AS nation,
          |  CAST(sum($duckRevU) AS BIGINT) AS revenue_e4
