@@ -40,6 +40,29 @@ object Graft {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** Per-operator cache lifecycle. Iterative operators (pagerank) persist
+    * intermediate frames that every iteration re-references; those caches
+    * must outlive the returned (lazy) DataFrame, so the operator cannot
+    * unpersist them itself without eagerly materializing its result.
+    * Instead it registers them here: registering under the same key
+    * unpersists the PREVIOUS generation, so at most one generation per
+    * operator is ever cached in a session. Unpersisting is always
+    * correctness-safe (Spark recomputes from lineage); a caller that holds
+    * a result across a LATER invocation of the same operator only loses
+    * the cache speedup.
+    */
+  private val trackedCaches = scala.collection.mutable.Map.empty[String, Seq[DataFrame]]
+
+  def trackCaches(key: String, frames: DataFrame*): Unit = synchronized {
+    trackedCaches.remove(key).foreach(_.foreach(_.unpersist(false)))
+    trackedCaches(key) = frames
+  }
+
+  def releaseCaches(): Unit = synchronized {
+    trackedCaches.values.foreach(_.foreach(_.unpersist(false)))
+    trackedCaches.clear()
+  }
+
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
   def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")

@@ -421,21 +421,15 @@ object Analytics {
   def userSetOps(s: SparkSession, dir: String): DataFrame = {
     def users(t: String) = Graft.events(s, dir)
       .filter(col("event_type") === t).select(col("user_id")).distinct()
-    // each set operator evaluates both inputs: without the persist the
-    // two distinct subtrees execute three times each (six scans)
-    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val clicks = users("click").persist(lvl)
-    val purchases = users("purchase").persist(lvl)
-    // materialize the one-row result while the set caches are live, then
-    // release them — otherwise both user sets stay cached for the session
-    val out = clicks.except(purchases).agg(count(lit(1)).as("n_click_only"))
+    // each set operator references both distinct subtrees, but no cache is
+    // needed: all three branches shuffle the SAME canonical subtree on
+    // user_id, so ReusedExchange computes each distinct once (verified in
+    // PlanLintSpec — which also lints this plan, since it is fully lazy)
+    val clicks = users("click")
+    val purchases = users("purchase")
+    clicks.except(purchases).agg(count(lit(1)).as("n_click_only"))
       .crossJoin(clicks.intersect(purchases).agg(count(lit(1)).as("n_both")))
       .crossJoin(clicks.union(purchases).distinct().agg(count(lit(1)).as("n_either")))
-      .persist(lvl)
-    out.count()
-    clicks.unpersist()
-    purchases.unpersist()
-    out
   }
 
   val oracle: Map[String, String] = Map(

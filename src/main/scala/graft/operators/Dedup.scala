@@ -549,7 +549,12 @@ object Dedup {
     val pairs = ngramJaccard(s, dir).select(col("id_a"), col("id_b"))
     // both edge directions from ONE pass over the pair subtree (a union
     // of pairs with its own swap computes the expensive pair join twice);
-    // persist because every iteration re-references edges and deg
+    // persist because every iteration re-references edges and deg. The
+    // caches are registered with Graft.trackCaches: the NEXT pagerank call
+    // releases this generation, so repeated invocations (Bench runs each
+    // query twice plus warmup) never accumulate cached graphs. The result
+    // stays lazy — lint and explain see the real plan via the cached
+    // subplans, and callers pay materialization only when they consume it.
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val edges = pairs.select(explode(array(
         struct(col("id_a").as("src"), col("id_b").as("dst")),
@@ -557,6 +562,7 @@ object Dedup {
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persist(lvl)
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg")).persist(lvl)
+    Graft.trackCaches("graph_pagerank", edges, deg)
     var ranks = deg.select(col("src").as("v"), lit(1000000L).as("rank_micros"))
     for (_ <- 1 to iters) {
       val contribs = edges.join(deg, "src")
@@ -568,16 +574,8 @@ object Dedup {
         .select(col("v"),
           expr("150000 + (850000 * coalesce(sc, 0)) div 1000000").as("rank_micros"))
     }
-    // materialize the (small, vertex-count-bounded) result while the
-    // edge/degree caches are live, then release them — without this the
-    // two iteration caches leak for the rest of the session
-    val out = ranks.join(deg, col("v") === col("src"))
+    ranks.join(deg, col("v") === col("src"))
       .select(col("v").as("doc_id"), col("deg"), col("rank_micros"))
-      .persist(lvl)
-    out.count()
-    edges.unpersist()
-    deg.unpersist()
-    out
   }
 
   private val duckShingles =

@@ -169,7 +169,11 @@ object Relational {
         sum(when(col("p_type") === "PROMO", expr(revU)).otherwise(lit(0L))).as("promo_e4"),
         sum(expr(revU)).as("total_e4"))
       .select(col("ship_month"), col("promo_e4"), col("total_e4"),
-        expr("(promo_e4 div 10000) * 1000000 div (total_e4 div 10000)").as("promo_micros"))
+        // greatest(..,1): a degenerate month with total revenue under $1
+        // would divide by zero (NULL in Spark, an ERROR in DuckDB's //);
+        // promo <= total means the numerator is 0 whenever the guard fires
+        expr("(promo_e4 div 10000) * 1000000 div greatest(total_e4 div 10000, 1)")
+          .as("promo_micros"))
   }
 
   /** TPC-H Q15-flavored top supplier: the supplier(s) with max revenue in
@@ -200,7 +204,7 @@ object Relational {
          | CAST(sum(CASE WHEN p_type = 'PROMO' THEN $duckRevU ELSE 0 END) AS BIGINT) AS promo_e4,
          | CAST(sum($duckRevU) AS BIGINT) AS total_e4,
          | (CAST(sum(CASE WHEN p_type = 'PROMO' THEN $duckRevU ELSE 0 END) AS BIGINT) // 10000)
-         |   * 1000000 // (CAST(sum($duckRevU) AS BIGINT) // 10000) AS promo_micros
+         |   * 1000000 // greatest(CAST(sum($duckRevU) AS BIGINT) // 10000, 1) AS promo_micros
          |FROM lineitem JOIN part ON l_partkey = p_partkey
          |GROUP BY 1""".stripMargin,
     "q_top_supplier" ->

@@ -109,7 +109,12 @@ object EventStreams {
     * horizon is expired via EventTimeTimeout (same policy as
     * [[sessionize]]), so retained state is bounded by ACTIVE users, not
     * all users ever seen. Batch twin: Analytics.eventTransitions —
-    * identical pair stream when fed the same rows in event-time order.
+    * identical pair stream when fed the same rows in event-time order
+    * AND no per-user event-time gap exceeds the 1h expiry horizon
+    * across micro-batches: a user's first event after an expired gap
+    * starts fresh (no cross-gap pair), where the batch twin pairs
+    * across any gap via lead(). That is the price of bounded state —
+    * the spec's expiry test documents the divergence explicitly.
     * Late-data caveat: an event arriving in a later micro-batch (but
     * inside the watermark) pairs in ARRIVAL order, which can diverge
     * from the batch twin's global event-time order — the spec feeds one

@@ -1,8 +1,9 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.execution.SortExec
+import org.apache.spark.sql.execution.{SortExec, SparkPlan}
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
 import org.apache.spark.sql.execution.joins.CartesianProductExec
 
 /** Plan lint over the ENTIRE query inventory: no operator may plan a
@@ -22,10 +23,25 @@ import org.apache.spark.sql.execution.joins.CartesianProductExec
 class PlanLintSpec extends SparkSpec with AdaptiveSparkPlanHelper {
   private val dir = "/root/testdata/sf0.001"
 
+  /** The linted plan plus, transitively, every cached subplan: an operator
+    * that persist()s an intermediate (pagerank's edge/degree frames) shows
+    * an InMemoryTableScanExec leaf whose relation.cachedPlan is the real
+    * physical subtree — collectWithSubqueries does not descend into it, so
+    * without this expansion a persisted query would be exempt from the lint.
+    */
+  private def withCachedPlans(plan: SparkPlan): Seq[SparkPlan] = {
+    val cached = collectWithSubqueries(plan) { case s: InMemoryTableScanExec =>
+      s.relation.cachedPlan
+    }
+    plan +: cached.flatMap(withCachedPlans)
+  }
+
   private def offenses(df: DataFrame): Seq[String] = {
-    val plan = df.queryExecution.executedPlan
-    val cartesian = collectWithSubqueries(plan) { case c: CartesianProductExec => c }
-    val globalSorts = collectWithSubqueries(plan) { case s: SortExec if s.global => s }
+    val plans = withCachedPlans(df.queryExecution.executedPlan)
+    val cartesian = plans.flatMap(p =>
+      collectWithSubqueries(p) { case c: CartesianProductExec => c })
+    val globalSorts = plans.flatMap(p =>
+      collectWithSubqueries(p) { case s: SortExec if s.global => s })
     (if (cartesian.nonEmpty) Seq("CartesianProduct") else Nil) ++
       (if (globalSorts.nonEmpty) Seq("global Sort") else Nil)
   }
@@ -52,6 +68,25 @@ class PlanLintSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     val bad = spark.range(1000).toDF("a").groupBy($"a" % 7).count().orderBy($"count")
     assert(offenses(bad).contains("global Sort"),
       s"lint is vacuous: missed a global sort in\n${bad.queryExecution.executedPlan}")
+  }
+
+  test("canary: the lint descends into persisted (InMemoryRelation) subplans") {
+    import spark.implicits._
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val bad = spark.range(1000).toDF("a")
+      .crossJoin(spark.range(1000).toDF("b")).filter($"a" + $"b" > 0)
+      .persist()
+    try {
+      // downstream of the cache the visible plan is just an
+      // InMemoryTableScan — the offense hides in relation.cachedPlan
+      val downstream = bad.groupBy($"a").count()
+      assert(offenses(downstream).contains("CartesianProduct"),
+        s"lint is blind to cached subplans:\n${downstream.queryExecution.executedPlan}")
+    } finally {
+      bad.unpersist()
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
   }
 
   test("no query plans a CartesianProduct or a global Sort") {

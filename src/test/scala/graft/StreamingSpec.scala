@@ -123,6 +123,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transitions: a >1h event-time gap across batches expires state — no cross-gap pair") {
+    import graft.streaming.EventStreams.TransitionOut
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[RawEvent]
+    val q = EventStreams.transitions(input.toDS())
+      .writeStream.format("memory").queryName("transitions_gap")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // t0 = 1000s, not 0: a row at event time == the initial watermark
+      // (epoch 0) is dropped as late by the stateful operator's filter
+      input.addData(RawEvent(1, ns(1000), 1, "click", 1.0), RawEvent(2, ns(1100), 1, "view", 1.0))
+      q.processAllAvailable()
+      // another user's event 5.5h later advances the watermark (max event
+      // time - 1h = 17400s) past user 1's timeout timestamp (1100s + 1h)
+      input.addData(RawEvent(3, ns(21000), 2, "click", 1.0))
+      q.processAllAvailable()
+      // the timeout fires in a batch where user 1 has no data of its own
+      input.addData(RawEvent(4, ns(21001), 2, "view", 1.0))
+      q.processAllAvailable()
+      // user 1 returns after the expired gap: fresh state, NO pair emitted
+      input.addData(RawEvent(5, ns(21100), 1, "purchase", 1.0))
+      q.processAllAvailable()
+
+      val streamed = spark.table("transitions_gap").as[TransitionOut].collect().toSet
+      assert(streamed === Set(
+        TransitionOut(1, "click", "view"), TransitionOut(2, "click", "view")))
+
+      // the batch twin pairs across ANY gap via lead(): on the same five
+      // rows it ALSO emits user 1's cross-gap (view -> purchase) pair —
+      // exactly the divergence the operator docstring documents
+      val batchPairs = Seq((1L, 1000L, "click"), (1L, 1100L, "view"),
+          (2L, 21000L, "click"), (2L, 21001L, "view"), (1L, 21100L, "purchase"))
+        .toDF("user_id", "sec", "event_type")
+        .selectExpr("user_id", "event_type AS from_type",
+          "lead(event_type) OVER (PARTITION BY user_id ORDER BY sec) AS to_type")
+        .where("to_type IS NOT NULL")
+        .as[TransitionOut].collect().toSet
+      assert(batchPairs -- streamed === Set(TransitionOut(1, "view", "purchase")))
+    } finally q.stop()
+  }
+
   test("streaming restart from checkpoint resumes exactly-once") {
     val srcDir = java.nio.file.Files.createTempDirectory("graft-ckpt-src").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
