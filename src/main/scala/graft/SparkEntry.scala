@@ -122,6 +122,17 @@ object SparkEntry {
     "q_cust_dist" -> (Relational.custDist _),
     "q_promo_share" -> (Relational.promoShare _),
     "q_top_supplier" -> (Relational.topSupplier _),
+    // round-5 wave: decorrelation depth, interval attribution,
+    // hash-reservoir sampling, graph density, fuzzy entity resolution
+    "q_small_qty" -> (Relational.smallQtyRevenue _),
+    "q_large_orders" -> (Relational.largeOrders _),
+    "q_disjunctive" -> (Relational.disjunctiveRevenue _),
+    "q_sole_late_supplier" -> (Relational.soleLateSupplier _),
+    "q_idle_cust" -> (Relational.idleRichCustomers _),
+    "events_attribution" -> (Events.attribution _),
+    "sample_per_key" -> ((s: SparkSession, d: String) => TextAnalysis.samplePerKey(s, d)),
+    "graph_triangles" -> (Dedup.triangles _),
+    "dedup_fuzzy_names" -> ((s: SparkSession, d: String) => Dedup.fuzzyNames(s, d)),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column names!). */

@@ -422,6 +422,9 @@ object Dedup {
       i += 1
     }
     edges.unpersist()
+    // the converged label frame stays persisted (the returned lazy frame
+    // references it); the registry releases it on the next invocation
+    Graft.trackCaches("dedup_clusters_labels", labels)
     Graft.documents(s, dir).select(col("doc_id"))
       .join(labels.select(col("doc_id").as("l_id"), col("label")),
         col("doc_id") === col("l_id"), "left")
@@ -578,6 +581,55 @@ object Dedup {
       .select(col("v").as("doc_id"), col("deg"), col("rank_micros"))
   }
 
+  /** Triangle count over the undirected near-dup pair graph — the
+    * cluster-density signal that separates chained false positives (path
+    * components, no triangles) from genuine duplicate groups (cliques,
+    * triangle-rich). The id_a < id_b invariant orients every edge, so
+    * each triangle {x<y<z} matches exactly once as (x,y)(y,z)(x,z): two
+    * equi-joins on the (tiny, pair-bounded) edge frame, no direction
+    * explosion, no global sort. The pair frame persists across its three
+    * references via the tracked-cache registry (see [[pagerank]]).
+    */
+  def triangles(s: SparkSession, dir: String): DataFrame = {
+    val pairs = ngramJaccard(s, dir).select(col("id_a"), col("id_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Graft.trackCaches("graph_triangles", pairs)
+    trianglesOf(pairs)
+  }
+
+  /** Triangle count over an oriented (id_a < id_b) pair frame. */
+  def trianglesOf(pairs: DataFrame): DataFrame =
+    pairs.select(col("id_a").as("a"), col("id_b").as("b"))
+      .join(pairs.select(col("id_a").as("b2"), col("id_b").as("c")),
+        col("b") === col("b2"))
+      .join(pairs.select(col("id_a").as("a3"), col("id_b").as("c3")),
+        col("a") === col("a3") && col("c") === col("c3"))
+      .agg(count(lit(1)).as("n_triangles"))
+
+  /** Fuzzy name dedup (entity-resolution canonicalization): near-match
+    * pairs in the part-NAME dictionary by edit distance <= 3, blocked on
+    * the last token. The aggregation to distinct names runs FIRST — the
+    * quadratic fuzzy compare happens on the dictionary (vocabulary-
+    * sized, sublinear in corpus rows), never on the raw table; per-name
+    * occurrence counts ride along so a canonicalization decision can
+    * weigh support. Blocking bounds candidates per block; levenshtein is
+    * Spark-native codegen (and portable: DuckDB's levenshtein agrees).
+    */
+  def fuzzyNames(s: SparkSession, dir: String, maxDist: Int = 3): DataFrame = {
+    val names = Graft.part(s, dir)
+      .groupBy(col("p_name")).agg(count(lit(1)).as("n_parts"))
+      .withColumn("blk", element_at(split(col("p_name"), " "), -1))
+      .hint("SHUFFLE_HASH")
+    names.select(col("p_name").as("name_a"), col("n_parts").as("n_a"), col("blk"))
+      .join(names.select(col("p_name").as("name_b"), col("n_parts").as("n_b"),
+          col("blk").as("blk_b")),
+        col("blk") === col("blk_b") && col("name_a") < col("name_b") &&
+          levenshtein(col("name_a"), col("name_b")) <= maxDist)
+      .select(col("name_a"), col("name_b"),
+        levenshtein(col("name_a"), col("name_b")).cast("long").as("dist"),
+        col("n_a"), col("n_b"))
+  }
+
   private val duckShingles =
     """t AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents
       |      WHERE len(string_split_regex(text, '\s+')) >= 3),
@@ -594,6 +646,26 @@ object Dedup {
       | FROM (SELECT doc_id, toks, unnest(range(0, extra + 1)) AS i FROM fw1))""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "graph_triangles" ->
+      s"""WITH $duckShingles,
+         |s AS (SELECT doc_id, unnest(shingles) AS sh FROM sar),
+         |sz AS (SELECT doc_id, count(*) AS n FROM s GROUP BY 1),
+         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+         |      FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |pairs AS (SELECT id_a, id_b
+         |  FROM p JOIN sz x ON x.doc_id = id_a JOIN sz y ON y.doc_id = id_b
+         |  WHERE inter * 1000000 // (x.n + y.n - inter) >= 500000)
+         |SELECT CAST(count(*) AS BIGINT) AS n_triangles
+         |FROM pairs e1 JOIN pairs e2 ON e1.id_b = e2.id_a
+         | JOIN pairs e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b""".stripMargin,
+    "dedup_fuzzy_names" ->
+      """WITH n AS (SELECT p_name, count(*) AS n_parts FROM part GROUP BY 1),
+        |b AS (SELECT p_name, n_parts, string_split(p_name, ' ')[-1] AS blk FROM n)
+        |SELECT a.p_name AS name_a, b2.p_name AS name_b,
+        | CAST(levenshtein(a.p_name, b2.p_name) AS BIGINT) AS dist,
+        | a.n_parts AS n_a, b2.n_parts AS n_b
+        |FROM b a JOIN b b2 ON a.blk = b2.blk AND a.p_name < b2.p_name
+        |WHERE levenshtein(a.p_name, b2.p_name) <= 3""".stripMargin,
     "graph_pagerank" ->
       s"""WITH $duckShingles,
          |s AS (SELECT doc_id, unnest(shingles) AS sh FROM sar),

@@ -73,7 +73,36 @@ object Events {
       withSec(s, dir).select(col("event_type"), col("event_id"), col("sec"), col("value")),
       Seq("event_type"), Seq(("value", false), ("event_id", true)), n)
 
+  /** Interval attribution join: every click in the 30 minutes strictly
+    * before each purchase by the same user — the BATCH twin of the
+    * stream-stream interval join spec (`StreamingSpec`), which bounds
+    * the same semantics with watermark state. Both sides shuffle once
+    * on user_id (equi key); the time range is the join residual, so
+    * pairwise work is per-user, never global. Timestamps compare in
+    * exact integer nanoseconds.
+    */
+  def attribution(s: SparkSession, dir: String): DataFrame = {
+    val e = Graft.events(s, dir)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("pts"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"), col("ts").as("cts"))
+    purchases.join(clicks,
+        col("user_id") === col("c_user") &&
+        col("cts") >= col("pts") - lit(1800L * 1000000000L) &&
+        col("cts") < col("pts"))
+      .select(col("user_id"), col("purchase_id"), col("click_id"),
+        expr("(pts - cts) div 1000000000").as("lag_sec"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "events_attribution" ->
+      """SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id,
+        | (epoch_ns(p.ts) - epoch_ns(c.ts)) // 1000000000 AS lag_sec
+        |FROM events p JOIN events c ON p.user_id = c.user_id
+        | AND epoch_ns(c.ts) >= epoch_ns(p.ts) - 1800::BIGINT * 1000000000
+        | AND epoch_ns(c.ts) < epoch_ns(p.ts)
+        |WHERE p.event_type = 'purchase' AND c.event_type = 'click'""".stripMargin,
     "events_topk_plan" ->
       """SELECT event_type, event_id, sec, value FROM (
         | SELECT event_type, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec, value,

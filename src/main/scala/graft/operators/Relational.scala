@@ -192,7 +192,186 @@ object Relational {
       .select(col("s_suppkey"), col("s_name"), col("total_revenue_e4"))
   }
 
+  /** TPC-H Q17-flavored small-quantity revenue: lineitems of one brand
+    * whose quantity is under 20% of the part's average quantity. The
+    * correlated avg-subquery decorrelates into one per-part aggregate
+    * joined back on l_partkey — both sides hash the same key, so the
+    * scan shuffles once. The comparison is exact integer algebra:
+    * qty < 0.2 * (sum/n)  ⇔  qty_e2 * 5 * n < sum_e2 — no division,
+    * no float, bit-identical across engines at any scale.
+    */
+  def smallQtyRevenue(s: SparkSession, dir: String): DataFrame = {
+    val li = Graft.lineitem(s, dir)
+      .select(col("l_partkey"), col("l_orderkey"),
+        expr("cast(round(l_quantity * 100) as bigint)").as("qty_e2"),
+        expr("cast(round(l_extendedprice * 100) as bigint)").as("price_e2"))
+    // part is SF-scaled: shuffle join on partkey, AQE broadcasts the
+    // brand-filtered side when it measures small
+    val brandParts = Graft.part(s, dir)
+      .filter(col("p_brand") === "Brand#4").select(col("p_partkey"))
+    val liBrand = li.join(brandParts, col("l_partkey") === col("p_partkey"))
+    // per-part stats restricted to the brand's parts are complete (the
+    // brand filter drops whole parts, never individual lineitems)
+    val perPart = liBrand.groupBy(col("l_partkey").as("pk"))
+      .agg(sum(col("qty_e2")).as("sum_qty_e2"), count(lit(1)).as("n_li"))
+    liBrand.join(perPart, col("l_partkey") === col("pk"))
+      .filter(col("qty_e2") * lit(5L) * col("n_li") < col("sum_qty_e2"))
+      .agg(count(lit(1)).as("n_items"), sum(col("price_e2")).as("revenue_e2"))
+  }
+
+  /** TPC-H Q18-flavored large orders: orders whose total quantity tops
+    * 150, with customer attribution. The HAVING filter runs on the
+    * orderkey aggregate BEFORE any join — at 100 TB that aggregate is
+    * the big side and the filter drops ~95% of it pre-shuffle. Top-100
+    * via TakeOrderedAndProject (per-partition heaps), never a global
+    * sort; total order by (qty desc, orderkey asc).
+    */
+  def largeOrders(s: SparkSession, dir: String): DataFrame = {
+    val big = Graft.lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(expr("cast(round(l_quantity * 100) as bigint)")).as("qty_e2"))
+      .filter(col("qty_e2") > lit(15000L))
+    big.join(Graft.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Graft.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("odate"),
+        expr("cast(round(o_totalprice * 100) as bigint)").as("price_e2"),
+        col("qty_e2"))
+      .orderBy(col("qty_e2").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  /** TPC-H Q19-flavored disjunctive-predicate revenue: an OR of three
+    * (brand, size-range, quantity-range) conjunctions. The part-only
+    * half of each disjunct is pre-applied to the part side so the scan
+    * prunes before the join (the optimizer cannot split a mixed OR
+    * across the join by itself); the full predicate stays as the join
+    * residual for exactness.
+    */
+  def disjunctiveRevenue(s: SparkSession, dir: String): DataFrame = {
+    val partPre = Graft.part(s, dir)
+      .filter(
+        (col("p_brand") === "Brand#4" && col("p_size").between(1, 15)) ||
+        (col("p_brand") === "Brand#19" && col("p_size").between(10, 30)) ||
+        (col("p_brand") === "Brand#2" && col("p_size").between(20, 50)))
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+    Graft.lineitem(s, dir)
+      .join(partPre, col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#4" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#19" && col("p_size").between(10, 30) &&
+          col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#2" && col("p_size").between(20, 50) &&
+          col("l_quantity").between(20, 30)))
+      .agg(count(lit(1)).as("n_items"), sum(expr(revU)).as("revenue_e4"))
+  }
+
+  /** TPC-H Q21-flavored sole-late supplier: on multi-supplier orders
+    * where EXACTLY ONE supplier shipped late (>60 days after the order
+    * date), count such orders per supplier. The double correlated
+    * EXISTS / NOT EXISTS decorrelates into one (orderkey, suppkey)
+    * aggregate + order-level window counts over it — two shuffles
+    * total, no per-row subquery. Top-20 via TakeOrderedAndProject.
+    */
+  def soleLateSupplier(s: SparkSession, dir: String): DataFrame = {
+    val perOrderSupp = Graft.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      .join(Graft.orders(s, dir).select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(when(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+        lit(1L)).otherwise(lit(0L))).as("late"))
+    val w = Window.partitionBy(col("l_orderkey"))
+    perOrderSupp
+      .withColumn("n_supp", count(lit(1)).over(w))
+      .withColumn("n_late", sum(col("late")).over(w))
+      .filter(col("late") === 1L && col("n_supp") > 1L && col("n_late") === 1L)
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("numwait"))
+      .join(Graft.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(20)
+  }
+
+  /** TPC-H Q22-flavored idle rich customers: above-average balance and
+    * no order since 2000-07-01, per segment. The scalar avg-subquery
+    * becomes a one-row broadcast; strictly-above is exact integer
+    * (bal_e2 * n > sum_e2 — no division); the NOT EXISTS is a left
+    * anti join against date-filtered orders (filter pushed to the
+    * scan, key shuffle co-partitioned).
+    */
+  def idleRichCustomers(s: SparkSession, dir: String): DataFrame = {
+    val cust = Graft.customer(s, dir)
+      .select(col("c_custkey"), col("c_mktsegment"),
+        expr("cast(round(c_acctbal * 100) as bigint)").as("bal_e2"))
+    val avgPos = cust.filter(col("bal_e2") > 0)
+      .agg(sum(col("bal_e2")).as("sum_e2"), count(lit(1)).as("n_pos"))
+    val recent = Graft.orders(s, dir)
+      .filter(col("o_orderdate") >= ts("2000-07-01"))
+      .select(col("o_custkey"))
+    cust.crossJoin(broadcast(avgPos))
+      .filter(col("bal_e2") * col("n_pos") > col("sum_e2"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("n_cust"), sum(col("bal_e2")).as("sum_bal_e2"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "q_small_qty" ->
+      """WITH li AS (SELECT l_partkey,
+        |  CAST(round(l_quantity * 100) AS BIGINT) AS qty_e2,
+        |  CAST(round(l_extendedprice * 100) AS BIGINT) AS price_e2
+        | FROM lineitem JOIN part ON l_partkey = p_partkey
+        | WHERE p_brand = 'Brand#4'),
+        |pa AS (SELECT l_partkey AS pk, sum(qty_e2) AS sum_qty_e2,
+        |  count(*) AS n_li FROM li GROUP BY 1)
+        |SELECT count(*) AS n_items, CAST(sum(price_e2) AS BIGINT) AS revenue_e2
+        |FROM li JOIN pa ON l_partkey = pk
+        |WHERE qty_e2 * 5 * n_li < sum_qty_e2""".stripMargin,
+    "q_large_orders" ->
+      """WITH big AS (SELECT l_orderkey,
+        |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_e2
+        | FROM lineitem GROUP BY 1 HAVING qty_e2 > 15000)
+        |SELECT c_name, c_custkey, o_orderkey,
+        | strftime(o_orderdate, '%Y-%m-%d') AS odate,
+        | CAST(round(o_totalprice * 100) AS BIGINT) AS price_e2, qty_e2
+        |FROM big JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        |ORDER BY qty_e2 DESC, o_orderkey LIMIT 100""".stripMargin,
+    "q_disjunctive" ->
+      s"""SELECT count(*) AS n_items, CAST(sum($duckRevU) AS BIGINT) AS revenue_e4
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 15
+         |        AND l_quantity BETWEEN 1 AND 11)
+         |   OR (p_brand = 'Brand#19' AND p_size BETWEEN 10 AND 30
+         |        AND l_quantity BETWEEN 10 AND 20)
+         |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 20 AND 50
+         |        AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    "q_sole_late_supplier" ->
+      """WITH lo AS (SELECT l_orderkey, l_suppkey,
+        |  max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |      THEN 1 ELSE 0 END) AS late
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1, 2),
+        |st AS (SELECT *, count(*) OVER (PARTITION BY l_orderkey) AS n_supp,
+        |        sum(late) OVER (PARTITION BY l_orderkey) AS n_late FROM lo)
+        |SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+        |FROM st JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE late = 1 AND n_supp > 1 AND n_late = 1
+        |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
+    "q_idle_cust" ->
+      """WITH c AS (SELECT c_custkey, c_mktsegment,
+        |  CAST(round(c_acctbal * 100) AS BIGINT) AS bal_e2 FROM customer),
+        |pos AS (SELECT CAST(sum(bal_e2) AS BIGINT) AS sum_e2, count(*) AS n_pos
+        |        FROM c WHERE bal_e2 > 0)
+        |SELECT c_mktsegment AS segment, count(*) AS n_cust,
+        | CAST(sum(bal_e2) AS BIGINT) AS sum_bal_e2
+        |FROM c, pos
+        |WHERE bal_e2 * n_pos > sum_e2
+        | AND c_custkey NOT IN (SELECT o_custkey FROM orders
+        |      WHERE o_orderdate >= TIMESTAMP '2000-07-01 00:00:00')
+        |GROUP BY 1""".stripMargin,
     "q_cust_dist" ->
       """SELECT c_count, count(*) AS custdist
         |FROM (SELECT c_custkey, count(o_orderkey) AS c_count

@@ -133,6 +133,26 @@ object TextAnalysis {
         """bucket < CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 30
           | WHEN 'fr' THEN 20 ELSE 10 END""".stripMargin))
 
+  /** Deterministic k-per-key sample: for each language, the 5 documents
+    * ranked first by md5(doc_id) — a hash-ordered reservoir whose
+    * membership is stable across runs, partitionings, and engines
+    * (unlike rand()-based sampling). The rank is dropped, so
+    * WindowTopKRule rewrites the row_number window into the bounded-heap
+    * TopKPerKey operator: per-key work is O(n log k) with no per-group
+    * sort, and growing the corpus only changes WHICH k win, never the
+    * cost shape.
+    */
+  def samplePerKey(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+      .orderBy(col("h"), col("doc_id"))
+    Graft.documents(s, dir)
+      .select(col("lang"), col("doc_id"),
+        md5(col("doc_id").cast("string")).as("h"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("lang"), col("doc_id"), col("h"))
+  }
+
   /** Benchmark decontamination: documents sharing >= 2 winnowing
     * fingerprints with any benchmark document (here: doc_id < 3 stands
     * in for the eval set). The fingerprint join is the scalable
@@ -304,6 +324,10 @@ object TextAnalysis {
       | FROM whs)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "sample_per_key" ->
+      """SELECT lang, doc_id, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents
+        |QUALIFY row_number() OVER (PARTITION BY lang
+        |  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= 5""".stripMargin,
     "profile_docs" ->
       """SELECT 'doc_id' AS col_name,
         | CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,

@@ -70,4 +70,16 @@ class EmptyInputSpec extends SparkSpec {
     assert(Ann.pq(spark, dir).count() === 0)
     assert(Ann.pqRefine(spark, dir).count() === 0)
   }
+
+  test("round-5 operators are safe on empty tables") {
+    assert(Events.attribution(spark, dir).count() === 0)
+    assert(TextAnalysis.samplePerKey(spark, dir).count() === 0)
+    // a count aggregate over an empty graph yields one zero row
+    assert(Dedup.triangles(spark, dir).head().getLong(0) === 0L)
+    val partSchema = StructType(Seq(
+      StructField("p_partkey", LongType), StructField("p_name", StringType)))
+    val partDir = tempSfDir(
+      "part" -> spark.createDataFrame(new java.util.ArrayList[Row](), partSchema))
+    assert(Dedup.fuzzyNames(spark, partDir).count() === 0)
+  }
 }
