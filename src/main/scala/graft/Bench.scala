@@ -54,6 +54,7 @@ object Bench {
       .map(drop => line(bySlowest.dropRight(drop), drop))
       .find(_.length <= 1950)
       .getOrElse(line(Seq.empty, bySlowest.size))
+    Graft.releaseCaches()
     spark.stop()
     println(out)
   }

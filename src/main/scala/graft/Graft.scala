@@ -52,15 +52,40 @@ object Graft {
     * the cache speedup.
     */
   private val trackedCaches = scala.collection.mutable.Map.empty[String, Seq[DataFrame]]
+  private val memoScopes = scala.collection.mutable.Map.empty[String, (String, DataFrame)]
 
   def trackCaches(key: String, frames: DataFrame*): Unit = synchronized {
     trackedCaches.remove(key).foreach(_.foreach(_.unpersist(false)))
     trackedCaches(key) = frames
   }
 
+  /** Memoized tracked cache: operators that share an expensive subtree
+    * (the near-dup pair graph feeds pagerank, triangles AND clustering)
+    * register it here under one key, so a session running several of
+    * them persists and computes it ONCE. `scope` is the data directory:
+    * a call with the same (key, scope) returns the already-persisted
+    * frame; a different scope replaces the generation (the registry
+    * unpersists the old one), so at most one copy per key is ever
+    * cached. Unpersisting stays correctness-safe — lineage recomputes.
+    */
+  def memoCache(key: String, scope: String)(build: => DataFrame): DataFrame = synchronized {
+    memoScopes.get(key) match {
+      case Some((`scope`, df)) => df
+      case _ =>
+        val df = build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        memoScopes(key) = (scope, df)
+        trackCaches(key, df)
+        df
+    }
+  }
+
+  /** Session-end teardown: unpersist every tracked cache. Wired into
+    * Bench/Verify before spark.stop() and into SparkSpec's afterAll.
+    */
   def releaseCaches(): Unit = synchronized {
     trackedCaches.values.foreach(_.foreach(_.unpersist(false)))
     trackedCaches.clear()
+    memoScopes.clear()
   }
 
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")

@@ -67,6 +67,7 @@ object Verify {
         s"${q(k)}: ${q(wrapped)}"
       }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    Graft.releaseCaches()
     spark.stop()
   }
 }

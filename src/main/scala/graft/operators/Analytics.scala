@@ -423,8 +423,8 @@ object Analytics {
       .filter(col("event_type") === t).select(col("user_id")).distinct()
     // each set operator references both distinct subtrees, but no cache is
     // needed: all three branches shuffle the SAME canonical subtree on
-    // user_id, so ReusedExchange computes each distinct once (verified in
-    // PlanLintSpec — which also lints this plan, since it is fully lazy)
+    // user_id, so ReusedExchange computes each distinct once (asserted on
+    // the executed plan in ScaleLayoutSpec; PlanLintSpec lints the lazy plan)
     val clicks = users("click")
     val purchases = users("purchase")
     clicks.except(purchases).agg(count(lit(1)).as("n_click_only"))

@@ -64,4 +64,17 @@ class ScaleLayoutSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(plan.contains("ReusedExchange"),
       s"expected ReusedExchange in the final adaptive plan:\n$plan")
   }
+
+  test("set-ops query computes each distinct subtree once (ReusedExchange)") {
+    // q_set_ops references the click/purchase distinct subtrees from all
+    // three set operators; every branch shuffles the same canonical
+    // subtree on user_id, so the executed plan must resolve the repeats
+    // as ReusedExchange — a regression to six scans of the distinct
+    // subtrees would show up as a plan with none.
+    val so = graft.operators.Analytics.userSetOps(spark, "/root/testdata/sf0.001")
+    so.collect()
+    val plan = so.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange"),
+      s"expected ReusedExchange in the executed set-ops plan:\n$plan")
+  }
 }
