@@ -133,6 +133,17 @@ object SparkEntry {
     "sample_per_key" -> ((s: SparkSession, d: String) => TextAnalysis.samplePerKey(s, d)),
     "graph_triangles" -> (Dedup.triangles _),
     "dedup_fuzzy_names" -> ((s: SparkSession, d: String) => Dedup.fuzzyNames(s, d)),
+    // round-6 wave: range/multi-vector search, embedding + LSH index QA,
+    // corpus profiling, returned-item / priority-check / cadence analytics
+    "ann_range_search" -> ((s: SparkSession, d: String) => Ann.rangeSearch(s, d)),
+    "ann_maxsim" -> ((s: SparkSession, d: String) => Ann.maxSim(s, d)),
+    "embed_norm_outliers" -> (Ann.normOutliers _),
+    "dedup_lsh_stats" -> (Dedup.lshStats _),
+    "text_entropy" -> (TextAnalysis.entropy _),
+    "doc_length_histogram" -> (TextAnalysis.lengthHistogram _),
+    "q_returned_cust" -> ((s: SparkSession, d: String) => Relational.returnedCustomers(s, d)),
+    "q_priority_late" -> (Relational.priorityLate _),
+    "q_reorder_gap" -> (Relational.reorderGap _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column names!). */

@@ -292,6 +292,69 @@ object Ann {
       .limit(k)
   }
 
+  /** Range search: EVERY vector within cosine >= tau of the query — the
+    * radius-query sibling of top-k (dedup thresholding, recall floors,
+    * "all sufficiently similar" retrieval). One scan + broadcast query
+    * row, no limit: result size is data-dependent by design. The
+    * predicate compares the 6dp-rounded score both engines compute
+    * identically, so the boundary is deterministic.
+    */
+  def rangeSearch(s: SparkSession, dir: String, tau: Double = 0.2): DataFrame =
+    Graft.embeddings(s, dir)
+      .crossJoin(broadcast(SemanticSearch.queryVec(s, dir)))
+      .select(col("vec_id"), VectorOps.cosine6(col("embedding"), col("qvec")).as("score"))
+      .filter(col("score") >= lit(tau))
+
+  /** ColBERT-style late-interaction scoring (MaxSim): the query is a SET
+    * of vectors (vec_id < 4 — a multi-token query), and each document
+    * group (label) scores sum over query tokens of the max cosine to any
+    * member vector. Two grouped aggregations — (label, qtoken) max, then
+    * per-label sum — both partial-agg friendly; the query set broadcasts
+    * (O(query tokens), corpus-independent). Per-token maxima are
+    * quantized to integer micros BEFORE the cross-token sum, so the
+    * 4-term addition is order-independent and bit-identical across
+    * engines and partitionings.
+    */
+  def maxSim(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val qs = Graft.embeddings(s, dir).filter(col("vec_id") < 4)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    Graft.embeddings(s, dir)
+      .crossJoin(broadcast(qs))
+      .select(col("label"), col("qid"),
+        VectorOps.cosine6(col("embedding"), col("qv")).as("c"))
+      .groupBy(col("label"), col("qid"))
+      .agg(max(col("c")).as("mx"))
+      .groupBy(col("label"))
+      .agg(sum(expr("cast(round(mx * 1000000) as bigint)")).as("maxsim_micros"))
+      .orderBy(col("maxsim_micros").desc, col("label"))
+      .limit(k)
+  }
+
+  /** Embedding QA: per-label vector-norm outliers — broken encoders
+    * produce near-zero or blown-up norms, and this is the standard
+    * batch health check before indexing. Norms are quantized to integer
+    * millis; the |z| > 2 test runs in exact integer algebra,
+    * (n·m − S)² > 4·(n·Q − S²)  ⇔  ((m − mean)/sd)² > 4,
+    * so no float mean/stddev ever crosses an engine boundary. One
+    * shuffle: the label window computes the moment sums, the grouped
+    * count rides the same partitioning. (Long headroom: millis keep
+    * n·Q < 9e18 up to ~10^8 rows per label; rescale to centis beyond.)
+    */
+  def normOutliers(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("label"))
+    Graft.embeddings(s, dir)
+      .select(col("label"),
+        expr("cast(round(sqrt(fvec_dot(embedding, embedding)) * 1000) as bigint)").as("m"))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("sm", sum(col("m")).over(w))
+      .withColumn("qm", sum(col("m") * col("m")).over(w))
+      .groupBy(col("label"))
+      .agg(first(col("n")).as("n_vecs"),
+        expr("first(sm div n)").as("mean_norm_millis"),
+        sum(when(expr("(n*m - sm)*(n*m - sm) > 4 * (n*qm - sm*sm)"), lit(1L))
+          .otherwise(lit(0L))).as("n_outliers"))
+  }
+
   private val duckCosPair =
     """list_sum(list_transform(range(1,65), i -> x.v[i] * y.v[i]))
       | / (sqrt(list_sum(list_transform(range(1,65), i -> x.v[i] * x.v[i])))
@@ -366,6 +429,33 @@ object Ann {
          |SELECT x.vec_id, round($duckCosPair, 6) AS score
          |FROM e x, (SELECT v FROM q) y
          |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin,
+    "ann_range_search" ->
+      s"""WITH $duckE,
+         |q AS (SELECT v FROM e WHERE vec_id = (SELECT min(vec_id) FROM e))
+         |SELECT x.vec_id, round($duckCosPair, 6) AS score
+         |FROM e x, (SELECT v FROM q) y
+         |WHERE round($duckCosPair, 6) >= CAST(0.2 AS DOUBLE)""".stripMargin,
+    "ann_maxsim" ->
+      s"""WITH $duckE,
+         |sc AS (SELECT x.label, y.qid, round($duckCosPair, 6) AS c
+         |       FROM e x, (SELECT vec_id AS qid, v FROM e WHERE vec_id < 4) y),
+         |mx AS (SELECT label, qid, max(c) AS mx FROM sc GROUP BY 1, 2)
+         |SELECT label,
+         | CAST(sum(CAST(round(mx * 1000000) AS BIGINT)) AS BIGINT) AS maxsim_micros
+         |FROM mx GROUP BY 1 ORDER BY maxsim_micros DESC, label LIMIT 5""".stripMargin,
+    "embed_norm_outliers" ->
+      s"""WITH $duckE,
+         |m AS (SELECT label, CAST(round(sqrt(list_sum(
+         |        list_transform(range(1, 65), i -> v[i] * v[i]))) * 1000) AS BIGINT) AS m
+         |      FROM e),
+         |st AS (SELECT label, CAST(count(*) AS BIGINT) AS n,
+         |        CAST(sum(m) AS BIGINT) AS sm, CAST(sum(m * m) AS BIGINT) AS qm
+         |       FROM m GROUP BY 1)
+         |SELECT m.label, n AS n_vecs, sm // n AS mean_norm_millis,
+         | CAST(sum(CASE WHEN (n*m.m - sm)*(n*m.m - sm) > 4 * (n*qm - sm*sm)
+         |          THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+         |FROM m JOIN st ON m.label = st.label
+         |GROUP BY 1, n, sm, qm""".stripMargin,
     "ann_ivf" ->
       s"""WITH $duckE,
          |c AS (SELECT vec_id AS cid, v FROM e WHERE vec_id < 8),

@@ -100,8 +100,12 @@ object Dedup {
     * integer permutations, min fold — graft.functions.TextHashes); the
     * only shuffle is the band-bucket self-join.
     */
-  def minhashLsh(s: SparkSession, dir: String): DataFrame = {
-    val bands = withShingles(s, dir)
+  /** One row per (doc, LSH band): 12 minhashes in 4 bands of 3, band
+    * value as a joined string. Shared by the candidate join and the
+    * index-health stats.
+    */
+  private def minhashBands(s: SparkSession, dir: String): DataFrame =
+    withShingles(s, dir)
       .select(col("doc_id"), call_function("minhash_sigs", col("shingles")).as("sigs"))
       .select(col("doc_id"), posexplode(expr(
         """transform(sequence(0, 3),
@@ -113,15 +117,34 @@ object Dedup {
       // not bucket together. Filtering on the *generated* band string
       // stays above the Generate (no pushdown re-evaluating the kernel).
       .filter(col("band_hash") =!= "1000000007|1000000007|1000000007")
-      // self-join via shuffle so ReusedExchange computes the signature
-      // subtree once (broadcast would build both sides separately)
-      .hint("SHUFFLE_HASH")
+
+  def minhashLsh(s: SparkSession, dir: String): DataFrame = {
+    // self-join via shuffle so ReusedExchange computes the signature
+    // subtree once (broadcast would build both sides separately)
+    val bands = minhashBands(s, dir).hint("SHUFFLE_HASH")
     bands.as("a").join(bands.as("b"),
         col("a.band_id") === col("b.band_id") && col("a.band_hash") === col("b.band_hash") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
   }
+
+  /** LSH index health: per-band bucket statistics over the MinHash band
+    * frame — bucket count, max occupancy, and the candidate-pair mass
+    * Σ s·(s−1)/2 each band contributes to the self-join. THE tuning
+    * signal for band/row counts: a hot bucket means a band is too
+    * coarse (pair mass explodes quadratically in its size), too many
+    * singleton buckets means wasted recall. Two grouped counts, both
+    * partial-agg friendly; cost is the band frame, never the pairs.
+    */
+  def lshStats(s: SparkSession, dir: String): DataFrame =
+    minhashBands(s, dir)
+      .groupBy(col("band_id"), col("band_hash")).agg(count(lit(1)).as("sz"))
+      .groupBy(col("band_id"))
+      .agg(count(lit(1)).as("n_buckets"), max(col("sz")).as("max_bucket"),
+        sum(expr("sz * (sz - 1) div 2")).as("cand_pairs"))
+      .select(col("band_id").cast("long").as("band_id"),
+        col("n_buckets"), col("max_bucket"), col("cand_pairs"))
 
   /** 64-bit SimHash from md5-derived token bits, pure integer arithmetic
     * (bit b of token t = bit (b mod 4) of hex digit (b div 4) of md5(t)).
@@ -657,6 +680,22 @@ object Dedup {
       |sar AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
       |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles FROM t)""".stripMargin
 
+  /** Shared minhash sig/bands CTE chain (assumes `sar` from
+    * [[duckShingles]]); ends in `bands` = (doc_id, band_id, band_hash).
+    */
+  private lazy val duckMinhashBands =
+    s"""sig AS (SELECT doc_id,
+       |  list_reduce(
+       |    list_transform(
+       |      list_transform(list_transform(shingles, g -> md5(g)), h -> ${hexToLong("h", "strpos")}),
+       |      v -> list_transform(range(0, 12),
+       |             p -> ((16385 + 77 * p) * v + 52361 + 9199 * p) % 1000000007)),
+       |    (a, b) -> list_transform(range(1, 13), i -> least(a[i], b[i]))) AS sigs
+       |  FROM sar),
+       |bands AS (SELECT doc_id, b AS band_id,
+       |           concat_ws('|', sigs[3*b + 1], sigs[3*b + 2], sigs[3*b + 3]) AS band_hash
+       |          FROM sig, range(0, 4) t(b))""".stripMargin
+
   private val duckFixedChunks =
     """fw0 AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents),
       |fw1 AS (SELECT doc_id, toks,
@@ -832,21 +871,19 @@ object Dedup {
          |WHERE inter * 1000000 // (x.n + y.n - inter) >= 500000""".stripMargin,
     "dedup_minhash_lsh" ->
       s"""WITH $duckShingles,
-         |sig AS (SELECT doc_id,
-         |  list_reduce(
-         |    list_transform(
-         |      list_transform(list_transform(shingles, g -> md5(g)), h -> ${hexToLong("h", "strpos")}),
-         |      v -> list_transform(range(0, 12),
-         |             p -> ((16385 + 77 * p) * v + 52361 + 9199 * p) % 1000000007)),
-         |    (a, b) -> list_transform(range(1, 13), i -> least(a[i], b[i]))) AS sigs
-         |  FROM sar),
-         |bands AS (SELECT doc_id, b AS band_id,
-         |           CAST(sigs[3*b + 1] AS VARCHAR) || '|' || CAST(sigs[3*b + 2] AS VARCHAR)
-         |            || '|' || CAST(sigs[3*b + 3] AS VARCHAR) AS band_hash
-         |          FROM sig, range(0, 4) t(b))
+         |$duckMinhashBands
          |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
          |FROM bands a JOIN bands b
          |  ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id""".stripMargin,
+    "dedup_lsh_stats" ->
+      s"""WITH $duckShingles,
+         |$duckMinhashBands,
+         |bs AS (SELECT band_id, band_hash, CAST(count(*) AS BIGINT) AS sz
+         |       FROM bands GROUP BY 1, 2)
+         |SELECT CAST(band_id AS BIGINT) AS band_id, count(*) AS n_buckets,
+         | CAST(max(sz) AS BIGINT) AS max_bucket,
+         | CAST(sum(sz * (sz - 1) // 2) AS BIGINT) AS cand_pairs
+         |FROM bs GROUP BY 1""".stripMargin,
     "dedup_simhash" ->
       """WITH h AS (SELECT doc_id,
         |  list_transform(string_split_regex(text, '\s+'), t -> md5(t)) AS hs FROM documents)

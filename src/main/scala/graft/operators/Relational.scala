@@ -318,7 +318,95 @@ object Relational {
       .agg(count(lit(1)).as("n_cust"), sum(col("bal_e2")).as("sum_bal_e2"))
   }
 
+  /** TPC-H Q10-flavored returned-item report: top customers by revenue
+    * on lines they returned — the "who should support call first"
+    * query. One orderkey shuffle joins the returnflag-filtered lines to
+    * orders (filter pushed to the lineitem scan); customer and the
+    * nation dim attach after the heavy join; revenue is the exact
+    * integer $1e-4 form; top-k via TakeOrderedAndProject (per-partition
+    * heaps — no global sort at any scale).
+    */
+  def returnedCustomers(s: SparkSession, dir: String, k: Int = 20): DataFrame =
+    Graft.lineitem(s, dir).filter(col("l_returnflag") === "R")
+      .join(Graft.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(expr(revU)).as("revenue_e4"))
+      // customer is SF-scaled: shuffle-shaped join, AQE broadcasts when
+      // the per-customer aggregate measures small
+      .join(Graft.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Graft.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("n_name").as("nation"),
+        col("revenue_e4"))
+      .orderBy(col("revenue_e4").desc, col("c_custkey"))
+      .limit(k)
+
+  /** TPC-H Q4-flavored priority check: orders with at least one line
+    * shipped more than 60 days after the order date, counted by
+    * priority. The EXISTS is a left-semi join on orderkey with the
+    * lateness comparison as the join residual — each order counts once
+    * no matter how many late lines it has, and no aggregate ever sees
+    * the exploded match set.
+    */
+  def priorityLate(s: SparkSession, dir: String): DataFrame =
+    Graft.orders(s, dir)
+      .join(Graft.lineitem(s, dir).select(col("l_orderkey"), col("l_shipdate")),
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+
+  /** Mean days between a customer's consecutive orders, by market
+    * segment — the repeat-purchase cadence metric. One lag window per
+    * customer ordered by (epoch day, orderkey) — a total order even on
+    * same-day orders — then a plain associative aggregate; the mean is
+    * integer micros (sum_days * 1e6 div n), exact on the day grid.
+    */
+  def reorderGap(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("day"), col("o_orderkey"))
+    Graft.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        datediff(col("o_orderdate").cast("date"), lit("1970-01-01").cast("date"))
+          .cast("long").as("day"))
+      .withColumn("gap", col("day") - lag(col("day"), 1).over(w))
+      .filter(col("gap").isNotNull)
+      .join(Graft.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("n_gaps"), sum(col("gap")).as("sum_gap_days"))
+      .select(col("segment"), col("n_gaps"), col("sum_gap_days"),
+        expr("sum_gap_days * 1000000 div n_gaps").as("mean_gap_micros"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "q_returned_cust" ->
+      s"""WITH r AS (SELECT o_custkey, CAST(sum($duckRevU) AS BIGINT) AS revenue_e4
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |  WHERE l_returnflag = 'R' GROUP BY 1)
+         |SELECT c_custkey, c_name, n_name AS nation, revenue_e4
+         |FROM r JOIN customer ON o_custkey = c_custkey
+         | JOIN nation ON c_nationkey = n_nationkey
+         |ORDER BY revenue_e4 DESC, c_custkey LIMIT 20""".stripMargin,
+    "q_priority_late" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |  WHERE l.l_orderkey = o.o_orderkey
+        |    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY 1""".stripMargin,
+    "q_reorder_gap" ->
+      """WITH d AS (SELECT o_custkey, o_orderkey,
+        |  date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day
+        | FROM orders),
+        |g AS (SELECT o_custkey,
+        |  day - lag(day) OVER (PARTITION BY o_custkey ORDER BY day, o_orderkey) AS gap
+        | FROM d)
+        |SELECT c_mktsegment AS segment, count(*) AS n_gaps,
+        | CAST(sum(gap) AS BIGINT) AS sum_gap_days,
+        | CAST(sum(gap) * 1000000 // count(*) AS BIGINT) AS mean_gap_micros
+        |FROM g JOIN customer ON o_custkey = c_custkey
+        |WHERE gap IS NOT NULL
+        |GROUP BY 1""".stripMargin,
     "q_small_qty" ->
       """WITH li AS (SELECT l_partkey,
         |  CAST(round(l_quantity * 100) AS BIGINT) AS qty_e2,

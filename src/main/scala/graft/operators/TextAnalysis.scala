@@ -308,6 +308,50 @@ object TextAnalysis {
         expr("(-sum_lp) div n_toks").as("nll_per_tok_micros"))
   }
 
+  /** Token-entropy quality signal: Shannon entropy of the within-document
+    * token distribution — telegraphic/repetitive text scores low, natural
+    * prose sits near ln(vocab). H = Σ (c/n)·ln(n/c) over per-doc token
+    * counts; each term is quantized to integer micros BEFORE the per-doc
+    * sum (c · round(ln(n/c)·1e6), order-independent — the same technique
+    * as [[unigramLogprob]]), the division by n happens once at the end in
+    * integer space. One tokenize pass; the per-doc total rides a window
+    * over the same doc_id partitioning as the count aggregate, so the
+    * whole operator is a single shuffle.
+    */
+  def entropy(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+    Graft.documents(s, dir)
+      .select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      .withColumn("n", sum(col("c")).over(w))
+      .select(col("doc_id"), col("n"),
+        expr("c * cast(round(ln(cast(n as double) / cast(c as double)) * 1000000) as bigint)")
+          .as("term"))
+      .groupBy(col("doc_id"))
+      .agg(first(col("n")).as("n_tokens"), sum(col("term")).as("st"))
+      .select(col("doc_id"), col("n_tokens"),
+        expr("st div n_tokens").as("entropy_micros"))
+  }
+
+  /** Corpus length profile: documents bucketed by floor(log2(n_tokens))
+    * — the power-of-two length histogram every corpus report starts
+    * with (and the partition-sizing input for chunking jobs). The
+    * bucket comes from integer bit arithmetic (length of the binary
+    * representation), never float log2, so a 2^k-token document can't
+    * land in the wrong bucket via 2.9999…; pure map + one tiny agg.
+    */
+  def lengthHistogram(s: SparkSession, dir: String): DataFrame =
+    Graft.documents(s, dir)
+      .select(expr("cast(size(split(text, '\\\\s+')) as bigint)").as("n"))
+      .filter(col("n") >= 1)
+      .select((length(bin(col("n"))) - 1).cast("long").as("bucket"), col("n"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("sum_tokens"))
+      .select(col("bucket"),
+        expr("cast(shiftleft(cast(1 as bigint), cast(bucket as int)) as bigint)")
+          .as("bucket_lo"),
+        col("n_docs"), col("sum_tokens"))
+
   /** Data-quality profile of the documents table: per column the null
     * count and exact distinct count, in ONE aggregation pass (every
     * metric is a partial-agg expression over the same scan) unpivoted
@@ -352,6 +396,24 @@ object TextAnalysis {
       | FROM whs)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "text_entropy" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok
+        |  FROM documents),
+        |c AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c FROM t GROUP BY 1, 2),
+        |n AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n FROM c GROUP BY 1)
+        |SELECT c.doc_id, n.n AS n_tokens,
+        | CAST(sum(c.c * CAST(round(ln(CAST(n.n AS DOUBLE) / CAST(c.c AS DOUBLE))
+        |      * 1000000) AS BIGINT)) // n.n AS BIGINT) AS entropy_micros
+        |FROM c JOIN n ON c.doc_id = n.doc_id
+        |GROUP BY 1, 2""".stripMargin,
+    "doc_length_histogram" ->
+      """WITH d AS (SELECT CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n
+        |  FROM documents),
+        |b AS (SELECT CAST(length(printf('%b', n)) - 1 AS BIGINT) AS bucket, n
+        |      FROM d WHERE n >= 1)
+        |SELECT bucket, CAST(CAST(1 AS BIGINT) << bucket AS BIGINT) AS bucket_lo,
+        | count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS sum_tokens
+        |FROM b GROUP BY 1""".stripMargin,
     "sample_per_key" ->
       """SELECT lang, doc_id, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents
         |QUALIFY row_number() OVER (PARTITION BY lang

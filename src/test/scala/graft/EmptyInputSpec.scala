@@ -82,4 +82,13 @@ class EmptyInputSpec extends SparkSpec {
       "part" -> spark.createDataFrame(new java.util.ArrayList[Row](), partSchema))
     assert(Dedup.fuzzyNames(spark, partDir).count() === 0)
   }
+
+  test("round-6 operators are safe on empty tables") {
+    assert(Ann.rangeSearch(spark, dir).count() === 0)
+    assert(Ann.maxSim(spark, dir).count() === 0)
+    assert(Ann.normOutliers(spark, dir).count() === 0)
+    assert(Dedup.lshStats(spark, dir).count() === 0)
+    assert(TextAnalysis.entropy(spark, dir).count() === 0)
+    assert(TextAnalysis.lengthHistogram(spark, dir).count() === 0)
+  }
 }
