@@ -144,6 +144,7 @@ object SparkEntry {
     "q_returned_cust" -> ((s: SparkSession, d: String) => Relational.returnedCustomers(s, d)),
     "q_priority_late" -> (Relational.priorityLate _),
     "q_reorder_gap" -> (Relational.reorderGap _),
+    "q6_forecast" -> (Relational.forecastRevenue _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column names!). */

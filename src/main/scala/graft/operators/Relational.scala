@@ -318,6 +318,23 @@ object Relational {
       .agg(count(lit(1)).as("n_cust"), sum(col("bal_e2")).as("sum_bal_e2"))
   }
 
+  /** TPC-H Q6-flavored forecast-revenue change: one filtered scan, one
+    * global aggregate — the canonical predicate-pushdown + map-side
+    * partial-agg query (every filter reaches the parquet scan; zero
+    * shuffle beyond the final single-row combine). Revenue delta =
+    * price × discount in exact $1e-4 integers; the discount band
+    * compares rounded hundredths, never raw doubles.
+    */
+  def forecastRevenue(s: SparkSession, dir: String): DataFrame =
+    Graft.lineitem(s, dir)
+      .filter(col("l_shipdate") >= ts("1997-01-01") && col("l_shipdate") < ts("1998-01-01"))
+      .select(expr("cast(round(l_extendedprice * 100) as bigint)").as("price_e2"),
+        expr("cast(round(l_discount * 100) as bigint)").as("disc_e2"),
+        col("l_quantity"))
+      .filter(col("disc_e2").between(5, 7) && col("l_quantity") < 24)
+      .agg(count(lit(1)).as("n_items"),
+        sum(expr("price_e2 * disc_e2")).as("forecast_e4"))
+
   /** TPC-H Q10-flavored returned-item report: top customers by revenue
     * on lines they returned — the "who should support call first"
     * query. One orderkey shuffle joins the returnflag-filtered lines to
@@ -379,6 +396,14 @@ object Relational {
   }
 
   val oracle: Map[String, String] = Map(
+    "q6_forecast" ->
+      """SELECT count(*) AS n_items,
+        | CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |        * CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) AS forecast_e4
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+        |  AND l_quantity < 24""".stripMargin,
     "q_returned_cust" ->
       s"""WITH r AS (SELECT o_custkey, CAST(sum($duckRevU) AS BIGINT) AS revenue_e4
          |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey

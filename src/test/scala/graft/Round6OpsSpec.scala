@@ -158,6 +158,21 @@ class Round6OpsSpec extends SparkSpec {
     assert(out.head.getAs[Long]("mean_gap_micros") === 12500000L)
   }
 
+  test("forecastRevenue: only in-band rows aggregate, exact integer product") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    val li = Seq(
+      (ts("1997-06-01"), 100.0, 0.06, 10.0), // kept: 10000 * 6 = 60000
+      (ts("1997-06-01"), 100.0, 0.06, 30.0), // qty out of band
+      (ts("1997-06-01"), 100.0, 0.10, 10.0), // discount out of band
+      (ts("1998-06-01"), 100.0, 0.06, 10.0)) // year out of band
+      .toDF("l_shipdate", "l_extendedprice", "l_discount", "l_quantity")
+    val d = tempSfDir("lineitem" -> li)
+    val out = Relational.forecastRevenue(spark, d).collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[Long]("n_items") === 1L)
+    assert(out.head.getAs[Long]("forecast_e4") === 60000L)
+  }
+
   test("returnedCustomers: descending revenue, only R-flag lines counted") {
     val rows = Relational.returnedCustomers(spark, dir).collect()
     assert(rows.nonEmpty)
