@@ -145,6 +145,7 @@ object SparkEntry {
     "q_priority_late" -> (Relational.priorityLate _),
     "q_reorder_gap" -> (Relational.reorderGap _),
     "q6_forecast" -> (Relational.forecastRevenue _),
+    "sample_temperature" -> (TextAnalysis.sampleTemperature _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column names!). */

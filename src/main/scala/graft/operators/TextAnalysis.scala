@@ -352,6 +352,27 @@ object TextAnalysis {
           .as("bucket_lo"),
         col("n_docs"), col("sum_tokens"))
 
+  /** Temperature-based source mixing (mT5/data-mixing style): sampling
+    * weight per source ∝ count^(1/T) with T=2, i.e. sqrt — upweights
+    * small sources relative to proportional sampling. The per-source
+    * sqrt is quantized to integer millis BEFORE the normalizing sum, so
+    * the weight denominator is an exact integer and the final micros
+    * division is order-independent (a raw double Σ√c would sum in
+    * engine/partition-dependent order). One vocabulary-sized aggregate;
+    * the one-row total broadcasts.
+    */
+  def sampleTemperature(s: SparkSession, dir: String): DataFrame = {
+    val counts = Graft.documents(s, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+      .select(col("source"), col("n_docs"),
+        expr("cast(round(sqrt(cast(n_docs as double)) * 1000) as bigint)").as("s_millis"))
+    val total = counts.agg(sum(col("s_millis")).as("t_millis"))
+    counts.crossJoin(broadcast(total))
+      .select(col("source"), col("n_docs"),
+        expr("s_millis * 1000000 div t_millis").as("weight_micros"))
+  }
+
   /** Data-quality profile of the documents table: per column the null
     * count and exact distinct count, in ONE aggregation pass (every
     * metric is a partial-agg expression over the same scan) unpivoted
@@ -406,6 +427,14 @@ object TextAnalysis {
         |      * 1000000) AS BIGINT)) // n.n AS BIGINT) AS entropy_micros
         |FROM c JOIN n ON c.doc_id = n.doc_id
         |GROUP BY 1, 2""".stripMargin,
+    "sample_temperature" ->
+      """WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(round(sqrt(CAST(count(*) AS DOUBLE)) * 1000) AS BIGINT) AS s_millis
+        | FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(sum(s_millis) AS BIGINT) AS t_millis FROM c)
+        |SELECT source, n_docs,
+        | CAST(s_millis * 1000000 // t_millis AS BIGINT) AS weight_micros
+        |FROM c, t""".stripMargin,
     "doc_length_histogram" ->
       """WITH d AS (SELECT CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n
         |  FROM documents),
