@@ -146,6 +146,11 @@ object SparkEntry {
     "q_reorder_gap" -> (Relational.reorderGap _),
     "q6_forecast" -> (Relational.forecastRevenue _),
     "sample_temperature" -> (TextAnalysis.sampleTemperature _),
+    "dedup_cluster_sizes" -> (Dedup.clusterSizes _),
+    "dedup_canonical" -> (Dedup.canonical _),
+    "langid_confusion" -> (TextAnalysis.langidConfusion _),
+    "search_facets" -> ((s: SparkSession, d: String) => KeywordSearch.facets(s, d)),
+    "search_diverse" -> ((s: SparkSession, d: String) => SemanticSearch.diverseTopK(s, d)),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column names!). */

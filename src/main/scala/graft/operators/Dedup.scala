@@ -359,6 +359,35 @@ object Dedup {
   def clusters(s: SparkSession, dir: String, maxIters: Int = 20): DataFrame =
     clustersOf(s, dir, dupPairs(s, dir), maxIters)
 
+  /** Cluster-size histogram: how many near-dup clusters have exactly N
+    * members (singletons included — every unclustered doc is its own
+    * cluster of 1). The curation QA view of [[clusters]]: a sudden mass
+    * at large N means a boilerplate template is eating the corpus. Two
+    * map-side-combinable aggregates over the 1-row-per-doc labels.
+    */
+  def clusterSizes(s: SparkSession, dir: String): DataFrame =
+    clusters(s, dir)
+      .groupBy(col("cluster_rep"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+
+  /** Canonical document per near-dup cluster: keep the longest member
+    * (ties → smallest doc_id) — the keep/drop decision a dedup pipeline
+    * emits downstream. The argmax is ONE partial-aggregatable max over
+    * a (n_chars, -doc_id) struct: no window sort, no self-join; the
+    * labels⋈documents join hashes the same doc_id key both sides.
+    */
+  def canonical(s: SparkSession, dir: String): DataFrame =
+    clusters(s, dir)
+      .join(Graft.documents(s, dir).select(col("doc_id").as("d_id"), col("n_chars")),
+        col("doc_id") === col("d_id"))
+      .groupBy(col("cluster_rep"))
+      .agg(count(lit(1)).as("n_docs"),
+        max(struct(col("n_chars"), (-col("doc_id")).as("neg_id"))).as("mx"))
+      .select(col("cluster_rep"), (-col("mx.neg_id")).as("canonical_id"),
+        col("mx.n_chars").as("canonical_chars"), col("n_docs"))
+
   /** The near-dup pair graph shared by every graph-shaped consumer
     * (clustering, pagerank, triangles): one memoized cached frame per
     * session+directory, so running several of them computes and
@@ -696,6 +725,26 @@ object Dedup {
        |           concat_ws('|', sigs[3*b + 1], sigs[3*b + 2], sigs[3*b + 3]) AS band_hash
        |          FROM sig, range(0, 4) t(b))""".stripMargin
 
+  /** Shared connected-components CTE chain (needs WITH RECURSIVE): 3-gram
+    * Jaccard >= 0.5 pairs → transitive closure → `cl` = (doc_id,
+    * cluster_rep) with singletons identity-labeled. Mirrors [[clusters]].
+    */
+  private lazy val duckClusterRep =
+    s"""$duckShingles,
+       |sh2 AS (SELECT doc_id, unnest(shingles) AS sh FROM sar),
+       |sz AS (SELECT doc_id, count(*) AS n FROM sh2 GROUP BY 1),
+       |pp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+       |       FROM sh2 a JOIN sh2 b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+       |pr AS (SELECT id_a, id_b
+       |       FROM pp JOIN sz x ON x.doc_id = id_a JOIN sz y ON y.doc_id = id_b
+       |       WHERE inter * 1000000 // (x.n + y.n - inter) >= 500000),
+       |und AS (SELECT id_a AS a, id_b AS b FROM pr UNION SELECT id_b, id_a FROM pr),
+       |reach(a, b) AS (SELECT a, b FROM und
+       |  UNION SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a WHERE u.b != r.a),
+       |rep AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_rep FROM reach GROUP BY a),
+       |cl AS (SELECT d.doc_id, coalesce(rep.cluster_rep, d.doc_id) AS cluster_rep
+       |       FROM documents d LEFT JOIN rep ON d.doc_id = rep.doc_id)""".stripMargin
+
   private val duckFixedChunks =
     """fw0 AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents),
       |fw1 AS (SELECT doc_id, toks,
@@ -922,20 +971,23 @@ object Dedup {
         |          AND a.doc_id < b.doc_id)
         |SELECT id_a, id_b, hamming FROM cand WHERE hamming <= 3""".stripMargin,
     "dedup_clusters" ->
-      s"""WITH RECURSIVE $duckShingles,
-         |sh2 AS (SELECT doc_id, unnest(shingles) AS sh FROM sar),
-         |sz AS (SELECT doc_id, count(*) AS n FROM sh2 GROUP BY 1),
-         |pp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-         |       FROM sh2 a JOIN sh2 b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
-         |pr AS (SELECT id_a, id_b
-         |       FROM pp JOIN sz x ON x.doc_id = id_a JOIN sz y ON y.doc_id = id_b
-         |       WHERE inter * 1000000 // (x.n + y.n - inter) >= 500000),
-         |und AS (SELECT id_a AS a, id_b AS b FROM pr UNION SELECT id_b, id_a FROM pr),
-         |reach(a, b) AS (SELECT a, b FROM und
-         |  UNION SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a WHERE u.b != r.a),
-         |rep AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_rep FROM reach GROUP BY a)
-         |SELECT d.doc_id, coalesce(rep.cluster_rep, d.doc_id) AS cluster_rep
-         |FROM documents d LEFT JOIN rep ON d.doc_id = rep.doc_id""".stripMargin,
+      s"""WITH RECURSIVE $duckClusterRep
+         |SELECT doc_id, cluster_rep FROM cl""".stripMargin,
+    "dedup_cluster_sizes" ->
+      s"""WITH RECURSIVE $duckClusterRep,
+         |csz AS (SELECT cluster_rep, CAST(count(*) AS BIGINT) AS cluster_size
+         |        FROM cl GROUP BY 1)
+         |SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+         |FROM csz GROUP BY 1""".stripMargin,
+    "dedup_canonical" ->
+      s"""WITH RECURSIVE $duckClusterRep,
+         |m AS (SELECT cl.cluster_rep, d.doc_id, d.n_chars,
+         |        CAST(count(*) OVER (PARTITION BY cl.cluster_rep) AS BIGINT) AS n_docs,
+         |        row_number() OVER (PARTITION BY cl.cluster_rep
+         |          ORDER BY d.n_chars DESC, d.doc_id) AS rn
+         |      FROM cl JOIN documents d ON cl.doc_id = d.doc_id)
+         |SELECT cluster_rep, doc_id AS canonical_id, n_chars AS canonical_chars, n_docs
+         |FROM m WHERE rn = 1""".stripMargin,
     "dedup_embedding_lsh" ->
       """WITH e AS (SELECT vec_id, label,
         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),

@@ -96,6 +96,20 @@ object KeywordSearch {
       .limit(k)
   }
 
+  /** Facet counts for a search-results page: (source, lang) buckets over
+    * the BM25 top-k with hit count and best score — the sidebar a search
+    * UI renders next to the hits. The k-row result page broadcasts (it
+    * is bounded by the limit, not corpus-sized), so facet assembly adds
+    * zero shuffle beyond the scoring pass; the facet agg itself is
+    * map-side combinable on <= k rows.
+    */
+  def facets(s: SparkSession, dir: String, k: Int = 50): DataFrame =
+    Graft.documents(s, dir)
+      .select(col("doc_id").as("d_id"), col("source"), col("lang"))
+      .join(broadcast(bm25(s, dir, k)), col("d_id") === col("doc_id"))
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), max(col("bm25")).as("best_bm25"))
+
   private def bmCtes(terms: String): String =
     s"""t AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks FROM documents),
        |d AS (SELECT doc_id, len(toks) AS dl, toks FROM t),
@@ -143,6 +157,15 @@ object KeywordSearch {
          | + coalesce(CAST(1 AS DOUBLE) / (CAST(60 AS DOUBLE) + r_bm), CAST(0 AS DOUBLE)) AS rrf
          |FROM cr FULL OUTER JOIN br ON c_label = b_label
          |ORDER BY rrf DESC, label LIMIT 10""".stripMargin
+    },
+    "search_facets" -> {
+      val terms = QueryTerms.map(t => s"'$t'").mkString(", ")
+      s"""WITH ${bmCtes(terms)},
+         |top AS (SELECT doc_id, bm25 FROM scored ORDER BY bm25 DESC, doc_id LIMIT 50)
+         |SELECT d.source, d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |       max(t2.bm25) AS best_bm25
+         |FROM top t2 JOIN documents d ON t2.doc_id = d.doc_id
+         |GROUP BY 1, 2""".stripMargin
     },
     "bm25_search" -> {
       val terms = QueryTerms.map(t => s"'$t'").mkString(", ")

@@ -100,6 +100,19 @@ object SemanticSearch {
     graft.plans.TopKPerKey(chunkScores(s, dir), Seq("label"),
       Seq(("chunk_score", false), ("vec_id", true)), n)
 
+  /** Diversified top-k: the best chunk PER DOCUMENT first (window rank 1
+    * within label), then the global k best of those — so no document
+    * occupies two result slots (the cluster-pruned cousin of MMR
+    * diversification, deterministic where greedy MMR is sequential).
+    * Per-label rank is one window over the scoring scan; the global k
+    * plans TakeOrderedAndProject over <= |labels| rows, never a full sort.
+    */
+  def diverseTopK(s: SparkSession, dir: String, k: Int = 5): DataFrame =
+    topChunksPerDoc(s, dir, 1)
+      .select(col("label"), col("vec_id"), col("chunk_score"))
+      .orderBy(col("chunk_score").desc, col("vec_id"))
+      .limit(k)
+
   /** ±1-chunk context window around the most-relevant chunk of each doc
     * (reference responses.py:77-84), over word chunks of `documents`.
     * "Relevance" here is a deterministic surrogate (min md5 of the token)
@@ -194,6 +207,15 @@ object SemanticSearch {
          | SELECT *, row_number() OVER (PARTITION BY label
          |            ORDER BY chunk_score DESC, vec_id) AS rn FROM cs)
          |WHERE rn <= 2""".stripMargin,
+    "search_diverse" ->
+      s"""WITH $duckQuery,
+         |cs AS (SELECT e.label, e.vec_id, ${duckCos("e.embedding")} AS chunk_score
+         |       FROM embeddings e, q),
+         |best AS (SELECT label, vec_id, chunk_score,
+         |          row_number() OVER (PARTITION BY label
+         |            ORDER BY chunk_score DESC, vec_id) AS rn FROM cs)
+         |SELECT label, vec_id, chunk_score FROM best WHERE rn = 1
+         |ORDER BY chunk_score DESC, vec_id LIMIT 5""".stripMargin,
     "highlight_window" ->
       """WITH c AS (SELECT doc_id, generate_subscripts(parts, 1) - 1 AS pos, unnest(parts) AS tok
         |  FROM (SELECT doc_id, string_split_regex(text, '\s+') AS parts FROM documents)),

@@ -66,6 +66,16 @@ object TextAnalysis {
                 | WHEN s_es >= s_zh THEN 'es'
                 | ELSE 'zh' END""".stripMargin))
 
+  /** Language-ID confusion matrix: labeled `lang` x predicted language
+    * with doc counts — the eval view of [[langid]] (off-diagonal mass =
+    * classifier error by pair). One map-side-combinable aggregate over
+    * the same single-scan scoring projection; at most |langs|² rows out.
+    */
+  def langidConfusion(s: SparkSession, dir: String): DataFrame =
+    langid(s, dir)
+      .groupBy(col("lang"), col("pred"))
+      .agg(count(lit(1)).as("n_docs"))
+
   /** Winnowing rolling-hash document fingerprints (MOSS-style): one row
     * per distinct fingerprint — the containment-search primitive
     * (shared fingerprints locate copied passages across documents).
@@ -625,5 +635,22 @@ object TextAnalysis {
         |  WHEN s_es >= s_zh THEN 'es'
         |  ELSE 'zh' END AS pred
         |FROM sc""".stripMargin,
+    "langid_confusion" ->
+      """WITH t AS (SELECT lang, string_split_regex(lower(text), '\s+') AS toks FROM documents),
+        |sc AS (SELECT lang,
+        |  len(list_filter(toks, t -> t IN ('the','a','of','is'))) AS s_en,
+        |  len(list_filter(toks, t -> t IN ('der','die','das','und'))) AS s_de,
+        |  len(list_filter(toks, t -> t IN ('le','la','et','les'))) AS s_fr,
+        |  len(list_filter(toks, t -> t IN ('el','los','las','y'))) AS s_es,
+        |  len(list_filter(toks, t -> t IN ('的','是','在','了'))) AS s_zh
+        | FROM t),
+        |p AS (SELECT lang, CASE
+        |  WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en >= s_zh THEN 'en'
+        |  WHEN s_de >= s_fr AND s_de >= s_es AND s_de >= s_zh THEN 'de'
+        |  WHEN s_fr >= s_es AND s_fr >= s_zh THEN 'fr'
+        |  WHEN s_es >= s_zh THEN 'es'
+        |  ELSE 'zh' END AS pred FROM sc)
+        |SELECT lang, pred, CAST(count(*) AS BIGINT) AS n_docs
+        |FROM p GROUP BY 1, 2""".stripMargin,
   )
 }

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+/** Round-6 wave 2: dedup post-processing (cluster-size histogram,
+  * canonical member selection), langid confusion matrix, and the two
+  * search-results operators (facets, diversified top-k).
+  */
+class CurationSearchOpsSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("clusterSizes histogram accounts for every document exactly once") {
+    val nDocs = Graft.documents(spark, dir).count()
+    val covered = Dedup.clusterSizes(spark, dir)
+      .agg(sum(col("cluster_size") * col("n_clusters"))).head().getLong(0)
+    assert(covered === nDocs)
+  }
+
+  test("canonical picks the longest member (ties -> min doc_id) of its own cluster") {
+    val canon = Dedup.canonical(spark, dir)
+    val clusters = Dedup.clusters(spark, dir)
+    // every canonical_id is a member of the cluster it represents
+    val misOwned = canon.join(clusters,
+        canon("canonical_id") === clusters("doc_id") &&
+          canon("cluster_rep") === clusters("cluster_rep"), "left_anti")
+    assert(misOwned.isEmpty, "canonical_id must belong to its cluster")
+    // no member of any cluster strictly beats its canonical (longer, or
+    // equal-length with a smaller id)
+    val beaten = clusters
+      .join(Graft.documents(spark, dir).select(col("doc_id").as("d_id"), col("n_chars")),
+        col("doc_id") === col("d_id"))
+      .join(canon.select(col("cluster_rep").as("c_rep"), col("canonical_id"),
+          col("canonical_chars")),
+        col("cluster_rep") === col("c_rep"))
+      .filter(col("n_chars") > col("canonical_chars") ||
+        (col("n_chars") === col("canonical_chars") && col("doc_id") < col("canonical_id")))
+    assert(beaten.isEmpty)
+    // membership counts partition the corpus
+    assert(canon.agg(sum(col("n_docs"))).head().getLong(0) ===
+      Graft.documents(spark, dir).count())
+  }
+
+  test("langidConfusion marginals match the per-doc langid output") {
+    val conf = TextAnalysis.langidConfusion(spark, dir)
+    val direct = TextAnalysis.langid(spark, dir)
+      .groupBy(col("lang"), col("pred")).agg(count(lit(1)).as("n_docs"))
+    assert(conf.exceptAll(direct).isEmpty && direct.exceptAll(conf).isEmpty)
+    assert(conf.agg(sum(col("n_docs"))).head().getLong(0) ===
+      Graft.documents(spark, dir).count())
+  }
+
+  test("facets partition the BM25 result page") {
+    val page = KeywordSearch.bm25(spark, dir, 50)
+    val facets = KeywordSearch.facets(spark, dir, 50)
+    assert(facets.agg(sum(col("n_docs"))).head().getLong(0) === page.count())
+    // best_bm25 over all facets is the page's best score
+    val best = facets.agg(max(col("best_bm25"))).head().getDouble(0)
+    assert(best === page.agg(max(col("bm25"))).head().getDouble(0))
+  }
+
+  test("diverseTopK returns distinct documents ranked by their best chunk") {
+    val got = SemanticSearch.diverseTopK(spark, dir, 5).collect()
+    assert(got.map(_.getInt(0)).distinct.length === got.length,
+      "each label may take at most one slot")
+    // scores must be non-increasing and each equal to that label's max
+    val scores = got.map(_.getDouble(2))
+    assert(scores.sameElements(scores.sorted(Ordering[Double].reverse)))
+    val maxPerLabel = SemanticSearch.topChunksPerDoc(spark, dir, 1)
+      .select(col("label"), col("chunk_score")).collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    got.foreach(r => assert(r.getDouble(2) === maxPerLabel(r.getInt(0))))
+  }
+}
