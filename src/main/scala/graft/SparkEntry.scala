@@ -151,6 +151,10 @@ object SparkEntry {
     "langid_confusion" -> (TextAnalysis.langidConfusion _),
     "search_facets" -> ((s: SparkSession, d: String) => KeywordSearch.facets(s, d)),
     "search_diverse" -> ((s: SparkSession, d: String) => SemanticSearch.diverseTopK(s, d)),
+    "text_bigram_logprob" -> (TextAnalysis.bigramLogprob _),
+    "profile_length_pcts" -> (TextAnalysis.lengthPercentiles _),
+    "dedup_winnow_pairs" -> ((s: SparkSession, d: String) => Dedup.winnowPairs(s, d)),
+    "q_revenue_slope" -> (Relational.revenueSlope _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column names!). */

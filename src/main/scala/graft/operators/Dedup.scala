@@ -505,6 +505,31 @@ object Dedup {
       .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster_rep"))
   }
 
+  /** Passage-level copy detection (MOSS-style): document pairs sharing
+    * at least `minShared` winnowing fingerprints — catches copied
+    * PASSAGES between otherwise-different documents, where whole-doc
+    * Jaccard/minhash only catches globally similar pairs. Fingerprints
+    * present in more than `maxDf` documents are dropped first
+    * (boilerplate: a corpus-wide header would otherwise pair everything
+    * with everything — the df cap keeps the self-join's per-key fan-out
+    * bounded, the same reason ppjoin prunes frequent prefixes). The df
+    * filter rides a window over the same fp hash partitioning the
+    * self-join shuffles on, and both join sides reuse that one exchange.
+    */
+  def winnowPairs(s: SparkSession, dir: String, minShared: Int = 10, maxDf: Int = 5): DataFrame = {
+    val byFp = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+    val fps = TextAnalysis.winnow(s, dir)
+      .withColumn("df", count(lit(1)).over(byFp))
+      .filter(col("df") <= maxDf)
+      .select(col("doc_id"), col("fp"))
+    fps.select(col("doc_id").as("id_a"), col("fp"))
+      .join(fps.select(col("doc_id").as("id_b"), col("fp").as("fp_b")),
+        col("fp") === col("fp_b") && col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= minShared)
+  }
+
   /** Embedding near-dup at scale: banded SRP-LSH blocking. Each vector
     * gets a 16-bit sign signature (4 bands x 4 bits) from deterministic
     * hyperplanes (vectors id 8..23); candidate pairs must share a label
@@ -973,6 +998,14 @@ object Dedup {
     "dedup_clusters" ->
       s"""WITH RECURSIVE $duckClusterRep
          |SELECT doc_id, cluster_rep FROM cl""".stripMargin,
+    "dedup_winnow_pairs" ->
+      s"""WITH ${TextAnalysis.duckWinnowFps},
+         |f AS (SELECT doc_id, unnest(fps) AS fp FROM fp),
+         |dfc AS (SELECT fp, count(*) AS df FROM f GROUP BY 1),
+         |fk AS (SELECT f.doc_id, f.fp FROM f JOIN dfc USING (fp) WHERE df <= 5)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS shared_fps
+         |FROM fk a JOIN fk b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= 10""".stripMargin,
     "dedup_cluster_sizes" ->
       s"""WITH RECURSIVE $duckClusterRep,
          |csz AS (SELECT cluster_rep, CAST(count(*) AS BIGINT) AS cluster_size

@@ -343,6 +343,28 @@ object Relational {
     * integer $1e-4 form; top-k via TakeOrderedAndProject (per-partition
     * heaps — no global sort at any scale).
     */
+  /** Revenue-trend detection: the OLS slope of monthly revenue over the
+    * whole ship history, entirely in integer space. x = months since
+    * 1990-01, y = monthly revenue in whole dollars (the e4-unit sum
+    * div-rescaled BEFORE the moment products, keeping nΣxy far from
+    * long overflow at any scale). slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²)
+    * emitted in micro-dollars/month via one final integer division —
+    * order-independent, no floats anywhere. Two tiny aggregates after
+    * the month rollup (map-side combinable on the scan).
+    */
+  def revenueSlope(s: SparkSession, dir: String): DataFrame =
+    Graft.lineitem(s, dir)
+      .groupBy(((year(col("l_shipdate")) - 1990) * 12 + month(col("l_shipdate")) - 1)
+        .cast("long").as("x"))
+      .agg(sum(expr(revU)).as("y_e4"))
+      .select(col("x"), expr("y_e4 div 10000").as("y"))
+      .agg(count(lit(1)).as("n_months"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("x") * col("y")).as("sxy"))
+      .select(col("n_months"),
+        expr("(n_months * sxy - sx * sy) * 1000000 div (n_months * sxx - sx * sx)")
+          .as("slope_micros"))
+
   def returnedCustomers(s: SparkSession, dir: String, k: Int = 20): DataFrame =
     Graft.lineitem(s, dir).filter(col("l_returnflag") === "R")
       .join(Graft.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
@@ -396,6 +418,19 @@ object Relational {
   }
 
   val oracle: Map[String, String] = Map(
+    "q_revenue_slope" ->
+      s"""WITH m AS (SELECT
+         |  CAST((date_part('year', l_shipdate) - 1990) * 12
+         |       + date_part('month', l_shipdate) - 1 AS BIGINT) AS x,
+         |  CAST(sum($duckRevU) AS BIGINT) // 10000 AS y
+         | FROM lineitem GROUP BY 1),
+         |a AS (SELECT CAST(count(*) AS BIGINT) AS n_months,
+         |  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |  CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(x * y) AS BIGINT) AS sxy
+         | FROM m)
+         |SELECT n_months,
+         | (n_months * sxy - sx * sy) * 1000000 // (n_months * sxx - sx * sx) AS slope_micros
+         |FROM a""".stripMargin,
     "q6_forecast" ->
       """SELECT count(*) AS n_items,
         | CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)

@@ -318,6 +318,58 @@ object TextAnalysis {
         expr("(-sum_lp) div n_toks").as("nll_per_tok_micros"))
   }
 
+  /** Bigram-LM fluency score: per-doc average negative log P(w_i|w_{i-1})
+    * under the corpus's own bigram model (MLE over observed bigrams, so
+    * every scored bigram has mass — no smoothing needed). The same
+    * determinism discipline as [[unigramLogprob]]: each conditional
+    * log-prob is quantized to integer micros BEFORE the per-doc sum, so
+    * aggregation order can't perturb the result. Two shuffles total: the
+    * bigram-count aggregate (its head-count denominator rides a window
+    * over the same w1 hash partitioning — no extra exchange) and the
+    * doc-side rejoin; the LM table is vocabulary-sized, AQE decides the
+    * join strategy.
+    */
+  def bigramLogprob(s: SparkSession, dir: String): DataFrame = {
+    val bg = Graft.documents(s, dir)
+      .select(col("doc_id"), split(lower(col("text")), "\\s+").as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(toks) - 1), i -> struct(toks[i-1] AS w1, toks[i] AS w2))"))
+        .as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val wHead = org.apache.spark.sql.expressions.Window.partitionBy(col("w1"))
+    val lm = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+      .withColumn("c1", sum(col("c2")).over(wHead))
+      .select(col("w1").as("l_w1"), col("w2").as("l_w2"),
+        expr("cast(round(ln(cast(c2 as double) / cast(c1 as double)) * 1000000) as bigint)")
+          .as("lp_micros"))
+    bg.join(lm, col("w1") === col("l_w1") && col("w2") === col("l_w2"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lp_micros")).as("sum_lp"))
+      .select(col("doc_id"), col("n_bigrams"),
+        expr("(-sum_lp) div n_bigrams").as("nll_per_bigram_micros"))
+  }
+
+  /** Per-source document-length percentiles (discrete type-1 quantile:
+    * the value at ceiling(q·n) in sorted order — pure integer position
+    * arithmetic, so Spark and any other engine agree exactly, where
+    * interpolating quantiles diverge in float space). One shuffle: the
+    * rank and the per-source count ride windows over the same source
+    * partitioning, and the final agg groups that same key.
+    */
+  def lengthPercentiles(s: SparkSession, dir: String): DataFrame = {
+    val bySrc = org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+    val w = bySrc.orderBy(col("n_chars"), col("doc_id"))
+    Graft.documents(s, dir)
+      .select(col("source"), col("n_chars"), col("doc_id"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(bySrc))
+      .groupBy(col("source"))
+      .agg(max(col("n")).as("n_docs"),
+        max(when(col("rn") === expr("(n + 1) div 2"), col("n_chars"))).as("p50_chars"),
+        max(when(col("rn") === expr("(9 * n + 9) div 10"), col("n_chars"))).as("p90_chars"))
+  }
+
   /** Token-entropy quality signal: Shannon entropy of the within-document
     * token distribution — telegraphic/repetitive text scores low, natural
     * prose sits near ln(vocab). H = Σ (c/n)·ln(n/c) over per-doc token
@@ -425,6 +477,26 @@ object TextAnalysis {
       |    i -> least(h[i], h[i+1], h[i+2], h[i+3])))
       |  ELSE [list_min(h)] END AS fps
       | FROM whs)""".stripMargin
+
+  /** Winnowing fingerprint CTE chain (char codes → rolling 8-gram hash →
+    * window-4 minima, distinct per doc); ends in `fp` = (doc_id, fps
+    * list). Shared with Dedup's copy-detection pair oracle.
+    */
+  private[operators] val duckWinnowFps =
+    """cs AS (SELECT doc_id,
+      |  list_transform(range(1, length(text) + 1), i -> CAST(ord(substring(text, i, 1)) AS BIGINT)) AS c
+      | FROM documents WHERE length(text) >= 8),
+      |hs AS (SELECT doc_id,
+      |  list_transform(range(1, len(c) - 6),
+      |   i -> (c[i]*27512614111 + c[i+1]*887503681 + c[i+2]*28629151 + c[i+3]*923521
+      |       + c[i+4]*29791 + c[i+5]*961 + c[i+6]*31 + c[i+7]) % 1000000007) AS h
+      | FROM cs),
+      |fp AS (SELECT doc_id,
+      |  CASE WHEN len(h) >= 4 THEN
+      |   list_distinct(list_transform(range(1, len(h) - 2),
+      |    i -> least(h[i], h[i+1], h[i+2], h[i+3])))
+      |  ELSE [list_min(h)] END AS fps
+      | FROM hs)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "text_entropy" ->
@@ -585,21 +657,8 @@ object TextAnalysis {
          |GROUP BY f.doc_id, b.bench_id
          |HAVING count(*) >= 2""".stripMargin,
     "text_winnow" ->
-      """WITH cs AS (SELECT doc_id,
-        |  list_transform(range(1, length(text) + 1), i -> CAST(ord(substring(text, i, 1)) AS BIGINT)) AS c
-        | FROM documents WHERE length(text) >= 8),
-        |hs AS (SELECT doc_id,
-        |  list_transform(range(1, len(c) - 6),
-        |   i -> (c[i]*27512614111 + c[i+1]*887503681 + c[i+2]*28629151 + c[i+3]*923521
-        |       + c[i+4]*29791 + c[i+5]*961 + c[i+6]*31 + c[i+7]) % 1000000007) AS h
-        | FROM cs),
-        |fp AS (SELECT doc_id,
-        |  CASE WHEN len(h) >= 4 THEN
-        |   list_distinct(list_transform(range(1, len(h) - 2),
-        |    i -> least(h[i], h[i+1], h[i+2], h[i+3])))
-        |  ELSE [list_min(h)] END AS fps
-        | FROM hs)
-        |SELECT doc_id, unnest(fps) AS fp FROM fp""".stripMargin,
+      s"""WITH $duckWinnowFps
+         |SELECT doc_id, unnest(fps) AS fp FROM fp""".stripMargin,
     "text_tokens" ->
       """SELECT doc_id,
         | len(string_split_regex(text, '\s+')) AS n_ws_tokens,
@@ -635,6 +694,30 @@ object TextAnalysis {
         |  WHEN s_es >= s_zh THEN 'es'
         |  ELSE 'zh' END AS pred
         |FROM sc""".stripMargin,
+    "text_bigram_logprob" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks FROM documents),
+        |tk AS (SELECT doc_id, generate_subscripts(toks, 1) AS i, unnest(toks) AS w FROM t),
+        |bg AS (SELECT doc_id, w1, w2 FROM (
+        |  SELECT doc_id, w AS w1, lead(w) OVER (PARTITION BY doc_id ORDER BY i) AS w2 FROM tk)
+        | WHERE w2 IS NOT NULL),
+        |c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+        |c1 AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+        |lm AS (SELECT w1, w2, CAST(round(ln(CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE))
+        |        * 1000000) AS BIGINT) AS lp_micros
+        |       FROM c2 JOIN c1 USING (w1))
+        |SELECT doc_id, count(*) AS n_bigrams,
+        | (-CAST(sum(lp_micros) AS BIGINT)) // count(*) AS nll_per_bigram_micros
+        |FROM bg JOIN lm USING (w1, w2)
+        |GROUP BY doc_id""".stripMargin,
+    "profile_length_pcts" ->
+      """WITH r AS (SELECT source, n_chars,
+        |  CAST(row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS BIGINT) AS rn,
+        |  CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
+        | FROM documents)
+        |SELECT source, max(n) AS n_docs,
+        | max(CASE WHEN rn = (n + 1) // 2 THEN n_chars END) AS p50_chars,
+        | max(CASE WHEN rn = (9 * n + 9) // 10 THEN n_chars END) AS p90_chars
+        |FROM r GROUP BY source""".stripMargin,
     "langid_confusion" ->
       """WITH t AS (SELECT lang, string_split_regex(lower(text), '\s+') AS toks FROM documents),
         |sc AS (SELECT lang,

@@ -59,6 +59,56 @@ class CurationSearchOpsSpec extends SparkSpec {
     assert(best === page.agg(max(col("bm25"))).head().getDouble(0))
   }
 
+  test("bigramLogprob scores every multi-token doc with a non-negative NLL") {
+    val got = TextAnalysis.bigramLogprob(spark, dir)
+    val eligible = Graft.documents(spark, dir)
+      .filter(size(split(lower(col("text")), "\\s+")) >= 2).count()
+    assert(got.count() === eligible)
+    assert(got.filter(col("nll_per_bigram_micros") < 0).isEmpty,
+      "MLE bigram probs are <= 1, so NLL must be >= 0")
+    assert(got.filter(col("n_bigrams") < 1).isEmpty)
+  }
+
+  test("lengthPercentiles picks real per-source values with p50 <= p90") {
+    val got = TextAnalysis.lengthPercentiles(spark, dir)
+    assert(got.agg(sum(col("n_docs"))).head().getLong(0) ===
+      Graft.documents(spark, dir).count())
+    assert(got.filter(col("p50_chars") > col("p90_chars")).isEmpty)
+    // each percentile is an actual document length of its source
+    val misP50 = got.join(Graft.documents(spark, dir),
+      Seq("source"), "inner")
+      .groupBy(col("source"), col("p50_chars"))
+      .agg(max(when(col("n_chars") === col("p50_chars"), 1).otherwise(0)).as("hit"))
+      .filter(col("hit") === 0)
+    assert(misP50.isEmpty)
+  }
+
+  test("winnowPairs respects the share threshold and id ordering") {
+    val got = Dedup.winnowPairs(spark, dir).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getLong(2) >= 10L)
+    }
+  }
+
+  test("revenueSlope matches a driver-side OLS recomputation") {
+    val months = Graft.lineitem(spark, dir)
+      .groupBy(((year(col("l_shipdate")) - 1990) * 12 + month(col("l_shipdate")) - 1)
+        .cast("long").as("x"))
+      .agg((sum(expr("cast(round(l_extendedprice * 100) as bigint)" +
+        " * (100 - cast(round(l_discount * 100) as bigint))")) / 10000).cast("long").as("y"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val n = months.length.toLong
+    val sx = months.map(_._1).sum; val sy = months.map(_._2).sum
+    val sxx = months.map(m => m._1 * m._1).sum
+    val sxy = months.map(m => m._1 * m._2).sum
+    val expected = (n * sxy - sx * sy) * 1000000L / (n * sxx - sx * sx)
+    val row = Relational.revenueSlope(spark, dir).head()
+    assert(row.getLong(0) === n)
+    assert(row.getLong(1) === expected)
+  }
+
   test("diverseTopK returns distinct documents ranked by their best chunk") {
     val got = SemanticSearch.diverseTopK(spark, dir, 5).collect()
     assert(got.map(_.getInt(0)).distinct.length === got.length,
