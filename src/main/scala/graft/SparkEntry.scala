@@ -155,6 +155,8 @@ object SparkEntry {
     "profile_length_pcts" -> (TextAnalysis.lengthPercentiles _),
     "dedup_winnow_pairs" -> ((s: SparkSession, d: String) => Dedup.winnowPairs(s, d)),
     "q_revenue_slope" -> (Relational.revenueSlope _),
+    "ann_ivf_pq" -> ((s: SparkSession, d: String) => Ann.ivfPq(s, d)),
+    "q_yearly_growth" -> (Relational.yearlyGrowth _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column names!). */

@@ -292,6 +292,53 @@ object Ann {
       .limit(k)
   }
 
+  /** IVF-PQ: the FAISS-style composition of the two scale techniques —
+    * IVF routing prunes the corpus to the query's cluster, then ADC
+    * scoring runs in the compressed (4 B/vector) domain inside it, with
+    * the same fixed-order 4-term sum as [[pq]]. At 100 TB this is the
+    * shape that matters: the cluster filter bounds the scan and the
+    * codebook join touches code columns only — full vectors are never
+    * read past the (one-off) coding pass. Every lookup side (centroids,
+    * probe, codebooks, query sub-vectors) is a bounded broadcast.
+    */
+  def ivfPq(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val cents = Graft.embeddings(s, dir).filter(col("vec_id") < 8)
+      .agg(collect_list(struct(col("vec_id").as("cid"), col("embedding").as("cvec"))).as("cents"))
+    val probe = SemanticSearch.queryVec(s, dir)
+      .crossJoin(broadcast(cents))
+      .select(call_function("ivf_assign", col("qvec"), col("cents")).as("probe_cid"))
+    val members = assignments(s, dir)
+      .join(broadcast(probe), col("cid") === col("probe_cid"))
+      .select(col("vec_id"), col("embedding"))
+    val toSubs = "transform(sequence(0, 3), m -> slice(%s, m * 16 + 1, 16))"
+    val subs = members
+      .select(col("vec_id"), posexplode(expr(toSubs.format("embedding"))).as(Seq("m", "sub")))
+    val cb = Graft.embeddings(s, dir)
+      .filter(col("vec_id") >= 16 && col("vec_id") < 32)
+      .select((col("vec_id") - 16).as("cid"),
+        posexplode(expr(toSubs.format("embedding"))).as(Seq("cm", "cvec")))
+    val cbCents = cb.groupBy(col("cm"))
+      .agg(collect_list(struct(col("cid"), col("cvec"))).as("cents"))
+    val codes = subs.join(broadcast(cbCents), col("m") === col("cm"))
+      .select(col("vec_id"), col("m"),
+        call_function("ivf_assign", col("sub"), col("cents")).as("code"))
+    val qsubs = SemanticSearch.queryVec(s, dir)
+      .select(posexplode(expr(toSubs.format("qvec"))).as(Seq("qm", "qsub")))
+    codes
+      .join(broadcast(cb.select(col("cm").as("wm"), col("cid").as("wcid"), col("cvec").as("wvec"))),
+        col("m") === col("wm") && col("code") === col("wcid"))
+      .join(broadcast(qsubs), col("m") === col("qm"))
+      .select(col("vec_id"), col("m"), VectorOps.dot(col("qsub"), col("wvec")).as("d"))
+      .groupBy(col("vec_id"))
+      // fixed-order four-term sum, same determinism discipline as pq()
+      .agg(round(
+        max(when(col("m") === 0, col("d"))) + max(when(col("m") === 1, col("d"))) +
+          max(when(col("m") === 2, col("d"))) + max(when(col("m") === 3, col("d"))), 6)
+        .as("adc6"))
+      .orderBy(col("adc6").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Range search: EVERY vector within cosine >= tau of the query — the
     * radius-query sibling of top-k (dedup thresholding, recall floors,
     * "all sufficiently similar" retrieval). One scan + broadcast query
@@ -411,6 +458,23 @@ object Ann {
          | round(dot / (onorm * nnorm), 6) AS shift_cos6,
          | round(nnorm, 6) AS new_norm6
          |FROM d JOIN nm ON d.cid = nm.cid""".stripMargin,
+    "ann_ivf_pq" ->
+      s"""WITH $duckE,
+         |c AS (SELECT vec_id AS cid, v FROM e WHERE vec_id < 8),
+         |csc AS (SELECT x.vec_id, y.cid, round($duckCosPair, 6) AS cscore
+         |        FROM e x JOIN (SELECT cid, v FROM c) y ON true),
+         |asg AS (SELECT vec_id, cid FROM (
+         |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+         |          ORDER BY cscore DESC, cid) AS rn FROM csc) WHERE rn = 1),
+         |probe AS (SELECT cid AS probe_cid FROM asg
+         |          WHERE vec_id = (SELECT min(vec_id) FROM e)),
+         |mem AS (SELECT e.vec_id FROM e
+         |        JOIN asg ON e.vec_id = asg.vec_id
+         |        JOIN probe ON asg.cid = probe.probe_cid),
+         |$duckPqAdc
+         |SELECT adc.vec_id AS vec_id, adc.adc6 AS adc6
+         |FROM adc JOIN mem ON adc.vec_id = mem.vec_id
+         |ORDER BY adc.adc6 DESC, adc.vec_id LIMIT 5""".stripMargin,
     "ann_pq" ->
       s"""WITH $duckE,
          |$duckPqAdc

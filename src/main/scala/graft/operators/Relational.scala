@@ -365,6 +365,32 @@ object Relational {
         expr("(n_months * sxy - sx * sy) * 1000000 div (n_months * sxx - sx * sx)")
           .as("slope_micros"))
 
+  /** Year-over-year revenue growth per customer nation: the lag-window
+    * sibling of [[revenueSlope]] (local deltas vs one global trend).
+    * Growth is exact integer micros on div-rescaled whole dollars —
+    * truncating division behaves identically across engines even when
+    * a nation's revenue declines (negative numerator). The lag window
+    * partitions by the aggregate's own grouping key, so it adds no
+    * exchange beyond the (nation, year) rollup.
+    */
+  def yearlyGrowth(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("nation")).orderBy(col("o_year"))
+    Graft.lineitem(s, dir)
+      .join(Graft.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Graft.customer(s, dir).select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Graft.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"),
+        col("n_name").as("nation"))
+      .agg(sum(expr(revU)).as("revenue_e4"))
+      .withColumn("prev_e4", lag(col("revenue_e4"), 1).over(w))
+      .filter(col("prev_e4").isNotNull)
+      .select(col("nation"), col("o_year"), col("revenue_e4"),
+        expr("""(revenue_e4 div 10000 - prev_e4 div 10000) * 1000000
+               | div greatest(prev_e4 div 10000, 1)""".stripMargin).as("growth_micros"))
+  }
+
   def returnedCustomers(s: SparkSession, dir: String, k: Int = 20): DataFrame =
     Graft.lineitem(s, dir).filter(col("l_returnflag") === "R")
       .join(Graft.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
@@ -418,6 +444,19 @@ object Relational {
   }
 
   val oracle: Map[String, String] = Map(
+    "q_yearly_growth" ->
+      s"""WITH y AS (SELECT CAST(date_part('year', o.o_orderdate) AS BIGINT) AS o_year,
+         |  n.n_name AS nation, CAST(sum($duckRevU) AS BIGINT) AS revenue_e4
+         | FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |  JOIN customer c ON o.o_custkey = c.c_custkey
+         |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+         | GROUP BY 1, 2),
+         |g AS (SELECT nation, o_year, revenue_e4,
+         |  lag(revenue_e4) OVER (PARTITION BY nation ORDER BY o_year) AS prev_e4 FROM y)
+         |SELECT nation, o_year, revenue_e4,
+         | (revenue_e4 // 10000 - prev_e4 // 10000) * 1000000
+         |  // greatest(prev_e4 // 10000, 1) AS growth_micros
+         |FROM g WHERE prev_e4 IS NOT NULL""".stripMargin,
     "q_revenue_slope" ->
       s"""WITH m AS (SELECT
          |  CAST((date_part('year', l_shipdate) - 1990) * 12

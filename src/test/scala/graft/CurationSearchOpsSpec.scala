@@ -109,6 +109,37 @@ class CurationSearchOpsSpec extends SparkSpec {
     assert(row.getLong(1) === expected)
   }
 
+  test("ivfPq results are PQ-scored members of the probed cluster") {
+    val got = Ann.ivfPq(spark, dir, 5).collect()
+    assert(got.nonEmpty)
+    // every result must come from the query's own IVF cluster
+    val clusterIds = Ann.ivf(spark, dir, Int.MaxValue).select(col("vec_id"))
+      .collect().map(_.getLong(0)).toSet
+    got.foreach(r => assert(clusterIds.contains(r.getLong(0))))
+    // ADC scores agree with the full-corpus PQ scoring for those vectors
+    val pqScores = Ann.pq(spark, dir, Int.MaxValue).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    got.foreach(r => assert(r.getDouble(1) === pqScores(r.getLong(0))))
+  }
+
+  test("yearlyGrowth lags within nation and rescales in integer space") {
+    val got = Relational.yearlyGrowth(spark, dir)
+    // no first-year rows survive, and growth is exactly reproducible from
+    // the revenue columns of consecutive rows
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("nation")).orderBy(col("o_year"))
+    val recheck = got
+      .withColumn("next_rev", lead(col("revenue_e4"), 1).over(w))
+      .withColumn("next_growth", lead(col("growth_micros"), 1).over(w))
+      .withColumn("next_year", lead(col("o_year"), 1).over(w))
+      .filter(col("next_rev").isNotNull && col("next_year") === col("o_year") + 1)
+      .filter(col("next_growth") =!=
+        expr("""(next_rev div 10000 - revenue_e4 div 10000) * 1000000
+               | div greatest(revenue_e4 div 10000, 1)""".stripMargin))
+    assert(recheck.isEmpty)
+    assert(got.count() > 0)
+  }
+
   test("diverseTopK returns distinct documents ranked by their best chunk") {
     val got = SemanticSearch.diverseTopK(spark, dir, 5).collect()
     assert(got.map(_.getInt(0)).distinct.length === got.length,
