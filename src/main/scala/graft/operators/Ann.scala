@@ -32,19 +32,24 @@ object Ann {
     * seeding; a real pipeline would k-means these — assignment plumbing
     * is identical).
     */
-  private def assignments(s: SparkSession, dir: String): DataFrame = {
+  private def assignments(s: SparkSession, dir: String): DataFrame =
     // the centroid set rides along as ONE broadcast row holding an
     // array<struct<cid,cvec>>; the native ivf_assign kernel computes the
     // (rounded-cosine desc, cid asc) argmax per vector in a single
     // projection — no x-centroids fanout join, no argmax agg shuffle.
     // (collect_list order is irrelevant: the kernel tie-breaks totally.)
-    val cents = Graft.embeddings(s, dir).filter(col("vec_id") < 8)
-      .agg(collect_list(struct(col("vec_id").as("cid"), col("embedding").as("cvec"))).as("cents"))
-    Graft.embeddings(s, dir)
-      .crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("embedding"),
-        call_function("ivf_assign", col("embedding"), col("cents")).as("cid"))
-  }
+    // The assignment IS the IVF index: every probe-side consumer (ivf,
+    // multiprobe, ivf-pq, recall eval, kmeans step) reads the same frame,
+    // so one memoized copy per session serves them all — exactly how a
+    // real deployment stores assignments instead of re-deriving them.
+    Graft.memoCache("ann_assign", dir) {
+      val cents = Graft.embeddings(s, dir).filter(col("vec_id") < 8)
+        .agg(collect_list(struct(col("vec_id").as("cid"), col("embedding").as("cvec"))).as("cents"))
+      Graft.embeddings(s, dir)
+        .crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("embedding"),
+          call_function("ivf_assign", col("embedding"), col("cents")).as("cid"))
+    }
 
   /** IVF probe: assign all vectors to centroids, route the query to its
     * best centroid, exact top-k inside that cluster only.
@@ -245,19 +250,39 @@ object Ann {
     * path for 100 TB vector search (codebooks always broadcast; encoding
     * and scoring are per-row projections + one 4-rows-per-vector sum).
     */
-  def pq(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
-    val toSubs = "transform(sequence(0, 3), m -> slice(%s, m * 16 + 1, 16))"
-    val subs = Graft.embeddings(s, dir)
-      .select(col("vec_id"), posexplode(expr(toSubs.format("embedding"))).as(Seq("m", "sub")))
-    val cb = Graft.embeddings(s, dir)
+  private val toSubs = "transform(sequence(0, 3), m -> slice(%s, m * 16 + 1, 16))"
+
+  /** PQ codebook rows: (cm = subspace, cid = codeword id, cvec). */
+  private def pqCodebook(s: SparkSession, dir: String): DataFrame =
+    Graft.embeddings(s, dir)
       .filter(col("vec_id") >= 16 && col("vec_id") < 32)
       .select((col("vec_id") - 16).as("cid"),
         posexplode(expr(toSubs.format("embedding"))).as(Seq("cm", "cvec")))
-    val cents = cb.groupBy(col("cm"))
-      .agg(collect_list(struct(col("cid"), col("cvec"))).as("cents"))
-    val codes = subs.join(broadcast(cents), col("m") === col("cm"))
-      .select(col("vec_id"), col("m"),
-        call_function("ivf_assign", col("sub"), col("cents")).as("code"))
+
+  /** PQ codes (vec_id, m, code) for the whole corpus — the stored
+    * compressed index every PQ consumer (flat ADC, refine shortlist,
+    * IVF-PQ) reads. Memoized per session+dir like the IVF assignment:
+    * coding is the one pass that touches full vectors, everything after
+    * runs on 4 B/vector codes.
+    */
+  private def pqCodes(s: SparkSession, dir: String): DataFrame =
+    Graft.memoCache("ann_pq_codes", dir) {
+      val cents = pqCodebook(s, dir).groupBy(col("cm"))
+        .agg(collect_list(struct(col("cid"), col("cvec"))).as("cents"))
+      Graft.embeddings(s, dir)
+        .select(col("vec_id"), posexplode(expr(toSubs.format("embedding"))).as(Seq("m", "sub")))
+        .join(broadcast(cents), col("m") === col("cm"))
+        .select(col("vec_id"), col("m"),
+          call_function("ivf_assign", col("sub"), col("cents")).as("code"))
+    }
+
+  /** ADC scoring of a (vec_id, m, code) frame against the query's
+    * sub-vectors: codeword-dot lookup join + the fixed-order four-term
+    * sum (double addition is order-sensitive; a bare sum() would merge
+    * in partition order).
+    */
+  private def adcScores(s: SparkSession, dir: String, codes: DataFrame): DataFrame = {
+    val cb = pqCodebook(s, dir)
     val qsubs = SemanticSearch.queryVec(s, dir)
       .select(posexplode(expr(toSubs.format("qvec"))).as(Seq("qm", "qsub")))
     codes
@@ -266,15 +291,16 @@ object Ann {
       .join(broadcast(qsubs), col("m") === col("qm"))
       .select(col("vec_id"), col("m"), VectorOps.dot(col("qsub"), col("wvec")).as("d"))
       .groupBy(col("vec_id"))
-      // fixed-order four-term sum (m0 + m1 + m2 + m3): double addition is
-      // order-sensitive; a bare sum() would merge in partition order
       .agg(round(
         max(when(col("m") === 0, col("d"))) + max(when(col("m") === 1, col("d"))) +
           max(when(col("m") === 2, col("d"))) + max(when(col("m") === 3, col("d"))), 6)
         .as("adc6"))
+  }
+
+  def pq(s: SparkSession, dir: String, k: Int = 10): DataFrame =
+    adcScores(s, dir, pqCodes(s, dir))
       .orderBy(col("adc6").desc, col("vec_id"))
       .limit(k)
-  }
 
   /** Two-stage PQ search: ADC candidates (cheap, compressed domain) →
     * exact cosine re-rank of the shortlist — the standard
@@ -309,32 +335,14 @@ object Ann {
       .select(call_function("ivf_assign", col("qvec"), col("cents")).as("probe_cid"))
     val members = assignments(s, dir)
       .join(broadcast(probe), col("cid") === col("probe_cid"))
-      .select(col("vec_id"), col("embedding"))
-    val toSubs = "transform(sequence(0, 3), m -> slice(%s, m * 16 + 1, 16))"
-    val subs = members
-      .select(col("vec_id"), posexplode(expr(toSubs.format("embedding"))).as(Seq("m", "sub")))
-    val cb = Graft.embeddings(s, dir)
-      .filter(col("vec_id") >= 16 && col("vec_id") < 32)
-      .select((col("vec_id") - 16).as("cid"),
-        posexplode(expr(toSubs.format("embedding"))).as(Seq("cm", "cvec")))
-    val cbCents = cb.groupBy(col("cm"))
-      .agg(collect_list(struct(col("cid"), col("cvec"))).as("cents"))
-    val codes = subs.join(broadcast(cbCents), col("m") === col("cm"))
-      .select(col("vec_id"), col("m"),
-        call_function("ivf_assign", col("sub"), col("cents")).as("code"))
-    val qsubs = SemanticSearch.queryVec(s, dir)
-      .select(posexplode(expr(toSubs.format("qvec"))).as(Seq("qm", "qsub")))
-    codes
-      .join(broadcast(cb.select(col("cm").as("wm"), col("cid").as("wcid"), col("cvec").as("wvec"))),
-        col("m") === col("wm") && col("code") === col("wcid"))
-      .join(broadcast(qsubs), col("m") === col("qm"))
-      .select(col("vec_id"), col("m"), VectorOps.dot(col("qsub"), col("wvec")).as("d"))
-      .groupBy(col("vec_id"))
-      // fixed-order four-term sum, same determinism discipline as pq()
-      .agg(round(
-        max(when(col("m") === 0, col("d"))) + max(when(col("m") === 1, col("d"))) +
-          max(when(col("m") === 2, col("d"))) + max(when(col("m") === 3, col("d"))), 6)
-        .as("adc6"))
+      .select(col("vec_id").as("m_id"))
+    // score only the probed cluster's stored codes — the memoized
+    // full-corpus code frame is the index; the cluster filter bounds
+    // everything downstream
+    val codes = pqCodes(s, dir)
+      .join(members, col("vec_id") === col("m_id"))
+      .select(col("vec_id"), col("m"), col("code"))
+    adcScores(s, dir, codes)
       .orderBy(col("adc6").desc, col("vec_id"))
       .limit(k)
   }

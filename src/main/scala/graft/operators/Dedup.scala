@@ -42,8 +42,11 @@ object Dedup {
     * empties for free; minhash filters on the sentinel signature).
     */
   private def withShingles(s: SparkSession, dir: String): DataFrame =
-    Graft.documents(s, dir)
-      .select(col("doc_id"), call_function("word_ngrams", col("text"), lit(3)).as("shingles"))
+    // memoized per session+dir: every minhash-family query starts from
+    // this same kernel pass, so one cached copy serves them all
+    Graft.memoCache("dedup_shingles", dir)(
+      Graft.documents(s, dir)
+        .select(col("doc_id"), call_function("word_ngrams", col("text"), lit(3)).as("shingles")))
 
   /** N-gram Jaccard near-dup pairs: shingle-inverted-index self-join
     * (candidates share >= 1 shingle), Jaccard as exact integer micros.
@@ -56,10 +59,13 @@ object Dedup {
     * otherwise re-evaluate the kernel below the projection.
     */
   private def withHashedShingles(s: SparkSession, dir: String): DataFrame =
-    Graft.documents(s, dir)
-      .select(col("doc_id"),
-        call_function("word_ngram_hashes", coalesce(col("text"), lit("")), lit(3))
-          .as("shingles"))
+    // memoized per session+dir: the Jaccard family (inverted index,
+    // prefix, ppjoin, verify passes, containment) all read this frame
+    Graft.memoCache("dedup_hashed_shingles", dir)(
+      Graft.documents(s, dir)
+        .select(col("doc_id"),
+          call_function("word_ngram_hashes", coalesce(col("text"), lit("")), lit(3))
+            .as("shingles")))
 
   def ngramJaccard(s: SparkSession, dir: String, tauMicros: Long = 500000L): DataFrame = {
     // shingle-set size travels WITH each inverted-index row: no second

@@ -54,15 +54,16 @@ class ScaleLayoutSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(parts.length === 1, s"expected 1 pruned partition, got ${parts.length}")
   }
 
-  test("dedup self-join reuses one exchange at runtime (AQE stage cache)") {
-    // SHUFFLE_HASH self-join: both sides shuffle the identical subtree,
-    // so the final adaptive plan must reference the first shuffle via
-    // ReusedExchange instead of recomputing the kernel+explode pass.
+  test("dedup self-join computes the shingle kernel subtree once") {
+    // Both self-join sides must read one materialization of the kernel+
+    // explode pass: either the memoized shingle cache (InMemoryTableScan
+    // on both sides — the kernel ran once to populate it) or, without a
+    // cache, AQE's ReusedExchange over the identical shuffled subtree.
     val jp = graft.operators.Dedup.jaccardPrefix(spark, "/root/testdata/sf0.001")
     jp.collect()
     val plan = jp.queryExecution.executedPlan.toString
-    assert(plan.contains("ReusedExchange"),
-      s"expected ReusedExchange in the final adaptive plan:\n$plan")
+    assert(plan.contains("ReusedExchange") || plan.contains("InMemoryTableScan"),
+      s"expected ReusedExchange or a cached shingle scan in the final plan:\n$plan")
   }
 
   test("set-ops query computes each distinct subtree once (ReusedExchange)") {
