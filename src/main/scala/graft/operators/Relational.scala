@@ -97,18 +97,27 @@ object Relational {
     * (year x nation) aggregate. Shares are integer micros computed on
     * div-rescaled dollars so the multiply never overflows long.
     */
+  /** (o_year, nation, revenue_e4) rollup of the full 4-table revenue
+    * join — the shared base of marketShare (window share) and
+    * yearlyGrowth (lag growth). Memoized per session+dir: the join is
+    * the cost, the rollup is years × nations rows. customer is
+    * fact-sized at 100 TB — never explicitly broadcast; AQE converts
+    * the custkey join to broadcast when it measures small.
+    */
+  private def nationYearRev(s: SparkSession, dir: String): DataFrame =
+    Graft.memoCache("nation_year_rev", dir)(
+      Graft.lineitem(s, dir)
+        .join(Graft.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(Graft.customer(s, dir).select(col("c_custkey"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Graft.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"),
+          col("n_name").as("nation"))
+        .agg(sum(expr(revU)).as("revenue_e4")))
+
   def marketShare(s: SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("o_year"))
-    // customer is fact-sized at 100 TB — never explicitly broadcast;
-    // AQE converts the custkey join to broadcast when it measures small
-    Graft.lineitem(s, dir)
-      .join(Graft.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
-      .join(Graft.customer(s, dir).select(col("c_custkey"), col("c_nationkey")),
-        col("o_custkey") === col("c_custkey"))
-      .join(broadcast(Graft.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
-      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"),
-        col("n_name").as("nation"))
-      .agg(sum(expr(revU)).as("revenue_e4"))
+    nationYearRev(s, dir)
       .withColumn("total_e4", sum(col("revenue_e4")).over(w))
       .select(col("o_year"), col("nation"), col("revenue_e4"),
         expr("(revenue_e4 div 10000) * 1000000 div (total_e4 div 10000)").as("share_micros"))
@@ -376,14 +385,7 @@ object Relational {
   def yearlyGrowth(s: SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("nation")).orderBy(col("o_year"))
-    Graft.lineitem(s, dir)
-      .join(Graft.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
-      .join(Graft.customer(s, dir).select(col("c_custkey"), col("c_nationkey")),
-        col("o_custkey") === col("c_custkey"))
-      .join(broadcast(Graft.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
-      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"),
-        col("n_name").as("nation"))
-      .agg(sum(expr(revU)).as("revenue_e4"))
+    nationYearRev(s, dir)
       .withColumn("prev_e4", lag(col("revenue_e4"), 1).over(w))
       .filter(col("prev_e4").isNotNull)
       .select(col("nation"), col("o_year"), col("revenue_e4"),
