@@ -288,14 +288,26 @@ object Relational {
       .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
       .join(Graft.orders(s, dir).select(col("o_orderkey"), col("o_orderdate")),
         col("l_orderkey") === col("o_orderkey"))
+      // hash by orderkey ONCE: HashPartitioning(ok) satisfies the
+      // clustering of BOTH downstream aggregates ((ok,sk) then (ok)),
+      // so this is the only full-data exchange — grouping by (ok,sk)
+      // directly would shuffle on (ok,sk) and force a SECOND shuffle
+      // for the order-level counts. (An order's lineitems rarely repeat
+      // a supplier, so the lost (ok,sk) map-side combine reduced ~nothing.)
+      .repartition(col("l_orderkey"))
       .groupBy(col("l_orderkey"), col("l_suppkey"))
       .agg(max(when(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
         lit(1L)).otherwise(lit(0L))).as("late"))
-    val w = Window.partitionBy(col("l_orderkey"))
+    // order-level counts as a second HASH aggregate instead of a window:
+    // the (orderkey, suppkey) agg is already clustered by orderkey, so
+    // this adds no exchange AND no per-partition sort — when exactly one
+    // supplier is late, max(when(late)) IS that supplier, so the
+    // filter+attribution collapses into the same agg (no join-back).
     perOrderSupp
-      .withColumn("n_supp", count(lit(1)).over(w))
-      .withColumn("n_late", sum(col("late")).over(w))
-      .filter(col("late") === 1L && col("n_supp") > 1L && col("n_late") === 1L)
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_supp"), sum(col("late")).as("n_late"),
+        max(when(col("late") === 1L, col("l_suppkey"))).as("l_suppkey"))
+      .filter(col("n_supp") > 1L && col("n_late") === 1L)
       .groupBy(col("l_suppkey"))
       .agg(count(lit(1)).as("numwait"))
       .join(Graft.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))

@@ -81,9 +81,12 @@ object TextAnalysis {
     * (shared fingerprints locate copied passages across documents).
     */
   def winnow(s: SparkSession, dir: String): DataFrame =
-    Graft.documents(s, dir)
-      .select(col("doc_id"),
-        explode(call_function("winnow_fingerprints", col("text"), lit(8), lit(4))).as("fp"))
+    // memoized per session+dir: the fingerprint dump, decontamination
+    // join and copy-detection pair join all start from this frame
+    Graft.memoCache("winnow_fps", dir)(
+      Graft.documents(s, dir)
+        .select(col("doc_id"),
+          explode(call_function("winnow_fingerprints", col("text"), lit(8), lit(4))).as("fp")))
 
   /** Gopher-style repetition score: fraction of word-3-grams that are
     * duplicates of an earlier 3-gram in the same document (micro-scaled
@@ -236,9 +239,17 @@ object TextAnalysis {
     * TopKPerKey operator. ln is the one float op here; measured
     * bit-identical between the JVM and DuckDB (SURVEY §6).
     */
+  /** Lowercased whitespace token stream (doc_id, tok) — the shared base
+    * of every token-level aggregate (TF-IDF, unigram LM, entropy).
+    * Memoized per session+dir so the tokenize+explode scan runs once.
+    */
+  private def tokStream(s: SparkSession, dir: String): DataFrame =
+    Graft.memoCache("tok_stream", dir)(
+      Graft.documents(s, dir)
+        .select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("tok")))
+
   def tfidfTopk(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
-    val toks = Graft.documents(s, dir)
-      .select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("tok"))
+    val toks = tokStream(s, dir)
     val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val n = Graft.documents(s, dir).agg(count(lit(1)).as("n"))
@@ -302,8 +313,7 @@ object TextAnalysis {
     * measures small, shuffle-joins it on a web-scale vocabulary.
     */
   def unigramLogprob(s: SparkSession, dir: String): DataFrame = {
-    val toks = Graft.documents(s, dir)
-      .select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("tok"))
+    val toks = tokStream(s, dir)
     val nt = toks.agg(count(lit(1)).as("nt"))
     val uni = toks.groupBy(col("tok")).agg(count(lit(1)).as("c1"))
       .crossJoin(broadcast(nt))
@@ -382,8 +392,7 @@ object TextAnalysis {
     */
   def entropy(s: SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
-    Graft.documents(s, dir)
-      .select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("tok"))
+    tokStream(s, dir)
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
       .withColumn("n", sum(col("c")).over(w))
       .select(col("doc_id"), col("n"),
