@@ -16,6 +16,11 @@ object Graft {
     .config("spark.sql.extensions", "graft.functions.GraftExtensions")
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    // runtime skew mitigation: a hot join key (one viral doc's dup
+    // cluster, one hot fingerprint bucket) gets its oversized partitions
+    // split at runtime instead of stalling a straggler task — the safety
+    // net under every self-join in the dedup family at 100 TB
+    .config("spark.sql.adaptive.skewJoin.enabled", "true")
     // testdata events.ts is parquet TIMESTAMP(NANOS): read as long nanos if
     // this Spark build has no native nanos type (operators normalize to
     // epoch seconds either way).
