@@ -157,6 +157,20 @@ object SparkEntry {
     "q_revenue_slope" -> (Relational.revenueSlope _),
     "ann_ivf_pq" -> ((s: SparkSession, d: String) => Ann.ivfPq(s, d)),
     "q_yearly_growth" -> (Relational.yearlyGrowth _),
+    // round-6 wave 4: derived-partsupp TPC-H flavors (Q2/Q9/Q11/Q16/Q20),
+    // budget-packed chunking, Zipf fit, per-doc contamination fraction,
+    // quality-weighted sampling, training-mix report, session stats
+    "q_min_cost_supp" -> (Relational.minCostSupplier _),
+    "q_product_profit" -> (Relational.productProfit _),
+    "q_important_parts" -> (Relational.importantParts _),
+    "q_supplier_cnt" -> (Relational.supplierCnt _),
+    "q_dominant_supp" -> (Relational.dominantSupplier _),
+    "chunk_budget" -> ((s: SparkSession, d: String) => Chunking.budgetPack(s, d)),
+    "text_zipf" -> ((s: SparkSession, d: String) => TextAnalysis.zipfSlope(s, d)),
+    "text_contam_frac" -> (TextAnalysis.contamFraction _),
+    "sample_quality" -> (TextAnalysis.sampleQuality _),
+    "doc_mix_report" -> (TextAnalysis.mixReport _),
+    "events_session_stats" -> (Events.sessionStats _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column names!). */

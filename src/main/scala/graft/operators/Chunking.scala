@@ -46,6 +46,28 @@ object Chunking {
           .as(Seq("chunk_id", "chunk")))
       .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"), col("chunk"))
 
+  /** Token-budget chunk packing: sentences are packed greedily into
+    * chunks of ~`budget` whitespace tokens — the RAG chunker that
+    * respects sentence boundaries (vs [[fixedWindows]]' hard token
+    * cuts). A sentence's chunk is floor(cumulative tokens BEFORE it /
+    * budget): a running-sum window per document (the sentence split is
+    * already ordered by position), then one grouped aggregate on the
+    * window's own (doc_id) partitioning — a single shuffle total.
+    */
+  def budgetPack(s: SparkSession, dir: String, budget: Int = 64): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("sent_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    sentences(s, dir)
+      .select(col("doc_id"), col("chunk_id").cast("long").as("sent_id"),
+        expr("cast(size(split(chunk, '\\\\s+')) as bigint)").as("n_toks"))
+      .withColumn("cum_before", coalesce(sum(col("n_toks")).over(w), lit(0L)))
+      .withColumn("chunk_id", expr(s"cum_before div $budget"))
+      .groupBy(col("doc_id"), col("chunk_id"))
+      .agg(count(lit(1)).as("n_sentences"), sum(col("n_toks")).as("n_tokens"),
+        min(col("sent_id")).as("first_sent"))
+  }
+
   /** Citation-bracket stripping (reference fetch_pmcid.py:24's
     * `\[[^\]]*\]` regex). The corpus has no brackets, so brackets are
     * synthesized from metadata first, then stripped — exercising the
@@ -72,6 +94,20 @@ object Chunking {
         substring(sha2(col("doc_id").cast("string"), 256), 1, 16).as("point_id"))
 
   val oracle: Map[String, String] = Map(
+    "chunk_budget" ->
+      """WITH c AS (SELECT doc_id, generate_subscripts(parts, 1) - 1 AS sent_id,
+        |  unnest(parts) AS chunk
+        | FROM (SELECT doc_id, string_split(text, '. ') AS parts FROM documents)),
+        |t AS (SELECT doc_id, CAST(sent_id AS BIGINT) AS sent_id,
+        |  CAST(len(string_split_regex(chunk, '\s+')) AS BIGINT) AS n_toks FROM c),
+        |cb AS (SELECT doc_id, sent_id, n_toks,
+        |  COALESCE(sum(n_toks) OVER (PARTITION BY doc_id ORDER BY sent_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        | FROM t)
+        |SELECT doc_id, CAST(cum_before // 64 AS BIGINT) AS chunk_id,
+        | count(*) AS n_sentences, CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+        | CAST(min(sent_id) AS BIGINT) AS first_sent
+        |FROM cb GROUP BY 1, 2""".stripMargin,
     "chunk_fixed" ->
       """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents),
         |g AS (SELECT doc_id, toks,

@@ -95,7 +95,34 @@ object Events {
         expr("(pts - cts) div 1000000000").as("lag_sec"))
   }
 
+  /** Session-length distribution: for each session size (event count),
+    * how many sessions and their mean duration — the product-analytics
+    * rollup over [[sessionize]]'s output. The second aggregate's input
+    * is one row per session (already the small side); the mean is exact
+    * integer micros on the epoch-second grid.
+    */
+  def sessionStats(s: SparkSession, dir: String): DataFrame =
+    sessionize(s, dir)
+      .groupBy(col("n_events"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("end_sec") - col("start_sec")).as("sum_dur_sec"))
+      .select(col("n_events"), col("n_sessions"), col("sum_dur_sec"),
+        expr("sum_dur_sec * 1000000 div n_sessions").as("mean_dur_micros"))
+
   val oracle: Map[String, String] = Map(
+    "events_session_stats" ->
+      """WITH e AS (SELECT event_id, user_id,
+        |   CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+        |l AS (SELECT *, lag(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id) AS prev_sec FROM e),
+        |n AS (SELECT *, CASE WHEN prev_sec IS NULL OR sec - prev_sec > 1800 THEN 1 ELSE 0 END AS new_session FROM l),
+        |sid AS (SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY sec, event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM n),
+        |ses AS (SELECT user_id, session_id, count(*) AS n_events,
+        |  max(sec) - min(sec) AS dur FROM sid GROUP BY 1, 2)
+        |SELECT n_events, count(*) AS n_sessions,
+        | CAST(sum(dur) AS BIGINT) AS sum_dur_sec,
+        | CAST(sum(dur) AS BIGINT) * 1000000 // count(*) AS mean_dur_micros
+        |FROM ses GROUP BY 1""".stripMargin,
     "events_attribution" ->
       """SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id,
         | (epoch_ns(p.ts) - epoch_ns(c.ts)) // 1000000000 AS lag_sec

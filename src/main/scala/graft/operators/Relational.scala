@@ -457,7 +457,191 @@ object Relational {
         expr("sum_gap_days * 1000000 div n_gaps").as("mean_gap_micros"))
   }
 
+  /** TPC-H Q2-flavored min-cost supplier: for each small part, the
+    * cheapest supplier in one region. There is no partsupp table in
+    * this schema, so the supply relationship is DERIVED from observed
+    * lineitems — min extendedprice per (part, supplier) — which is the
+    * realistic shape anyway (cost observed from transactions). The
+    * correlated min-subquery decorrelates into ONE struct-min aggregate
+    * per part: min(struct(cost, suppkey)) picks the cheapest supplier
+    * with a deterministic suppkey tie-break, no join-back, no window.
+    * supplier/nation/region attach to the (part, supplier) aggregate —
+    * the small side after aggregation; part's size filter prunes at its
+    * scan before the final partkey join.
+    */
+  def minCostSupplier(s: SparkSession, dir: String): DataFrame = {
+    val ps = Graft.lineitem(s, dir)
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(expr("cast(round(l_extendedprice * 100) as bigint)")).as("cost_e2"))
+    // region membership of each supplier: two fixed-dim broadcasts
+    val euroSupp = Graft.supplier(s, dir)
+      .join(broadcast(Graft.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Graft.region(s, dir).filter(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"))
+    ps.join(euroSupp, col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .groupBy(col("l_partkey"))
+      .agg(min(struct(col("cost_e2"), col("l_suppkey"))).as("m"))
+      .select(col("l_partkey"), col("m.cost_e2").as("cost_e2"),
+        col("m.l_suppkey").as("s_suppkey"))
+      .join(Graft.part(s, dir).filter(col("p_size") <= 10)
+          .select(col("p_partkey"), col("p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_partkey"), col("p_brand"), col("s_suppkey"), col("cost_e2"))
+  }
+
+  /** TPC-H Q9-flavored product profit: profit per supplier nation and
+    * order year over one product family (name pattern pushed to the
+    * part scan). Without partsupp, unit cost is modeled as a fixed
+    * fraction of p_retailprice (retail/10) — both factors on 2dp grids,
+    * so profit = rev_e4 − qty_e2·retail_e2/10 is exact integer $1e-4
+    * arithmetic (truncating div verified identical across engines).
+    * One orderkey-side shuffle dominates; part/supplier joins are
+    * AQE-decided, nation broadcasts.
+    */
+  def productProfit(s: SparkSession, dir: String): DataFrame =
+    Graft.lineitem(s, dir)
+      .join(Graft.part(s, dir).filter(col("p_name").like("%widget%"))
+          .select(col("p_partkey"),
+            expr("cast(round(p_retailprice * 100) as bigint)").as("retail_e2")),
+        col("l_partkey") === col("p_partkey"))
+      .join(Graft.orders(s, dir)
+          .select(col("o_orderkey"), year(col("o_orderdate")).cast("long").as("o_year")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Graft.supplier(s, dir).select(col("s_suppkey"), col("s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Graft.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"), col("o_year"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(expr(s"$revU - (cast(round(l_quantity * 100) as bigint) * retail_e2) div 10"))
+          .as("profit_e4"))
+
+  /** TPC-H Q11-flavored important parts: parts whose derived inventory
+    * value through one nation's suppliers exceeds 1/1000 of that
+    * nation's total — the scalar-subquery-over-an-aggregate pattern.
+    * The total is a one-row broadcast; the threshold comparison is
+    * exact integer (value·1000 > total), never a float fraction. The
+    * nation filter prunes the supplier side before the fact join.
+    */
+  def importantParts(s: SparkSession, dir: String): DataFrame = {
+    val natSupp = Graft.supplier(s, dir)
+      .filter(col("s_nationkey") === 3).select(col("s_suppkey"))
+    val vals = Graft.lineitem(s, dir)
+      .join(natSupp, col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .join(Graft.part(s, dir)
+          .select(col("p_partkey"),
+            expr("cast(round(p_retailprice * 100) as bigint)").as("retail_e2")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_partkey"))
+      .agg(sum(expr("cast(round(l_quantity * 100) as bigint) * retail_e2")).as("value_e4"))
+    val total = vals.agg(sum(col("value_e4")).as("total_e4"))
+    vals.crossJoin(broadcast(total))
+      .filter(col("value_e4") * lit(1000L) > col("total_e4"))
+      .select(col("p_partkey"), col("value_e4"))
+  }
+
+  /** TPC-H Q16-flavored supplier diversity: distinct suppliers offering
+    * parts per (brand, size) over a pinned size set, excluding one brand
+    * and excluding "complaint" suppliers (negative balance stands in for
+    * the comment scan). The exclusion is a semi join on the non-negative
+    * side (equivalently an anti join on the complaint side); the part
+    * filters prune at the part scan; count(DISTINCT suppkey) expands to
+    * a two-phase exact-distinct aggregate — mergeable at any scale.
+    */
+  def supplierCnt(s: SparkSession, dir: String): DataFrame = {
+    val okSupp = Graft.supplier(s, dir)
+      .filter(col("s_acctbal") >= 0).select(col("s_suppkey"))
+    Graft.lineitem(s, dir).select(col("l_partkey"), col("l_suppkey"))
+      .join(okSupp, col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .join(Graft.part(s, dir)
+          .filter(col("p_brand") =!= "Brand#4" && col("p_size").isin(1, 14, 23, 45))
+          .select(col("p_partkey"), col("p_brand"), col("p_size").cast("long").as("p_size")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+  }
+
+  /** TPC-H Q20-flavored dominant suppliers: suppliers shipping more than
+    * 30% of any part's total volume (the derived-availability twin of
+    * Q20's excess-stock semi-join chain). One repartition by partkey
+    * serves BOTH aggregation levels — the (part, supplier) hash agg and
+    * the part-total window reuse the same partitioning (the
+    * soleLateSupplier trick), so the whole comparison costs a single
+    * full-data exchange. The 30% test is exact integers (qty·10 > total·3).
+    */
+  def dominantSupplier(s: SparkSession, dir: String): DataFrame =
+    Graft.lineitem(s, dir)
+      .select(col("l_partkey"), col("l_suppkey"),
+        expr("cast(round(l_quantity * 100) as bigint)").as("q"))
+      .repartition(col("l_partkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("q")).as("qty_e2"))
+      .withColumn("part_qty_e2",
+        sum(col("qty_e2")).over(Window.partitionBy(col("l_partkey"))))
+      .filter(col("qty_e2") * lit(10L) > col("part_qty_e2") * lit(3L))
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n_dominant_parts"))
+      .join(Graft.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_dominant_parts"))
+
   val oracle: Map[String, String] = Map(
+    "q_min_cost_supp" ->
+      """WITH ps AS (SELECT l_partkey, l_suppkey,
+        |  CAST(min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cost_e2
+        | FROM lineitem GROUP BY 1, 2),
+        |eu AS (SELECT s_suppkey FROM supplier
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'EUROPE'),
+        |pe AS (SELECT * FROM ps WHERE l_suppkey IN (SELECT s_suppkey FROM eu)),
+        |mn AS (SELECT l_partkey AS pk, min(cost_e2) AS min_e2 FROM pe GROUP BY 1),
+        |best AS (SELECT l_partkey, cost_e2,
+        |   CAST(min(l_suppkey) AS BIGINT) AS s_suppkey
+        | FROM pe JOIN mn ON l_partkey = pk AND cost_e2 = min_e2
+        | GROUP BY 1, 2)
+        |SELECT p_partkey, p_brand, s_suppkey, cost_e2
+        |FROM best JOIN part ON l_partkey = p_partkey
+        |WHERE p_size <= 10""".stripMargin,
+    "q_product_profit" ->
+      s"""SELECT n_name AS nation,
+         | CAST(date_part('year', o_orderdate) AS BIGINT) AS o_year,
+         | count(*) AS n_items,
+         | CAST(sum($duckRevU
+         |   - (CAST(round(l_quantity * 100) AS BIGINT)
+         |      * CAST(round(p_retailprice * 100) AS BIGINT)) // 10) AS BIGINT) AS profit_e4
+         |FROM lineitem
+         | JOIN part ON l_partkey = p_partkey
+         | JOIN orders ON l_orderkey = o_orderkey
+         | JOIN supplier ON l_suppkey = s_suppkey
+         | JOIN nation ON s_nationkey = n_nationkey
+         |WHERE p_name LIKE '%widget%'
+         |GROUP BY 1, 2""".stripMargin,
+    "q_important_parts" ->
+      """WITH v AS (SELECT p_partkey,
+        |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)
+        |      * CAST(round(p_retailprice * 100) AS BIGINT)) AS BIGINT) AS value_e4
+        | FROM lineitem JOIN part ON l_partkey = p_partkey
+        | WHERE l_suppkey IN (SELECT s_suppkey FROM supplier WHERE s_nationkey = 3)
+        | GROUP BY 1),
+        |t AS (SELECT CAST(sum(value_e4) AS BIGINT) AS total_e4 FROM v)
+        |SELECT p_partkey, value_e4 FROM v, t
+        |WHERE value_e4 * 1000 > total_e4""".stripMargin,
+    "q_supplier_cnt" ->
+      """SELECT p_brand, CAST(p_size AS BIGINT) AS p_size,
+        | count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand != 'Brand#4' AND p_size IN (1, 14, 23, 45)
+        | AND l_suppkey IN (SELECT s_suppkey FROM supplier WHERE s_acctbal >= 0)
+        |GROUP BY 1, 2""".stripMargin,
+    "q_dominant_supp" ->
+      """WITH sp AS (SELECT l_partkey, l_suppkey,
+        |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_e2
+        | FROM lineitem GROUP BY 1, 2),
+        |w AS (SELECT *, CAST(sum(qty_e2) OVER (PARTITION BY l_partkey) AS BIGINT)
+        |       AS part_qty_e2 FROM sp)
+        |SELECT s_suppkey, s_name, count(*) AS n_dominant_parts
+        |FROM w JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE qty_e2 * 10 > part_qty_e2 * 3
+        |GROUP BY 1, 2""".stripMargin,
     "q_yearly_growth" ->
       s"""WITH y AS (SELECT CAST(date_part('year', o.o_orderdate) AS BIGINT) AS o_year,
          |  n.n_name AS nation, CAST(sum($duckRevU) AS BIGINT) AS revenue_e4

@@ -444,6 +444,85 @@ object TextAnalysis {
         expr("s_millis * 1000000 div t_millis").as("weight_micros"))
   }
 
+  /** Zipf-law fit over the corpus vocabulary: OLS slope of ln(freq) vs
+    * ln(rank) for the top-500 tokens — natural corpora sit near −1, and
+    * drift is a contamination/boilerplate tell. The top-500 cut is a
+    * TakeOrderedAndProject (per-partition heaps, no global sort); the
+    * rank window then runs on a 500-row BOUNDED frame (constant work at
+    * any corpus size). Both logs are quantized to integer millis before
+    * the moment sums — order-independent, and the e3 scale keeps
+    * n·Σxy ~1e13 far from long overflow.
+    */
+  def zipfSlope(s: SparkSession, dir: String, topN: Int = 500): DataFrame = {
+    val top = tokStream(s, dir)
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("tok")).limit(topN)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("c").desc, col("tok")) // bounded: topN rows post-limit
+    top.withColumn("rn", row_number().over(w).cast("long"))
+      .select(
+        expr("cast(round(ln(cast(rn as double)) * 1000) as bigint)").as("x"),
+        expr("cast(round(ln(cast(c as double)) * 1000) as bigint)").as("y"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(expr("x * x")).as("sxx"), sum(expr("x * y")).as("sxy"))
+      .select(col("n_terms"),
+        expr("(n_terms * sxy - sx * sy) * 1000 div (n_terms * sxx - sx * sx)")
+          .as("slope_millis"))
+  }
+
+  /** Per-document contamination fraction: share of a document's winnowing
+    * fingerprints that also appear in the benchmark set (doc_id < 3 —
+    * same eval stand-in as [[decontaminate]], which reports matched PAIRS;
+    * this reports the per-doc keep/trim signal). Rides the memoized
+    * fingerprint frame; the benchmark side is a broadcast by
+    * construction; fraction in exact integer micros.
+    */
+  def contamFraction(s: SparkSession, dir: String): DataFrame = {
+    val fps = winnow(s, dir)
+    val bench = fps.filter(col("doc_id") < 3)
+      .select(col("fp")).distinct().withColumn("hit", lit(1L))
+    fps.filter(col("doc_id") >= 3)
+      .join(broadcast(bench), Seq("fp"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_fps"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_shared"))
+      .select(col("doc_id"), col("n_fps"), col("n_shared"),
+        expr("n_shared * 1000000 div n_fps").as("contam_micros"))
+  }
+
+  /** Quality-weighted sampling: keep probability proportional to the
+    * quality score — the soft-filter alternative to a hard quality bar
+    * (FineWeb-style). Deterministic like [[sampleStratified]]: a
+    * document survives iff its md5 bucket (0..1e6) falls below its own
+    * quality_micros, so the decision is reproducible across runs,
+    * partitionings, and engines. Pure projection + filter on the fused
+    * quality scan.
+    */
+  def sampleQuality(s: SparkSession, dir: String): DataFrame =
+    quality(s, dir)
+      .select(col("doc_id"), col("quality_micros"),
+        expr(s"${hex8ToLong("md5(cast(doc_id as string))", "instr")} % 1000000").as("bucket"))
+      .filter(col("bucket") < col("quality_micros"))
+
+  /** Training-mix report: per (source, lang) cell the document count,
+    * token count, and exact token share of the corpus in micros — the
+    * table a data-mixing decision starts from. One map-side-combinable
+    * aggregate over a single scan; the one-row total broadcasts back
+    * (same shape as [[sampleTemperature]]).
+    */
+  def mixReport(s: SparkSession, dir: String): DataFrame = {
+    val cells = Graft.documents(s, dir)
+      .select(col("source"), col("lang"),
+        expr("cast(size(split(text, '\\\\s+')) as bigint)").as("n"))
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"))
+    val total = cells.agg(sum(col("n_tokens")).as("t_tokens"))
+    cells.crossJoin(broadcast(total))
+      .select(col("source"), col("lang"), col("n_docs"), col("n_tokens"),
+        expr("n_tokens * 1000000 div t_tokens").as("share_micros"))
+  }
+
   /** Data-quality profile of the documents table: per column the null
     * count and exact distinct count, in ONE aggregation pass (every
     * metric is a partial-agg expression over the same scan) unpivoted
@@ -508,6 +587,57 @@ object TextAnalysis {
       | FROM hs)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "text_zipf" ->
+      """WITH tf AS (SELECT tok, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT unnest(string_split_regex(lower(text), '\s+')) AS tok FROM documents)
+        |  GROUP BY 1 ORDER BY c DESC, tok LIMIT 500),
+        |r AS (SELECT c, CAST(row_number() OVER (ORDER BY c DESC, tok) AS BIGINT) AS rn FROM tf),
+        |q AS (SELECT CAST(round(ln(CAST(rn AS DOUBLE)) * 1000) AS BIGINT) AS x,
+        |             CAST(round(ln(CAST(c AS DOUBLE)) * 1000) AS BIGINT) AS y FROM r),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n_terms,
+        |  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |  CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(x * y) AS BIGINT) AS sxy FROM q)
+        |SELECT n_terms,
+        | (n_terms * sxy - sx * sy) * 1000 // (n_terms * sxx - sx * sx) AS slope_millis
+        |FROM a""".stripMargin,
+    "text_contam_frac" ->
+      s"""WITH $duckWinnowFps,
+         |f AS (SELECT doc_id, unnest(fps) AS fp FROM fp),
+         |b AS (SELECT DISTINCT fp FROM f WHERE doc_id < 3)
+         |SELECT f.doc_id, count(*) AS n_fps,
+         | CAST(sum(CASE WHEN b.fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+         | CAST(sum(CASE WHEN b.fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |   * 1000000 // count(*) AS contam_micros
+         |FROM f LEFT JOIN b ON f.fp = b.fp
+         |WHERE f.doc_id >= 3
+         |GROUP BY f.doc_id""".stripMargin,
+    "sample_quality" -> {
+      val h = (1 to 8).map { k =>
+        s"CAST(strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), $k, 1)) - 1 AS BIGINT) * ${1L << (4 * (8 - k))}"
+      }.mkString("(", " + ", ")")
+      s"""WITH t AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM documents),
+         |q AS (SELECT doc_id,
+         |  len(toks) AS n_tokens,
+         |  len(list_filter(toks, t -> t IN ('the','a','of','to','in','and','is','on'))) * 1000000 // len(toks) AS stop_ratio_micros,
+         |  CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT) * 1000000 // len(toks) AS mean_wlen_micros
+         | FROM t),
+         |s AS (SELECT doc_id,
+         |    least(n_tokens, 100) * 4000
+         |  + (3 * (1000000 - stop_ratio_micros)) // 10
+         |  + (3 * least(mean_wlen_micros // 8, 1000000)) // 10 AS quality_micros,
+         |  $h % 1000000 AS bucket
+         | FROM q)
+         |SELECT doc_id, quality_micros, bucket FROM s
+         |WHERE bucket < quality_micros""".stripMargin
+    },
+    "doc_mix_report" ->
+      """WITH c AS (SELECT source, lang, count(*) AS n_docs,
+        |  CAST(sum(len(string_split_regex(text, '\s+'))) AS BIGINT) AS n_tokens
+        | FROM documents GROUP BY 1, 2),
+        |t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t_tokens FROM c)
+        |SELECT source, lang, n_docs, n_tokens,
+        | n_tokens * 1000000 // t_tokens AS share_micros
+        |FROM c, t""".stripMargin,
     "text_entropy" ->
       """WITH t AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok
         |  FROM documents),

@@ -1,0 +1,166 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+/** Round-6 wave-4 operators: derived-partsupp TPC-H flavors
+  * (Q2/Q9/Q11/Q16/Q20), token-budget chunk packing, Zipf fit, per-doc
+  * contamination fraction, quality-weighted sampling, training-mix
+  * report, session-length stats.
+  */
+class Round7OpsSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("minCostSupplier picks the cheapest EUROPE supplier per small part") {
+    val rows = Relational.minCostSupplier(spark, dir).collect()
+    assert(rows.nonEmpty)
+    // recompute one part's answer from the raw tables
+    val pk = rows.head.getAs[Long]("p_partkey")
+    val euro = Graft.supplier(spark, dir)
+      .join(Graft.nation(spark, dir), col("s_nationkey") === col("n_nationkey"))
+      .join(Graft.region(spark, dir).filter(col("r_name") === "EUROPE"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey")).collect().map(_.getLong(0)).toSet
+    val offers = Graft.lineitem(spark, dir).filter(col("l_partkey") === pk)
+      .filter(col("l_suppkey").isin(euro.toSeq: _*))
+      .groupBy(col("l_suppkey"))
+      .agg(min(expr("cast(round(l_extendedprice * 100) as bigint)")).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val best = offers.minBy { case (sk, c) => (c, sk) }
+    val got = rows.find(_.getAs[Long]("p_partkey") == pk).get
+    assert(got.getAs[Long]("s_suppkey") === best._1)
+    assert(got.getAs[Long]("cost_e2") === best._2)
+  }
+
+  test("productProfit: profit never exceeds revenue and covers only the name-matched family") {
+    val rows = Relational.productProfit(spark, dir).collect()
+    assert(rows.nonEmpty)
+    // cost is nonnegative, so profit_e4 <= revenue: spot-check via a
+    // revenue-only recomputation of one (nation, year) cell
+    val revOnly = Graft.lineitem(spark, dir)
+      .join(Graft.part(spark, dir).filter(col("p_name").like("%widget%"))
+        .select(col("p_partkey")), col("l_partkey") === col("p_partkey"))
+      .join(Graft.orders(spark, dir)
+        .select(col("o_orderkey"), year(col("o_orderdate")).cast("long").as("o_year")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Graft.supplier(spark, dir).select(col("s_suppkey"), col("s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(Graft.nation(spark, dir), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"), col("o_year"))
+      .agg(sum(expr("cast(round(l_extendedprice * 100) as bigint) * (100 - cast(round(l_discount * 100) as bigint))")).as("rev_e4"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    rows.foreach { r =>
+      val key = (r.getAs[String]("nation"), r.getAs[Long]("o_year"))
+      assert(r.getAs[Long]("profit_e4") <= revOnly(key),
+        s"profit must not exceed revenue for $key")
+    }
+  }
+
+  test("importantParts keeps exactly the parts above 1/1000 of the nation total") {
+    val vals = Graft.lineitem(spark, dir)
+      .join(Graft.supplier(spark, dir).filter(col("s_nationkey") === 3)
+        .select(col("s_suppkey")), col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .join(Graft.part(spark, dir).select(col("p_partkey"),
+        expr("cast(round(p_retailprice * 100) as bigint)").as("r")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_partkey"))
+      .agg(sum(expr("cast(round(l_quantity * 100) as bigint) * r")).as("v"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val total = vals.values.sum
+    val expected = vals.filter { case (_, v) => v * 1000L > total }.keySet
+    val got = Relational.importantParts(spark, dir).collect()
+      .map(_.getAs[Long]("p_partkey")).toSet
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
+
+  test("supplierCnt counts distinct non-complaint suppliers per (brand, size)") {
+    val rows = Relational.supplierCnt(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[String]("p_brand") != "Brand#4")
+      assert(Set(1L, 14L, 23L, 45L).contains(r.getAs[Long]("p_size")))
+      assert(r.getAs[Long]("supplier_cnt") > 0)
+    }
+  }
+
+  test("dominantSupplier: every reported supplier ships >30% of some part") {
+    val sp = Graft.lineitem(spark, dir)
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(expr("cast(round(l_quantity * 100) as bigint)")).as("q"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val partTotals = sp.groupMapReduce(_._1._1)(_._2)(_ + _)
+    val expected = sp.collect {
+      case ((pk, sk), q) if q * 10L > partTotals(pk) * 3L => sk
+    }.toSet
+    val got = Relational.dominantSupplier(spark, dir).collect()
+    assert(got.map(_.getAs[Long]("s_suppkey")).toSet === expected)
+    assert(got.nonEmpty)
+  }
+
+  test("budgetPack conserves sentences and tokens, packs in order") {
+    val packed = Chunking.budgetPack(spark, dir).collect()
+    val sentences = Chunking.sentences(spark, dir)
+      .select(col("doc_id"),
+        expr("cast(size(split(chunk, '\\\\s+')) as bigint)").as("n"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_sent"), sum(col("n")).as("n_tok"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val byDoc = packed.groupBy(_.getAs[Long]("doc_id"))
+    assert(byDoc.keySet === sentences.keySet)
+    byDoc.foreach { case (d, chunks) =>
+      assert(chunks.map(_.getAs[Long]("n_sentences")).sum === sentences(d)._1)
+      assert(chunks.map(_.getAs[Long]("n_tokens")).sum === sentences(d)._2)
+      // chunk ids are dense from 0 in first_sent order
+      val ordered = chunks.sortBy(_.getAs[Long]("first_sent"))
+      assert(ordered.map(_.getAs[Long]("chunk_id")).toSeq ==
+        ordered.map(_.getAs[Long]("chunk_id")).toSeq.sorted)
+    }
+  }
+
+  test("zipfSlope is negative (frequency decays with rank)") {
+    val r = TextAnalysis.zipfSlope(spark, dir).collect().head
+    // sf0.001's synthetic vocabulary is tiny; the limit only caps at 500
+    assert(r.getAs[Long]("n_terms") > 10)
+    assert(r.getAs[Long]("slope_millis") < 0L,
+      "a natural corpus has a decreasing rank-frequency curve")
+  }
+
+  test("contamFraction is 1e6 for a benchmark doc's exact duplicate content") {
+    // every per-doc fraction is bounded and fingerprint counts positive
+    val rows = TextAnalysis.contamFraction(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val f = r.getAs[Long]("contam_micros")
+      assert(f >= 0L && f <= 1000000L)
+      assert(r.getAs[Long]("n_shared") <= r.getAs[Long]("n_fps"))
+    }
+  }
+
+  test("sampleQuality keeps docs proportionally to their quality score") {
+    val kept = TextAnalysis.sampleQuality(spark, dir).collect()
+    assert(kept.nonEmpty)
+    kept.foreach(r =>
+      assert(r.getAs[Long]("bucket") < r.getAs[Long]("quality_micros")))
+    val total = Graft.documents(spark, dir).count()
+    assert(kept.length < total, "a proportional sampler must drop some documents")
+  }
+
+  test("mixReport shares sum to ~1e6 and token counts are exact") {
+    val rows = TextAnalysis.mixReport(spark, dir).collect()
+    val shareSum = rows.map(_.getAs[Long]("share_micros")).sum
+    // truncating division loses at most (cells - 1) micros
+    assert(shareSum <= 1000000L && shareSum > 1000000L - rows.length)
+    val totalToks = Graft.documents(spark, dir)
+      .select(expr("cast(size(split(text, '\\\\s+')) as bigint)").as("n"))
+      .agg(sum(col("n"))).collect().head.getLong(0)
+    assert(rows.map(_.getAs[Long]("n_tokens")).sum === totalToks)
+  }
+
+  test("sessionStats conserves sessions from sessionize") {
+    val stats = Events.sessionStats(spark, dir).collect()
+    val nSessions = Events.sessionize(spark, dir).count()
+    assert(stats.map(_.getAs[Long]("n_sessions")).sum === nSessions)
+    stats.foreach(r => assert(r.getAs[Long]("mean_dur_micros") >= 0L))
+  }
+}
