@@ -413,6 +413,52 @@ object Analytics {
       .select(col("event_type"), col("hour"), coalesce(col("n"), lit(0L)).as("n"))
   }
 
+  /** EWMA-smoothed hourly event counts (λ=1/2, truncated at 8 taps, zero-
+    * padded history): each dense-grid hour contributes to itself and the
+    * next 7 hours with weight 2^(7−k), so the smoothed value is an EXACT
+    * integer in 1/128ths — no float recurrence, no order dependence, and
+    * (unlike the sequential EWMA definition) fully parallel: a bounded
+    * ×8 explode + one grouped sum, the dauWau day-explode pattern on the
+    * [[gapfillHourly]] dense grid. The grid join-back keeps only real
+    * grid hours (no phantom targets past the series end).
+    */
+  def ewmaHourly(s: SparkSession, dir: String): DataFrame = {
+    val dense = gapfillHourly(s, dir)
+    val contrib = dense
+      .select(col("event_type").as("c_type"), col("n"),
+        posexplode(expr("sequence(hour, hour + 7)")).as(Seq("k", "th")))
+      .select(col("c_type"), col("th"),
+        expr("n * shiftleft(cast(1 as bigint), cast(7 - k as int))").as("w"))
+      .groupBy(col("c_type"), col("th"))
+      .agg(sum(col("w")).as("ewma_x128"))
+    dense.select(col("event_type"), col("hour"))
+      .join(contrib, col("event_type") === col("c_type") && col("hour") === col("th"))
+      .select(col("event_type"), col("hour"), col("ewma_x128"))
+  }
+
+  /** Audience overlap between event types: exact Jaccard similarity of
+    * user sets per type pair — the cross-sell / funnel-adjacency signal.
+    * One distinct pass builds the (user, type) incidence; the pair join
+    * shuffles both sides on the SAME user_id subtree (ReusedExchange
+    * computes the incidence once); per-type totals are a types-sized
+    * broadcast; the similarity is exact integer micros.
+    */
+  def typeOverlap(s: SparkSession, dir: String): DataFrame = {
+    val ut = Graft.events(s, dir)
+      .select(col("user_id"), col("event_type")).distinct()
+    val perType = ut.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val pairs = ut
+      .join(ut.select(col("user_id").as("u2"), col("event_type").as("t2")),
+        col("user_id") === col("u2") && col("event_type") < col("t2"))
+      .groupBy(col("event_type").as("t1"), col("t2"))
+      .agg(count(lit(1)).as("n_both"))
+    pairs
+      .join(broadcast(perType.select(col("event_type").as("t1"), col("n").as("n1"))), "t1")
+      .join(broadcast(perType.select(col("event_type").as("t2"), col("n").as("n2"))), "t2")
+      .select(col("t1"), col("t2"), col("n_both"), col("n1"), col("n2"),
+        expr("n_both * 1000000 div (n1 + n2 - n_both)").as("jaccard_micros"))
+  }
+
   /** Set operators over user activity: clicked-but-never-purchased
     * (EXCEPT), clicked-and-purchased (INTERSECT), either (UNION
     * DISTINCT) — Spark's native set operations, each a distinct-shaped
@@ -433,6 +479,28 @@ object Analytics {
   }
 
   val oracle: Map[String, String] = Map(
+    "events_ewma" ->
+      """WITH c AS (SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hour,
+        |  count(*) AS n FROM events GROUP BY 1, 2),
+        |g AS (SELECT event_type, unnest(range(h0, h1 + 1)) AS hour FROM (
+        |  SELECT event_type, min(hour) AS h0, max(hour) AS h1 FROM c GROUP BY 1)),
+        |d AS (SELECT g.event_type, g.hour, coalesce(c.n, 0) AS n
+        |  FROM g LEFT JOIN c ON g.event_type = c.event_type AND g.hour = c.hour),
+        |e AS (SELECT d.event_type, d.hour + k.k AS th,
+        |   d.n * (CAST(1 AS BIGINT) << (7 - k.k)) AS w
+        |  FROM d CROSS JOIN (SELECT unnest(range(0, 8)) AS k) k)
+        |SELECT d.event_type, d.hour, CAST(sum(e.w) AS BIGINT) AS ewma_x128
+        |FROM d JOIN e ON d.event_type = e.event_type AND d.hour = e.th
+        |GROUP BY 1, 2""".stripMargin,
+    "events_type_overlap" ->
+      """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+        |pt AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM ut GROUP BY 1),
+        |pr AS (SELECT a.event_type AS t1, b.event_type AS t2, count(*) AS n_both
+        | FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type
+        | GROUP BY 1, 2)
+        |SELECT t1, t2, n_both, p1.n AS n1, p2.n AS n2,
+        | n_both * 1000000 // (p1.n + p2.n - n_both) AS jaccard_micros
+        |FROM pr JOIN pt p1 ON t1 = p1.event_type JOIN pt p2 ON t2 = p2.event_type""".stripMargin,
     "events_gapfill" ->
       """WITH c AS (SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hour,
         |  count(*) AS n FROM events GROUP BY 1, 2),

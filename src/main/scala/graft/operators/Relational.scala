@@ -470,16 +470,23 @@ object Relational {
     * scan before the final partkey join.
     */
   def minCostSupplier(s: SparkSession, dir: String): DataFrame = {
-    val ps = Graft.lineitem(s, dir)
-      .groupBy(col("l_partkey"), col("l_suppkey"))
-      .agg(min(expr("cast(round(l_extendedprice * 100) as bigint)")).as("cost_e2"))
     // region membership of each supplier: two fixed-dim broadcasts
     val euroSupp = Graft.supplier(s, dir)
       .join(broadcast(Graft.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(Graft.region(s, dir).filter(col("r_name") === "EUROPE")),
         col("n_regionkey") === col("r_regionkey"))
       .select(col("s_suppkey"))
-    ps.join(euroSupp, col("l_suppkey") === col("s_suppkey"), "left_semi")
+    // semi-filter FIRST (euroSupp is SF-scaled: AQE decides broadcast),
+    // then hash by partkey ONCE (the soleLateSupplier trick): the
+    // (pk, sk) min-agg and the per-part struct-min both reuse
+    // HashPartitioning(pk) — one full-data exchange after the filter
+    Graft.lineitem(s, dir)
+      .select(col("l_partkey"), col("l_suppkey"),
+        expr("cast(round(l_extendedprice * 100) as bigint)").as("price_e2"))
+      .join(euroSupp, col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .repartition(col("l_partkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(col("price_e2")).as("cost_e2"))
       .groupBy(col("l_partkey"))
       .agg(min(struct(col("cost_e2"), col("l_suppkey"))).as("m"))
       .select(col("l_partkey"), col("m.cost_e2").as("cost_e2"),

@@ -523,6 +523,38 @@ object TextAnalysis {
         expr("n_tokens * 1000000 div t_tokens").as("share_micros"))
   }
 
+  /** Flesch-style readability score in integer micros: 206.835 −
+    * 1.015·(words/sentence) − 84.6·(syllables/word), with syllables
+    * approximated as vowel-run count (the standard regex proxy). Both
+    * ratios are computed with truncating integer division on micro-
+    * scaled numerators — deterministic across engines, no float ratios.
+    * Pure single-scan projection.
+    */
+  def readability(s: SparkSession, dir: String): DataFrame =
+    Graft.documents(s, dir)
+      .select(col("doc_id"),
+        expr("cast(size(split(text, '\\\\. ')) as bigint)").as("n_sents"),
+        expr("cast(size(split(text, '\\\\s+')) as bigint)").as("n_words"),
+        expr("cast(size(regexp_extract_all(lower(text), '[aeiouy]+', 0)) as bigint)")
+          .as("n_syll"))
+      .select(col("doc_id"), col("n_sents"), col("n_words"), col("n_syll"),
+        expr("206835000 - (1015000 * n_words) div n_sents - (84600000 * n_syll) div n_words")
+          .as("flesch_micros"))
+
+  /** Type-token ratio: lexical diversity per document (distinct tokens /
+    * total tokens, exact integer micros) — low TTR flags templated or
+    * repetitive text; complements [[entropy]] (which weighs the
+    * distribution) with a pure richness count. Single-scan projection.
+    */
+  def ttr(s: SparkSession, dir: String): DataFrame =
+    Graft.documents(s, dir)
+      .select(col("doc_id"),
+        expr("cast(size(split(lower(text), '\\\\s+')) as bigint)").as("n_tokens"),
+        expr("cast(size(array_distinct(split(lower(text), '\\\\s+'))) as bigint)")
+          .as("n_types"))
+      .select(col("doc_id"), col("n_tokens"), col("n_types"),
+        expr("n_types * 1000000 div n_tokens").as("ttr_micros"))
+
   /** Data-quality profile of the documents table: per column the null
     * count and exact distinct count, in ONE aggregation pass (every
     * metric is a partial-agg expression over the same scan) unpivoted
@@ -587,6 +619,24 @@ object TextAnalysis {
       | FROM hs)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "text_readability" ->
+      """SELECT doc_id,
+        | CAST(len(string_split_regex(text, '\. ')) AS BIGINT) AS n_sents,
+        | CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_words,
+        | CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS n_syll,
+        | 206835000
+        |  - (1015000 * CAST(len(string_split_regex(text, '\s+')) AS BIGINT))
+        |     // CAST(len(string_split_regex(text, '\. ')) AS BIGINT)
+        |  - (84600000 * CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT))
+        |     // CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS flesch_micros
+        |FROM documents""".stripMargin,
+    "text_ttr" ->
+      """SELECT doc_id,
+        | CAST(len(string_split_regex(lower(text), '\s+')) AS BIGINT) AS n_tokens,
+        | CAST(len(list_distinct(string_split_regex(lower(text), '\s+'))) AS BIGINT) AS n_types,
+        | CAST(len(list_distinct(string_split_regex(lower(text), '\s+'))) AS BIGINT)
+        |   * 1000000 // CAST(len(string_split_regex(lower(text), '\s+')) AS BIGINT) AS ttr_micros
+        |FROM documents""".stripMargin,
     "text_zipf" ->
       """WITH tf AS (SELECT tok, CAST(count(*) AS BIGINT) AS c
         |  FROM (SELECT unnest(string_split_regex(lower(text), '\s+')) AS tok FROM documents)

@@ -157,6 +157,56 @@ class Round7OpsSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n_tokens")).sum === totalToks)
   }
 
+  test("ewmaHourly equals the zero-padded 8-tap weighted sum recomputed per cell") {
+    val dense = Analytics.gapfillHourly(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val got = Analytics.ewmaHourly(spark, dir).collect()
+    assert(got.nonEmpty)
+    assert(got.length === dense.size, "one smoothed row per dense-grid hour")
+    got.take(50).foreach { r =>
+      val (t, h) = (r.getString(0), r.getAs[Long]("hour"))
+      val expected = (0 to 7).map { k =>
+        dense.getOrElse((t, h - k), 0L) * (1L << (7 - k))
+      }.sum
+      assert(r.getAs[Long]("ewma_x128") === expected, s"cell ($t, $h)")
+    }
+  }
+
+  test("typeOverlap jaccard matches set arithmetic on user sets") {
+    val ut = Graft.events(spark, dir)
+      .select(col("user_id"), col("event_type")).distinct().collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val byType = ut.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    val got = Analytics.typeOverlap(spark, dir).collect()
+    got.foreach { r =>
+      val (a, b) = (byType(r.getAs[String]("t1")), byType(r.getAs[String]("t2")))
+      val inter = (a & b).size.toLong
+      assert(r.getAs[Long]("n_both") === inter)
+      assert(r.getAs[Long]("jaccard_micros") === inter * 1000000L / (a | b).size)
+    }
+    assert(got.length === byType.keySet.toSeq.combinations(2).count(p =>
+      (byType(p.head) & byType(p(1))).nonEmpty))
+  }
+
+  test("readability is monotone: more syllables per word lowers the score") {
+    val rows = TextAnalysis.readability(spark, dir).collect()
+    assert(rows.length === Graft.documents(spark, dir).count())
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_words") >= 1 && r.getAs[Long]("n_sents") >= 1)
+      assert(r.getAs[Long]("n_syll") >= 0)
+    }
+  }
+
+  test("ttr is in (0, 1e6] and n_types <= n_tokens") {
+    val rows = TextAnalysis.ttr(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_types") <= r.getAs[Long]("n_tokens"))
+      val t = r.getAs[Long]("ttr_micros")
+      assert(t > 0L && t <= 1000000L)
+    }
+  }
+
   test("sessionStats conserves sessions from sessionize") {
     val stats = Events.sessionStats(spark, dir).collect()
     val nSessions = Events.sessionize(spark, dir).count()
