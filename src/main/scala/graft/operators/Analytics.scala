@@ -459,6 +459,39 @@ object Analytics {
         expr("n_both * 1000000 div (n1 + n2 - n_both)").as("jaccard_micros"))
   }
 
+  /** RFM segmentation over purchase events: per-user recency (days since
+    * last purchase, against the corpus max timestamp), frequency, and
+    * monetary value, median-split into 8 'Rfm'-style segments. Both
+    * scalar frames (corpus max, medians) are one-row broadcasts — the
+    * spendQuartiles pattern; thresholds floor to the integer grid so
+    * the split is reproducible across engines. One user_id shuffle.
+    */
+  def rfm(s: SparkSession, dir: String): DataFrame = {
+    val nowSec = Graft.events(s, dir)
+      .agg(max(expr("ts div 1000000000")).as("now_sec"))
+    val per = Graft.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(max(expr("ts div 1000000000")).as("last_sec"),
+        count(lit(1)).as("frequency"),
+        sum(expr("cast(round(value * 100) as bigint)")).as("monetary_cents"))
+      .crossJoin(broadcast(nowSec))
+      .select(col("user_id"),
+        expr("(now_sec - last_sec) div 86400").as("recency_days"),
+        col("frequency"), col("monetary_cents"))
+    val th = per.agg(
+      expr("cast(floor(percentile(recency_days, 0.5)) as bigint)").as("r_med"),
+      expr("cast(floor(percentile(frequency, 0.5)) as bigint)").as("f_med"),
+      expr("cast(floor(percentile(monetary_cents, 0.5)) as bigint)").as("m_med"))
+    per.crossJoin(broadcast(th))
+      .select(col("user_id"), col("recency_days"), col("frequency"), col("monetary_cents"),
+        concat(
+          when(col("recency_days") <= col("r_med"), lit("R")).otherwise(lit("r")),
+          when(col("frequency") > col("f_med"), lit("F")).otherwise(lit("f")),
+          when(col("monetary_cents") > col("m_med"), lit("M")).otherwise(lit("m")))
+          .as("segment"))
+  }
+
   /** Set operators over user activity: clicked-but-never-purchased
     * (EXCEPT), clicked-and-purchased (INTERSECT), either (UNION
     * DISTINCT) — Spark's native set operations, each a distinct-shaped
@@ -479,6 +512,23 @@ object Analytics {
   }
 
   val oracle: Map[String, String] = Map(
+    "events_rfm" ->
+      """WITH nw AS (SELECT max(CAST(floor(epoch(ts)) AS BIGINT)) AS now_sec FROM events),
+        |p AS (SELECT user_id,
+        |  max(CAST(floor(epoch(ts)) AS BIGINT)) AS last_sec,
+        |  count(*) AS frequency,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS monetary_cents
+        | FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |m AS (SELECT user_id, (now_sec - last_sec) // 86400 AS recency_days,
+        |  frequency, monetary_cents FROM p, nw),
+        |th AS (SELECT CAST(floor(quantile_cont(recency_days, 0.5)) AS BIGINT) AS r_med,
+        |  CAST(floor(quantile_cont(frequency, 0.5)) AS BIGINT) AS f_med,
+        |  CAST(floor(quantile_cont(monetary_cents, 0.5)) AS BIGINT) AS m_med FROM m)
+        |SELECT user_id, recency_days, frequency, monetary_cents,
+        | (CASE WHEN recency_days <= r_med THEN 'R' ELSE 'r' END)
+        |  || (CASE WHEN frequency > f_med THEN 'F' ELSE 'f' END)
+        |  || (CASE WHEN monetary_cents > m_med THEN 'M' ELSE 'm' END) AS segment
+        |FROM m, th""".stripMargin,
     "events_ewma" ->
       """WITH c AS (SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hour,
         |  count(*) AS n FROM events GROUP BY 1, 2),

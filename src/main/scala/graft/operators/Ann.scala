@@ -443,7 +443,64 @@ object Ann {
       |      + max(CASE WHEN m = 2 THEN d END) + max(CASE WHEN m = 3 THEN d END), 6) AS adc6
       | FROM contrib GROUP BY vec_id)""".stripMargin
 
+  /** Per-dimension sign bits of `c`[lo..hi] folded MSB-first into one
+    * bigint (32 bits per word keeps every intermediate far from signed
+    * overflow — DuckDB errors on bigint overflow rather than wrapping).
+    */
+  private def signBits(c: String, lo: Int, hi: Int) =
+    s"aggregate(sequence($lo, $hi), cast(0 as bigint), " +
+      s"(acc, i) -> acc * 2 + IF(element_at($c, i) > 0.0d, cast(1 as bigint), cast(0 as bigint)))"
+
+  /** Binary-quantization search (the Qdrant/RaBitQ-style memory path:
+    * 64 dims → 64 sign bits = 8 B/vector, a 32× compression): hamming
+    * distance on two 32-bit sign words shortlists 5×k candidates
+    * (TakeOrderedAndProject — per-partition heaps over a scan that, with
+    * stored signatures, reads 8 B/vector), then an exact cosine re-rank
+    * over the broadcast-joined shortlist recovers float precision —
+    * same two-stage shape as [[pqRefine]]. All integer until the
+    * bounded re-rank.
+    */
+  def binarySearch(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val qsig = SemanticSearch.queryVec(s, dir)
+      .select(expr(signBits("qvec", 1, 32)).as("q_hi"),
+        expr(signBits("qvec", 33, 64)).as("q_lo"))
+    val shortlist = Graft.embeddings(s, dir)
+      .select(col("vec_id"),
+        expr(signBits("embedding", 1, 32)).as("sig_hi"),
+        expr(signBits("embedding", 33, 64)).as("sig_lo"))
+      .crossJoin(broadcast(qsig))
+      .select(col("vec_id"),
+        expr("cast(bit_count(sig_hi ^ q_hi) + bit_count(sig_lo ^ q_lo) as bigint)")
+          .as("hamming"))
+      .orderBy(col("hamming"), col("vec_id")).limit(5 * k)
+    Graft.embeddings(s, dir)
+      .join(broadcast(shortlist), Seq("vec_id"))
+      .crossJoin(broadcast(SemanticSearch.queryVec(s, dir)))
+      .select(col("vec_id"), col("hamming"),
+        graft.functions.VectorOps.cosine6(col("embedding"), col("qvec")).as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(k)
+  }
+
   val oracle: Map[String, String] = Map(
+    "ann_binary" ->
+      s"""WITH $duckE,
+         |sg AS (SELECT vec_id,
+         |  CAST(list_sum(list_transform(range(1, 33), i ->
+         |    CASE WHEN v[i] > 0 THEN CAST(1 AS BIGINT) << (32 - i) ELSE 0 END)) AS BIGINT) AS sig_hi,
+         |  CAST(list_sum(list_transform(range(33, 65), i ->
+         |    CASE WHEN v[i] > 0 THEN CAST(1 AS BIGINT) << (64 - i) ELSE 0 END)) AS BIGINT) AS sig_lo
+         | FROM e),
+         |qs AS (SELECT sig_hi AS q_hi, sig_lo AS q_lo FROM sg
+         |  WHERE vec_id = (SELECT min(vec_id) FROM sg)),
+         |hm AS (SELECT vec_id,
+         |  CAST(bit_count(xor(sig_hi, q_hi)) + bit_count(xor(sig_lo, q_lo)) AS BIGINT) AS hamming
+         | FROM sg, qs),
+         |cand AS (SELECT vec_id, hamming FROM hm ORDER BY hamming, vec_id LIMIT 50),
+         |qv AS (SELECT v FROM e WHERE vec_id = (SELECT min(vec_id) FROM e))
+         |SELECT x.vec_id, cand.hamming, round($duckCosPair, 6) AS score
+         |FROM e x JOIN cand ON x.vec_id = cand.vec_id, (SELECT v FROM qv) y
+         |ORDER BY score DESC, x.vec_id LIMIT 10""".stripMargin,
     "kmeans_step" ->
       s"""WITH $duckE,
          |c AS (SELECT vec_id AS cid, v FROM e WHERE vec_id < 8),

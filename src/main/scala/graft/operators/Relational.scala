@@ -591,7 +591,36 @@ object Relational {
       .join(Graft.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"), col("n_dominant_parts"))
 
+  /** Cohort-revenue LTV triangle: revenue by (first-order year, years
+    * since first order) — the lifetime-value view every growth report
+    * uses. The per-customer cohort aggregate and the join-back hash the
+    * SAME custkey, so the orders scan shuffles once and ReusedExchange
+    * serves both sides; revenue stays in exact integer cents.
+    */
+  def cohortRevenue(s: SparkSession, dir: String): DataFrame = {
+    val first = Graft.orders(s, dir)
+      .groupBy(col("o_custkey").as("ck"))
+      .agg(min(year(col("o_orderdate")).cast("long")).as("cohort"))
+    Graft.orders(s, dir)
+      .join(first, col("o_custkey") === col("ck"))
+      .groupBy(col("cohort"),
+        (year(col("o_orderdate")).cast("long") - col("cohort")).as("age"))
+      .agg(countDistinct(col("o_custkey")).as("n_cust"),
+        count(lit(1)).as("n_orders"),
+        sum(expr("cast(round(o_totalprice * 100) as bigint)")).as("revenue_cents"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "q_cohort_revenue" ->
+      """WITH f AS (SELECT o_custkey AS ck,
+        |  CAST(min(date_part('year', o_orderdate)) AS BIGINT) AS cohort
+        | FROM orders GROUP BY 1)
+        |SELECT cohort,
+        | CAST(date_part('year', o_orderdate) AS BIGINT) - cohort AS age,
+        | count(DISTINCT o_custkey) AS n_cust, count(*) AS n_orders,
+        | CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM orders JOIN f ON o_custkey = ck
+        |GROUP BY 1, 2""".stripMargin,
     "q_min_cost_supp" ->
       """WITH ps AS (SELECT l_partkey, l_suppkey,
         |  CAST(min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cost_e2

@@ -207,6 +207,41 @@ class Round7OpsSpec extends SparkSpec {
     }
   }
 
+  test("binarySearch reranks hamming candidates with exact cosine") {
+    val rows = Ann.binarySearch(spark, dir).collect()
+    assert(rows.length === 10)
+    // the query vector itself has hamming 0 and cosine 1 → must rank first
+    val top = rows.head
+    assert(top.getAs[Long]("hamming") === 0L)
+    assert(top.getAs[Double]("score") === 1.0)
+    // scores are sorted desc with vec_id tie-break
+    val scores = rows.map(r => (-r.getAs[Double]("score"), r.getAs[Long]("vec_id")))
+    assert(scores.sortBy(identity).toSeq === scores.toSeq)
+  }
+
+  test("cohortRevenue conserves total revenue and customers stay in their cohort") {
+    val rows = Relational.cohortRevenue(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Long]("age") >= 0L))
+    val total = rows.map(_.getAs[Long]("revenue_cents")).sum
+    val expected = Graft.orders(spark, dir)
+      .agg(sum(expr("cast(round(o_totalprice * 100) as bigint)")))
+      .collect().head.getLong(0)
+    assert(total === expected, "the LTV triangle must conserve total revenue")
+  }
+
+  test("rfm covers every purchasing user exactly once with a 3-letter segment") {
+    val rows = Analytics.rfm(spark, dir).collect()
+    val users = Graft.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id")).distinct().count()
+    assert(rows.length === users)
+    assert(rows.map(_.getAs[String]("segment")).forall(_.matches("[Rr][Ff][Mm]")))
+    // median split: roughly half the users carry the upper-case R
+    val nR = rows.count(_.getAs[String]("segment").startsWith("R"))
+    assert(nR > 0 && nR < rows.length)
+  }
+
   test("sessionStats conserves sessions from sessionize") {
     val stats = Events.sessionStats(spark, dir).collect()
     val nSessions = Events.sessionize(spark, dir).count()
