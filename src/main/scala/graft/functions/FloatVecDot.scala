@@ -141,6 +141,22 @@ object VecKernels {
     s
   }
 
+  /** Sign-bit signature: 32 dims per bigint word, MSB-first (dim 32w+j →
+    * bit 31−j), bit set iff v > 0 — the binary-quantization code. 32-bit
+    * words keep every value far from signed-overflow territory (the SQL
+    * twin folds with `acc * 2 +`, which DuckDB would reject at 64 bits).
+    */
+  def signBits(v: ArrayData): ArrayData = {
+    val n = v.numElements()
+    val out = new Array[Long]((n + 31) / 32)
+    var i = 0
+    while (i < n) {
+      if (v.getFloat(i) > 0f) out(i / 32) |= 1L << (31 - (i % 32))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** IVF assignment: id of the centroid maximizing (round6(cosine) desc,
     * cid asc) — one pass over a broadcast array<struct<cid,cvec>>; the
     * rounded-score tie-break matches the positional-SQL oracle exactly.
@@ -210,6 +226,32 @@ case class FVecQ8Stats(child: Expression)
     copy(child = newChild)
 
   override def prettyName: String = "fvec_q8_stats"
+}
+
+/** Sign-bit signature words for binary-quantization search — one kernel
+  * call per row vs a 64-step interpreted HOF fold.
+  */
+case class FVecSignBits(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.types.LongType
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"fvec_signbits expects array<float>, got $t")
+  }
+
+  override protected def nullSafeEval(a: Any): Any =
+    VecKernels.signBits(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VecKernels.signBits($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "fvec_signbits"
 }
 
 /** Integer dot product of two `array<bigint>` (quantized search). */

@@ -38,6 +38,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[FVecQ8Stats].getName, "fvec_q8_stats"),
       (args: Seq[Expression]) => FVecQ8Stats(args.head)))
     ext.injectFunction((
+      new FunctionIdentifier("fvec_signbits"),
+      new ExpressionInfo(classOf[FVecSignBits].getName, "fvec_signbits"),
+      (args: Seq[Expression]) => FVecSignBits(args.head)))
+    ext.injectFunction((
       new FunctionIdentifier("lvec_dot"),
       new ExpressionInfo(classOf[LongVecDot].getName, "lvec_dot"),
       (args: Seq[Expression]) => LongVecDot(args.head, args(1))))

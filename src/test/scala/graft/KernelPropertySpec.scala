@@ -85,6 +85,25 @@ class KernelPropertySpec extends org.scalatest.funsuite.AnyFunSuite {
     }
   }
 
+  test("signBits: word-wise MSB-first fold, bit set iff element positive") {
+    (1 to N).foreach { _ =>
+      val n = rnd.nextInt(70) + 1
+      val v = Array.fill(n)((rnd.nextFloat() - 0.5f) * (if (rnd.nextBoolean()) 1f else 0f))
+      val sig = VecKernels.signBits(new GenericArrayData(v.map(Float.box)))
+      assert(sig.numElements() === (n + 31) / 32)
+      val words = (0 until sig.numElements()).map(sig.getLong)
+      // reference fold: acc*2 + bit, 32 dims per word, zero-padded tail
+      val expected = words.indices.map { w =>
+        (0 until 32).foldLeft(0L) { (acc, j) =>
+          val i = 32 * w + j
+          acc * 2 + (if (i < n && v(i) > 0f) 1L else 0L)
+        }
+      }
+      assert(words === expected)
+      words.foreach(w => assert(w >= 0L && w <= 0xFFFFFFFFL))
+    }
+  }
+
   test("cosF is symmetric and bounded for nonzero vectors") {
     (1 to N).foreach { _ =>
       val gen = () => Seq.fill(8)(rnd.nextFloat() * 10.0f - 5.0f)
