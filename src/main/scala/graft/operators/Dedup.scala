@@ -135,6 +135,38 @@ object Dedup {
       .distinct()
   }
 
+  /** Incremental (delta-batch) near-dup detection: documents of the NEW
+    * ingest batch (doc_id >= newFrom stands in for the arrival split)
+    * probe the EXISTING corpus's LSH band buckets — the asymmetric join
+    * every production dedup pipeline actually runs. Candidate work is
+    * proportional to the NEW batch's bands (at 100 TB the old side is
+    * the stored band index, read not recomputed — see IndexBuilder's
+    * generations), never a full-corpus self-join; survivors are
+    * filtered by the 12-component signature-agreement estimate, exactly
+    * like [[minhashVerified]]'s middle stage.
+    */
+  def incremental(s: SparkSession, dir: String, newFrom: Long = 450L): DataFrame = {
+    val bands = minhashBands(s, dir)
+    val sigs = withShingles(s, dir)
+      .select(col("doc_id"), call_function("minhash_sigs", col("shingles")).as("sigs"))
+    val cand = bands.filter(col("doc_id") >= newFrom)
+      .select(col("band_id").as("nb"), col("band_hash").as("nh"), col("doc_id").as("new_id"))
+      .join(bands.filter(col("doc_id") < newFrom)
+          .select(col("band_id").as("ob"), col("band_hash").as("oh"), col("doc_id").as("old_id")),
+        col("nb") === col("ob") && col("nh") === col("oh"))
+      .select(col("new_id"), col("old_id")).distinct()
+    cand
+      .join(sigs.select(col("doc_id").as("new_id"), col("sigs").as("sa"))
+        .hint("SHUFFLE_HASH"), "new_id")
+      .join(sigs.select(col("doc_id").as("old_id"), col("sigs").as("sb"))
+        .hint("SHUFFLE_HASH"), "old_id")
+      .select(col("new_id"), col("old_id"),
+        expr("""aggregate(zip_with(sa, sb, (x, y) -> IF(x = y, 1, 0)),
+                | cast(0 as bigint), (acc, v) -> acc + v) * 1000000 div 12""".stripMargin)
+          .as("est_jaccard_micros"))
+      .filter(col("est_jaccard_micros") >= 500000L)
+  }
+
   /** LSH index health: per-band bucket statistics over the MinHash band
     * frame — bucket count, max occupancy, and the candidate-pair mass
     * Σ s·(s−1)/2 each band contributes to the self-join. THE tuning
@@ -955,6 +987,20 @@ object Dedup {
          |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
          |FROM bands a JOIN bands b
          |  ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id""".stripMargin,
+    "dedup_incremental" ->
+      s"""WITH $duckShingles,
+         |$duckMinhashBands,
+         |cand AS (SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+         | FROM bands n JOIN bands o
+         |  ON n.band_id = o.band_id AND n.band_hash = o.band_hash
+         | WHERE n.doc_id >= 450 AND o.doc_id < 450),
+         |est AS (SELECT new_id, old_id,
+         |  CAST(list_sum(list_transform(range(1, 13),
+         |    i -> CASE WHEN a.sigs[i] = b.sigs[i] THEN 1 ELSE 0 END)) AS BIGINT)
+         |   * 1000000 // 12 AS est_jaccard_micros
+         | FROM cand JOIN sig a ON new_id = a.doc_id JOIN sig b ON old_id = b.doc_id)
+         |SELECT new_id, old_id, est_jaccard_micros FROM est
+         |WHERE est_jaccard_micros >= 500000""".stripMargin,
     "dedup_lsh_stats" ->
       s"""WITH $duckShingles,
          |$duckMinhashBands,

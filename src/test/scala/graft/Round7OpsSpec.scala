@@ -242,6 +242,22 @@ class Round7OpsSpec extends SparkSpec {
     assert(nR > 0 && nR < rows.length)
   }
 
+  test("incremental dedup pairs always cross the batch boundary") {
+    val rows = Dedup.incremental(spark, dir, newFrom = 25L).collect()
+    assert(rows.nonEmpty, "sf0.001 has near-dups across the id-25 split")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("new_id") >= 25L && r.getAs[Long]("old_id") < 25L)
+      assert(r.getAs[Long]("est_jaccard_micros") >= 500000L)
+    }
+    // incremental candidates are a subset of the full LSH pair set
+    val full = Dedup.minhashLsh(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    rows.foreach { r =>
+      val p = (r.getAs[Long]("old_id"), r.getAs[Long]("new_id"))
+      assert(full.contains(p), s"pair $p must appear in the full self-join")
+    }
+  }
+
   test("sessionStats conserves sessions from sessionize") {
     val stats = Events.sessionStats(spark, dir).collect()
     val nSessions = Events.sessionize(spark, dir).count()
