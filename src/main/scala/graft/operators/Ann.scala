@@ -410,6 +410,25 @@ object Ann {
           .otherwise(lit(0L))).as("n_outliers"))
   }
 
+  /** Per-dimension embedding health: mean, mean-|v| and positive-count
+    * per coordinate — the dead-dimension / scale-drift profile an
+    * embedding pipeline monitors after every encoder change. Values are
+    * quantized to integer micros PER ELEMENT before any sum (the
+    * entropy/logprob discipline), so the posexplode → 64-group partial
+    * aggregate is order-independent and map-side combinable: the
+    * shuffle carries dims × 4 longs, never vectors.
+    */
+  def dimStats(s: SparkSession, dir: String): DataFrame =
+    Graft.embeddings(s, dir)
+      .select(posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("dim").cast("long").as("dim"),
+        expr("cast(round(cast(v as double) * 1000000) as bigint)").as("q"))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n_vecs"),
+        expr("sum(q) div count(1)").as("mean_micros"),
+        expr("sum(abs(q)) div count(1)").as("mean_abs_micros"),
+        sum(when(col("q") > 0L, 1L).otherwise(0L)).as("n_pos"))
+
   private val duckCosPair =
     """list_sum(list_transform(range(1,65), i -> x.v[i] * y.v[i]))
       | / (sqrt(list_sum(list_transform(range(1,65), i -> x.v[i] * x.v[i])))
@@ -444,30 +463,35 @@ object Ann {
       | FROM contrib GROUP BY vec_id)""".stripMargin
 
   /** Binary-quantization search (the Qdrant/RaBitQ-style memory path:
-    * 64 dims → 64 sign bits = 8 B/vector, a 32× compression): hamming
-    * distance on two 32-bit sign words shortlists 5×k candidates
-    * (TakeOrderedAndProject — per-partition heaps over a scan that, with
-    * stored signatures, reads 8 B/vector), then an exact cosine re-rank
-    * over the broadcast-joined shortlist recovers float precision —
-    * same two-stage shape as [[pqRefine]]. All integer until the
-    * bounded re-rank. Signatures come from the native fvec_signbits
-    * kernel (one codegen'd pass/row; the HOF fold runs its lambda
-    * interpreted 64x per row — measured ~2x slower end-to-end).
+    * 64 dims → 64 sign bits = 8 B/vector, a 32× compression): candidates
+    * are vectors within a fixed hamming RADIUS of the query's sign
+    * signature (the deployed shape for binary pre-filters — a
+    * data-independent radius keeps the candidate test a pure per-row
+    * filter: scan → signature kernel → filter → exact cosine re-rank →
+    * TakeOrderedAndProject, zero shuffles and no mid-plan global
+    * ordering; a top-C shortlist would force a global sort inside the
+    * plan). Unrelated 64-bit signatures concentrate at hamming ≈ 32 ± 4,
+    * so radius 24 (−2σ) passes ~3% of the corpus to the float re-rank.
+    * Signatures come from the native fvec_signbits kernel (one codegen'd
+    * pass/row vs a 64-step interpreted HOF fold).
     */
-  def binarySearch(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
-    val qsig = SemanticSearch.queryVec(s, dir)
-      .select(call_function("fvec_signbits", col("qvec")).as("qs"))
-      .select(expr("element_at(qs, 1)").as("q_hi"), expr("element_at(qs, 2)").as("q_lo"))
-    val shortlist = Graft.embeddings(s, dir)
-      .select(col("vec_id"), call_function("fvec_signbits", col("embedding")).as("sg"))
-      .crossJoin(broadcast(qsig))
-      .select(col("vec_id"),
+  def binarySearch(s: SparkSession, dir: String, k: Int = 10, radius: Int = 24): DataFrame = {
+    // both words in ONE projection calling the kernel twice (1-row frame):
+    // an intermediate `qs` column referenced twice blocks CollapseProject,
+    // and the uncollapsed Project stack breaks the Limit(Project(Sort)) →
+    // TakeOrderedAndProject pattern, leaving a global Sort in the plan
+    val q = SemanticSearch.queryVec(s, dir)
+      .select(col("qvec"),
+        expr("element_at(fvec_signbits(qvec), 1)").as("q_hi"),
+        expr("element_at(fvec_signbits(qvec), 2)").as("q_lo"))
+    Graft.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"),
+        call_function("fvec_signbits", col("embedding")).as("sg"))
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("embedding"), col("qvec"),
         expr("cast(bit_count(element_at(sg, 1) ^ q_hi) + bit_count(element_at(sg, 2) ^ q_lo) as bigint)")
           .as("hamming"))
-      .orderBy(col("hamming"), col("vec_id")).limit(5 * k)
-    Graft.embeddings(s, dir)
-      .join(broadcast(shortlist), Seq("vec_id"))
-      .crossJoin(broadcast(SemanticSearch.queryVec(s, dir)))
+      .filter(col("hamming") <= radius)
       .select(col("vec_id"), col("hamming"),
         graft.functions.VectorOps.cosine6(col("embedding"), col("qvec")).as("score"))
       .orderBy(col("score").desc, col("vec_id"))
@@ -475,6 +499,15 @@ object Ann {
   }
 
   val oracle: Map[String, String] = Map(
+    "embed_dim_stats" ->
+      """WITH x AS (SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+        |  CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS q
+        | FROM embeddings)
+        |SELECT CAST(dim AS BIGINT) AS dim, count(*) AS n_vecs,
+        | CAST(sum(q) // count(*) AS BIGINT) AS mean_micros,
+        | CAST(sum(abs(q)) // count(*) AS BIGINT) AS mean_abs_micros,
+        | CAST(sum(CASE WHEN q > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+        |FROM x GROUP BY 1""".stripMargin,
     "ann_binary" ->
       s"""WITH $duckE,
          |sg AS (SELECT vec_id,
@@ -488,7 +521,7 @@ object Ann {
          |hm AS (SELECT vec_id,
          |  CAST(bit_count(xor(sig_hi, q_hi)) + bit_count(xor(sig_lo, q_lo)) AS BIGINT) AS hamming
          | FROM sg, qs),
-         |cand AS (SELECT vec_id, hamming FROM hm ORDER BY hamming, vec_id LIMIT 50),
+         |cand AS (SELECT vec_id, hamming FROM hm WHERE hamming <= 24),
          |qv AS (SELECT v FROM e WHERE vec_id = (SELECT min(vec_id) FROM e))
          |SELECT x.vec_id, cand.hamming, round($duckCosPair, 6) AS score
          |FROM e x JOIN cand ON x.vec_id = cand.vec_id, (SELECT v FROM qv) y

@@ -258,6 +258,18 @@ class Round7OpsSpec extends SparkSpec {
     }
   }
 
+  test("dimStats covers every dimension with consistent counts") {
+    val rows = Ann.dimStats(spark, dir).collect()
+    assert(rows.length === 64)
+    val n = Graft.embeddings(spark, dir).count()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_vecs") === n)
+      assert(r.getAs[Long]("mean_abs_micros") >= math.abs(r.getAs[Long]("mean_micros")),
+        "mean |v| dominates |mean v|")
+      assert(r.getAs[Long]("n_pos") <= n)
+    }
+  }
+
   test("sessionStats conserves sessions from sessionize") {
     val stats = Events.sessionStats(spark, dir).collect()
     val nSessions = Events.sessionize(spark, dir).count()
