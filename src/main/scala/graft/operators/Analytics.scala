@@ -459,6 +459,27 @@ object Analytics {
         expr("n_both * 1000000 div (n1 + n2 - n_both)").as("jaccard_micros"))
   }
 
+  /** Whale concentration (Pareto check): what share of total event value
+    * the top-decile users account for. The p90 threshold is the
+    * spendQuartiles floor'd-percentile broadcast; the report is one
+    * conditional aggregate — exact integer cents throughout, the
+    * concentration share in micros.
+    */
+  def pareto(s: SparkSession, dir: String): DataFrame = {
+    val per = Graft.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(sum(expr("cast(round(value * 100) as bigint)")).as("cents"))
+    val th = per.agg(
+      expr("cast(floor(percentile(cents, 0.9)) as bigint)").as("p90"))
+    per.crossJoin(broadcast(th))
+      .agg(count(lit(1)).as("n_users"),
+        sum(when(col("cents") > col("p90"), 1L).otherwise(0L)).as("n_top"),
+        sum(col("cents")).as("total_cents"),
+        sum(when(col("cents") > col("p90"), col("cents")).otherwise(0L)).as("top_cents"))
+      .select(col("n_users"), col("n_top"), col("total_cents"), col("top_cents"),
+        expr("top_cents * 1000000 div total_cents").as("top_share_micros"))
+  }
+
   /** RFM segmentation over purchase events: per-user recency (days since
     * last purchase, against the corpus max timestamp), frequency, and
     * monetary value, median-split into 8 'Rfm'-style segments. Both
@@ -512,6 +533,18 @@ object Analytics {
   }
 
   val oracle: Map[String, String] = Map(
+    "events_pareto" ->
+      """WITH p AS (SELECT user_id,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        | FROM events GROUP BY 1),
+        |th AS (SELECT CAST(floor(quantile_cont(cents, 0.9)) AS BIGINT) AS p90 FROM p)
+        |SELECT count(*) AS n_users,
+        | CAST(sum(CASE WHEN cents > p90 THEN 1 ELSE 0 END) AS BIGINT) AS n_top,
+        | CAST(sum(cents) AS BIGINT) AS total_cents,
+        | CAST(sum(CASE WHEN cents > p90 THEN cents ELSE 0 END) AS BIGINT) AS top_cents,
+        | CAST(sum(CASE WHEN cents > p90 THEN cents ELSE 0 END) AS BIGINT)
+        |   * 1000000 // CAST(sum(cents) AS BIGINT) AS top_share_micros
+        |FROM p, th""".stripMargin,
     "events_rfm" ->
       """WITH nw AS (SELECT max(CAST(floor(epoch(ts)) AS BIGINT)) AS now_sec FROM events),
         |p AS (SELECT user_id,

@@ -444,6 +444,39 @@ object TextAnalysis {
         expr("s_millis * 1000000 div t_millis").as("weight_micros"))
   }
 
+  /** More-like-this retrieval (the Elasticsearch MLT shape): rank the
+    * corpus against the query DOCUMENT's most distinctive terms. The
+    * query doc's top-5 terms by TF-IDF are a bounded shortlist
+    * (TakeOrderedAndProject — the Limit(Project(Sort)) pattern, kept
+    * single-projection so CollapseProject preserves it) that broadcasts
+    * into one semi-scoring join against the distinct (doc, term)
+    * incidence; per-doc score = Σ idf over shared query terms in exact
+    * integer micros. Candidate work ∝ docs containing a query term —
+    * the inverted-index access path, never a full scan per query.
+    */
+  def moreLikeThis(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val toks = tokStream(s, dir)
+    val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val n = Graft.documents(s, dir).agg(count(lit(1)).as("n"))
+    val qid = Graft.documents(s, dir).agg(min(col("doc_id")).as("qid"))
+    val qTerms = tf.crossJoin(broadcast(qid)).filter(col("doc_id") === col("qid"))
+      .join(dfreq, "tok").crossJoin(broadcast(n))
+      .select(col("tok"),
+        expr("round(cast(tf as double) * ln(cast(n as double) / cast(df as double)), 6)")
+          .as("tfidf6"),
+        expr("cast(round(ln(cast(n as double) / cast(df as double)) * 1000000) as bigint)")
+          .as("idf_micros"))
+      .orderBy(col("tfidf6").desc, col("tok")).limit(5)
+    tf.select(col("doc_id"), col("tok")).crossJoin(broadcast(qid))
+      .filter(col("doc_id") =!= col("qid"))
+      .join(broadcast(qTerms.select(col("tok"), col("idf_micros"))), "tok")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"), sum(col("idf_micros")).as("score_micros"))
+      .orderBy(col("score_micros").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Zipf-law fit over the corpus vocabulary: OLS slope of ln(freq) vs
     * ln(rank) for the top-500 tokens — natural corpora sit near −1, and
     * drift is a contamination/boilerplate tell. The top-500 cut is a
@@ -619,6 +652,25 @@ object TextAnalysis {
       | FROM hs)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "search_mlt" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok
+        |  FROM documents),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |qid AS (SELECT min(doc_id) AS qid FROM documents),
+        |qt AS (SELECT tf.tok,
+        |  round(CAST(tf AS DOUBLE) * ln(CAST(n AS DOUBLE) / CAST(df AS DOUBLE)), 6) AS tfidf6,
+        |  CAST(round(ln(CAST(n AS DOUBLE) / CAST(df AS DOUBLE)) * 1000000) AS BIGINT) AS idf_micros
+        | FROM tf JOIN df ON tf.tok = df.tok, n, qid
+        | WHERE tf.doc_id = qid
+        | ORDER BY tfidf6 DESC, tf.tok LIMIT 5)
+        |SELECT tf.doc_id, count(*) AS n_shared,
+        | CAST(sum(qt.idf_micros) AS BIGINT) AS score_micros
+        |FROM tf JOIN qt ON tf.tok = qt.tok, qid
+        |WHERE tf.doc_id != qid
+        |GROUP BY 1
+        |ORDER BY score_micros DESC, doc_id LIMIT 10""".stripMargin,
     "text_readability" ->
       """SELECT doc_id,
         | CAST(len(string_split_regex(text, '\. ')) AS BIGINT) AS n_sents,

@@ -270,6 +270,29 @@ class Round7OpsSpec extends SparkSpec {
     }
   }
 
+  test("moreLikeThis never returns the query doc and scores are shared-term idf sums") {
+    val qid = Graft.documents(spark, dir).agg(min(col("doc_id"))).collect().head.getLong(0)
+    val rows = TextAnalysis.moreLikeThis(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("doc_id") !== qid)
+      assert(r.getAs[Long]("n_shared") >= 1L && r.getAs[Long]("n_shared") <= 5L)
+      assert(r.getAs[Long]("score_micros") > 0L)
+    }
+    val scores = rows.map(r => (-r.getAs[Long]("score_micros"), r.getAs[Long]("doc_id")))
+    assert(scores.sortBy(identity).toSeq === scores.toSeq)
+  }
+
+  test("pareto: top decile holds a >=10% value share and counts are consistent") {
+    val r = Analytics.pareto(spark, dir).collect().head
+    assert(r.getAs[Long]("n_top") <= r.getAs[Long]("n_users") / 5,
+      "strictly-above-p90 users are at most ~10-20% of users")
+    assert(r.getAs[Long]("top_cents") <= r.getAs[Long]("total_cents"))
+    val share = r.getAs[Long]("top_share_micros")
+    assert(share > 50000L && share <= 1000000L,
+      "top-decile share must exceed its population share in any non-uniform value distribution")
+  }
+
   test("sessionStats conserves sessions from sessionize") {
     val stats = Events.sessionStats(spark, dir).collect()
     val nSessions = Events.sessionize(spark, dir).count()
