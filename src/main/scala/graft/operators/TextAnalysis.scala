@@ -248,9 +248,16 @@ object TextAnalysis {
       Graft.documents(s, dir)
         .select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("tok")))
 
+  /** Per-(doc, term) frequency frame — the inverted index every TF-IDF
+    * consumer (top-k terms, more-like-this) folds over. Memoized per
+    * session+dir: the tokenize + two-level aggregate runs once.
+    */
+  private def tfFrame(s: SparkSession, dir: String): DataFrame =
+    Graft.memoCache("tok_tf", dir)(
+      tokStream(s, dir).groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf")))
+
   def tfidfTopk(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
-    val toks = tokStream(s, dir)
-    val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val tf = tfFrame(s, dir)
     val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val n = Graft.documents(s, dir).agg(count(lit(1)).as("n"))
     val w = org.apache.spark.sql.expressions.Window
@@ -455,8 +462,7 @@ object TextAnalysis {
     * the inverted-index access path, never a full scan per query.
     */
   def moreLikeThis(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
-    val toks = tokStream(s, dir)
-    val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val tf = tfFrame(s, dir)
     val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val n = Graft.documents(s, dir).agg(count(lit(1)).as("n"))
     val qid = Graft.documents(s, dir).agg(min(col("doc_id")).as("qid"))
