@@ -185,6 +185,38 @@ object TextAnalysis {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Bloom-filter decontamination — the sketch-based membership variant
+    * of [[decontaminate]]: the benchmark set's fingerprints fold into
+    * ONE mergeable bloom sketch (bloom_filter_agg — a map-side
+    * combinable aggregate whose size is the bit budget, independent of
+    * row count), and the corpus probes it with a might_contain
+    * projection. At 100 TB this replaces the broadcast fingerprint join
+    * when the eval set outgrows broadcast range: the sketch stays KB-MB
+    * while the join side would be the full fingerprint table. False
+    * positives only (never false negatives) — the spec bounds the
+    * output as a superset of the exact join; downstream an exact verify
+    * prunes survivors, exactly like the LSH estimate→verify pipeline.
+    * Rows-only gate: the sketch's bit pattern is engine-specific, so
+    * there is no cross-engine SQL oracle.
+    */
+  def decontamBloom(s: SparkSession, dir: String): DataFrame = {
+    val fps = winnow(s, dir)
+    // might_contain requires a CONSTANT sketch: collect the aggregated
+    // bloom to the driver (O(bit budget) = 2 KB here, independent of
+    // eval-set row count — the same move Spark's own runtime join
+    // filters make) and inline it as a binary literal.
+    val bf = fps.filter(col("doc_id") < 3)
+      .agg(expr("bloom_agg(fp, cast(1000 as long), cast(16000 as long))").as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    // empty benchmark set → null sketch → nothing can be contaminated
+    val hit = if (bf == null) lit(false)
+      else expr(s"bloom_might_contain(X'${bf.map(b => f"$b%02X").mkString}', fp)")
+    fps.filter(col("doc_id") >= 3)
+      .filter(hit)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_maybe_shared"))
+  }
+
   /** End-to-end curation filter — the composed keep-decision of a
     * training-data pipeline: language-ID agrees with the labeled lang,
     * quality score clears the bar, and the document is its exact-dup
@@ -505,6 +537,9 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_terms"),
         sum(col("x")).as("sx"), sum(col("y")).as("sy"),
         sum(expr("x * x")).as("sxx"), sum(expr("x * y")).as("sxy"))
+      // a 0/1-term vocabulary has no rank spread: drop the degenerate
+      // row BEFORE the slope projection (its denominator would be 0)
+      .filter(col("n_terms") >= 2)
       .select(col("n_terms"),
         expr("(n_terms * sxy - sx * sy) * 1000 div (n_terms * sxx - sx * sx)")
           .as("slope_millis"))

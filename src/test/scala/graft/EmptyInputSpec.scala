@@ -91,4 +91,22 @@ class EmptyInputSpec extends SparkSpec {
     assert(TextAnalysis.entropy(spark, dir).count() === 0)
     assert(TextAnalysis.lengthHistogram(spark, dir).count() === 0)
   }
+
+  test("round-6 second-session operators are safe on empty tables") {
+    assert(TextAnalysis.decontamBloom(spark, dir).count() === 0)
+    assert(TextAnalysis.contamFraction(spark, dir).count() === 0)
+    assert(TextAnalysis.moreLikeThis(spark, dir).count() === 0)
+    assert(TextAnalysis.zipfSlope(spark, dir).count() === 0)
+    assert(TextAnalysis.mixReport(spark, dir).count() === 0)
+    assert(TextAnalysis.readability(spark, dir).count() === 0)
+    assert(TextAnalysis.ttr(spark, dir).count() === 0)
+    assert(Chunking.budgetPack(spark, dir).count() === 0)
+    assert(Ann.binarySearch(spark, dir).count() === 0)
+    assert(Ann.dimStats(spark, dir).count() === 0)
+    assert(Dedup.incremental(spark, dir).count() === 0)
+    assert(Analytics.ewmaHourly(spark, dir).count() === 0)
+    assert(Analytics.typeOverlap(spark, dir).count() === 0)
+    assert(Analytics.rfm(spark, dir).count() === 0)
+    assert(Events.sessionStats(spark, dir).count() === 0)
+  }
 }

@@ -293,6 +293,19 @@ class Round7OpsSpec extends SparkSpec {
       "top-decile share must exceed its population share in any non-uniform value distribution")
   }
 
+  test("decontamBloom is a no-false-negative superset of the exact fingerprint join") {
+    val bloom = TextAnalysis.decontamBloom(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("n_maybe_shared")).toMap
+    // exact shared-fingerprint counts via the contamination operator
+    val exact = TextAnalysis.contamFraction(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("n_shared")).toMap
+      .filter(_._2 > 0)
+    exact.foreach { case (d, n) =>
+      assert(bloom.contains(d), s"doc $d shares fingerprints exactly — bloom must flag it")
+      assert(bloom(d) >= n, s"bloom count can only overcount (doc $d)")
+    }
+  }
+
   test("sessionStats conserves sessions from sessionize") {
     val stats = Events.sessionStats(spark, dir).collect()
     val nSessions = Events.sessionize(spark, dir).count()
