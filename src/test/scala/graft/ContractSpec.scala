@@ -13,7 +13,8 @@ class ContractSpec extends SparkSpec {
 
   test("rows-only queries are exactly the documented set") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(rowsOnly === Set("multimodal_meta", "events_approx_stats", "text_topk_approx"))
+    assert(rowsOnly === Set("multimodal_meta", "events_approx_stats", "text_topk_approx",
+      "text_decontam_bloom"))
   }
 
   test("entry (flagship search pipeline) returns rows at sf0.001") {
