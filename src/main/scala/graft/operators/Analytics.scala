@@ -362,6 +362,32 @@ object Analytics {
         expr("dau * 1000000 div wau").as("stickiness_micros"))
   }
 
+  /** Sketch-based DAU / trailing-7-day WAU — the documented 100 TB
+    * swap-in for [[dauWau]]: per-day DataSketches HLL sketches of the
+    * active-user set (a mergeable aggregate a production pipeline
+    * stores per day), DAU = each day's estimate, WAU = estimate of the
+    * UNION of the trailing 7 sketches via the same bounded ×7
+    * day-explode. Where the exact form's sliding distinct re-reads
+    * every (user, day) row, the sketch form merges 7 fixed-size
+    * sketches per day — state per day is KBs regardless of user count.
+    * Rows-only gate (sketch bits are engine-specific); the spec bounds
+    * both estimates against the exact operator.
+    */
+  def dauWauHll(s: SparkSession, dir: String): DataFrame = {
+    val daily = Graft.events(s, dir)
+      .select(col("user_id"), expr("ts div 1000000000 div 86400").as("day"))
+      .groupBy(col("day"))
+      .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+    val wau = daily
+      .select(explode(expr("sequence(day, day + 6)")).as("td"), col("sk"))
+      .groupBy(col("td"))
+      .agg(expr("hll_union_agg(sk)").as("usk"))
+    daily.join(wau, col("day") === col("td"))
+      .select(col("day"),
+        expr("hll_sketch_estimate(sk)").as("dau_est"),
+        expr("hll_sketch_estimate(usk)").as("wau_est"))
+  }
+
   /** Wide-table PIVOT: order counts per (segment x priority) with the
     * priority domain pinned (pivot with an explicit value list is one
     * Expand + one aggregation — an unpinned pivot adds a distinct-values

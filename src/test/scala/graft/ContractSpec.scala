@@ -14,7 +14,7 @@ class ContractSpec extends SparkSpec {
   test("rows-only queries are exactly the documented set") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(rowsOnly === Set("multimodal_meta", "events_approx_stats", "text_topk_approx",
-      "text_decontam_bloom"))
+      "text_decontam_bloom", "events_dau_wau_hll"))
   }
 
   test("entry (flagship search pipeline) returns rows at sf0.001") {

@@ -306,6 +306,20 @@ class Round7OpsSpec extends SparkSpec {
     }
   }
 
+  test("dauWauHll estimates track the exact DAU/WAU within HLL error") {
+    val exact = Analytics.dauWau(spark, dir).collect()
+      .map(r => r.getAs[Long]("day") -> (r.getAs[Long]("dau"), r.getAs[Long]("wau"))).toMap
+    val est = Analytics.dauWauHll(spark, dir).collect()
+      .map(r => r.getAs[Long]("day") -> (r.getAs[Long]("dau_est"), r.getAs[Long]("wau_est"))).toMap
+    assert(est.keySet === exact.keySet)
+    est.foreach { case (d, (dau, wau)) =>
+      val (ed, ew) = exact(d)
+      // lgK=12 HLL: ~1.6% relative standard error; allow 5% + small-count slack
+      assert(math.abs(dau - ed) <= math.max(2L, ed / 20), s"day $d dau $dau vs $ed")
+      assert(math.abs(wau - ew) <= math.max(2L, ew / 20), s"day $d wau $wau vs $ew")
+    }
+  }
+
   test("sessionStats conserves sessions from sessionize") {
     val stats = Events.sessionStats(spark, dir).collect()
     val nSessions = Events.sessionize(spark, dir).count()
