@@ -426,6 +426,20 @@ object Dedup {
       .select(col("cluster_rep"), (-col("mx.neg_id")).as("canonical_id"),
         col("mx.n_chars").as("canonical_chars"), col("n_docs"))
 
+  /** Degree distribution of the near-dup graph: how many documents have
+    * exactly N near-duplicates — the graph-health histogram read next
+    * to [[clusterSizes]] (a heavy high-degree tail = boilerplate hubs
+    * before clustering even runs). Rides the memoized pair frame; two
+    * grouped counts, both map-side combinable.
+    */
+  def degreeDist(s: SparkSession, dir: String): DataFrame = {
+    val pairs = dupPairs(s, dir)
+    pairs.select(col("id_a").as("id"))
+      .unionAll(pairs.select(col("id_b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("degree"))
+      .groupBy(col("degree")).agg(count(lit(1)).as("n_docs"))
+  }
+
   /** The near-dup pair graph shared by every graph-shaped consumer
     * (clustering, pagerank, triangles): one memoized cached frame per
     * session+directory, so running several of them computes and
@@ -987,6 +1001,18 @@ object Dedup {
          |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
          |FROM bands a JOIN bands b
          |  ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id""".stripMargin,
+    "graph_degree_dist" ->
+      s"""WITH $duckShingles,
+         |s AS (SELECT doc_id, unnest(shingles) AS sh FROM sar),
+         |sz AS (SELECT doc_id, count(*) AS n FROM s GROUP BY 1),
+         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+         |      FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |pairs AS (SELECT id_a, id_b
+         |  FROM p JOIN sz x ON x.doc_id = id_a JOIN sz y ON y.doc_id = id_b
+         |  WHERE inter * 1000000 // (x.n + y.n - inter) >= 500000),
+         |e AS (SELECT id_a AS id FROM pairs UNION ALL SELECT id_b FROM pairs),
+         |d AS (SELECT id, CAST(count(*) AS BIGINT) AS degree FROM e GROUP BY 1)
+         |SELECT degree, count(*) AS n_docs FROM d GROUP BY 1""".stripMargin,
     "dedup_incremental" ->
       s"""WITH $duckShingles,
          |$duckMinhashBands,

@@ -591,6 +591,26 @@ object Relational {
       .join(Graft.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"), col("n_dominant_parts"))
 
+  /** TPC-H Q12-flavored late-shipment priority mix: among lines shipped
+    * more than 60 days after their order date, how many belong to
+    * high-priority orders vs the rest, per ship year (shipmode is not
+    * in this schema; lateness is the Q12 "slow mode" stand-in). One
+    * orderkey join with the date comparison applied pre-aggregation;
+    * the two-way split is a conditional sum — map-side combinable.
+    */
+  def priorityShipMix(s: SparkSession, dir: String): DataFrame =
+    Graft.lineitem(s, dir).select(col("l_orderkey"), col("l_shipdate"))
+      .join(Graft.orders(s, dir)
+          .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      .groupBy(year(col("l_shipdate")).cast("long").as("ship_year"))
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+          .as("high_line_count"),
+        sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+          .as("low_line_count"))
+
   /** Cohort-revenue LTV triangle: revenue by (first-order year, years
     * since first order) — the lifetime-value view every growth report
     * uses. The per-customer cohort aggregate and the join-back hash the
@@ -611,6 +631,15 @@ object Relational {
   }
 
   val oracle: Map[String, String] = Map(
+    "q_late_mix" ->
+      """SELECT CAST(date_part('year', l_shipdate) AS BIGINT) AS ship_year,
+        | CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        | CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |GROUP BY 1""".stripMargin,
     "q_cohort_revenue" ->
       """WITH f AS (SELECT o_custkey AS ck,
         |  CAST(min(date_part('year', o_orderdate)) AS BIGINT) AS cohort

@@ -320,6 +320,25 @@ class Round7OpsSpec extends SparkSpec {
     }
   }
 
+  test("degreeDist conserves endpoint mass of the near-dup pair graph") {
+    val nPairs = Dedup.ngramJaccard(spark, dir).count()
+    val dist = Dedup.degreeDist(spark, dir).collect()
+    val mass = dist.map(r => r.getAs[Long]("degree") * r.getAs[Long]("n_docs")).sum
+    assert(mass === 2 * nPairs, "sum(degree * n_docs) = 2 x pairs")
+  }
+
+  test("priorityShipMix counts split the late lines exactly") {
+    val rows = Relational.priorityShipMix(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(r =>
+      r.getAs[Long]("high_line_count") + r.getAs[Long]("low_line_count")).sum
+    val lateLines = Graft.lineitem(spark, dir)
+      .join(Graft.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      .count()
+    assert(total === lateLines)
+  }
+
   test("sessionStats conserves sessions from sessionize") {
     val stats = Events.sessionStats(spark, dir).collect()
     val nSessions = Events.sessionize(spark, dir).count()
