@@ -428,10 +428,15 @@ object Analytics {
     * counts is co-partitioned on (type, hour).
     */
   def gapfillHourly(s: SparkSession, dir: String): DataFrame = {
-    val counts = Graft.events(s, dir)
-      .select(col("event_type"), expr("ts div 1000000000 div 3600").as("hour"))
-      .groupBy(col("event_type"), col("hour"))
-      .agg(count(lit(1)).as("n"))
+    // memoized: the (type, hour) count rollup is grid-sized and feeds
+    // the gapfill grid (twice: bounds + join-back) AND both sides of
+    // the EWMA consumer — cached once instead of re-scanning events
+    // per reference (the static plan otherwise repeats the scan 3x)
+    val counts = Graft.memoCache("events_hour_counts", dir)(
+      Graft.events(s, dir)
+        .select(col("event_type"), expr("ts div 1000000000 div 3600").as("hour"))
+        .groupBy(col("event_type"), col("hour"))
+        .agg(count(lit(1)).as("n")))
     val grid = counts.groupBy(col("event_type"))
       .agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
       .select(col("event_type"), explode(expr("sequence(h0, h1)")).as("hour"))

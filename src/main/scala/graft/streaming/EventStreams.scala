@@ -156,6 +156,60 @@ object EventStreams {
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(fold)
   }
 
+  /** Rolling per-type hourly counts (streaming EWMA state): the last 8
+    * hour buckets, enough to emit the 8-tap smoothed value for any hour
+    * whose window is complete.
+    */
+  case class EwmaState(counts: Map[Long, Long])
+
+  case class EwmaOut(event_type: String, hour: Long, ewma_x128: Long)
+
+  /** Streaming EWMA (λ=1/2, 8 taps, zero-padded — the unbounded twin of
+    * `Analytics.ewmaHourly`): one state per event type holding the
+    * trailing hour→count buckets; every batch updates the touched hour
+    * buckets and re-emits the smoothed value for each hour in the
+    * affected horizon (Update-mode semantics: downstream keeps the
+    * LATEST emit per (type, hour)). State is bounded by construction —
+    * buckets older than 8 hours behind the newest are dropped on every
+    * fold, so per-type state is ≤ a handful of (hour, count) pairs no
+    * matter how long the stream runs. Batch parity: feeding the whole
+    * table in any batch split yields exactly the batch operator's rows
+    * for every hour at least 7 hours behind each type's newest bucket
+    * (younger hours re-emit as later batches fill their window) —
+    * asserted by `StreamingSpec`.
+    */
+  def ewmaHourly(events: Dataset[RawEvent]): Dataset[EwmaOut] = {
+    import events.sparkSession.implicits._
+
+    def fold(eventType: String, it: Iterator[RawEvent],
+             state: GroupState[EwmaState]): Iterator[EwmaOut] = {
+      val arrived = it.toArray.groupBy(_.ts / 1000000000L / 3600L)
+        .map { case (h, es) => h -> es.length.toLong }
+      if (arrived.isEmpty) Iterator.empty
+      else {
+        val merged0 = state.getOption.map(_.counts).getOrElse(Map.empty[Long, Long]) ++
+          arrived.map { case (h, n) =>
+            h -> (state.getOption.flatMap(_.counts.get(h)).getOrElse(0L) + n) }
+        val newest = merged0.keys.max
+        val merged = merged0.filter { case (h, _) => h > newest - 8 }
+        state.update(EwmaState(merged))
+        // re-emit every hour whose 8-tap window may have changed
+        val touched = arrived.keys.flatMap(h => h until h + 8).toSet
+          .filter(th => merged0.keys.exists(src => th >= src && th < src + 8))
+        touched.toSeq.sorted.iterator.map { th =>
+          val v = (0 until 8).map { k =>
+            merged0.getOrElse(th - k, 0L) * (1L << (7 - k))
+          }.sum
+          EwmaOut(eventType, th, v)
+        }
+      }
+    }
+
+    events
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout())(fold)
+  }
+
   /** Streaming exact dedup: drop re-delivered events by id, keeping
     * state only inside the watermark horizon (the unbounded-stream twin
     * of dedup_exact — state is bounded by arrival skew, not stream

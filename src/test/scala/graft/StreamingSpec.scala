@@ -123,6 +123,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming EWMA matches the batch smoothed values (single batch)") {
+    implicit val sqlCtx = spark.sqlContext
+    val raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .as[RawEvent].collect()
+    val input = MemoryStream[RawEvent]
+    val q = EventStreams.ewmaHourly(input.toDS())
+      .writeStream.format("memory").queryName("ewma_out")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(raw.toSeq)
+      q.processAllAvailable()
+      val batch = graft.operators.Analytics.ewmaHourly(spark, "/root/testdata/sf0.001")
+        .collect()
+        .map(r => (r.getString(0), r.getAs[Long]("hour")) -> r.getAs[Long]("ewma_x128"))
+        .toMap
+      // per-type grid end: streaming also emits trailing hours past the
+      // batch grid (their windows are nonzero) — compare on grid hours
+      val h1 = batch.keys.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+      val streamed = spark.table("ewma_out").collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+        .filter { case ((t, h), _) => h <= h1(t) }.toMap
+      // batch emits 0-valued rows inside >8h activity gaps; streaming
+      // only re-emits touched (nonzero-window) hours
+      assert(streamed === batch.filter(_._2 > 0L))
+    } finally q.stop()
+  }
+
   test("transitions: a >1h event-time gap across batches expires state — no cross-gap pair") {
     import graft.streaming.EventStreams.TransitionOut
     implicit val sqlCtx = spark.sqlContext
