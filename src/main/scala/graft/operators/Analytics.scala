@@ -490,6 +490,23 @@ object Analytics {
         expr("n_both * 1000000 div (n1 + n2 - n_both)").as("jaccard_micros"))
   }
 
+  /** Growth accounting: new users per day (first-ever-seen cohort) and
+    * the running total — the top line of every growth report. First
+    * appearance = one grouped min per user; the cumulative sum rides a
+    * day-ordered window over the DAY-level frame, which is bounded by
+    * the calendar (not the corpus) at any scale — the one place a
+    * single-partition ordered window is scale-safe by construction.
+    */
+  def newUsers(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("day"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    Graft.events(s, dir)
+      .select(col("user_id"), expr("ts div 1000000000 div 86400").as("day"))
+      .groupBy(col("user_id")).agg(min(col("day")).as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("n_new"))
+      .withColumn("cum_users", sum(col("n_new")).over(w))
+  }
+
   /** Whale concentration (Pareto check): what share of total event value
     * the top-decile users account for. The p90 threshold is the
     * spendQuartiles floor'd-percentile broadcast; the report is one
@@ -564,6 +581,15 @@ object Analytics {
   }
 
   val oracle: Map[String, String] = Map(
+    "events_new_users" ->
+      """WITH f AS (SELECT user_id,
+        |  min(CAST(floor(epoch(ts)) AS BIGINT) // 86400) AS day
+        | FROM events GROUP BY 1),
+        |d AS (SELECT day, count(*) AS n_new FROM f GROUP BY 1)
+        |SELECT day, n_new,
+        | CAST(sum(n_new) OVER (ORDER BY day
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
+        |FROM d""".stripMargin,
     "events_pareto" ->
       """WITH p AS (SELECT user_id,
         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents

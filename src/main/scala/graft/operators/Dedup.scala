@@ -426,6 +426,27 @@ object Dedup {
       .select(col("cluster_rep"), (-col("mx.neg_id")).as("canonical_id"),
         col("mx.n_chars").as("canonical_chars"), col("n_docs"))
 
+  /** Corpus novelty: per document, the fraction of its distinct 3-gram
+    * shingles FIRST seen in this document (no document with a smaller
+    * id contains them) — the marginal-value curve of adding a document
+    * to the corpus (near-zero novelty = redundant with what's already
+    * there; the acquisition-ordering signal for data buying). First
+    * occurrence = min(doc_id) per shingle — one grouped min over the
+    * memoized shingle frame, joined back on the shingle key; fraction
+    * in exact integer micros.
+    */
+  def novelty(s: SparkSession, dir: String): DataFrame = {
+    val sh = withShingles(s, dir)
+      .select(col("doc_id"), explode(col("shingles")).as("sh"))
+    val firstSeen = sh.groupBy(col("sh")).agg(min(col("doc_id")).as("first_doc"))
+    sh.join(firstSeen, "sh")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+        expr("n_novel * 1000000 div n_shingles").as("novelty_micros"))
+  }
+
   /** Degree distribution of the near-dup graph: how many documents have
     * exactly N near-duplicates — the graph-health histogram read next
     * to [[clusterSizes]] (a heavy high-degree tail = boilerplate hubs
@@ -1001,6 +1022,16 @@ object Dedup {
          |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
          |FROM bands a JOIN bands b
          |  ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id""".stripMargin,
+    "text_novelty" ->
+      s"""WITH $duckShingles,
+         |sh AS (SELECT doc_id, unnest(shingles) AS sh FROM sar),
+         |fs AS (SELECT sh, CAST(min(doc_id) AS BIGINT) AS first_doc FROM sh GROUP BY 1)
+         |SELECT sh.doc_id, count(*) AS n_shingles,
+         | CAST(sum(CASE WHEN fs.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+         | CAST(sum(CASE WHEN fs.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         |   * 1000000 // count(*) AS novelty_micros
+         |FROM sh JOIN fs ON sh.sh = fs.sh
+         |GROUP BY 1""".stripMargin,
     "graph_degree_dist" ->
       s"""WITH $duckShingles,
          |s AS (SELECT doc_id, unnest(shingles) AS sh FROM sar),

@@ -339,6 +339,34 @@ class Round7OpsSpec extends SparkSpec {
     assert(total === lateLines)
   }
 
+  test("novelty: the first document is fully novel, fractions bounded") {
+    val rows = Dedup.novelty(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rows.nonEmpty)
+    val firstDoc = rows.keys.min
+    assert(rows(firstDoc).getAs[Long]("novelty_micros") === 1000000L,
+      "the lowest-id document can only contain first-seen shingles")
+    rows.values.foreach { r =>
+      assert(r.getAs[Long]("n_novel") <= r.getAs[Long]("n_shingles"))
+    }
+    // every shingle is novel in exactly one document: novel counts sum to
+    // the distinct-shingle count of the corpus
+    val distinctShingles = Graft.documents(spark, dir)
+      .select(explode(call_function("word_ngrams", col("text"), lit(3))).as("sh"))
+      .distinct().count()
+    assert(rows.values.map(_.getAs[Long]("n_novel")).sum === distinctShingles)
+  }
+
+  test("newUsers: cumulative curve is monotone and ends at the distinct-user count") {
+    val rows = Analytics.newUsers(spark, dir).collect().sortBy(_.getAs[Long]("day"))
+    assert(rows.nonEmpty)
+    val cums = rows.map(_.getAs[Long]("cum_users"))
+    assert(cums.toSeq === cums.sorted.toSeq)
+    val totalUsers = Graft.events(spark, dir).select(col("user_id")).distinct().count()
+    assert(cums.last === totalUsers)
+    assert(rows.map(_.getAs[Long]("n_new")).sum === totalUsers)
+  }
+
   test("sessionStats conserves sessions from sessionize") {
     val stats = Events.sessionStats(spark, dir).collect()
     val nSessions = Events.sessionize(spark, dir).count()
