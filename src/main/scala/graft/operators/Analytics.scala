@@ -490,6 +490,29 @@ object Analytics {
         expr("n_both * 1000000 div (n1 + n2 - n_both)").as("jaccard_micros"))
   }
 
+  /** Inter-arrival-time distribution per event type: power-of-two
+    * histogram of the seconds between a user's consecutive events of
+    * that type — the burstiness/queueing profile (tight buckets = bots
+    * or retry storms, heavy tail = organic usage). One (type, user)
+    * lag window, then the same integer log2 bucketing as
+    * doc_length_histogram (binary-representation length — no float
+    * boundaries); both aggregates map-side combinable.
+    */
+  def interarrival(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type"), col("user_id"))
+      .orderBy(col("sec"), col("event_id"))
+    Graft.events(s, dir)
+      .select(col("event_type"), col("user_id"), col("event_id"),
+        expr("ts div 1000000000").as("sec"))
+      .withColumn("gap", col("sec") - lag(col("sec"), 1).over(w))
+      .filter(col("gap").isNotNull && col("gap") >= 1L)
+      .select(col("event_type"), (length(bin(col("gap"))) - 1).cast("long").as("bucket"),
+        col("gap"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(count(lit(1)).as("n_gaps"), sum(col("gap")).as("sum_gap_sec"))
+  }
+
   /** Growth accounting: new users per day (first-ever-seen cohort) and
     * the running total — the top line of every growth report. First
     * appearance = one grouped min per user; the cumulative sum rides a
@@ -581,6 +604,18 @@ object Analytics {
   }
 
   val oracle: Map[String, String] = Map(
+    "events_interarrival" ->
+      """WITH e AS (SELECT event_type, user_id, event_id,
+        |   CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+        |g AS (SELECT event_type,
+        |  sec - lag(sec) OVER (PARTITION BY event_type, user_id
+        |                       ORDER BY sec, event_id) AS gap
+        | FROM e)
+        |SELECT event_type,
+        | CAST(length(printf('%b', gap)) - 1 AS BIGINT) AS bucket,
+        | count(*) AS n_gaps, CAST(sum(gap) AS BIGINT) AS sum_gap_sec
+        |FROM g WHERE gap IS NOT NULL AND gap >= 1
+        |GROUP BY 1, 2""".stripMargin,
     "events_new_users" ->
       """WITH f AS (SELECT user_id,
         |  min(CAST(floor(epoch(ts)) AS BIGINT) // 86400) AS day

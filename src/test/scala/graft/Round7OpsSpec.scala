@@ -367,6 +367,36 @@ class Round7OpsSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n_new")).sum === totalUsers)
   }
 
+  test("Logs CSV source quarantines malformed rows without losing any line") {
+    val dirPath = java.nio.file.Files.createTempDirectory("graft_logs").toString
+    val lines = Seq(
+      "1,1000,7,click,2.5",
+      "2,1001,7,purchase,10.0",
+      "not,a,valid,row,at-all,extra",
+      "3,oops,8,click,1.0", // unparseable ts
+      "4,1002,8,click,0.5")
+    java.nio.file.Files.write(java.nio.file.Paths.get(dirPath, "part.csv"),
+      String.join("\n", lines: _*).getBytes)
+    val raw = graft.sources.Logs.fromCsv(spark, dirPath)
+    val good = graft.sources.Logs.good(raw).collect()
+    val bad = graft.sources.Logs.quarantine(raw).collect()
+    assert(good.length === 3)
+    assert(good.map(_.getAs[Long]("event_id")).sorted.toSeq === Seq(1L, 2L, 4L))
+    assert(bad.length === 2, "both malformed lines land in quarantine verbatim")
+    assert(bad.map(_.getString(0)).exists(_.contains("not,a,valid")))
+  }
+
+  test("interarrival conserves gap mass per event type") {
+    val rows = Analytics.interarrival(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val b = r.getAs[Long]("bucket")
+      val mean = r.getAs[Long]("sum_gap_sec") / r.getAs[Long]("n_gaps")
+      assert(mean >= (1L << b) && mean < (1L << (b + 1)),
+        s"mean gap must lie inside its own bucket [2^$b, 2^${b + 1})")
+    }
+  }
+
   test("sessionStats conserves sessions from sessionize") {
     val stats = Events.sessionStats(spark, dir).collect()
     val nSessions = Events.sessionize(spark, dir).count()
