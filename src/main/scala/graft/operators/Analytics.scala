@@ -490,6 +490,22 @@ object Analytics {
         expr("n_both * 1000000 div (n1 + n2 - n_both)").as("jaccard_micros"))
   }
 
+  /** Weekday seasonality profile: event counts and mean value per
+    * (day-of-week, type). Day-of-week = epoch-day mod 7 (1970-01-01 was
+    * a Thursday → 0=Thu), pure integer arithmetic — no timezone or
+    * locale dependency to diverge across engines. One map-side
+    * combinable aggregate.
+    */
+  def weekdayProfile(s: SparkSession, dir: String): DataFrame =
+    Graft.events(s, dir)
+      .select(col("event_type"),
+        expr("(ts div 1000000000 div 86400) % 7").as("dow"),
+        expr("cast(round(value * 100) as bigint)").as("cents"))
+      .groupBy(col("dow"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("sum_cents"))
+      .select(col("dow"), col("event_type"), col("n_events"), col("sum_cents"),
+        expr("sum_cents div n_events").as("mean_cents"))
+
   /** Inter-arrival-time distribution per event type: power-of-two
     * histogram of the seconds between a user's consecutive events of
     * that type — the burstiness/queueing profile (tight buckets = bots
@@ -604,6 +620,12 @@ object Analytics {
   }
 
   val oracle: Map[String, String] = Map(
+    "events_weekday" ->
+      """SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 86400) % 7 AS dow,
+        | event_type, count(*) AS n_events,
+        | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) // count(*) AS mean_cents
+        |FROM events GROUP BY 1, 2""".stripMargin,
     "events_interarrival" ->
       """WITH e AS (SELECT event_type, user_id, event_id,
         |   CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),

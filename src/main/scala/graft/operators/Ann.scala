@@ -410,6 +410,22 @@ object Ann {
           .otherwise(lit(0L))).as("n_outliers"))
   }
 
+  /** IVF index balance: cluster occupancies and the imbalance factor
+    * (max/mean in micros) — THE partition-health number for an IVF
+    * index (one hot cluster = one hot probe = the straggler at query
+    * time; same failure mode as a skewed shuffle key). Reads the
+    * memoized assignment frame; two tiny aggregates.
+    */
+  def ivfBalance(s: SparkSession, dir: String): DataFrame = {
+    val sizes = assignments(s, dir)
+      .groupBy(col("cid")).agg(count(lit(1)).as("sz"))
+    sizes.agg(count(lit(1)).as("n_clusters"),
+        min(col("sz")).as("min_size"), max(col("sz")).as("max_size"),
+        sum(col("sz")).as("n_vecs"))
+      .select(col("n_clusters"), col("min_size"), col("max_size"), col("n_vecs"),
+        expr("max_size * n_clusters * 1000000 div n_vecs").as("imbalance_micros"))
+  }
+
   /** Per-dimension embedding health: mean, mean-|v| and positive-count
     * per coordinate — the dead-dimension / scale-drift profile an
     * embedding pipeline monitors after every encoder change. Values are
@@ -499,6 +515,20 @@ object Ann {
   }
 
   val oracle: Map[String, String] = Map(
+    "ann_ivf_balance" ->
+      s"""WITH $duckE,
+         |c AS (SELECT vec_id AS cid, v FROM e WHERE vec_id < 8),
+         |sc AS (SELECT x.vec_id, y.cid, round($duckCosPair, 6) AS cscore
+         |       FROM e x JOIN (SELECT cid, v FROM c) y ON true),
+         |asg AS (SELECT vec_id, cid FROM (
+         |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+         |          ORDER BY cscore DESC, cid) AS rn FROM sc) WHERE rn = 1),
+         |sz AS (SELECT cid, CAST(count(*) AS BIGINT) AS sz FROM asg GROUP BY 1)
+         |SELECT count(*) AS n_clusters, CAST(min(sz) AS BIGINT) AS min_size,
+         | CAST(max(sz) AS BIGINT) AS max_size, CAST(sum(sz) AS BIGINT) AS n_vecs,
+         | CAST(max(sz) AS BIGINT) * count(*) * 1000000 // CAST(sum(sz) AS BIGINT)
+         |   AS imbalance_micros
+         |FROM sz""".stripMargin,
     "embed_dim_stats" ->
       """WITH x AS (SELECT generate_subscripts(embedding, 1) - 1 AS dim,
         |  CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS q

@@ -426,6 +426,31 @@ object Dedup {
       .select(col("cluster_rep"), (-col("mx.neg_id")).as("canonical_id"),
         col("mx.n_chars").as("canonical_chars"), col("n_docs"))
 
+  /** b-bit MinHash estimate (b=1, Li & König): keep only the LOWEST BIT
+    * of each of the 12 signature components — 32× less signature state
+    * than the 48-bit values — and unbias the agreement fraction with
+    * Ĵ = 2·A − 1 (unrelated sets agree on a random bit half the time).
+    * Exact integer micros; same LSH candidate pairs as
+    * [[minhashJaccardEst]], whose full-width estimate the spec compares
+    * against. At 100 TB the stored index shrinks from 12×8 B to 12 bits
+    * per document — the difference between an in-memory and an on-disk
+    * signature table.
+    */
+  def minhashBbit(s: SparkSession, dir: String): DataFrame = {
+    val sigs = withShingles(s, dir)
+      .select(col("doc_id"), call_function("minhash_sigs", col("shingles")).as("sigs"))
+    minhashLsh(s, dir)
+      .join(sigs.select(col("doc_id").as("id_a"), col("sigs").as("sa"))
+        .hint("SHUFFLE_HASH"), "id_a")
+      .join(sigs.select(col("doc_id").as("id_b"), col("sigs").as("sb"))
+        .hint("SHUFFLE_HASH"), "id_b")
+      .select(col("id_a"), col("id_b"),
+        expr("""aggregate(zip_with(sa, sb, (x, y) -> IF(x % 2 = y % 2, 1, 0)),
+                | cast(0 as bigint), (acc, v) -> acc + v)""".stripMargin).as("n_agree"))
+      .select(col("id_a"), col("id_b"), col("n_agree"),
+        expr("2 * (n_agree * 1000000 div 12) - 1000000").as("est_bbit_micros"))
+  }
+
   /** Corpus novelty: per document, the fraction of its distinct 3-gram
     * shingles FIRST seen in this document (no document with a smaller
     * id contains them) — the marginal-value curve of adding a document
@@ -1022,6 +1047,19 @@ object Dedup {
          |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
          |FROM bands a JOIN bands b
          |  ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id""".stripMargin,
+    "dedup_minhash_bbit" ->
+      s"""WITH $duckShingles,
+         |$duckMinhashBands,
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |         FROM bands a JOIN bands b
+         |           ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+         |ag AS (SELECT id_a, id_b,
+         |  CAST(list_sum(list_transform(range(1, 13),
+         |    i -> CASE WHEN x.sigs[i] % 2 = y.sigs[i] % 2 THEN 1 ELSE 0 END)) AS BIGINT) AS n_agree
+         | FROM cand JOIN sig x ON x.doc_id = id_a JOIN sig y ON y.doc_id = id_b)
+         |SELECT id_a, id_b, n_agree,
+         | 2 * (n_agree * 1000000 // 12) - 1000000 AS est_bbit_micros
+         |FROM ag""".stripMargin,
     "text_novelty" ->
       s"""WITH $duckShingles,
          |sh AS (SELECT doc_id, unnest(shingles) AS sh FROM sar),

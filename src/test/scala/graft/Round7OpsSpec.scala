@@ -397,6 +397,33 @@ class Round7OpsSpec extends SparkSpec {
     }
   }
 
+  test("b-bit estimate tracks the full-width estimate loosely, exactly on identical docs") {
+    val full = Dedup.minhashJaccardEst(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Long]("est_jaccard_micros")).toMap
+    val bbit = Dedup.minhashBbit(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Long]("est_bbit_micros")).toMap
+    assert(bbit.keySet === full.keySet, "same LSH candidate pairs")
+    bbit.foreach { case (p, e) =>
+      if (full(p) === 1000000L) assert(e === 1000000L,
+        s"identical signatures agree on every bit ($p)")
+      assert(e >= -1000000L && e <= 1000000L)
+    }
+  }
+
+  test("ivfBalance: occupancies conserve the corpus, imbalance >= 1e6") {
+    val r = Ann.ivfBalance(spark, dir).collect().head
+    assert(r.getAs[Long]("n_vecs") === Graft.embeddings(spark, dir).count())
+    assert(r.getAs[Long]("imbalance_micros") >= 1000000L,
+      "max/mean is at least 1 by definition")
+    assert(r.getAs[Long]("min_size") <= r.getAs[Long]("max_size"))
+  }
+
+  test("weekdayProfile conserves events across the 7 x types grid") {
+    val rows = Analytics.weekdayProfile(spark, dir).collect()
+    assert(rows.map(_.getAs[Long]("n_events")).sum === Graft.events(spark, dir).count())
+    rows.foreach(r => assert(r.getAs[Long]("dow") >= 0L && r.getAs[Long]("dow") <= 6L))
+  }
+
   test("sessionStats conserves sessions from sessionize") {
     val stats = Events.sessionStats(spark, dir).collect()
     val nSessions = Events.sessionize(spark, dir).count()
