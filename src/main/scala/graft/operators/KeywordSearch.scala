@@ -129,7 +129,82 @@ object KeywordSearch {
        |  AS bm25
        | FROM tf JOIN dft USING (tok), st GROUP BY doc_id)""".stripMargin
 
+  /** Ranking-quality evaluation: NDCG@k of the BM25 ranking under a
+    * graded editorial relevance (rel = number of distinct query terms
+    * the document contains, 0..5 — the classic graded-judgment shape).
+    * DCG = Σ (2^rel − 1)/log2(pos+1) with every position's term
+    * quantized to integer micros BEFORE the sum; IDCG comes from the
+    * corpus's ideal top-k grades (TakeOrderedAndProject), so the final
+    * ratio is exact integer micros. Completes the evaluation suite:
+    * ann_recall_eval scores the vector index, this scores the lexical
+    * ranker. All ranked frames are k-bounded; the rel scan is the same
+    * one-pass term_counts kernel BM25 itself uses.
+    */
+  def ndcgEval(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val termsArr = array(QueryTerms.map(lit): _*)
+    val rel = Graft.documents(s, dir)
+      .select(col("doc_id"),
+        call_function("term_counts", coalesce(col("text"), lit("")), termsArr).as("tc"))
+      .select(col("doc_id"),
+        expr("aggregate(slice(tc, 2, size(tc) - 1), cast(0 as bigint)," +
+          " (a, t) -> a + IF(t > 0, cast(1 as bigint), cast(0 as bigint)))").as("rel"))
+    val gainMicros =
+      """cast(round((pow(cast(2 as double), cast(rel as double)) - cast(1 as double))
+        |  / (ln(cast(pos as double) + cast(1 as double)) / ln(cast(2 as double)))
+        |  * 1000000) as bigint)""".stripMargin
+    val wSys = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bm25").desc, col("doc_id")) // k-bounded post-limit
+    val dcg = bm25(s, dir, k)
+      .withColumn("pos", row_number().over(wSys).cast("long"))
+      .join(rel, "doc_id")
+      .agg(sum(expr(gainMicros)).as("dcg_micros"))
+    val wIdeal = org.apache.spark.sql.expressions.Window
+      .orderBy(col("rel").desc, col("doc_id")) // k-bounded post-limit
+    val idcg = rel.orderBy(col("rel").desc, col("doc_id")).limit(k)
+      .withColumn("pos", row_number().over(wIdeal).cast("long"))
+      .agg(sum(expr(gainMicros)).as("idcg_micros"))
+    dcg.crossJoin(broadcast(idcg))
+      .select(col("dcg_micros"), col("idcg_micros"),
+        expr("dcg_micros * 1000000 div idcg_micros").as("ndcg_micros"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "search_ndcg" -> {
+      val terms = QueryTerms.map(t => s"'$t'").mkString(", ")
+      s"""WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks FROM documents),
+         |d AS (SELECT doc_id, len(toks) AS dl, toks FROM t),
+         |st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM d),
+         |tf AS (SELECT doc_id, dl, tok, count(*) AS tf
+         |       FROM (SELECT doc_id, dl, unnest(toks) AS tok FROM d)
+         |       WHERE tok IN ($terms) GROUP BY 1, 2, 3),
+         |dft AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+         |bm AS (SELECT doc_id, round(sum(
+         |  ln(CAST(1 AS DOUBLE) +
+         |     (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+         |     / (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+         |  * (CAST(tf AS DOUBLE) * CAST(2.2 AS DOUBLE))
+         |  / (CAST(tf AS DOUBLE) + CAST(1.2 AS DOUBLE)
+         |     * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE)
+         |        * (CAST(dl AS DOUBLE) * CAST(n_docs AS DOUBLE) / CAST(sum_dl AS DOUBLE))))), 6)
+         | AS bm25
+         | FROM tf JOIN dft USING (tok), st GROUP BY doc_id),
+         |rel AS (SELECT d.doc_id,
+         |  COALESCE((SELECT CAST(count(DISTINCT tok) AS BIGINT) FROM tf
+         |            WHERE tf.doc_id = d.doc_id), 0) AS rel FROM d),
+         |ranked AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS pos
+         |           FROM bm ORDER BY bm25 DESC, doc_id LIMIT 10),
+         |dcg AS (SELECT CAST(sum(CAST(round((pow(2, rel) - 1)
+         |   / (ln(CAST(pos AS DOUBLE) + 1) / ln(CAST(2 AS DOUBLE))) * 1000000) AS BIGINT)) AS BIGINT)
+         |  AS dcg_micros FROM ranked JOIN rel USING (doc_id)),
+         |ideal AS (SELECT rel, CAST(row_number() OVER (ORDER BY rel DESC, doc_id) AS BIGINT) AS pos
+         |          FROM rel ORDER BY rel DESC, doc_id LIMIT 10),
+         |idcg AS (SELECT CAST(sum(CAST(round((pow(2, rel) - 1)
+         |   / (ln(CAST(pos AS DOUBLE) + 1) / ln(CAST(2 AS DOUBLE))) * 1000000) AS BIGINT)) AS BIGINT)
+         |  AS idcg_micros FROM ideal)
+         |SELECT dcg_micros, idcg_micros,
+         | dcg_micros * 1000000 // idcg_micros AS ndcg_micros
+         |FROM dcg, idcg""".stripMargin
+    },
     "hybrid_rrf" -> {
       val terms = QueryTerms.map(t => s"'$t'").mkString(", ")
       s"""WITH ${bmCtes(terms)},

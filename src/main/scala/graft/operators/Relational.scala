@@ -611,6 +611,33 @@ object Relational {
         sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
           .as("low_line_count"))
 
+  /** Shipping-delay percentiles per order priority (discrete type-1
+    * quantiles — the lengthPercentiles integer-position technique on
+    * the logistics domain): p50/p90 of days between order and ship
+    * date. Rank and count ride windows over the same priority
+    * partitioning as the final aggregate — one shuffle after the
+    * orderkey join; the total order on (delay, orderkey, linenumber)
+    * makes the picked positions engine-independent.
+    */
+  def shipDelayPercentiles(s: SparkSession, dir: String): DataFrame = {
+    val byPrio = Window.partitionBy(col("o_orderpriority"))
+    val w = byPrio.orderBy(col("delay"), col("l_orderkey"), col("l_linenumber"))
+    Graft.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"))
+      .join(Graft.orders(s, dir)
+          .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority"), col("l_orderkey"), col("l_linenumber"),
+        datediff(col("l_shipdate").cast("date"), col("o_orderdate").cast("date"))
+          .cast("long").as("delay"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(byPrio))
+      .groupBy(col("o_orderpriority"))
+      .agg(max(col("n")).as("n_lines"),
+        max(when(col("rn") === expr("(n + 1) div 2"), col("delay"))).as("p50_delay_days"),
+        max(when(col("rn") === expr("(9 * n + 9) div 10"), col("delay"))).as("p90_delay_days"))
+  }
+
   /** Cohort-revenue LTV triangle: revenue by (first-order year, years
     * since first order) — the lifetime-value view every growth report
     * uses. The per-customer cohort aggregate and the join-back hash the
@@ -631,6 +658,19 @@ object Relational {
   }
 
   val oracle: Map[String, String] = Map(
+    "q_ship_delay_pcts" ->
+      """WITH d AS (SELECT o_orderpriority, l_orderkey, l_linenumber,
+        |  date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS delay
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |r AS (SELECT *,
+        |  CAST(row_number() OVER (PARTITION BY o_orderpriority
+        |    ORDER BY delay, l_orderkey, l_linenumber) AS BIGINT) AS rn,
+        |  CAST(count(*) OVER (PARTITION BY o_orderpriority) AS BIGINT) AS n
+        | FROM d)
+        |SELECT o_orderpriority, CAST(max(n) AS BIGINT) AS n_lines,
+        | CAST(max(CASE WHEN rn = (n + 1) // 2 THEN delay END) AS BIGINT) AS p50_delay_days,
+        | CAST(max(CASE WHEN rn = (9 * n + 9) // 10 THEN delay END) AS BIGINT) AS p90_delay_days
+        |FROM r GROUP BY 1""".stripMargin,
     "q_late_mix" ->
       """SELECT CAST(date_part('year', l_shipdate) AS BIGINT) AS ship_year,
         | CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')

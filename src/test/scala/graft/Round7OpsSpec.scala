@@ -424,6 +424,23 @@ class Round7OpsSpec extends SparkSpec {
     rows.foreach(r => assert(r.getAs[Long]("dow") >= 0L && r.getAs[Long]("dow") <= 6L))
   }
 
+  test("ndcgEval is bounded by 1e6 and IDCG dominates DCG") {
+    val r = KeywordSearch.ndcgEval(spark, dir).collect().head
+    assert(r.getAs[Long]("dcg_micros") <= r.getAs[Long]("idcg_micros"),
+      "no ranking beats the ideal ordering")
+    val ndcg = r.getAs[Long]("ndcg_micros")
+    assert(ndcg > 0L && ndcg <= 1000000L)
+  }
+
+  test("shipDelayPercentiles: p50 <= p90 and both are observed delays") {
+    val rows = Relational.shipDelayPercentiles(spark, dir).collect()
+    assert(rows.length === 5)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("p50_delay_days") <= r.getAs[Long]("p90_delay_days"))
+      assert(r.getAs[Long]("n_lines") > 0L)
+    }
+  }
+
   test("sessionStats conserves sessions from sessionize") {
     val stats = Events.sessionStats(spark, dir).collect()
     val nSessions = Events.sessionize(spark, dir).count()
