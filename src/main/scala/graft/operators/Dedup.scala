@@ -426,6 +426,23 @@ object Dedup {
       .select(col("cluster_rep"), (-col("mx.neg_id")).as("canonical_id"),
         col("mx.n_chars").as("canonical_chars"), col("n_docs"))
 
+  /** Shingle document-frequency histogram (power-of-two buckets): the
+    * skew profile that decides WHICH set-similarity variant to run —
+    * the engine ships three oracle-identical Jaccard joins
+    * (inverted-index / prefix / PPJoin) whose relative cost §5
+    * documents as corpus-dependent: broad-shallow df distributions
+    * favor the plain inverted index, a heavy df tail is exactly when
+    * frequency-ordered prefixes win. This measures that tail. One
+    * grouped count over the memoized hashed-shingle frame + the integer
+    * log2 bucketing.
+    */
+  def shingleDfHist(s: SparkSession, dir: String): DataFrame =
+    withShingles(s, dir)
+      .select(explode(col("shingles")).as("sh"))
+      .groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .groupBy((length(bin(col("df"))) - 1).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_shingles"), max(col("df")).as("max_df"))
+
   /** b-bit MinHash estimate (b=1, Li & König): keep only the LOWEST BIT
     * of each of the 12 signature components — 32× less signature state
     * than the 48-bit values — and unbias the agreement fraction with
@@ -1047,6 +1064,13 @@ object Dedup {
          |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
          |FROM bands a JOIN bands b
          |  ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id""".stripMargin,
+    "dedup_shingle_df" ->
+      s"""WITH $duckShingles,
+         |s AS (SELECT doc_id, unnest(shingles) AS sh FROM sar),
+         |d AS (SELECT sh, CAST(count(*) AS BIGINT) AS df FROM s GROUP BY 1)
+         |SELECT CAST(length(printf('%b', df)) - 1 AS BIGINT) AS bucket,
+         | count(*) AS n_shingles, CAST(max(df) AS BIGINT) AS max_df
+         |FROM d GROUP BY 1""".stripMargin,
     "dedup_minhash_bbit" ->
       s"""WITH $duckShingles,
          |$duckMinhashBands,

@@ -615,6 +615,23 @@ object TextAnalysis {
         expr("206835000 - (1015000 * n_words) div n_sents - (84600000 * n_syll) div n_words")
           .as("flesch_micros"))
 
+  /** Character-class profile: per-doc alpha/digit/whitespace/other
+    * counts and the alpha fraction in micros — the encoding/garbage
+    * detector that catches mojibake, base64 blobs and table dumps
+    * before any token-level signal sees them. Pure single-scan
+    * projection, RE2-safe character classes.
+    */
+  def charStats(s: SparkSession, dir: String): DataFrame =
+    Graft.documents(s, dir)
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        size(regexp_extract_all(col("text"), lit("[a-zA-Z]"), lit(0))).cast("long").as("n_alpha"),
+        size(regexp_extract_all(col("text"), lit("[0-9]"), lit(0))).cast("long").as("n_digit"),
+        size(regexp_extract_all(col("text"), lit("\\s"), lit(0))).cast("long").as("n_space"))
+      .withColumn("n_other",
+        col("n_chars") - col("n_alpha") - col("n_digit") - col("n_space"))
+      .withColumn("alpha_micros", expr("n_alpha * 1000000 div greatest(n_chars, 1)"))
+
   /** Type-token ratio: lexical diversity per document (distinct tokens /
     * total tokens, exact integer micros) — low TTR flags templated or
     * repetitive text; complements [[entropy]] (which weighs the
@@ -722,6 +739,17 @@ object TextAnalysis {
         |     // CAST(len(string_split_regex(text, '\. ')) AS BIGINT)
         |  - (84600000 * CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT))
         |     // CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS flesch_micros
+        |FROM documents""".stripMargin,
+    "text_char_stats" ->
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+        | CAST(len(regexp_extract_all(text, '[a-zA-Z]')) AS BIGINT) AS n_alpha,
+        | CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digit,
+        | CAST(len(regexp_extract_all(text, '\s')) AS BIGINT) AS n_space,
+        | CAST(length(text) - len(regexp_extract_all(text, '[a-zA-Z]'))
+        |   - len(regexp_extract_all(text, '[0-9]'))
+        |   - len(regexp_extract_all(text, '\s')) AS BIGINT) AS n_other,
+        | CAST(len(regexp_extract_all(text, '[a-zA-Z]')) AS BIGINT)
+        |   * 1000000 // greatest(CAST(length(text) AS BIGINT), 1) AS alpha_micros
         |FROM documents""".stripMargin,
     "text_ttr" ->
       """SELECT doc_id,

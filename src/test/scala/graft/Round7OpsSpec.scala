@@ -441,6 +441,29 @@ class Round7OpsSpec extends SparkSpec {
     }
   }
 
+  test("shingleDfHist conserves the distinct-shingle count") {
+    val rows = Dedup.shingleDfHist(spark, dir).collect()
+    val distinctShingles = Graft.documents(spark, dir)
+      .select(explode(call_function("word_ngrams", col("text"), lit(3))).as("sh"))
+      .distinct().count()
+    assert(rows.map(_.getAs[Long]("n_shingles")).sum === distinctShingles)
+    rows.foreach { r =>
+      val b = r.getAs[Long]("bucket")
+      assert(r.getAs[Long]("max_df") < (1L << (b + 1)))
+    }
+  }
+
+  test("charStats partitions every character into exactly one class") {
+    val rows = TextAnalysis.charStats(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_alpha") + r.getAs[Long]("n_digit") +
+        r.getAs[Long]("n_space") + r.getAs[Long]("n_other") === r.getAs[Long]("n_chars"))
+      val a = r.getAs[Long]("alpha_micros")
+      assert(a >= 0L && a <= 1000000L)
+    }
+  }
+
   test("sessionStats conserves sessions from sessionize") {
     val stats = Events.sessionStats(spark, dir).collect()
     val nSessions = Events.sessionize(spark, dir).count()
