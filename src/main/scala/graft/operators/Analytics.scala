@@ -490,6 +490,21 @@ object Analytics {
         expr("n_both * 1000000 div (n1 + n2 - n_both)").as("jaccard_micros"))
   }
 
+  /** Peak hour per event type: the hour with the most events, picked by
+    * ONE hash-aggregatable struct-argmax over the memoized hourly
+    * counts (no window sort, no self-join — the dedup_canonical
+    * pattern on the time axis); ties break to the earliest hour via
+    * the negated-hour struct field.
+    */
+  def peakHour(s: SparkSession, dir: String): DataFrame =
+    gapfillHourly(s, dir)
+      .groupBy(col("event_type"))
+      .agg(max(struct(col("n"), (-col("hour")).as("neg_hour"))).as("mx"),
+        sum(col("n")).as("n_total"))
+      .select(col("event_type"), (-col("mx.neg_hour")).as("peak_hour"),
+        col("mx.n").as("peak_n"), col("n_total"),
+        expr("mx.n * 1000000 div greatest(n_total, 1)").as("peak_share_micros"))
+
   /** Weekday seasonality profile: event counts and mean value per
     * (day-of-week, type). Day-of-week = epoch-day mod 7 (1970-01-01 was
     * a Thursday → 0=Thu), pure integer arithmetic — no timezone or
@@ -620,6 +635,19 @@ object Analytics {
   }
 
   val oracle: Map[String, String] = Map(
+    "events_peak_hour" ->
+      """WITH c AS (SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hour,
+        |  CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
+        |g AS (SELECT event_type, unnest(range(h0, h1 + 1)) AS hour FROM (
+        |  SELECT event_type, min(hour) AS h0, max(hour) AS h1 FROM c GROUP BY 1)),
+        |d AS (SELECT g.event_type, g.hour, coalesce(c.n, 0) AS n
+        |  FROM g LEFT JOIN c ON g.event_type = c.event_type AND g.hour = c.hour),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |        ORDER BY n DESC, hour) AS rn,
+        |  CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS n_total FROM d)
+        |SELECT event_type, hour AS peak_hour, CAST(n AS BIGINT) AS peak_n, n_total,
+        | CAST(n AS BIGINT) * 1000000 // greatest(n_total, 1) AS peak_share_micros
+        |FROM r WHERE rn = 1""".stripMargin,
     "events_weekday" ->
       """SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 86400) % 7 AS dow,
         | event_type, count(*) AS n_events,

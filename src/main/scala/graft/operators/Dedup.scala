@@ -426,6 +426,25 @@ object Dedup {
       .select(col("cluster_rep"), (-col("mx.neg_id")).as("canonical_id"),
         col("mx.n_chars").as("canonical_chars"), col("n_docs"))
 
+  /** Duplication rate by source: per source, how many documents are
+    * non-canonical exact duplicates — the provenance view a curation
+    * report leads with (one feed re-crawling another shows up here
+    * before any fuzzy signal). The canonical decision is a semi-join
+    * against the hash-group minimum (same rule as [[exact]]); both
+    * aggregates map-side combinable.
+    */
+  def dupRateBySource(s: SparkSession, dir: String): DataFrame = {
+    val canon = exact(s, dir).select(col("canonical_id"))
+    Graft.documents(s, dir)
+      .join(canon.withColumn("is_canon", lit(1L)),
+        col("doc_id") === col("canonical_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("is_canon").isNull, 1L).otherwise(0L)).as("n_dups"))
+      .select(col("source"), col("n_docs"), col("n_dups"),
+        expr("n_dups * 1000000 div n_docs").as("dup_micros"))
+  }
+
   /** Shingle document-frequency histogram (power-of-two buckets): the
     * skew profile that decides WHICH set-similarity variant to run —
     * the engine ships three oracle-identical Jaccard joins
@@ -1064,6 +1083,14 @@ object Dedup {
          |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
          |FROM bands a JOIN bands b
          |  ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id""".stripMargin,
+    "dedup_source_rate" ->
+      """WITH c AS (SELECT min(doc_id) AS canonical_id FROM documents GROUP BY sha256(text))
+        |SELECT source, count(*) AS n_docs,
+        | CAST(sum(CASE WHEN doc_id IN (SELECT canonical_id FROM c)
+        |   THEN 0 ELSE 1 END) AS BIGINT) AS n_dups,
+        | CAST(sum(CASE WHEN doc_id IN (SELECT canonical_id FROM c)
+        |   THEN 0 ELSE 1 END) AS BIGINT) * 1000000 // count(*) AS dup_micros
+        |FROM documents GROUP BY 1""".stripMargin,
     "dedup_shingle_df" ->
       s"""WITH $duckShingles,
          |s AS (SELECT doc_id, unnest(shingles) AS sh FROM sar),

@@ -464,6 +464,28 @@ class Round7OpsSpec extends SparkSpec {
     }
   }
 
+  test("dupRateBySource conserves docs and total dup mass") {
+    val rows = Dedup.dupRateBySource(spark, dir).collect()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum ===
+      Graft.documents(spark, dir).count())
+    val totalDups = Dedup.exact(spark, dir)
+      .agg(sum(col("n_dups") - 1L)).collect().head.getLong(0)
+    assert(rows.map(_.getAs[Long]("n_dups")).sum === totalDups)
+  }
+
+  test("peakHour picks the argmax of the dense hourly grid") {
+    val dense = Analytics.gapfillHourly(spark, dir).collect()
+      .groupBy(_.getString(0))
+    val got = Analytics.peakHour(spark, dir).collect()
+    assert(got.length === dense.size)
+    got.foreach { r =>
+      val rows = dense(r.getString(0))
+      val best = rows.maxBy(x => (x.getAs[Long]("n"), -x.getAs[Long]("hour")))
+      assert(r.getAs[Long]("peak_hour") === best.getAs[Long]("hour"))
+      assert(r.getAs[Long]("peak_n") === best.getAs[Long]("n"))
+    }
+  }
+
   test("sessionStats conserves sessions from sessionize") {
     val stats = Events.sessionStats(spark, dir).collect()
     val nSessions = Events.sessionize(spark, dir).count()
