@@ -5,7 +5,12 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val (sfDir, outDir) = (args(0), args(1))
+    // optional 3rd arg: regex over query names, for fast local iteration
+    // on a handful of queries (the driver always runs the full set)
+    val nameFilter = args.lift(2).map(_.r)
+    def keep(name: String): Boolean =
+      nameFilter.forall(_.findFirstIn(name).isDefined)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(32, Runtime.getRuntime.availableProcessors).toString)
     val spark = Graft.configure(SparkSession.builder()
@@ -16,7 +21,7 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     var columnsByQuery = Map.empty[String, Seq[String]]
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries.filter(kv => keep(kv._1)).foreach { case (name, fn) =>
       // pre-delete so a failing query can never leave a stale result
       // from an earlier run for the comparer to pick up
       val target = new java.io.File(s"$outDir/$name")

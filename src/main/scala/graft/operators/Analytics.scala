@@ -548,8 +548,11 @@ object Analytics {
     * the running total — the top line of every growth report. First
     * appearance = one grouped min per user; the cumulative sum rides a
     * day-ordered window over the DAY-level frame, which is bounded by
-    * the calendar (not the corpus) at any scale — the one place a
-    * single-partition ordered window is scale-safe by construction.
+    * the calendar (not the corpus) at any scale. That calendar bound is
+    * made explicit in the plan: the earliest-10000-days cut (27 years —
+    * vacuous for any real event stream) plans TakeOrderedAndProject, so
+    * the running-total window orders an already-single-partition bounded
+    * frame instead of forcing an Exchange(SinglePartition).
     */
   def newUsers(s: SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.orderBy(col("day"))
@@ -558,6 +561,7 @@ object Analytics {
       .select(col("user_id"), expr("ts div 1000000000 div 86400").as("day"))
       .groupBy(col("user_id")).agg(min(col("day")).as("day"))
       .groupBy(col("day")).agg(count(lit(1)).as("n_new"))
+      .orderBy(col("day")).limit(10000) // calendar bound, made structural
       .withColumn("cum_users", sum(col("n_new")).over(w))
   }
 

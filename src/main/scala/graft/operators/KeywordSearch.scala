@@ -70,20 +70,28 @@ object KeywordSearch {
     * ranking and the semantic cosine ranking, at the document-group
     * level (label = doc_id % 10 is the corpus's doc->group bridge).
     * The standard fusion when neither score is calibrated against the
-    * other; both rankings are tiny aggregates, so fusion is a
-    * broadcast-size full-outer join.
+    * other.
+    *
+    * Scale shape: RRF by definition fuses bounded top-N lists, so each
+    * side is cut to its top `n` by TakeOrderedAndProject (distributed
+    * heap top-k, no global sort, SinglePartition output) BEFORE the
+    * ranking window runs — the row_number then orders <= n rows that
+    * already sit presorted on one partition, instead of forcing every
+    * group in the corpus through an Exchange(SinglePartition) + sort.
     */
-  def hybridRrf(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
+  def hybridRrf(s: SparkSession, dir: String, k: Int = 10, n: Int = 1000): DataFrame = {
     val cosRank = SemanticSearch.docVectors(s, dir)
       .crossJoin(broadcast(SemanticSearch.queryVec(s, dir)))
       .select(col("label").cast("long").as("c_label"),
         graft.functions.VectorOps.cosine6(col("dvec"), col("qvec")).as("score"))
+      .orderBy(col("score").desc, col("c_label")).limit(n) // bounded list
       .withColumn("r_cos",
         row_number().over(org.apache.spark.sql.expressions.Window
           .orderBy(col("score").desc, col("c_label"))).cast("long"))
     val bmRank = bm25Scores(s, dir)
       .groupBy((col("doc_id") % 10).as("b_label"))
       .agg(max(col("bm25")).as("bm"))
+      .orderBy(col("bm").desc, col("b_label")).limit(n) // bounded list
       .withColumn("r_bm",
         row_number().over(org.apache.spark.sql.expressions.Window
           .orderBy(col("bm").desc, col("b_label"))).cast("long"))
@@ -211,7 +219,7 @@ object KeywordSearch {
          |bl AS (SELECT CAST(doc_id % 10 AS BIGINT) AS b_label, max(bm25) AS bm
          |       FROM scored GROUP BY 1),
          |br AS (SELECT b_label, CAST(row_number() OVER (ORDER BY bm DESC, b_label) AS BIGINT) AS r_bm
-         |       FROM bl),
+         |       FROM (SELECT * FROM bl ORDER BY bm DESC, b_label LIMIT 1000)),
          |e AS (SELECT vec_id, label,
          |       list_transform(embedding, z -> CAST(z AS DOUBLE)) AS v FROM embeddings),
          |q AS (SELECT v AS qv FROM e WHERE vec_id = (SELECT min(vec_id) FROM e)),
@@ -226,7 +234,7 @@ object KeywordSearch {
          |cs AS (SELECT CAST(label AS BIGINT) AS c_label,
          |        round(dot / (nd * (SELECT nq FROM qn)), 6) AS score FROM ds),
          |cr AS (SELECT c_label, CAST(row_number() OVER (ORDER BY score DESC, c_label) AS BIGINT) AS r_cos
-         |       FROM cs)
+         |       FROM (SELECT * FROM cs ORDER BY score DESC, c_label LIMIT 1000))
          |SELECT coalesce(c_label, b_label) AS label,
          | coalesce(CAST(1 AS DOUBLE) / (CAST(60 AS DOUBLE) + r_cos), CAST(0 AS DOUBLE))
          | + coalesce(CAST(1 AS DOUBLE) / (CAST(60 AS DOUBLE) + r_bm), CAST(0 AS DOUBLE)) AS rrf

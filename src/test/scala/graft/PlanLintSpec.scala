@@ -1,10 +1,13 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
 import org.apache.spark.sql.execution.{SortExec, SparkPlan}
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
 import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
 import org.apache.spark.sql.execution.joins.CartesianProductExec
+import org.apache.spark.sql.execution.window.WindowExec
 
 /** Plan lint over the ENTIRE query inventory: no operator may plan a
   * Cartesian product (both sides unbounded — the accidental-cross-join
@@ -36,14 +39,35 @@ class PlanLintSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     plan +: cached.flatMap(withCachedPlans)
   }
 
+  /** True when `p` (descending through at most a local Sort) is a shuffle
+    * that gathers EVERYTHING onto one partition. This is the plan shape an
+    * unpartitioned ranking window leaves: Window <- Sort(local) <-
+    * Exchange(SinglePartition) — the sort is local so the `global Sort`
+    * lint never fires, but one task still sorts the whole input. The
+    * legitimate bounded twin (orderBy.limit(n) then rank) plans
+    * TakeOrderedAndProject, whose output is already SinglePartition
+    * WITHOUT an exchange node, so it does not trip this.
+    */
+  private def gathersAllRows(p: SparkPlan): Boolean = p match {
+    case s: SortExec => gathersAllRows(s.child)
+    case e: ShuffleExchangeExec => e.outputPartitioning == SinglePartition
+    case _ => false
+  }
+
   private def offenses(df: DataFrame): Seq[String] = {
     val plans = withCachedPlans(df.queryExecution.executedPlan)
     val cartesian = plans.flatMap(p =>
       collectWithSubqueries(p) { case c: CartesianProductExec => c })
     val globalSorts = plans.flatMap(p =>
       collectWithSubqueries(p) { case s: SortExec if s.global => s })
+    val singlePartRank = plans.flatMap(p =>
+      collectWithSubqueries(p) {
+        case w: WindowExec if gathersAllRows(w.child) => w
+        case s: SortExec if !s.global && gathersAllRows(s.child) => s
+      })
     (if (cartesian.nonEmpty) Seq("CartesianProduct") else Nil) ++
-      (if (globalSorts.nonEmpty) Seq("global Sort") else Nil)
+      (if (globalSorts.nonEmpty) Seq("global Sort") else Nil) ++
+      (if (singlePartRank.nonEmpty) Seq("SinglePartition exchange feeding Window/Sort") else Nil)
   }
 
   test("canary: the lint catches a deliberate CartesianProduct under AQE") {
@@ -68,6 +92,26 @@ class PlanLintSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     val bad = spark.range(1000).toDF("a").groupBy($"a" % 7).count().orderBy($"count")
     assert(offenses(bad).contains("global Sort"),
       s"lint is vacuous: missed a global sort in\n${bad.queryExecution.executedPlan}")
+  }
+
+  test("canary: the lint catches an unpartitioned ranking window (SinglePartition exchange)") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.row_number
+    // the round-6 hybrid_rrf shape: rank EVERY group with no partitionBy —
+    // a local Sort under Exchange(SinglePartition), invisible to the
+    // global-Sort lint
+    val bad = spark.range(1000).toDF("a").groupBy($"a" % 7).count()
+      .withColumn("r", row_number().over(Window.orderBy($"count".desc)))
+    assert(offenses(bad).contains("SinglePartition exchange feeding Window/Sort"),
+      s"lint is vacuous: missed an unpartitioned window in\n${bad.queryExecution.executedPlan}")
+    // ...while the bounded twin (top-n first, then rank within <= n rows)
+    // stays green: TakeOrderedAndProject needs no exchange
+    val good = spark.range(1000).toDF("a").groupBy($"a" % 7).count()
+      .orderBy($"count".desc).limit(10)
+      .withColumn("r", row_number().over(Window.orderBy($"count".desc)))
+    assert(!offenses(good).contains("SinglePartition exchange feeding Window/Sort"),
+      s"lint over-fires on a bounded ranking:\n${good.queryExecution.executedPlan}")
   }
 
   test("canary: the lint descends into persisted (InMemoryRelation) subplans") {
