@@ -152,11 +152,15 @@ object Ann {
       .limit(k)
   }
 
-  /** kNN join: top-k neighbors for every query-side vector (vec_id % 100
-    * = 0), one broadcast + one window — never a per-query job.
+  /** kNN join: top-k neighbors for every query-side vector, one
+    * broadcast + one window — never a per-query job. The query side is
+    * a FIXED-size deterministic batch (the first `q` vec_ids), so the
+    * broadcast stays bounded and total work is O(|corpus| * q) no
+    * matter how large the corpus grows — a corpus-proportional query
+    * predicate (e.g. vec_id % 100 = 0) would make this quadratic.
     */
-  def knnJoin(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
-    val queries = Graft.embeddings(s, dir).filter(col("vec_id") % 100 === 0)
+  def knnJoin(s: SparkSession, dir: String, k: Int = 3, q: Int = 100): DataFrame = {
+    val queries = Graft.embeddings(s, dir).filter(col("vec_id") < q)
       .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("nb_id"))
     Graft.embeddings(s, dir)
@@ -761,7 +765,7 @@ object Ann {
          |ORDER BY score DESC, s.vec_id LIMIT 5""".stripMargin,
     "knn_join" ->
       s"""WITH $duckE,
-         |qs AS (SELECT vec_id AS q_id, v FROM e WHERE vec_id % 100 = 0)
+         |qs AS (SELECT vec_id AS q_id, v FROM e WHERE vec_id < 100)
          |SELECT q_id, nb_id, score, rn FROM (
          | SELECT y.q_id, x.vec_id AS nb_id, round($duckCosPair, 6) AS score,
          |  row_number() OVER (PARTITION BY y.q_id

@@ -291,10 +291,23 @@ object Dedup {
       .distinct()
   }
 
-  /** Embedding near-dup pairs: cosine >= tau within label blocks (the
-    * blocking key caps pair counts; at scale the block is an LSH bucket).
+  /** Embedding near-dup pairs: cosine >= tau. Adaptive routing, the
+    * same decision class as a broadcast-vs-shuffle choice: on a small
+    * corpus the exact label-block all-pairs join is the cheapest and
+    * recall-perfect plan; label blocks grow with the corpus, so above
+    * `routeThreshold` vectors the quadratic block join is a measured
+    * scale-killer (32-44s alone at 30x sf0.1 vs 4-5s for the LSH twin)
+    * and the operator routes to [[embeddingNearDupLsh]] — banded SRP
+    * blocking with the SAME exact-cosine >= tau verify, so precision is
+    * identical and only band-recall (~0.99 at near-dup cosines) is
+    * traded for linear candidate growth. The count that drives the
+    * decision is a column-pruned metadata-cheap scan, like the size
+    * estimate behind every AQE join pick.
     */
-  def embeddingNearDup(s: SparkSession, dir: String, tau: Double = 0.35): DataFrame = {
+  def embeddingNearDup(s: SparkSession, dir: String, tau: Double = 0.35,
+                       routeThreshold: Long = 10000L): DataFrame = {
+    if (Graft.embeddings(s, dir).count() > routeThreshold)
+      return embeddingNearDupLsh(s, dir, tau)
     // norms are per-vector: compute once before the pair join, not per pair
     val e = Graft.embeddings(s, dir).select(
       col("vec_id"), col("label"), col("embedding"),

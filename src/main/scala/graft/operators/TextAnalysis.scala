@@ -647,22 +647,29 @@ object TextAnalysis {
         expr("n_types * 1000000 div n_tokens").as("ttr_micros"))
 
   /** Data-quality profile of the documents table: per column the null
-    * count and exact distinct count, in ONE aggregation pass (every
-    * metric is a partial-agg expression over the same scan) unpivoted
-    * to long format with stack(). The pre-training sanity check every
-    * data pipeline runs; at 100 TB swap exact distincts for
-    * approx_count_distinct — the shape is unchanged.
+    * count and distinct count — the pre-training sanity check every
+    * data pipeline runs. Shape chosen for the 100 TB case: each value
+    * is reduced to its 64-bit hash IN THE PROJECTION (so the distinct
+    * shuffle carries 8-byte longs, never full document text), and the
+    * table is unpivoted to (col_name, vhash) rows BEFORE aggregating —
+    * one single-distinct aggregate per group, which Catalyst plans as
+    * a plain two-phase hash aggregate (partial on (col_name, vhash)
+    * collapses repeats map-side) instead of the x5-row Expand that a
+    * multi-countDistinct would generate. Distinct-on-hash is exact up
+    * to 64-bit collisions (birthday bound ~4B values — beyond it,
+    * swap in approx_count_distinct; the shape is unchanged).
     */
   def profileDocs(s: SparkSession, dir: String): DataFrame = {
     val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
-    val aggs = cols.flatMap { c =>
-      Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
-        countDistinct(col(c)).as(s"${c}_distinct"))
+    val entries = cols.map { c =>
+      struct(lit(c).as("col_name"),
+        when(col(c).isNotNull, xxhash64(col(c))).as("vhash"))
     }
-    val stacked = cols.map(c => s"'$c', ${c}_nulls, ${c}_distinct").mkString(", ")
     Graft.documents(s, dir)
-      .agg(aggs.head, aggs.tail: _*)
-      .select(expr(s"stack(${cols.size}, $stacked) as (col_name, n_nulls, n_distinct)"))
+      .select(explode(array(entries: _*)).as("e"))
+      .groupBy(col("e.col_name").as("col_name"))
+      .agg(sum(when(col("e.vhash").isNull, 1L).otherwise(0L)).as("n_nulls"),
+        countDistinct(col("e.vhash")).as("n_distinct"))
   }
 
   /** First 8 hex digits of hex-string expression `h` as a long —

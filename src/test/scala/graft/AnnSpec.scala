@@ -32,10 +32,10 @@ class AnnSpec extends SparkSpec {
     assert(got.map(_.getAs[Long]("cid")).distinct.length === 1)
   }
 
-  test("knn join returns k neighbors per query vector") {
-    val got = Ann.knnJoin(spark, dir, k = 2).collect()
+  test("knn join returns k neighbors per fixed-batch query vector") {
+    val got = Ann.knnJoin(spark, dir, k = 2, q = 101).collect()
     val perQ = got.groupBy(_.getLong(0)).view.mapValues(_.length).toMap
-    assert(perQ === Map(0L -> 2, 100L -> 2))
+    assert(perQ === Map(0L -> 2, 1L -> 2, 2L -> 2, 3L -> 2, 100L -> 2))
     // 100's nearest must be 3 (closest to axis 1)
     val n100 = got.filter(r => r.getLong(0) == 100L).minBy(_.getAs[Long]("rn"))
     assert(n100.getAs[Long]("nb_id") === 3L)

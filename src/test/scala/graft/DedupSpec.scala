@@ -134,4 +134,16 @@ class DedupSpec extends SparkSpec {
     assert(lsh.subsetOf(exact))
     assert(lsh.nonEmpty)
   }
+
+  test("embedding near-dup auto-routes to the LSH plan above the size threshold") {
+    val real = "/root/testdata/sf0.001"
+    val routed = Dedup.embeddingNearDup(spark, real, routeThreshold = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.embeddingNearDupLsh(spark, real)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(routed === lsh, "above the threshold the router must produce the LSH plan")
+    val exact = Dedup.embeddingNearDup(spark, real, routeThreshold = Long.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact) && lsh.nonEmpty)
+  }
 }

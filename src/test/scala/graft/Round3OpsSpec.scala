@@ -258,6 +258,10 @@ class Round3OpsSpec extends SparkSpec {
       assert(r.getAs[Long]("n_nulls") === 0L)
       assert(r.getAs[Long]("n_distinct") > 0L && r.getAs[Long]("n_distinct") <= n)
     }
+    // the x5 Expand of a multi-countDistinct (full text in the shuffle)
+    // must stay out of the plan: values are hashed then single-distinct
+    val plan = TextAnalysis.profileDocs(spark, dir).queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"), s"profile_docs plans an Expand:\n$plan")
   }
 
   test("pq: ADC scores ranked, bounded by the product of norms") {
