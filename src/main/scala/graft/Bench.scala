@@ -18,11 +18,21 @@ object Bench {
     }
     // optional comma-separated filter for single-query iteration
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // Release memoized frames at operator-family boundaries (names are
+    // benched in sorted order, so a family — dedup_*, ann_*, text_* — is
+    // contiguous): intra-family cache reuse is part of each family's
+    // design and stays measured, but a family must never pay memory
+    // pressure from frames another family pinned 100 queries ago. The
+    // r6 report showed 3x phantom "regressions" (q3_join 2.43s in-suite
+    // vs 0.79s isolated) from exactly that cross-family pressure.
+    def family(n: String): String = n.takeWhile(_ != '_')
+    var prevFamily = ""
     // two timed iterations per query, report the min: JIT/GC noise at
     // this data size swings single runs by ~30%
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>
+      if (family(name) != prevFamily) { Graft.releaseCaches(); prevFamily = family(name) }
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }

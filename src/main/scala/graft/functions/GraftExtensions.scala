@@ -85,23 +85,44 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("minhash_sigs"),
       new ExpressionInfo(classOf[MinHashSigs].getName, "minhash_sigs"),
       (args: Seq[Expression]) => MinHashSigs(args.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("sha3_point_id"),
+      new ExpressionInfo(classOf[Sha3PointId].getName, "sha3_point_id"),
+      (args: Seq[Expression]) => Sha3PointId(args.head)))
     // Spark ships a mergeable bloom sketch (used internally for runtime
     // join filters) but does not expose it in the public registry;
-    // surface it for sketch-based membership tests (bloom decontam)
+    // surface it for sketch-based membership tests (bloom decontam).
+    // Arity is validated like Spark's own FunctionRegistry builders do:
+    // every registered function is advertised as spark.sql-callable, so
+    // a wrong call must fail analysis, not throw IndexOutOfBounds.
     ext.injectFunction((
       new FunctionIdentifier("bloom_agg"),
       new ExpressionInfo(
         classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
         "bloom_agg"),
-      (args: Seq[Expression]) =>
-        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
-          args.head, args(1), args(2)).toAggregateExpression()))
+      (args: Seq[Expression]) => args match {
+        case Seq(v, items, bits) =>
+          new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+            v, items, bits).toAggregateExpression()
+        case _ => throw new org.apache.spark.sql.AnalysisException(
+          errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+          messageParameters = Map(
+            "functionName" -> "`bloom_agg`", "expectedNum" -> "3",
+            "actualNum" -> args.length.toString, "docroot" -> "usage: bloom_agg(value, expectedItems, numBits)"))
+      }))
     ext.injectFunction((
       new FunctionIdentifier("bloom_might_contain"),
       new ExpressionInfo(
         classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
         "bloom_might_contain"),
-      (args: Seq[Expression]) =>
-        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(args.head, args(1))))
+      (args: Seq[Expression]) => args match {
+        case Seq(sketch, v) =>
+          org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(sketch, v)
+        case _ => throw new org.apache.spark.sql.AnalysisException(
+          errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+          messageParameters = Map(
+            "functionName" -> "`bloom_might_contain`", "expectedNum" -> "2",
+            "actualNum" -> args.length.toString, "docroot" -> "usage: bloom_might_contain(sketch, value)"))
+      }))
   }
 }

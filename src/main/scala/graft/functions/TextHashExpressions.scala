@@ -160,6 +160,29 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int) extends UnaryEx
   override def prettyName: String = "winnow_fingerprints"
 }
 
+/** Reference-parity deterministic point id: sha3-512 of the id string,
+  * first 8 bytes little-endian as a long (qdrant.py:137's
+  * `int.from_bytes(sha3_512(id.encode()).digest()[:8], 'little')`).
+  */
+case class Sha3PointId(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"sha3_point_id expects string, got ${child.dataType}")
+
+  override protected def nullSafeEval(t: Any): Any =
+    TextHashes.sha3PointId(t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashes.sha3PointId($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "sha3_point_id"
+}
+
 /** Native 64-bit SimHash bitstring in one kernel call per row. */
 case class Simhash64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StringType

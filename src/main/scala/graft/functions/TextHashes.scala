@@ -221,6 +221,19 @@ object TextHashes {
     new GenericArrayData(out)
   }
 
+  /** Reference-parity point id (qdrant.py:137): first 8 bytes of
+    * SHA3-512 of the UTF-8 id string, read LITTLE-endian, as the JVM's
+    * signed 64-bit long (same bit pattern as Python's unsigned
+    * int.from_bytes — ids above 2^63 print negative here but compare,
+    * join and round-trip identically).
+    */
+  def sha3PointId(id: UTF8String): Long = {
+    val d = MessageDigest.getInstance("SHA3-512").digest(id.getBytes)
+    ((d(7) & 0xffL) << 56) | ((d(6) & 0xffL) << 48) | ((d(5) & 0xffL) << 40) |
+      ((d(4) & 0xffL) << 32) | ((d(3) & 0xffL) << 24) | ((d(2) & 0xffL) << 16) |
+      ((d(1) & 0xffL) << 8) | (d(0) & 0xffL)
+  }
+
   val MinHashK = 12
   private val P = 1000000007L
 

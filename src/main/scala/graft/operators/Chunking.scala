@@ -68,6 +68,31 @@ object Chunking {
         min(col("sent_id")).as("first_sent"))
   }
 
+  /** The reference's ChunkLevel.SECTION sentinel: 24 literal '$'s
+    * (data_fetcher.py:9) — the marker its pipeline joins SECTIONS with
+    * before a plain str.split.
+    */
+  val SectionSep: String = "$" * 24
+
+  /** Section-level chunks (reference ChunkLevel.SECTION), completing
+    * the reference's three chunk levels. The corpus stores flat text
+    * with no section markers, so — like [[stripCitations]] — the
+    * reference's sentinel-joined form is synthesized first (50-token
+    * blocks joined by the 24-'$' marker, standing in for DataFields
+    * .SECTIONS) and then split on the sentinel, exercising the same
+    * literal-separator split semantics end to end. Pure map stage,
+    * never shuffles.
+    */
+  def sections(s: SparkSession, dir: String, secTokens: Int = 50): DataFrame =
+    Graft.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
+      .select(col("doc_id"),
+        expr(s"array_join(transform(sequence(0, (size(toks) - 1) div $secTokens), i -> " +
+          s"array_join(slice(toks, i * $secTokens + 1, $secTokens), ' ')), '" +
+          SectionSep + "')").as("joined"))
+      .select(col("doc_id"),
+        posexplode(split(col("joined"), "[$]{24}")).as(Seq("section_id", "section")))
+
   /** Citation-bracket stripping (reference fetch_pmcid.py:24's
     * `\[[^\]]*\]` regex). The corpus has no brackets, so brackets are
     * synthesized from metadata first, then stripped — exercising the
@@ -93,7 +118,29 @@ object Chunking {
       .select(col("doc_id"),
         substring(sha2(col("doc_id").cast("string"), 256), 1, 16).as("point_id"))
 
+  /** Reference-EXACT point ids: sha3-512 of the id string, first 8
+    * bytes little-endian (qdrant.py:137) via the native sha3_point_id
+    * kernel — the ids a user migrating an existing reference collection
+    * must reproduce bit-for-bit. DuckDB has no sha3, so this variant is
+    * fixture-verified in TextHashesSpec against reference-computed ids
+    * and registered rows-only; [[pointIds]] (sha2-256 hex prefix) stays
+    * as the cross-engine oracle twin.
+    */
+  def pointIdsSha3(s: SparkSession, dir: String): DataFrame =
+    Graft.documents(s, dir)
+      .select(col("doc_id"),
+        call_function("sha3_point_id", col("doc_id").cast("string")).as("point_id"))
+
   val oracle: Map[String, String] = Map(
+    "chunk_sections" ->
+      ("""WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents),
+        |j AS (SELECT doc_id, array_to_string(
+        |        list_transform(range(0, (len(toks) - 1) // 50 + 1),
+        |          i -> array_to_string(list_slice(toks, i * 50 + 1, i * 50 + 50), ' ')),
+        |        '""" + ("$" * 24) + """') AS joined FROM t)
+        |SELECT doc_id, generate_subscripts(parts, 1) - 1 AS section_id,
+        | unnest(parts) AS section
+        |FROM (SELECT doc_id, string_split(joined, '""" + ("$" * 24) + """') AS parts FROM j)""").stripMargin,
     "chunk_budget" ->
       """WITH c AS (SELECT doc_id, generate_subscripts(parts, 1) - 1 AS sent_id,
         |  unnest(parts) AS chunk

@@ -26,6 +26,24 @@ class ChunkingSpec extends SparkSpec {
     assert(r0.getAs[Long]("n_chars") === " first sentence. second sentence. third ".length.toLong)
   }
 
+  test("sections split on the reference's 24-dollar sentinel") {
+    assert(Chunking.SectionSep === "$$$$$$$$$$$$$$$$$$$$$$$$") // data_fetcher.py:9
+    val real = "/root/testdata/sf0.001"
+    val secs = Chunking.sections(spark, real, secTokens = 50).collect()
+    val nToks = graft.Graft.documents(spark, real)
+      .selectExpr("doc_id", "size(split(text, '\\\\s+')) AS n").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // one section per started 50-token block, ids contiguous from 0,
+    // and no section retains the sentinel
+    val byDoc = secs.groupBy(_.getLong(0))
+    assert(byDoc.keySet === nToks.keySet)
+    byDoc.foreach { case (doc, rows) =>
+      assert(rows.length === (nToks(doc) - 1) / 50 + 1)
+      assert(rows.map(_.getInt(1)).sorted.toSeq === (0 until rows.length))
+      rows.foreach(r => assert(!r.getString(2).contains("$")))
+    }
+  }
+
   test("point ids are deterministic hex prefixes") {
     val ids = Chunking.pointIds(spark, dir).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap

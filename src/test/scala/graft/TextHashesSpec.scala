@@ -30,6 +30,38 @@ class TextHashesSpec extends SparkSpec {
     rows.foreach(r => assert(r.getString(0) === r.getString(1)))
   }
 
+  test("bloom builders reject wrong arity with an analysis error, not IndexOutOfBounds") {
+    val e1 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT bloom_agg(id) FROM range(10)").collect()
+    }
+    assert(e1.getMessage.contains("bloom_agg"))
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT bloom_might_contain(CAST(NULL AS BINARY))").collect()
+    }
+    assert(e2.getMessage.contains("bloom_might_contain"))
+  }
+
+  test("sha3_point_id matches reference-computed ids bit-for-bit") {
+    // fixtures computed independently with CPython:
+    //   int.from_bytes(hashlib.sha3_512(s.encode()).digest()[:8], 'little')
+    // (qdrant.py:137) — values above 2^63 appear as negative signed longs
+    val expected = Map(
+      "0" -> -7734081392436689875L,     // unsigned 10712662681272861741
+      "1" -> 5876116778554240202L,
+      "2" -> -8356079311666983338L,     // unsigned 10090664762042568278
+      "42" -> -9150227198273350578L,    // unsigned 9296516875436201038
+      "12345" -> -9014450812678100470L) // unsigned 9432293261031451146
+    val got = expected.keys.toSeq.toDF("id")
+      .select(col("id"), call_function("sha3_point_id", col("id")).as("pid"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === expected)
+    // and the operator wires doc_id through the same kernel
+    val op = graft.operators.Chunking.pointIdsSha3(spark, "/root/testdata/sf0.001")
+      .filter(col("doc_id").isin(0L, 1L, 2L)).collect()
+      .map(r => r.getLong(0).toString -> r.getLong(1)).toMap
+    assert(op === expected.view.filterKeys(Set("0", "1", "2")).toMap)
+  }
+
   test("simhash_bands kernel == conv(substring(simhash64))") {
     val rows = docs.select(
       call_function("simhash_bands", col("text")).as("native"),
