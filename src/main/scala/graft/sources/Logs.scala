@@ -42,8 +42,13 @@ object Logs {
         col("event_id").isNotNull && col("ts_sec").isNotNull)
       .drop("_corrupt_record")
 
-  /** The quarantine side: raw lines that failed the schema (verbatim,
-    * for reprocessing/audit) plus whatever fields DID parse. Keeping
+  /** The quarantine side: the exact complement of [[good]], so the two
+    * sides PARTITION the input and no line is ever silently lost. That
+    * is two classes of row: lines that failed the schema (verbatim in
+    * `_corrupt_record`, for reprocessing/audit) AND lines that parsed
+    * but are missing a required field (e.g. ',,7,click,1.0' — empty
+    * leading fields parse to typed nulls with a null corrupt column, so
+    * a corrupt-only filter would drop them from both sides). Keeping
     * the full row is not just convenience — it is load-bearing twice:
     * Spark rejects scans referencing ONLY the corrupt column
     * (QUERY_ONLY_CORRUPT_RECORD_COLUMN), and CSV column pruning means a
@@ -52,7 +57,8 @@ object Logs {
     * only bad field was pruned away.
     */
   def quarantine(raw: DataFrame): DataFrame =
-    raw.filter(col("_corrupt_record").isNotNull)
+    raw.filter(col("_corrupt_record").isNotNull ||
+        col("event_id").isNull || col("ts_sec").isNull)
       .select(col("_corrupt_record").as("raw_line"),
         col("event_id"), col("ts_sec"), col("user_id"), col("event_type"), col("value"))
 }

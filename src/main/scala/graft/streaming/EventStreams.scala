@@ -156,9 +156,10 @@ object EventStreams {
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(fold)
   }
 
-  /** Rolling per-type hourly counts (streaming EWMA state): the last 8
-    * hour buckets, enough to emit the 8-tap smoothed value for any hour
-    * whose window is complete.
+  /** Rolling per-type hourly counts (streaming EWMA state): the last 16
+    * hour buckets — twice the tap count, so that ANY hour a tolerated
+    * (< 8 h late) arrival can touch still has its full 8-tap window in
+    * state and every re-emit is complete, never partial.
     */
   case class EwmaState(counts: Map[Long, Long])
 
@@ -169,36 +170,51 @@ object EventStreams {
     * trailing hour→count buckets; every batch updates the touched hour
     * buckets and re-emits the smoothed value for each hour in the
     * affected horizon (Update-mode semantics: downstream keeps the
-    * LATEST emit per (type, hour)). State is bounded by construction —
-    * buckets older than 8 hours behind the newest are dropped on every
-    * fold, so per-type state is ≤ a handful of (hour, count) pairs no
-    * matter how long the stream runs. Batch parity: feeding the whole
-    * table in any batch split yields exactly the batch operator's rows
-    * for every hour at least 7 hours behind each type's newest bucket
-    * (younger hours re-emit as later batches fill their window) —
-    * asserted by `StreamingSpec`.
+    * LATEST emit per (type, hour)). State is bounded by construction
+    * (≤ 16 buckets per type) no matter how long the stream runs.
+    *
+    * Lateness contract — the fold's own watermark: a bucket arriving
+    * 8+ hours behind the type's newest known bucket is DROPPED, not
+    * merged. Hours that old are settled; merging them would re-emit
+    * windows whose older taps were already evicted, overwriting correct
+    * settled values with undercounts. Within the tolerance, late
+    * buckets re-emit COMPLETE windows (retention is 2x the tap count).
+    * Batch parity therefore holds for any batch split whose per-type
+    * lateness stays under 8 hours: every hour at least 7 hours behind
+    * that type's newest bucket ends at exactly the batch operator's
+    * value (younger hours re-emit as later batches fill their window) —
+    * asserted by `StreamingSpec`, including the late-arrival cases.
     */
   def ewmaHourly(events: Dataset[RawEvent]): Dataset[EwmaOut] = {
     import events.sparkSession.implicits._
 
     def fold(eventType: String, it: Iterator[RawEvent],
              state: GroupState[EwmaState]): Iterator[EwmaOut] = {
-      val arrived = it.toArray.groupBy(_.ts / 1000000000L / 3600L)
+      val arrivedAll = it.toArray.groupBy(_.ts / 1000000000L / 3600L)
         .map { case (h, es) => h -> es.length.toLong }
+      val prior = state.getOption.map(_.counts).getOrElse(Map.empty[Long, Long])
+      // lateness is measured against the PRIOR state's newest bucket —
+      // within one batch there is no lateness (a catch-up batch may
+      // legitimately span days); buckets 8+ hours behind what earlier
+      // batches established are dropped
+      val priorNewest = prior.keys.foldLeft(Long.MinValue)(math.max)
+      val arrived = arrivedAll.filter { case (h, _) =>
+        prior.isEmpty || h > priorNewest - 8 }
       if (arrived.isEmpty) Iterator.empty
       else {
-        val merged0 = state.getOption.map(_.counts).getOrElse(Map.empty[Long, Long]) ++
-          arrived.map { case (h, n) =>
-            h -> (state.getOption.flatMap(_.counts.get(h)).getOrElse(0L) + n) }
-        val newest = merged0.keys.max
-        val merged = merged0.filter { case (h, _) => h > newest - 8 }
-        state.update(EwmaState(merged))
-        // re-emit every hour whose 8-tap window may have changed
+        // emit from the UNFILTERED merge; the state keeps only the
+        // trailing 16 buckets. Every kept arrival is > priorNewest-8 and
+        // prior retains > priorNewest-16, so each touched window's taps
+        // (>= priorNewest-14) are all present — re-emits are complete.
+        val mergedAll = prior ++ arrived.map { case (h, n) =>
+          h -> (prior.getOrElse(h, 0L) + n) }
+        val newest = mergedAll.keys.max
+        state.update(EwmaState(mergedAll.filter { case (h, _) => h > newest - 16 }))
         val touched = arrived.keys.flatMap(h => h until h + 8).toSet
-          .filter(th => merged0.keys.exists(src => th >= src && th < src + 8))
+          .filter(th => mergedAll.keys.exists(src => th >= src && th < src + 8))
         touched.toSeq.sorted.iterator.map { th =>
           val v = (0 until 8).map { k =>
-            merged0.getOrElse(th - k, 0L) * (1L << (7 - k))
+            mergedAll.getOrElse(th - k, 0L) * (1L << (7 - k))
           }.sum
           EwmaOut(eventType, th, v)
         }

@@ -374,6 +374,7 @@ class Round7OpsSpec extends SparkSpec {
       "2,1001,7,purchase,10.0",
       "not,a,valid,row,at-all,extra",
       "3,oops,8,click,1.0", // unparseable ts
+      ",,7,click,1.0", // parses clean but misses required fields
       "4,1002,8,click,0.5")
     java.nio.file.Files.write(java.nio.file.Paths.get(dirPath, "part.csv"),
       String.join("\n", lines: _*).getBytes)
@@ -382,8 +383,14 @@ class Round7OpsSpec extends SparkSpec {
     val bad = graft.sources.Logs.quarantine(raw).collect()
     assert(good.length === 3)
     assert(good.map(_.getAs[Long]("event_id")).sorted.toSeq === Seq(1L, 2L, 4L))
-    assert(bad.length === 2, "both malformed lines land in quarantine verbatim")
+    assert(bad.length === 3,
+      "good() and quarantine() must partition the input: malformed lines AND " +
+        "parsed-but-null-required-field lines all land in quarantine")
+    assert(good.length + bad.length === lines.length, "no line silently dropped")
     assert(bad.map(_.getString(0)).exists(_.contains("not,a,valid")))
+    // the null-required-field row keeps its parsed fields for audit even
+    // though it never failed the schema (raw_line is null there)
+    assert(bad.exists(r => r.isNullAt(0) && r.getAs[Long]("user_id") == 7L))
   }
 
   test("interarrival conserves gap mass per event type") {

@@ -151,6 +151,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming EWMA: tolerated late buckets re-emit complete windows; 8h+ late are dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[RawEvent]
+    val q = EventStreams.ewmaHourly(input.toDS())
+      .writeStream.format("memory").queryName("ewma_late")
+      .outputMode(OutputMode.Update()).start()
+    def rows() = spark.table("ewma_late").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    try {
+      input.addData(RawEvent(1, ns(100L * 3600), 1, "t", 1.0))
+      q.processAllAvailable()
+      input.addData(RawEvent(2, ns(110L * 3600), 1, "t", 1.0))
+      q.processAllAvailable()
+      val before = rows().length
+      // hour 101 arrives 9h behind newest (110): dropped — settled hours
+      // must NOT be overwritten from a partially-evicted window
+      input.addData(RawEvent(3, ns(101L * 3600), 1, "t", 1.0))
+      q.processAllAvailable()
+      assert(rows().length === before, "an 8h+ late bucket must not emit")
+      // hour 104 arrives 6h behind: tolerated, and its re-emits include
+      // the hour-100 tap (retention is 2x taps, windows stay complete)
+      input.addData(RawEvent(4, ns(104L * 3600), 1, "t", 1.0))
+      q.processAllAvailable()
+      val latest = rows().map { case (t, h, v) => (t, h) -> v }.toMap // last emit wins
+      assert(latest(("t", 104L)) === 136L) // 128*(h104) + 8*(h100, 4 taps back)
+      assert(latest(("t", 110L)) === 130L) // 128*(h110) + 2*(h104, 6 taps back)
+      assert(latest(("t", 101L)) === 64L)  // settled emit untouched by the dropped bucket
+    } finally q.stop()
+  }
+
   test("transitions: a >1h event-time gap across batches expires state — no cross-gap pair") {
     import graft.streaming.EventStreams.TransitionOut
     implicit val sqlCtx = spark.sqlContext
