@@ -172,6 +172,72 @@ object Ann {
       .filter(col("rn") <= k)
   }
 
+  /** NSW-style neighbor-graph construction — the batch half of the
+    * graph-ANN paradigm (the reference's serving index is HNSW,
+    * qdrant.py:73): build the k-NN edge list offline, mark the
+    * reciprocal (mutual) edges that form the navigable core an
+    * NSW/HNSW search descends, bound out-degree at k by construction.
+    * A serving tier loads this edge list directly.
+    *
+    * Build = blocked candidates + one NN-descent refinement, each stage
+    * bounded:
+    *  1. every vector joins its top-`nprobe` IVF cells (multiprobe
+    *     blocking recalls boundary neighbors single-cell blocking
+    *     misses — measured 0.26 -> 0.70 edge recall at sf0.001);
+    *     per-cell self-join is SHUFFLE_HASH on cid, pair work per cell
+    *     is quadratic = linear in corpus at fixed fanout;
+    *  2. one NN-descent round: neighbors-of-neighbors over the
+    *     UNDIRECTED k-bounded round-1 graph — |V| * (2k)^2 candidate
+    *     pairs, the classic graph-ANN construction step (a second
+    *     round adds nothing here, measured);
+    *  3. per-node top-k ranks are per-key bounded windows
+    *     (WindowTopKRule -> bounded heap), and the reciprocity join
+    *     runs on the k-bounded edge list (|V| * k rows), never raw
+    *     pairs.
+    */
+  def nswGraph(s: SparkSession, dir: String, k: Int = 4, nprobe: Int = 2): DataFrame = {
+    val e = Graft.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val cents = e.filter(col("vec_id") < 8)
+      .agg(sort_array(collect_list(struct(col("vec_id").as("cid"), col("embedding").as("cvec"))))
+        .as("cents"))
+    // top-nprobe cell assignment: one broadcast + explode projection,
+    // ranked inside each vec_id key (8 rows per key — bounded window)
+    val wAsg = Window.partitionBy(col("vec_id")).orderBy(col("cscore").desc, col("cid"))
+    val cells = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"),
+        explode(expr("transform(cents, c -> named_struct(" +
+          "'cid', c.cid, 'cscore', round(fvec_cos(embedding, c.cvec), 6)))")).as("cc"))
+      .select(col("vec_id"), col("embedding"),
+        col("cc.cid").as("cid"), col("cc.cscore").as("cscore"))
+      .withColumn("arn", row_number().over(wAsg))
+      .filter(col("arn") <= nprobe)
+      .select(col("vec_id"), col("cid"))
+      .hint("SHUFFLE_HASH")
+    val cand0 = cells.as("x").join(cells.as("y"),
+        col("x.cid") === col("y.cid") && col("x.vec_id") =!= col("y.vec_id"))
+      .select(col("x.vec_id").as("src"), col("y.vec_id").as("dst"))
+      .distinct()
+    def scored(pairs: DataFrame): DataFrame =
+      pairs
+        .join(e.select(col("vec_id").as("src"), col("embedding").as("sv")).hint("SHUFFLE_HASH"), "src")
+        .join(e.select(col("vec_id").as("dst"), col("embedding").as("dv")).hint("SHUFFLE_HASH"), "dst")
+        .select(col("src"), col("dst"), VectorOps.cosine6(col("sv"), col("dv")).as("cos"))
+    val wTop = Window.partitionBy(col("src")).orderBy(col("cos").desc, col("dst"))
+    val r1 = scored(cand0)
+      .withColumn("rn", row_number().over(wTop)).filter(col("rn") <= k)
+      .select(col("src"), col("dst"))
+    val und = r1.union(r1.select(col("dst").as("src"), col("src").as("dst")))
+    val hop2 = und.as("a").join(und.as("b"),
+        col("a.dst") === col("b.src") && col("a.src") =!= col("b.dst"))
+      .select(col("a.src").as("src"), col("b.dst").as("dst"))
+    val edges = scored(hop2.union(cand0).distinct())
+      .withColumn("rn", row_number().over(wTop).cast("long")).filter(col("rn") <= k)
+    val rev = edges.select(col("src").as("r_src"), col("dst").as("r_dst"))
+    edges.join(rev, col("src") === col("r_dst") && col("dst") === col("r_src"), "left")
+      .select(col("src"), col("dst"), col("cos"), col("rn"),
+        col("r_src").isNotNull.as("mutual"))
+  }
+
   /** Filtered vector search: cosine top-k restricted by a metadata
     * predicate (label subset) — the payload-filter + search combination
     * every vector DB exposes (reference: qdrant.py:227 filters CHUNKS
@@ -763,6 +829,32 @@ object Ann {
          |FROM sig s JOIN e x ON s.vec_id = x.vec_id
          |     JOIN qb ON s.bucket = qb.qbucket, qv y
          |ORDER BY score DESC, s.vec_id LIMIT 5""".stripMargin,
+    "ann_graph_nsw" ->
+      s"""WITH $duckE,
+         |c AS (SELECT vec_id AS cid, v FROM e WHERE vec_id < 8),
+         |sc AS (SELECT x.vec_id, y.cid, round($duckCosPair, 6) AS cscore
+         |       FROM e x JOIN (SELECT cid, v FROM c) y ON true),
+         |asg AS (SELECT vec_id, cid FROM (
+         |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+         |          ORDER BY cscore DESC, cid) AS rn FROM sc) WHERE rn <= 2),
+         |m AS (SELECT e.vec_id, asg.cid FROM e JOIN asg ON e.vec_id = asg.vec_id),
+         |cand0 AS (SELECT DISTINCT x.vec_id AS src, y.vec_id AS dst
+         |          FROM m x JOIN m y ON x.cid = y.cid AND x.vec_id != y.vec_id),
+         |cos0 AS (SELECT src, dst, round($duckCosPair, 6) AS cos
+         |         FROM cand0 JOIN e x ON x.vec_id = src JOIN e y ON y.vec_id = dst),
+         |r1 AS (SELECT src, dst FROM (SELECT src, dst, row_number() OVER (
+         |         PARTITION BY src ORDER BY cos DESC, dst) AS rn FROM cos0) WHERE rn <= 4),
+         |und AS (SELECT src, dst FROM r1 UNION SELECT dst, src FROM r1),
+         |hop2 AS (SELECT DISTINCT a.src AS src, b.dst AS dst
+         |         FROM und a JOIN und b ON a.dst = b.src WHERE a.src != b.dst),
+         |allc AS (SELECT src, dst FROM hop2 UNION SELECT src, dst FROM cand0),
+         |csA AS (SELECT src, dst, round($duckCosPair, 6) AS cos
+         |        FROM allc JOIN e x ON x.vec_id = src JOIN e y ON y.vec_id = dst),
+         |topk AS (SELECT src, dst, cos, CAST(rn AS BIGINT) AS rn FROM (
+         |  SELECT src, dst, cos, row_number() OVER (PARTITION BY src
+         |          ORDER BY cos DESC, dst) AS rn FROM csA) WHERE rn <= 4)
+         |SELECT t.src, t.dst, t.cos, t.rn, (r.src IS NOT NULL) AS mutual
+         |FROM topk t LEFT JOIN topk r ON t.src = r.dst AND t.dst = r.src""".stripMargin,
     "knn_join" ->
       s"""WITH $duckE,
          |qs AS (SELECT vec_id AS q_id, v FROM e WHERE vec_id < 100)
