@@ -14,7 +14,8 @@ class ContractSpec extends SparkSpec {
   test("rows-only queries are exactly the documented set") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(rowsOnly === Set("multimodal_meta", "events_approx_stats", "text_topk_approx",
-      "text_decontam_bloom", "events_dau_wau_hll"))
+      "text_decontam_bloom", "events_dau_wau_hll",
+      "doc_point_ids_sha3")) // sha3 unavailable in DuckDB; fixture-spec'd instead
   }
 
   test("entry (flagship search pipeline) returns rows at sf0.001") {
