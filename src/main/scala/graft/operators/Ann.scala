@@ -180,28 +180,35 @@ object Ann {
     * A serving tier loads this edge list directly.
     *
     * Build = blocked candidates + one NN-descent refinement, each stage
-    * bounded:
-    *  1. every vector joins its top-`nprobe` IVF cells (multiprobe
-    *     blocking recalls boundary neighbors single-cell blocking
-    *     misses — measured 0.26 -> 0.70 edge recall at sf0.001);
-    *     per-cell self-join is SHUFFLE_HASH on cid, pair work per cell
-    *     is quadratic = linear in corpus at fixed fanout;
-    *  2. one NN-descent round: neighbors-of-neighbors over the
+    * bounded AND the blocking fanout scales with the corpus:
+    *  1. the centroid count is max(8, floor(sqrt N)) — computed inside
+    *     the plan from a broadcast 1-row count, the way a real IVF
+    *     build sizes nlist — so per-cell size stays ~nprobe*sqrt(N)
+    *     and the per-cell SHUFFLE_HASH self-join does p^2 * N^1.5 pair
+    *     work (a FIXED fanout makes cells grow linearly and the join
+    *     quadratic: measured 8-centroid cells stall the 10x bench);
+    *  2. every vector joins its top-`nprobe`=3 cells (multiprobe
+    *     blocking recalls the boundary neighbors single-cell blocking
+    *     misses: 0.26 single-probe -> 0.70 edge recall at sf0.001);
+    *  3. one NN-descent round: neighbors-of-neighbors over the
     *     UNDIRECTED k-bounded round-1 graph — |V| * (2k)^2 candidate
     *     pairs, the classic graph-ANN construction step (a second
-    *     round adds nothing here, measured);
-    *  3. per-node top-k ranks are per-key bounded windows
+    *     round adds ~nothing here, measured 0.705 -> 0.711);
+    *  4. per-node top-k ranks are per-key bounded windows
     *     (WindowTopKRule -> bounded heap), and the reciprocity join
     *     runs on the k-bounded edge list (|V| * k rows), never raw
     *     pairs.
     */
-  def nswGraph(s: SparkSession, dir: String, k: Int = 4, nprobe: Int = 2): DataFrame = {
+  def nswGraph(s: SparkSession, dir: String, k: Int = 4, nprobe: Int = 3): DataFrame = {
     val e = Graft.embeddings(s, dir).select(col("vec_id"), col("embedding"))
-    val cents = e.filter(col("vec_id") < 8)
+    val nc = e.agg(greatest(lit(8L), expr("cast(floor(sqrt(count(1))) as bigint)"))
+      .as("ncents"))
+    val cents = e.crossJoin(broadcast(nc)).filter(col("vec_id") < col("ncents"))
       .agg(sort_array(collect_list(struct(col("vec_id").as("cid"), col("embedding").as("cvec"))))
         .as("cents"))
-    // top-nprobe cell assignment: one broadcast + explode projection,
-    // ranked inside each vec_id key (8 rows per key — bounded window)
+    // top-nprobe cell assignment: one broadcast + explode projection
+    // (N x sqrt(N) rows — the flat-IVF routing cost), ranked inside
+    // each vec_id key (sqrt(N) rows per key — bounded window)
     val wAsg = Window.partitionBy(col("vec_id")).orderBy(col("cscore").desc, col("cid"))
     val cells = e.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("embedding"),
@@ -831,12 +838,13 @@ object Ann {
          |ORDER BY score DESC, s.vec_id LIMIT 5""".stripMargin,
     "ann_graph_nsw" ->
       s"""WITH $duckE,
-         |c AS (SELECT vec_id AS cid, v FROM e WHERE vec_id < 8),
+         |c AS (SELECT vec_id AS cid, v FROM e WHERE vec_id <
+         |        greatest(8, CAST(floor(sqrt((SELECT count(*) FROM e))) AS BIGINT))),
          |sc AS (SELECT x.vec_id, y.cid, round($duckCosPair, 6) AS cscore
          |       FROM e x JOIN (SELECT cid, v FROM c) y ON true),
          |asg AS (SELECT vec_id, cid FROM (
          |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
-         |          ORDER BY cscore DESC, cid) AS rn FROM sc) WHERE rn <= 2),
+         |          ORDER BY cscore DESC, cid) AS rn FROM sc) WHERE rn <= 3),
          |m AS (SELECT e.vec_id, asg.cid FROM e JOIN asg ON e.vec_id = asg.vec_id),
          |cand0 AS (SELECT DISTINCT x.vec_id AS src, y.vec_id AS dst
          |          FROM m x JOIN m y ON x.cid = y.cid AND x.vec_id != y.vec_id),

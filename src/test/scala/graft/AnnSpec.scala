@@ -82,8 +82,8 @@ class AnnSpec extends SparkSpec {
         .sortBy { case (d, c) => (-c, d) }.take(4).map(p => (s, p._1))
     }.toSet
     val recall = (edgeSet & exact).size.toDouble / exact.size
-    // multiprobe blocking + one NN-descent round measures 0.70 here;
-    // 0.6 leaves margin without letting the build degrade silently
+    // sqrt(N)-fanout 3-probe blocking + one NN-descent round measures
+    // 0.70 here; 0.6 leaves margin without letting the build degrade
     assert(recall >= 0.6, s"nsw edge recall@4 = $recall")
   }
 
