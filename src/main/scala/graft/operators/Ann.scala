@@ -206,38 +206,43 @@ object Ann {
     val cents = e.crossJoin(broadcast(nc)).filter(col("vec_id") < col("ncents"))
       .agg(sort_array(collect_list(struct(col("vec_id").as("cid"), col("embedding").as("cvec"))))
         .as("cents"))
-    // top-nprobe cell assignment: one broadcast + explode projection
-    // (N x sqrt(N) rows — the flat-IVF routing cost), ranked inside
-    // each vec_id key (sqrt(N) rows per key — bounded window)
-    val wAsg = Window.partitionBy(col("vec_id")).orderBy(col("cscore").desc, col("cid"))
+    // top-nprobe cell assignment as ONE map-stage projection: score all
+    // sqrt(N) centroids per vector against the broadcast array, sort the
+    // (neg cscore, cid) structs, slice the best nprobe — no N*sqrt(N)
+    // window shuffle, no embedding-carrying exchange
     val cells = e.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("embedding"),
-        explode(expr("transform(cents, c -> named_struct(" +
-          "'cid', c.cid, 'cscore', round(fvec_cos(embedding, c.cvec), 6)))")).as("cc"))
-      .select(col("vec_id"), col("embedding"),
-        col("cc.cid").as("cid"), col("cc.cscore").as("cscore"))
-      .withColumn("arn", row_number().over(wAsg))
-      .filter(col("arn") <= nprobe)
-      .select(col("vec_id"), col("cid"))
+        explode(expr(s"slice(array_sort(transform(cents, c -> named_struct(" +
+          s"'negc', -round(fvec_cos(embedding, c.cvec), 6), 'cid', c.cid))), 1, $nprobe)"))
+          .as("cc"))
+      .select(col("vec_id"), col("embedding"), col("cc.cid").as("cid"))
       .hint("SHUFFLE_HASH")
-    val cand0 = cells.as("x").join(cells.as("y"),
+    // cosine is computed INLINE in the pair-producing join projection,
+    // so vectors never ride a pair-sized shuffle; the only pair-wide
+    // exchange carries (src, dst, cos) = 24 bytes. distinct() collapses
+    // pairs that met in more than one shared cell (identical cos).
+    val cos0 = cells.as("x").join(cells.as("y"),
         col("x.cid") === col("y.cid") && col("x.vec_id") =!= col("y.vec_id"))
-      .select(col("x.vec_id").as("src"), col("y.vec_id").as("dst"))
+      .select(col("x.vec_id").as("src"), col("y.vec_id").as("dst"),
+        VectorOps.cosine6(col("x.embedding"), col("y.embedding")).as("cos"))
       .distinct()
-    def scored(pairs: DataFrame): DataFrame =
-      pairs
-        .join(e.select(col("vec_id").as("src"), col("embedding").as("sv")).hint("SHUFFLE_HASH"), "src")
-        .join(e.select(col("vec_id").as("dst"), col("embedding").as("dv")).hint("SHUFFLE_HASH"), "dst")
-        .select(col("src"), col("dst"), VectorOps.cosine6(col("sv"), col("dv")).as("cos"))
     val wTop = Window.partitionBy(col("src")).orderBy(col("cos").desc, col("dst"))
-    val r1 = scored(cand0)
-      .withColumn("rn", row_number().over(wTop)).filter(col("rn") <= k)
-      .select(col("src"), col("dst"))
-    val und = r1.union(r1.select(col("dst").as("src"), col("src").as("dst")))
+    val r1 = cos0.withColumn("rn", row_number().over(wTop)).filter(col("rn") <= k)
+      .select(col("src"), col("dst"), col("cos"))
+    val und = r1.select(col("src"), col("dst"))
+      .union(r1.select(col("dst").as("src"), col("src").as("dst")))
     val hop2 = und.as("a").join(und.as("b"),
         col("a.dst") === col("b.src") && col("a.src") =!= col("b.dst"))
       .select(col("a.src").as("src"), col("b.dst").as("dst"))
-    val edges = scored(hop2.union(cand0).distinct())
+      .distinct()
+    val hop2Scored = hop2
+      .join(e.select(col("vec_id").as("src"), col("embedding").as("sv")).hint("SHUFFLE_HASH"), "src")
+      .join(e.select(col("vec_id").as("dst"), col("embedding").as("dv")).hint("SHUFFLE_HASH"), "dst")
+      .select(col("src"), col("dst"), VectorOps.cosine6(col("sv"), col("dv")).as("cos"))
+    // ranking r1 ∪ hop2 equals ranking cand0 ∪ hop2: per src, r1 is the
+    // exact top-k of cand0, so every other cand0 pair is strictly worse
+    // than all k of them and can never enter the final top-k
+    val edges = r1.union(hop2Scored).distinct()
       .withColumn("rn", row_number().over(wTop).cast("long")).filter(col("rn") <= k)
     val rev = edges.select(col("src").as("r_src"), col("dst").as("r_dst"))
     edges.join(rev, col("src") === col("r_dst") && col("dst") === col("r_src"), "left")
