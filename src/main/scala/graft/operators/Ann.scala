@@ -218,16 +218,28 @@ object Ann {
       .select(col("vec_id"), col("embedding"), col("cc.cid").as("cid"))
       .hint("SHUFFLE_HASH")
     // cosine is computed INLINE in the pair-producing join projection,
-    // so vectors never ride a pair-sized shuffle; the only pair-wide
-    // exchange carries (src, dst, cos) = 24 bytes. distinct() collapses
-    // pairs that met in more than one shared cell (identical cos).
-    val cos0 = cells.as("x").join(cells.as("y"),
+    // so vectors never ride a pair-sized shuffle. The per-src top-k is
+    // a distributed merge: first a bounded heap per (src, cell) — its
+    // ClusteredDistribution(src, cid) is already satisfied by the
+    // join's hash(cid) partitioning, so the FULL candidate stream never
+    // hits an exchange at all — then the global top-k over the
+    // <= nprobe*k survivors per src. distinct() (now on the tiny
+    // frame) collapses pairs that met in more than one shared cell.
+    val pairs = cells.as("x").join(cells.as("y"),
         col("x.cid") === col("y.cid") && col("x.vec_id") =!= col("y.vec_id"))
-      .select(col("x.vec_id").as("src"), col("y.vec_id").as("dst"),
+      .select(col("x.vec_id").as("src"), col("x.cid").as("cid"), col("y.vec_id").as("dst"),
         VectorOps.cosine6(col("x.embedding"), col("y.embedding")).as("cos"))
-      .distinct()
+    val wCell = Window.partitionBy(col("src"), col("cid"))
+      .orderBy(col("cos").desc, col("dst"))
+    val perCell = pairs
+      .withColumn("rn", row_number().over(wCell)).filter(col("rn") <= k)
+      .select(col("src"), col("dst"), col("cos")) // rank dropped -> TopKPerKey heap
     val wTop = Window.partitionBy(col("src")).orderBy(col("cos").desc, col("dst"))
-    val r1 = cos0.withColumn("rn", row_number().over(wTop)).filter(col("rn") <= k)
+    // per-src top-k of the distinct blocked pairs == top-k of the merged
+    // per-cell top-k lists: every true top-k pair appears in some shared
+    // cell, where at most k-1 better candidates can outrank it
+    val r1 = perCell.distinct()
+      .withColumn("rn", row_number().over(wTop)).filter(col("rn") <= k)
       .select(col("src"), col("dst"), col("cos"))
     val und = r1.select(col("src"), col("dst"))
       .union(r1.select(col("dst").as("src"), col("src").as("dst")))
