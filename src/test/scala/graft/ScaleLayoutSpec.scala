@@ -66,6 +66,29 @@ class ScaleLayoutSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"expected ReusedExchange or a cached shingle scan in the final plan:\n$plan")
   }
 
+  test("nsw graph's per-cell heap consumes the pair join without an exchange") {
+    // the full candidate stream (the only frame that grows as N^1.5)
+    // must flow join -> bounded heap directly: TopKPerKeyExec's
+    // ClusteredDistribution(src, cid) is satisfied by the join's
+    // hash(cid) partitioning, so any ShuffleExchange between them is a
+    // plan regression that re-materializes 100M+ rows at scale
+    val g = graft.operators.Ann.nswGraph(spark, "/root/testdata/sf0.001")
+    g.collect()
+    val plan = g.queryExecution.executedPlan
+    val heaps = collectWithSubqueries(plan) {
+      case t: graft.plans.TopKPerKeyExec if t.keys.length == 2 => t
+    }
+    assert(heaps.nonEmpty, s"per-(src,cid) TopKPerKey missing:\n$plan")
+    val exchangesBelow = heaps.flatMap(h => collectWithSubqueries(h.child) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+    })
+    // the join's own two cid exchanges sit BELOW the join; none may sit
+    // between the join output and the heap — i.e. the heap's child
+    // subtree contains exactly the join's input exchanges (2), not 3
+    assert(exchangesBelow.length <= 2,
+      s"extra exchange between pair join and per-cell heap:\n$plan")
+  }
+
   test("set-ops query computes each distinct subtree once (ReusedExchange)") {
     // q_set_ops references the click/purchase distinct subtrees from all
     // three set operators; every branch shuffles the same canonical
