@@ -66,6 +66,30 @@ class ScaleLayoutSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"expected ReusedExchange or a cached shingle scan in the final plan:\n$plan")
   }
 
+  /** Shuffles strictly BETWEEN `p` and the pair-producing hash join on
+    * the data path. Broadcast subtrees are excluded: their
+    * SinglePartition metadata aggs (corpus count, centroid collect_list)
+    * never carry the candidate stream, so a count that descends into
+    * BroadcastExchange flags plans that are actually shuffle-free on
+    * the path that matters. Traversal stops at the first shuffled join
+    * — its own input exchanges sit below it by construction.
+    */
+  private def shufflesAboveJoin(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+    case _: org.apache.spark.sql.execution.exchange.BroadcastExchangeLike => Nil
+    case _: org.apache.spark.sql.execution.joins.ShuffledJoin => Nil
+    case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike =>
+      e +: e.children.flatMap(shufflesAboveJoin)
+    case other => other.children.flatMap(shufflesAboveJoin)
+  }
+
+  private def joinsBelow(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+    case _: org.apache.spark.sql.execution.exchange.BroadcastExchangeLike => Nil
+    case j: org.apache.spark.sql.execution.joins.ShuffledJoin => Seq(j)
+    case other => other.children.flatMap(joinsBelow)
+  }
+
   test("nsw graph's per-cell heap consumes the pair join without an exchange") {
     // the full candidate stream (the only frame that grows as N^1.5)
     // must flow join -> bounded heap directly: TopKPerKeyExec's
@@ -79,14 +103,39 @@ class ScaleLayoutSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       case t: graft.plans.TopKPerKeyExec if t.keys.length == 2 => t
     }
     assert(heaps.nonEmpty, s"per-(src,cid) TopKPerKey missing:\n$plan")
-    val exchangesBelow = heaps.flatMap(h => collectWithSubqueries(h.child) {
-      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
-    })
-    // the join's own two cid exchanges sit BELOW the join; none may sit
-    // between the join output and the heap — i.e. the heap's child
-    // subtree contains exactly the join's input exchanges (2), not 3
-    assert(exchangesBelow.length <= 2,
-      s"extra exchange between pair join and per-cell heap:\n$plan")
+    heaps.foreach { h =>
+      // the guard is non-vacuous only if the heap really sits over the
+      // shuffled cid-pair join (a broadcast rewrite would change the
+      // scale story and must be looked at, not silently pass)
+      assert(joinsBelow(h.child).nonEmpty,
+        s"heap no longer fed by a shuffled pair join:\n$plan")
+      val extra = shufflesAboveJoin(h.child)
+      assert(extra.isEmpty,
+        s"exchange between pair join and per-cell heap: $extra\n$plan")
+    }
+  }
+
+  test("shufflesAboveJoin canary: a genuine intervening exchange is caught") {
+    // red-path check for the traversal above: force a shuffled join,
+    // repartition its output on a different key, and confirm the helper
+    // reports exactly that exchange (and zero when it is absent).
+    val saved = Seq("spark.sql.autoBroadcastJoinThreshold",
+                    "spark.sql.adaptive.enabled").map(k => k -> spark.conf.get(k))
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val a = (0L until 200L).map(i => (i % 8, i)).toDF("cid", "src")
+      val b = a.toDF("cid", "dst")
+      val joined = a.join(b, "cid")
+      val rerouted = joined.repartition(col("src"))
+      rerouted.collect()
+      val bad = shufflesAboveJoin(rerouted.queryExecution.executedPlan)
+      assert(bad.length === 1,
+        s"canary: expected the repartition exchange to be counted, got $bad")
+      joined.collect()
+      assert(shufflesAboveJoin(joined.queryExecution.executedPlan).isEmpty,
+        "canary: clean join->consumer path must count zero")
+    } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 
   test("set-ops query computes each distinct subtree once (ReusedExchange)") {
