@@ -45,6 +45,17 @@ object Graft {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** Memoized table row count — the size estimate behind adaptive
+    * route choices (e.g. dedup_embedding's exact-vs-LSH pick). Parquet
+    * makes this a footer-metadata aggregate, and the memo ensures one
+    * such job per (dir, table) per session instead of one per
+    * DataFrame construction.
+    */
+  private val rowCounts = scala.collection.mutable.Map.empty[(String, String), Long]
+  def tableRows(spark: SparkSession, sfDir: String, name: String): Long = synchronized {
+    rowCounts.getOrElseUpdate((sfDir, name), table(spark, sfDir, name).count())
+  }
+
   /** Per-operator cache lifecycle. Iterative operators (pagerank) persist
     * intermediate frames that every iteration re-references; those caches
     * must outlive the returned (lazy) DataFrame, so the operator cannot

@@ -107,8 +107,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new org.apache.spark.sql.AnalysisException(
           errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
           messageParameters = Map(
-            "functionName" -> "`bloom_agg`", "expectedNum" -> "3",
-            "actualNum" -> args.length.toString, "docroot" -> "usage: bloom_agg(value, expectedItems, numBits)"))
+            // docroot interpolates into a documentation URL in this
+            // template — it must be the real doc root; the usage hint
+            // rides in expectedNum's free-text slot instead
+            "functionName" -> "`bloom_agg`",
+            "expectedNum" -> "3: bloom_agg(value, expectedItems, numBits)",
+            "actualNum" -> args.length.toString,
+            "docroot" -> "https://spark.apache.org/docs/latest"))
       }))
     ext.injectFunction((
       new FunctionIdentifier("bloom_might_contain"),
@@ -121,8 +126,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new org.apache.spark.sql.AnalysisException(
           errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
           messageParameters = Map(
-            "functionName" -> "`bloom_might_contain`", "expectedNum" -> "2",
-            "actualNum" -> args.length.toString, "docroot" -> "usage: bloom_might_contain(sketch, value)"))
+            "functionName" -> "`bloom_might_contain`",
+            "expectedNum" -> "2: bloom_might_contain(sketch, value)",
+            "actualNum" -> args.length.toString,
+            "docroot" -> "https://spark.apache.org/docs/latest"))
       }))
   }
 }

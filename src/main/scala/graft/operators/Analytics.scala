@@ -674,7 +674,8 @@ object Analytics {
       """WITH f AS (SELECT user_id,
         |  min(CAST(floor(epoch(ts)) AS BIGINT) // 86400) AS day
         | FROM events GROUP BY 1),
-        |d AS (SELECT day, count(*) AS n_new FROM f GROUP BY 1)
+        |d AS (SELECT day, count(*) AS n_new FROM f GROUP BY 1
+        |      ORDER BY day LIMIT 10000)
         |SELECT day, n_new,
         | CAST(sum(n_new) OVER (ORDER BY day
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users

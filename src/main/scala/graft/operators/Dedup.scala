@@ -304,9 +304,21 @@ object Dedup {
     * decision is a column-pruned metadata-cheap scan, like the size
     * estimate behind every AQE join pick.
     */
+  /** Route threshold for [[embeddingNearDup]]'s auto mode. CONTRACT:
+    * the registered `dedup_embedding` query carries an exact all-pairs
+    * DuckDB oracle, which is only valid while the verify corpus stays
+    * BELOW this bound (above it, auto routes to LSH, whose output is a
+    * recall<1 subset of exact). ContractSpec pins the sf0.01 verify
+    * corpus under the threshold so a future scale bump fails loudly in
+    * the suite instead of silently hash-mismatching.
+    */
+  val embeddingRouteThreshold: Long = 10000L
+
   def embeddingNearDup(s: SparkSession, dir: String, tau: Double = 0.35,
-                       routeThreshold: Long = 10000L): DataFrame = {
-    if (Graft.embeddings(s, dir).count() > routeThreshold)
+                       routeThreshold: Long = embeddingRouteThreshold): DataFrame = {
+    // memoized metadata count: parquet footer scan, one job per (dir),
+    // not one per DataFrame construction (bench builds each query twice)
+    if (Graft.tableRows(s, dir, "embeddings") > routeThreshold)
       return embeddingNearDupLsh(s, dir, tau)
     // norms are per-vector: compute once before the pair join, not per pair
     val e = Graft.embeddings(s, dir).select(

@@ -18,6 +18,23 @@ class ContractSpec extends SparkSpec {
       "doc_point_ids_sha3")) // sha3 unavailable in DuckDB; fixture-spec'd instead
   }
 
+  test("dedup_embedding's exact oracle is valid at every verify scale") {
+    // dedup_embedding auto-routes to LSH above embeddingRouteThreshold
+    // vectors; LSH output is a recall<1 SUBSET of the exact all-pairs
+    // answer, so the registered exact DuckDB oracle is only sound while
+    // verify corpora stay below the threshold. If the driver's verify
+    // scale ever grows past it, this must fail LOUDLY here rather than
+    // surface as an unexplained hash mismatch (or worse, pass by luck).
+    for (sf <- Seq("sf0.001", "sf0.01")) {
+      val n = Graft.tableRows(spark, s"/root/testdata/$sf", "embeddings")
+      assert(n <= graft.operators.Dedup.embeddingRouteThreshold,
+        s"$sf embeddings corpus ($n vectors) crossed the exact-vs-LSH route " +
+          "threshold: dedup_embedding now returns the LSH subset and its exact " +
+          "all-pairs oracle is invalid — split the registered query into exact " +
+          "(oracle) and auto (rows-only) entries")
+    }
+  }
+
   test("entry (flagship search pipeline) returns rows at sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
