@@ -199,24 +199,55 @@ object Ann {
     *     runs on the k-bounded edge list (|V| * k rows), never raw
     *     pairs.
     */
-  def nswGraph(s: SparkSession, dir: String, k: Int = 4, nprobe: Int = 3): DataFrame = {
-    val e = Graft.embeddings(s, dir).select(col("vec_id"), col("embedding"))
-    val nc = e.agg(greatest(lit(8L), expr("cast(floor(sqrt(count(1))) as bigint)"))
-      .as("ncents"))
-    val cents = e.crossJoin(broadcast(nc)).filter(col("vec_id") < col("ncents"))
-      .agg(sort_array(collect_list(struct(col("vec_id").as("cid"), col("embedding").as("cvec"))))
-        .as("cents"))
-    // top-nprobe cell assignment as ONE map-stage projection: score all
-    // sqrt(N) centroids per vector against the broadcast array, sort the
-    // (neg cscore, cid) structs, slice the best nprobe — no N*sqrt(N)
-    // window shuffle, no embedding-carrying exchange
-    val cells = e.crossJoin(broadcast(cents))
+  /** NSW blocking index: each vector's top-`nprobe` cells out of the
+    * sqrt(N) deterministic centroids. Memoized per (dir): the graph
+    * build scans it three times (both pair-join sides + the hop-2
+    * re-score) and the cell-occupancy health report reads it too, so
+    * one persisted copy per session serves all consumers — the
+    * assignment IS the index, exactly like the IVF `ann_assign` frame.
+    */
+  /** Top-`nprobe` cell assignment over an arbitrary node frame, given a
+    * pre-aggregated broadcast centroid array (one row holding
+    * array<struct<cid,cvec>>): ONE map-stage projection scoring all
+    * centroids per vector, sorting the (neg cscore, cid) structs and
+    * slicing the best nprobe — no N*ncents fanout join, no N*ncents
+    * window shuffle, no embedding-carrying exchange. Shared by the flat
+    * NSW build (dense vec_ids: centroid set derivable in-plan) and the
+    * per-layer HNSW builds (sparse vec_ids: centroid set via
+    * orderBy+limit).
+    */
+  private def cellsOver(e: DataFrame, cents: DataFrame, nprobe: Int): DataFrame =
+    e.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("embedding"),
         explode(expr(s"slice(array_sort(transform(cents, c -> named_struct(" +
           s"'negc', -round(fvec_cos(embedding, c.cvec), 6), 'cid', c.cid))), 1, $nprobe)"))
           .as("cc"))
       .select(col("vec_id"), col("embedding"), col("cc.cid").as("cid"))
-      .hint("SHUFFLE_HASH")
+
+  private def nswCells(s: SparkSession, dir: String, nprobe: Int): DataFrame =
+    Graft.memoCache(s"nsw_cells_$nprobe", dir) {
+      val e = Graft.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val nc = e.agg(greatest(lit(8L), expr("cast(floor(sqrt(count(1))) as bigint)"))
+        .as("ncents"))
+      val cents = e.crossJoin(broadcast(nc)).filter(col("vec_id") < col("ncents"))
+        .agg(sort_array(collect_list(struct(col("vec_id").as("cid"), col("embedding").as("cvec"))))
+          .as("cents"))
+      cellsOver(e, cents, nprobe)
+    }
+
+  def nswGraph(s: SparkSession, dir: String, k: Int = 4, nprobe: Int = 3): DataFrame = {
+    val e = Graft.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val cells = nswCells(s, dir, nprobe).hint("SHUFFLE_HASH")
+    nswEdgesFromCells(e, cells, k)
+  }
+
+  /** The NSW edge machinery over a blocked cell assignment: blocked
+    * pairs → per-(src,cell) heap → per-src top-k → one NN-descent round
+    * (neighbors-of-neighbors) → final top-k with reciprocity flags.
+    * Factored out so the flat build ([[nswGraph]]) and the per-layer
+    * HNSW builds ([[hnswGraph]]) share one plan shape.
+    */
+  private def nswEdgesFromCells(e: DataFrame, cells: DataFrame, k: Int): DataFrame = {
     // cosine is computed INLINE in the pair-producing join projection,
     // so vectors never ride a pair-sized shuffle. The per-src top-k is
     // a distributed merge: first a bounded heap per (src, cell) — its
@@ -260,6 +291,121 @@ object Ann {
     edges.join(rev, col("src") === col("r_dst") && col("dst") === col("r_src"), "left")
       .select(col("src"), col("dst"), col("cos"), col("rn"),
         col("r_src").isNotNull.as("mutual"))
+  }
+
+  /** NSW blocking-index health report: log2-bucketed histogram of cell
+    * occupancy over the memoized [[nswCells]] assignment frame. The
+    * graph build's cost bound — nprobe^2 * N^1.5 candidate pairs —
+    * assumes cells stay near their expected occupancy nprobe*sqrt(N)
+    * (nlist = sqrt(N) cells, each vector in its top-nprobe). A skewed
+    * corpus (a hot centroid attracting far more than nprobe*sqrt(N)
+    * members) quadratically inflates that cell's pair block, so this
+    * histogram is the signal to retune the sqrt(N)/nprobe fanout BEFORE
+    * a build blows past its budget — the NSW twin of [[ivfBalance]].
+    * Buckets are binary-digit counts (integer-exact in both engines),
+    * so the report stays ~40 rows at any corpus scale; occ_bits much
+    * above log2(nprobe*sqrt(N)) with non-trivial n_cells = hot cells.
+    */
+  def nswCellStats(s: SparkSession, dir: String, nprobe: Int = 3): DataFrame =
+    nswCells(s, dir, nprobe)
+      .groupBy(col("cid")).agg(count(lit(1)).as("occ"))
+      .groupBy(length(bin(col("occ"))).cast("long").as("occ_bits"))
+      .agg(count(lit(1)).as("n_cells"),
+        min(col("occ")).as("min_occ"),
+        max(col("occ")).as("max_occ"),
+        sum(col("occ")).as("n_assignments"))
+
+  /** Portable (Spark `instr` / DuckDB `strpos`) 48-bit integer from the
+    * first 12 hex digits of hex-string expression `h`.
+    */
+  private def hex12ToLong(h: String, posFn: String): String =
+    (1 to 12).map { i =>
+      s"CAST($posFn('0123456789abcdef', substring($h, $i, 1)) - 1 AS BIGINT) * ${1L << (4 * (12 - i))}"
+    }.mkString("(", " + ", ")")
+
+  /** HNSW level draw as trailing base-4 zeros of integer expression `h`:
+    * P(level >= l) = 4^-l, exactly the geometric floor(-ln(u) * mL)
+    * assignment at mL = 1/ln(4) (i.e. M = 4), but in PURE INTEGER
+    * arithmetic — no ln/floor doubles whose boundary rounding could
+    * disagree across engines. Capped at 16 (P ≈ 2e-10: unreachable
+    * until ~4^16 ≈ 4e9 nodes per partition-of-draws; the cap only
+    * flattens the astronomically rare tail into one level).
+    */
+  private def levelFromH(h: String): String =
+    (1 to 16).map(l => s"(CASE WHEN $h % ${1L << (2 * l)} = 0 THEN 1 ELSE 0 END)")
+      .mkString("(", " + ", ")")
+
+  /** Deterministic HNSW layer assignment per vector (reference serving
+    * index: qdrant.py:73-79 delegates this to Qdrant's HNSW; here the
+    * draw is explicit): level = trailing base-4 zeros of a 48-bit
+    * md5-derived integer — the classic geometric level distribution
+    * (Malkov & Yashunin 2016, level = floor(-ln(u)·mL)) made
+    * integer-exact and cross-engine portable, so the DuckDB oracle
+    * reproduces every draw bit-for-bit. A pure per-row projection: at
+    * 100 TB this is a map stage over the vector ids, no shuffle at all.
+    */
+  def hnswLevels(s: SparkSession, dir: String): DataFrame =
+    Graft.embeddings(s, dir)
+      .select(col("vec_id"),
+        expr(hex12ToLong("md5(cast(vec_id as string))", "instr")).as("h"))
+      .select(col("vec_id"), expr(levelFromH("h")).cast("long").as("level"))
+
+  /** Level histogram of the HNSW layer assignment — the keyed,
+    * oracle-checked face of [[hnswLevels]]: n_nodes at each level, so
+    * the expected 4^-l geometric decay (and the resulting per-layer
+    * build budgets) is verified against the exact cross-engine draw.
+    */
+  def hnswLayerHistogram(s: SparkSession, dir: String): DataFrame =
+    hnswLevels(s, dir).groupBy(col("level")).agg(count(lit(1)).as("n_nodes"))
+
+  /** Batch HNSW index construction: the layered completion of
+    * [[nswGraph]] (reference serving index: qdrant.py:73-79). Each node
+    * draws its geometric [[hnswLevels]] level; layer l holds every node
+    * with level >= l (so layers shrink 4× per step and upper layers are
+    * tiny by construction); each layer gets k-NN edges from the SAME
+    * blocked builder as the flat graph ([[nswEdgesFromCells]]), with
+    * per-layer sqrt(n_l) centroid fanout. Greedy search then descends:
+    * coarse long-range hops in the sparse upper layers, refinement in
+    * layer 0 (HnswSpec asserts the descent reaches the true NN in no
+    * more hops than flat-NSW greedy).
+    *
+    * Scale shape: layer 0 re-reads the memoized [[nswCells]] assignment
+    * (shared with `ann_graph_nsw` — the base layer IS the flat graph
+    * plus a literal layer column); layer l >= 1 pays the (N/4^l)^1.5
+    * blocked-pair bound, so the whole upper stack costs < 1/8 + 1/64 +
+    * ... ≈ 15% of the base build. The per-layer node census is a
+    * driver-side collect of <= 17 rows (the level histogram), the same
+    * metadata-cheap size peek behind every AQE plan pick.
+    */
+  def hnswGraph(s: SparkSession, dir: String, k: Int = 4, nprobe: Int = 3): DataFrame = {
+    val e = Graft.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val lv = hnswLevels(s, dir)
+    val byLevel = hnswLayerHistogram(s, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val maxDrawn = byLevel.keys.max
+    val layers = for {
+      l <- 0L to maxDrawn
+      nl = byLevel.filter(_._1 >= l).values.sum
+      if nl >= 2L // a 1-node layer has no edges (it is the entry point)
+    } yield {
+      if (l == 0L) {
+        nswEdgesFromCells(e, nswCells(s, dir, nprobe).hint("SHUFFLE_HASH"), k)
+          .withColumn("layer", lit(0L))
+      } else {
+        val sub = e.join(lv.filter(col("level") >= l).select(col("vec_id")), "vec_id")
+        val ncents = math.min(nl, math.max(8L, math.sqrt(nl.toDouble).floor.toLong))
+        // sparse vec_ids: the "first sqrt(n_l) nodes" centroid seed is an
+        // orderBy+limit (TakeOrderedAndProject) instead of the dense
+        // vec_id < ncents predicate the base layer can use
+        val cents = sub.orderBy(col("vec_id")).limit(ncents.toInt)
+          .agg(sort_array(collect_list(struct(col("vec_id").as("cid"), col("embedding").as("cvec"))))
+            .as("cents"))
+        nswEdgesFromCells(sub, cellsOver(sub, cents, nprobe).hint("SHUFFLE_HASH"), k)
+          .withColumn("layer", lit(l))
+      }
+    }
+    layers.reduce(_ unionByName _)
+      .select(col("layer"), col("src"), col("dst"), col("cos"), col("rn"), col("mutual"))
   }
 
   /** Filtered vector search: cosine top-k restricted by a metadata
@@ -547,6 +693,54 @@ object Ann {
   private val duckE =
     """e AS (SELECT vec_id, label,
       | list_transform(embedding, z -> CAST(z AS DOUBLE)) AS v FROM embeddings)""".stripMargin
+
+  /** The md5 trailing-base-4-zeros level draw as DuckDB CTEs (`h0`,
+    * `lv`) — the exact cross-engine twin of [[hnswLevels]].
+    */
+  private val duckLevels =
+    s"""h0 AS (SELECT vec_id, ${hex12ToLong("md5(CAST(vec_id AS VARCHAR))", "strpos")} AS h FROM e),
+       |lv AS (SELECT vec_id, CAST(${levelFromH("h")} AS BIGINT) AS level FROM h0)""".stripMargin
+
+  /** One full blocked-NSW build (assignment → blocked pairs → NN-descent
+    * → reciprocal top-k) over the nodes of HNSW layer `l`, as a DuckDB
+    * CTE chain ending in `lay$l`. Empty layers flow through as zero
+    * rows, so a static 0..16 stack covers every drawable level.
+    */
+  private def duckHnswLayer(l: Int): String =
+    s"""el$l AS (SELECT e.vec_id, e.v FROM e JOIN lv ON e.vec_id = lv.vec_id WHERE lv.level >= $l),
+       |nc$l AS (SELECT least(count(*), greatest(8, CAST(floor(sqrt(count(*))) AS BIGINT))) AS nc FROM el$l),
+       |c$l AS (SELECT vec_id AS cid, v FROM (
+       |  SELECT vec_id, v, row_number() OVER (ORDER BY vec_id) AS rnk FROM el$l)
+       |  WHERE rnk <= (SELECT nc FROM nc$l)),
+       |sc$l AS (SELECT x.vec_id, y.cid, round($duckCosPair, 6) AS cscore
+       |       FROM el$l x JOIN (SELECT cid, v FROM c$l) y ON true),
+       |asg$l AS (SELECT vec_id, cid FROM (
+       |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+       |          ORDER BY cscore DESC, cid) AS rn FROM sc$l) WHERE rn <= 3),
+       |cand0$l AS (SELECT DISTINCT x.vec_id AS src, y.vec_id AS dst
+       |          FROM asg$l x JOIN asg$l y ON x.cid = y.cid AND x.vec_id != y.vec_id),
+       |cos0$l AS (SELECT src, dst, round($duckCosPair, 6) AS cos
+       |         FROM cand0$l JOIN el$l x ON x.vec_id = src JOIN el$l y ON y.vec_id = dst),
+       |r1$l AS (SELECT src, dst FROM (SELECT src, dst, row_number() OVER (
+       |         PARTITION BY src ORDER BY cos DESC, dst) AS rn FROM cos0$l) WHERE rn <= 4),
+       |und$l AS (SELECT src, dst FROM r1$l UNION SELECT dst, src FROM r1$l),
+       |hop2$l AS (SELECT DISTINCT a.src AS src, b.dst AS dst
+       |         FROM und$l a JOIN und$l b ON a.dst = b.src WHERE a.src != b.dst),
+       |allc$l AS (SELECT src, dst FROM hop2$l UNION SELECT src, dst FROM cand0$l),
+       |csA$l AS (SELECT src, dst, round($duckCosPair, 6) AS cos
+       |        FROM allc$l JOIN el$l x ON x.vec_id = src JOIN el$l y ON y.vec_id = dst),
+       |topk$l AS (SELECT src, dst, cos, CAST(rn AS BIGINT) AS rn FROM (
+       |  SELECT src, dst, cos, row_number() OVER (PARTITION BY src
+       |          ORDER BY cos DESC, dst) AS rn FROM csA$l) WHERE rn <= 4),
+       |lay$l AS (SELECT CAST($l AS BIGINT) AS layer, t.src, t.dst, t.cos, t.rn,
+       |  (r.src IS NOT NULL) AS mutual
+       |  FROM topk$l t LEFT JOIN topk$l r ON t.src = r.dst AND t.dst = r.src)""".stripMargin
+
+  private def duckHnswLayersSql: String = {
+    val chains = (0 to 16).map(duckHnswLayer).mkString(",\n")
+    val union = (0 to 16).map(l => s"SELECT * FROM lay$l").mkString("\nUNION ALL ")
+    s"WITH $duckE,\n$duckLevels,\n$chains\n$union"
+  }
 
   /** Shared PQ CTE chain ending in `adc` = (vec_id, adc6). */
   private val duckPqAdc =
@@ -880,6 +1074,25 @@ object Ann {
          |          ORDER BY cos DESC, dst) AS rn FROM csA) WHERE rn <= 4)
          |SELECT t.src, t.dst, t.cos, t.rn, (r.src IS NOT NULL) AS mutual
          |FROM topk t LEFT JOIN topk r ON t.src = r.dst AND t.dst = r.src""".stripMargin,
+    "ann_hnsw_levels" ->
+      s"""WITH $duckE,
+         |$duckLevels
+         |SELECT level, count(*) AS n_nodes FROM lv GROUP BY 1""".stripMargin,
+    "ann_graph_hnsw_layers" -> duckHnswLayersSql,
+    "ann_nsw_cell_stats" ->
+      s"""WITH $duckE,
+         |c AS (SELECT vec_id AS cid, v FROM e WHERE vec_id <
+         |        greatest(8, CAST(floor(sqrt((SELECT count(*) FROM e))) AS BIGINT))),
+         |sc AS (SELECT x.vec_id, y.cid, round($duckCosPair, 6) AS cscore
+         |       FROM e x JOIN (SELECT cid, v FROM c) y ON true),
+         |asg AS (SELECT vec_id, cid FROM (
+         |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+         |          ORDER BY cscore DESC, cid) AS rn FROM sc) WHERE rn <= 3),
+         |occ AS (SELECT cid, count(*) AS occ FROM asg GROUP BY cid)
+         |SELECT CAST(length(bin(occ)) AS BIGINT) AS occ_bits,
+         | count(*) AS n_cells, min(occ) AS min_occ, max(occ) AS max_occ,
+         | CAST(sum(occ) AS BIGINT) AS n_assignments
+         |FROM occ GROUP BY 1""".stripMargin,
     "knn_join" ->
       s"""WITH $duckE,
          |qs AS (SELECT vec_id AS q_id, v FROM e WHERE vec_id < 100)
