@@ -299,8 +299,13 @@ object Dedup {
     * scale-killer (32-44s alone at 30x sf0.1 vs 4-5s for the LSH twin)
     * and the operator routes to [[embeddingNearDupLsh]] — banded SRP
     * blocking with the SAME exact-cosine >= tau verify, so precision is
-    * identical and only band-recall (~0.99 at near-dup cosines) is
-    * traded for linear candidate growth. The count that drives the
+    * identical and only band-recall is traded for linear candidate
+    * growth. Band recall depends on the pair's cosine: ~0.95 at
+    * dup-grade cosines (>= 0.9, where real near-dups live), but only
+    * ~0.2-0.45 at this loose default tau = 0.35 (ContractSpec measures
+    * 3/14 on the spec corpus) — the routed answer is a strict SUBSET,
+    * which is exactly why [[embeddingRouteThreshold]] is a loud pinned
+    * contract rather than a silent heuristic. The count that drives the
     * decision is a column-pruned metadata-cheap scan, like the size
     * estimate behind every AQE join pick.
     */

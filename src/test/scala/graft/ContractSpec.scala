@@ -35,6 +35,28 @@ class ContractSpec extends SparkSpec {
     }
   }
 
+  test("dedup_embedding LSH route is an exact-precision subset of the exact route") {
+    // both routes share the exact-cosine >= tau verify, so every LSH
+    // pair must appear in the exact answer with an identical cosine
+    // (precision 1 by construction). Recall is NOT 1 at the registered
+    // tau: SRP band recall is ~0.95 only at dup-grade cosines (>= 0.9);
+    // at this corpus's loose tau = 0.35 the surviving pairs sit at
+    // cos 0.35-0.45 where 4 bands of 4 bits recall ~0.2-0.45 —
+    // measured 3/14 here. That is exactly why the auto-route threshold
+    // is a loud ContractSpec-pinned constant: above it the answer is a
+    // subset, which an exact oracle must never be asked to verify.
+    val dir = "/root/testdata/sf0.001"
+    val exact = graft.operators.Dedup.embeddingNearDup(spark, dir)
+      .collect().map(_.toSeq).toSet
+    val lsh = graft.operators.Dedup.embeddingNearDupLsh(spark, dir)
+      .collect().map(_.toSeq).toSet
+    assert(exact.nonEmpty, "spec corpus yields no near-dup pairs at tau")
+    assert(lsh.nonEmpty, "LSH route recalled nothing at tau")
+    assert(lsh.subsetOf(exact),
+      s"LSH route invented pairs outside the exact answer: ${lsh -- exact}")
+    info(s"LSH recall at tau=0.35 on this corpus: ${lsh.size}/${exact.size}")
+  }
+
   test("entry (flagship search pipeline) returns rows at sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
