@@ -360,52 +360,96 @@ object Ann {
 
   /** Batch HNSW index construction: the layered completion of
     * [[nswGraph]] (reference serving index: qdrant.py:73-79). Each node
-    * draws its geometric [[hnswLevels]] level; layer l holds every node
-    * with level >= l (so layers shrink 4× per step and upper layers are
-    * tiny by construction); each layer gets k-NN edges from the SAME
-    * blocked builder as the flat graph ([[nswEdgesFromCells]]), with
-    * per-layer sqrt(n_l) centroid fanout. Greedy search then descends:
-    * coarse long-range hops in the sparse upper layers, refinement in
-    * layer 0 (HnswSpec asserts the descent reaches the true NN in no
-    * more hops than flat-NSW greedy).
+    * draws its geometric [[hnswLevels]] level and belongs to layers
+    * 0..level (so layers shrink 4× per step and upper layers are tiny
+    * by construction); every layer gets k-NN edges from the same
+    * blocked algorithm as the flat graph, with per-layer sqrt(n_l)
+    * centroid fanout. Greedy search then descends: coarse long-range
+    * hops in the sparse upper layers, refinement in layer 0 (HnswSpec
+    * asserts the descent finds at least as many true NNs as flat-NSW
+    * search at lower expansion cost).
     *
-    * Scale shape: layer 0 re-reads the memoized [[nswCells]] assignment
-    * (shared with `ann_graph_nsw` — the base layer IS the flat graph
-    * plus a literal layer column); layer l >= 1 pays the (N/4^l)^1.5
-    * blocked-pair bound, so the whole upper stack costs < 1/8 + 1/64 +
-    * ... ≈ 15% of the base build. The per-layer node census is a
-    * driver-side collect of <= 17 rows (the level histogram), the same
-    * metadata-cheap size peek behind every AQE plan pick.
+    * Scale shape — ONE declarative plan for the whole stack, `layer` is
+    * just another key column (a driver loop building one DAG per layer
+    * measured 91s at sf0.1 on pure stage/codegen overhead; this plan
+    * runs the same work in a handful of shuffles):
+    *  1. explode each node into its 0..level layer memberships
+    *     (Σ(level+1) ≈ 4N/3 rows — the geometric draw bounds the blowup);
+    *  2. one window pass per layer ranks nodes by vec_id and counts
+    *     n_l, giving each layer its "first max(8, √n_l) nodes" centroid
+    *     seed — the same seed rule at every layer, no driver census;
+    *  3. per-layer centroid arrays collapse to <= 17 rows, broadcast,
+    *     and the top-nprobe cell assignment is one projection;
+    *  4. blocked pairs join on (layer, cid) — ONE shuffle carries every
+    *     layer's candidate stream; hash(layer, cid) already satisfies
+    *     the per-(src, layer, cid) heap's clustering, so the full
+    *     stream again hits no extra exchange;
+    *  5. NN-descent + reciprocity run layer-qualified, k-bounded.
+    * Layer l >= 1 pays the (n/4^l)^1.5 pair bound, so the upper stack
+    * costs < 15% of the base build.
     */
   def hnswGraph(s: SparkSession, dir: String, k: Int = 4, nprobe: Int = 3): DataFrame = {
     val e = Graft.embeddings(s, dir).select(col("vec_id"), col("embedding"))
-    val lv = hnswLevels(s, dir)
-    val byLevel = hnswLayerHistogram(s, dir).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val maxDrawn = byLevel.keys.max
-    val layers = for {
-      l <- 0L to maxDrawn
-      nl = byLevel.filter(_._1 >= l).values.sum
-      if nl >= 2L // a 1-node layer has no edges (it is the entry point)
-    } yield {
-      if (l == 0L) {
-        nswEdgesFromCells(e, nswCells(s, dir, nprobe).hint("SHUFFLE_HASH"), k)
-          .withColumn("layer", lit(0L))
-      } else {
-        val sub = e.join(lv.filter(col("level") >= l).select(col("vec_id")), "vec_id")
-        val ncents = math.min(nl, math.max(8L, math.sqrt(nl.toDouble).floor.toLong))
-        // sparse vec_ids: the "first sqrt(n_l) nodes" centroid seed is an
-        // orderBy+limit (TakeOrderedAndProject) instead of the dense
-        // vec_id < ncents predicate the base layer can use
-        val cents = sub.orderBy(col("vec_id")).limit(ncents.toInt)
-          .agg(sort_array(collect_list(struct(col("vec_id").as("cid"), col("embedding").as("cvec"))))
-            .as("cents"))
-        nswEdgesFromCells(sub, cellsOver(sub, cents, nprobe).hint("SHUFFLE_HASH"), k)
-          .withColumn("layer", lit(l))
-      }
-    }
-    layers.reduce(_ unionByName _)
-      .select(col("layer"), col("src"), col("dst"), col("cos"), col("rn"), col("mutual"))
+    val nodes = e.join(hnswLevels(s, dir), "vec_id")
+      .select(col("vec_id"), col("embedding"),
+        explode(expr("sequence(0L, level)")).as("layer"))
+    // per-layer census + centroid-seed rank in one (layer) shuffle
+    val wRank = Window.partitionBy(col("layer")).orderBy(col("vec_id"))
+    val wAll = Window.partitionBy(col("layer"))
+    val ranked = nodes
+      .withColumn("rnk", row_number().over(wRank))
+      .withColumn("nl", count(lit(1)).over(wAll))
+    val cents = ranked
+      .filter(col("rnk") <= least(col("nl"),
+        greatest(lit(8L), expr("cast(floor(sqrt(nl)) as bigint)"))))
+      .groupBy(col("layer"))
+      .agg(sort_array(collect_list(struct(col("vec_id").as("cid"), col("embedding").as("cvec"))))
+        .as("cents"))
+    val cells = nodes.join(broadcast(cents), "layer")
+      .select(col("layer"), col("vec_id"), col("embedding"),
+        explode(expr(s"slice(array_sort(transform(cents, c -> named_struct(" +
+          s"'negc', -round(fvec_cos(embedding, c.cvec), 6), 'cid', c.cid))), 1, $nprobe)"))
+          .as("cc"))
+      .select(col("layer"), col("vec_id"), col("embedding"), col("cc.cid").as("cid"))
+      .hint("SHUFFLE_HASH")
+    // every layer's blocked pairs in ONE (layer, cid) shuffle; cosine
+    // inline in the join projection so vectors never ride a pair shuffle
+    val pairs = cells.as("x").join(cells.as("y"),
+        col("x.layer") === col("y.layer") && col("x.cid") === col("y.cid") &&
+          col("x.vec_id") =!= col("y.vec_id"))
+      .select(col("x.layer").as("layer"), col("x.vec_id").as("src"), col("x.cid").as("cid"),
+        col("y.vec_id").as("dst"),
+        VectorOps.cosine6(col("x.embedding"), col("y.embedding")).as("cos"))
+    val wCell = Window.partitionBy(col("src"), col("layer"), col("cid"))
+      .orderBy(col("cos").desc, col("dst"))
+    val perCell = pairs
+      .withColumn("rn", row_number().over(wCell)).filter(col("rn") <= k)
+      .select(col("layer"), col("src"), col("dst"), col("cos"))
+    val wTop = Window.partitionBy(col("src"), col("layer"))
+      .orderBy(col("cos").desc, col("dst"))
+    val r1 = perCell.distinct()
+      .withColumn("rn", row_number().over(wTop)).filter(col("rn") <= k)
+      .select(col("layer"), col("src"), col("dst"), col("cos"))
+    val und = r1.select(col("layer"), col("src"), col("dst"))
+      .union(r1.select(col("layer"), col("dst").as("src"), col("src").as("dst")))
+    val hop2 = und.as("a").join(und.as("b"),
+        col("a.layer") === col("b.layer") && col("a.dst") === col("b.src") &&
+          col("a.src") =!= col("b.dst"))
+      .select(col("a.layer").as("layer"), col("a.src").as("src"), col("b.dst").as("dst"))
+      .distinct()
+    val hop2Scored = hop2
+      .join(e.select(col("vec_id").as("src"), col("embedding").as("sv")).hint("SHUFFLE_HASH"), "src")
+      .join(e.select(col("vec_id").as("dst"), col("embedding").as("dv")).hint("SHUFFLE_HASH"), "dst")
+      .select(col("layer"), col("src"), col("dst"),
+        VectorOps.cosine6(col("sv"), col("dv")).as("cos"))
+    val edges = r1.union(hop2Scored).distinct()
+      .withColumn("rn", row_number().over(wTop).cast("long")).filter(col("rn") <= k)
+    val rev = edges.select(col("layer").as("r_layer"),
+      col("src").as("r_src"), col("dst").as("r_dst"))
+    edges.join(rev, col("layer") === col("r_layer") &&
+        col("src") === col("r_dst") && col("dst") === col("r_src"), "left")
+      .select(col("layer"), col("src"), col("dst"), col("cos"), col("rn"),
+        col("r_src").isNotNull.as("mutual"))
   }
 
   /** Filtered vector search: cosine top-k restricted by a metadata

@@ -109,4 +109,11 @@ class EmptyInputSpec extends SparkSpec {
     assert(Analytics.rfm(spark, dir).count() === 0)
     assert(Events.sessionStats(spark, dir).count() === 0)
   }
+
+  test("round-8 operators are safe on empty tables") {
+    assert(Ann.hnswLevels(spark, dir).count() === 0)
+    assert(Ann.hnswLayerHistogram(spark, dir).count() === 0)
+    assert(Ann.hnswGraph(spark, dir).count() === 0)
+    assert(Ann.nswCellStats(spark, dir).count() === 0)
+  }
 }

@@ -138,6 +138,32 @@ class ScaleLayoutSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 
+  test("hnsw layered build: ONE pair join feeds the per-(src,layer,cid) heap, no exchange") {
+    // the layered completion must keep the flat build's scale property
+    // with `layer` as a key column: a SINGLE (layer, cid) shuffled join
+    // produces every layer's candidate stream, and the per-(src, layer,
+    // cid) bounded heap consumes it in place — hash(layer, cid)
+    // satisfies its clustering. An exchange here re-materializes the
+    // N^1.5 stream; a second pair join means the build regressed to
+    // per-layer plans (the 91s-at-sf0.1 driver-loop shape).
+    val g = graft.operators.Ann.hnswGraph(spark, "/root/testdata/sf0.001")
+    g.collect()
+    val plan = g.queryExecution.executedPlan
+    val heaps = collectWithSubqueries(plan) {
+      case t: graft.plans.TopKPerKeyExec if t.keys.length == 3 => t
+    }
+    // (plan reuse can instantiate the heap subtree more than once —
+    // the contract is that EVERY instance sits directly on its join)
+    assert(heaps.nonEmpty, s"per-(src,layer,cid) TopKPerKey missing:\n$plan")
+    heaps.foreach { h =>
+      assert(joinsBelow(h.child).nonEmpty,
+        s"heap no longer fed by a shuffled pair join:\n$plan")
+      val extra = shufflesAboveJoin(h.child)
+      assert(extra.isEmpty,
+        s"exchange between layered pair join and heap: $extra\n$plan")
+    }
+  }
+
   test("set-ops query computes each distinct subtree once (ReusedExchange)") {
     // q_set_ops references the click/purchase distinct subtrees from all
     // three set operators; every branch shuffles the same canonical
