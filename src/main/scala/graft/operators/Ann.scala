@@ -218,22 +218,37 @@ object Ann {
     */
   private def cellsOver(e: DataFrame, cents: DataFrame, nprobe: Int): DataFrame =
     e.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("embedding"),
+      .select(col("vec_id"), col("embedding"), col("nrm"),
         explode(expr(s"slice(array_sort(transform(cents, c -> named_struct(" +
-          s"'negc', -round(fvec_cos(embedding, c.cvec), 6), 'cid', c.cid))), 1, $nprobe)"))
+          s"'negc', -round(fvec_dot(embedding, c.cvec) / (nrm * c.cnrm), 6), 'cid', c.cid))), 1, $nprobe)"))
           .as("cc"))
-      .select(col("vec_id"), col("embedding"), col("cc.cid").as("cid"))
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cc.cid").as("cid"))
 
-  private def nswCells(s: SparkSession, dir: String, nprobe: Int): DataFrame =
-    Graft.memoCache(s"nsw_cells_$nprobe", dir) {
-      val e = Graft.embeddings(s, dir).select(col("vec_id"), col("embedding"))
-      val nc = e.agg(greatest(lit(8L), expr("cast(floor(sqrt(count(1))) as bigint)"))
-        .as("ncents"))
-      val cents = e.crossJoin(broadcast(nc)).filter(col("vec_id") < col("ncents"))
-        .agg(sort_array(collect_list(struct(col("vec_id").as("cid"), col("embedding").as("cvec"))))
-          .as("cents"))
-      cellsOver(e, cents, nprobe)
-    }
+  /** One dot-accumulation loop per pair instead of three: the cosine
+    * denominator's norms are per-VECTOR quantities, so they are
+    * computed once here and carried as a column; every pair-stage
+    * cosine is then `fvec_dot / (nrm_x * nrm_y)` — BIT-identical to
+    * `fvec_cos` (same accumulation order, same sqrt-then-multiply
+    * grouping), at a third of the FLOPs on the N^1.5 candidate stream.
+    */
+  private def withNorm(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), col("embedding"), VectorOps.norm(col("embedding")).as("nrm"))
+
+  /** NOT memoized/persisted: an InMemoryRelation over array<float>
+    * columns pays ColumnarToRow array deserialization on every scan,
+    * which measured SLOWER at 10-30× scale than recomputing the
+    * assignment from the vectorized parquet scan (the self-join's two
+    * sides share one computation via ReusedExchange anyway).
+    */
+  private def nswCells(s: SparkSession, dir: String, nprobe: Int): DataFrame = {
+    val e = withNorm(Graft.embeddings(s, dir))
+    val nc = e.agg(greatest(lit(8L), expr("cast(floor(sqrt(count(1))) as bigint)"))
+      .as("ncents"))
+    val cents = e.crossJoin(broadcast(nc)).filter(col("vec_id") < col("ncents"))
+      .agg(sort_array(collect_list(struct(col("vec_id").as("cid"), col("embedding").as("cvec"),
+        col("nrm").as("cnrm")))).as("cents"))
+    cellsOver(e, cents, nprobe)
+  }
 
   def nswGraph(s: SparkSession, dir: String, k: Int = 4, nprobe: Int = 3): DataFrame = {
     val e = Graft.embeddings(s, dir).select(col("vec_id"), col("embedding"))
@@ -259,7 +274,8 @@ object Ann {
     val pairs = cells.as("x").join(cells.as("y"),
         col("x.cid") === col("y.cid") && col("x.vec_id") =!= col("y.vec_id"))
       .select(col("x.vec_id").as("src"), col("x.cid").as("cid"), col("y.vec_id").as("dst"),
-        VectorOps.cosine6(col("x.embedding"), col("y.embedding")).as("cos"))
+        round(VectorOps.dot(col("x.embedding"), col("y.embedding"))
+          / (col("x.nrm") * col("y.nrm")), 6).as("cos"))
     val wCell = Window.partitionBy(col("src"), col("cid"))
       .orderBy(col("cos").desc, col("dst"))
     val perCell = pairs
@@ -278,10 +294,14 @@ object Ann {
         col("a.dst") === col("b.src") && col("a.src") =!= col("b.dst"))
       .select(col("a.src").as("src"), col("b.dst").as("dst"))
       .distinct()
+    val en = withNorm(e)
     val hop2Scored = hop2
-      .join(e.select(col("vec_id").as("src"), col("embedding").as("sv")).hint("SHUFFLE_HASH"), "src")
-      .join(e.select(col("vec_id").as("dst"), col("embedding").as("dv")).hint("SHUFFLE_HASH"), "dst")
-      .select(col("src"), col("dst"), VectorOps.cosine6(col("sv"), col("dv")).as("cos"))
+      .join(en.select(col("vec_id").as("src"), col("embedding").as("sv"),
+        col("nrm").as("snrm")).hint("SHUFFLE_HASH"), "src")
+      .join(en.select(col("vec_id").as("dst"), col("embedding").as("dv"),
+        col("nrm").as("dnrm")).hint("SHUFFLE_HASH"), "dst")
+      .select(col("src"), col("dst"),
+        round(VectorOps.dot(col("sv"), col("dv")) / (col("snrm") * col("dnrm")), 6).as("cos"))
     // ranking r1 ∪ hop2 equals ranking cand0 ∪ hop2: per src, r1 is the
     // exact top-k of cand0, so every other cand0 pair is strictly worse
     // than all k of them and can never enter the final top-k
@@ -390,8 +410,10 @@ object Ann {
     */
   def hnswGraph(s: SparkSession, dir: String, k: Int = 4, nprobe: Int = 3): DataFrame = {
     val e = Graft.embeddings(s, dir).select(col("vec_id"), col("embedding"))
-    val nodes = e.join(hnswLevels(s, dir), "vec_id")
-      .select(col("vec_id"), col("embedding"),
+    // norms once per VECTOR, before the layer explode — they ride the
+    // membership rows so every later pair cosine is dot-only
+    val nodes = withNorm(e).join(hnswLevels(s, dir), "vec_id")
+      .select(col("vec_id"), col("embedding"), col("nrm"),
         explode(expr("sequence(0L, level)")).as("layer"))
     // per-layer census + centroid-seed rank in one (layer) shuffle
     val wRank = Window.partitionBy(col("layer")).orderBy(col("vec_id"))
@@ -403,14 +425,14 @@ object Ann {
       .filter(col("rnk") <= least(col("nl"),
         greatest(lit(8L), expr("cast(floor(sqrt(nl)) as bigint)"))))
       .groupBy(col("layer"))
-      .agg(sort_array(collect_list(struct(col("vec_id").as("cid"), col("embedding").as("cvec"))))
-        .as("cents"))
+      .agg(sort_array(collect_list(struct(col("vec_id").as("cid"), col("embedding").as("cvec"),
+        col("nrm").as("cnrm")))).as("cents"))
     val cells = nodes.join(broadcast(cents), "layer")
-      .select(col("layer"), col("vec_id"), col("embedding"),
+      .select(col("layer"), col("vec_id"), col("embedding"), col("nrm"),
         explode(expr(s"slice(array_sort(transform(cents, c -> named_struct(" +
-          s"'negc', -round(fvec_cos(embedding, c.cvec), 6), 'cid', c.cid))), 1, $nprobe)"))
+          s"'negc', -round(fvec_dot(embedding, c.cvec) / (nrm * c.cnrm), 6), 'cid', c.cid))), 1, $nprobe)"))
           .as("cc"))
-      .select(col("layer"), col("vec_id"), col("embedding"), col("cc.cid").as("cid"))
+      .select(col("layer"), col("vec_id"), col("embedding"), col("nrm"), col("cc.cid").as("cid"))
       .hint("SHUFFLE_HASH")
     // every layer's blocked pairs in ONE (layer, cid) shuffle; cosine
     // inline in the join projection so vectors never ride a pair shuffle
@@ -419,7 +441,8 @@ object Ann {
           col("x.vec_id") =!= col("y.vec_id"))
       .select(col("x.layer").as("layer"), col("x.vec_id").as("src"), col("x.cid").as("cid"),
         col("y.vec_id").as("dst"),
-        VectorOps.cosine6(col("x.embedding"), col("y.embedding")).as("cos"))
+        round(VectorOps.dot(col("x.embedding"), col("y.embedding"))
+          / (col("x.nrm") * col("y.nrm")), 6).as("cos"))
     val wCell = Window.partitionBy(col("src"), col("layer"), col("cid"))
       .orderBy(col("cos").desc, col("dst"))
     val perCell = pairs
@@ -437,11 +460,14 @@ object Ann {
           col("a.src") =!= col("b.dst"))
       .select(col("a.layer").as("layer"), col("a.src").as("src"), col("b.dst").as("dst"))
       .distinct()
+    val en = withNorm(e)
     val hop2Scored = hop2
-      .join(e.select(col("vec_id").as("src"), col("embedding").as("sv")).hint("SHUFFLE_HASH"), "src")
-      .join(e.select(col("vec_id").as("dst"), col("embedding").as("dv")).hint("SHUFFLE_HASH"), "dst")
+      .join(en.select(col("vec_id").as("src"), col("embedding").as("sv"),
+        col("nrm").as("snrm")).hint("SHUFFLE_HASH"), "src")
+      .join(en.select(col("vec_id").as("dst"), col("embedding").as("dv"),
+        col("nrm").as("dnrm")).hint("SHUFFLE_HASH"), "dst")
       .select(col("layer"), col("src"), col("dst"),
-        VectorOps.cosine6(col("sv"), col("dv")).as("cos"))
+        round(VectorOps.dot(col("sv"), col("dv")) / (col("snrm") * col("dnrm")), 6).as("cos"))
     val edges = r1.union(hop2Scored).distinct()
       .withColumn("rn", row_number().over(wTop).cast("long")).filter(col("rn") <= k)
     val rev = edges.select(col("layer").as("r_layer"),
