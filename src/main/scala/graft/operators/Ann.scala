@@ -395,9 +395,14 @@ object Ann {
     * runs the same work in a handful of shuffles):
     *  1. explode each node into its 0..level layer memberships
     *     (Σ(level+1) ≈ 4N/3 rows — the geometric draw bounds the blowup);
-    *  2. one window pass per layer ranks nodes by vec_id and counts
-    *     n_l, giving each layer its "first max(8, √n_l) nodes" centroid
-    *     seed — the same seed rule at every layer, no driver census;
+    *  2. a per-layer census (`groupBy(layer).count` — map-side
+    *     combinable, ≤ 17 output rows) broadcast back picks each
+    *     layer's ~max(8, √n_l) centroid seeds by a dense-id THRESHOLD
+    *     (see below) — never a window partitioned by `layer` alone,
+    *     which would put the whole base layer (ALL N nodes are layer-0
+    *     members) into one window partition: a single-task full-corpus
+    *     sort at 100 TB (the round-8 shape; ScaleLayoutSpec and
+    *     PlanLintSpec now pin its absence);
     *  3. per-layer centroid arrays collapse to <= 17 rows, broadcast,
     *     and the top-nprobe cell assignment is one projection;
     *  4. blocked pairs join on (layer, cid) — ONE shuffle carries every
@@ -407,6 +412,16 @@ object Ann {
     *  5. NN-descent + reciprocity run layer-qualified, k-bounded.
     * Layer l >= 1 pays the (n/4^l)^1.5 pair bound, so the upper stack
     * costs < 15% of the base build.
+    *
+    * Seed rule: vec_ids are dense over [0, N) and layer-l membership
+    * (md5 draw) is pseudo-uniform over ids, so a layer with n_l members
+    * has ≈ t·n_l/N of them below any id threshold t. Taking
+    * thr_l = ceil(N·target_l/n_l) with target_l = min(n_l, max(8, ⌊√n_l⌋))
+    * yields ~target_l seeds per layer from a PURE per-row filter — no
+    * ordering anywhere. The layer's min vec_id is OR-ed in so even an
+    * unluckily thresholded sparse layer keeps ≥ 1 centroid. Layer 0
+    * (n_0 = N) reduces to exactly the flat build's `vec_id < max(8, √N)`
+    * rule ([[nswCells]], Ann.scala:247).
     */
   def hnswGraph(s: SparkSession, dir: String, k: Int = 4, nprobe: Int = 3): DataFrame = {
     val e = Graft.embeddings(s, dir).select(col("vec_id"), col("embedding"))
@@ -415,15 +430,17 @@ object Ann {
     val nodes = withNorm(e).join(hnswLevels(s, dir), "vec_id")
       .select(col("vec_id"), col("embedding"), col("nrm"),
         explode(expr("sequence(0L, level)")).as("layer"))
-    // per-layer census + centroid-seed rank in one (layer) shuffle
-    val wRank = Window.partitionBy(col("layer")).orderBy(col("vec_id"))
-    val wAll = Window.partitionBy(col("layer"))
-    val ranked = nodes
-      .withColumn("rnk", row_number().over(wRank))
-      .withColumn("nl", count(lit(1)).over(wAll))
-    val cents = ranked
-      .filter(col("rnk") <= least(col("nl"),
-        greatest(lit(8L), expr("cast(floor(sqrt(nl)) as bigint)"))))
+    // per-layer census in ONE map-side-combinable aggregate; N comes from
+    // the memoized parquet-metadata count (immutable-corpus assumption,
+    // see Graft.tableRows) so the census is computed exactly once
+    val nTot = Graft.tableRows(s, dir, "embeddings")
+    val census = nodes.groupBy(col("layer"))
+      .agg(count(lit(1)).as("nl"), min(col("vec_id")).as("mid"))
+    val seedThr = census.select(col("layer"), col("mid"),
+      expr(s"(CAST($nTot AS BIGINT) * least(nl, greatest(CAST(8 AS BIGINT), " +
+        "cast(floor(sqrt(nl)) as bigint))) + nl - 1) div nl").as("thr"))
+    val cents = nodes.join(broadcast(seedThr), "layer")
+      .filter(col("vec_id") < col("thr") || col("vec_id") === col("mid"))
       .groupBy(col("layer"))
       .agg(sort_array(collect_list(struct(col("vec_id").as("cid"), col("embedding").as("cvec"),
         col("nrm").as("cnrm")))).as("cents"))
@@ -778,10 +795,11 @@ object Ann {
     */
   private def duckHnswLayer(l: Int): String =
     s"""el$l AS (SELECT e.vec_id, e.v FROM e JOIN lv ON e.vec_id = lv.vec_id WHERE lv.level >= $l),
-       |nc$l AS (SELECT least(count(*), greatest(8, CAST(floor(sqrt(count(*))) AS BIGINT))) AS nc FROM el$l),
-       |c$l AS (SELECT vec_id AS cid, v FROM (
-       |  SELECT vec_id, v, row_number() OVER (ORDER BY vec_id) AS rnk FROM el$l)
-       |  WHERE rnk <= (SELECT nc FROM nc$l)),
+       |nl$l AS (SELECT CAST(count(*) AS BIGINT) AS nl, min(vec_id) AS mid FROM el$l),
+       |c$l AS (SELECT vec_id AS cid, v FROM el$l, nl$l
+       |  WHERE vec_id < ((SELECT CAST(count(*) AS BIGINT) FROM e)
+       |      * least(nl, greatest(CAST(8 AS BIGINT), CAST(floor(sqrt(nl)) AS BIGINT))) + nl - 1) // nl
+       |     OR vec_id = mid),
        |sc$l AS (SELECT x.vec_id, y.cid, round($duckCosPair, 6) AS cscore
        |       FROM el$l x JOIN (SELECT cid, v FROM c$l) y ON true),
        |asg$l AS (SELECT vec_id, cid FROM (

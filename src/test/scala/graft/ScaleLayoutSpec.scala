@@ -164,6 +164,32 @@ class ScaleLayoutSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("hnsw layered build plans no window partitioned solely by `layer`") {
+    // the round-8 build ranked centroid seeds with
+    // Window.partitionBy("layer"): hash(layer) looks parallel, but ALL N
+    // nodes are layer-0 members, so one window partition held the whole
+    // base layer — a single-task full-corpus sort at 100 TB. The census
+    // rewrite (groupBy(layer) + broadcast threshold) must keep every
+    // window/rank-limit/heap in the build partitioned by at least one
+    // high-cardinality key.
+    val g = graft.operators.Ann.hnswGraph(spark, "/root/testdata/sf0.001")
+    val plan = g.queryExecution.executedPlan
+    def layerOnly(exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): Boolean =
+      exprs.nonEmpty && exprs.forall {
+        case a: org.apache.spark.sql.catalyst.expressions.Attribute => a.name == "layer"
+        case _ => false
+      }
+    val offenders = collectWithSubqueries(plan) {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+        if layerOnly(w.partitionSpec) => w
+      case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec
+        if layerOnly(w.partitionSpec) => w
+      case t: graft.plans.TopKPerKeyExec if layerOnly(t.keys) => t
+    }
+    assert(offenders.isEmpty,
+      s"layer-only window partition (whole base layer in one task): $offenders\n$plan")
+  }
+
   test("set-ops query computes each distinct subtree once (ReusedExchange)") {
     // q_set_ops references the click/purchase distinct subtrees from all
     // three set operators; every branch shuffles the same canonical
