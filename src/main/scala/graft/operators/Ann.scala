@@ -717,19 +717,28 @@ object Ann {
     * batch health check before indexing. Norms are quantized to integer
     * millis; the |z| > 2 test runs in exact integer algebra,
     * (n·m − S)² > 4·(n·Q − S²)  ⇔  ((m − mean)/sd)² > 4,
-    * so no float mean/stddev ever crosses an engine boundary. One
-    * shuffle: the label window computes the moment sums, the grouped
-    * count rides the same partitioning. (Long headroom: millis keep
-    * n·Q < 9e18 up to ~10^8 rows per label; rescale to centis beyond.)
+    * so no float mean/stddev ever crosses an engine boundary.
+    *
+    * Scale shape (the [[Analytics.zscoreOutliers]] pattern): the
+    * per-label moments come from a map-side-combinable
+    * `groupBy(label).agg` — each task reduces to <= |labels| partial
+    * rows before the exchange — and the tiny stats frame broadcasts
+    * back onto a second parallel scan whose outlier test is a pure
+    * projection. A `Window.partitionBy(label)` would instead gather
+    * EVERY vector of a label into one window partition (label has ~10
+    * values: N/10 rows on one task at 100 TB — the round-8 HNSW
+    * scale-killer shape, now linted by PlanLintSpec's low-cardinality
+    * window sweep). (Long headroom: millis keep n·Q < 9e18 up to ~10^8
+    * rows per label; rescale to centis beyond.)
     */
   def normOutliers(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("label"))
-    Graft.embeddings(s, dir)
+    def norms = Graft.embeddings(s, dir)
       .select(col("label"),
         expr("cast(round(sqrt(fvec_dot(embedding, embedding)) * 1000) as bigint)").as("m"))
-      .withColumn("n", count(lit(1)).over(w))
-      .withColumn("sm", sum(col("m")).over(w))
-      .withColumn("qm", sum(col("m") * col("m")).over(w))
+    val stats = norms.groupBy(col("label").as("lb"))
+      .agg(count(lit(1)).as("n"), sum(col("m")).as("sm"),
+        sum(col("m") * col("m")).as("qm"))
+    norms.join(broadcast(stats), col("label") === col("lb"))
       .groupBy(col("label"))
       .agg(first(col("n")).as("n_vecs"),
         expr("first(sm div n)").as("mean_norm_millis"),

@@ -612,30 +612,43 @@ object Relational {
           .as("low_line_count"))
 
   /** Shipping-delay percentiles per order priority (discrete type-1
-    * quantiles — the lengthPercentiles integer-position technique on
-    * the logistics domain): p50/p90 of days between order and ship
-    * date. Rank and count ride windows over the same priority
-    * partitioning as the final aggregate — one shuffle after the
-    * orderkey join; the total order on (delay, orderkey, linenumber)
-    * makes the picked positions engine-independent.
+    * quantiles): p50/p90 of days between order and ship date.
+    *
+    * Scale shape: delay is a small-integer day count, so the value at
+    * sorted position p per priority is recoverable from the (priority,
+    * delay) HISTOGRAM — `groupBy(priority, delay).count()` is map-side
+    * combinable (each task reduces to <= 5 × delay-range partial rows
+    * before the exchange), and the type-1 pick is the smallest delay
+    * whose running count reaches the target position. The cumulative
+    * window runs over that tiny aggregated frame (~5 × few-hundred
+    * rows), never the raw lineitem stream — ranking raw lines with
+    * `row_number() over (partition by priority)` would sort ~N/5 of
+    * the biggest table inside ONE task per priority at 100 TB (the
+    * round-8 HNSW scale-killer shape, linted by PlanLintSpec's
+    * low-cardinality window sweep). Value-position equivalence: the
+    * delay at global position p in (delay, orderkey, linenumber) order
+    * depends only on the delay multiset, so the histogram pick returns
+    * bit-identical results to the rank formulation the oracle runs.
     */
   def shipDelayPercentiles(s: SparkSession, dir: String): DataFrame = {
-    val byPrio = Window.partitionBy(col("o_orderpriority"))
-    val w = byPrio.orderBy(col("delay"), col("l_orderkey"), col("l_linenumber"))
-    Graft.lineitem(s, dir)
-      .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"))
+    val hist = Graft.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_shipdate"))
       .join(Graft.orders(s, dir)
           .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority")),
         col("l_orderkey") === col("o_orderkey"))
-      .select(col("o_orderpriority"), col("l_orderkey"), col("l_linenumber"),
+      .groupBy(col("o_orderpriority"),
         datediff(col("l_shipdate").cast("date"), col("o_orderdate").cast("date"))
           .cast("long").as("delay"))
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .withColumn("n", count(lit(1)).over(byPrio))
+      .agg(count(lit(1)).as("cnt"))
+    val byPrio = Window.partitionBy(col("o_orderpriority"))
+    val cumW = byPrio.orderBy(col("delay"))
+    hist
+      .withColumn("cum", sum(col("cnt")).over(cumW))
+      .withColumn("n", sum(col("cnt")).over(byPrio))
       .groupBy(col("o_orderpriority"))
       .agg(max(col("n")).as("n_lines"),
-        max(when(col("rn") === expr("(n + 1) div 2"), col("delay"))).as("p50_delay_days"),
-        max(when(col("rn") === expr("(9 * n + 9) div 10"), col("delay"))).as("p90_delay_days"))
+        min(when(col("cum") >= expr("(n + 1) div 2"), col("delay"))).as("p50_delay_days"),
+        min(when(col("cum") >= expr("(9 * n + 9) div 10"), col("delay"))).as("p90_delay_days"))
   }
 
   /** Cohort-revenue LTV triangle: revenue by (first-order year, years

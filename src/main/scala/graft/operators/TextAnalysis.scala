@@ -151,9 +151,15 @@ object TextAnalysis {
     * membership is stable across runs, partitionings, and engines
     * (unlike rand()-based sampling). The rank is dropped, so
     * WindowTopKRule rewrites the row_number window into the bounded-heap
-    * TopKPerKey operator: per-key work is O(n log k) with no per-group
-    * sort, and growing the corpus only changes WHICH k win, never the
-    * cost shape.
+    * TopKPerKey operator, which plans as a partial/final heap pair
+    * (the hash-aggregation split): the map side reduces EVERY input
+    * partition to <= k rows per language before the exchange, so the
+    * per-language reduce task merges <= k · #partitions survivors
+    * instead of streaming ~N/|langs| raw rows — `lang` has a handful of
+    * values, and without the partial stage each language's entire
+    * corpus slice would funnel through one task at 100 TB. Membership
+    * is a total order on (md5, doc_id), so the kept set is identical
+    * however rows are split across partial heaps.
     */
   def samplePerKey(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
@@ -402,21 +408,33 @@ object TextAnalysis {
   /** Per-source document-length percentiles (discrete type-1 quantile:
     * the value at ceiling(q·n) in sorted order — pure integer position
     * arithmetic, so Spark and any other engine agree exactly, where
-    * interpolating quantiles diverge in float space). One shuffle: the
-    * rank and the per-source count ride windows over the same source
-    * partitioning, and the final agg groups that same key.
+    * interpolating quantiles diverge in float space).
+    *
+    * Scale shape: the value at sorted position p per source depends
+    * only on the n_chars multiset, so it is recoverable from the
+    * (source, n_chars) HISTOGRAM — a map-side-combinable groupBy whose
+    * output is bounded by sources × distinct lengths, never the
+    * document count — and the type-1 pick is the smallest n_chars
+    * whose running count reaches the target position. The cumulative
+    * window runs over that aggregated frame; ranking raw documents
+    * with `row_number() over (partition by source)` would sort every
+    * document of a source inside ONE task at 100 TB (the round-8 HNSW
+    * scale-killer shape, linted by PlanLintSpec's low-cardinality
+    * window sweep). Bit-identical to the rank formulation the oracle
+    * runs, since ties in n_chars share a value.
     */
   def lengthPercentiles(s: SparkSession, dir: String): DataFrame = {
     val bySrc = org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
-    val w = bySrc.orderBy(col("n_chars"), col("doc_id"))
+    val cumW = bySrc.orderBy(col("n_chars"))
     Graft.documents(s, dir)
-      .select(col("source"), col("n_chars"), col("doc_id"))
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .withColumn("n", count(lit(1)).over(bySrc))
+      .groupBy(col("source"), col("n_chars"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(cumW))
+      .withColumn("n", sum(col("cnt")).over(bySrc))
       .groupBy(col("source"))
       .agg(max(col("n")).as("n_docs"),
-        max(when(col("rn") === expr("(n + 1) div 2"), col("n_chars"))).as("p50_chars"),
-        max(when(col("rn") === expr("(9 * n + 9) div 10"), col("n_chars"))).as("p90_chars"))
+        min(when(col("cum") >= expr("(n + 1) div 2"), col("n_chars"))).as("p50_chars"),
+        min(when(col("cum") >= expr("(9 * n + 9) div 10"), col("n_chars"))).as("p90_chars"))
   }
 
   /** Token-entropy quality signal: Shannon entropy of the within-document

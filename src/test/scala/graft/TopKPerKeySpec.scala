@@ -1,10 +1,11 @@
 package graft
 
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.plans.{TopKPerKey, TopKPerKeyExec}
 
-class TopKPerKeySpec extends SparkSpec {
+class TopKPerKeySpec extends SparkSpec with AdaptiveSparkPlanHelper {
   import spark.implicits._
 
   private lazy val df = Seq(
@@ -28,6 +29,30 @@ class TopKPerKeySpec extends SparkSpec {
     q.collect()
     val plan = q.queryExecution.executedPlan.toString
     assert(plan.contains("TopKPerKey"))
+  }
+
+  test("partial heap feeds the final merge (map-side combine shape)") {
+    // a low-cardinality key must NOT stream its whole slice through one
+    // reduce task: the map-side (partial) heap bounds each input
+    // partition to <= k rows per key BEFORE the exchange, the final
+    // heap merges the survivors under ClusteredDistribution — the
+    // hash-aggregation partial/final split for top-k
+    val q = TopKPerKey(df.repartition(4, $"id"),
+      Seq("key"), Seq(("score", false), ("id", true)), 2)
+    val got = q.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got === Set(("a", 3L), ("a", 1L), ("b", 6L), ("b", 5L), ("c", 7L)))
+    val plan = q.queryExecution.executedPlan
+    val heaps = collectWithSubqueries(plan) { case t: TopKPerKeyExec => t }
+    val finals = heaps.filter(!_.partial)
+    assert(finals.nonEmpty && heaps.exists(_.partial),
+      s"expected a partial AND a final TopKPerKey stage:\n$plan")
+    finals.foreach { f =>
+      val partialBelow = collectWithSubqueries(f.child) {
+        case t: TopKPerKeyExec if t.partial => t
+      }
+      assert(partialBelow.nonEmpty,
+        s"final heap not fed by a partial (unbounded per-key stream):\n$plan")
+    }
   }
 
   test("tie-break makes equal scores deterministic") {
