@@ -21,9 +21,9 @@ object Graft {
     // split at runtime instead of stalling a straggler task — the safety
     // net under every self-join in the dedup family at 100 TB
     .config("spark.sql.adaptive.skewJoin.enabled", "true")
-    // testdata events.ts is parquet TIMESTAMP(NANOS): read as long nanos if
-    // this Spark build has no native nanos type (operators normalize to
-    // epoch seconds either way).
+    // some testdata generations write events.ts as parquet TIMESTAMP(NANOS):
+    // read those as long nanos (this Spark build has no native nanos type);
+    // newer generations write timestamp[us], normalized in events() below.
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     // timestamps in testdata are naive (isAdjustedToUTC=false); read them as
     // plain TIMESTAMP under the UTC session so literals compare directly and
@@ -111,7 +111,24 @@ object Graft {
   def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
-  def events(s: SparkSession, d: String): DataFrame = table(s, d, "events")
+  /** `events` with `ts` normalized to long epoch-nanoseconds whatever the
+    * physical parquet type: older testdata generations wrote
+    * TIMESTAMP(NANOS) (a long under nanosAsLong), newer ones write
+    * timestamp[us]. Downstream operators and the streaming twins all do
+    * exact integer-ns arithmetic, and the DuckDB oracle's epoch()/
+    * epoch_ns() calls are storage-agnostic, so this is the one seam that
+    * absorbs the difference.
+    */
+  def events(s: SparkSession, d: String): DataFrame = nanosTs(table(s, d, "events"))
+
+  /** Normalize a frame's `ts` column to epoch-ns long (no-op when already
+    * long). Shared by the batch reader above and the streaming file source.
+    */
+  def nanosTs(df: DataFrame): DataFrame = df.schema("ts").dataType match {
+    case org.apache.spark.sql.types.TimestampType =>
+      df.withColumn("ts", org.apache.spark.sql.functions.expr("unix_micros(ts) * 1000"))
+    case _ => df
+  }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }

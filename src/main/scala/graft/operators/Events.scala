@@ -9,8 +9,8 @@ import graft.Graft
   * `graft.streaming`): tumbling-window aggregation and gap-based
   * sessionization.
   *
-  * `events.ts` is parquet TIMESTAMP(NANOS) and arrives as long nanoseconds
-  * (see Graft.configure); operators normalize to epoch seconds with exact
+  * `events.ts` arrives from Graft.events as long epoch-nanoseconds whatever
+  * the physical parquet type; operators normalize to epoch seconds with exact
   * integer arithmetic (never double-divide an int64 nanosecond value —
   * doubles lose precision above 2^53).
   */

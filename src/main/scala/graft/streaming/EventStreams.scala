@@ -299,6 +299,9 @@ object EventStreams {
     * parquet (the batch table is one file; a production feed would be a
     * growing directory or Kafka source — the plan is identical).
     */
+  /** File-source stream over an events parquet dir; `ts` is normalized
+    * to epoch-ns long whatever the physical type, like the batch reader.
+    */
   def fromParquetDir(spark: SparkSession, dir: String, schemaFrom: DataFrame): DataFrame =
-    spark.readStream.schema(schemaFrom.schema).parquet(dir)
+    graft.Graft.nanosTs(spark.readStream.schema(schemaFrom.schema).parquet(dir))
 }

@@ -1,21 +1,31 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, ExprId, Expression, SpecifiedWindowFrame, UnboundedFollowing, UnboundedPreceding, WindowExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
 import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
-import org.apache.spark.sql.execution.{SortExec, SparkPlan}
+import org.apache.spark.sql.execution.{GlobalLimitExec, SortExec, SparkPlan, TakeOrderedAndProjectExec}
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
 import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
 import org.apache.spark.sql.execution.joins.CartesianProductExec
-import org.apache.spark.sql.execution.window.WindowExec
+import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+import graft.plans.TopKPerKeyExec
 
 /** Plan lint over the ENTIRE query inventory: no operator may plan a
   * Cartesian product (both sides unbounded — the accidental-cross-join
-  * scale killer) or a global sort (single-partition ordering; top-k
+  * scale killer), a global sort (single-partition ordering; top-k
   * must be TakeOrderedAndProject / TopKPerKey, ordering inside keys a
-  * local window sort). Runs on the static physical plan of every
-  * SparkEntry query, so a regression in any operator's join/order shape
-  * fails CI before it ships.
+  * local window sort), or a low-cardinality window over raw input (the
+  * round-8/9 scale-killer family: a window/heap partitioned only by a
+  * fixed-enum key funnels ~N/|enum| corpus rows through single reduce
+  * tasks — see the windowSweep rules below). Runs on the static
+  * physical plan of every SparkEntry query, so a regression in any
+  * operator's join/order/window shape fails CI before it ships.
+  * Partition keys are resolved to their BASE columns by exprId lineage
+  * (an alias or cast cannot evade the sweep — the hole ADVICE flagged
+  * in ScaleLayoutSpec's literal-name `layer` match).
   *
   * AQE wraps every plan with an exchange in AdaptiveSparkPlanExec — a
   * leaf to plain `plan.collect` — so the lint traverses with
@@ -54,6 +64,112 @@ class PlanLintSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     case _ => false
   }
 
+  /** Columns whose value set is a fixed enum — bounded regardless of
+    * corpus size (a language tag, an order priority, …). NOT here:
+    * `label` (embeddings' owning-document id — scales with the corpus;
+    * per-label windows are per-doc semantics), `user_id`, `doc_id`.
+    */
+  private val boundedCols = Set(
+    "lang", "source", "event_type", "layer", "level",
+    "o_orderpriority", "o_orderstatus", "c_mktsegment",
+    "l_returnflag", "l_linestatus", "l_linenumber",
+    "p_brand", "p_mfgr", "p_container", "p_type", "n_name", "r_name")
+
+  /** The base (scan-level) column names an expression ultimately reads,
+    * chased through Alias chains BY exprId — so `withColumn("k",
+    * col("lang"))` then partitionBy("k") still resolves to `lang` (the
+    * literal-name matching hole ADVICE flagged in ScaleLayoutSpec).
+    */
+  private def baseNames(e: Expression, aliases: Map[ExprId, Expression],
+                        seen: Set[ExprId]): Set[String] = e match {
+    case a: Attribute =>
+      aliases.get(a.exprId) match {
+        case Some(child) if !seen(a.exprId) => baseNames(child, aliases, seen + a.exprId)
+        case _ => Set(a.name)
+      }
+    case other => other.children.flatMap(baseNames(_, aliases, seen)).toSet
+  }
+
+  /** True when every partition key resolves ONLY to bounded-enum base
+    * columns: hash(key) then spreads the corpus over |enum| reduce
+    * tasks — ~N/|enum| rows in one task at 100 TB.
+    */
+  private def boundedKeysOnly(keys: Seq[Expression], aliases: Map[ExprId, Expression],
+                              bounded: Set[String] = boundedCols): Boolean =
+    keys.nonEmpty && {
+      val ns = keys.flatMap(baseNames(_, aliases, Set.empty)).toSet
+      ns.nonEmpty && ns.forall(bounded)
+    }
+
+  /** True when the subtree's row count is already bounded below the
+    * window: an aggregate (output ≤ |group keys| rows), a limit, or a
+    * partial TopKPerKey heap (≤ k·|keys| rows per partition) sits
+    * between the window and the scans, so the window runs over a tiny
+    * frame, not the raw corpus stream.
+    */
+  private def boundedInput(p: SparkPlan): Boolean =
+    collectWithSubqueries(p) {
+      case a: BaseAggregateExec => a
+      case l: GlobalLimitExec => l
+      case t: TakeOrderedAndProjectExec => t
+      case t: TopKPerKeyExec if t.partial => t
+    }.nonEmpty ||
+      // a persisted aggregate hides behind an InMemoryTableScan leaf
+      // (q_market_share's memoized nation x year rollup)
+      collectWithSubqueries(p) { case s: InMemoryTableScanExec => s.relation.cachedPlan }
+        .exists(boundedInput)
+
+  /** Key set for the whole-frame-aggregate rule: the bounded enums PLUS
+    * `label` (10 values at every SF). A whole-partition aggregate over a
+    * low-cardinality key funnels ~N/|enum| raw rows through single
+    * reduce tasks to compute a handful of scalars — the groupBy +
+    * broadcast join-back twin (events_zscore / embed_norm_outliers) is
+    * strictly better. Over a CORPUS-SCALING key (doc_id, fp, o_custkey)
+    * the window is legitimate: groups stay small, the stats frame would
+    * not broadcast, and the window often reuses an exchange a
+    * neighboring join needs anyway (dedup_winnow_pairs). `label` stays
+    * out of the RANKING rule because the per-document top-k window
+    * family (topk_chunks_filtered) is the sanctioned window-rank
+    * exhibition twin of TopKPerKey, with `label` standing in for the
+    * owning-document id of the real mapping.
+    */
+  private val aggWindowCols = boundedCols + "label"
+
+  /** True when the window computes an aggregate over the WHOLE
+    * partition frame (unbounded preceding..unbounded following): a
+    * per-group scalar recomputed per row. Running/sliding frames
+    * (cumsum, EWMA) do not trip this.
+    */
+  private def wholeFrameAgg(w: WindowExec): Boolean =
+    w.windowExpression.exists(_.collect {
+      case WindowExpression(_: AggregateExpression, spec) => spec.frameSpecification
+    }.exists {
+      case SpecifiedWindowFrame(_, UnboundedPreceding, UnboundedFollowing) => true
+      case _ => false
+    })
+
+  /** The r8-scale-killer sweep: windows/heaps whose partitioning melts
+    * to a handful of tasks at corpus scale, over un-reduced input.
+    */
+  private def windowSweep(plans: Seq[SparkPlan]): Seq[String] = plans.flatMap { plan =>
+    val aliases: Map[ExprId, Expression] =
+      collectWithSubqueries(plan) { case n => n.expressions }.flatten
+        .flatMap(_.collect { case a: Alias => a.exprId -> a.child }).toMap
+    collectWithSubqueries(plan) {
+      case w: WindowExec if boundedKeysOnly(w.partitionSpec, aliases) && !boundedInput(w.child) =>
+        s"low-cardinality window over raw input (keys=${w.partitionSpec.flatMap(baseNames(_, aliases, Set.empty)).distinct.mkString(",")})"
+      case w: WindowGroupLimitExec if boundedKeysOnly(w.partitionSpec, aliases) && !boundedInput(w.child) =>
+        s"low-cardinality group-limit over raw input (keys=${w.partitionSpec.flatMap(baseNames(_, aliases, Set.empty)).distinct.mkString(",")})"
+      case t: TopKPerKeyExec if !t.partial && boundedKeysOnly(t.keys, aliases) &&
+          collectWithSubqueries(t.child) { case p: TopKPerKeyExec if p.partial => p }.isEmpty &&
+          !boundedInput(t.child) =>
+        s"final TopKPerKey without partial heap (keys=${t.keys.flatMap(baseNames(_, aliases, Set.empty)).distinct.mkString(",")})"
+      case w: WindowExec if wholeFrameAgg(w) &&
+          boundedKeysOnly(w.partitionSpec, aliases, aggWindowCols) && !boundedInput(w.child) =>
+        "whole-partition aggregate window over raw input (use groupBy + broadcast join-back)"
+    }
+  }
+
   private def offenses(df: DataFrame): Seq[String] = {
     val plans = withCachedPlans(df.queryExecution.executedPlan)
     val cartesian = plans.flatMap(p =>
@@ -67,7 +183,8 @@ class PlanLintSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       })
     (if (cartesian.nonEmpty) Seq("CartesianProduct") else Nil) ++
       (if (globalSorts.nonEmpty) Seq("global Sort") else Nil) ++
-      (if (singlePartRank.nonEmpty) Seq("SinglePartition exchange feeding Window/Sort") else Nil)
+      (if (singlePartRank.nonEmpty) Seq("SinglePartition exchange feeding Window/Sort") else Nil) ++
+      windowSweep(plans)
   }
 
   test("canary: the lint catches a deliberate CartesianProduct under AQE") {
@@ -133,7 +250,71 @@ class PlanLintSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     }
   }
 
-  test("no query plans a CartesianProduct or a global Sort") {
+  test("canary: the sweep catches a ranking window partitioned only by a bounded-enum key") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, row_number}
+    // the r9 sample_per_key / q_ship_delay_pcts shape: rank EVERY raw
+    // document inside per-language partitions — ~N/|langs| rows in one
+    // task at corpus scale
+    val bad = Graft.documents(spark, dir)
+      .withColumn("rn", row_number().over(Window.partitionBy(col("lang")).orderBy(col("doc_id"))))
+    assert(offenses(bad).exists(_.startsWith("low-cardinality")),
+      s"sweep is vacuous: missed a lang-partitioned rank over raw documents\n${bad.queryExecution.executedPlan}")
+  }
+
+  test("canary: the sweep resolves aliased partition keys by exprId lineage") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, row_number}
+    // the ScaleLayoutSpec:175 hole ADVICE flagged: a literal-name match
+    // on `lang` is evaded by renaming — lineage is not
+    val bad = Graft.documents(spark, dir)
+      .withColumn("k", col("lang"))
+      .select(col("doc_id"), col("k"))
+      .withColumn("rn", row_number().over(Window.partitionBy(col("k")).orderBy(col("doc_id"))))
+    assert(offenses(bad).exists(_.contains("keys=lang")),
+      s"sweep misses an aliased low-cardinality key:\n${bad.queryExecution.executedPlan}")
+  }
+
+  test("canary: the sweep catches a whole-partition aggregate window over raw input") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{avg, col}
+    // the r9 embed_norm_outliers shape: a per-group scalar recomputed
+    // per row over a 10-value key — ~N/10 raw rows through each reduce
+    // task with no map-side combine; groupBy + broadcast join-back is
+    // the right twin
+    val bad = Graft.embeddings(spark, dir)
+      .withColumn("mean_v0", avg(col("vec_id")).over(Window.partitionBy(col("label"))))
+    assert(offenses(bad).exists(_.startsWith("whole-partition aggregate window")),
+      s"sweep is vacuous: missed a whole-frame aggregate window\n${bad.queryExecution.executedPlan}")
+    // ...but by a corpus-scaling key (vec_id here; fp/doc_id/o_custkey in
+    // the inventory) the same frame shape is legitimate: groups stay
+    // small, the per-group stats frame would not broadcast at 100 TB,
+    // and the window often reuses an exchange a neighboring join needs
+    // anyway (dedup_winnow_pairs)
+    val highCard = Graft.embeddings(spark, dir)
+      .withColumn("m", avg(col("label")).over(Window.partitionBy(col("vec_id"))))
+    assert(windowSweep(Seq(highCard.queryExecution.executedPlan)).isEmpty,
+      s"sweep over-fires on a whole-frame aggregate by a corpus-scaling key:\n${highCard.queryExecution.executedPlan}")
+  }
+
+  test("canary: the sweep stays green on reduced input and on corpus-scaling keys") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, count, row_number, sum}
+    // the fixed histogram-cumsum shape: the window runs over the
+    // ALREADY-AGGREGATED (source, n_chars) frame — bounded input, green
+    val hist = Graft.documents(spark, dir).groupBy(col("source"), col("n_chars")).agg(count("*").as("c"))
+    val good = hist.withColumn("cum",
+      sum(col("c")).over(Window.partitionBy(col("source")).orderBy(col("n_chars"))))
+    assert(windowSweep(Seq(good.queryExecution.executedPlan)).isEmpty,
+      s"sweep over-fires on a window above an aggregate:\n${good.queryExecution.executedPlan}")
+    // per-document ranking (key scales with the corpus): green
+    val perDoc = Graft.embeddings(spark, dir)
+      .withColumn("rn", row_number().over(Window.partitionBy(col("label")).orderBy(col("vec_id"))))
+    assert(windowSweep(Seq(perDoc.queryExecution.executedPlan)).isEmpty,
+      s"sweep over-fires on a corpus-scaling partition key:\n${perDoc.queryExecution.executedPlan}")
+  }
+
+  test("no query plans a CartesianProduct, a global Sort, or a low-cardinality window over raw input") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       offenses(fn(spark, dir)).map(o => s"$name: $o")
     }

@@ -31,7 +31,7 @@ class StreamingSpec extends SparkSpec {
 
   test("file-source streaming hourly agg equals the batch operator") {
     val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
-    val batch = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val batch = graft.Graft.events(spark, "/root/testdata/sf0.001")
     batch.write.mode("overwrite").parquet(dir)
     // Update mode may emit a window more than once; tag rows with their
     // micro-batch id and keep the latest per key (last() over an
@@ -66,7 +66,7 @@ class StreamingSpec extends SparkSpec {
 
   test("streaming sliding windows equal the batch sliding operator") {
     val dir = java.nio.file.Files.createTempDirectory("graft-slide").toString
-    val batch = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val batch = graft.Graft.events(spark, "/root/testdata/sf0.001")
     batch.write.mode("overwrite").parquet(dir)
     // Update mode re-emits a window whenever it changes; tag every row
     // with its micro-batch id and keep the row from the LATEST batch per
@@ -101,7 +101,7 @@ class StreamingSpec extends SparkSpec {
 
   test("streaming transitions match the batch transition counts") {
     implicit val sqlCtx = spark.sqlContext
-    val raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val raw = graft.Graft.events(spark, "/root/testdata/sf0.001")
       .selectExpr("event_id", "ts", "user_id", "event_type", "value")
       .as[RawEvent].collect()
     val input = MemoryStream[RawEvent]
@@ -125,7 +125,7 @@ class StreamingSpec extends SparkSpec {
 
   test("streaming EWMA matches the batch smoothed values (single batch)") {
     implicit val sqlCtx = spark.sqlContext
-    val raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val raw = graft.Graft.events(spark, "/root/testdata/sf0.001")
       .selectExpr("event_id", "ts", "user_id", "event_type", "value")
       .as[RawEvent].collect()
     val input = MemoryStream[RawEvent]
@@ -225,7 +225,7 @@ class StreamingSpec extends SparkSpec {
   test("streaming restart from checkpoint resumes exactly-once") {
     val srcDir = java.nio.file.Files.createTempDirectory("graft-ckpt-src").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
-    val batch = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val batch = graft.Graft.events(spark, "/root/testdata/sf0.001")
     // split by TIME, not id: the recovered watermark would drop a
     // second half that replays old timestamps as late data
     val mid = batch.selectExpr("percentile(ts, 0.5)").head().getDouble(0).toLong
@@ -270,7 +270,7 @@ class StreamingSpec extends SparkSpec {
 
   test("streaming sessionization matches batch sessions (closed ones)") {
     implicit val sqlCtx = spark.sqlContext
-    val raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val raw = graft.Graft.events(spark, "/root/testdata/sf0.001")
       .selectExpr("event_id", "ts", "user_id", "event_type", "value")
       .as[RawEvent].collect()
     val input = MemoryStream[RawEvent]
