@@ -44,18 +44,46 @@ object Analytics {
         col("n_cust"), col("sum_bal"))
 
   /** Exact per-type percentiles of event value (interpolated, the
-    * quantile_cont contract). percentile() shuffles sorted values per
-    * group — exact by design where approx sketches would not match an
-    * oracle; swap for approx_percentile when 100 TB accuracy budgets
-    * allow.
+    * quantile_cont contract), via the histogram-cumsum shape proved on
+    * [[Relational.shipDelayPercentiles]]: `value` is two-decimal
+    * currency, so the (type, cents) histogram loses nothing — the
+    * groupBy is map-side combinable (each task reduces to <= |types| x
+    * distinct-cents partial rows before the exchange) and the rank
+    * picks + linear interpolation run over that tiny aggregated frame.
+    * The former `percentile()` formulation buffered every raw value of
+    * a type inside one aggregation buffer — ~N/|types| doubles on one
+    * task at 100 TB. Interpolation reproduces percentile()'s arithmetic
+    * order bit-exactly ((hi-pos)*vLo + (pos-lo)*vHi; the lower value
+    * when the position lands on an integer), so the DuckDB
+    * quantile_cont oracle hash-matches unchanged. Assumes `value` is
+    * non-null (true of the events table): rank positions count only
+    * non-null values, so nulls would need filtering before the
+    * histogram.
     */
-  def eventQuantiles(s: SparkSession, dir: String): DataFrame =
-    Graft.events(s, dir)
+  def eventQuantiles(s: SparkSession, dir: String): DataFrame = {
+    val byType = org.apache.spark.sql.expressions.Window.partitionBy(col("event_type"))
+    val hist = Graft.events(s, dir)
+      .select(col("event_type"), expr("cast(round(value * 100) as bigint)").as("cents"))
+      .groupBy(col("event_type"), col("cents")).agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(byType.orderBy(col("cents"))))
+      .withColumn("n", sum(col("cnt")).over(byType))
+    def pos(q: Double) = lit(q) * (col("n") - 1).cast("double")
+    def picks(q: Double, name: String): Seq[org.apache.spark.sql.Column] = Seq(
+      min(when(col("cum") >= floor(pos(q)).cast("long") + 1, col("cents"))).as(s"${name}_lo"),
+      min(when(col("cum") >= ceil(pos(q)).cast("long") + 1, col("cents"))).as(s"${name}_hi"))
+    def interp(q: Double, name: String): org.apache.spark.sql.Column = {
+      val p = pos(q)
+      val vLo = col(s"${name}_lo").cast("double") / 100.0
+      val vHi = col(s"${name}_hi").cast("double") / 100.0
+      round(when(floor(p) === ceil(p), vLo)
+        .otherwise((ceil(p) - p) * vLo + (p - floor(p)) * vHi), 4).as(name)
+    }
+    hist
       .groupBy(col("event_type"))
-      .agg(
-        round(expr("percentile(value, 0.5)"), 4).as("p50"),
-        round(expr("percentile(value, 0.9)"), 4).as("p90"),
-        round(expr("percentile(value, 0.99)"), 4).as("p99"))
+      .agg(max(col("n")).as("n"),
+        (picks(0.5, "p50") ++ picks(0.9, "p90") ++ picks(0.99, "p99")): _*)
+      .select(col("event_type"), interp(0.5, "p50"), interp(0.9, "p90"), interp(0.99, "p99"))
+  }
 
   /** Customers with no orders: broadcast-friendly left anti join. */
   def customersNoOrders(s: SparkSession, dir: String): DataFrame =
