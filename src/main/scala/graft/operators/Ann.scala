@@ -378,6 +378,28 @@ object Ann {
   def hnswLayerHistogram(s: SparkSession, dir: String): DataFrame =
     hnswLevels(s, dir).groupBy(col("level")).agg(count(lit(1)).as("n_nodes"))
 
+  /** Layer-mass health report: per-LAYER membership (suffix sums of the
+    * level histogram — a node of level v belongs to layers 0..v) vs the
+    * expected 4^-layer geometric decay, as an exact integer ratio in
+    * micros. This is the monitoring face of [[hnswGraph]]'s census: a
+    * ratio drifting from ~1e6 means the level draw is biased (bad hash,
+    * corrupted ids) and the per-layer build budgets (sqrt(n_l) seeds,
+    * (n/4^l)^1.5 pair bound) no longer hold. Cost: one map-side
+    * combinable groupBy over a vec_id-only projection of the corpus,
+    * then arithmetic on <= 17 rows.
+    */
+  def hnswLayerMass(s: SparkSession, dir: String): DataFrame = {
+    val nTot = Graft.tableRows(s, dir, "embeddings")
+    val expected = s"CAST($nTot AS BIGINT) div shiftleft(CAST(1 AS BIGINT), CAST(2 * layer AS INT))"
+    hnswLevels(s, dir).groupBy(col("level"))
+      .agg(count(lit(1)).as("cl"))
+      .select(explode(expr("sequence(0L, level)")).as("layer"), col("cl"))
+      .groupBy(col("layer")).agg(sum(col("cl")).as("n_members"))
+      .select(col("layer"), col("n_members"),
+        expr(expected).as("expected_n"),
+        expr(s"n_members * 1000000 div greatest($expected, 1)").as("mass_ratio_micros"))
+  }
+
   /** Batch HNSW index construction: the layered completion of
     * [[nswGraph]] (reference serving index: qdrant.py:73-79). Each node
     * draws its geometric [[hnswLevels]] level and belongs to layers
@@ -430,12 +452,21 @@ object Ann {
     val nodes = withNorm(e).join(hnswLevels(s, dir), "vec_id")
       .select(col("vec_id"), col("embedding"), col("nrm"),
         explode(expr("sequence(0L, level)")).as("layer"))
-    // per-layer census in ONE map-side-combinable aggregate; N comes from
-    // the memoized parquet-metadata count (immutable-corpus assumption,
-    // see Graft.tableRows) so the census is computed exactly once
+    // per-layer census DERIVED from the N-row level frame, not a pass
+    // over the 4N/3-row membership explode: layer-l members are exactly
+    // the nodes with level >= l, so nl/mid are suffix aggregates of the
+    // <= 17-row per-LEVEL histogram (itself a map-side-combinable
+    // groupBy over a vec_id-only projection — the scan prunes the
+    // vector column). One fewer consumption of the heavy `nodes`
+    // subtree. N comes from the memoized parquet-metadata count
+    // (immutable-corpus assumption, see Graft.tableRows) so the census
+    // is computed exactly once
     val nTot = Graft.tableRows(s, dir, "embeddings")
-    val census = nodes.groupBy(col("layer"))
-      .agg(count(lit(1)).as("nl"), min(col("vec_id")).as("mid"))
+    val census = hnswLevels(s, dir).groupBy(col("level"))
+      .agg(count(lit(1)).as("cl"), min(col("vec_id")).as("lmid"))
+      .select(explode(expr("sequence(0L, level)")).as("layer"), col("cl"), col("lmid"))
+      .groupBy(col("layer"))
+      .agg(sum(col("cl")).as("nl"), min(col("lmid")).as("mid"))
     val seedThr = census.select(col("layer"), col("mid"),
       expr(s"(CAST($nTot AS BIGINT) * least(nl, greatest(CAST(8 AS BIGINT), " +
         "cast(floor(sqrt(nl)) as bigint))) + nl - 1) div nl").as("thr"))
@@ -1176,6 +1207,18 @@ object Ann {
          |$duckLevels
          |SELECT level, count(*) AS n_nodes FROM lv GROUP BY 1""".stripMargin,
     "ann_graph_hnsw_layers" -> duckHnswLayersSql,
+    "ann_hnsw_layer_mass" ->
+      s"""WITH $duckE,
+         |$duckLevels,
+         |hist AS (SELECT level, count(*) AS cl FROM lv GROUP BY 1),
+         |mem AS (SELECT l AS layer, CAST(sum(cl) AS BIGINT) AS n_members
+         |        FROM (SELECT unnest(generate_series(0, level)) AS l, cl FROM hist)
+         |        GROUP BY 1),
+         |n0 AS (SELECT count(*) AS n FROM e)
+         |SELECT layer, n_members,
+         | n // (CAST(1 AS BIGINT) << CAST(2 * layer AS INTEGER)) AS expected_n,
+         | n_members * 1000000 // greatest(n // (CAST(1 AS BIGINT) << CAST(2 * layer AS INTEGER)), 1) AS mass_ratio_micros
+         |FROM mem, n0""".stripMargin,
     "ann_nsw_cell_stats" ->
       s"""WITH $duckE,
          |c AS (SELECT vec_id AS cid, v FROM e WHERE vec_id <
