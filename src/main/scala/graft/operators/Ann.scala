@@ -234,13 +234,55 @@ object Ann {
   private def withNorm(e: DataFrame): DataFrame =
     e.select(col("vec_id"), col("embedding"), VectorOps.norm(col("embedding")).as("nrm"))
 
+  /** Serialized bytes per broadcast centroid row: 64 float32 dims
+    * (256 B) + id + norm + struct overhead ≈ 300 B.
+    */
+  val centroidRowBytes: Long = 300L
+
+  /** Budget for the √N centroid broadcast the NSW/HNSW builders ship to
+    * every task (64 MiB — half the conventional 128 MiB task-memory
+    * yardstick, leaving room for the probe side). The curve:
+    * √N × ~300 B ≈ 0.3 MB at 10^6 vectors, 3 MB at 10^8, 30 MB at
+    * 10^10, ~95 MB at 10^11 — so a single flat build stops being
+    * broadcastable around N ≈ 5×10^10 and [[requireCentroidBudget]]
+    * refuses LOUDLY there instead of letting the driver OOM or silently
+    * degrade. Past the budget, shrink the fanout (coarser nlist, e.g.
+    * N^(1/3) cells probed twice) or shard the corpus and merge
+    * per-shard graphs; retune against the [[nswCellStats]] occupancy
+    * report.
+    */
+  val centroidBroadcastBudgetBytes: Long = 64L << 20
+
+  /** Centroid count a corpus of n vectors draws under the √N seed rule. */
+  def sqrtFanout(n: Long): Long =
+    math.max(8L, math.floor(math.sqrt(n.toDouble)).toLong)
+
+  /** The loud contract behind [[centroidBroadcastBudgetBytes]]: refuse a
+    * build whose centroid frame would not broadcast, with the retune
+    * path in the message. `ncents` is the TOTAL centroid rows the build
+    * broadcasts (the flat build's √N; the layered build's ~2√N stack).
+    */
+  private[graft] def requireCentroidBudget(ncents: Long, what: String): Unit = {
+    val bytes = ncents * centroidRowBytes
+    require(bytes <= centroidBroadcastBudgetBytes,
+      s"$what: centroid broadcast of $ncents rows x $centroidRowBytes B = $bytes B " +
+        s"exceeds the $centroidBroadcastBudgetBytes B budget; shrink the fanout " +
+        "(coarser nlist / shard the corpus and merge per-shard graphs) and retune " +
+        "against ann_nsw_cell_stats before building at this scale")
+  }
+
   /** NOT memoized/persisted: an InMemoryRelation over array<float>
     * columns pays ColumnarToRow array deserialization on every scan,
     * which measured SLOWER at 10-30× scale than recomputing the
     * assignment from the vectorized parquet scan (the self-join's two
     * sides share one computation via ReusedExchange anyway).
+    *
+    * Broadcast contract: the collected centroid frame is √N rows
+    * (~300 B each — see [[centroidBroadcastBudgetBytes]] for the curve);
+    * [[requireCentroidBudget]] refuses the build past the budget.
     */
   private def nswCells(s: SparkSession, dir: String, nprobe: Int): DataFrame = {
+    requireCentroidBudget(sqrtFanout(Graft.tableRows(s, dir, "embeddings")), "nswCells")
     val e = withNorm(Graft.embeddings(s, dir))
     val nc = e.agg(greatest(lit(8L), expr("cast(floor(sqrt(count(1))) as bigint)"))
       .as("ncents"))
@@ -462,6 +504,10 @@ object Ann {
     // (immutable-corpus assumption, see Graft.tableRows) so the census
     // is computed exactly once
     val nTot = Graft.tableRows(s, dir, "embeddings")
+    // layered centroid stack: Σ_l √(N·4^-l) = √N · Σ_l 2^-l < 2√N rows
+    // broadcast in total — same ~300 B/row curve as the flat build
+    // (see centroidBroadcastBudgetBytes), refused loudly past budget
+    requireCentroidBudget(2L * sqrtFanout(nTot), "hnswGraph")
     val census = hnswLevels(s, dir).groupBy(col("level"))
       .agg(count(lit(1)).as("cl"), min(col("vec_id")).as("lmid"))
       .select(explode(expr("sequence(0L, level)")).as("layer"), col("cl"), col("lmid"))

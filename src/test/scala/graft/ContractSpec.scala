@@ -57,6 +57,27 @@ class ContractSpec extends SparkSpec {
     info(s"LSH recall at tau=0.35 on this corpus: ${lsh.size}/${exact.size}")
   }
 
+  test("NSW/HNSW centroid broadcast refuses past the named budget") {
+    import graft.operators.Ann
+    // the curve: √N x ~300 B. Every corpus that broadcasts under the
+    // 64 MiB budget must pass...
+    Ann.requireCentroidBudget(Ann.sqrtFanout(1000L * 1000 * 1000), "spec") // 10^9: ~9.5 MB
+    // ...and a 10^11-vector flat build (~95 MB) must refuse LOUDLY with
+    // the retune path in the message, never driver-OOM downstream
+    val e = intercept[IllegalArgumentException] {
+      Ann.requireCentroidBudget(Ann.sqrtFanout(100L * 1000 * 1000 * 1000), "spec")
+    }
+    assert(e.getMessage.contains("ann_nsw_cell_stats"),
+      s"refusal must point at the occupancy report for retuning: ${e.getMessage}")
+    // the layered build stacks ~2x the flat fanout, so its refusal
+    // threshold sits ~4x lower in N
+    intercept[IllegalArgumentException] {
+      Ann.requireCentroidBudget(2L * Ann.sqrtFanout(30L * 1000 * 1000 * 1000), "spec")
+    }
+    // budget must not creep: the contract is bytes, not a row count
+    assert(Ann.sqrtFanout(1000000L) * Ann.centroidRowBytes < Ann.centroidBroadcastBudgetBytes)
+  }
+
   test("entry (flagship search pipeline) returns rows at sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
