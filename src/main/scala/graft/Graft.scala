@@ -50,10 +50,23 @@ object Graft {
     * makes this a footer-metadata aggregate, and the memo ensures one
     * such job per (dir, table) per session instead of one per
     * DataFrame construction.
+    *
+    * IMMUTABLE-CORPUS assumption: data dirs are read-only snapshots, so
+    * a memoized count never goes stale within a session; a pipeline
+    * that rewrites a table in place must use a new dir (the sf-dir
+    * key). The count job runs OUTSIDE the registry lock — it is a
+    * distributed job that can take seconds at scale, and holding the
+    * lock would serialize every other registry user (memoCache,
+    * trackCaches) behind it; two racing threads may both count, but
+    * they write the identical value.
     */
   private val rowCounts = scala.collection.mutable.Map.empty[(String, String), Long]
-  def tableRows(spark: SparkSession, sfDir: String, name: String): Long = synchronized {
-    rowCounts.getOrElseUpdate((sfDir, name), table(spark, sfDir, name).count())
+  def tableRows(spark: SparkSession, sfDir: String, name: String): Long = {
+    val key = (sfDir, name)
+    synchronized(rowCounts.get(key)).getOrElse {
+      val n = table(spark, sfDir, name).count()
+      synchronized(rowCounts.getOrElseUpdate(key, n))
+    }
   }
 
   /** Per-operator cache lifecycle. Iterative operators (pagerank) persist

@@ -230,6 +230,14 @@ object Ann {
     * cosine is then `fvec_dot / (nrm_x * nrm_y)` — BIT-identical to
     * `fvec_cos` (same accumulation order, same sqrt-then-multiply
     * grouping), at a third of the FLOPs on the N^1.5 candidate stream.
+    *
+    * FIXED-DIMENSION invariant: every embedding must share one width
+    * (SemanticSearch.Dim here; a real encoder emits fixed-width
+    * vectors). `fvec_dot` truncates to the SHORTER operand, so a
+    * mixed-dimension corpus would silently skew cosines toward
+    * truncated prefixes rather than error — audit a new corpus with
+    * `embed_dim_stats` (one row per dimension; a short row count or
+    * null-bearing tail exposes ragged vectors) before building on it.
     */
   private def withNorm(e: DataFrame): DataFrame =
     e.select(col("vec_id"), col("embedding"), VectorOps.norm(col("embedding")).as("nrm"))

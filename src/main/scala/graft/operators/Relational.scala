@@ -629,6 +629,13 @@ object Relational {
     * delay at global position p in (delay, orderkey, linenumber) order
     * depends only on the delay multiset, so the histogram pick returns
     * bit-identical results to the rank formulation the oracle runs.
+    * NON-NULL assumption on the value column: `min(when(cum >= pos,
+    * delay))` skips nulls, and a null delay group sorts first, so with
+    * nulls present the pick could step past a position the rank
+    * formulation would return NULL for — shipdate/orderdate are NOT
+    * NULL in TPC-H data, making the equivalence unconditional here; a
+    * nullable source needs a `delay IS NOT NULL` filter before the
+    * histogram.
     */
   def shipDelayPercentiles(s: SparkSession, dir: String): DataFrame = {
     val hist = Graft.lineitem(s, dir)

@@ -421,7 +421,12 @@ object TextAnalysis {
     * document of a source inside ONE task at 100 TB (the round-8 HNSW
     * scale-killer shape, linted by PlanLintSpec's low-cardinality
     * window sweep). Bit-identical to the rank formulation the oracle
-    * runs, since ties in n_chars share a value.
+    * runs, since ties in n_chars share a value. NON-NULL assumption on
+    * the value column (same caveat as Relational.shipDelayPercentiles):
+    * the `min(when(...))` pick skips nulls while the rank formulation
+    * would surface them — n_chars is generator-populated and never
+    * null, so the equivalence is unconditional here; a nullable source
+    * needs an IS NOT NULL filter before the histogram.
     */
   def lengthPercentiles(s: SparkSession, dir: String): DataFrame = {
     val bySrc = org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
