@@ -99,6 +99,39 @@ class TopKPerKeySpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(got === Set(("a", 3L), ("a", 1L), ("b", 6L), ("b", 5L), ("c", 7L)))
   }
 
+  test("two-stage heap keeps wall-time flat when key cardinality collapses to 2") {
+    // the straggler the partial/final split exists to kill, as a MEASURED
+    // guarantee rather than a plan-shape argument: with a final-only heap,
+    // 2 keys funnel ~N/2 raw rows through each of 2 reduce tasks while 31
+    // of 32 cores idle; with the map-side partial stage the exchange
+    // carries <= k rows per key per input partition, so the 2-key run
+    // costs the same scan as the 1000-key run. Same rows, same k, only
+    // |keys| varies. Min-of-2 per shape absorbs scheduling wobble; the
+    // 3x bound is generous (a final-only regression measures >> 5x here
+    // while genuine noise stays well under 2x).
+    import org.apache.spark.sql.functions.{col, expr}
+    val n = 4L * 1000 * 1000
+    def run(keyMod: Long): Double = {
+      val base = spark.range(n).select(
+        (col("id") % keyMod).as("k"),
+        expr("(id * 2654435761) % 1000003").as("v"),
+        col("id"))
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        graft.plans.TopKPerKey(base, Seq("k"), Seq(("v", true), ("id", true)), 5).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      times.min
+    }
+    run(1000) // JVM/codegen warmup, untimed
+    val wide = run(1000)
+    val collapsed = run(2)
+    info(f"1000 keys: $wide%.2fs; 2 keys: $collapsed%.2fs")
+    assert(collapsed <= math.max(3.0 * wide, wide + 2.0),
+      f"2-key top-k took $collapsed%.2fs vs $wide%.2fs for 1000 keys - " +
+        "the partial heap stage is no longer bounding per-key fan-in before the exchange")
+  }
+
   test("optimizer rule leaves queries that keep the rank untouched") {
     val w = Window.partitionBy($"key").orderBy($"score".desc, $"id")
     val q = df.withColumn("rn", row_number().over(w))
