@@ -527,15 +527,32 @@ object Dedup {
     * in exact integer micros.
     */
   def novelty(s: SparkSession, dir: String): DataFrame = {
-    val sh = withShingles(s, dir)
+    // Occurrence counts per (doc, shingle) FIRST: the groupBy is map-side
+    // combinable, so this — the only full-width shuffle of the exploded
+    // stream — ships one row per distinct (doc, shingle) pair, and a
+    // boilerplate shingle repeated within a document collapses before the
+    // exchange. The old shape (explode → groupBy(sh) → join the RAW
+    // exploded stream back on sh) shuffled the full stream twice and
+    // funneled every occurrence of a hot shingle through one join task.
+    val occ = withShingles(s, dir)
       .select(col("doc_id"), explode(col("shingles")).as("sh"))
-    val firstSeen = sh.groupBy(col("sh")).agg(min(col("doc_id")).as("first_doc"))
-    sh.join(firstSeen, "sh")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_shingles"),
-        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
-      .select(col("doc_id"), col("n_shingles"), col("n_novel"),
-        expr("n_novel * 1000000 div n_shingles").as("novelty_micros"))
+      .groupBy(col("doc_id"), col("sh")).agg(count(lit(1)).as("cnt"))
+    // fs_sh rename breaks the shared expression lineage with occ — without
+    // it the self-join condition resolves to a trivially-true sh == sh
+    val firstSeen = occ.groupBy(col("sh")).agg(min(col("doc_id")).as("first_doc"))
+      .select(col("sh").as("fs_sh"), col("first_doc"))
+    // Novel occurrences via the COMPOSITE key (sh, doc_id == first_doc):
+    // both sides are unique on the pair, so the join is one-to-one and a
+    // high-df shingle no longer concentrates on a single key — its lone
+    // firstSeen row meets exactly one occ row.
+    val novelOcc = occ.join(firstSeen,
+      col("sh") === col("fs_sh") && col("doc_id") === col("first_doc"))
+      .groupBy(col("doc_id")).agg(sum(col("cnt")).as("n_novel"))
+    occ.groupBy(col("doc_id")).agg(sum(col("cnt")).as("n_shingles"))
+      .join(novelOcc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        expr("coalesce(n_novel, 0) * 1000000 div n_shingles").as("novelty_micros"))
   }
 
   /** Degree distribution of the near-dup graph: how many documents have
