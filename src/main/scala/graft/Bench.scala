@@ -25,20 +25,37 @@ object Bench {
     * either way).
     */
   private[graft] def family(n: String): String = {
+    // The two graph builds share no memoized frames with the rest of the
+    // ann family (nswCells is deliberately unmemoized — Ann.scala:282)
+    // and are the suite's most expensive plans, so each is its own solo
+    // family/chunk: at the 100x corpus, running them inside the shared
+    // ann-family JVM inflated the NEXT query 3.4x (ann_graph_nsw charged
+    // 353.8s vs 104.8s isolated in a fresh JVM) — the same JVM-debt
+    // attribution failure the per-family fork exists to prevent.
+    if (n == "ann_graph_nsw" || n == "ann_graph_hnsw_layers") return n
     val head = n.takeWhile(_ != '_')
     if (head.length <= 2 && head.startsWith("q")) "q" else head
   }
 
+  /** Families that must NOT be packed into a chunk with anything else
+    * (see [[family]]): their JVM debt would contaminate chunk-mates.
+    */
+  private[graft] val soloFamilies: Set[String] =
+    Set("ann_graph_nsw", "ann_graph_hnsw_layers")
+
   /** Pack families (kept whole, in sorted order) into chunks of at most
     * `maxPerChunk` queries so child-JVM startup cost stays bounded.
     */
-  private def chunkFamilies(names: Seq[String], maxPerChunk: Int): Seq[Seq[String]] = {
+  private[graft] def chunkFamilies(names: Seq[String], maxPerChunk: Int): Seq[Seq[String]] = {
     val fams = names.sorted.groupBy(family).toSeq.sortBy(_._1).map(_._2)
     val chunks = scala.collection.mutable.ArrayBuffer.empty[Vector[String]]
     var cur = Vector.empty[String]
     for (f <- fams) {
-      if (cur.nonEmpty && cur.size + f.size > maxPerChunk) { chunks += cur; cur = Vector.empty }
-      cur = cur ++ f
+      val solo = soloFamilies.contains(family(f.head))
+      if (cur.nonEmpty && (solo || cur.size + f.size > maxPerChunk)) {
+        chunks += cur; cur = Vector.empty
+      }
+      if (solo) chunks += f.toVector else cur = cur ++ f
     }
     if (cur.nonEmpty) chunks += cur
     chunks.toSeq
@@ -112,7 +129,13 @@ object Bench {
       pb.redirectError(ProcessBuilder.Redirect.INHERIT)
       val t0 = System.nanoTime()
       val proc = pb.start()
-      val finished = proc.waitFor(20, java.util.concurrent.TimeUnit.MINUTES)
+      // default 20 min covers every family at the driver's sf0.1; large
+      // scale experiments (30x/100x corpora, where the graph builds alone
+      // run minutes per iteration) raise it via env instead of having a
+      // hung-child guard silently convert a slow-but-correct chunk to -1s
+      val chunkTimeoutMin = sys.env.get("SPARK_GRAFT_CHUNK_TIMEOUT_MIN")
+        .flatMap(_.toLongOption).getOrElse(20L)
+      val finished = proc.waitFor(chunkTimeoutMin, java.util.concurrent.TimeUnit.MINUTES)
       if (!finished) proc.destroyForcibly()
       System.err.println(f"[bench] chunk ${i + 1}/${chunks.size} (${chunk.size} queries, " +
         f"${family(chunk.head)}..${family(chunk.last)}): ${(System.nanoTime() - t0) / 1e9}%.1fs")

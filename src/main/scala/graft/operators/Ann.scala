@@ -289,7 +289,7 @@ object Ann {
     * (~300 B each — see [[centroidBroadcastBudgetBytes]] for the curve);
     * [[requireCentroidBudget]] refuses the build past the budget.
     */
-  private def nswCells(s: SparkSession, dir: String, nprobe: Int): DataFrame = {
+  private[graft] def nswCells(s: SparkSession, dir: String, nprobe: Int): DataFrame = {
     requireCentroidBudget(sqrtFanout(Graft.tableRows(s, dir, "embeddings")), "nswCells")
     val e = withNorm(Graft.embeddings(s, dir))
     val nc = e.agg(greatest(lit(8L), expr("cast(floor(sqrt(count(1))) as bigint)"))
