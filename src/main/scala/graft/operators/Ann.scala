@@ -866,6 +866,43 @@ object Ann {
         expr("sum(abs(q)) div count(1)").as("mean_abs_micros"),
         sum(when(col("q") > 0L, 1L).otherwise(0L)).as("n_pos"))
 
+  /** One distributed power-iteration step toward the top principal axis
+    * of the (uncentered) second-moment matrix E[x xᵀ]: with a fixed
+    * deterministic start vector v₀ (+1 on even dims, −1 on odd), compute
+    * w_i = ⟨x_i, v₀⟩ per row and s = Σ_i w_i·x_i per dim — the dominant
+    * eigendirection emerges after repeated steps; ONE step is already
+    * the encoder-drift / anisotropy monitor (embedding collapse shows up
+    * as one dim dominating the ratio column). Determinism: vectors are
+    * quantized to integer millis FIRST, so w_i and every product are
+    * exact integers and the per-dim sum is order-independent. Overflow
+    * bound: |w_i·x_ij| ≤ (d·1000)·1000 = 6.4e7 for unit-range dims, so
+    * the bigint per-dim sum holds to N ≈ 1.4e11 rows — beyond the 100 TB
+    * corpus; past that, shard the sum and merge. Shape: per-row scalar
+    * w in the projection (no shuffle), then posexplode + one map-side-
+    * combinable 64-row aggregate — the exchange carries d longs per
+    * partition, never vectors; the max-|s| normalizer is a one-row
+    * broadcast.
+    */
+  def pcaPowerStep(s: SparkSession, dir: String): DataFrame = {
+    val q = Graft.embeddings(s, dir)
+      .select(expr(
+        "transform(embedding, x -> cast(round(cast(x as double) * 1000) as bigint))").as("xq"))
+      .select(col("xq"),
+        expr("""aggregate(transform(xq, (x, i) -> IF(i % 2 = 0, x, -x)),
+               | cast(0 as bigint), (a, v) -> a + v)""".stripMargin).as("w"))
+    // memoized: the d-row aggregate feeds the output projection AND the
+    // max-|s| normalizer — uncached, each reference is a full corpus pass
+    val sByDim = Graft.memoCache("pca_s", dir)(
+      q.select(col("w"), posexplode(col("xq")).as(Seq("dim", "x")))
+        .groupBy(col("dim").cast("long").as("dim"))
+        .agg(sum(col("w") * col("x")).as("s_q")))
+    val m = sByDim.agg(max(abs(col("s_q"))).as("m"))
+    sByDim.crossJoin(broadcast(m))
+      .select(col("dim"), col("s_q"),
+        expr("cast(round(cast(s_q as double) / cast(m as double) * 1000000) as bigint)")
+          .as("ratio_micros"))
+  }
+
   private val duckCosPair =
     """list_sum(list_transform(range(1,65), i -> x.v[i] * y.v[i]))
       | / (sqrt(list_sum(list_transform(range(1,65), i -> x.v[i] * x.v[i])))
@@ -985,6 +1022,17 @@ object Ann {
   }
 
   val oracle: Map[String, String] = Map(
+    "embed_pca_power" ->
+      s"""WITH $duckE,
+         |q AS (SELECT list_transform(v, z -> CAST(round(z * 1000) AS BIGINT)) AS xq FROM e),
+         |wv AS (SELECT xq, CAST(list_sum(list_transform(range(1, len(xq) + 1),
+         |    j -> CASE WHEN j % 2 = 1 THEN xq[j] ELSE -xq[j] END)) AS BIGINT) AS w FROM q),
+         |s AS (SELECT CAST(t.j - 1 AS BIGINT) AS dim, CAST(sum(w * xq[t.j]) AS BIGINT) AS s_q
+         |      FROM wv, unnest(range(1, len(xq) + 1)) AS t(j) GROUP BY 1),
+         |m AS (SELECT max(abs(s_q)) AS m FROM s)
+         |SELECT dim, s_q,
+         | CAST(round(CAST(s_q AS DOUBLE) / CAST(m AS DOUBLE) * 1000000) AS BIGINT) AS ratio_micros
+         |FROM s, m""".stripMargin,
     "ann_ivf_balance" ->
       s"""WITH $duckE,
          |c AS (SELECT vec_id AS cid, v FROM e WHERE vec_id < 8),

@@ -695,6 +695,149 @@ object TextAnalysis {
         countDistinct(col("e.vhash")).as("n_distinct"))
   }
 
+  /** Multilingual stopword union (the per-language langid profiles
+    * merged) — the [[gopherQuality]] stop-hit rule set, shared verbatim
+    * with its oracle.
+    */
+  private val gopherStops = Seq(
+    "the", "a", "of", "is", "der", "die", "das", "und", "le", "la", "et",
+    "les", "el", "los", "las", "y", "的", "是", "在", "了")
+
+  /** Gopher-style rule-based quality gate (Rae et al. 2021, appendix A1.1
+    * — the public heuristic filter suite behind MassiveText): per document
+    * the five rule signals that apply to a single-line corpus (word-count
+    * bounds, mean-word-length band, symbol-to-word ratio, alphabetic-word
+    * ratio, >=2 distinct stopwords — multilingual union, since the corpus
+    * is 5-language) plus the composed keep decision. Thresholds follow the
+    * paper except the word-count floor (20 here; the synthetic docs cap at
+    * ~100 words). All ratios are exact integer micros (truncating div), so
+    * the decision is bit-identical cross-engine. A pure single-scan
+    * projection — no shuffle, linear map stage at 100 TB; the complement of
+    * [[quality]] (a score to rank by) as a hard filter to partition by.
+    */
+  def gopherQuality(s: SparkSession, dir: String): DataFrame = {
+    val stopArr = gopherStops.map(t => s"'$t'").mkString("array(", ",", ")")
+    Graft.documents(s, dir)
+      .select(col("doc_id"), col("text"),
+        expr("split(lower(text), '\\\\s+')").as("toks"))
+      .select(
+        col("doc_id"),
+        expr("cast(size(toks) as bigint)").as("n_words"),
+        expr("cast(aggregate(toks, 0, (a, t) -> a + length(t)) as bigint)" +
+          " * 1000000 div greatest(size(toks), 1)").as("mean_wlen_micros"),
+        expr("cast(size(filter(toks, t -> t rlike '[a-z]')) as bigint)" +
+          " * 1000000 div greatest(size(toks), 1)").as("alpha_word_micros"),
+        // '#' count + '...' occurrence count (each ellipsis removes 3 chars)
+        expr("""(cast(length(text) - length(replace(text, '#', '')) as bigint)
+               | + (length(text) - length(replace(text, '...', ''))) div 3)
+               | * 1000000 div greatest(size(toks), 1)""".stripMargin)
+          .as("symbol_micros"),
+        expr(s"cast(size(array_intersect(array_distinct(toks), $stopArr)) as bigint)")
+          .as("n_stop_distinct"))
+      .withColumn("keep",
+        expr("""cast(if(n_words between 20 and 100000
+               | and mean_wlen_micros between 3000000 and 10000000
+               | and symbol_micros <= 100000
+               | and alpha_word_micros >= 800000
+               | and n_stop_distinct >= 2, 1, 0) as bigint)""".stripMargin))
+  }
+
+  /** Corpus-level BPE merge-step statistics: the top-20 adjacent
+    * character pairs inside letter-run words, weighted by occurrence —
+    * the argmax of this table IS the next merge a byte-pair-encoding
+    * tokenizer trainer would perform, and the table itself is the
+    * merge-candidate frontier. Shape: double explode (words, then the
+    * length-1 in-word pair windows) is a pure per-partition generator;
+    * the only shuffle is the map-side-combinable pair count (pair
+    * cardinality <= 26^2), and the top-20 cut is a
+    * TakeOrderedAndProject with a total-order tie-break (count desc,
+    * pair asc) — no global sort. At 100 TB this is one linear scan plus
+    * a 676-row reduce.
+    */
+  def bpePairs(s: SparkSession, dir: String): DataFrame =
+    Graft.documents(s, dir)
+      .select(explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .select(explode(
+        expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair").asc)
+      .limit(20)
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): per document the summed
+    * log-ratio of hashed-unigram probabilities under a target distribution
+    * (docs from source 'src0') vs the raw distribution (all other
+    * sources), with add-one smoothing over 256 md5-derived buckets.
+    * Sampling proportional to exp(weight) tilts a raw corpus toward the
+    * target domain. Determinism: the per-bucket log-ratio is quantized to
+    * integer micros ONCE (256 rows), so per-doc sums are order-independent
+    * integer arithmetic. Shape: one map-side-combinable (doc, bucket)
+    * count (<=256 rows per doc survive the exchange), a 256-row bucket
+    * aggregate with a one-row total, and two broadcast join-backs — the
+    * corpus-sized stream is shuffled once, pre-reduced.
+    */
+  def dsirWeights(s: SparkSession, dir: String, target: String = "src0"): DataFrame = {
+    val bucket = "(instr('0123456789abcdef', substring(h, 1, 1)) - 1) * 16" +
+      " + instr('0123456789abcdef', substring(h, 2, 1)) - 1"
+    // memoized: the (doc, bucket) frame feeds the bucket aggregate, the
+    // total AND the final join — without the cache each reference
+    // re-scans and re-explodes the corpus (3 full passes at 100 TB)
+    val occ = Graft.memoCache("dsir_occ", dir)(Graft.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        explode(expr("split(lower(text), '\\\\s+')")).as("tok"))
+      .select(col("doc_id"), col("source"), md5(col("tok")).as("h"))
+      .select(col("doc_id"), col("source"), expr(bucket).cast("long").as("bk"))
+      .groupBy(col("doc_id"), col("source"), col("bk"))
+      .agg(count(lit(1)).as("cnt")))
+    val bkt = occ.groupBy(col("bk"))
+      .agg(sum(when(col("source") === target, col("cnt")).otherwise(0L)).as("c_t"),
+        sum(when(col("source") =!= target, col("cnt")).otherwise(0L)).as("c_r"))
+    val tot = bkt.agg(sum(col("c_t")).as("nt"), sum(col("c_r")).as("nr"))
+    val lr = bkt.crossJoin(broadcast(tot))
+      .select(col("bk"),
+        expr("""cast(round((ln(cast(c_t + 1 as double)) - ln(cast(nt + 256 as double))
+               | - ln(cast(c_r + 1 as double)) + ln(cast(nr + 256 as double)))
+               | * 1000000) as bigint)""".stripMargin).as("lr_micros"))
+    occ.join(broadcast(lr), "bk")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_toks"),
+        sum(col("cnt") * col("lr_micros")).as("lr_sum_micros"))
+  }
+
+  /** CCNet-style perplexity-band bucketing (Wenzek et al. 2020): each
+    * document scored by its unigram-LM NLL ([[unigramLogprob]], integer
+    * micros), then split per LANGUAGE into head/middle/tail at the
+    * within-language type-1 tertiles — CCNet keeps head+middle as the
+    * training pool. Thresholds come from a histogram-cumsum over the
+    * aggregated (lang, nll) frame (the [[lengthPercentiles]] shape: the
+    * cumulative window rides a ≤ langs × distinct-nll histogram, never a
+    * raw corpus stream; nll is never NULL, so the min-pick equals the
+    * rank formulation), broadcast back per language. Ceil positions
+    * (n+2) div 3 make the tertile exact type-1 for any n.
+    */
+  def ccnetBuckets(s: SparkSession, dir: String): DataFrame = {
+    val nll = unigramLogprob(s, dir)
+      .join(Graft.documents(s, dir).select(col("doc_id"), col("lang")), "doc_id")
+      .select(col("doc_id"), col("lang"), col("nll_per_tok_micros").as("nll"))
+    val hist = nll.groupBy(col("lang"), col("nll")).agg(count(lit(1)).as("c"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("nll"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+    val th = hist
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("n", sum(col("c")).over(wAll))
+      .groupBy(col("lang"))
+      .agg(min(when(col("cum") >= expr("(n + 2) div 3"), col("nll"))).as("t1"),
+        min(when(col("cum") >= expr("(2 * n + 2) div 3"), col("nll"))).as("t2"))
+    nll.join(broadcast(th), "lang")
+      .select(col("doc_id"), col("lang"), col("nll").as("nll_per_tok_micros"),
+        when(col("nll") <= col("t1"), "head")
+          .when(col("nll") <= col("t2"), "middle")
+          .otherwise("tail").as("bucket"))
+  }
+
   /** First 8 hex digits of hex-string expression `h` as a long —
     * portable (posFn = instr for Spark, strpos for DuckDB).
     */
@@ -739,7 +882,78 @@ object TextAnalysis {
       |  ELSE [list_min(h)] END AS fps
       | FROM hs)""".stripMargin
 
+  private val duckGopherStops =
+    gopherStops.map(t => s"'$t'").mkString("[", ",", "]")
+
   val oracle: Map[String, String] = Map(
+    "text_gopher_quality" ->
+      s"""WITH t AS (SELECT doc_id, text, string_split_regex(lower(text), '\\s+') AS toks
+         |  FROM documents),
+         |g AS (SELECT doc_id,
+         |  len(toks) AS n_words,
+         |  CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT)
+         |    * 1000000 // greatest(len(toks), 1) AS mean_wlen_micros,
+         |  len(list_filter(toks, t -> regexp_matches(t, '[a-z]')))
+         |    * 1000000 // greatest(len(toks), 1) AS alpha_word_micros,
+         |  (CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
+         |   + (length(text) - length(replace(text, '...', ''))) // 3)
+         |    * 1000000 // greatest(len(toks), 1) AS symbol_micros,
+         |  CAST(len(list_intersect(list_distinct(toks), $duckGopherStops)) AS BIGINT)
+         |    AS n_stop_distinct
+         | FROM t)
+         |SELECT doc_id, n_words, mean_wlen_micros, alpha_word_micros, symbol_micros,
+         |  n_stop_distinct,
+         |  CAST(CASE WHEN n_words BETWEEN 20 AND 100000
+         |    AND mean_wlen_micros BETWEEN 3000000 AND 10000000
+         |    AND symbol_micros <= 100000 AND alpha_word_micros >= 800000
+         |    AND n_stop_distinct >= 2 THEN 1 ELSE 0 END AS BIGINT) AS keep
+         |FROM g""".stripMargin,
+    "bpe_pair_counts" ->
+      """WITH w AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+        |  FROM documents),
+        |p AS (SELECT unnest(list_transform(range(1, length(w)), i -> substr(w, i, 2))) AS pair
+        |      FROM w WHERE length(w) >= 2)
+        |SELECT pair, CAST(count(*) AS BIGINT) AS n
+        |FROM p GROUP BY 1 ORDER BY n DESC, pair LIMIT 20""".stripMargin,
+    "sample_dsir_weights" ->
+      """WITH toks AS (SELECT doc_id, source,
+        |  unnest(string_split_regex(lower(text), '\s+')) AS tok FROM documents),
+        |hb AS (SELECT doc_id, source, md5(tok) AS h FROM toks),
+        |occ AS (SELECT doc_id, source,
+        |  (strpos('0123456789abcdef', substring(h, 1, 1)) - 1) * 16
+        |   + strpos('0123456789abcdef', substring(h, 2, 1)) - 1 AS bk,
+        |  CAST(count(*) AS BIGINT) AS cnt FROM hb GROUP BY 1, 2, 3),
+        |bkt AS (SELECT bk,
+        |  CAST(sum(CASE WHEN source = 'src0' THEN cnt ELSE 0 END) AS BIGINT) AS c_t,
+        |  CAST(sum(CASE WHEN source != 'src0' THEN cnt ELSE 0 END) AS BIGINT) AS c_r
+        | FROM occ GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c_t) AS BIGINT) AS nt, CAST(sum(c_r) AS BIGINT) AS nr
+        | FROM bkt),
+        |lr AS (SELECT bk,
+        |  CAST(round((ln(CAST(c_t + 1 AS DOUBLE)) - ln(CAST(nt + 256 AS DOUBLE))
+        |   - ln(CAST(c_r + 1 AS DOUBLE)) + ln(CAST(nr + 256 AS DOUBLE)))
+        |   * 1000000) AS BIGINT) AS lr_micros FROM bkt, tot)
+        |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_toks,
+        |  CAST(sum(cnt * lr_micros) AS BIGINT) AS lr_sum_micros
+        |FROM occ JOIN lr USING (bk) GROUP BY 1""".stripMargin,
+    "sample_ccnet_buckets" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok
+        |  FROM documents),
+        |nt AS (SELECT count(*) AS nt FROM toks),
+        |uni AS (SELECT tok, CAST(round(ln(CAST(count(*) AS DOUBLE)
+        |          / CAST((SELECT nt FROM nt) AS DOUBLE)) * 1000000) AS BIGINT) AS lp_micros
+        |        FROM toks GROUP BY tok),
+        |nl AS (SELECT doc_id, (-CAST(sum(lp_micros) AS BIGINT)) // count(*) AS nll
+        |       FROM toks JOIN uni USING (tok) GROUP BY doc_id),
+        |nll AS (SELECT d.doc_id, d.lang, nl.nll FROM nl JOIN documents d USING (doc_id)),
+        |h AS (SELECT lang, nll, CAST(count(*) AS BIGINT) AS c FROM nll GROUP BY 1, 2),
+        |cum AS (SELECT lang, nll, sum(c) OVER (PARTITION BY lang ORDER BY nll) AS cum,
+        |        sum(c) OVER (PARTITION BY lang) AS n FROM h),
+        |th AS (SELECT lang, min(CASE WHEN cum >= (n + 2) // 3 THEN nll END) AS t1,
+        |       min(CASE WHEN cum >= (2 * n + 2) // 3 THEN nll END) AS t2 FROM cum GROUP BY 1)
+        |SELECT doc_id, lang, nll AS nll_per_tok_micros,
+        | CASE WHEN nll <= t1 THEN 'head' WHEN nll <= t2 THEN 'middle' ELSE 'tail' END AS bucket
+        |FROM nll JOIN th USING (lang)""".stripMargin,
     "search_mlt" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok
         |  FROM documents),
