@@ -32,7 +32,8 @@ object Bench {
     // ann-family JVM inflated the NEXT query 3.4x (ann_graph_nsw charged
     // 353.8s vs 104.8s isolated in a fresh JVM) — the same JVM-debt
     // attribution failure the per-family fork exists to prevent.
-    if (n == "ann_graph_nsw" || n == "ann_graph_hnsw_layers") return n
+    if (n == "ann_graph_nsw" || n == "ann_graph_hnsw_layers" ||
+      n == "embed_outlier_knn") return n // graph builds run solo (JVM debt)
     val head = n.takeWhile(_ != '_')
     if (head.length <= 2 && head.startsWith("q")) "q" else head
   }
@@ -41,7 +42,7 @@ object Bench {
     * (see [[family]]): their JVM debt would contaminate chunk-mates.
     */
   private[graft] val soloFamilies: Set[String] =
-    Set("ann_graph_nsw", "ann_graph_hnsw_layers")
+    Set("ann_graph_nsw", "ann_graph_hnsw_layers", "embed_outlier_knn")
 
   /** Pack families (kept whole, in sorted order) into chunks of at most
     * `maxPerChunk` queries so child-JVM startup cost stays bounded.

@@ -903,6 +903,26 @@ object Ann {
           .as("ratio_micros"))
   }
 
+  /** kNN-distance outlier report over the blocked-NSW graph: per node
+    * the mean cosine to its top-k graph neighbors (quantized to integer
+    * micros pre-sum), lowest-k = the most isolated vectors — the
+    * mislabeled/garbage-point detector a cleaning pipeline runs after
+    * every embedding refresh. Rides the [[nswGraph]] build (no extra
+    * candidate generation): one map-side-combinable per-src aggregate
+    * over the edge frame, then a TakeOrderedAndProject cut with a
+    * total-order tie-break. Cost beyond the graph build is one linear
+    * pass over O(k·N) edges.
+    */
+  def knnOutliers(s: SparkSession, dir: String, bottom: Int = 10): DataFrame =
+    nswGraph(s, dir)
+      .select(col("src"), expr("cast(round(cos * 1000000) as bigint)").as("q"))
+      .groupBy(col("src"))
+      .agg(count(lit(1)).as("n_neighbors"), sum(col("q")).as("sum_q"))
+      .select(col("src").as("vec_id"), col("n_neighbors"),
+        expr("sum_q div n_neighbors").as("mean_cos_micros"))
+      .orderBy(col("mean_cos_micros").asc, col("vec_id").asc)
+      .limit(bottom)
+
   private val duckCosPair =
     """list_sum(list_transform(range(1,65), i -> x.v[i] * y.v[i]))
       | / (sqrt(list_sum(list_transform(range(1,65), i -> x.v[i] * x.v[i])))
@@ -1020,6 +1040,36 @@ object Ann {
       .orderBy(col("score").desc, col("vec_id"))
       .limit(k)
   }
+
+  /** The blocked-NSW build as a DuckDB CTE chain ending in `topk`
+    * (src, dst, cos, rn) — the exact cross-engine twin of
+    * [[nswEdgesFromCells]]; shared by the `ann_graph_nsw` edge oracle
+    * and the `embed_outlier_knn` isolation aggregate.
+    */
+  private val duckNswTopk =
+    s"""c AS (SELECT vec_id AS cid, v FROM e WHERE vec_id <
+       |        greatest(8, CAST(floor(sqrt((SELECT count(*) FROM e))) AS BIGINT))),
+       |sc AS (SELECT x.vec_id, y.cid, round($duckCosPair, 6) AS cscore
+       |       FROM e x JOIN (SELECT cid, v FROM c) y ON true),
+       |asg AS (SELECT vec_id, cid FROM (
+       |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+       |          ORDER BY cscore DESC, cid) AS rn FROM sc) WHERE rn <= 3),
+       |m AS (SELECT e.vec_id, asg.cid FROM e JOIN asg ON e.vec_id = asg.vec_id),
+       |cand0 AS (SELECT DISTINCT x.vec_id AS src, y.vec_id AS dst
+       |          FROM m x JOIN m y ON x.cid = y.cid AND x.vec_id != y.vec_id),
+       |cos0 AS (SELECT src, dst, round($duckCosPair, 6) AS cos
+       |         FROM cand0 JOIN e x ON x.vec_id = src JOIN e y ON y.vec_id = dst),
+       |r1 AS (SELECT src, dst FROM (SELECT src, dst, row_number() OVER (
+       |         PARTITION BY src ORDER BY cos DESC, dst) AS rn FROM cos0) WHERE rn <= 4),
+       |und AS (SELECT src, dst FROM r1 UNION SELECT dst, src FROM r1),
+       |hop2 AS (SELECT DISTINCT a.src AS src, b.dst AS dst
+       |         FROM und a JOIN und b ON a.dst = b.src WHERE a.src != b.dst),
+       |allc AS (SELECT src, dst FROM hop2 UNION SELECT src, dst FROM cand0),
+       |csA AS (SELECT src, dst, round($duckCosPair, 6) AS cos
+       |        FROM allc JOIN e x ON x.vec_id = src JOIN e y ON y.vec_id = dst),
+       |topk AS (SELECT src, dst, cos, CAST(rn AS BIGINT) AS rn FROM (
+       |  SELECT src, dst, cos, row_number() OVER (PARTITION BY src
+       |          ORDER BY cos DESC, dst) AS rn FROM csA) WHERE rn <= 4)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "embed_pca_power" ->
@@ -1279,31 +1329,16 @@ object Ann {
          |ORDER BY score DESC, s.vec_id LIMIT 5""".stripMargin,
     "ann_graph_nsw" ->
       s"""WITH $duckE,
-         |c AS (SELECT vec_id AS cid, v FROM e WHERE vec_id <
-         |        greatest(8, CAST(floor(sqrt((SELECT count(*) FROM e))) AS BIGINT))),
-         |sc AS (SELECT x.vec_id, y.cid, round($duckCosPair, 6) AS cscore
-         |       FROM e x JOIN (SELECT cid, v FROM c) y ON true),
-         |asg AS (SELECT vec_id, cid FROM (
-         |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
-         |          ORDER BY cscore DESC, cid) AS rn FROM sc) WHERE rn <= 3),
-         |m AS (SELECT e.vec_id, asg.cid FROM e JOIN asg ON e.vec_id = asg.vec_id),
-         |cand0 AS (SELECT DISTINCT x.vec_id AS src, y.vec_id AS dst
-         |          FROM m x JOIN m y ON x.cid = y.cid AND x.vec_id != y.vec_id),
-         |cos0 AS (SELECT src, dst, round($duckCosPair, 6) AS cos
-         |         FROM cand0 JOIN e x ON x.vec_id = src JOIN e y ON y.vec_id = dst),
-         |r1 AS (SELECT src, dst FROM (SELECT src, dst, row_number() OVER (
-         |         PARTITION BY src ORDER BY cos DESC, dst) AS rn FROM cos0) WHERE rn <= 4),
-         |und AS (SELECT src, dst FROM r1 UNION SELECT dst, src FROM r1),
-         |hop2 AS (SELECT DISTINCT a.src AS src, b.dst AS dst
-         |         FROM und a JOIN und b ON a.dst = b.src WHERE a.src != b.dst),
-         |allc AS (SELECT src, dst FROM hop2 UNION SELECT src, dst FROM cand0),
-         |csA AS (SELECT src, dst, round($duckCosPair, 6) AS cos
-         |        FROM allc JOIN e x ON x.vec_id = src JOIN e y ON y.vec_id = dst),
-         |topk AS (SELECT src, dst, cos, CAST(rn AS BIGINT) AS rn FROM (
-         |  SELECT src, dst, cos, row_number() OVER (PARTITION BY src
-         |          ORDER BY cos DESC, dst) AS rn FROM csA) WHERE rn <= 4)
+         |$duckNswTopk
          |SELECT t.src, t.dst, t.cos, t.rn, (r.src IS NOT NULL) AS mutual
          |FROM topk t LEFT JOIN topk r ON t.src = r.dst AND t.dst = r.src""".stripMargin,
+    "embed_outlier_knn" ->
+      s"""WITH $duckE,
+         |$duckNswTopk
+         |SELECT src AS vec_id, CAST(count(*) AS BIGINT) AS n_neighbors,
+         | CAST(sum(CAST(round(cos * 1000000) AS BIGINT)) AS BIGINT) // count(*)
+         |   AS mean_cos_micros
+         |FROM topk GROUP BY 1 ORDER BY mean_cos_micros, vec_id LIMIT 10""".stripMargin,
     "ann_hnsw_levels" ->
       s"""WITH $duckE,
          |$duckLevels

@@ -817,9 +817,12 @@ object TextAnalysis {
     * (n+2) div 3 make the tertile exact type-1 for any n.
     */
   def ccnetBuckets(s: SparkSession, dir: String): DataFrame = {
-    val nll = unigramLogprob(s, dir)
+    // memoized: the doc-sized NLL frame feeds the tertile histogram AND
+    // the final bucket join — uncached, the corpus-scale token ⋈ LM join
+    // underneath would run twice
+    val nll = Graft.memoCache("ccnet_nll", dir)(unigramLogprob(s, dir)
       .join(Graft.documents(s, dir).select(col("doc_id"), col("lang")), "doc_id")
-      .select(col("doc_id"), col("lang"), col("nll_per_tok_micros").as("nll"))
+      .select(col("doc_id"), col("lang"), col("nll_per_tok_micros").as("nll")))
     val hist = nll.groupBy(col("lang"), col("nll")).agg(count(lit(1)).as("c"))
     val wCum = org.apache.spark.sql.expressions.Window
       .partitionBy(col("lang")).orderBy(col("nll"))

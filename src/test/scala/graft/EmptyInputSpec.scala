@@ -71,6 +71,15 @@ class EmptyInputSpec extends SparkSpec {
     assert(Ann.pqRefine(spark, dir).count() === 0)
   }
 
+  test("round-11 operators are safe on empty tables") {
+    assert(TextAnalysis.gopherQuality(spark, dir).count() === 0)
+    assert(TextAnalysis.bpePairs(spark, dir).count() === 0)
+    assert(TextAnalysis.dsirWeights(spark, dir).count() === 0)
+    assert(TextAnalysis.ccnetBuckets(spark, dir).count() === 0)
+    assert(Ann.pcaPowerStep(spark, dir).count() === 0)
+    assert(Ann.knnOutliers(spark, dir).count() === 0)
+  }
+
   test("round-5 operators are safe on empty tables") {
     assert(Events.attribution(spark, dir).count() === 0)
     assert(TextAnalysis.samplePerKey(spark, dir).count() === 0)

@@ -108,6 +108,19 @@ class Round11OpsSpec extends SparkSpec {
     }
   }
 
+  test("knnOutliers picks the bottom-10 mean neighbor cosines from the NSW edge frame") {
+    val edges = Ann.nswGraph(spark, dir).collect()
+      .map(r => (r.getAs[Long]("src"), r.getAs[Double]("cos")))
+    val expected = edges.groupBy(_._1).map { case (src, es) =>
+      val qs = es.map(e => math.round(e._2 * 1000000))
+      (src, es.length.toLong, qs.sum / qs.length)
+    }.toSeq.sortBy(t => (t._3, t._1)).take(10)
+    val got = Ann.knnOutliers(spark, dir).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("n_neighbors"),
+        r.getAs[Long]("mean_cos_micros"))).toSeq
+    assert(got === expected)
+  }
+
   test("pcaPowerStep matches the exact integer recomputation; max ratio is ±1e6") {
     val vecs = Graft.embeddings(spark, dir).select("embedding").collect()
       .map(_.getSeq[Float](0).toArray)
