@@ -841,6 +841,30 @@ object TextAnalysis {
           .otherwise("tail").as("bucket"))
   }
 
+  /** Tokenizer vocabulary coverage: per document the fraction of token
+    * occurrences falling OUTSIDE a size-capped greedy vocabulary (the
+    * top-`vocabSize` corpus tokens by frequency, ties broken by token) —
+    * the OOV-rate check run after any tokenizer/vocab change, and the
+    * per-doc signal for routing high-OOV documents to byte-fallback
+    * encoding. vocabSize=16 on this 31-type synthetic corpus (the
+    * parameter scales with the real vocabulary). Shape: the vocabulary
+    * is a TakeOrderedAndProject over the map-side-combinable token
+    * count — O(vocabSize) rows, broadcast — and the per-doc aggregate
+    * rides the memoized token stream; integer micros throughout.
+    */
+  def oovRate(s: SparkSession, dir: String, vocabSize: Int = 16): DataFrame = {
+    val toks = tokStream(s, dir)
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("tok").asc).limit(vocabSize)
+      .select(col("tok").as("v_tok"))
+    toks.join(broadcast(vocab), col("tok") === col("v_tok"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_toks"),
+        sum(when(col("v_tok").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("doc_id"), col("n_toks"), col("n_oov"),
+        expr("n_oov * 1000000 div n_toks").as("oov_micros"))
+  }
+
   /** First 8 hex digits of hex-string expression `h` as a long —
     * portable (posFn = instr for Spark, strpos for DuckDB).
     */
@@ -957,6 +981,17 @@ object TextAnalysis {
         |SELECT doc_id, lang, nll AS nll_per_tok_micros,
         | CASE WHEN nll <= t1 THEN 'head' WHEN nll <= t2 THEN 'middle' ELSE 'tail' END AS bucket
         |FROM nll JOIN th USING (lang)""".stripMargin,
+    "text_oov_rate" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok
+        |  FROM documents),
+        |v AS (SELECT tok FROM (SELECT tok, count(*) AS c FROM toks
+        |       GROUP BY 1 ORDER BY c DESC, tok LIMIT 16)),
+        |j AS (SELECT t.doc_id, (v.tok IS NOT NULL) AS inv
+        |      FROM toks t LEFT JOIN v ON t.tok = v.tok)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+        | CAST(count(*) FILTER (WHERE NOT inv) AS BIGINT) AS n_oov,
+        | CAST(count(*) FILTER (WHERE NOT inv) AS BIGINT) * 1000000 // count(*) AS oov_micros
+        |FROM j GROUP BY 1""".stripMargin,
     "search_mlt" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok
         |  FROM documents),

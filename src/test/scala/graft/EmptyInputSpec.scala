@@ -78,6 +78,7 @@ class EmptyInputSpec extends SparkSpec {
     assert(TextAnalysis.ccnetBuckets(spark, dir).count() === 0)
     assert(Ann.pcaPowerStep(spark, dir).count() === 0)
     assert(Ann.knnOutliers(spark, dir).count() === 0)
+    assert(TextAnalysis.oovRate(spark, dir).count() === 0)
   }
 
   test("round-5 operators are safe on empty tables") {

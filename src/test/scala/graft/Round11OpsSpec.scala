@@ -121,6 +121,24 @@ class Round11OpsSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("oovRate matches the greedy-vocab recomputation with the rank-boundary tie-break") {
+    val tokens = docs.flatMap { case (id, text, _) =>
+      text.toLowerCase.split("\\s+").map(t => (id, t))
+    }
+    val vocab = tokens.groupBy(_._2).map { case (t, v) => (t, v.size) }
+      .toSeq.sortBy { case (t, c) => (-c, t) }.take(16).map(_._1).toSet
+    val expected = tokens.groupBy(_._1).map { case (id, ts) =>
+      val n = ts.size.toLong
+      val oov = ts.count(t => !vocab.contains(t._2)).toLong
+      id -> (n, oov, oov * 1000000L / n)
+    }
+    val got = TextAnalysis.oovRate(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> (r.getAs[Long]("n_toks"),
+        r.getAs[Long]("n_oov"), r.getAs[Long]("oov_micros"))).toMap
+    assert(got === expected)
+    assert(got.values.map(_._3).toSet.size > 1, "OOV rate must discriminate")
+  }
+
   test("pcaPowerStep matches the exact integer recomputation; max ratio is ±1e6") {
     val vecs = Graft.embeddings(spark, dir).select("embedding").collect()
       .map(_.getSeq[Float](0).toArray)
