@@ -903,6 +903,31 @@ object Ann {
           .as("ratio_micros"))
   }
 
+  /** Per-dimension embedding drift between two corpus halves (vec_id
+    * parity standing in for the before/after split of an encoder
+    * refresh): mean per dim on each side plus the signed delta — a
+    * per-dim t-like drift monitor that catches an encoder change
+    * shifting the embedding space before any index is rebuilt against
+    * it. Values quantized to integer micros in the projection, so the
+    * conditional sums are order-independent; ONE map-side-combinable
+    * aggregate — the exchange carries dims × 4 longs per partition,
+    * never vectors.
+    */
+  def driftSplit(s: SparkSession, dir: String): DataFrame =
+    Graft.embeddings(s, dir)
+      .select(expr("vec_id % 2").as("grp"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("grp"), col("dim").cast("long").as("dim"),
+        expr("cast(round(cast(v as double) * 1000000) as bigint)").as("q"))
+      .groupBy(col("dim"))
+      .agg(sum(when(col("grp") === 0L, col("q")).otherwise(0L)).as("sum_a"),
+        sum(when(col("grp") === 0L, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("grp") === 1L, col("q")).otherwise(0L)).as("sum_b"),
+        sum(when(col("grp") === 1L, 1L).otherwise(0L)).as("n_b"))
+      .select(col("dim"),
+        expr("sum_a div n_a").as("mean_a_micros"),
+        expr("sum_b div n_b").as("mean_b_micros"),
+        expr("sum_b div n_b - sum_a div n_a").as("delta_micros"))
+
   /** kNN-distance outlier report over the blocked-NSW graph: per node
     * the mean cosine to its top-k graph neighbors (quantized to integer
     * micros pre-sum), lowest-k = the most isolated vectors — the
@@ -1072,6 +1097,20 @@ object Ann {
        |          ORDER BY cos DESC, dst) AS rn FROM csA) WHERE rn <= 4)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "embed_drift_split" ->
+      s"""WITH $duckE,
+         |x AS (SELECT vec_id % 2 AS grp, CAST(t.j - 1 AS BIGINT) AS dim,
+         |        CAST(round(v[t.j] * 1000000) AS BIGINT) AS q
+         |      FROM e, unnest(range(1, len(v) + 1)) AS t(j))
+         |SELECT dim,
+         | CAST(sum(q) FILTER (WHERE grp = 0) AS BIGINT) // count(*) FILTER (WHERE grp = 0)
+         |   AS mean_a_micros,
+         | CAST(sum(q) FILTER (WHERE grp = 1) AS BIGINT) // count(*) FILTER (WHERE grp = 1)
+         |   AS mean_b_micros,
+         | CAST(sum(q) FILTER (WHERE grp = 1) AS BIGINT) // count(*) FILTER (WHERE grp = 1)
+         |  - CAST(sum(q) FILTER (WHERE grp = 0) AS BIGINT) // count(*) FILTER (WHERE grp = 0)
+         |   AS delta_micros
+         |FROM x GROUP BY 1""".stripMargin,
     "embed_pca_power" ->
       s"""WITH $duckE,
          |q AS (SELECT list_transform(v, z -> CAST(round(z * 1000) AS BIGINT)) AS xq FROM e),

@@ -79,6 +79,7 @@ class EmptyInputSpec extends SparkSpec {
     assert(Ann.pcaPowerStep(spark, dir).count() === 0)
     assert(Ann.knnOutliers(spark, dir).count() === 0)
     assert(TextAnalysis.oovRate(spark, dir).count() === 0)
+    assert(Ann.driftSplit(spark, dir).count() === 0)
   }
 
   test("round-5 operators are safe on empty tables") {

@@ -139,6 +139,25 @@ class Round11OpsSpec extends SparkSpec {
     assert(got.values.map(_._3).toSet.size > 1, "OOV rate must discriminate")
   }
 
+  test("driftSplit matches the exact parity-split mean recomputation") {
+    val vecs = Graft.embeddings(spark, dir).select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val d = vecs.head._2.length
+    val expected = (0 until d).map { j =>
+      def side(p: Long) = {
+        val qs = vecs.filter(_._1 % 2 == p).map(v => math.round(v._2(j).toDouble * 1000000))
+        (qs.sum, qs.length.toLong)
+      }
+      val ((sa, na), (sb, nb)) = (side(0), side(1))
+      (j.toLong, sa / na, sb / nb, sb / nb - sa / na)
+    }
+    val got = Ann.driftSplit(spark, dir).collect()
+      .map(r => (r.getAs[Long]("dim"), r.getAs[Long]("mean_a_micros"),
+        r.getAs[Long]("mean_b_micros"), r.getAs[Long]("delta_micros")))
+      .sortBy(_._1).toSeq
+    assert(got === expected)
+  }
+
   test("pcaPowerStep matches the exact integer recomputation; max ratio is ±1e6") {
     val vecs = Graft.embeddings(spark, dir).select("embedding").collect()
       .map(_.getSeq[Float](0).toArray)
