@@ -167,6 +167,26 @@ object Dedup {
       .filter(col("est_jaccard_micros") >= 500000L)
   }
 
+  /** Analytic MinHash-LSH parameter planner: for every (bands, rows)
+    * factorization of the family's 12-hash signature, the S-curve
+    * threshold (1/b)^(1/r) and the candidate-collision probability
+    * 1−(1−s^r)^b at reference similarities s ∈ {0.5, 0.7, 0.9} — the
+    * table a 100 TB dedup run consults BEFORE building the band index
+    * (pick the split whose threshold brackets the target tau), with
+    * [[lshStats]] as the empirical after-build complement. Six
+    * driver-constant rows, micros-rounded doubles; corpus-independent
+    * by design (`dir` unused).
+    */
+  def lshCurve(s: SparkSession, dir: String): DataFrame = {
+    val splits = Seq((1L, 12L), (2L, 6L), (3L, 4L), (4L, 3L), (6L, 2L), (12L, 1L))
+    val base = s.createDataFrame(splits).toDF("b", "r")
+    def p(sim: String, name: String) =
+      expr(s"cast(round((1 - pow(1 - pow($sim, r), b)) * 1000000) as bigint)").as(name)
+    base.select(col("b"), col("r"),
+      expr("cast(round(pow(1.0 / b, 1.0 / r) * 1000000) as bigint)").as("threshold_micros"),
+      p("0.5", "p50_micros"), p("0.7", "p70_micros"), p("0.9", "p90_micros"))
+  }
+
   /** LSH index health: per-band bucket statistics over the MinHash band
     * frame — bucket count, max occupancy, and the candidate-pair mass
     * Σ s·(s−1)/2 each band contributes to the self-join. THE tuning
@@ -961,6 +981,15 @@ object Dedup {
       | FROM (SELECT doc_id, toks, unnest(range(0, extra + 1)) AS i FROM fw1))""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "dedup_lsh_curve" ->
+      """WITH br AS (SELECT * FROM (VALUES (1, 12), (2, 6), (3, 4), (4, 3), (6, 2), (12, 1))
+        |  AS t(b, r))
+        |SELECT CAST(b AS BIGINT) AS b, CAST(r AS BIGINT) AS r,
+        | CAST(round(power(1.0 / b, 1.0 / r) * 1000000) AS BIGINT) AS threshold_micros,
+        | CAST(round((1 - power(1 - power(0.5, r), b)) * 1000000) AS BIGINT) AS p50_micros,
+        | CAST(round((1 - power(1 - power(0.7, r), b)) * 1000000) AS BIGINT) AS p70_micros,
+        | CAST(round((1 - power(1 - power(0.9, r), b)) * 1000000) AS BIGINT) AS p90_micros
+        |FROM br""".stripMargin,
     "graph_triangles" ->
       s"""WITH $duckShingles,
          |s AS (SELECT doc_id, unnest(shingles) AS sh FROM sar),

@@ -158,6 +158,22 @@ class Round11OpsSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("lshCurve matches the math.pow recomputation; threshold falls as bands widen") {
+    val got = Dedup.lshCurve(spark, dir).collect()
+      .map(r => (r.getAs[Long]("b"), r.getAs[Long]("r"), r.getAs[Long]("threshold_micros"),
+        r.getAs[Long]("p50_micros"), r.getAs[Long]("p70_micros"), r.getAs[Long]("p90_micros")))
+      .sortBy(_._1).toSeq
+    val expected = Seq((1, 12), (2, 6), (3, 4), (4, 3), (6, 2), (12, 1)).map { case (b, r) =>
+      def p(s: Double) = math.round((1 - math.pow(1 - math.pow(s, r), b)) * 1000000)
+      (b.toLong, r.toLong, math.round(math.pow(1.0 / b, 1.0 / r) * 1000000),
+        p(0.5), p(0.7), p(0.9))
+    }.sortBy(_._1)
+    assert(got === expected)
+    // more bands = looser threshold and higher collision probability
+    assert(got.map(_._3) === got.map(_._3).sorted.reverse)
+    assert(got.map(_._6) === got.map(_._6).sorted)
+  }
+
   test("pcaPowerStep matches the exact integer recomputation; max ratio is ±1e6") {
     val vecs = Graft.embeddings(spark, dir).select("embedding").collect()
       .map(_.getSeq[Float](0).toArray)
