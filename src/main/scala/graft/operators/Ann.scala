@@ -903,6 +903,54 @@ object Ann {
           .as("ratio_micros"))
   }
 
+  /** Iterated power method: [[pcaPowerStep]] run for `steps` normalized
+    * rounds — the actual top principal axis of the second-moment matrix,
+    * not just its first Krylov vector. Between rounds the d-row spectrum
+    * frame is collected (bounded driver state, the kmeans-step pattern)
+    * and re-broadcast as the next start vector, re-quantized to integer
+    * millis (v = round(s/max|s|·1000)) so every round works in the same
+    * exact-integer regime: per-row w = (Σ x_q·v) div 1000 stays ≤ d·10⁶
+    * div 10³, and the per-dim products bound the bigint sum to
+    * N ≈ 1.4e11 rows (shard-and-merge past that). Each round is ONE
+    * map-side-combinable d-row aggregate over the memoized quantized
+    * frame — the corpus is scanned once for the whole iteration, rounds
+    * 2+ read the cache.
+    */
+  def pcaIterate(s: SparkSession, dir: String, steps: Int = 3): DataFrame = {
+    val xq = Graft.memoCache("pca_xq", dir)(Graft.embeddings(s, dir)
+      .select(col("vec_id"), expr(
+        "transform(embedding, x -> cast(round(cast(x as double) * 1000) as bigint))").as("xq")))
+    // SQL round() is half-away-from-zero; scala math.round is half-up,
+    // which differs on negative halves — match the engines exactly
+    def rnd(x: Double): Long = if (x >= 0) math.round(x) else -math.round(-x)
+    val first = xq.select(size(col("xq"))).take(1)
+    if (first.isEmpty)
+      return s.createDataFrame(Seq.empty[(Long, Long, Long)])
+        .toDF("dim", "s_q", "ratio_micros")
+    val d = first.head.getInt(0)
+    var v = Array.tabulate(d)(j => if (j % 2 == 0) 1000L else -1000L)
+    var rows = Array.empty[(Long, Long)]
+    for (_ <- 1 to steps) {
+      val vExpr = v.mkString("array(", ",", ")")
+      rows = xq
+        .select(col("xq"),
+          expr(s"aggregate(zip_with(xq, $vExpr, (x, vv) -> x * vv)," +
+            " cast(0 as bigint), (a, p) -> a + p) div 1000").as("w"))
+        .select(col("w"), posexplode(col("xq")).as(Seq("dim", "x")))
+        .groupBy(col("dim").cast("long").as("dim"))
+        .agg(sum(col("w") * col("x")).as("s_q"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      val m = rows.map(r => math.abs(r._2)).max
+      v = rows.map(r => rnd(r._2.toDouble / m * 1000))
+    }
+    // the d-row spectrum is already on the driver (bounded) — emit it
+    // directly instead of re-running the last round's aggregate
+    val mAbs = rows.map(r => math.abs(r._2)).max
+    s.createDataFrame(rows.toSeq.map { case (dim, sq) =>
+      (dim, sq, rnd(sq.toDouble / mAbs * 1000000))
+    }).toDF("dim", "s_q", "ratio_micros")
+  }
+
   /** Per-dimension embedding drift between two corpus halves (vec_id
     * parity standing in for the before/after split of an encoder
     * refresh): mean per dim on each side plus the signed delta — a
@@ -1096,7 +1144,36 @@ object Ann {
        |  SELECT src, dst, cos, row_number() OVER (PARTITION BY src
        |          ORDER BY cos DESC, dst) AS rn FROM csA) WHERE rn <= 4)""".stripMargin
 
+  /** One normalized power round as DuckDB CTEs: from vector frame `v$p`
+    * (dim, v in millis) over the shared `xd` explode to spectrum `s$k`
+    * and next vector `v$k`. Integer products keep the per-vec and
+    * per-dim sums order-independent, matching the Spark aggregate.
+    */
+  private def duckPcaRound(k: Int, prev: String): String =
+    s"""w$k AS (SELECT vec_id, CAST(sum(x * v) AS BIGINT) // 1000 AS w
+       |       FROM xd JOIN $prev USING (dim) GROUP BY 1),
+       |s$k AS (SELECT dim, CAST(sum(w * x) AS BIGINT) AS s_q
+       |       FROM xd JOIN w$k USING (vec_id) GROUP BY 1),
+       |m$k AS (SELECT max(abs(s_q)) AS m FROM s$k),
+       |v$k AS (SELECT dim, CAST(round(CAST(s_q AS DOUBLE) / CAST(m AS DOUBLE) * 1000)
+       |        AS BIGINT) AS v FROM s$k, m$k)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "embed_pca_iterate" ->
+      s"""WITH $duckE,
+         |q AS (SELECT vec_id, list_transform(v, z -> CAST(round(z * 1000) AS BIGINT)) AS xq
+         |      FROM e),
+         |xd AS (SELECT vec_id, CAST(t.j - 1 AS BIGINT) AS dim, xq[t.j] AS x
+         |       FROM q, unnest(range(1, len(xq) + 1)) AS t(j)),
+         |v0 AS (SELECT DISTINCT dim,
+         |        CASE WHEN dim % 2 = 0 THEN 1000 ELSE -1000 END AS v FROM xd),
+         |${duckPcaRound(1, "v0")},
+         |${duckPcaRound(2, "v1")},
+         |${duckPcaRound(3, "v2")}
+         |SELECT dim, s_q,
+         | CAST(round(CAST(s_q AS DOUBLE) / CAST(m AS DOUBLE) * 1000000) AS BIGINT)
+         |   AS ratio_micros
+         |FROM s3, m3""".stripMargin,
     "embed_drift_split" ->
       s"""WITH $duckE,
          |x AS (SELECT vec_id % 2 AS grp, CAST(t.j - 1 AS BIGINT) AS dim,

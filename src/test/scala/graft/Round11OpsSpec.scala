@@ -174,6 +174,38 @@ class Round11OpsSpec extends SparkSpec {
     assert(got.map(_._6) === got.map(_._6).sorted)
   }
 
+  test("pcaIterate: 3 exact integer power rounds; step-1 spectrum equals pcaPowerStep's") {
+    def rnd(x: Double): Long = if (x >= 0) math.round(x) else -math.round(-x)
+    val xq = Graft.embeddings(spark, dir).select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray.map(x => math.round(x.toDouble * 1000)))
+    val d = xq.head.length
+    var v = Array.tabulate(d)(j => if (j % 2 == 0) 1000L else -1000L)
+    var s = Array.empty[Long]
+    val spectra = (1 to 3).map { _ =>
+      s = Array.fill(d)(0L)
+      xq.foreach { row =>
+        val w = row.indices.map(j => row(j) * v(j)).sum / 1000
+        var j = 0
+        while (j < d) { s(j) += w * row(j); j += 1 }
+      }
+      val m = s.map(math.abs).max
+      v = s.map(x => rnd(x.toDouble / m * 1000))
+      s.clone()
+    }
+    val oneStep = Ann.pcaPowerStep(spark, dir).collect()
+      .map(r => (r.getAs[Long]("dim"), r.getAs[Long]("s_q"))).sortBy(_._1).map(_._2)
+    assert(oneStep.toSeq === spectra.head.toSeq,
+      "iterate round 1 must equal the single power step")
+    val mAbs = spectra.last.map(math.abs).max
+    val got = Ann.pcaIterate(spark, dir).collect()
+      .map(r => (r.getAs[Long]("dim"), r.getAs[Long]("s_q"), r.getAs[Long]("ratio_micros")))
+      .sortBy(_._1)
+    got.foreach { case (dim, sq, ratio) =>
+      assert(sq === spectra.last(dim.toInt))
+      assert(ratio === rnd(spectra.last(dim.toInt).toDouble / mAbs * 1000000))
+    }
+  }
+
   test("pcaPowerStep matches the exact integer recomputation; max ratio is ±1e6") {
     val vecs = Graft.embeddings(spark, dir).select("embedding").collect()
       .map(_.getSeq[Float](0).toArray)
