@@ -865,6 +865,39 @@ object TextAnalysis {
         expr("n_oov * 1000000 div n_toks").as("oov_micros"))
   }
 
+  /** First 12 hex digits of hex-string expression `h` as a 48-bit long —
+    * portable (posFn = instr for Spark, strpos for DuckDB). 48 bits keep
+    * the modulo bias negligible for any realistic shard count.
+    */
+  private def hex12ToLong(h: String, posFn: String): String =
+    (1 to 12).map { k =>
+      s"cast($posFn('0123456789abcdef', substring($h, $k, 1)) - 1 as bigint) * ${1L << (4 * (12 - k))}"
+    }.mkString("(", " + ", ")")
+
+  /** Training-shard layout planner: size the shard count from the corpus
+    * token total (one-row broadcast: n_shards = ceil(total / budget)),
+    * assign each document by a 48-bit md5 draw mod n_shards
+    * (deterministic, stateless, balanced in expectation — the
+    * write-side `repartition(n_shards, shard)` key), and report the
+    * realized per-shard balance (docs, tokens, fill vs budget in
+    * micros) — the skew check run BEFORE burning a 100 TB write. One
+    * map-side-combinable aggregate over the memoized doc-sized
+    * projection; no corpus-wide sort, no single-partition window.
+    */
+  def shardPlan(s: SparkSession, dir: String, budget: Long = 4096L): DataFrame = {
+    val t = Graft.memoCache("shard_docs", dir)(Graft.documents(s, dir)
+      .select(col("doc_id"),
+        expr("cast(size(split(lower(text), '\\\\s+')) as bigint)").as("n_toks"),
+        expr(hex12ToLong("md5(cast(doc_id as string))", "instr")).as("hb")))
+    val tot = t.agg(sum(col("n_toks")).as("total"))
+      .select(expr(s"(total + $budget - 1) div $budget").as("n_shards"))
+    t.crossJoin(broadcast(tot))
+      .select(col("n_toks"), expr("hb % n_shards").as("shard"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+      .withColumn("fill_micros", expr(s"n_tokens * 1000000 div $budget"))
+  }
+
   /** First 8 hex digits of hex-string expression `h` as a long —
     * portable (posFn = instr for Spark, strpos for DuckDB).
     */
@@ -981,6 +1014,20 @@ object TextAnalysis {
         |SELECT doc_id, lang, nll AS nll_per_tok_micros,
         | CASE WHEN nll <= t1 THEN 'head' WHEN nll <= t2 THEN 'middle' ELSE 'tail' END AS bucket
         |FROM nll JOIN th USING (lang)""".stripMargin,
+    "doc_shard_plan" -> {
+      val hb = (1 to 12).map { k =>
+        s"CAST(strpos('0123456789abcdef', substring(h, $k, 1)) - 1 AS BIGINT) * ${1L << (4 * (12 - k))}"
+      }.mkString("(", " + ", ")")
+      s"""WITH t AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+         |  CAST(len(string_split_regex(lower(text), '\\s+')) AS BIGINT) AS n_toks
+         | FROM documents),
+         |tot AS (SELECT CAST((sum(n_toks) + 4095) // 4096 AS BIGINT) AS n_shards FROM t),
+         |a AS (SELECT n_toks, $hb % (SELECT n_shards FROM tot) AS shard FROM t)
+         |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+         | CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+         | CAST(sum(n_toks) AS BIGINT) * 1000000 // 4096 AS fill_micros
+         |FROM a GROUP BY 1""".stripMargin
+    },
     "text_oov_rate" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok
         |  FROM documents),

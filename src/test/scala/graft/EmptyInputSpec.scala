@@ -81,6 +81,7 @@ class EmptyInputSpec extends SparkSpec {
     assert(TextAnalysis.oovRate(spark, dir).count() === 0)
     assert(Ann.driftSplit(spark, dir).count() === 0)
     assert(Ann.pcaIterate(spark, dir).count() === 0)
+    assert(TextAnalysis.shardPlan(spark, dir).count() === 0)
   }
 
   test("round-5 operators are safe on empty tables") {

@@ -206,6 +206,20 @@ class Round11OpsSpec extends SparkSpec {
     }
   }
 
+  test("shardPlan covers every document once and sizes shards from the token total") {
+    val rows = TextAnalysis.shardPlan(spark, dir).collect()
+      .map(r => (r.getAs[Long]("shard"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("fill_micros")))
+    val totToks = docs.map(_._2.toLowerCase.split("\\s+").length.toLong).sum
+    val nShards = (totToks + 4095) / 4096
+    assert(rows.map(_._2).sum === docs.length.toLong)
+    assert(rows.map(_._3).sum === totToks)
+    assert(rows.forall(r => r._1 >= 0 && r._1 < nShards))
+    rows.foreach(r => assert(r._4 === r._3 * 1000000L / 4096L))
+    // hash assignment must not collapse into one shard
+    if (nShards > 1) assert(rows.length > 1)
+  }
+
   test("pcaPowerStep matches the exact integer recomputation; max ratio is ±1e6") {
     val vecs = Graft.embeddings(spark, dir).select("embedding").collect()
       .map(_.getSeq[Float](0).toArray)
