@@ -92,6 +92,24 @@ object IndexBuilder {
     (s.read.parquet(s"$outDir/main"), s.table("graft_chunks_compacted"))
   }
 
+  /** Hive-style partitioned corpus layout: documents written
+    * `partitionBy(source, lang)` so a per-cell slice (one training-mix
+    * cell of `doc_mix_report`) prunes at the FILE LISTING level — the
+    * scan for one (source, lang) touches only that directory, never the
+    * corpus (IndexBuilderSpec asserts PartitionFilters reach the scan).
+    * Dynamic partition overwrite replaces only the cells present in the
+    * incoming frame, so refreshing one source is a cell-sized write.
+    * This is the third write layout next to [[write]]'s bucketed CHUNKS
+    * (join co-location) and [[compact]] (generation rewrite): pruning
+    * for slice reads, bucketing for key joins.
+    */
+  def writePartitionedCorpus(s: SparkSession, dir: String, outDir: String): DataFrame = {
+    Graft.documents(s, dir).write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("source", "lang").parquet(outDir)
+    s.read.parquet(outDir)
+  }
+
   /** Materialize the two collections: MAIN plain parquet (small: one row
     * per doc), CHUNKS bucketed by doc_key. Returns re-loaded frames.
     */

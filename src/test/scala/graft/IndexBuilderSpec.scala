@@ -88,6 +88,38 @@ class IndexBuilderSpec extends SparkSpec {
     assert(shuffles.isEmpty, s"compacted chunks join must not shuffle: $shuffles")
   }
 
+  test("partitioned corpus layout prunes a (source, lang) slice at the scan") {
+    val out = Files.createTempDirectory("graft-part").toString
+    val back = IndexBuilder.writePartitionedCorpus(spark, dir, out)
+    val orig = Graft.documents(spark, dir)
+    assert(back.count() === orig.count())
+    // hive-style cell directories exist
+    assert(new java.io.File(s"$out/source=src0/lang=en").exists())
+    // a one-cell read carries partition filters into the scan and
+    // matches the unpartitioned filter row-for-row
+    import org.apache.spark.sql.functions.col
+    val cell = back.filter(col("source") === "src0" && col("lang") === "en")
+    assert(cell.count() ===
+      orig.filter(col("source") === "src0" && col("lang") === "en").count())
+    val exec = cell.queryExecution.executedPlan
+    exec.executeCollect()
+    val scans = exec.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty)
+    assert(scans.forall(_.partitionFilters.nonEmpty),
+      "source/lang predicates must prune partitions, not filter rows")
+    // the driven scan read only the one cell's files, not the corpus
+    def parquets(d: java.io.File): Int =
+      if (d.isDirectory) d.listFiles.map(parquets).sum
+      else if (d.getName.endsWith(".parquet")) 1 else 0
+    val cellFiles = parquets(new java.io.File(s"$out/source=src0/lang=en"))
+    val allFiles = parquets(new java.io.File(out))
+    assert(cellFiles < allFiles)
+    assert(scans.head.metrics("numFiles").value === cellFiles.toLong,
+      "pruned scan must list exactly the cell's files")
+  }
+
   test("chunks collection round-trips bucketed with chunk metadata") {
     val out = Files.createTempDirectory("graft-index").toString
     val (main, chunks) = IndexBuilder.write(spark, dir, out, buckets = 4)
