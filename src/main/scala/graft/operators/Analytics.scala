@@ -238,26 +238,38 @@ object Analytics {
 
   /** Robust per-type outlier stats: median, MAD (median absolute
     * deviation), and the count of values beyond 3 MADs — the
-    * skew-resistant twin of [[zscoreOutliers]]. Medians are exact
-    * interpolated percentiles (grouped sorts); at 100 TB swap for the
-    * sketch path in [[approxStats]]. Both medians are rounded to 4dp
-    * BEFORE the dependent arithmetic so the outlier comparison is the
-    * same IEEE expression in both engines.
+    * skew-resistant twin of [[zscoreOutliers]]. Both medians run over a
+    * (event_type, value) HISTOGRAM via [[Percentiles.interp]] instead
+    * of a buffering `percentile()` (which would hold ~N/|types| doubles
+    * in one aggregation buffer at 100 TB): `value` is two-decimal
+    * currency, so distinct raw doubles are bounded and the groupBy is
+    * map-side combinable. The deviation multiset derives from the SAME
+    * histogram (|value - med| per distinct value, counts preserved) —
+    * one scan of events total where the percentile() formulation took
+    * three — and the outlier count is a weighted sum over that tiny
+    * frame. Both medians are rounded to 4dp BEFORE the dependent
+    * arithmetic so the outlier comparison is the same IEEE expression
+    * in both engines; interpolation reproduces percentile()'s
+    * arithmetic bit-exactly, so the DuckDB quantile_cont oracle
+    * hash-matches unchanged.
     */
   def madOutliers(s: SparkSession, dir: String): DataFrame = {
-    val e = Graft.events(s, dir).select(col("event_type"), col("value"))
-    val med = e.groupBy(col("event_type").as("mt"))
-      .agg(round(expr("percentile(value, 0.5)"), 4).as("med"))
-    val dev = e.join(broadcast(med), col("event_type") === col("mt"))
-    val mad = dev
-      .select(col("event_type").as("dt"), abs(col("value") - col("med")).as("dev"))
-      .groupBy(col("dt"))
-      .agg(round(expr("percentile(dev, 0.5)"), 4).as("mad"))
-    dev.join(broadcast(mad), col("event_type") === col("dt"))
+    val hist = Graft.events(s, dir)
+      .groupBy(col("event_type"), col("value")).agg(count(lit(1)).as("cnt"))
+    val med = Percentiles.interp(hist, Seq("event_type"), "value", "cnt", Seq(0.5 -> "m"))
+      .select(col("event_type").as("mt"), round(col("m"), 4).as("med"))
+    val devHist = hist.join(broadcast(med), col("event_type") === col("mt"))
+      .groupBy(col("event_type"), abs(col("value") - col("med")).as("dev"))
+      .agg(sum(col("cnt")).as("cnt"))
+    val mad = Percentiles.interp(devHist, Seq("event_type"), "dev", "cnt", Seq(0.5 -> "d"))
+      .select(col("event_type").as("dt"), round(col("d"), 4).as("mad"))
+    devHist.join(broadcast(mad), col("event_type") === col("dt"))
       .groupBy(col("event_type"))
-      .agg(first(col("med")).as("med"), first(col("mad")).as("mad"),
-        sum(when(abs(col("value") - col("med")) > col("mad") * 3, 1L).otherwise(0L))
+      .agg(max(col("mad")).as("mad"),
+        sum(when(col("dev") > col("mad") * 3, col("cnt")).otherwise(0L))
           .as("n_outliers"))
+      .join(broadcast(med), col("event_type") === col("mt"))
+      .select(col("event_type"), col("med"), col("mad"), col("n_outliers"))
   }
 
   /** 30-day trailing spend per customer order — a RANGE window frame
@@ -349,20 +361,25 @@ object Analytics {
         col("n"), col("sum_value"))
 
   /** Customer spend quartiles WITHOUT a global sort: exact quantile
-    * thresholds from one aggregation pass (floor'd to integer cents —
-    * floor is tie-safe across engines where round() is not), broadcast
-    * back, bucket as a projection. ntile() would force a single-partition
-    * global window; this shape stays two partial-agg passes + a map at
-    * any scale.
+    * thresholds from a spend-cents histogram ([[Percentiles.interp]] —
+    * the former single-buffer global `percentile()` held every
+    * customer's spend in ONE aggregation buffer, ~8 GB+ at 10^9
+    * customers), floor'd to integer cents (floor is tie-safe across
+    * engines where round() is not), broadcast back, bucket as a
+    * projection. ntile() would force a single-partition global window;
+    * this shape stays partial-agg passes + a map at any scale, and the
+    * spend subtree shuffles o_custkey once (ReusedExchange serves both
+    * the histogram and the projection).
     */
   def spendQuartiles(s: SparkSession, dir: String): DataFrame = {
     val spend = Graft.orders(s, dir)
       .groupBy(col("o_custkey"))
       .agg(sum(expr("cast(round(o_totalprice * 100) as bigint)")).as("spend_cents"))
-    val th = spend.agg(
-      expr("cast(floor(percentile(spend_cents, 0.25)) as bigint)").as("t1"),
-      expr("cast(floor(percentile(spend_cents, 0.5)) as bigint)").as("t2"),
-      expr("cast(floor(percentile(spend_cents, 0.75)) as bigint)").as("t3"))
+    val hist = spend.groupBy(col("spend_cents")).agg(count(lit(1)).as("cnt"))
+    val th = Percentiles.interp(hist, Nil, "spend_cents", "cnt",
+        Seq(0.25 -> "q1", 0.5 -> "q2", 0.75 -> "q3"))
+      .select(floor(col("q1")).as("t1"), floor(col("q2")).as("t2"),
+        floor(col("q3")).as("t3"))
     spend.crossJoin(broadcast(th))
       .select(col("o_custkey"), col("spend_cents"),
         expr("""1 + if(spend_cents > t1, 1, 0) + if(spend_cents > t2, 1, 0)
@@ -594,17 +611,20 @@ object Analytics {
   }
 
   /** Whale concentration (Pareto check): what share of total event value
-    * the top-decile users account for. The p90 threshold is the
-    * spendQuartiles floor'd-percentile broadcast; the report is one
-    * conditional aggregate — exact integer cents throughout, the
-    * concentration share in micros.
+    * the top-decile users account for. The p90 threshold is a floor'd
+    * interpolated percentile over the per-user cents HISTOGRAM
+    * ([[Percentiles.interp]] — the former global `percentile()`
+    * buffered every user's total in one task, corpus-scaling at
+    * 100 TB), broadcast back; the report is one conditional aggregate —
+    * exact integer cents throughout, the concentration share in micros.
     */
   def pareto(s: SparkSession, dir: String): DataFrame = {
     val per = Graft.events(s, dir)
       .groupBy(col("user_id"))
       .agg(sum(expr("cast(round(value * 100) as bigint)")).as("cents"))
-    val th = per.agg(
-      expr("cast(floor(percentile(cents, 0.9)) as bigint)").as("p90"))
+    val hist = per.groupBy(col("cents")).agg(count(lit(1)).as("cnt"))
+    val th = Percentiles.interp(hist, Nil, "cents", "cnt", Seq(0.9 -> "p"))
+      .select(floor(col("p")).as("p90"))
     per.crossJoin(broadcast(th))
       .agg(count(lit(1)).as("n_users"),
         sum(when(col("cents") > col("p90"), 1L).otherwise(0L)).as("n_top"),
@@ -619,7 +639,12 @@ object Analytics {
     * monetary value, median-split into 8 'Rfm'-style segments. Both
     * scalar frames (corpus max, medians) are one-row broadcasts — the
     * spendQuartiles pattern; thresholds floor to the integer grid so
-    * the split is reproducible across engines. One user_id shuffle.
+    * the split is reproducible across engines. One user_id shuffle
+    * (ReusedExchange serves both the threshold branch and the
+    * projection). The three medians come from ONE stacked
+    * (metric, value) histogram through [[Percentiles.interp]] — the
+    * former `percentile()` triple buffered every user's recency /
+    * frequency / monetary value in a single aggregation buffer.
     */
   def rfm(s: SparkSession, dir: String): DataFrame = {
     val nowSec = Graft.events(s, dir)
@@ -634,10 +659,14 @@ object Analytics {
       .select(col("user_id"),
         expr("(now_sec - last_sec) div 86400").as("recency_days"),
         col("frequency"), col("monetary_cents"))
-    val th = per.agg(
-      expr("cast(floor(percentile(recency_days, 0.5)) as bigint)").as("r_med"),
-      expr("cast(floor(percentile(frequency, 0.5)) as bigint)").as("f_med"),
-      expr("cast(floor(percentile(monetary_cents, 0.5)) as bigint)").as("m_med"))
+    val hist = per
+      .select(expr(
+        "stack(3, 'r', recency_days, 'f', frequency, 'm', monetary_cents) as (metric, v)"))
+      .groupBy(col("metric"), col("v")).agg(count(lit(1)).as("cnt"))
+    val th = Percentiles.interp(hist, Seq("metric"), "v", "cnt", Seq(0.5 -> "p"))
+      .agg(max(when(col("metric") === "r", floor(col("p")))).as("r_med"),
+        max(when(col("metric") === "f", floor(col("p")))).as("f_med"),
+        max(when(col("metric") === "m", floor(col("p")))).as("m_med"))
     per.crossJoin(broadcast(th))
       .select(col("user_id"), col("recency_days"), col("frequency"), col("monetary_cents"),
         concat(

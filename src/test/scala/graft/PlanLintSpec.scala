@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, ExprId, Expression, SpecifiedWindowFrame, UnboundedFollowing, UnboundedPreceding, WindowExpression}
-import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, CollectList, CollectSet, Complete, Median, Partial, Percentile}
 import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
 import org.apache.spark.sql.execution.{GlobalLimitExec, SortExec, SparkPlan, TakeOrderedAndProjectExec}
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
@@ -148,8 +148,77 @@ class PlanLintSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       case _ => false
     })
 
+  /** Dense unique-id columns: a LITERAL upper bound on one of these
+    * (`vec_id < 8`) selects a fixed number of rows at ANY corpus size —
+    * the deterministic-sample idiom the IVF/LSH/PQ codebook builders
+    * use before collecting their (budget-contracted) centroid arrays.
+    * An equality/bound on a non-dense column (`event_type = 'x'`)
+    * bounds nothing and stays out.
+    */
+  private val denseKeyCols = Set("vec_id")
+
+  private def literallyBounded(cond: Expression, aliases: Map[ExprId, Expression]): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions.{And, LessThan, LessThanOrEqual, Literal}
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    conjuncts(cond).exists {
+      case LessThan(a, _: Literal) =>
+        baseNames(a, aliases, Set.empty).forall(denseKeyCols)
+      case LessThanOrEqual(a, _: Literal) =>
+        baseNames(a, aliases, Set.empty).forall(denseKeyCols)
+      case _ => false
+    }
+  }
+
+  /** STRICTER row-bound test for the buffering-aggregate rule: an
+    * aggregate below only bounds the frame when its OWN grouping keys
+    * are empty (one row) or all bounded enums (≤ |enum| rows). The
+    * looser [[boundedInput]] counts ANY aggregate — which would have
+    * exempted the r11 `weak` family (a global percentile over a
+    * per-customer frame: aggregated, but to corpus-scaling
+    * cardinality, so the buffer still holds ~|customers| values in one
+    * task). A literal bound on a dense id column ([[literallyBounded]])
+    * also counts: `filter(vec_id < 8).agg(collect_list(...))` is the
+    * sanctioned fixed-size-sample shape.
+    */
+  private def boundedRowsBelow(p: SparkPlan, aliases: Map[ExprId, Expression]): Boolean =
+    collectWithSubqueries(p) {
+      case a: BaseAggregateExec if a.groupingExpressions.isEmpty ||
+          boundedKeysOnly(a.groupingExpressions, aliases, aggWindowCols) => a: SparkPlan
+      case l: GlobalLimitExec => l
+      case t: TakeOrderedAndProjectExec => t
+      case t: TopKPerKeyExec if t.partial => t
+      case f: org.apache.spark.sql.execution.FilterExec
+          if literallyBounded(f.condition, aliases) => f
+    }.nonEmpty ||
+      collectWithSubqueries(p) { case s: InMemoryTableScanExec => s.relation.cachedPlan }
+        .exists(boundedRowsBelow(_, aliases))
+
+  /** Aggregate functions whose buffer holds EVERY input value of a
+    * group (TypedImperativeAggregate value-buffering): ~group-size
+    * values in ONE task's aggregation buffer at 100 TB. The sketching
+    * twins (approx_percentile, HLL) and algebraic aggregates merge in
+    * constant space and are fine.
+    */
+  private def isBuffering(ae: AggregateExpression): Boolean =
+    ae.aggregateFunction match {
+      case _: Percentile | _: Median | _: CollectList | _: CollectSet => true
+      case _ => false
+    }
+
   /** The r8-scale-killer sweep: windows/heaps whose partitioning melts
-    * to a handful of tasks at corpus scale, over un-reduced input.
+    * to a handful of tasks at corpus scale, over un-reduced input —
+    * plus (r12) value-buffering AGGREGATES in the same situation: a
+    * percentile/collect over a global or bounded-enum grouping whose
+    * input still scales with the corpus buffers ~N/|enum| values in
+    * one task (the r11 `weak` family — the histogram-cumsum rewrite in
+    * [[graft.operators.Percentiles]] is the scale-safe twin). The
+    * Partial/Complete mode guard pins the rule to the node that reads
+    * the input stream; a grouping by a corpus-scaling key (per-doc
+    * collect of its chunks, the IVF per-cell centroid lists) keeps
+    * small groups and stays green.
     */
   private def windowSweep(plans: Seq[SparkPlan]): Seq[String] = plans.flatMap { plan =>
     val aliases: Map[ExprId, Expression] =
@@ -167,6 +236,14 @@ class PlanLintSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       case w: WindowExec if wholeFrameAgg(w) &&
           boundedKeysOnly(w.partitionSpec, aliases, aggWindowCols) && !boundedInput(w.child) =>
         "whole-partition aggregate window over raw input (use groupBy + broadcast join-back)"
+      case a: BaseAggregateExec if a.aggregateExpressions.exists(ae =>
+          (ae.mode == Partial || ae.mode == Complete) && isBuffering(ae)) &&
+          (a.groupingExpressions.isEmpty ||
+            boundedKeysOnly(a.groupingExpressions, aliases, aggWindowCols)) &&
+          !boundedRowsBelow(a.child, aliases) =>
+        val fns = a.aggregateExpressions.filter(isBuffering)
+          .map(_.aggregateFunction.prettyName).distinct.mkString(",")
+        s"value-buffering aggregate ($fns) over un-reduced input (use the histogram-cumsum shape)"
     }
   }
 
@@ -295,6 +372,47 @@ class PlanLintSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       .withColumn("m", avg(col("label")).over(Window.partitionBy(col("vec_id"))))
     assert(windowSweep(Seq(highCard.queryExecution.executedPlan)).isEmpty,
       s"sweep over-fires on a whole-frame aggregate by a corpus-scaling key:\n${highCard.queryExecution.executedPlan}")
+  }
+
+  test("canary: the sweep catches value-buffering aggregates over un-reduced input") {
+    import org.apache.spark.sql.functions.{col, collect_set, count, expr, lit, sum}
+    // the r11 `weak` family, shape 1: percentile grouped by a 5-value
+    // enum over the RAW events stream — ~N/5 doubles in one
+    // aggregation buffer at 100 TB
+    val bad = Graft.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.5)").as("med"))
+    assert(offenses(bad).exists(_.startsWith("value-buffering aggregate")),
+      s"sweep is vacuous: missed a grouped buffering percentile\n${bad.queryExecution.executedPlan}")
+    // shape 2: a GLOBAL percentile over a frame aggregated only by a
+    // corpus-scaling key (the reverted q_spend_quartiles) — aggregated,
+    // but the buffer still holds ~|customers| values in one task; the
+    // looser window-rule boundedInput would have exempted it
+    val badGlobal = Graft.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice")).as("spend"))
+      .agg(expr("floor(percentile(spend, 0.5))").as("t"))
+    assert(offenses(badGlobal).exists(_.startsWith("value-buffering aggregate")),
+      s"sweep misses a global percentile over a corpus-scaling frame\n${badGlobal.queryExecution.executedPlan}")
+    // collect_set is the same buffer shape
+    val badCollect = Graft.events(spark, dir)
+      .groupBy(col("event_type")).agg(collect_set(col("user_id")).as("users"))
+    assert(offenses(badCollect).exists(_.startsWith("value-buffering aggregate")),
+      s"sweep misses a grouped collect_set over raw events\n${badCollect.queryExecution.executedPlan}")
+    // green twin 1: percentile over an ALREADY bounded-enum-aggregated
+    // frame (≤ |event_type| rows) buffers a handful of values
+    val good = Graft.events(spark, dir)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .agg(expr("percentile(n, 0.5)").as("med_n"))
+    assert(windowSweep(Seq(good.queryExecution.executedPlan)).isEmpty,
+      s"sweep over-fires on a percentile above a bounded aggregate:\n${good.queryExecution.executedPlan}")
+    // green twin 2: collect grouped by a corpus-scaling key — groups
+    // stay small (per-vector/per-document semantics), the sanctioned
+    // shape the IVF per-cell centroid lists use
+    val goodCollect = Graft.embeddings(spark, dir)
+      .groupBy(col("vec_id")).agg(collect_set(col("label")).as("ls"))
+    assert(windowSweep(Seq(goodCollect.queryExecution.executedPlan)).isEmpty,
+      s"sweep over-fires on a collect by a corpus-scaling key:\n${goodCollect.queryExecution.executedPlan}")
   }
 
   test("canary: the sweep stays green on reduced input and on corpus-scaling keys") {
