@@ -62,7 +62,14 @@ object Bench {
     chunks.toSeq
   }
 
-  /** Time the given queries in THIS JVM (two iterations, min). */
+  /** Time the given queries in THIS JVM (two iterations, min; a THIRD
+    * iteration when the first two disagree >1.5x — r11 evidence: five
+    * untouched queries reported 2.4-3.5x their clean-run times purely
+    * from scheduling noise in their chunk, and min-of-2 cannot shed an
+    * outlier that hits both iterations' window. Solo graph-build
+    * chunks skip the retry: their iterations are minutes at large SF
+    * and they measured stable across rounds).
+    */
   private def timeQueries(spark: SparkSession, sfDir: String,
                           names: Set[String]): Map[String, Double] = {
     var prevFamily = ""
@@ -70,11 +77,17 @@ object Bench {
       .filter { case (n, _) => names.contains(n) }
       .map { case (name, fn) =>
         if (family(name) != prevFamily) { Graft.releaseCaches(); prevFamily = family(name) }
-        val times = (1 to 2).map { _ =>
+        def once(): Double = {
           val t0 = System.nanoTime()
           val ok = try { fn(spark, sfDir).count(); true }
           catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); false }
           if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+        }
+        val times = {
+          val two = Seq(once(), once())
+          if (!two.contains(-1.0) && !soloFamilies.contains(family(name)) &&
+            two.max > two.min * 1.5) two :+ once()
+          else two
         }
         name -> (if (times.contains(-1.0)) -1.0 else times.min)
       }.toMap
@@ -89,11 +102,18 @@ object Bench {
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // JVM/codegen warmup so the first timed query isn't charged for it
-    Seq("search_pipeline", "q1_agg", "events_hourly").foreach { w =>
+    // JVM/codegen warmup so the first timed query isn't charged for it;
+    // the chunk's own first query runs untimed too (multi-query chunks
+    // only — a solo graph build would double its minutes-long build),
+    // so first-in-chunk queries never pay chunk-cold scan/codegen debt
+    // the generic trio's plans don't cover (the r11 2.4-3.5x phantoms).
+    val chunkWarm =
+      if (names.size > 1) names.toSeq.sorted.headOption else None
+    (Seq("search_pipeline", "q1_agg", "events_hourly") ++ chunkWarm).foreach { w =>
       try SparkEntry.queries.get(w).foreach(_(spark, sfDir).count())
       catch { case _: Throwable => () }
     }
+    Graft.releaseCaches()
     val results = timeQueries(spark, sfDir, names)
     Graft.releaseCaches()
     spark.stop()

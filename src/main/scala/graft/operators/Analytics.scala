@@ -254,14 +254,22 @@ object Analytics {
     * hash-matches unchanged.
     */
   def madOutliers(s: SparkSession, dir: String): DataFrame = {
-    val hist = Graft.events(s, dir)
-      .groupBy(col("event_type"), col("value")).agg(count(lit(1)).as("cnt"))
-    val med = Percentiles.interp(hist, Seq("event_type"), "value", "cnt", Seq(0.5 -> "m"))
+    // both histograms are persisted: interp + the downstream joins
+    // reference each of them several times, and an un-persisted frame
+    // re-expands to a fresh events scan per reference (measured 29
+    // scans / 6.5x the runtime without the memo). The cached frames
+    // are |distinct (type, cents)| rows — KBs at any corpus size.
+    val hist = Graft.memoCache("mad_hist", dir)(Graft.events(s, dir)
+      .groupBy(col("event_type"), col("value")).agg(count(lit(1)).as("cnt")))
+    val med = Percentiles.interp(hist, Seq("event_type"), "value", "cnt",
+        Seq(0.5 -> "m"), twoLevel = false)
       .select(col("event_type").as("mt"), round(col("m"), 4).as("med"))
-    val devHist = hist.join(broadcast(med), col("event_type") === col("mt"))
-      .groupBy(col("event_type"), abs(col("value") - col("med")).as("dev"))
-      .agg(sum(col("cnt")).as("cnt"))
-    val mad = Percentiles.interp(devHist, Seq("event_type"), "dev", "cnt", Seq(0.5 -> "d"))
+    val devHist = Graft.memoCache("mad_devhist", dir)(
+      hist.join(broadcast(med), col("event_type") === col("mt"))
+        .groupBy(col("event_type"), abs(col("value") - col("med")).as("dev"))
+        .agg(sum(col("cnt")).as("cnt")))
+    val mad = Percentiles.interp(devHist, Seq("event_type"), "dev", "cnt",
+        Seq(0.5 -> "d"), twoLevel = false)
       .select(col("event_type").as("dt"), round(col("d"), 4).as("mad"))
     devHist.join(broadcast(mad), col("event_type") === col("dt"))
       .groupBy(col("event_type"))
@@ -375,7 +383,8 @@ object Analytics {
     val spend = Graft.orders(s, dir)
       .groupBy(col("o_custkey"))
       .agg(sum(expr("cast(round(o_totalprice * 100) as bigint)")).as("spend_cents"))
-    val hist = spend.groupBy(col("spend_cents")).agg(count(lit(1)).as("cnt"))
+    val hist = Graft.memoCache("spendq_hist", dir)(
+      spend.groupBy(col("spend_cents")).agg(count(lit(1)).as("cnt")))
     val th = Percentiles.interp(hist, Nil, "spend_cents", "cnt",
         Seq(0.25 -> "q1", 0.5 -> "q2", 0.75 -> "q3"))
       .select(floor(col("q1")).as("t1"), floor(col("q2")).as("t2"),
@@ -622,7 +631,8 @@ object Analytics {
     val per = Graft.events(s, dir)
       .groupBy(col("user_id"))
       .agg(sum(expr("cast(round(value * 100) as bigint)")).as("cents"))
-    val hist = per.groupBy(col("cents")).agg(count(lit(1)).as("cnt"))
+    val hist = Graft.memoCache("pareto_hist", dir)(
+      per.groupBy(col("cents")).agg(count(lit(1)).as("cnt")))
     val th = Percentiles.interp(hist, Nil, "cents", "cnt", Seq(0.9 -> "p"))
       .select(floor(col("p")).as("p90"))
     per.crossJoin(broadcast(th))
@@ -659,10 +669,10 @@ object Analytics {
       .select(col("user_id"),
         expr("(now_sec - last_sec) div 86400").as("recency_days"),
         col("frequency"), col("monetary_cents"))
-    val hist = per
+    val hist = Graft.memoCache("rfm_hist", dir)(per
       .select(expr(
         "stack(3, 'r', recency_days, 'f', frequency, 'm', monetary_cents) as (metric, v)"))
-      .groupBy(col("metric"), col("v")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("metric"), col("v")).agg(count(lit(1)).as("cnt")))
     val th = Percentiles.interp(hist, Seq("metric"), "v", "cnt", Seq(0.5 -> "p"))
       .agg(max(when(col("metric") === "r", floor(col("p")))).as("r_med"),
         max(when(col("metric") === "f", floor(col("p")))).as("f_med"),

@@ -916,7 +916,7 @@ object Ann {
     * frame — the corpus is scanned once for the whole iteration, rounds
     * 2+ read the cache.
     */
-  def pcaIterate(s: SparkSession, dir: String, steps: Int = 3): DataFrame = {
+  def pcaIterate(s: SparkSession, dir: String, steps: Int = PcaSteps): DataFrame = {
     val xq = Graft.memoCache("pca_xq", dir)(Graft.embeddings(s, dir)
       .select(col("vec_id"), expr(
         "transform(embedding, x -> cast(round(cast(x as double) * 1000) as bigint))").as("xq")))
@@ -959,7 +959,10 @@ object Ann {
     * it. Values quantized to integer micros in the projection, so the
     * conditional sums are order-independent; ONE map-side-combinable
     * aggregate — the exchange carries dims × 4 longs per partition,
-    * never vectors.
+    * never vectors. Per-side counts (n_a, n_b) are part of the report:
+    * a corpus whose vec_ids are all one parity yields NULL means on
+    * the empty side, and the zero count makes that degenerate split
+    * visible to consumers instead of silent.
     */
   def driftSplit(s: SparkSession, dir: String): DataFrame =
     Graft.embeddings(s, dir)
@@ -971,7 +974,7 @@ object Ann {
         sum(when(col("grp") === 0L, 1L).otherwise(0L)).as("n_a"),
         sum(when(col("grp") === 1L, col("q")).otherwise(0L)).as("sum_b"),
         sum(when(col("grp") === 1L, 1L).otherwise(0L)).as("n_b"))
-      .select(col("dim"),
+      .select(col("dim"), col("n_a"), col("n_b"),
         expr("sum_a div n_a").as("mean_a_micros"),
         expr("sum_b div n_b").as("mean_b_micros"),
         expr("sum_b div n_b - sum_a div n_a").as("delta_micros"))
@@ -1144,6 +1147,13 @@ object Ann {
        |  SELECT src, dst, cos, row_number() OVER (PARTITION BY src
        |          ORDER BY cos DESC, dst) AS rn FROM csA) WHERE rn <= 4)""".stripMargin
 
+  /** Power-iteration round count — the SINGLE constant both
+    * [[pcaIterate]]'s default and the generated DuckDB oracle derive
+    * from, so changing it can never silently desync Spark from its
+    * oracle (the ADVICE r11 hazard).
+    */
+  val PcaSteps: Int = 3
+
   /** One normalized power round as DuckDB CTEs: from vector frame `v$p`
     * (dim, v in millis) over the shared `xd` explode to spectrum `s$k`
     * and next vector `v$k`. Integer products keep the per-vec and
@@ -1167,19 +1177,19 @@ object Ann {
          |       FROM q, unnest(range(1, len(xq) + 1)) AS t(j)),
          |v0 AS (SELECT DISTINCT dim,
          |        CASE WHEN dim % 2 = 0 THEN 1000 ELSE -1000 END AS v FROM xd),
-         |${duckPcaRound(1, "v0")},
-         |${duckPcaRound(2, "v1")},
-         |${duckPcaRound(3, "v2")}
+         |${(1 to PcaSteps).map(k => duckPcaRound(k, s"v${k - 1}")).mkString(",\n")}
          |SELECT dim, s_q,
          | CAST(round(CAST(s_q AS DOUBLE) / CAST(m AS DOUBLE) * 1000000) AS BIGINT)
          |   AS ratio_micros
-         |FROM s3, m3""".stripMargin,
+         |FROM s$PcaSteps, m$PcaSteps""".stripMargin,
     "embed_drift_split" ->
       s"""WITH $duckE,
          |x AS (SELECT vec_id % 2 AS grp, CAST(t.j - 1 AS BIGINT) AS dim,
          |        CAST(round(v[t.j] * 1000000) AS BIGINT) AS q
          |      FROM e, unnest(range(1, len(v) + 1)) AS t(j))
          |SELECT dim,
+         | CAST(count(*) FILTER (WHERE grp = 0) AS BIGINT) AS n_a,
+         | CAST(count(*) FILTER (WHERE grp = 1) AS BIGINT) AS n_b,
          | CAST(sum(q) FILTER (WHERE grp = 0) AS BIGINT) // count(*) FILTER (WHERE grp = 0)
          |   AS mean_a_micros,
          | CAST(sum(q) FILTER (WHERE grp = 1) AS BIGINT) // count(*) FILTER (WHERE grp = 1)

@@ -21,13 +21,123 @@ object Multimodal {
 
   val FeatureDim = 16
 
-  /** STUB: the real decoder (JPEG/PNG/audio frames) would go here.
-    * Deliberately unimplemented — no codec libraries in this build.
+  // BufferedImage/ImageIO run fine without a display but probe for one
+  // unless headless is pinned
+  System.setProperty("java.awt.headless", "true")
+
+  /** STUB: a general media decoder (JPEG/audio/video codecs) would go
+    * here. Deliberately unimplemented — no external codec libraries in
+    * this build. PNG is the exception: [[decodePng]] is a REAL decode
+    * on the JDK's built-in javax.imageio reader.
     */
   def decodePayload(payload: Array[Byte]): Nothing =
     throw new NotImplementedError(
-      "media decode is stubbed: no codec libraries in this environment; " +
-        "use fakeFeatures for the deterministic test featurizer")
+      "general media decode is stubbed: no external codec libraries in this " +
+        "environment; PNG payloads decode for real via decodePng, and " +
+        "fakeFeatures is the deterministic stand-in featurizer")
+
+  /** REAL image encode (r12): render a width x height RGB image from a
+    * pixel function and compress it to PNG bytes with the JDK's
+    * javax.imageio writer — actual codec output, no external
+    * dependency. PNG is lossless, so [[decodePng]] recovers every
+    * pixel bit-exactly; the encoder is deterministic for fixed pixels,
+    * so payload bytes are stable across runs and engines.
+    */
+  def encodePng(width: Int, height: Int, rgb: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) { img.setRGB(x, y, rgb(x, y)); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** REAL image decode: parse a PNG payload with javax.imageio and
+    * reduce it to (width, height, exact per-channel integer sums) — the
+    * projection an image-QA pass needs (dimensions + channel means)
+    * without ever shipping decoded pixels off the executor. Integer
+    * sums keep the downstream mean exact (sum*1000 div n_px) instead of
+    * accumulation-order-sensitive float averaging.
+    */
+  def decodePng(payload: Array[Byte]): (Int, Int, Long, Long, Long) = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    require(img != null, s"payload of ${payload.length} bytes is not a decodable image")
+    var (rs, gs, bs) = (0L, 0L, 0L)
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val p = img.getRGB(x, y)
+        rs += (p >> 16) & 0xff; gs += (p >> 8) & 0xff; bs += p & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    (img.getWidth, img.getHeight, rs, gs, bs)
+  }
+
+  /** Deterministic per-(doc, x, y) pixel: a splitmix64-style integer
+    * mix so every document renders a distinct but reproducible pattern.
+    */
+  def docPixel(docId: Long, x: Int, y: Int): Int = {
+    var z = docId * 0x9E3779B97F4A7C15L + x * 0xBF58476D1CE4E5B9L + y * 0x94D049BB133111EBL
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    ((z ^ (z >>> 31)) & 0xffffff).toInt
+  }
+
+  /** Synthetic image corpus: one REAL PNG payload per document (size
+    * varies with doc_id so the dimension columns are exercised), as a
+    * `binary` column — the multimodal table shape. Encoding is
+    * mapPartitions so a real encoder would init once per partition.
+    */
+  def syntheticImages(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Graft.documents(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        // codec context init would happen HERE, once per partition
+        it.map { id =>
+          val w = 8 + (id % 5).toInt
+          val h = 6 + (id % 3).toInt
+          (id, encodePng(w, h, (x, y) => docPixel(id, x, y)))
+        }
+      }
+      .toDF("doc_id", "payload")
+  }
+
+  /** REAL decode pass over a (doc_id, payload) binary column: PNG →
+    * dimensions + exact channel means (milli units, integer division).
+    * The pixels never leave the executor — only the 7-scalar projection
+    * shuffles, so the operator is scan-bound at any corpus size.
+    */
+  def imageStats(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          val (w, h, rs, gs, bs) = decodePng(payload)
+          (id, payload.length.toLong, w.toLong, h.toLong,
+            rs * 1000L / (w * h), gs * 1000L / (w * h), bs * 1000L / (w * h))
+        }
+      }
+      .toDF("doc_id", "png_bytes", "width", "height",
+        "r_mean_milli", "g_mean_milli", "b_mean_milli")
+  }
+
+  /** The end-to-end real-kernel query: encode the corpus to PNG
+    * payloads, decode them back, report dims + channel means. Rows-only
+    * (a SQL engine cannot decode PNG); MultimodalSpec pins the kernel
+    * to hand-computed fixture values and to an independent
+    * recomputation of the channel sums from [[docPixel]].
+    */
+  def decodeStats(s: SparkSession, dir: String): DataFrame =
+    imageStats(syntheticImages(s, dir))
 
   /** Deterministic fake featurizer standing in for decode+embed: a
     * 16-bucket byte histogram, normalized by payload length. Fixed shape,

@@ -884,7 +884,15 @@ object TextAnalysis {
     * map-side-combinable aggregate over the memoized doc-sized
     * projection; no corpus-wide sort, no single-partition window.
     */
-  def shardPlan(s: SparkSession, dir: String, budget: Long = 4096L): DataFrame = {
+  /** Per-shard token budget — the SINGLE constant both [[shardPlan]]'s
+    * default and the DuckDB oracle derive from, so changing it can
+    * never silently desync Spark from its oracle (the ADVICE r11
+    * hazard). Deliberately tiny against real training shards (~100M+
+    * tokens) so the sf test corpora spread over many shards.
+    */
+  val ShardBudget: Long = 4096L
+
+  def shardPlan(s: SparkSession, dir: String, budget: Long = ShardBudget): DataFrame = {
     val t = Graft.memoCache("shard_docs", dir)(Graft.documents(s, dir)
       .select(col("doc_id"),
         expr("cast(size(split(lower(text), '\\\\s+')) as bigint)").as("n_toks"),
@@ -1021,11 +1029,11 @@ object TextAnalysis {
       s"""WITH t AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
          |  CAST(len(string_split_regex(lower(text), '\\s+')) AS BIGINT) AS n_toks
          | FROM documents),
-         |tot AS (SELECT CAST((sum(n_toks) + 4095) // 4096 AS BIGINT) AS n_shards FROM t),
+         |tot AS (SELECT CAST((sum(n_toks) + ${ShardBudget - 1}) // $ShardBudget AS BIGINT) AS n_shards FROM t),
          |a AS (SELECT n_toks, $hb % (SELECT n_shards FROM tot) AS shard FROM t)
          |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
          | CAST(sum(n_toks) AS BIGINT) AS n_tokens,
-         | CAST(sum(n_toks) AS BIGINT) * 1000000 // 4096 AS fill_micros
+         | CAST(sum(n_toks) AS BIGINT) * 1000000 // $ShardBudget AS fill_micros
          |FROM a GROUP BY 1""".stripMargin
     },
     "text_oov_rate" ->

@@ -15,7 +15,8 @@ class ContractSpec extends SparkSpec {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(rowsOnly === Set("multimodal_meta", "events_approx_stats", "text_topk_approx",
       "text_decontam_bloom", "events_dau_wau_hll",
-      "doc_point_ids_sha3")) // sha3 unavailable in DuckDB; fixture-spec'd instead
+      "doc_point_ids_sha3", // sha3 unavailable in DuckDB; fixture-spec'd instead
+      "multimodal_decode")) // SQL engines can't decode PNG; fixture-spec'd instead
   }
 
   test("dedup_embedding's exact oracle is valid at every verify scale") {

@@ -59,6 +59,48 @@ class MultimodalSpec extends SparkSpec {
     assert(batched.size === 150)
   }
 
+  test("png kernel: encode/decode roundtrip matches hand-computed fixture values") {
+    // 2x1 image: pure red, pure blue — every value known by hand
+    val png = Multimodal.encodePng(2, 1, (x, _) => if (x == 0) 0xff0000 else 0x0000ff)
+    assert(png.take(8).toSeq ===
+      Seq(0x89, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n').map(_.toByte), "not a PNG signature")
+    val (w, h, rs, gs, bs) = Multimodal.decodePng(png)
+    assert((w, h) === ((2, 1)))
+    assert((rs, gs, bs) === ((255L, 0L, 255L)), "PNG decode must be lossless")
+  }
+
+  test("png kernel: decoded channel sums equal an independent docPixel recomputation") {
+    val (id, w, h) = (7L, 13, 9)
+    val png = Multimodal.encodePng(w, h, (x, y) => Multimodal.docPixel(id, x, y))
+    val (dw, dh, rs, gs, bs) = Multimodal.decodePng(png)
+    assert((dw, dh) === ((w, h)))
+    var (er, eg, eb) = (0L, 0L, 0L)
+    for (y <- 0 until h; x <- 0 until w) {
+      val p = Multimodal.docPixel(id, x, y)
+      er += (p >> 16) & 0xff; eg += (p >> 8) & 0xff; eb += p & 0xff
+    }
+    assert((rs, gs, bs) === ((er, eg, eb)),
+      "decoded sums drifted from the encoded pixel function — decode is not real/lossless")
+  }
+
+  test("multimodal_decode: real PNG payloads decode to formula dims, deterministically") {
+    val dir = "/root/testdata/sf0.001"
+    val out = Multimodal.decodeStats(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    val nDocs = Graft.documents(spark, dir).count()
+    assert(out.size === nDocs)
+    out.foreach { case (id, row) =>
+      val Seq(pngBytes: Long, w: Long, h: Long, rm: Long, gm: Long, bm: Long) = row: @unchecked
+      assert(w === 8 + id % 5, s"doc $id width")
+      assert(h === 6 + id % 3, s"doc $id height")
+      assert(pngBytes > 8, s"doc $id payload too small to be a PNG")
+      Seq(rm, gm, bm).foreach(m => assert(m >= 0 && m <= 255000, s"doc $id mean out of range"))
+    }
+    val again = Multimodal.decodeStats(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    assert(again === out, "PNG encode or decode is nondeterministic across runs")
+  }
+
   test("pdf ingestion is an explicit stub (reference parity)") {
     import org.apache.spark.sql.functions.lit
     val df = Seq(("x")).toDF("pdf")

@@ -26,6 +26,7 @@ class Round11OpsSpec extends SparkSpec {
     val got = TextAnalysis.gopherQuality(spark, dir).collect()
       .map(r => r.getAs[Long]("doc_id") ->
         (r.getAs[Long]("n_words"), r.getAs[Long]("mean_wlen_micros"),
+          r.getAs[Long]("symbol_micros"),
           r.getAs[Long]("n_stop_distinct"), r.getAs[Long]("keep"))).toMap
     docs.foreach { case (id, text, _) =>
       val toks = text.toLowerCase.split("\\s+")
@@ -34,10 +35,16 @@ class Round11OpsSpec extends SparkSpec {
       val nStop = toks.toSet.count(stops.contains).toLong
       val alpha = toks.count(_.exists(c => c >= 'a' && c <= 'z')).toLong *
         1000000L / math.max(n, 1L)
+      // '#' count + non-overlapping '...' occurrences (String.replace
+      // consumes left-to-right exactly like Spark's replace())
+      val symbol = (text.count(_ == '#').toLong +
+        (text.length - text.replace("...", "").length) / 3L) *
+        1000000L / math.max(n, 1L)
       val keep = if (n >= 20 && n <= 100000 && meanWlen >= 3000000 &&
-        meanWlen <= 10000000 && alpha >= 800000 && nStop >= 2) 1L else 0L
-      val (gn, gw, gs, gk) = got(id)
-      assert(gn === n); assert(gw === meanWlen)
+        meanWlen <= 10000000 && symbol <= 100000 && alpha >= 800000 &&
+        nStop >= 2) 1L else 0L
+      val (gn, gw, gsym, gs, gk) = got(id)
+      assert(gn === n); assert(gw === meanWlen); assert(gsym === symbol)
       assert(gs === nStop); assert(gk === keep)
     }
     val keeps = got.values.map(_._4).toSeq
@@ -149,13 +156,16 @@ class Round11OpsSpec extends SparkSpec {
         (qs.sum, qs.length.toLong)
       }
       val ((sa, na), (sb, nb)) = (side(0), side(1))
-      (j.toLong, sa / na, sb / nb, sb / nb - sa / na)
+      (j.toLong, na, nb, sa / na, sb / nb, sb / nb - sa / na)
     }
     val got = Ann.driftSplit(spark, dir).collect()
-      .map(r => (r.getAs[Long]("dim"), r.getAs[Long]("mean_a_micros"),
+      .map(r => (r.getAs[Long]("dim"), r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+        r.getAs[Long]("mean_a_micros"),
         r.getAs[Long]("mean_b_micros"), r.getAs[Long]("delta_micros")))
       .sortBy(_._1).toSeq
     assert(got === expected)
+    // per-side counts make a degenerate one-parity split visible
+    assert(got.forall(g => g._2 > 0 && g._3 > 0))
   }
 
   test("lshCurve matches the math.pow recomputation; threshold falls as bands widen") {
