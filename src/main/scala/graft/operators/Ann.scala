@@ -999,6 +999,45 @@ object Ann {
       .orderBy(col("mean_cos_micros").asc, col("vec_id").asc)
       .limit(bottom)
 
+  /** Cosine threshold (micros) for [[semanticDedup]] — the SINGLE
+    * constant the Scala default and the DuckDB oracle both derive from.
+    * Mirrors dedup_embedding's tau on this synthetic corpus.
+    */
+  val SemDedupTauMicros: Long = 350000L
+
+  /** SemDeDup-style semantic deduplication (Abbas et al.: prune
+    * near-duplicate SEMANTICS, not just near-duplicate text) riding the
+    * same √N NSW cell blocking as the graph builds: within each cell,
+    * a vector is DROPPED when some lower-id cell-mate sits above the
+    * cosine threshold; the report is one row per dropped vector with
+    * its keeper (lowest-id qualifying mate — min-struct pick, total
+    * order) and the cosine that doomed it. Candidate pairs are
+    * per-cell (the p²·N^1.5 bound with nprobe=1, never all-pairs
+    * global); the keeper pick is a map-side-combinable min-struct
+    * aggregate keyed by the corpus-scaling vec_id. The √N centroid
+    * broadcast rides [[requireCentroidBudget]] like every cell
+    * consumer. Citation: the reference stores one vector per chunk and
+    * relies on Qdrant-side dedup of exact point-id matches
+    * (qdrant.py:137); this is the semantic completion of that contract
+    * at corpus scale.
+    */
+  def semanticDedup(s: SparkSession, dir: String,
+                    tauMicros: Long = SemDedupTauMicros): DataFrame = {
+    val cells = nswCells(s, dir, nprobe = 1).hint("SHUFFLE_HASH")
+    cells.as("x").join(cells.as("y"),
+        col("x.cid") === col("y.cid") && col("y.vec_id") < col("x.vec_id"))
+      .select(col("x.vec_id").as("vec_id"), col("x.cid").as("cid"),
+        col("y.vec_id").as("keeper"),
+        round(VectorOps.dot(col("x.embedding"), col("y.embedding"))
+          / (col("x.nrm") * col("y.nrm")), 6).as("cos"))
+      .withColumn("cos_micros", expr("cast(round(cos * 1000000) as bigint)"))
+      .filter(col("cos_micros") >= tauMicros)
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("keeper"), col("cid"), col("cos_micros"))).as("kc"))
+      .select(col("vec_id"), col("kc.cid").as("cid"),
+        col("kc.keeper").as("keeper_id"), col("kc.cos_micros").as("cos_micros"))
+  }
+
   private val duckCosPair =
     """list_sum(list_transform(range(1,65), i -> x.v[i] * y.v[i]))
       | / (sqrt(list_sum(list_transform(range(1,65), i -> x.v[i] * x.v[i])))
@@ -1453,6 +1492,23 @@ object Ann {
          |FROM sig s JOIN e x ON s.vec_id = x.vec_id
          |     JOIN qb ON s.bucket = qb.qbucket, qv y
          |ORDER BY score DESC, s.vec_id LIMIT 5""".stripMargin,
+    "dedup_semantic" ->
+      s"""WITH $duckE,
+         |c AS (SELECT vec_id AS cid, v FROM e WHERE vec_id <
+         |        greatest(8, CAST(floor(sqrt((SELECT count(*) FROM e))) AS BIGINT))),
+         |sc AS (SELECT x.vec_id, y.cid, round($duckCosPair, 6) AS cscore
+         |       FROM e x JOIN (SELECT cid, v FROM c) y ON true),
+         |asg AS (SELECT vec_id, cid FROM (
+         |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+         |          ORDER BY cscore DESC, cid) AS rn FROM sc) WHERE rn = 1),
+         |m AS (SELECT e.vec_id, asg.cid, e.v FROM e JOIN asg ON e.vec_id = asg.vec_id),
+         |p AS (SELECT x.vec_id AS vec_id, x.cid AS cid, y.vec_id AS keeper,
+         |        CAST(round(round($duckCosPair, 6) * 1000000) AS BIGINT) AS cos_micros
+         |      FROM m x JOIN m y ON x.cid = y.cid AND y.vec_id < x.vec_id),
+         |f AS (SELECT * FROM p WHERE cos_micros >= $SemDedupTauMicros),
+         |r AS (SELECT vec_id, cid, keeper, cos_micros,
+         |        row_number() OVER (PARTITION BY vec_id ORDER BY keeper) AS rn FROM f)
+         |SELECT vec_id, cid, keeper AS keeper_id, cos_micros FROM r WHERE rn = 1""".stripMargin,
     "ann_graph_nsw" ->
       s"""WITH $duckE,
          |$duckNswTopk

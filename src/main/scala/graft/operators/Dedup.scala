@@ -732,31 +732,43 @@ object Dedup {
   }
 
   /** Embedding near-dup at scale: banded SRP-LSH blocking. Each vector
-    * gets a 16-bit sign signature (4 bands x 4 bits) from deterministic
-    * hyperplanes (vectors id 8..23); candidate pairs must share a label
-    * AND one band value, then exact cosine >= tau verifies. Per-band
-    * collision at cos 0.9 is ~0.66, so 4 bands give ~0.99 recall while
-    * bucket sizes shrink 16x per band — the pair count stays linear in
-    * corpus size where the plain label block (dedup_embedding) grows
-    * quadratically (measured 7x runtime at 10x data; this variant holds).
-    * Band count/width is the recall/cost knob, grown with corpus size.
+    * gets a 4-band sign signature from deterministic hyperplanes
+    * (vectors id 8..8+4·nb); candidate pairs must share a label AND one
+    * band value, then exact cosine >= tau verifies. Bits per band GROW
+    * with the corpus — nb = max(4, ceil(log2(ceil(N/1000)))), derived
+    * in pure INTEGER arithmetic (bit-length of ceil(N/1000)−1, no
+    * engine-varying float log) so Spark and the oracle can never
+    * disagree at a log boundary — which pins expected bucket occupancy
+    * near 1000 and keeps the pair count linear in N: the r12 100×
+    * measurement showed the old FIXED 4-bit signature going quadratic
+    * (3.95 → 39.9s for 3.3× the rows) once buckets saturated, the same
+    * failure mode this variant exists to avoid in the plain label block
+    * (dedup_embedding, measured 7× at 10×). At the verify scales
+    * (N ≤ 20k) nb stays 4–5, so recall sits where the banding math
+    * says (~0.99 at cos 0.9); the knob trades recall for cost
+    * explicitly as the corpus grows.
     */
   def embeddingNearDupLsh(s: SparkSession, dir: String, tau: Double = 0.35): DataFrame = {
-    val planes = Graft.embeddings(s, dir)
-      .filter(col("vec_id") >= 8 && col("vec_id") < 24)
+    val e0 = Graft.embeddings(s, dir)
+    val nb = e0.agg(greatest(lit(4L),
+        length(bin(greatest(expr("(count(1) + 999) div 1000"), lit(1L)) - 1)).cast("long"))
+      .as("nb"))
+    val planes = e0.crossJoin(broadcast(nb))
+      .filter(col("vec_id") >= 8 && col("vec_id") < lit(8) + lit(4) * col("nb"))
       .agg(sort_array(collect_list(struct(col("vec_id").as("pid"), col("embedding").as("pvec"))))
         .as("ps"))
       .select(expr("transform(ps, x -> x.pvec)").as("planes"))
-    val bands = Graft.embeddings(s, dir)
+    val bands = e0
+      .crossJoin(broadcast(nb))
       .crossJoin(broadcast(planes))
       .select(col("vec_id"), col("label"), col("embedding"),
         VectorOps.norm(col("embedding")).as("nrm"),
         posexplode(expr(
           """transform(sequence(0, 3), b ->
-            |  IF(fvec_dot(embedding, element_at(planes, 4*b + 1)) >= 0, 8, 0)
-            |+ IF(fvec_dot(embedding, element_at(planes, 4*b + 2)) >= 0, 4, 0)
-            |+ IF(fvec_dot(embedding, element_at(planes, 4*b + 3)) >= 0, 2, 0)
-            |+ IF(fvec_dot(embedding, element_at(planes, 4*b + 4)) >= 0, 1, 0))""".stripMargin))
+            |  aggregate(sequence(1, cast(nb as int)), cast(0 as bigint), (acc, j) ->
+            |    acc + IF(fvec_dot(embedding, element_at(planes, cast(nb as int) * b + j)) >= 0,
+            |             shiftleft(cast(1 as bigint), cast(nb as int) - j),
+            |             cast(0 as bigint))))""".stripMargin))
           .as(Seq("band_id", "band_val")))
       .hint("SHUFFLE_HASH")
     bands.as("a").join(bands.as("b"),
@@ -1298,14 +1310,16 @@ object Dedup {
     "dedup_embedding_lsh" ->
       """WITH e AS (SELECT vec_id, label,
         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-        |pl AS (SELECT list(v ORDER BY vec_id) AS ps FROM e WHERE vec_id >= 8 AND vec_id < 24),
+        |nbits AS (SELECT greatest(4, length(bin(
+        |    greatest((count(*) + 999) // 1000, 1) - 1))) AS nb FROM e),
+        |pl AS (SELECT list(v ORDER BY vec_id) AS ps FROM e, nbits
+        |       WHERE vec_id >= 8 AND vec_id < 8 + 4 * nb),
         |bands AS (SELECT e.vec_id, e.label, e.v, t.b AS band_id,
-        |   (CASE WHEN list_sum(list_transform(range(1,65), i -> e.v[i] * ps[4*t.b+1][i])) >= 0 THEN 8 ELSE 0 END
-        |  + CASE WHEN list_sum(list_transform(range(1,65), i -> e.v[i] * ps[4*t.b+2][i])) >= 0 THEN 4 ELSE 0 END
-        |  + CASE WHEN list_sum(list_transform(range(1,65), i -> e.v[i] * ps[4*t.b+3][i])) >= 0 THEN 2 ELSE 0 END
-        |  + CASE WHEN list_sum(list_transform(range(1,65), i -> e.v[i] * ps[4*t.b+4][i])) >= 0 THEN 1 ELSE 0 END)
+        |   CAST(list_sum(list_transform(range(1, nb + 1), j ->
+        |     CASE WHEN list_sum(list_transform(range(1,65), i -> e.v[i] * ps[nb*t.b+j][i])) >= 0
+        |          THEN (CAST(1 AS BIGINT) << CAST(nb - j AS INTEGER)) ELSE 0 END)) AS BIGINT)
         |   AS band_val
-        |  FROM e, pl, range(0, 4) t(b)),
+        |  FROM e, pl, nbits, range(0, 4) t(b)),
         |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |  round(list_sum(list_transform(range(1,65), i -> a.v[i] * b.v[i]))
         |   / (sqrt(list_sum(list_transform(range(1,65), i -> a.v[i] * a.v[i])))

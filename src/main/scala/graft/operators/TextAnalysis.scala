@@ -102,6 +102,31 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_ngrams"), col("n_distinct"),
         expr("(n_ngrams - n_distinct) * 1000000 div n_ngrams").as("rep_micros"))
 
+  /** Gopher rep-2 repetition rule (the companion of [[repetition]]'s
+    * distinct-3-gram fraction): the share of a document's word-2-grams
+    * occupied by its single MOST FREQUENT 2-gram — boilerplate and
+    * template text concentrate mass in one bigram, natural prose
+    * spreads it. Argmax is a min-struct pick over (-count, gram): total
+    * order (count desc, gram asc), no window. Both aggregates key on
+    * the corpus-scaling (doc_id, gram) / doc_id — map-side combinable,
+    * one shuffle each, linear at 100 TB.
+    */
+  def topNgramFrac(s: SparkSession, dir: String): DataFrame =
+    Graft.documents(s, dir)
+      .select(col("doc_id"), expr("split(lower(text), '\\\\s+')").as("toks"))
+      .filter(expr("size(toks) >= 2"))
+      .select(col("doc_id"), expr("cast(size(toks) - 1 as bigint)").as("n_bigrams"),
+        explode(expr(
+          "transform(sequence(1, size(toks) - 1), i -> concat(toks[i-1], ' ', toks[i]))"))
+          .as("gram"))
+      .groupBy(col("doc_id"), col("n_bigrams"), col("gram"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"), col("n_bigrams"))
+      .agg(min(struct((-col("c")).as("negc"), col("gram").as("g"))).as("m"))
+      .select(col("doc_id"), col("n_bigrams"), col("m.g").as("top_gram"),
+        (-col("m.negc")).as("top_count"),
+        expr("(-m.negc) * 1000000 div n_bigrams").as("top_frac_micros"))
+
   /** Canonical text normalization: lowercase, strip non-alphanumerics
     * (keeping spaces), collapse whitespace runs, trim — the first stage
     * of every text-dedup/quality pipeline; emitted with before/after
@@ -742,6 +767,72 @@ object TextAnalysis {
                | and n_stop_distinct >= 2, 1, 0) as bigint)""".stripMargin))
   }
 
+  /** BPE training-loop round count — the SINGLE constant the Scala
+    * default and the generated DuckDB oracle both derive from (the
+    * PcaSteps pattern), so a default change cannot desync engine from
+    * oracle.
+    */
+  val BpeMergeSteps: Int = 3
+
+  /** ITERATED byte-pair-encoding training: the actual merge LOOP a BPE
+    * tokenizer trainer runs, not just the first frontier
+    * ([[bpePairs]]). Each round counts adjacent symbol pairs over the
+    * CURRENT tokenization of the word vocabulary (weighted by word
+    * frequency), picks the argmax with a total-order tie-break (count
+    * desc, pair asc — a TakeOrderedAndProject, never a global sort),
+    * and applies the merge as a left-to-right non-overlapping fold
+    * before the next round. Scale shape: the corpus is scanned ONCE to
+    * build the memoized word-frequency vocabulary; every round after
+    * is vocabulary-sized work (the real trainer's shape — merges touch
+    * the vocab, not the corpus), and the only driver state is one
+    * (pair, count) row per round — the kmeans_step / pca_iterate
+    * bounded-driver-state pattern. Output: the merge table, one row
+    * per round.
+    */
+  def bpeMergeSteps(s: SparkSession, dir: String,
+                    steps: Int = BpeMergeSteps): DataFrame = {
+    val words = Graft.memoCache("bpe_words", dir)(
+      Graft.documents(s, dir)
+        .select(explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("w"))
+        .filter(length(col("w")) >= 2)
+        .groupBy(col("w")).agg(count(lit(1)).as("cnt")))
+    // split-into-chars via substring (split(w, '') appends a trailing
+    // empty string under Java's limit=-1 semantics)
+    var symsExpr = "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
+    val recorded = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var step = 1
+    var exhausted = false
+    while (step <= steps && !exhausted) {
+      val top = words
+        .select(col("cnt"), expr(symsExpr).as("syms"))
+        .filter(expr("size(syms) >= 2"))
+        .select(col("cnt"), explode(expr(
+          "transform(sequence(1, size(syms) - 1), i -> concat(syms[i-1], ' ', syms[i]))"))
+          .as("pair"))
+        .groupBy(col("pair")).agg(sum(col("cnt")).as("c"))
+        .orderBy(col("c").desc, col("pair")).limit(1)
+        .collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val pair = top.head.getString(0)
+        val c = top.head.getLong(1)
+        val Array(a, b) = pair.split(" ", 2)
+        val merged = a + b
+        recorded += ((step.toLong, pair, merged, c))
+        // apply the merge: left fold, merging (a, b) -> merged exactly
+        // where b follows a in the PREVIOUS round's symbols (non-
+        // overlapping left-to-right — the lowercase-only alphabet makes
+        // the string interpolation injection-safe)
+        symsExpr = s"aggregate($symsExpr, array_repeat('', 0), (acc, x) -> " +
+          s"if(size(acc) > 0 and element_at(acc, -1) = '$a' and x = '$b', " +
+          s"concat(slice(acc, 1, size(acc) - 1), array('$merged')), " +
+          s"concat(acc, array(x))))"
+        step += 1
+      }
+    }
+    s.createDataFrame(recorded.toSeq).toDF("step", "pair", "merged", "cnt")
+  }
+
   /** Corpus-level BPE merge-step statistics: the top-20 adjacent
     * character pairs inside letter-run words, weighted by occurrence —
     * the argmax of this table IS the next merge a byte-pair-encoding
@@ -953,7 +1044,53 @@ object TextAnalysis {
   private val duckGopherStops =
     gopherStops.map(t => s"'$t'").mkString("[", ",", "]")
 
+  /** One BPE training round as DuckDB CTEs: pair counts over the
+    * previous round's tokenization `w${k-1}`, argmax `t$k`, merged
+    * vocabulary `w$k`. Words travel as bracket-delimited symbol strings
+    * ("(a)(b)(c)") so a multi-char symbol can never false-match a pair
+    * pattern across a symbol boundary, and DuckDB's left-to-right
+    * non-overlapping replace() is exactly the Spark side's fold.
+    */
+  private def duckBpeStep(k: Int): String =
+    s"""p$k AS (SELECT s[j] || ' ' || s[j+1] AS pair, CAST(sum(cnt) AS BIGINT) AS c
+       |       FROM (SELECT string_split(substring(repr, 2, len(repr) - 2), ')(') AS s,
+       |               cnt FROM w${k - 1}) t, unnest(range(1, len(s))) u(j)
+       |       GROUP BY 1),
+       |t$k AS (SELECT pair, c FROM p$k ORDER BY c DESC, pair LIMIT 1),
+       |w$k AS (SELECT replace(repr,
+       |          '(' || replace((SELECT pair FROM t$k), ' ', ')(') || ')',
+       |          '(' || replace((SELECT pair FROM t$k), ' ', '') || ')') AS repr, cnt
+       |        FROM w${k - 1})""".stripMargin
+
+  private def duckBpeMergesSql: String = {
+    val chains = (1 to BpeMergeSteps).map(duckBpeStep).mkString(",\n")
+    val union = (1 to BpeMergeSteps).map(k =>
+      s"SELECT CAST($k AS BIGINT) AS step, pair, replace(pair, ' ', '') AS merged, c AS cnt FROM t$k")
+      .mkString("\nUNION ALL ")
+    s"""WITH wv AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
+       |        SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+       |        FROM documents) WHERE len(word) >= 2 GROUP BY 1),
+       |w0 AS (SELECT '(' || array_to_string(string_split(word, ''), ')(') || ')' AS repr,
+       |        cnt FROM wv),
+       |$chains
+       |$union""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "bpe_merge_steps" -> duckBpeMergesSql,
+    "text_top_ngram" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+        |  FROM documents),
+        |g AS (SELECT doc_id, CAST(len(toks) - 1 AS BIGINT) AS n_bigrams,
+        |        toks[j] || ' ' || toks[j + 1] AS gram
+        |      FROM t, unnest(range(1, len(toks))) u(j)),
+        |c AS (SELECT doc_id, n_bigrams, gram, CAST(count(*) AS BIGINT) AS c
+        |      FROM g GROUP BY 1, 2, 3),
+        |r AS (SELECT doc_id, n_bigrams, gram, c, row_number() OVER (
+        |        PARTITION BY doc_id ORDER BY c DESC, gram) AS rn FROM c)
+        |SELECT doc_id, n_bigrams, gram AS top_gram, c AS top_count,
+        | c * 1000000 // n_bigrams AS top_frac_micros
+        |FROM r WHERE rn = 1""".stripMargin,
     "text_gopher_quality" ->
       s"""WITH t AS (SELECT doc_id, text, string_split_regex(lower(text), '\\s+') AS toks
          |  FROM documents),

@@ -1,0 +1,127 @@
+package graft
+
+import graft.operators._
+
+/** Round-12 wave operators: the iterated BPE training loop, the Gopher
+  * rep-2 top-bigram rule, and SemDeDup-style semantic dedup. Each test
+  * recomputes the expected answer independently (plain Scala over the
+  * collected sf0.001 corpus) and compares exactly — the in-JVM twin of
+  * the DuckDB oracle.
+  */
+class Round12OpsSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  private def rnd(x: Double): Long = if (x >= 0) math.round(x) else -math.round(-x)
+
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  private lazy val texts: Seq[(Long, String)] =
+    Graft.documents(spark, dir).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+
+  test("bpeMergeSteps equals a plain-Scala BPE trainer with exact tie-breaks") {
+    val wordRe = "[a-z]+".r
+    val vocab = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    texts.foreach { case (_, text) =>
+      wordRe.findAllIn(text.toLowerCase).filter(_.length >= 2)
+        .foreach(w => vocab(w) += 1L)
+    }
+    var toks: Map[Vector[String], Long] =
+      vocab.toMap.groupBy { case (w, _) => w.split("").toVector }
+        .map { case (syms, ws) => syms -> ws.values.sum }
+    val expected = (1 to TextAnalysis.BpeMergeSteps).map { step =>
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        .withDefaultValue(0L)
+      toks.foreach { case (syms, cnt) =>
+        syms.sliding(2).foreach {
+          case Vector(a, b) => counts((a, b)) += cnt
+          case _ => ()
+        }
+      }
+      val ((a, b), c) = counts.minBy { case ((a, b), c) => (-c, s"$a $b") }
+      // apply the merge: left-to-right non-overlapping fold
+      toks = toks.toSeq.map { case (syms, cnt) =>
+        val out = syms.foldLeft(Vector.empty[String]) { (acc, x) =>
+          if (acc.nonEmpty && acc.last == a && x == b) acc.init :+ (a + b)
+          else acc :+ x
+        }
+        out -> cnt
+      }.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
+      (step.toLong, s"$a $b", a + b, c)
+    }
+    val got = TextAnalysis.bpeMergeSteps(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    assert(got === expected)
+    // round 1 must agree with the one-shot frontier's argmax
+    val frontierTop = TextAnalysis.bpePairs(spark, dir).collect()
+      .map(r => (r.getAs[Long]("n"), r.getAs[String]("pair")))
+      .minBy { case (c, p) => (-c, p) }
+    // bpePairs renders the pair without the separator ("er"); compare
+    // the merged symbol and the weighted count
+    assert((expected.head._3, expected.head._4) === ((frontierTop._2, frontierTop._1)))
+  }
+
+  test("topNgramFrac equals a per-doc argmax recomputation with tie-breaks") {
+    val got = TextAnalysis.topNgramFrac(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[String]("top_gram"),
+          r.getAs[Long]("top_count"), r.getAs[Long]("top_frac_micros"))).toMap
+    var checked = 0
+    texts.foreach { case (id, text) =>
+      val toks = text.toLowerCase.split("\\s+")
+      if (toks.length >= 2) {
+        val grams = toks.sliding(2).map(_.mkString(" ")).toSeq
+        val (gram, c) = grams.groupBy(identity).view.mapValues(_.size.toLong)
+          .toSeq.minBy { case (g, c) => (-c, g) }
+        val n = grams.size.toLong
+        assert(got(id) === ((n, gram, c, c * 1000000L / n)), s"doc $id")
+        checked += 1
+      } else assert(!got.contains(id), s"doc $id should be filtered")
+    }
+    assert(checked > 0)
+  }
+
+  test("semanticDedup equals an exact within-cell recomputation") {
+    val vecs = Graft.embeddings(spark, dir).select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    def nrm(a: Array[Float]): Double = math.sqrt(dot(a, a))
+    val ncents = math.max(8L, math.floor(math.sqrt(vecs.length.toDouble)).toLong)
+    val cents = vecs.filter(_._1 < ncents)
+    val asg = vecs.map { case (id, v) =>
+      val best = cents.map { case (cid, cv) =>
+        (-round6(dot(v, cv) / (nrm(v) * nrm(cv))), cid)
+      }.min
+      id -> best._2
+    }.toMap
+    val byId = vecs.toMap
+    val expected = vecs.flatMap { case (id, v) =>
+      val mates = vecs.filter { case (oid, _) => oid < id && asg(oid) == asg(id) }
+      val hits = mates.flatMap { case (oid, ov) =>
+        val cm = rnd(round6(dot(v, ov) / (nrm(v) * nrm(ov))) * 1000000)
+        if (cm >= Ann.SemDedupTauMicros) Some((oid, cm)) else None
+      }
+      if (hits.isEmpty) None
+      else {
+        val (keeper, cm) = hits.minBy(_._1)
+        Some((id, asg(id), keeper, cm))
+      }
+    }.sortBy(_._1).toSeq
+    val got = Ann.semanticDedup(spark, dir).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cid"),
+        r.getAs[Long]("keeper_id"), r.getAs[Long]("cos_micros")))
+      .sortBy(_._1).toSeq
+    assert(got === expected)
+    assert(got.nonEmpty, "threshold drops nothing on this corpus — not exercised")
+    assert(got.forall { case (id, _, keeper, _) => keeper < id },
+      "keeper must be the lower id")
+    assert(byId.contains(got.head._1))
+  }
+}
