@@ -84,6 +84,13 @@ class EmptyInputSpec extends SparkSpec {
     assert(TextAnalysis.shardPlan(spark, dir).count() === 0)
   }
 
+  test("round-12 operators are safe on empty tables") {
+    assert(TextAnalysis.bpeMergeSteps(spark, dir).count() === 0)
+    assert(TextAnalysis.topNgramFrac(spark, dir).count() === 0)
+    assert(Ann.semanticDedup(spark, dir).count() === 0)
+    assert(Multimodal.decodeStats(spark, dir).count() === 0)
+  }
+
   test("round-5 operators are safe on empty tables") {
     assert(Events.attribution(spark, dir).count() === 0)
     assert(TextAnalysis.samplePerKey(spark, dir).count() === 0)
