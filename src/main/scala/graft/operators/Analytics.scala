@@ -686,6 +686,30 @@ object Analytics {
           .as("segment"))
   }
 
+  /** Longest consecutive-day activity streak per user — the
+    * gaps-and-islands classic every engagement report needs: distinct
+    * (user, day) activity, island id = day − row_number within the
+    * user (consecutive days share it), per-island lengths, per-user
+    * rollup. The window partitions by the corpus-scaling user_id over
+    * the ALREADY-DEDUPLICATED activity frame (≤ days-per-user rows per
+    * group), and all three aggregates are map-side combinable on the
+    * same user_id hashing — ReusedExchange collapses the chain to one
+    * shuffle.
+    */
+  def streaks(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("day"))
+    Graft.events(s, dir)
+      .select(col("user_id"), expr("(ts div 1000000000) div 86400").as("day"))
+      .distinct()
+      .withColumn("island", col("day") - row_number().over(w))
+      .groupBy(col("user_id"), col("island"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_streaks"), max(col("len")).as("longest_streak"),
+        sum(col("len")).as("n_active_days"))
+  }
+
   /** Set operators over user activity: clicked-but-never-purchased
     * (EXCEPT), clicked-and-purchased (INTERSECT), either (UNION
     * DISTINCT) — Spark's native set operations, each a distinct-shaped
@@ -706,6 +730,16 @@ object Analytics {
   }
 
   val oracle: Map[String, String] = Map(
+    "events_streaks" ->
+      """WITH d AS (SELECT DISTINCT user_id,
+        |  CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day FROM events),
+        |i AS (SELECT user_id, day,
+        |  day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS island FROM d),
+        |l AS (SELECT user_id, island, count(*) AS len FROM i GROUP BY 1, 2)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_streaks,
+        | CAST(max(len) AS BIGINT) AS longest_streak,
+        | CAST(sum(len) AS BIGINT) AS n_active_days
+        |FROM l GROUP BY 1""".stripMargin,
     "events_peak_hour" ->
       """WITH c AS (SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hour,
         |  CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),

@@ -767,6 +767,52 @@ object TextAnalysis {
                | and n_stop_distinct >= 2, 1, 0) as bigint)""".stripMargin))
   }
 
+  /** Per-source unigram Jensen–Shannon drift vs the REST of the corpus
+    * — the distribution-shift monitor a mixing pipeline runs before
+    * reweighting sources (a source whose token distribution departs
+    * from the remainder needs a second look before its sampling weight
+    * changes). JSD(p‖q) with p = the source's unigram distribution and
+    * q = the complement's: present-token terms are computed per
+    * (source, token) row and quantized to integer NANOS before the
+    * per-source sum (order-independent, the unigramLogprob technique);
+    * the absent-token tail Σ_{t∉source} q_t·ln2/2 needs no extra rows —
+    * it folds to ln2/2 · (1 − Σ_present q_t) from the same frame. Two
+    * map-side-combinable token-keyed aggregates + one token-keyed join;
+    * the per-source totals broadcast. Guarded NULL (with the per-source
+    * token count still emitted) when a source IS the whole corpus —
+    * the complement distribution does not exist there.
+    */
+  def jsdDrift(s: SparkSession, dir: String): DataFrame = {
+    val toks = Graft.documents(s, dir)
+      .select(col("source"), explode(split(lower(col("text")), "\\s+")).as("tok"))
+    val cst = toks.groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c_st"))
+    val ct = toks.groupBy(col("tok")).agg(count(lit(1)).as("c_t"))
+    val ns = toks.groupBy(col("source").as("s2")).agg(count(lit(1)).as("n_s"))
+    val nt = toks.agg(count(lit(1)).as("n_tot"))
+    cst.join(ct, "tok")
+      .join(broadcast(ns), col("source") === col("s2"))
+      .crossJoin(broadcast(nt))
+      .select(col("source"), col("n_s"),
+        expr("""if(n_tot = n_s, cast(null as bigint), cast(round((
+               |   0.5 * (c_st / n_s)
+               |     * ln((c_st / n_s)
+               |          / (((c_st / n_s) + ((c_t - c_st) / (n_tot - n_s))) / 2))
+               | + if(c_t - c_st > 0,
+               |      0.5 * ((c_t - c_st) / (n_tot - n_s))
+               |        * ln(((c_t - c_st) / (n_tot - n_s))
+               |             / (((c_st / n_s) + ((c_t - c_st) / (n_tot - n_s))) / 2)),
+               |      cast(0 as double))) * 1000000000) as bigint))""".stripMargin)
+          .as("term_nanos"),
+        expr("""if(n_tot = n_s, cast(null as bigint),
+               |  cast(round(((c_t - c_st) / (n_tot - n_s)) * 1000000000) as bigint))"""
+          .stripMargin).as("q_nanos"))
+      .groupBy(col("source"))
+      .agg(max(col("n_s")).as("n_tokens"),
+        sum(col("term_nanos")).as("tn"), sum(col("q_nanos")).as("qn"))
+      .select(col("source"), col("n_tokens"),
+        expr("tn + cast(round(0.5 * ln(2) * (1000000000 - qn)) as bigint)").as("jsd_nanos"))
+  }
+
   /** BPE training-loop round count — the SINGLE constant the Scala
     * default and the generated DuckDB oracle both derive from (the
     * PcaSteps pattern), so a default change cannot desync engine from
@@ -1077,6 +1123,33 @@ object TextAnalysis {
   }
 
   val oracle: Map[String, String] = Map(
+    "text_jsd_drift" ->
+      """WITH toks AS (SELECT source, unnest(string_split_regex(lower(text), '\s+')) AS tok
+        |  FROM documents),
+        |cst AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS c_st FROM toks GROUP BY 1, 2),
+        |ct AS (SELECT tok, CAST(count(*) AS BIGINT) AS c_t FROM toks GROUP BY 1),
+        |ns AS (SELECT source AS s2, CAST(count(*) AS BIGINT) AS n_s FROM toks GROUP BY 1),
+        |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_tot FROM toks),
+        |terms AS (SELECT source, n_s,
+        |  CASE WHEN n_tot = n_s THEN NULL ELSE CAST(round((
+        |     0.5 * (c_st / n_s)
+        |       * ln((c_st / n_s)
+        |            / (((c_st / n_s) + ((c_t - c_st) / (n_tot - n_s))) / 2))
+        |   + CASE WHEN c_t - c_st > 0 THEN
+        |        0.5 * ((c_t - c_st) / (n_tot - n_s))
+        |          * ln(((c_t - c_st) / (n_tot - n_s))
+        |               / (((c_st / n_s) + ((c_t - c_st) / (n_tot - n_s))) / 2))
+        |     ELSE CAST(0 AS DOUBLE) END) * 1000000000) AS BIGINT) END AS term_nanos,
+        |  CASE WHEN n_tot = n_s THEN NULL
+        |   ELSE CAST(round(((c_t - c_st) / (n_tot - n_s)) * 1000000000) AS BIGINT)
+        |  END AS q_nanos
+        | FROM cst JOIN ct USING (tok) JOIN ns ON source = s2, nt),
+        |agg AS (SELECT source, max(n_s) AS n_tokens,
+        |   CAST(sum(term_nanos) AS BIGINT) AS tn, CAST(sum(q_nanos) AS BIGINT) AS qn
+        | FROM terms GROUP BY 1)
+        |SELECT source, n_tokens,
+        | tn + CAST(round(0.5 * ln(2) * (1000000000 - qn)) AS BIGINT) AS jsd_nanos
+        |FROM agg""".stripMargin,
     "bpe_merge_steps" -> duckBpeMergesSql,
     "text_top_ngram" ->
       """WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks

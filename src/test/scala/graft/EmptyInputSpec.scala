@@ -89,6 +89,8 @@ class EmptyInputSpec extends SparkSpec {
     assert(TextAnalysis.topNgramFrac(spark, dir).count() === 0)
     assert(Ann.semanticDedup(spark, dir).count() === 0)
     assert(Multimodal.decodeStats(spark, dir).count() === 0)
+    assert(Analytics.streaks(spark, dir).count() === 0)
+    assert(TextAnalysis.jsdDrift(spark, dir).count() === 0)
   }
 
   test("round-5 operators are safe on empty tables") {

@@ -83,6 +83,55 @@ class Round12OpsSpec extends SparkSpec {
     assert(checked > 0)
   }
 
+  test("streaks equals a plain gaps-and-islands recomputation") {
+    val acts = Graft.events(spark, dir)
+      .selectExpr("user_id", "(ts div 1000000000) div 86400 as day")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = acts.groupBy(_._1).map { case (u, rows) =>
+      val days = rows.map(_._2).toSeq.sorted
+      val islands = days.zipWithIndex.groupBy { case (d, i) => d - i }.values
+        .map(_.size.toLong).toSeq
+      u -> (islands.size.toLong, islands.max, days.size.toLong)
+    }
+    val got = Analytics.streaks(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("n_streaks"),
+        r.getAs[Long]("longest_streak"), r.getAs[Long]("n_active_days"))).toMap
+    assert(got === expected)
+    // streak semantics: at least one user must have a multi-day streak
+    assert(got.values.exists(_._2 >= 2))
+  }
+
+  test("jsdDrift equals a plain-Scala JSD recomputation and is non-negative") {
+    val docs = Graft.documents(spark, dir).select("source", "text")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val cst = scala.collection.mutable.Map.empty[(String, String), Long].withDefaultValue(0L)
+    docs.foreach { case (src, t) =>
+      t.toLowerCase.split("\\s+").foreach(tok => cst((src, tok)) += 1L)
+    }
+    val ct = cst.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    val ns = cst.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val nTot = ns.values.sum
+    val expected = ns.map { case (src, nS) =>
+      var tn = 0L; var qn = 0L
+      cst.foreach { case ((s2, tok), cSt) =>
+        if (s2 == src) {
+          val p = cSt.toDouble / nS
+          val q = (ct(tok) - cSt).toDouble / (nTot - nS)
+          val m = (p + q) / 2
+          val term = 0.5 * p * math.log(p / m) +
+            (if (ct(tok) - cSt > 0) 0.5 * q * math.log(q / m) else 0.0)
+          tn += rnd(term * 1e9); qn += rnd(q * 1e9)
+        }
+      }
+      src -> (nS, tn + rnd(0.5 * math.log(2) * (1000000000L - qn)))
+    }
+    val got = TextAnalysis.jsdDrift(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n_tokens"), r.getAs[Long]("jsd_nanos")))
+      .toMap
+    assert(got === expected)
+    assert(got.values.forall(_._2 >= 0L), "JSD must be non-negative")
+  }
+
   test("semanticDedup equals an exact within-cell recomputation") {
     val vecs = Graft.embeddings(spark, dir).select("vec_id", "embedding").collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
