@@ -1038,6 +1038,61 @@ object Ann {
         col("kc.keeper").as("keeper_id"), col("kc.cos_micros").as("cos_micros"))
   }
 
+  /** Greedy k-center pick count — the SINGLE constant the Scala default
+    * and the generated DuckDB oracle both derive from.
+    */
+  val KCenterPicks: Int = 6
+
+  /** Greedy k-center coreset selection (Gonzalez 2-approximation — the
+    * diversity-sampling primitive of coreset-based training-data
+    * selection): seed with the lowest vec_id, then k−1 rounds of "pick
+    * the point FARTHEST (max cosine distance, micros-quantized, vec_id
+    * tie-break) from everything chosen so far". Output is the selection
+    * order with each pick's distance-at-selection — the k-center RADIUS
+    * CURVE, the coverage diagnostic that says how many centers a corpus
+    * needs. Scale shape: each round is ONE map-side-combinable
+    * min-struct aggregate over the embeddings scan with the ≤k chosen
+    * vectors inlined as literals (k·d floats, the pcaIterate
+    * bounded-driver-state pattern); k scans total, never a pairwise
+    * join. The per-row distance is least() over ≤k codegen'd kernel
+    * dots.
+    */
+  def kcenterSample(s: SparkSession, dir: String, k: Int = KCenterPicks): DataFrame = {
+    val e = withNorm(Graft.embeddings(s, dir))
+    val seed = e.orderBy(col("vec_id")).limit(1)
+      .select(col("vec_id"), col("embedding"), col("nrm")).collect()
+    if (seed.isEmpty)
+      return s.createDataFrame(Seq.empty[(Long, Long, Long)])
+        .toDF("pick", "vec_id", "dist_micros")
+    def lits(r: org.apache.spark.sql.Row): (String, Double) = (
+      r.getSeq[Float](1).map(_.toString).mkString("cast(array(", ",", ") as array<float>)"),
+      r.getDouble(2))
+    var chosen = List((seed.head.getLong(0), lits(seed.head)))
+    val out = scala.collection.mutable.ArrayBuffer(
+      (1L, seed.head.getLong(0), Option.empty[Long]))
+    // pick 1 is the seed: no chosen set yet, so its distance is NULL
+    for (rank <- 2 to k) {
+      val dm = chosen.map { case (_, (vecLit, nrm)) =>
+        s"cast(round((1 - round(fvec_dot(embedding, $vecLit) / (nrm * $nrm), 6)) * 1000000) as bigint)"
+      } match {
+        case one :: Nil => one
+        case many => many.mkString("least(", ", ", ")")
+      }
+      val pick = e
+        .select(expr(s"min(named_struct('nd', -($dm), 'vec_id', vec_id, " +
+          "'embedding', embedding, 'nrm', nrm))").as("p"))
+        .select(col("p.nd"), col("p.vec_id"), col("p.embedding"), col("p.nrm"))
+        .collect().head
+      out += ((rank.toLong, pick.getLong(1), Some(-pick.getLong(0))))
+      chosen = chosen :+ ((pick.getLong(1),
+        (pick.getSeq[Float](2).map(_.toString)
+          .mkString("cast(array(", ",", ") as array<float>)"), pick.getDouble(3))))
+    }
+    s.createDataFrame(out.toSeq.map { case (r, id, d) =>
+      (r, id, d.map(java.lang.Long.valueOf).orNull)
+    }).toDF("pick", "vec_id", "dist_micros")
+  }
+
   private val duckCosPair =
     """list_sum(list_transform(range(1,65), i -> x.v[i] * y.v[i]))
       | / (sqrt(list_sum(list_transform(range(1,65), i -> x.v[i] * x.v[i])))
@@ -1207,7 +1262,36 @@ object Ann {
        |v$k AS (SELECT dim, CAST(round(CAST(s_q AS DOUBLE) / CAST(m AS DOUBLE) * 1000)
        |        AS BIGINT) AS v FROM s$k, m$k)""".stripMargin
 
+  /** Greedy k-center rounds as chained DuckDB CTEs: d_r carries every
+    * vector's min distance (micros) to the chosen set after r picks;
+    * t_{r+1} is the argmax pick with the same (dm desc, vec_id) total
+    * order the Spark min-struct uses.
+    */
+  private def duckKcenterSql: String = {
+    val parts = scala.collection.mutable.ArrayBuffer[String](
+      duckE,
+      """c1 AS (SELECT vec_id, v FROM e WHERE vec_id = (SELECT min(vec_id) FROM e))""",
+      s"""d1 AS (SELECT x.vec_id, x.v,
+         |  CAST(round((1 - round($duckCosPair, 6)) * 1000000) AS BIGINT) AS dm
+         | FROM e x, c1 y)""".stripMargin)
+    for (r <- 2 to KCenterPicks) {
+      parts += s"t$r AS (SELECT vec_id, dm FROM d${r - 1} ORDER BY dm DESC, vec_id LIMIT 1)"
+      if (r < KCenterPicks) {
+        parts += s"c$r AS (SELECT vec_id, v FROM e WHERE vec_id = (SELECT vec_id FROM t$r))"
+        parts += s"""d$r AS (SELECT x.vec_id, x.v, least(x.dm,
+           |  CAST(round((1 - round($duckCosPair, 6)) * 1000000) AS BIGINT)) AS dm
+           | FROM d${r - 1} x, c$r y)""".stripMargin
+      }
+    }
+    val union = (s"SELECT CAST(1 AS BIGINT) AS pick, vec_id, CAST(NULL AS BIGINT) AS dist_micros FROM c1" +:
+      (2 to KCenterPicks).map(r =>
+        s"SELECT CAST($r AS BIGINT) AS pick, vec_id, dm AS dist_micros FROM t$r"))
+      .mkString("\nUNION ALL ")
+    s"WITH ${parts.mkString(",\n")}\n$union"
+  }
+
   val oracle: Map[String, String] = Map(
+    "sample_kcenter" -> duckKcenterSql,
     "embed_pca_iterate" ->
       s"""WITH $duckE,
          |q AS (SELECT vec_id, list_transform(v, z -> CAST(round(z * 1000) AS BIGINT)) AS xq

@@ -91,6 +91,7 @@ class EmptyInputSpec extends SparkSpec {
     assert(Multimodal.decodeStats(spark, dir).count() === 0)
     assert(Analytics.streaks(spark, dir).count() === 0)
     assert(TextAnalysis.jsdDrift(spark, dir).count() === 0)
+    assert(Ann.kcenterSample(spark, dir).count() === 0)
   }
 
   test("round-5 operators are safe on empty tables") {

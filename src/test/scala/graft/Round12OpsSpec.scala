@@ -132,6 +132,37 @@ class Round12OpsSpec extends SparkSpec {
     assert(got.values.forall(_._2 >= 0L), "JSD must be non-negative")
   }
 
+  test("kcenterSample equals a plain greedy k-center recomputation; radius curve decreases") {
+    val vecs = Graft.embeddings(spark, dir).select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < math.min(a.length, b.length)) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    def nrm(a: Array[Float]): Double = math.sqrt(dot(a, a))
+    def dm(a: Array[Float], b: Array[Float]): Long =
+      rnd((1 - round6(dot(a, b) / (nrm(a) * nrm(b)))) * 1000000)
+    var chosen = List(vecs.head)
+    val expected = scala.collection.mutable.ArrayBuffer(
+      (1L, vecs.head._1, Option.empty[Long]))
+    for (r <- 2 to Ann.KCenterPicks) {
+      val (id, _, d) = vecs.map { case (id, v) =>
+        (id, v, chosen.map(c => dm(v, c._2)).min)
+      }.minBy { case (id, _, d) => (-d, id) }
+      expected += ((r.toLong, id, Some(d)))
+      chosen = chosen :+ vecs.find(_._1 == id).get
+    }
+    val got = Ann.kcenterSample(spark, dir).collect()
+      .map(r => (r.getAs[Long]("pick"), r.getAs[Long]("vec_id"),
+        Option(r.getAs[java.lang.Long]("dist_micros")).map(_.longValue())))
+      .sortBy(_._1).toSeq
+    assert(got === expected.toSeq)
+    // the k-center radius never increases as centers are added
+    val radii = got.flatMap(_._3)
+    assert(radii === radii.sorted.reverse, s"radius curve not non-increasing: $radii")
+  }
+
   test("semanticDedup equals an exact within-cell recomputation") {
     val vecs = Graft.embeddings(spark, dir).select("vec_id", "embedding").collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
