@@ -447,6 +447,24 @@ object Dedup {
   def clusters(s: SparkSession, dir: String, maxIters: Int = 20): DataFrame =
     clustersOf(s, dir, dupPairs(s, dir), maxIters)
 
+  /** Leakage-safe train/val/test split assignment: the split is drawn
+    * from a 48-bit md5 of the near-dup CLUSTER REPRESENTATIVE, not the
+    * document — every member of a near-dup cluster lands in the same
+    * split, closing the classic evaluation-leakage hole where a test
+    * document's near-duplicate sits in train (the failure mode
+    * Lee et al.'s dedup work measures). 98/1/1 by mod-100 buckets;
+    * stateless and deterministic given the cluster labels, so re-runs
+    * and late-arriving shards agree. One projection over the
+    * 1-row-per-doc [[clusters]] frame.
+    */
+  def splitAssign(s: SparkSession, dir: String): DataFrame =
+    clusters(s, dir)
+      .withColumn("bucket",
+        expr(s"${TextAnalysis.hex12ToLong("md5(cast(cluster_rep as string))", "instr")} % 100"))
+      .select(col("doc_id"), col("cluster_rep"),
+        when(col("bucket") < 98, "train").when(col("bucket") < 99, "val")
+          .otherwise("test").as("split"))
+
   /** Cluster-size histogram: how many near-dup clusters have exactly N
     * members (singletons included — every unclustered doc is its own
     * cluster of 1). The curation QA view of [[clusters]]: a sudden mass
@@ -1284,6 +1302,15 @@ object Dedup {
     "dedup_clusters" ->
       s"""WITH RECURSIVE $duckClusterRep
          |SELECT doc_id, cluster_rep FROM cl""".stripMargin,
+    "split_assign" ->
+      s"""WITH RECURSIVE $duckClusterRep,
+         |b AS (SELECT doc_id, cluster_rep,
+         |  ${TextAnalysis.hex12ToLong("md5(CAST(cluster_rep AS VARCHAR))", "strpos")} % 100
+         |    AS bucket FROM cl)
+         |SELECT doc_id, cluster_rep,
+         | CASE WHEN bucket < 98 THEN 'train' WHEN bucket < 99 THEN 'val'
+         |      ELSE 'test' END AS split
+         |FROM b""".stripMargin,
     "dedup_winnow_pairs" ->
       s"""WITH ${TextAnalysis.duckWinnowFps},
          |f AS (SELECT doc_id, unnest(fps) AS fp FROM fp),

@@ -1006,7 +1006,7 @@ object TextAnalysis {
     * portable (posFn = instr for Spark, strpos for DuckDB). 48 bits keep
     * the modulo bias negligible for any realistic shard count.
     */
-  private def hex12ToLong(h: String, posFn: String): String =
+  private[operators] def hex12ToLong(h: String, posFn: String): String =
     (1 to 12).map { k =>
       s"cast($posFn('0123456789abcdef', substring($h, $k, 1)) - 1 as bigint) * ${1L << (4 * (12 - k))}"
     }.mkString("(", " + ", ")")

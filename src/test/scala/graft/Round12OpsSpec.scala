@@ -132,6 +132,26 @@ class Round12OpsSpec extends SparkSpec {
     assert(got.values.forall(_._2 >= 0L), "JSD must be non-negative")
   }
 
+  test("splitAssign: cluster-pure splits drawn from the representative's md5") {
+    val rows = Dedup.splitAssign(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(rows.length === texts.length)
+    // leakage guard: every near-dup cluster is split-pure
+    rows.groupBy(_._2).foreach { case (rep, members) =>
+      assert(members.map(_._3).distinct.length === 1,
+        s"cluster $rep members straddle splits: ${members.toSeq}")
+    }
+    // the split is exactly the 48-bit md5 bucket of the representative
+    rows.foreach { case (_, rep, split) =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(rep.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+      val bucket = java.lang.Long.parseLong(hex, 16) % 100
+      val want = if (bucket < 98) "train" else if (bucket < 99) "val" else "test"
+      assert(split === want, s"rep $rep bucket $bucket")
+    }
+    assert(rows.map(_._3).distinct.length >= 2, "degenerate single-split corpus")
+  }
+
   test("kcenterSample equals a plain greedy k-center recomputation; radius curve decreases") {
     val vecs = Graft.embeddings(spark, dir).select("vec_id", "embedding").collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
