@@ -1038,6 +1038,42 @@ object Ann {
         col("kc.keeper").as("keeper_id"), col("kc.cos_micros").as("cos_micros"))
   }
 
+  /** Embedding isotropy report: the EXACT mean pairwise cosine across
+    * the whole corpus from ONE linear scan, via the identity
+    * Σ_{i≠j} cos(i,j) = ‖Σ û‖² − N over unit-normalized vectors û —
+    * an isotropic (healthy) embedding space sits near 0, a collapsed
+    * space (all vectors pointing one way — the failure mode after a bad
+    * encoder refresh) nears 1. The naive formulation is an N² pair
+    * join; this is a d-row map-side-combinable aggregate: û components
+    * quantize to integer micros BEFORE the per-dimension sums (exact,
+    * order-independent — the unigramLogprob technique), the closed form
+    * divides in integer space. Complements [[pcaPowerStep]]'s dominant-
+    * direction view with the scalar everyone plots over time.
+    */
+  def isotropy(s: SparkSession, dir: String): DataFrame =
+    withNorm(Graft.embeddings(s, dir))
+      .select(posexplode(expr(
+        "transform(embedding, x -> cast(round(cast(x as double) / nrm * 1000000) as bigint))"))
+        .as(Seq("dim", "q")))
+      .groupBy(col("dim").cast("long").as("dim"))
+      // per-dim component sum and the exact self-term; both ride ONE
+      // exchange of d rows. Wide decimals: at 10^10 vectors the squared
+      // sums reach ~10^26 — far past int64, comfortably inside
+      // decimal(38) (DuckDB's oracle uses HUGEINT for the same reason).
+      .agg(sum(col("q").cast("decimal(38,0)")).as("sq"),
+        sum(col("q").cast("decimal(38,0)") * col("q")).as("qq"),
+        count(lit(1)).as("n"))
+      .agg(sum(col("sq") * col("sq")).as("ss"), sum(col("qq")).as("selfss"),
+        max(col("n")).as("n"))
+      .select(col("n"),
+        when(col("n") > 1, expr(
+          """cast(round(cast(ss - selfss as double)
+            | / (cast(n as double) * (cast(n as double) - 1.0))
+            | / 1000000.0) as bigint)""".stripMargin))
+          .otherwise(lit(null).cast("long")).as("mean_pairwise_cos_micros"))
+      // the global aggregate yields one all-null row on an empty corpus
+      .filter(col("n").isNotNull)
+
   /** Greedy k-center pick count — the SINGLE constant the Scala default
     * and the generated DuckDB oracle both derive from.
     */
@@ -1291,6 +1327,24 @@ object Ann {
   }
 
   val oracle: Map[String, String] = Map(
+    "embed_isotropy" ->
+      s"""WITH $duckE,
+         |nv AS (SELECT vec_id,
+         |  sqrt(list_sum(list_transform(range(1,65), i -> v[i] * v[i]))) AS nrm, v FROM e),
+         |q AS (SELECT CAST(t.j - 1 AS BIGINT) AS dim,
+         |        CAST(round(v[t.j] / nrm * 1000000) AS BIGINT) AS q
+         |      FROM nv, unnest(range(1, len(v) + 1)) AS t(j)),
+         |d AS (SELECT dim, CAST(sum(CAST(q AS HUGEINT)) AS HUGEINT) AS sq,
+         |        CAST(sum(CAST(q AS HUGEINT) * q) AS HUGEINT) AS qq,
+         |        CAST(count(*) AS BIGINT) AS n
+         |      FROM q GROUP BY 1),
+         |a AS (SELECT CAST(sum(sq * sq) AS HUGEINT) AS ss,
+         |        CAST(sum(qq) AS HUGEINT) AS selfss, max(n) AS n FROM d)
+         |SELECT n, CASE WHEN n > 1 THEN
+         |  CAST(round(CAST(ss - selfss AS DOUBLE)
+         |    / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))
+         |    / 1000000.0) AS BIGINT) ELSE NULL END AS mean_pairwise_cos_micros
+         |FROM a""".stripMargin,
     "sample_kcenter" -> duckKcenterSql,
     "embed_pca_iterate" ->
       s"""WITH $duckE,

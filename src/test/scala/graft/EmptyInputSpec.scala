@@ -93,6 +93,7 @@ class EmptyInputSpec extends SparkSpec {
     assert(TextAnalysis.jsdDrift(spark, dir).count() === 0)
     assert(Ann.kcenterSample(spark, dir).count() === 0)
     assert(Dedup.splitAssign(spark, dir).count() === 0)
+    assert(Ann.isotropy(spark, dir).count() === 0)
   }
 
   test("round-5 operators are safe on empty tables") {

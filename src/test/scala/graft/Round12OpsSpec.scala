@@ -132,6 +132,24 @@ class Round12OpsSpec extends SparkSpec {
     assert(got.values.forall(_._2 >= 0L), "JSD must be non-negative")
   }
 
+  test("isotropy equals the closed-form ||sum u||^2 recomputation in exact integers") {
+    val vecs = Graft.embeddings(spark, dir).select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray)
+    val d = vecs.head.length
+    def nrm(a: Array[Float]): Double =
+      math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+    val qs = vecs.map { v => val n = nrm(v); v.map(x => rnd(x.toDouble / n * 1e6)) }
+    val sq = (0 until d).map(j => BigInt(qs.map(_(j)).sum))
+    val ss = sq.map(x => x * x).sum
+    val selfss = qs.flatten.map(q => BigInt(q) * q).sum
+    val n = vecs.length
+    val want = rnd((ss - selfss).toDouble / (n.toDouble * (n.toDouble - 1.0)) / 1e6)
+    val row = Ann.isotropy(spark, dir).collect().head
+    assert(row.getLong(0) === n.toLong)
+    assert(row.getLong(1) === want)
+    assert(math.abs(row.getLong(1)) <= 1000000L, "mean cosine out of [-1, 1]")
+  }
+
   test("splitAssign: cluster-pure splits drawn from the representative's md5") {
     val rows = Dedup.splitAssign(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
