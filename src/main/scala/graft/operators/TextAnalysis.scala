@@ -767,6 +767,34 @@ object TextAnalysis {
                | and n_stop_distinct >= 2, 1, 0) as bigint)""".stripMargin))
   }
 
+  /** Heaps'-law vocabulary-growth exponent: fit V ≈ k·N^β across
+    * documents by exact integer OLS over per-doc (ln tokens, ln types)
+    * points — β (the vocabulary-growth rate, ~0.4-0.6 for natural
+    * prose) is a corpus-quality fingerprint: template/boilerplate text
+    * drives it toward 0, random token soup toward 1. Logs quantize to
+    * integer MILLIS before the OLS sums (the revenueSlope technique:
+    * order-independent, and millis keep x² sums inside int64 to ~10^10
+    * docs; the closing products bound the exact fit to ~10^7 docs —
+    * past that, fit a stratified sample, the statistic is estimable
+    * from any representative subset). One map-side-combinable aggregate
+    * over a pure projection; NULL β on a zero-variance (all-same-
+    * length) corpus via the shared nullif guard.
+    */
+  def heapsLaw(s: SparkSession, dir: String): DataFrame =
+    Graft.documents(s, dir)
+      .select(expr("size(split(lower(text), '\\\\s+'))").as("ntok"),
+        expr("size(array_distinct(split(lower(text), '\\\\s+')))").as("ntyp"))
+      .filter(col("ntok") >= 2 && col("ntyp") >= 1)
+      .select(expr("cast(round(ln(cast(ntok as double)) * 1000) as bigint)").as("x"),
+        expr("cast(round(ln(cast(ntyp as double)) * 1000) as bigint)").as("y"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("x") * col("y")).as("sxy"))
+      .select(col("n_docs"),
+        expr("(n_docs * sxy - sx * sy) * 1000000 div nullif(n_docs * sxx - sx * sx, 0)")
+          .as("beta_micros"))
+      .filter(col("n_docs") > 0)
+
   /** Per-source unigram Jensen–Shannon drift vs the REST of the corpus
     * — the distribution-shift monitor a mixing pipeline runs before
     * reweighting sources (a source whose token distribution departs
@@ -1123,6 +1151,20 @@ object TextAnalysis {
   }
 
   val oracle: Map[String, String] = Map(
+    "text_heaps_law" ->
+      """WITH t AS (SELECT string_split_regex(lower(text), '\s+') AS toks FROM documents),
+        |p AS (SELECT len(toks) AS ntok, len(list_distinct(toks)) AS ntyp FROM t
+        |      WHERE len(toks) >= 2 AND len(list_distinct(toks)) >= 1),
+        |q AS (SELECT CAST(round(ln(CAST(ntok AS DOUBLE)) * 1000) AS BIGINT) AS x,
+        |             CAST(round(ln(CAST(ntyp AS DOUBLE)) * 1000) AS BIGINT) AS y FROM p),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |        CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |        CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(x * y) AS BIGINT) AS sxy
+        |      FROM q)
+        |SELECT n_docs,
+        | (n_docs * sxy - sx * sy) * 1000000 // nullif(n_docs * sxx - sx * sx, 0)
+        |   AS beta_micros
+        |FROM a WHERE n_docs > 0""".stripMargin,
     "text_jsd_drift" ->
       """WITH toks AS (SELECT source, unnest(string_split_regex(lower(text), '\s+')) AS tok
         |  FROM documents),

@@ -94,6 +94,7 @@ class EmptyInputSpec extends SparkSpec {
     assert(Ann.kcenterSample(spark, dir).count() === 0)
     assert(Dedup.splitAssign(spark, dir).count() === 0)
     assert(Ann.isotropy(spark, dir).count() === 0)
+    assert(TextAnalysis.heapsLaw(spark, dir).count() === 0)
   }
 
   test("round-5 operators are safe on empty tables") {

@@ -132,6 +132,23 @@ class Round12OpsSpec extends SparkSpec {
     assert(got.values.forall(_._2 >= 0L), "JSD must be non-negative")
   }
 
+  test("heapsLaw equals an exact integer-OLS recomputation; beta in (0, 1]") {
+    val pts = texts.map(_._2.toLowerCase.split("\\s+"))
+      .filter(t => t.length >= 2 && t.distinct.length >= 1)
+      .map(t => (rnd(math.log(t.length.toDouble) * 1000),
+        rnd(math.log(t.distinct.length.toDouble) * 1000)))
+    val n = pts.length.toLong
+    val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val want = (n * sxy - sx * sy) * 1000000 / (n * sxx - sx * sx)
+    val row = TextAnalysis.heapsLaw(spark, dir).collect().head
+    assert(row.getLong(0) === n)
+    assert(row.getLong(1) === want)
+    assert(row.getLong(1) > 0 && row.getLong(1) <= 1000000L,
+      s"Heaps beta out of (0,1]: ${row.getLong(1)}")
+  }
+
   test("isotropy equals the closed-form ||sum u||^2 recomputation in exact integers") {
     val vecs = Graft.embeddings(spark, dir).select("embedding").collect()
       .map(_.getSeq[Float](0).toArray)
