@@ -1088,41 +1088,48 @@ object Ann {
     * CURVE, the coverage diagnostic that says how many centers a corpus
     * needs. Scale shape: each round is ONE map-side-combinable
     * min-struct aggregate over the embeddings scan with the ≤k chosen
-    * vectors inlined as literals (k·d floats, the pcaIterate
-    * bounded-driver-state pattern); k scans total, never a pairwise
-    * join. The per-row distance is least() over ≤k codegen'd kernel
-    * dots.
+    * vectors riding as a single broadcast row holding
+    * array<struct<cvec,cnrm>> (k·d floats — the pcaIterate
+    * bounded-driver-state pattern, no string-built SQL so the plan
+    * shape is stable across rounds); k scans total, never a pairwise
+    * join. The per-row distance is array_min over ≤k codegen'd kernel
+    * dots. The loop STOPS EARLY when the selected max distance is 0:
+    * every remaining point then duplicates a chosen center, so further
+    * rounds could only re-emit covered points — a k above the distinct
+    * vector count returns fewer than k rows, not padded duplicates
+    * (the generated oracle's per-round WHERE dm > 0 mirrors this).
     */
   def kcenterSample(s: SparkSession, dir: String, k: Int = KCenterPicks): DataFrame = {
+    import s.implicits._
     val e = withNorm(Graft.embeddings(s, dir))
     val seed = e.orderBy(col("vec_id")).limit(1)
       .select(col("vec_id"), col("embedding"), col("nrm")).collect()
     if (seed.isEmpty)
       return s.createDataFrame(Seq.empty[(Long, Long, Long)])
         .toDF("pick", "vec_id", "dist_micros")
-    def lits(r: org.apache.spark.sql.Row): (String, Double) = (
-      r.getSeq[Float](1).map(_.toString).mkString("cast(array(", ",", ") as array<float>)"),
-      r.getDouble(2))
-    var chosen = List((seed.head.getLong(0), lits(seed.head)))
+    var chosen = List((seed.head.getLong(0),
+      seed.head.getSeq[Float](1), seed.head.getDouble(2)))
     val out = scala.collection.mutable.ArrayBuffer(
       (1L, seed.head.getLong(0), Option.empty[Long]))
+    var exhausted = false
     // pick 1 is the seed: no chosen set yet, so its distance is NULL
-    for (rank <- 2 to k) {
-      val dm = chosen.map { case (_, (vecLit, nrm)) =>
-        s"cast(round((1 - round(fvec_dot(embedding, $vecLit) / (nrm * $nrm), 6)) * 1000000) as bigint)"
-      } match {
-        case one :: Nil => one
-        case many => many.mkString("least(", ", ", ")")
-      }
-      val pick = e
-        .select(expr(s"min(named_struct('nd', -($dm), 'vec_id', vec_id, " +
-          "'embedding', embedding, 'nrm', nrm))").as("p"))
+    for (rank <- 2 to k if !exhausted) {
+      val chosenArr = chosen.map { case (_, v, n) => (v, n) }
+        .toDF("cvec", "cnrm")
+        .agg(collect_list(struct(col("cvec"), col("cnrm"))).as("chosen"))
+      val pick = e.crossJoin(broadcast(chosenArr))
+        .select(expr("min(named_struct('nd', -array_min(transform(chosen, " +
+          "c -> cast(round((1 - round(fvec_dot(embedding, c.cvec) / (nrm * c.cnrm), 6))" +
+          " * 1000000) as bigint))), " +
+          "'vec_id', vec_id, 'embedding', embedding, 'nrm', nrm))").as("p"))
         .select(col("p.nd"), col("p.vec_id"), col("p.embedding"), col("p.nrm"))
         .collect().head
-      out += ((rank.toLong, pick.getLong(1), Some(-pick.getLong(0))))
-      chosen = chosen :+ ((pick.getLong(1),
-        (pick.getSeq[Float](2).map(_.toString)
-          .mkString("cast(array(", ",", ") as array<float>)"), pick.getDouble(3))))
+      val d = -pick.getLong(0)
+      if (d == 0L) exhausted = true
+      else {
+        out += ((rank.toLong, pick.getLong(1), Some(d)))
+        chosen = chosen :+ ((pick.getLong(1), pick.getSeq[Float](2), pick.getDouble(3)))
+      }
     }
     s.createDataFrame(out.toSeq.map { case (r, id, d) =>
       (r, id, d.map(java.lang.Long.valueOf).orNull)
@@ -1311,7 +1318,11 @@ object Ann {
          |  CAST(round((1 - round($duckCosPair, 6)) * 1000000) AS BIGINT) AS dm
          | FROM e x, c1 y)""".stripMargin)
     for (r <- 2 to KCenterPicks) {
-      parts += s"t$r AS (SELECT vec_id, dm FROM d${r - 1} ORDER BY dm DESC, vec_id LIMIT 1)"
+      // WHERE dm > 0 mirrors kcenterSample's early stop: once the max
+      // distance hits 0 the point set is exhausted and tN (and every
+      // later CTE, via the cascading cross joins) goes empty
+      parts += s"t$r AS (SELECT vec_id, dm FROM d${r - 1} WHERE dm > 0 " +
+        "ORDER BY dm DESC, vec_id LIMIT 1)"
       if (r < KCenterPicks) {
         parts += s"c$r AS (SELECT vec_id, v FROM e WHERE vec_id = (SELECT vec_id FROM t$r))"
         parts += s"""d$r AS (SELECT x.vec_id, x.v, least(x.dm,
@@ -1344,7 +1355,7 @@ object Ann {
          |  CAST(round(CAST(ss - selfss AS DOUBLE)
          |    / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))
          |    / 1000000.0) AS BIGINT) ELSE NULL END AS mean_pairwise_cos_micros
-         |FROM a""".stripMargin,
+         |FROM a WHERE n IS NOT NULL""".stripMargin,
     "sample_kcenter" -> duckKcenterSql,
     "embed_pca_iterate" ->
       s"""WITH $duckE,

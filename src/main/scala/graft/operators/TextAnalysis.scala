@@ -774,11 +774,12 @@ object TextAnalysis {
     * drives it toward 0, random token soup toward 1. Logs quantize to
     * integer MILLIS before the OLS sums (the revenueSlope technique:
     * order-independent, and millis keep x² sums inside int64 to ~10^10
-    * docs; the closing products bound the exact fit to ~10^7 docs —
-    * past that, fit a stratified sample, the statistic is estimable
-    * from any representative subset). One map-side-combinable aggregate
-    * over a pure projection; NULL β on a zero-variance (all-same-
-    * length) corpus via the shared nullif guard.
+    * docs); the closing products n·Σxy etc. scale as n², pass int64
+    * near ~10^4 docs, and so run in decimal(38,0) — exact to ~10^12
+    * docs, the isotropy wide-sum pattern (HUGEINT on the DuckDB side).
+    * One map-side-combinable aggregate over a pure projection; NULL β
+    * on a zero-variance (all-same-length) corpus via the shared nullif
+    * guard.
     */
   def heapsLaw(s: SparkSession, dir: String): DataFrame =
     Graft.documents(s, dir)
@@ -791,7 +792,10 @@ object TextAnalysis {
         sum(col("x")).as("sx"), sum(col("y")).as("sy"),
         sum(col("x") * col("x")).as("sxx"), sum(col("x") * col("y")).as("sxy"))
       .select(col("n_docs"),
-        expr("(n_docs * sxy - sx * sy) * 1000000 div nullif(n_docs * sxx - sx * sx, 0)")
+        expr("""cast((cast(n_docs as decimal(38,0)) * sxy - cast(sx as decimal(38,0)) * sy)
+               | * 1000000
+               | div nullif(cast(n_docs as decimal(38,0)) * sxx
+               |            - cast(sx as decimal(38,0)) * sx, 0) as bigint)""".stripMargin)
           .as("beta_micros"))
       .filter(col("n_docs") > 0)
 
@@ -1162,8 +1166,9 @@ object TextAnalysis {
         |        CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(x * y) AS BIGINT) AS sxy
         |      FROM q)
         |SELECT n_docs,
-        | (n_docs * sxy - sx * sy) * 1000000 // nullif(n_docs * sxx - sx * sx, 0)
-        |   AS beta_micros
+        | CAST((CAST(n_docs AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy) * 1000000
+        |   // nullif(CAST(n_docs AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx, 0)
+        |   AS BIGINT) AS beta_micros
         |FROM a WHERE n_docs > 0""".stripMargin,
     "text_jsd_drift" ->
       """WITH toks AS (SELECT source, unnest(string_split_regex(lower(text), '\s+')) AS tok
