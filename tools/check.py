@@ -76,5 +76,19 @@ def main(sf_dir, out_dir):
     print(f"== {n_ok}/{len(names)} green ==")
     return 0 if n_ok == len(names) else 1
 
+def lint_survey_ids():
+    """SURVEY.md §2 row ids are the human index — duplicates break
+    cross-referencing from VERDICT/ADVICE. Fail loudly on collision."""
+    import collections, re
+    path = os.path.join(os.path.dirname(__file__), "..", "SURVEY.md")
+    ids = re.findall(r"^\| ([0-9]+[a-z0-9]*) \|", open(path).read(), re.M)
+    dups = [k for k, n in collections.Counter(ids).items() if n > 1]
+    if dups:
+        print(f"[FAIL] SURVEY.md duplicate row ids: {sorted(dups)}")
+        return 1
+    print(f"[ok] SURVEY.md row ids unique ({len(ids)} rows)")
+    return 0
+
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    rc = lint_survey_ids()
+    sys.exit(rc or main(sys.argv[1], sys.argv[2]))
