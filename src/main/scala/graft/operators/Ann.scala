@@ -199,13 +199,6 @@ object Ann {
     *     runs on the k-bounded edge list (|V| * k rows), never raw
     *     pairs.
     */
-  /** NSW blocking index: each vector's top-`nprobe` cells out of the
-    * sqrt(N) deterministic centroids. Memoized per (dir): the graph
-    * build scans it three times (both pair-join sides + the hop-2
-    * re-score) and the cell-occupancy health report reads it too, so
-    * one persisted copy per session serves all consumers — the
-    * assignment IS the index, exactly like the IVF `ann_assign` frame.
-    */
   /** Top-`nprobe` cell assignment over an arbitrary node frame, given a
     * pre-aggregated broadcast centroid array (one row holding
     * array<struct<cid,cvec>>): ONE map-stage projection scoring all
@@ -254,12 +247,17 @@ object Ann {
     * 10^10, ~95 MB at 10^11 — so a single flat build stops being
     * broadcastable around N ≈ 5×10^10 and [[requireCentroidBudget]]
     * refuses LOUDLY there instead of letting the driver OOM or silently
-    * degrade. Past the budget, shrink the fanout (coarser nlist, e.g.
-    * N^(1/3) cells probed twice) or shard the corpus and merge
-    * per-shard graphs; retune against the [[nswCellStats]] occupancy
-    * report.
+    * degrade. Past the budget, [[nswGraph]] now ROUTES to the
+    * shard-and-merge build ([[nswGraphSharded]]) whose per-shard
+    * √(N/S) broadcasts each fit; [[requireCentroidBudget]] still
+    * refuses paths with no sharded variant. Retune against the
+    * [[nswCellStats]] occupancy report.
+    *
+    * A `var` ONLY so specs can lower it to drive the sharded routing on
+    * spec-scale corpora (the SkewSpec lowered-threshold trick);
+    * production code treats it as a constant.
     */
-  val centroidBroadcastBudgetBytes: Long = 64L << 20
+  @volatile var centroidBroadcastBudgetBytes: Long = 64L << 20
 
   /** Centroid count a corpus of n vectors draws under the √N seed rule. */
   def sqrtFanout(n: Long): Long =
@@ -279,28 +277,54 @@ object Ann {
         "against ann_nsw_cell_stats before building at this scale")
   }
 
-  /** NOT memoized/persisted: an InMemoryRelation over array<float>
-    * columns pays ColumnarToRow array deserialization on every scan,
-    * which measured SLOWER at 10-30× scale than recomputing the
-    * assignment from the vectorized parquet scan (the self-join's two
-    * sides share one computation via ReusedExchange anyway).
+  /** MEMOIZED narrow (vec_id, cid) cell assignment, keyed per
+    * (dir, nprobe) in [[Graft.memoCache]] — the NSW twin of
+    * `ann_assign`: the assignment IS the blocking index, and every
+    * consumer ([[nswCellStats]], [[nswGraph]], [[semanticDedup]],
+    * knnOutliers via the graph) shares ONE N·√N scoring pass per
+    * session instead of re-deriving it per query. Only the two-long
+    * narrow projection is persisted: an InMemoryRelation over the
+    * array<float> columns pays ColumnarToRow array deserialization on
+    * every scan (measured SLOWER at 10-30× scale than the vectorized
+    * parquet scan), so vector payloads re-attach from parquet via
+    * [[nswCells]]' vec_id join instead of riding the cache.
     *
     * Broadcast contract: the collected centroid frame is √N rows
     * (~300 B each — see [[centroidBroadcastBudgetBytes]] for the curve);
     * [[requireCentroidBudget]] refuses the build past the budget.
     */
-  private[graft] def nswCells(s: SparkSession, dir: String, nprobe: Int): DataFrame = {
-    requireCentroidBudget(sqrtFanout(Graft.tableRows(s, dir, "embeddings")), "nswCells")
-    val e = withNorm(Graft.embeddings(s, dir))
-    val nc = e.agg(greatest(lit(8L), expr("cast(floor(sqrt(count(1))) as bigint)"))
-      .as("ncents"))
-    val cents = e.crossJoin(broadcast(nc)).filter(col("vec_id") < col("ncents"))
-      .agg(sort_array(collect_list(struct(col("vec_id").as("cid"), col("embedding").as("cvec"),
-        col("nrm").as("cnrm")))).as("cents"))
-    cellsOver(e, cents, nprobe)
-  }
+  private[graft] def nswAssign(s: SparkSession, dir: String, nprobe: Int): DataFrame =
+    Graft.memoCache(s"nsw_cells_$nprobe", dir) {
+      requireCentroidBudget(sqrtFanout(Graft.tableRows(s, dir, "embeddings")), "nswCells")
+      val e = withNorm(Graft.embeddings(s, dir))
+      val nc = e.agg(greatest(lit(8L), expr("cast(floor(sqrt(count(1))) as bigint)"))
+        .as("ncents"))
+      val cents = e.crossJoin(broadcast(nc)).filter(col("vec_id") < col("ncents"))
+        .agg(sort_array(collect_list(struct(col("vec_id").as("cid"), col("embedding").as("cvec"),
+          col("nrm").as("cnrm")))).as("cents"))
+      cellsOver(e, cents, nprobe).select(col("vec_id"), col("cid"))
+    }
+
+  /** The embedding-carrying cell frame the pair joins consume: the
+    * memoized [[nswAssign]] narrow frame with vectors + norms
+    * re-attached from the parquet scan by a vec_id SHUFFLE_HASH join.
+    * Cost vs the old inline re-derivation: one N-row vector exchange
+    * replaces an N·√N centroid-scoring pass on every consumer after
+    * the first — the right side of that trade at any N where the
+    * build is worth blocking at all.
+    */
+  private[graft] def nswCells(s: SparkSession, dir: String, nprobe: Int): DataFrame =
+    nswAssign(s, dir, nprobe)
+      .join(withNorm(Graft.embeddings(s, dir)).hint("SHUFFLE_HASH"), "vec_id")
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cid"))
 
   def nswGraph(s: SparkSession, dir: String, k: Int = 4, nprobe: Int = 3): DataFrame = {
+    // route-instead-of-refuse: past the √N centroid broadcast budget a
+    // single flat build cannot ship its centroid table; the sharded
+    // build's per-shard √(N/S) broadcasts each fit (see nswGraphSharded)
+    val nTot = Graft.tableRows(s, dir, "embeddings")
+    if (sqrtFanout(nTot) * centroidRowBytes > centroidBroadcastBudgetBytes)
+      return nswGraphSharded(s, dir, k, nprobe, shardCountFor(nTot))
     val e = Graft.embeddings(s, dir).select(col("vec_id"), col("embedding"))
     val cells = nswCells(s, dir, nprobe).hint("SHUFFLE_HASH")
     nswEdgesFromCells(e, cells, k)
@@ -310,9 +334,16 @@ object Ann {
     * pairs → per-(src,cell) heap → per-src top-k → one NN-descent round
     * (neighbors-of-neighbors) → final top-k with reciprocity flags.
     * Factored out so the flat build ([[nswGraph]]) and the per-layer
-    * HNSW builds ([[hnswGraph]]) share one plan shape.
+    * HNSW builds ([[hnswGraph]]) share one plan shape; the round-1 and
+    * finishing halves split so the sharded build ([[nswGraphSharded]])
+    * can pool round-1 edges from several per-shard builds before ONE
+    * shared NN-descent round.
     */
-  private def nswEdgesFromCells(e: DataFrame, cells: DataFrame, k: Int): DataFrame = {
+  private def nswEdgesFromCells(e: DataFrame, cells: DataFrame, k: Int): DataFrame =
+    nswFinish(e, nswR1(cells, k), k)
+
+  /** Round-1 k-NN edges from a blocked cell assignment. */
+  private def nswR1(cells: DataFrame, k: Int): DataFrame = {
     // cosine is computed INLINE in the pair-producing join projection,
     // so vectors never ride a pair-sized shuffle. The per-src top-k is
     // a distributed merge: first a bounded heap per (src, cell) — its
@@ -335,9 +366,17 @@ object Ann {
     // per-src top-k of the distinct blocked pairs == top-k of the merged
     // per-cell top-k lists: every true top-k pair appears in some shared
     // cell, where at most k-1 better candidates can outrank it
-    val r1 = perCell.distinct()
+    perCell.distinct()
       .withColumn("rn", row_number().over(wTop)).filter(col("rn") <= k)
       .select(col("src"), col("dst"), col("cos"))
+  }
+
+  /** NN-descent + final reciprocal top-k over a pooled round-1 edge
+    * frame (≤ 2k rows per src when two sharding passes pool — the final
+    * window re-ranks).
+    */
+  private def nswFinish(e: DataFrame, r1: DataFrame, k: Int): DataFrame = {
+    val wTop = Window.partitionBy(col("src")).orderBy(col("cos").desc, col("dst"))
     val und = r1.select(col("src"), col("dst"))
       .union(r1.select(col("dst").as("src"), col("src").as("dst")))
     val hop2 = und.as("a").join(und.as("b"),
@@ -363,8 +402,82 @@ object Ann {
         col("r_src").isNotNull.as("mutual"))
   }
 
+  /** Smallest power-of-2 shard count whose per-shard ~2√(N/S) centroid
+    * stack (×2 = seed-threshold slack) fits the broadcast budget — the
+    * same bound [[nswGraphSharded]]'s own [[requireCentroidBudget]]
+    * enforces, so the routed build can never re-refuse.
+    */
+  def shardCountFor(n: Long): Int = {
+    var sh = 2
+    while (2L * sqrtFanout(n / sh) * centroidRowBytes > centroidBroadcastBudgetBytes
+      && sh < (1 << 20)) sh *= 2
+    sh
+  }
+
+  /** Shard-and-merge NSW build — the retune path the 64 MiB centroid
+    * budget refusal used to only point at. Past N ≈ 5×10^10 the flat
+    * build's √N centroid table no longer broadcasts; here the corpus is
+    * hash-sharded S ways and each shard gets its own √(N/S) centroid
+    * set (each broadcast fits the budget by construction):
+    *
+    *  1. per shard t: HOME nodes (vec_id % S = t) join their
+    *     top-`nprobe` cells of cents_t — the existing blocked builder
+    *     on a 1/S corpus slice;
+    *  2. cross-shard probe round: every FOREIGN node joins its top-1
+    *     cell of cents_t, so a node meets each true neighbor inside the
+    *     neighbor's home shard exactly the way a flat-probe query would
+    *     (home membership is nprobe-wide; the prober is 1-wide);
+    *  3. per-shard round-1 k-NN edges pool across shards, are cut back
+    *     to a global per-src top-k (bounded WindowGroupLimit heap), and
+    *     ONE shared NN-descent round + reciprocal top-k finish the
+    *     graph ([[nswFinish]] — the same tail as the flat build).
+    *
+    * Cost: each node scores S·√(N/S) = √(N·S) centroids (√S × the flat
+    * build — the price of budget-fitting) and the per-shard pair blocks
+    * stay on the p·N^1.5-flavored bound; the plan is a UNION of S
+    * per-shard subtrees, each with its own under-budget broadcast, so S
+    * must stay small (it grows as (N/5×10^10)^(1/3)… ≤ 8 through
+    * 10^12 vectors). Recall is spec-gated ≥ 0.6 against exact top-k on
+    * the spec corpus (AnnSpec's flat-build bound) via a lowered test
+    * budget.
+    */
+  def nswGraphSharded(s: SparkSession, dir: String, k: Int = 4, nprobe: Int = 3,
+                      nshards: Int = 2): DataFrame = {
+    require(nshards >= 2, s"nswGraphSharded: nshards=$nshards must be >= 2")
+    val nTot = Graft.tableRows(s, dir, "embeddings")
+    requireCentroidBudget(2L * sqrtFanout(nTot / nshards + 1),
+      s"nswGraphSharded(S=$nshards) per-shard")
+    val e = Graft.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val en = withNorm(e)
+    val home = en.withColumn("shard", pmod(col("vec_id"), lit(nshards.toLong)))
+    val r1All = (0 until nshards).map { t =>
+      val sub = home.filter(col("shard") === t.toLong).drop("shard")
+      val nc = sub.agg(greatest(lit(8L), expr("cast(floor(sqrt(count(1))) as bigint)"))
+        .as("ncents"))
+      // seed rule: shard t's members are {t, t+S, …}, so the first
+      // ncents of them sit exactly below S·ncents — a pure filter, no
+      // ordering (the hnswGraph dense-id threshold specialized to
+      // residue sharding)
+      val cents = sub.crossJoin(broadcast(nc))
+        .filter(col("vec_id") < lit(nshards.toLong) * col("ncents"))
+        .agg(sort_array(collect_list(struct(col("vec_id").as("cid"),
+          col("embedding").as("cvec"), col("nrm").as("cnrm")))).as("cents"))
+      val homeCells = cellsOver(sub, cents, nprobe)
+      val foreignCells = cellsOver(home.filter(col("shard") =!= t.toLong).drop("shard"),
+        cents, 1)
+      nswR1(homeCells.union(foreignCells).hint("SHUFFLE_HASH"), k)
+    }.reduce(_ union _)
+    // pool the per-shard round-1 lists back to one global per-src top-k
+    // before NN-descent, so hop-2 fanout stays (2k)^2, not (2Sk)^2
+    val wTop = Window.partitionBy(col("src")).orderBy(col("cos").desc, col("dst"))
+    val r1Pooled = r1All.distinct()
+      .withColumn("rn", row_number().over(wTop)).filter(col("rn") <= k)
+      .select(col("src"), col("dst"), col("cos"))
+    nswFinish(e, r1Pooled, k)
+  }
+
   /** NSW blocking-index health report: log2-bucketed histogram of cell
-    * occupancy over the memoized [[nswCells]] assignment frame. The
+    * occupancy over the memoized [[nswAssign]] narrow frame. The
     * graph build's cost bound — nprobe^2 * N^1.5 candidate pairs —
     * assumes cells stay near their expected occupancy nprobe*sqrt(N)
     * (nlist = sqrt(N) cells, each vector in its top-nprobe). A skewed
@@ -377,7 +490,7 @@ object Ann {
     * above log2(nprobe*sqrt(N)) with non-trivial n_cells = hot cells.
     */
   def nswCellStats(s: SparkSession, dir: String, nprobe: Int = 3): DataFrame =
-    nswCells(s, dir, nprobe)
+    nswAssign(s, dir, nprobe)
       .groupBy(col("cid")).agg(count(lit(1)).as("occ"))
       .groupBy(length(bin(col("occ"))).cast("long").as("occ_bits"))
       .agg(count(lit(1)).as("n_cells"),
