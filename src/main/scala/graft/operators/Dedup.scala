@@ -800,6 +800,43 @@ object Dedup {
       .distinct()
   }
 
+  /** LSH-dedup recall evaluation — the ann_recall_eval of the dedup
+    * family: band recall is the ONE quantity [[embeddingNearDupLsh]]
+    * trades away (precision is exact — every emitted pair passed the
+    * cosine verify), and before this report it was only a test log
+    * line. Ground truth is the exact label-block route on a BOUNDED
+    * id slice (default = [[embeddingRouteThreshold]], exactly the
+    * corpus size where the quadratic exact join is still affordable —
+    * the standard eval-on-a-slice pattern for production recall
+    * monitoring); the evaluated pairs are the FULL production LSH run
+    * (adaptive nb from the whole corpus) restricted to the same slice,
+    * so the number reported is the recall the deployed banding actually
+    * delivers there. One ≤slice² exact block + the linear LSH pass +
+    * a pair-keyed left join; output is a single row, so the report
+    * costs what its inputs cost at any corpus size.
+    */
+  def lshRecallEval(s: SparkSession, dir: String, tau: Double = 0.35,
+                    sliceBound: Long = embeddingRouteThreshold): DataFrame = {
+    val e = Graft.embeddings(s, dir).filter(col("vec_id") < sliceBound)
+      .select(col("vec_id"), col("label"), col("embedding"),
+        VectorOps.norm(col("embedding")).as("nrm"))
+    val exact = e.as("a").join(e.as("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        round(VectorOps.dot(col("a.embedding"), col("b.embedding"))
+          / (col("a.nrm") * col("b.nrm")), 6).as("cos"))
+      .filter(col("cos") >= tau)
+      .select(col("id_a"), col("id_b"))
+    val lsh = embeddingNearDupLsh(s, dir, tau)
+      .filter(col("id_a") < sliceBound && col("id_b") < sliceBound)
+      .select(col("id_a"), col("id_b"), lit(1L).as("hit"))
+    exact.join(lsh, Seq("id_a", "id_b"), "left")
+      .agg(count(lit(1)).as("n_exact"),
+        coalesce(sum(col("hit")), lit(0L)).as("n_hit"))
+      .select(col("n_exact"), col("n_hit"),
+        expr("n_hit * 1000000 div nullif(n_exact, 0)").as("recall_micros"))
+  }
+
   /** Chunk-level exact dedup (RefinedWeb-style): the fixed sliding
     * windows from [[Chunking.fixedWindows]] grouped by content hash;
     * groups with >= 2 copies report their copy count and canonical
@@ -1364,5 +1401,40 @@ object Dedup {
         |      * sqrt(list_sum(list_transform(range(1,65), i -> b.v[i] * b.v[i])))), 6) AS cos
         | FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
         |SELECT id_a, id_b, cos FROM p WHERE cos >= 0.35""".stripMargin,
+    "dedup_lsh_recall" ->
+      """WITH e AS (SELECT vec_id, label,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |ex AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        | FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        | WHERE a.vec_id < 10000 AND b.vec_id < 10000
+        |   AND round(list_sum(list_transform(range(1,65), i -> a.v[i] * b.v[i]))
+        |    / (sqrt(list_sum(list_transform(range(1,65), i -> a.v[i] * a.v[i])))
+        |       * sqrt(list_sum(list_transform(range(1,65), i -> b.v[i] * b.v[i])))), 6)
+        |     >= 0.35),
+        |nbits AS (SELECT greatest(4, length(bin(
+        |    greatest((count(*) + 999) // 1000, 1) - 1))) AS nb FROM e),
+        |pl AS (SELECT list(v ORDER BY vec_id) AS ps FROM e, nbits
+        |       WHERE vec_id >= 8 AND vec_id < 8 + 4 * nb),
+        |bands AS (SELECT e.vec_id, e.label, e.v, t.b AS band_id,
+        |   CAST(list_sum(list_transform(range(1, nb + 1), j ->
+        |     CASE WHEN list_sum(list_transform(range(1,65), i -> e.v[i] * ps[nb*t.b+j][i])) >= 0
+        |          THEN (CAST(1 AS BIGINT) << CAST(nb - j AS INTEGER)) ELSE 0 END)) AS BIGINT)
+        |   AS band_val
+        |  FROM e, pl, nbits, range(0, 4) t(b)),
+        |lsh AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        | FROM bands a JOIN bands b
+        |   ON a.label = b.label AND a.band_id = b.band_id AND a.band_val = b.band_val
+        |  AND a.vec_id < b.vec_id
+        | WHERE a.vec_id < 10000 AND b.vec_id < 10000
+        |   AND round(list_sum(list_transform(range(1,65), i -> a.v[i] * b.v[i]))
+        |    / (sqrt(list_sum(list_transform(range(1,65), i -> a.v[i] * a.v[i])))
+        |       * sqrt(list_sum(list_transform(range(1,65), i -> b.v[i] * b.v[i])))), 6)
+        |     >= 0.35)
+        |SELECT CAST(count(*) AS BIGINT) AS n_exact,
+        |  CAST(coalesce(sum(CASE WHEN l.id_a IS NOT NULL THEN 1 END), 0) AS BIGINT)
+        |    AS n_hit,
+        |  CAST(coalesce(sum(CASE WHEN l.id_a IS NOT NULL THEN 1 END), 0) AS BIGINT)
+        |    * 1000000 // nullif(CAST(count(*) AS BIGINT), 0) AS recall_micros
+        |FROM ex LEFT JOIN lsh l ON ex.id_a = l.id_a AND ex.id_b = l.id_b""".stripMargin,
   )
 }
