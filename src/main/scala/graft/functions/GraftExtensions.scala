@@ -74,9 +74,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         args(1).eval().asInstanceOf[Number].intValue(),
         args(2).eval().asInstanceOf[Number].intValue())))
     ext.injectFunction((
-      new FunctionIdentifier("simhash64"),
-      new ExpressionInfo(classOf[Simhash64].getName, "simhash64"),
-      (args: Seq[Expression]) => Simhash64(args.head)))
+      new FunctionIdentifier("simhash128"),
+      new ExpressionInfo(classOf[Simhash128].getName, "simhash128"),
+      (args: Seq[Expression]) => Simhash128(args.head)))
     ext.injectFunction((
       new FunctionIdentifier("simhash_bands"),
       new ExpressionInfo(classOf[SimhashBands].getName, "simhash_bands"),

@@ -183,27 +183,27 @@ case class Sha3PointId(child: Expression) extends UnaryExpression {
   override def prettyName: String = "sha3_point_id"
 }
 
-/** Native 64-bit SimHash bitstring in one kernel call per row. */
-case class Simhash64(child: Expression) extends UnaryExpression {
+/** Native 128-bit SimHash bitstring in one kernel call per row. */
+case class Simhash128(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StringType
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(s"simhash64 expects string, got ${child.dataType}")
+    else TypeCheckResult.TypeCheckFailure(s"simhash128 expects string, got ${child.dataType}")
 
   override protected def nullSafeEval(t: Any): Any =
-    TextHashes.simhash64(t.asInstanceOf[UTF8String])
+    TextHashes.simhash128(t.asInstanceOf[UTF8String])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashes.simhash64($c)")
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashes.simhash128($c)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 
-  override def prettyName: String = "simhash64"
+  override def prettyName: String = "simhash128"
 }
 
-/** Native SimHash 4x16-bit integer bands in one kernel call per row. */
+/** Native SimHash 4x32-bit integer bands in one kernel call per row. */
 case class SimhashBands(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 

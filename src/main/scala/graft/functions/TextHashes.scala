@@ -63,15 +63,15 @@ object TextHashes {
     */
   private def simhashAcc(text: UTF8String): Array[Int] = {
     val md = MessageDigest.getInstance("MD5")
-    val acc = new Array[Int](64)
+    val acc = new Array[Int](128)
     val toks = text.toString.split("\\s+", -1)
     var i = 0
     while (i < toks.length) {
       val d = md.digest(toks(i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
       md.reset()
       var b = 0
-      while (b < 64) {
-        val k = b >> 2 // hex digit index
+      while (b < 128) {
+        val k = b >> 2 // hex digit index (all 32 digits of the md5)
         val nib = if ((k & 1) == 0) (d(k >> 1) >> 4) & 0xf else d(k >> 1) & 0xf
         acc(b) += (if (((nib >> (b & 3)) & 1) == 1) 1 else -1)
         b += 1
@@ -81,16 +81,21 @@ object TextHashes {
     acc
   }
 
-  /** 64-char SimHash bitstring ('1' where the sign sum is >= 0). */
-  def simhash64(text: UTF8String): UTF8String = {
+  /** 128-char SimHash bitstring ('1' where the sign sum is >= 0).
+    * Widened from 64 bits in r13: the md5 token digest always carried
+    * 128 bits, and 16-bit bands (65k buckets) saturate the banded
+    * hamming join past ~10^9 docs — 32-bit bands hold occupancy near 1
+    * to ~10^10.
+    */
+  def simhash128(text: UTF8String): UTF8String = {
     val acc = simhashAcc(text)
-    val cs = new Array[Char](64)
+    val cs = new Array[Char](128)
     var b = 0
-    while (b < 64) { cs(b) = if (acc(b) >= 0) '1' else '0'; b += 1 }
+    while (b < 128) { cs(b) = if (acc(b) >= 0) '1' else '0'; b += 1 }
     UTF8String.fromString(new String(cs))
   }
 
-  /** SimHash as 4 x 16-bit integer bands (band b = bits 16b..16b+15,
+  /** SimHash as 4 x 32-bit integer bands (band b = bits 32b..32b+31,
     * first bit most significant — matches conv(substring(bits),2,10)).
     */
   def simhashBands(text: UTF8String): ArrayData = {
@@ -100,7 +105,7 @@ object TextHashes {
     while (b < 4) {
       var v = 0L
       var i = 0
-      while (i < 16) { v = (v << 1) | (if (acc(16 * b + i) >= 0) 1L else 0L); i += 1 }
+      while (i < 32) { v = (v << 1) | (if (acc(32 * b + i) >= 0) 1L else 0L); i += 1 }
       bands(b) = v
       b += 1
     }

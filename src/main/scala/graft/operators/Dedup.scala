@@ -204,16 +204,17 @@ object Dedup {
       .select(col("band_id").cast("long").as("band_id"),
         col("n_buckets"), col("max_bucket"), col("cand_pairs"))
 
-  /** 64-bit SimHash from md5-derived token bits, pure integer arithmetic
-    * (bit b of token t = bit (b mod 4) of hex digit (b div 4) of md5(t)).
-    * Emitted as a 64-char bitstring.
+  /** 128-bit SimHash from md5-derived token bits, pure integer
+    * arithmetic (bit b of token t = bit (b mod 4) of hex digit
+    * (b div 4) of md5(t) — all 32 digests digits since r13). Emitted as
+    * a 128-char bitstring.
     */
   def simhash(s: SparkSession, dir: String): DataFrame =
     // native kernel: the SQL-HOF formulation gets its md5-token array
     // inlined into the 64-position lambda by CollapseProject and
     // recomputes every digest 64x per row
     Graft.documents(s, dir)
-      .select(col("doc_id"), call_function("simhash64", col("text")).as("simhash"))
+      .select(col("doc_id"), call_function("simhash128", col("text")).as("simhash"))
 
   /** MinHash Jaccard ESTIMATION for LSH candidates: estimated similarity
     * = fraction of agreeing signature components (scaled to micros).
@@ -284,9 +285,14 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs: pigeonhole-banded hamming join. Split the
-    * 64-bit signature into 4 bands of 16 — hamming <= 3 guarantees at
+    * 128-bit signature into 4 bands of 32 — hamming <= 3 guarantees at
     * least one equal band, so candidates come from a band-bucket
-    * self-join (never all-pairs), then exact hamming verifies.
+    * self-join (never all-pairs), then exact hamming verifies. Widened
+    * from 4x16 in r13: 16-bit bands cap at 65k buckets, so past ~10^9
+    * docs EVERY bucket is hot and the candidate join goes quadratic
+    * (the documented saturation); 32-bit bands give 4.3e9 buckets per
+    * band — expected occupancy stays ~1 to ~10^10 docs, and the r<=3
+    * pigeonhole over 4 bands is unchanged.
     */
   def simhashPairs(s: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
     // bands as INTEGERS from one kernel call, so the hamming verify is
@@ -1302,7 +1308,7 @@ object Dedup {
     "dedup_simhash" ->
       """WITH h AS (SELECT doc_id,
         |  list_transform(string_split_regex(text, '\s+'), t -> md5(t)) AS hs FROM documents)
-        |SELECT doc_id, array_to_string(list_transform(range(0, 64), b ->
+        |SELECT doc_id, array_to_string(list_transform(range(0, 128), b ->
         |  CASE WHEN list_sum(list_transform(hs, h ->
         |    CASE WHEN ((strpos('0123456789abcdef', substring(h, (b // 4) + 1, 1)) - 1)
         |        // (CASE WHEN b % 4 = 0 THEN 1 WHEN b % 4 = 1 THEN 2
@@ -1313,7 +1319,7 @@ object Dedup {
     "dedup_simhash_pairs" ->
       """WITH h AS (SELECT doc_id,
         |  list_transform(string_split_regex(text, '\s+'), t -> md5(t)) AS hs FROM documents),
-        |sh AS (SELECT doc_id, array_to_string(list_transform(range(0, 64), b ->
+        |sh AS (SELECT doc_id, array_to_string(list_transform(range(0, 128), b ->
         |  CASE WHEN list_sum(list_transform(hs, h ->
         |    CASE WHEN ((strpos('0123456789abcdef', substring(h, (b // 4) + 1, 1)) - 1)
         |        // (CASE WHEN b % 4 = 0 THEN 1 WHEN b % 4 = 1 THEN 2
@@ -1322,9 +1328,9 @@ object Dedup {
         |  THEN '1' ELSE '0' END), '') AS simhash
         |FROM h),
         |bl AS (SELECT doc_id, list_transform(range(0, 4),
-        |         b -> CAST(list_sum(list_transform(range(1, 17), i ->
-        |           CASE WHEN substring(simhash, 16 * b + i, 1) = '1'
-        |           THEN (1::BIGINT << (16 - i)) ELSE 0 END)) AS BIGINT)) AS bands
+        |         b -> CAST(list_sum(list_transform(range(1, 33), i ->
+        |           CASE WHEN substring(simhash, 32 * b + i, 1) = '1'
+        |           THEN (1::BIGINT << (32 - i)) ELSE 0 END)) AS BIGINT)) AS bands
         |       FROM sh),
         |bands AS (SELECT doc_id, bands AS bl, b AS band_id, bands[b + 1] AS band_long
         |          FROM bl, range(0, 4) t(b)),

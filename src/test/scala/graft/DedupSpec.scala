@@ -57,7 +57,7 @@ class DedupSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(sh(0L) === sh(1L))
     val hamming = sh(0L).zip(sh(3L)).count { case (a, b) => a != b }
-    assert(hamming < 16, s"hamming=$hamming")
+    assert(hamming < 32, s"hamming=$hamming") // 128-bit signature: r13 2x-widened bound
     val far = sh(0L).zip(sh(4L)).count { case (a, b) => a != b }
     assert(far > hamming)
   }

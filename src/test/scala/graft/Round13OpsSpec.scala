@@ -78,6 +78,28 @@ class Round13OpsSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"beta_micros ${got.getLong(1)} != BigInt OLS $beta")
   }
 
+  test("32-bit simhash bands stay unsaturated where 16-bit bands go hot") {
+    import spark.implicits._
+    // 30k distinct-token docs: iid-uniform signatures. 16-bit bands have
+    // 65k buckets -> expected C(30k,2)/65k ~ 6.9k collision pairs PER BAND
+    // (the saturation that goes quadratic at 10^9 docs); 32-bit bands have
+    // 4.3e9 buckets -> expected ~0.1 pairs. The candidate join's cost IS
+    // sum sz*(sz-1)/2 over buckets, so this contrast is the scale claim.
+    val docs = (0L until 30000L)
+      .map(i => (i, s"a$i b$i c$i")).toDF("doc_id", "text")
+    val bands = docs
+      .select(posexplode(call_function("simhash_bands", col("text")))
+        .as(Seq("band_id", "band_val")))
+    def candPairs(bucket: org.apache.spark.sql.Column): Long = bands
+      .groupBy(col("band_id"), bucket.as("b")).agg(count(lit(1)).as("sz"))
+      .agg(sum(expr("sz * (sz - 1) div 2")).as("p")).collect().head.getLong(0)
+    val pairs32 = candPairs(col("band_val"))
+    val pairs16 = candPairs(expr("band_val div 65536")) // top 16 bits: the old band width
+    info(s"candidate pairs: 32-bit bands=$pairs32, 16-bit bands=$pairs16")
+    assert(pairs16 > 10000L, "16-bit bands must actually saturate on this corpus")
+    assert(pairs32 * 100 < pairs16, "32-bit bands must stay ~collision-free")
+  }
+
   test("kcenterSample stops when the point set is exhausted (no duplicate picks)") {
     import spark.implicits._
     // 2 distinct directions, each duplicated 3x: greedy k-center covers

@@ -16,11 +16,11 @@ class TextHashesSpec extends SparkSpec {
     "a", "x y", "one two three four five six",
   ).toDF("text")
 
-  test("simhash64 kernel == SQL-HOF simhash") {
+  test("simhash128 kernel == SQL-HOF simhash") {
     val rows = docs.select(
-      call_function("simhash64", col("text")).as("native"),
+      call_function("simhash128", col("text")).as("native"),
       expr(
-        """concat_ws('', transform(sequence(0, 63), b ->
+        """concat_ws('', transform(sequence(0, 127), b ->
           | CASE WHEN aggregate(transform(split(text, '\\s+'), t -> md5(t)), 0, (acc, h) ->
           |   acc + (CASE WHEN ((instr('0123456789abcdef', substring(h, cast(b div 4 as int) + 1, 1)) - 1)
           |       div (CASE WHEN b % 4 = 0 THEN 1 WHEN b % 4 = 1 THEN 2
@@ -62,12 +62,12 @@ class TextHashesSpec extends SparkSpec {
     assert(op === expected.view.filterKeys(Set("0", "1", "2")).toMap)
   }
 
-  test("simhash_bands kernel == conv(substring(simhash64))") {
+  test("simhash_bands kernel == conv(substring(simhash128))") {
     val rows = docs.select(
       call_function("simhash_bands", col("text")).as("native"),
       expr(
         """transform(sequence(0, 3), b ->
-          | cast(conv(substring(simhash64(text), 16 * b + 1, 16), 2, 10) as bigint))""".stripMargin)
+          | cast(conv(substring(simhash128(text), 32 * b + 1, 32), 2, 10) as bigint))""".stripMargin)
         .as("via_string")).collect()
     rows.foreach(r => assert(r.getSeq[Long](0) === r.getSeq[Long](1)))
   }
