@@ -25,14 +25,15 @@ object Bench {
     * either way).
     */
   private[graft] def family(n: String): String = {
-    // The two graph builds share no memoized frames with the rest of the
-    // ann family (nswCells is deliberately unmemoized — Ann.scala:282)
-    // and are the suite's most expensive plans, so each is its own solo
-    // family/chunk: at the 100x corpus, running them inside the shared
+    // The graph builds are the suite's most expensive plans, so each is
+    // its own solo family/chunk (they DO share the memoized nswAssign
+    // frame since r13, but a solo chunk only pays that N^1.5 pass once
+    // per build — the isolated-run cost the bench attributes anyway): at the 100x corpus, running them inside the shared
     // ann-family JVM inflated the NEXT query 3.4x (ann_graph_nsw charged
     // 353.8s vs 104.8s isolated in a fresh JVM) — the same JVM-debt
     // attribution failure the per-family fork exists to prevent.
     if (n == "ann_graph_nsw" || n == "ann_graph_hnsw_layers" ||
+      n == "ann_graph_sharded" ||
       n == "embed_outlier_knn") return n // graph builds run solo (JVM debt)
     val head = n.takeWhile(_ != '_')
     if (head.length <= 2 && head.startsWith("q")) "q" else head
@@ -42,24 +43,50 @@ object Bench {
     * (see [[family]]): their JVM debt would contaminate chunk-mates.
     */
   private[graft] val soloFamilies: Set[String] =
-    Set("ann_graph_nsw", "ann_graph_hnsw_layers", "embed_outlier_knn")
+    Set("ann_graph_nsw", "ann_graph_hnsw_layers", "ann_graph_sharded",
+      "embed_outlier_knn")
 
-  /** Pack families (kept whole, in sorted order) into chunks of at most
-    * `maxPerChunk` queries so child-JVM startup cost stays bounded.
+  /** Fixed bucket count for [[chunkFamilies]]' name-hash placement. */
+  private[graft] val NumChunkBuckets = 12
+
+  /** md5-derived family bucket: stable across JVMs, rounds and query
+    * additions — a family moves chunks only if IT is renamed.
+    */
+  private def famBucket(f: String): Int = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(f.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    (((d(0) & 0xff) << 8) | (d(1) & 0xff)) % NumChunkBuckets
+  }
+
+  /** Pack families (kept whole) into chunks by NAME-HASH bucket, not by
+    * greedy insertion order: the r12 greedy packing shifted every
+    * downstream family's chunk-mates whenever any upstream family grew,
+    * so untouched queries drifted 3-4x in driver artifacts purely from
+    * chunk placement (q_top_supplier 1.58s driver vs 0.35s clean). With
+    * md5(family) mod [[NumChunkBuckets]] placement, adding queries to
+    * one family never moves any other family, so per-chunk JVM/
+    * scheduling conditions — and therefore the driver bench's top-list —
+    * are comparable round over round. Oversized buckets split on family
+    * boundaries (sorted order, still name-deterministic); a single
+    * family above `maxPerChunk` stays whole, as before.
     */
   private[graft] def chunkFamilies(names: Seq[String], maxPerChunk: Int): Seq[Seq[String]] = {
-    val fams = names.sorted.groupBy(family).toSeq.sortBy(_._1).map(_._2)
+    val fams = names.sorted.groupBy(family).toSeq.sortBy(_._1)
+    val (solo, packed) = fams.partition(f => soloFamilies.contains(f._1))
+    val buckets = packed.groupBy { case (fname, _) => famBucket(fname) }
+      .toSeq.sortBy(_._1)
     val chunks = scala.collection.mutable.ArrayBuffer.empty[Vector[String]]
-    var cur = Vector.empty[String]
-    for (f <- fams) {
-      val solo = soloFamilies.contains(family(f.head))
-      if (cur.nonEmpty && (solo || cur.size + f.size > maxPerChunk)) {
-        chunks += cur; cur = Vector.empty
+    for ((_, fs) <- buckets) {
+      var cur = Vector.empty[String]
+      for ((_, qs) <- fs) {
+        if (cur.nonEmpty && cur.size + qs.size > maxPerChunk) {
+          chunks += cur; cur = Vector.empty
+        }
+        cur = cur ++ qs
       }
-      if (solo) chunks += f.toVector else cur = cur ++ f
+      if (cur.nonEmpty) chunks += cur
     }
-    if (cur.nonEmpty) chunks += cur
-    chunks.toSeq
+    solo.map(_._2.toVector) ++ chunks.toSeq
   }
 
   /** Time the given queries in THIS JVM (two iterations, min; a THIRD

@@ -1397,6 +1397,66 @@ object Ann {
        |  SELECT src, dst, cos, row_number() OVER (PARTITION BY src
        |          ORDER BY cos DESC, dst) AS rn FROM csA) WHERE rn <= 4)""".stripMargin
 
+  /** One shard of the shard-and-merge NSW build as DuckDB CTEs ending
+    * in `r1s$t`: shard-t seeds (first √n_t member ids via the residue
+    * threshold), HOME members' top-3 cells, FOREIGN nodes' top-1 probe
+    * cell, blocked candidate pairs, per-src round-1 top-k — the exact
+    * cross-engine twin of one iteration of [[nswGraphSharded]]'s shard
+    * loop at S = [[ShardedOracleShards]].
+    */
+  private def duckShard(t: Int, s: Int): String =
+    s"""nl$t AS (SELECT CAST(count(*) AS BIGINT) AS nl FROM e WHERE vec_id % $s = $t),
+       |c$t AS (SELECT vec_id AS cid, v FROM e, nl$t WHERE vec_id % $s = $t
+       |        AND vec_id < $s * greatest(8, CAST(floor(sqrt(nl)) AS BIGINT))),
+       |sch$t AS (SELECT x.vec_id, y.cid, round($duckCosPair, 6) AS cscore
+       |       FROM e x JOIN (SELECT cid, v FROM c$t) y ON true WHERE x.vec_id % $s = $t),
+       |asgh$t AS (SELECT vec_id, cid FROM (
+       |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+       |          ORDER BY cscore DESC, cid) AS rn FROM sch$t) WHERE rn <= 3),
+       |scf$t AS (SELECT x.vec_id, y.cid, round($duckCosPair, 6) AS cscore
+       |       FROM e x JOIN (SELECT cid, v FROM c$t) y ON true WHERE x.vec_id % $s != $t),
+       |asgf$t AS (SELECT vec_id, cid FROM (
+       |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+       |          ORDER BY cscore DESC, cid) AS rn FROM scf$t) WHERE rn <= 1),
+       |asg$t AS (SELECT vec_id, cid FROM asgh$t UNION ALL SELECT vec_id, cid FROM asgf$t),
+       |mm$t AS (SELECT e.vec_id, a.cid, e.v FROM e JOIN asg$t a ON e.vec_id = a.vec_id),
+       |cnd$t AS (SELECT DISTINCT x.vec_id AS src, y.vec_id AS dst
+       |          FROM mm$t x JOIN mm$t y ON x.cid = y.cid AND x.vec_id != y.vec_id),
+       |cs$t AS (SELECT src, dst, round($duckCosPair, 6) AS cos
+       |         FROM cnd$t JOIN e x ON x.vec_id = src JOIN e y ON y.vec_id = dst),
+       |r1s$t AS (SELECT src, dst, cos FROM (SELECT src, dst, cos, row_number() OVER (
+       |         PARTITION BY src ORDER BY cos DESC, dst) AS rn FROM cs$t) WHERE rn <= 4)""".stripMargin
+
+  /** Shard count the `ann_graph_sharded` keyed query (and its generated
+    * oracle) both run at — the verify-scale exercise of the past-budget
+    * retune path.
+    */
+  val ShardedOracleShards: Int = 2
+
+  private def duckShardedSql: String = {
+    val s = ShardedOracleShards
+    s"""WITH $duckE,
+       |${(0 until s).map(duckShard(_, s)).mkString(",\n")},
+       |r1p AS (SELECT src, dst, cos FROM (SELECT src, dst, cos, row_number() OVER (
+       |        PARTITION BY src ORDER BY cos DESC, dst) AS rn FROM (
+       |   SELECT DISTINCT src, dst, cos FROM (
+       |     ${(0 until s).map(t => s"SELECT src, dst, cos FROM r1s$t").mkString(" UNION ALL ")})
+       |  )) WHERE rn <= 4),
+       |und AS (SELECT src, dst FROM r1p UNION SELECT dst, src FROM r1p),
+       |hop2 AS (SELECT DISTINCT a.src AS src, b.dst AS dst
+       |         FROM und a JOIN und b ON a.dst = b.src WHERE a.src != b.dst),
+       |hcs AS (SELECT src, dst, round($duckCosPair, 6) AS cos
+       |        FROM hop2 JOIN e x ON x.vec_id = src JOIN e y ON y.vec_id = dst),
+       |edges AS (SELECT src, dst, cos, CAST(rn AS BIGINT) AS rn FROM (
+       |  SELECT src, dst, cos, row_number() OVER (PARTITION BY src
+       |          ORDER BY cos DESC, dst) AS rn FROM (
+       |    SELECT DISTINCT src, dst, cos FROM (
+       |      SELECT src, dst, cos FROM r1p UNION ALL SELECT src, dst, cos FROM hcs))
+       |  ) WHERE rn <= 4)
+       |SELECT t.src, t.dst, t.cos, t.rn, (r.src IS NOT NULL) AS mutual
+       |FROM edges t LEFT JOIN edges r ON t.src = r.dst AND t.dst = r.src""".stripMargin
+  }
+
   /** Power-iteration round count — the SINGLE constant both
     * [[pcaIterate]]'s default and the generated DuckDB oracle derive
     * from, so changing it can never silently desync Spark from its
@@ -1776,6 +1836,7 @@ object Ann {
          |$duckNswTopk
          |SELECT t.src, t.dst, t.cos, t.rn, (r.src IS NOT NULL) AS mutual
          |FROM topk t LEFT JOIN topk r ON t.src = r.dst AND t.dst = r.src""".stripMargin,
+    "ann_graph_sharded" -> duckShardedSql,
     "embed_outlier_knn" ->
       s"""WITH $duckE,
          |$duckNswTopk

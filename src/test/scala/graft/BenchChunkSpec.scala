@@ -42,4 +42,20 @@ class BenchChunkSpec extends AnyFunSuite {
     // a renamed query would silently turn the solo rule into a no-op
     assert(Bench.soloFamilies.subsetOf(names.toSet))
   }
+
+  test("chunk membership is name-deterministic: growth in one family moves no other") {
+    def mates(chunks: Seq[Seq[String]]): Map[String, Set[String]] =
+      chunks.flatMap(c => c.map(q => q -> c.toSet)).toMap
+    val before = mates(Bench.chunkFamilies(names, maxPerChunk = 28))
+    // a next round adds queries to an existing family...
+    val grown = names ++ Seq("events_r14_new_a", "events_r14_new_b")
+    val after = mates(Bench.chunkFamilies(grown, maxPerChunk = 28))
+    for (q <- names if Bench.family(q) != "events") {
+      assert(after(q) -- Set("events_r14_new_a", "events_r14_new_b") == before(q),
+        s"$q changed chunk-mates when an unrelated family grew")
+    }
+    // ...and input order never matters
+    val shuffled = mates(Bench.chunkFamilies(scala.util.Random.shuffle(names), 28))
+    assert(shuffled == before, "chunking must be independent of input order")
+  }
 }

@@ -142,4 +142,9 @@ class EmptyInputSpec extends SparkSpec {
     assert(Ann.hnswGraph(spark, dir).count() === 0)
     assert(Ann.nswCellStats(spark, dir).count() === 0)
   }
+
+  test("round-13 operators are safe on empty tables") {
+    assert(Ann.nswGraphSharded(spark, dir).count() === 0)
+    assert(Dedup.lshRecallEval(spark, dir).collect().head.getLong(0) === 0L)
+  }
 }
