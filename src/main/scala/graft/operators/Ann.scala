@@ -723,6 +723,69 @@ object Ann {
         expr(s"n_overlap * 1000000 div $k").as("recall_micros"))
   }
 
+  /** IVF recall SWEEP: recall@k against exact brute-force at
+    * nprobe ∈ {1, 2, 4} — the nlist/nprobe tuning curve every ANN
+    * deployment plots before picking its operating point, where
+    * [[recallEval]] is the single-point monitor. Three probe subsets
+    * over the ONE memoized assignment frame (each probe list is a
+    * ≤4-row broadcast; the exact top-k is computed once and broadcast
+    * to all three overlap joins), so the sweep costs three
+    * cluster-slice scans, not three index builds. Integer micros
+    * output, one row per nprobe.
+    */
+  def recallSweep(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val assign = assignments(s, dir)
+    val qv = SemanticSearch.queryVec(s, dir)
+    val exact = bruteForce(s, dir, k).select(col("vec_id").as("x_id"))
+    val centScores = Graft.embeddings(s, dir).filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      .crossJoin(broadcast(qv))
+      .select(col("cid"), VectorOps.cosine6(col("cvec"), col("qvec")).as("cscore"))
+    Seq(1, 2, 4).map { p =>
+      val probes = centScores.orderBy(col("cscore").desc, col("cid")).limit(p)
+        .select(col("cid").as("probe_cid"))
+      val approx = assign
+        .join(broadcast(probes), col("cid") === col("probe_cid"))
+        .crossJoin(broadcast(qv))
+        .select(col("vec_id"), VectorOps.cosine6(col("embedding"), col("qvec")).as("score"))
+        .orderBy(col("score").desc, col("vec_id")).limit(k)
+      approx.join(broadcast(exact), col("vec_id") === col("x_id"))
+        .agg(count(lit(1)).as("n_overlap"))
+        .select(lit(p.toLong).as("nprobe"), lit(k.toLong).as("k"), col("n_overlap"),
+          expr(s"n_overlap * 1000000 div $k").as("recall_micros"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Matryoshka truncation evaluation (MRL-style): recall@k of
+    * prefix-dimension cosine search vs the full-dim exact top-k, at
+    * dims ∈ {8, 16, 32, 64} — the quality/cost curve behind storing
+    * truncated embeddings (a d/8 prefix is an 8× memory and bandwidth
+    * cut IF its ranking agrees; this report says where it stops
+    * agreeing). Each dim is one TakeOrderedAndProject scan with the
+    * prefix slice + norm computed inline (at deployment scale you'd
+    * materialize the truncated column once and scan that — the ranking
+    * is identical by construction); the full-dim top-k computes once
+    * and broadcasts to all four overlap joins. d=64 is the built-in
+    * sanity row: identical ranking, recall exactly 10^6.
+    */
+  def matryoshkaEval(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val qv = SemanticSearch.queryVec(s, dir)
+    val full = bruteForce(s, dir, k).select(col("vec_id").as("x_id"))
+    Seq(8, 16, 32, 64).map { d =>
+      val approx = Graft.embeddings(s, dir)
+        .crossJoin(broadcast(qv))
+        .select(col("vec_id"),
+          round(VectorOps.dot(expr(s"slice(embedding, 1, $d)"), expr(s"slice(qvec, 1, $d)"))
+            / (VectorOps.norm(expr(s"slice(embedding, 1, $d)"))
+              * VectorOps.norm(expr(s"slice(qvec, 1, $d)"))), 6).as("score"))
+        .orderBy(col("score").desc, col("vec_id")).limit(k)
+      approx.join(broadcast(full), col("vec_id") === col("x_id"))
+        .agg(count(lit(1)).as("n_overlap"))
+        .select(lit(d.toLong).as("dims"), lit(k.toLong).as("k"), col("n_overlap"),
+          expr(s"n_overlap * 1000000 div $k").as("recall_micros"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Per-label embedding cluster statistics: member count, centroid
     * norm, mean cosine of members to their centroid — the quality
     * metrics an IVF/clustering pipeline monitors. One grouped pass for
@@ -1457,6 +1520,67 @@ object Ann {
        |FROM edges t LEFT JOIN edges r ON t.src = r.dst AND t.dst = r.src""".stripMargin
   }
 
+  /** Prefix-dim cosine for the matryoshka oracle: [[duckCosPair]]
+    * truncated to the first `d` list positions.
+    */
+  private def duckCosPrefix(d: Int): String =
+    s"""list_sum(list_transform(range(1,${d + 1}), i -> x.v[i] * y.v[i]))
+       | / (sqrt(list_sum(list_transform(range(1,${d + 1}), i -> x.v[i] * x.v[i])))
+       |    * sqrt(list_sum(list_transform(range(1,${d + 1}), i -> y.v[i] * y.v[i]))))""".stripMargin
+
+  /** Generated oracle for [[recallSweep]] — the ann_recall_eval chain
+    * with the probe list parameterized over nprobe ∈ {1,2,4}.
+    */
+  private def duckRecallSweepSql: String = {
+    val per = Seq(1, 2, 4).map { p =>
+      s"""pr$p AS (SELECT cid AS probe_cid FROM qp ORDER BY cscore DESC, cid LIMIT $p),
+         |cl$p AS (SELECT e.vec_id, e.v FROM e JOIN asg ON e.vec_id = asg.vec_id
+         |         JOIN pr$p ON asg.cid = pr$p.probe_cid),
+         |ap$p AS (SELECT x.vec_id, round($duckCosPair, 6) AS score
+         |        FROM cl$p x, (SELECT v FROM q) y
+         |        ORDER BY score DESC, vec_id LIMIT 5),
+         |ov$p AS (SELECT CAST($p AS BIGINT) AS nprobe, CAST(5 AS BIGINT) AS k,
+         |          CAST(count(*) AS BIGINT) AS n_overlap,
+         |          CAST(count(*) AS BIGINT) * 1000000 // 5 AS recall_micros
+         |         FROM ex JOIN ap$p ON ex.vec_id = ap$p.vec_id)""".stripMargin
+    }
+    s"""WITH $duckE,
+       |q AS (SELECT v FROM e WHERE vec_id = (SELECT min(vec_id) FROM e)),
+       |ex AS (SELECT x.vec_id, round($duckCosPair, 6) AS score
+       |       FROM e x, (SELECT v FROM q) y ORDER BY score DESC, vec_id LIMIT 5),
+       |c AS (SELECT vec_id AS cid, v FROM e WHERE vec_id < 8),
+       |sc AS (SELECT x.vec_id, y.cid, round($duckCosPair, 6) AS cscore
+       |       FROM e x JOIN (SELECT cid, v FROM c) y ON true),
+       |asg AS (SELECT vec_id, cid FROM (
+       |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+       |          ORDER BY cscore DESC, cid) AS rn FROM sc) WHERE rn = 1),
+       |qp AS (SELECT x.cid, round($duckCosPair, 6) AS cscore
+       |       FROM c x, (SELECT v FROM q) y),
+       |${per.mkString(",\n")}
+       |SELECT * FROM ov1 UNION ALL SELECT * FROM ov2
+       |UNION ALL SELECT * FROM ov4""".stripMargin
+  }
+
+  /** Generated oracle for [[matryoshkaEval]] — prefix-dim top-k vs the
+    * full-dim exact top-k, one overlap row per dims ∈ {8,16,32,64}.
+    */
+  private def duckMatryoshkaSql: String = {
+    val per = Seq(8, 16, 32, 64).map { d =>
+      s"""ap$d AS (SELECT x.vec_id, round(${duckCosPrefix(d)}, 6) AS score
+         |         FROM e x, (SELECT v FROM q) y ORDER BY score DESC, vec_id LIMIT 10),
+         |ov$d AS (SELECT CAST($d AS BIGINT) AS dims, CAST(10 AS BIGINT) AS k,
+         |          CAST(count(*) AS BIGINT) AS n_overlap,
+         |          CAST(count(*) AS BIGINT) * 1000000 // 10 AS recall_micros
+         |         FROM ex JOIN ap$d ON ex.vec_id = ap$d.vec_id)""".stripMargin
+    }
+    s"""WITH $duckE,
+       |q AS (SELECT v FROM e WHERE vec_id = (SELECT min(vec_id) FROM e)),
+       |ex AS (SELECT x.vec_id, round($duckCosPair, 6) AS score
+       |       FROM e x, (SELECT v FROM q) y ORDER BY score DESC, vec_id LIMIT 10),
+       |${per.mkString(",\n")}
+       |${Seq(8, 16, 32, 64).map(d => s"SELECT * FROM ov$d").mkString("\nUNION ALL ")}""".stripMargin
+  }
+
   /** Power-iteration round count — the SINGLE constant both
     * [[pcaIterate]]'s default and the generated DuckDB oracle derive
     * from, so changing it can never silently desync Spark from its
@@ -1837,6 +1961,8 @@ object Ann {
          |SELECT t.src, t.dst, t.cos, t.rn, (r.src IS NOT NULL) AS mutual
          |FROM topk t LEFT JOIN topk r ON t.src = r.dst AND t.dst = r.src""".stripMargin,
     "ann_graph_sharded" -> duckShardedSql,
+    "ann_recall_sweep" -> duckRecallSweepSql,
+    "embed_matryoshka" -> duckMatryoshkaSql,
     "embed_outlier_knn" ->
       s"""WITH $duckE,
          |$duckNswTopk

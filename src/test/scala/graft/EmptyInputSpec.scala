@@ -146,5 +146,7 @@ class EmptyInputSpec extends SparkSpec {
   test("round-13 operators are safe on empty tables") {
     assert(Ann.nswGraphSharded(spark, dir).count() === 0)
     assert(Dedup.lshRecallEval(spark, dir).collect().head.getLong(0) === 0L)
+    assert(Ann.recallSweep(spark, dir).collect().forall(_.getLong(2) === 0L))
+    assert(Ann.matryoshkaEval(spark, dir).collect().forall(_.getLong(2) === 0L))
   }
 }

@@ -100,6 +100,16 @@ class Round13OpsSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(pairs32 * 100 < pairs16, "32-bit bands must stay ~collision-free")
   }
 
+  test("matryoshka eval: full-dim row is exact parity; sweep rows are k-bounded") {
+    val m = Ann.matryoshkaEval(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(m(64L) == 1000000L, "d=64 must rank identically to the full-dim exact top-k")
+    assert(m.keySet == Set(8L, 16L, 32L, 64L))
+    val sweep = Ann.recallSweep(spark, dir).collect()
+    assert(sweep.map(_.getLong(0)).toSet == Set(1L, 2L, 4L))
+    assert(sweep.forall(r => r.getLong(2) >= 0L && r.getLong(2) <= r.getLong(1)))
+  }
+
   test("kcenterSample stops when the point set is exhausted (no duplicate picks)") {
     import spark.implicits._
     // 2 distinct directions, each duplicated 3x: greedy k-center covers
