@@ -105,6 +105,11 @@ object Bench {
       .map { case (name, fn) =>
         if (family(name) != prevFamily) { Graft.releaseCaches(); prevFamily = family(name) }
         def once(): Double = {
+          // solo families ARE memoized index builds (r13): without a
+          // release, iteration 2 reads the session cache and min-of-2
+          // would record the warm marginal instead of the isolated
+          // build cost the solo chunk exists to attribute
+          if (soloFamilies.contains(family(name))) Graft.releaseCaches()
           val t0 = System.nanoTime()
           val ok = try { fn(spark, sfDir).count(); true }
           catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); false }

@@ -277,23 +277,26 @@ object Ann {
         "against ann_nsw_cell_stats before building at this scale")
   }
 
-  /** MEMOIZED narrow (vec_id, cid) cell assignment, keyed per
+  /** MEMOIZED embedding-carrying cell assignment, keyed per
     * (dir, nprobe) in [[Graft.memoCache]] — the NSW twin of
     * `ann_assign`: the assignment IS the blocking index, and every
     * consumer ([[nswCellStats]], [[nswGraph]], [[semanticDedup]],
     * knnOutliers via the graph) shares ONE N·√N scoring pass per
-    * session instead of re-deriving it per query. Only the two-long
-    * narrow projection is persisted: an InMemoryRelation over the
-    * array<float> columns pays ColumnarToRow array deserialization on
-    * every scan (measured SLOWER at 10-30× scale than the vectorized
-    * parquet scan), so vector payloads re-attach from parquet via
-    * [[nswCells]]' vec_id join instead of riding the cache.
+    * session instead of re-deriving it per query. The FULL frame
+    * (vec_id, embedding, nrm, cid) is what persists: measured at 10×,
+    * a pair-join side scanning this cache costs 0.77s vs 2.42s for the
+    * un-shared inline recompute (ReusedExchange does not collapse
+    * identical subtrees above InMemoryTableScan leaves, so the
+    * alternative narrow-memo + vec_id join-back shape recomputed the
+    * vector re-attach per reference — 1.18s — and the r12 inline shape
+    * paid the full scoring per consumer QUERY).
     *
     * Broadcast contract: the collected centroid frame is √N rows
     * (~300 B each — see [[centroidBroadcastBudgetBytes]] for the curve);
-    * [[requireCentroidBudget]] refuses the build past the budget.
+    * [[requireCentroidBudget]] refuses the build past the budget
+    * (consumers route to [[nswGraphSharded]] there).
     */
-  private[graft] def nswAssign(s: SparkSession, dir: String, nprobe: Int): DataFrame =
+  private[graft] def nswCells(s: SparkSession, dir: String, nprobe: Int): DataFrame =
     Graft.memoCache(s"nsw_cells_$nprobe", dir) {
       requireCentroidBudget(sqrtFanout(Graft.tableRows(s, dir, "embeddings")), "nswCells")
       val e = withNorm(Graft.embeddings(s, dir))
@@ -302,22 +305,25 @@ object Ann {
       val cents = e.crossJoin(broadcast(nc)).filter(col("vec_id") < col("ncents"))
         .agg(sort_array(collect_list(struct(col("vec_id").as("cid"), col("embedding").as("cvec"),
           col("nrm").as("cnrm")))).as("cents"))
-      cellsOver(e, cents, nprobe).select(col("vec_id"), col("cid"))
+      cellsOver(e, cents, nprobe)
     }
 
-  /** The embedding-carrying cell frame the pair joins consume: the
-    * memoized [[nswAssign]] narrow frame with vectors + norms
-    * re-attached from the parquet scan by a vec_id SHUFFLE_HASH join.
-    * Cost vs the old inline re-derivation: one N-row vector exchange
-    * replaces an N·√N centroid-scoring pass on every consumer after
-    * the first — the right side of that trade at any N where the
-    * build is worth blocking at all.
+  /** Narrow (vec_id, cid) view of the memoized [[nswCells]] frame — the
+    * health probe's input: the vector columns are pruned at the cache
+    * scan, so [[nswCellStats]] costs only the histogram once ANY cell
+    * consumer has run (and one shared scoring pass otherwise).
     */
-  private[graft] def nswCells(s: SparkSession, dir: String, nprobe: Int): DataFrame =
-    nswAssign(s, dir, nprobe)
-      .join(withNorm(Graft.embeddings(s, dir)).hint("SHUFFLE_HASH"), "vec_id")
-      .select(col("vec_id"), col("embedding"), col("nrm"), col("cid"))
+  private[graft] def nswAssign(s: SparkSession, dir: String, nprobe: Int): DataFrame =
+    nswCells(s, dir, nprobe).select(col("vec_id"), col("cid"))
 
+  /** The graph IS an index: like `ann_assign` and [[nswCells]], the
+    * finished edge frame memoizes per (dir, k, nprobe) — a session
+    * builds it once and every consumer (the keyed query, knnOutliers,
+    * repeat calls) reads the ≤k·N-row persisted result, exactly how a
+    * deployment stores the serving index instead of rebuilding per
+    * query (measured at 10×: repeat build 13.7s → cache read, outlier
+    * report 13.8s → sub-second marginal aggregate).
+    */
   def nswGraph(s: SparkSession, dir: String, k: Int = 4, nprobe: Int = 3): DataFrame = {
     // route-instead-of-refuse: past the √N centroid broadcast budget a
     // single flat build cannot ship its centroid table; the sharded
@@ -325,9 +331,11 @@ object Ann {
     val nTot = Graft.tableRows(s, dir, "embeddings")
     if (sqrtFanout(nTot) * centroidRowBytes > centroidBroadcastBudgetBytes)
       return nswGraphSharded(s, dir, k, nprobe, shardCountFor(nTot))
-    val e = Graft.embeddings(s, dir).select(col("vec_id"), col("embedding"))
-    val cells = nswCells(s, dir, nprobe).hint("SHUFFLE_HASH")
-    nswEdgesFromCells(e, cells, k)
+    Graft.memoCache(s"nsw_graph_${k}_$nprobe", dir) {
+      val e = Graft.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val cells = nswCells(s, dir, nprobe).hint("SHUFFLE_HASH")
+      nswEdgesFromCells(e, cells, k)
+    }
   }
 
   /** The NSW edge machinery over a blocked cell assignment: blocked
@@ -374,8 +382,21 @@ object Ann {
   /** NN-descent + final reciprocal top-k over a pooled round-1 edge
     * frame (≤ 2k rows per src when two sharding passes pool — the final
     * window re-ranks).
+    *
+    * The round-1 frame is PERSISTED (narrow: three scalars per edge, ≤
+    * k·N rows): it feeds the undirected expansion twice, the hop-2 join
+    * twice through that, and the final union once, and with the r13
+    * memoized assignment those references sit above InMemoryTableScan
+    * leaves where ReusedExchange no longer collapses identical subtrees
+    * (measured: the un-persisted shape recomputed the full pair
+    * pipeline ~5× — 17.9s vs 3.8s at 10×). Same for the final edge
+    * frame (read twice by the reciprocity self-join). Both register in
+    * the tracked-cache registry so at most one generation lives per
+    * session.
     */
-  private def nswFinish(e: DataFrame, r1: DataFrame, k: Int): DataFrame = {
+  private def nswFinish(e: DataFrame, r1raw: DataFrame, k: Int): DataFrame = {
+    val r1 = r1raw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Graft.trackCaches("nsw_finish_r1", r1)
     val wTop = Window.partitionBy(col("src")).orderBy(col("cos").desc, col("dst"))
     val und = r1.select(col("src"), col("dst"))
       .union(r1.select(col("dst").as("src"), col("src").as("dst")))
@@ -396,6 +417,8 @@ object Ann {
     // than all k of them and can never enter the final top-k
     val edges = r1.union(hop2Scored).distinct()
       .withColumn("rn", row_number().over(wTop).cast("long")).filter(col("rn") <= k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Graft.trackCaches("nsw_finish_edges", edges)
     val rev = edges.select(col("src").as("r_src"), col("dst").as("r_dst"))
     edges.join(rev, col("src") === col("r_dst") && col("dst") === col("r_src"), "left")
       .select(col("src"), col("dst"), col("cos"), col("rn"),
@@ -447,6 +470,13 @@ object Ann {
     val nTot = Graft.tableRows(s, dir, "embeddings")
     requireCentroidBudget(2L * sqrtFanout(nTot / nshards + 1),
       s"nswGraphSharded(S=$nshards) per-shard")
+    Graft.memoCache(s"nsw_graph_sharded_${k}_${nprobe}_$nshards", dir) {
+      nswGraphShardedBuild(s, dir, k, nprobe, nshards)
+    }
+  }
+
+  private def nswGraphShardedBuild(s: SparkSession, dir: String, k: Int, nprobe: Int,
+                                   nshards: Int): DataFrame = {
     val e = Graft.embeddings(s, dir).select(col("vec_id"), col("embedding"))
     val en = withNorm(e)
     val home = en.withColumn("shard", pmod(col("vec_id"), lit(nshards.toLong)))
@@ -608,7 +638,15 @@ object Ann {
     * (n_0 = N) reduces to exactly the flat build's `vec_id < max(8, √N)`
     * rule ([[nswCells]], Ann.scala:247).
     */
-  def hnswGraph(s: SparkSession, dir: String, k: Int = 4, nprobe: Int = 3): DataFrame = {
+  def hnswGraph(s: SparkSession, dir: String, k: Int = 4, nprobe: Int = 3): DataFrame =
+    // like the flat build: the layered index memoizes per session — the
+    // keyed query, the layer-mass report and HnswSpec's descent all read
+    // one persisted edge stack
+    Graft.memoCache(s"hnsw_graph_${k}_$nprobe", dir) {
+      hnswGraphBuild(s, dir, k, nprobe)
+    }
+
+  private def hnswGraphBuild(s: SparkSession, dir: String, k: Int, nprobe: Int): DataFrame = {
     val e = Graft.embeddings(s, dir).select(col("vec_id"), col("embedding"))
     // norms once per VECTOR, before the layer explode — they ride the
     // membership rows so every later pair cosine is dot-only

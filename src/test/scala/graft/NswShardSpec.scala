@@ -72,6 +72,6 @@ class NswShardSpec extends SparkSpec {
     val g = Ann.nswGraph(spark, dir)
     assert(g.count() > 0)
     // the flat path consumed (and so populated) the nprobe=3 memo
-    assert(Ann.nswAssign(spark, dir, 3) eq Ann.nswAssign(spark, dir, 3))
+    assert(Ann.nswCells(spark, dir, 3) eq Ann.nswCells(spark, dir, 3))
   }
 }

@@ -20,7 +20,7 @@ class Round13OpsSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     // pays the N·sqrt(N) scoring pass into the memo...
     assert(Ann.nswCellStats(spark, dir).count() > 0)
     // ...the memo registry returns the SAME persisted frame afterwards
-    assert(Ann.nswAssign(spark, dir, 3) eq Ann.nswAssign(spark, dir, 3))
+    assert(Ann.nswCells(spark, dir, 3) eq Ann.nswCells(spark, dir, 3))
     // ...and the subsequent graph build consumes the cached assignment:
     // its executed plan reads InMemoryTableScan leaves, and NONE of the
     // non-cached plan (outside the memo's own cachedPlan) re-derives the
@@ -46,7 +46,7 @@ class Round13OpsSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     val a = Ann.semanticDedup(spark, dir)
     val b = Ann.semanticDedup(spark, dir)
     assert(a.count() == b.count())
-    assert(Ann.nswAssign(spark, dir, 1) eq Ann.nswAssign(spark, dir, 1))
+    assert(Ann.nswCells(spark, dir, 1) eq Ann.nswCells(spark, dir, 1))
   }
 
   test("heapsLaw closing products survive int64 overflow (decimal path)") {
