@@ -90,18 +90,33 @@ class ScaleLayoutSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     case other => other.children.flatMap(joinsBelow)
   }
 
+  /** The r13 graph memo puts the build behind an InMemoryRelation leaf;
+    * the build plan to lint lives in relation.cachedPlan, which
+    * collectWithSubqueries does not enter. Expand transitively (the
+    * PlanLintSpec pattern) so the shape contracts keep binding.
+    */
+  private def withCachedPlans(plan: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    val cached = collectWithSubqueries(plan) {
+      case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        s.relation.cachedPlan
+    }
+    plan +: cached.flatMap(withCachedPlans)
+  }
+
   test("nsw graph's per-cell heap consumes the pair join without an exchange") {
     // the full candidate stream (the only frame that grows as N^1.5)
     // must flow join -> bounded heap directly: TopKPerKeyExec's
     // ClusteredDistribution(src, cid) is satisfied by the join's
     // hash(cid) partitioning, so any ShuffleExchange between them is a
     // plan regression that re-materializes 100M+ rows at scale
+    Graft.releaseCaches()
     val g = graft.operators.Ann.nswGraph(spark, "/root/testdata/sf0.001")
     g.collect()
     val plan = g.queryExecution.executedPlan
-    val heaps = collectWithSubqueries(plan) {
+    val heaps = withCachedPlans(plan).flatMap(p => collectWithSubqueries(p) {
       case t: graft.plans.TopKPerKeyExec if t.keys.length == 2 => t
-    }
+    })
     assert(heaps.nonEmpty, s"per-(src,cid) TopKPerKey missing:\n$plan")
     heaps.foreach { h =>
       // the guard is non-vacuous only if the heap really sits over the
@@ -146,12 +161,13 @@ class ScaleLayoutSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     // satisfies its clustering. An exchange here re-materializes the
     // N^1.5 stream; a second pair join means the build regressed to
     // per-layer plans (the 91s-at-sf0.1 driver-loop shape).
+    Graft.releaseCaches()
     val g = graft.operators.Ann.hnswGraph(spark, "/root/testdata/sf0.001")
     g.collect()
     val plan = g.queryExecution.executedPlan
-    val heaps = collectWithSubqueries(plan) {
+    val heaps = withCachedPlans(plan).flatMap(p => collectWithSubqueries(p) {
       case t: graft.plans.TopKPerKeyExec if t.keys.length == 3 => t
-    }
+    })
     // (plan reuse can instantiate the heap subtree more than once —
     // the contract is that EVERY instance sits directly on its join)
     assert(heaps.nonEmpty, s"per-(src,layer,cid) TopKPerKey missing:\n$plan")
@@ -179,13 +195,13 @@ class ScaleLayoutSpec extends SparkSpec with AdaptiveSparkPlanHelper {
         case a: org.apache.spark.sql.catalyst.expressions.Attribute => a.name == "layer"
         case _ => false
       }
-    val offenders = collectWithSubqueries(plan) {
+    val offenders = withCachedPlans(plan).flatMap(p => collectWithSubqueries(p) {
       case w: org.apache.spark.sql.execution.window.WindowExec
         if layerOnly(w.partitionSpec) => w
       case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec
         if layerOnly(w.partitionSpec) => w
       case t: graft.plans.TopKPerKeyExec if layerOnly(t.keys) => t
-    }
+    })
     assert(offenders.isEmpty,
       s"layer-only window partition (whole base layer in one task): $offenders\n$plan")
   }
