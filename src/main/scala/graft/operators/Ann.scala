@@ -824,6 +824,25 @@ object Ann {
     }.reduce(_ unionByName _)
   }
 
+  /** PQ recall evaluation: recall@k of the compressed-domain ADC top-k
+    * AND of the refined (exact re-rank) top-k against brute force — the
+    * two-row report that quantifies what 16× compression costs and how
+    * much the standard 5k-shortlist re-rank recovers. The exact top-k
+    * computes once and broadcasts to both overlap joins; the PQ stages
+    * are the existing [[pq]]/[[pqRefine]] plans (one codebook pass,
+    * bounded broadcasts).
+    */
+  def pqRecallEval(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val exact = bruteForce(s, dir, k).select(col("vec_id").as("x_id"))
+    def overlap(stage: String, approx: DataFrame) =
+      approx.join(broadcast(exact), col("vec_id") === col("x_id"))
+        .agg(count(lit(1)).as("n_overlap"))
+        .select(lit(stage).as("stage"), lit(k.toLong).as("k"), col("n_overlap"),
+          expr(s"n_overlap * 1000000 div $k").as("recall_micros"))
+    overlap("adc", pq(s, dir, k).select(col("vec_id")))
+      .unionByName(overlap("refined", pqRefine(s, dir, k).select(col("vec_id"))))
+  }
+
   /** Per-label embedding cluster statistics: member count, centroid
     * norm, mean cosine of members to their centroid — the quality
     * metrics an IVF/clustering pipeline monitors. One grouped pass for
@@ -2001,6 +2020,26 @@ object Ann {
     "ann_graph_sharded" -> duckShardedSql,
     "ann_recall_sweep" -> duckRecallSweepSql,
     "embed_matryoshka" -> duckMatryoshkaSql,
+    "ann_pq_recall" ->
+      s"""WITH $duckE,
+         |$duckPqAdc,
+         |q AS (SELECT v FROM e WHERE vec_id = (SELECT min(vec_id) FROM e)),
+         |ex AS (SELECT x.vec_id, round($duckCosPair, 6) AS score
+         |       FROM e x, (SELECT v FROM q) y ORDER BY score DESC, vec_id LIMIT 5),
+         |adck AS (SELECT vec_id FROM adc ORDER BY adc6 DESC, vec_id LIMIT 5),
+         |cand AS (SELECT vec_id AS cand_id FROM adc ORDER BY adc6 DESC, vec_id LIMIT 25),
+         |ref AS (SELECT x.vec_id FROM e x JOIN cand ON x.vec_id = cand.cand_id,
+         |          (SELECT v FROM q) y
+         |        ORDER BY round($duckCosPair, 6) DESC, vec_id LIMIT 5),
+         |oa AS (SELECT 'adc' AS stage, CAST(5 AS BIGINT) AS k,
+         |         CAST(count(*) AS BIGINT) AS n_overlap,
+         |         CAST(count(*) AS BIGINT) * 1000000 // 5 AS recall_micros
+         |       FROM ex JOIN adck ON ex.vec_id = adck.vec_id),
+         |orf AS (SELECT 'refined' AS stage, CAST(5 AS BIGINT) AS k,
+         |         CAST(count(*) AS BIGINT) AS n_overlap,
+         |         CAST(count(*) AS BIGINT) * 1000000 // 5 AS recall_micros
+         |       FROM ex JOIN ref ON ex.vec_id = ref.vec_id)
+         |SELECT * FROM oa UNION ALL SELECT * FROM orf""".stripMargin,
     "embed_outlier_knn" ->
       s"""WITH $duckE,
          |$duckNswTopk

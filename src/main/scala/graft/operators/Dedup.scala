@@ -453,6 +453,32 @@ object Dedup {
   def clusters(s: SparkSession, dir: String, maxIters: Int = 20): DataFrame =
     clustersOf(s, dir, dupPairs(s, dir), maxIters)
 
+  /** Per-cluster SOURCE purity over the near-dup components — the dedup
+    * QUALITY audit: a multi-member cluster whose members span sources is
+    * either genuine cross-source duplication (syndication, mirroring —
+    * exactly what corpus-level dedup exists to catch) or a blocking
+    * false-positive chain; either way purity is the triage signal,
+    * read next to `dedup_cluster_sizes`. One row per multi-member
+    * cluster: size, majority source (min-struct argmax: count desc,
+    * source asc — total order), and its share in exact integer micros.
+    * Cost: the [[clusters]] labels (memo-backed pair graph) + one
+    * doc_id join against a two-column documents projection + two
+    * map-side-combinable aggregates.
+    */
+  def clusterPurity(s: SparkSession, dir: String): DataFrame =
+    clusters(s, dir)
+      .join(Graft.documents(s, dir).select(col("doc_id"), col("source")), "doc_id")
+      .groupBy(col("cluster_rep"), col("source"))
+      .agg(count(lit(1)).as("ns"))
+      .groupBy(col("cluster_rep"))
+      .agg(sum(col("ns")).as("n_members"),
+        min(struct((-col("ns")).as("neg"), col("source"))).as("top"))
+      .filter(col("n_members") >= 2)
+      .select(col("cluster_rep"), col("n_members"),
+        col("top.source").as("top_source"),
+        (-col("top.neg")).as("n_top"),
+        expr("(-top.neg) * 1000000 div n_members").as("purity_micros"))
+
   /** Leakage-safe train/val/test split assignment: the split is drawn
     * from a 48-bit md5 of the near-dup CLUSTER REPRESENTATIVE, not the
     * document — every member of a near-dup cluster lands in the same
@@ -1354,6 +1380,18 @@ object Dedup {
          | CASE WHEN bucket < 98 THEN 'train' WHEN bucket < 99 THEN 'val'
          |      ELSE 'test' END AS split
          |FROM b""".stripMargin,
+    "dedup_cluster_purity" ->
+      s"""WITH RECURSIVE $duckClusterRep,
+         |cs AS (SELECT cl.cluster_rep, d.source, CAST(count(*) AS BIGINT) AS ns
+         |       FROM cl JOIN documents d ON cl.doc_id = d.doc_id GROUP BY 1, 2),
+         |r AS (SELECT cluster_rep, source, ns,
+         |        row_number() OVER (PARTITION BY cluster_rep
+         |          ORDER BY ns DESC, source) AS rn,
+         |        CAST(sum(ns) OVER (PARTITION BY cluster_rep) AS BIGINT) AS n_members
+         |      FROM cs)
+         |SELECT cluster_rep, n_members, source AS top_source, ns AS n_top,
+         |  ns * 1000000 // n_members AS purity_micros
+         |FROM r WHERE rn = 1 AND n_members >= 2""".stripMargin,
     "dedup_winnow_pairs" ->
       s"""WITH ${TextAnalysis.duckWinnowFps},
          |f AS (SELECT doc_id, unnest(fps) AS fp FROM fp),

@@ -148,5 +148,7 @@ class EmptyInputSpec extends SparkSpec {
     assert(Dedup.lshRecallEval(spark, dir).collect().head.getLong(0) === 0L)
     assert(Ann.recallSweep(spark, dir).collect().forall(_.getLong(2) === 0L))
     assert(Ann.matryoshkaEval(spark, dir).collect().forall(_.getLong(2) === 0L))
+    assert(Ann.pqRecallEval(spark, dir).collect().forall(_.getLong(2) === 0L))
+    assert(Dedup.clusterPurity(spark, dir).count() === 0)
   }
 }
