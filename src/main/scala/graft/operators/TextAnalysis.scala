@@ -319,6 +319,52 @@ object TextAnalysis {
     Graft.memoCache("tok_tf", dir)(
       tokStream(s, dir).groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf")))
 
+  /** WEIGHTED sparse-cosine near-dup pairs — the tf-idf complement of
+    * the Jaccard family: each document becomes its top-`topT` tf-idf
+    * terms UNIT-NORMALIZED and micro-quantized (qu = round(u·10^6) ≤
+    * 10^6, so every pair dot Σ qa·qb fits int64 at ANY corpus scale and
+    * cos_micros = dot div 10^6 needs no pair-time division), candidate
+    * pairs come from a term-inverted-index self-join (never all-pairs —
+    * a pair must share a top term, the weighted analogue of the prefix
+    * filter), and the per-pair dot is one map-side-combinable sum.
+    * Catches reworded near-dups whose n-gram Jaccard collapses but
+    * whose term DISTRIBUTION survives; `dedup_ngram_jaccard` catches
+    * verbatim overlap this truncation can miss — run both. Rides the
+    * memoized (doc, tok, tf) frame; top-T truncation bounds the index
+    * at T·N postings, and hot-term skew falls to AQE's skew-join split
+    * (SkewSpec evidence).
+    */
+  def tfidfCosinePairs(s: SparkSession, dir: String, topT: Int = 8,
+                       tauMicros: Long = 800000L): DataFrame = {
+    val tf = tfFrame(s, dir)
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val n = Graft.documents(s, dir).agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("tfidf6").desc, col("tok"))
+    val top = tf.join(dfreq, "tok")
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("tok"),
+        expr("round(cast(tf as double) * ln(cast(n as double) / cast(df as double)), 6)")
+          .as("tfidf6"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= topT)
+      .select(col("doc_id"), col("tok"), col("tfidf6"))
+    val nrm = top.groupBy(col("doc_id"))
+      .agg(sqrt(sum(col("tfidf6") * col("tfidf6"))).as("nrm"))
+    val u = top.join(nrm, "doc_id")
+      .select(col("doc_id"), col("tok"),
+        expr("cast(round(tfidf6 / nrm * 1000000) as bigint)").as("q"))
+      .hint("SHUFFLE_HASH")
+    u.as("a").join(u.as("b"),
+        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        (col("a.q") * col("b.q")).as("p"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(sum(col("p")).as("dot"))
+      .select(col("id_a"), col("id_b"), expr("dot div 1000000").as("cos_micros"))
+      .filter(col("cos_micros") >= tauMicros)
+  }
+
   def tfidfTopk(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
     val tf = tfFrame(s, dir)
     val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
@@ -1460,6 +1506,28 @@ object TextAnalysis {
         | (-CAST(sum(lp_micros) AS BIGINT)) // count(*) AS nll_per_tok_micros
         |FROM toks JOIN uni USING (tok)
         |GROUP BY doc_id""".stripMargin,
+    "dedup_tfidf_cosine" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok
+        |  FROM documents),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |sc AS (SELECT doc_id, tf.tok,
+        |  round(CAST(tf AS DOUBLE) * ln(CAST(n AS DOUBLE) / CAST(df AS DOUBLE)), 6) AS tfidf6
+        | FROM tf JOIN df ON tf.tok = df.tok, n),
+        |topt AS (SELECT doc_id, tok, tfidf6 FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY tfidf6 DESC, tok) AS rn FROM sc) WHERE rn <= 8),
+        |nr AS (SELECT doc_id, sqrt(sum(tfidf6 * tfidf6)) AS nrm FROM topt GROUP BY 1),
+        |u AS (SELECT t.doc_id, t.tok,
+        |        CAST(round(t.tfidf6 / nr.nrm * 1000000) AS BIGINT) AS q
+        |      FROM topt t JOIN nr ON t.doc_id = nr.doc_id),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |        CAST(sum(a.q * b.q) AS BIGINT) AS dot
+        |      FROM u a JOIN u b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2)
+        |SELECT id_a, id_b, dot // 1000000 AS cos_micros
+        |FROM p WHERE dot // 1000000 >= 800000""".stripMargin,
     "tfidf_topk" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok
         |  FROM documents),
