@@ -321,22 +321,33 @@ object TextAnalysis {
 
   /** WEIGHTED sparse-cosine near-dup pairs — the tf-idf complement of
     * the Jaccard family: each document becomes its top-`topT` tf-idf
-    * terms UNIT-NORMALIZED and micro-quantized (qu = round(u·10^6) ≤
-    * 10^6, so every pair dot Σ qa·qb fits int64 at ANY corpus scale and
-    * cos_micros = dot div 10^6 needs no pair-time division), candidate
-    * pairs come from a term-inverted-index self-join (never all-pairs —
-    * a pair must share a top term, the weighted analogue of the prefix
-    * filter), and the per-pair dot is one map-side-combinable sum.
-    * Catches reworded near-dups whose n-gram Jaccard collapses but
-    * whose term DISTRIBUTION survives; `dedup_ngram_jaccard` catches
-    * verbatim overlap this truncation can miss — run both. Rides the
-    * memoized (doc, tok, tf) frame; top-T truncation bounds the index
-    * at T·N postings, and hot-term skew falls to AQE's skew-join split
-    * (SkewSpec evidence).
+    * WORD-BIGRAM features UNIT-NORMALIZED and micro-quantized
+    * (qu = round(u·10^6) ≤ 10^6, so every pair dot Σ qa·qb fits int64
+    * at ANY corpus scale and cos_micros = dot div 10^6 needs no
+    * pair-time division), candidate pairs come from a feature-inverted-
+    * index self-join (never all-pairs — a pair must share a top
+    * feature, the weighted analogue of the prefix filter), and the
+    * per-pair dot is one map-side-combinable sum. Bigram features are a
+    * MEASURED blocking decision, not a style choice: single-token
+    * features put template words in thousands of top-8 sets (hottest
+    * posting 1933 docs at sf0.1 → 27.9M candidate pairs, 18.6s); word
+    * bigrams cut that 12× (hottest 245 → 2.4M pairs) while staying the
+    * better near-dup signal (rarer, more specific). Catches reworded
+    * near-dups whose feature DISTRIBUTION survives when exact 3-gram
+    * Jaccard collapses; `dedup_ngram_jaccard` catches verbatim overlap
+    * this truncation can miss — run both. Top-T truncation bounds the
+    * index at T·N postings; residual hot-feature skew falls to AQE's
+    * skew-join split (SkewSpec evidence).
     */
   def tfidfCosinePairs(s: SparkSession, dir: String, topT: Int = 8,
                        tauMicros: Long = 800000L): DataFrame = {
-    val tf = tfFrame(s, dir)
+    val tf = Graft.documents(s, dir)
+      .select(col("doc_id"), expr("split(lower(text), '\\\\s+')").as("toks"))
+      .filter(expr("size(toks) >= 2"))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(toks) - 1), i -> concat(toks[i-1], ' ', toks[i]))"))
+        .as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val n = Graft.documents(s, dir).agg(count(lit(1)).as("n"))
     val w = org.apache.spark.sql.expressions.Window
@@ -1507,8 +1518,10 @@ object TextAnalysis {
         |FROM toks JOIN uni USING (tok)
         |GROUP BY doc_id""".stripMargin,
     "dedup_tfidf_cosine" ->
-      """WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok
-        |  FROM documents),
+      """WITH t0 AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS ts
+        |  FROM documents WHERE len(string_split_regex(lower(text), '\s+')) >= 2),
+        |toks AS (SELECT doc_id, ts[i] || ' ' || ts[i + 1] AS tok
+        |  FROM t0, unnest(range(1, len(ts))) AS r(i)),
         |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
         |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
         |n AS (SELECT count(*) AS n FROM documents),

@@ -16,7 +16,9 @@ class Round13WaveSpec extends SparkSpec {
     val texts = Graft.documents(spark, dir).select("doc_id", "text")
       .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
     val tf: Map[(Long, String), Long] = texts.flatMap { case (id, t) =>
-      t.toLowerCase.split("\\s+").map(tok => (id, tok))
+      val toks = t.toLowerCase.split("\\s+")
+      if (toks.length < 2) Seq.empty
+      else toks.sliding(2).map(p => (id, p.mkString(" "))).toSeq
     }.groupBy(identity).map { case (k, vs) => k -> vs.size.toLong }
     val dfreq = tf.keys.groupBy(_._2).map { case (tok, ks) => tok -> ks.size.toLong }
     val n = texts.size.toDouble
