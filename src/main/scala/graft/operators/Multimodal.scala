@@ -139,6 +139,86 @@ object Multimodal {
   def decodeStats(s: SparkSession, dir: String): DataFrame =
     imageStats(syntheticImages(s, dir))
 
+  /** 64-bit average-hash (aHash) of a PNG payload — IMAGE near-dup
+    * fingerprinting on the REAL decode path, fully integer-exact:
+    * grayscale = r+g+b channel sum per pixel (no division), an 8×8
+    * nearest-neighbor grid sample (cell (i,j) reads pixel
+    * (i·w div 8, j·h div 8) — generalizes cleanly to any source size),
+    * and bit (i,j) = cell gray > grid mean, compared as
+    * cell·64 > Σcells so no division ever happens. Bit 0 is the MSB
+    * (row-major), matching the simhash bit layout convention.
+    */
+  def phashBits(payload: Array[Byte]): Long = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    require(img != null, s"payload of ${payload.length} bytes is not a decodable image")
+    val (w, h) = (img.getWidth, img.getHeight)
+    val cells = new Array[Long](64)
+    var j = 0
+    while (j < 8) {
+      var i = 0
+      while (i < 8) {
+        val p = img.getRGB(i * w / 8, j * h / 8)
+        cells(j * 8 + i) = ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+        i += 1
+      }
+      j += 1
+    }
+    val tot = cells.sum
+    var bits = 0L
+    var b = 0
+    while (b < 64) {
+      bits = (bits << 1) | (if (cells(b) * 64 > tot) 1L else 0L)
+      b += 1
+    }
+    bits
+  }
+
+  /** Per-image 64-bit perceptual hash over a (doc_id, payload) binary
+    * column: one decode+hash kernel call per row inside mapPartitions
+    * (codec init once per partition), only (doc_id, phash) shuffles —
+    * the image-modality twin of `dedup_simhash`'s text signature.
+    */
+  def imagePhash(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(it => it.map { case (id, payload) => (id, phashBits(payload)) })
+      .toDF("doc_id", "phash")
+  }
+
+  /** The keyed query: real PNG encode → decode → aHash per document.
+    * Rows-only (a SQL engine cannot decode PNG); MultimodalSpec pins
+    * the kernel to an independent [[docPixel]] recomputation and the
+    * pair blocking to planted near-duplicates.
+    */
+  def phash(s: SparkSession, dir: String): DataFrame =
+    imagePhash(syntheticImages(s, dir))
+
+  /** Image near-dup pairs over a (doc_id, phash) frame: pigeonhole
+    * band blocking (8 bands × 8 bits — hamming ≤ 7 guarantees one
+    * equal band, covering the default verify radius 6) + exact
+    * xor/bit_count hamming, the [[graft.operators.Dedup.simhashPairs]]
+    * machinery pointed at the image modality. Candidates come from a
+    * band-bucket self-join, never all-pairs; a real image corpus's
+    * hot bands (flat/black images) fall to AQE's skew split like every
+    * banded join here.
+    */
+  def phashPairs(hashes: DataFrame, maxHamming: Int = 6): DataFrame = {
+    val bands = hashes
+      .select(col("doc_id"), col("phash"),
+        posexplode(expr("transform(sequence(0, 7), b -> " +
+          "shiftright(phash, cast((7 - b) * 8 as int)) & 255)"))
+          .as(Seq("band_id", "band_val")))
+      .hint("SHUFFLE_HASH")
+    bands.as("a").join(bands.as("b"),
+        col("a.band_id") === col("b.band_id") && col("a.band_val") === col("b.band_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        expr("cast(bit_count(a.phash ^ b.phash) as bigint)").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** Deterministic fake featurizer standing in for decode+embed: a
     * 16-bucket byte histogram, normalized by payload length. Fixed shape,
     * stable across runs — exactly what the downstream plumbing needs.

@@ -101,6 +101,56 @@ class MultimodalSpec extends SparkSpec {
     assert(again === out, "PNG encode or decode is nondeterministic across runs")
   }
 
+  test("aHash kernel equals an independent docPixel recomputation (lossless PNG)") {
+    for (id <- Seq(0L, 1L, 7L, 42L)) {
+      val w = 8 + (id % 5).toInt
+      val h = 6 + (id % 3).toInt
+      val png = Multimodal.encodePng(w, h, (x, y) => Multimodal.docPixel(id, x, y))
+      val got = Multimodal.phashBits(png)
+      // recompute straight from the pixel formula — never touches ImageIO
+      val cells = for (j <- 0 until 8; i <- 0 until 8) yield {
+        val p = Multimodal.docPixel(id, i * w / 8, j * h / 8)
+        (((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)).toLong
+      }
+      val tot = cells.sum
+      val expected = cells.foldLeft(0L)((acc, c) => (acc << 1) | (if (c * 64 > tot) 1L else 0L))
+      assert(got === expected, s"doc $id")
+    }
+  }
+
+  test("phash pairs: planted near-dup images found, distinct patterns clean") {
+    // ten distinct random-pattern images, plus a near-dup of each that
+    // perturbs ONE grid cell's pixel (small hamming); cross-pattern
+    // hashes sit near hamming ~32, far beyond the verify radius
+    val rows = (0L until 10L).flatMap { id =>
+      val w = 8 + (id % 5).toInt
+      val h = 6 + (id % 3).toInt
+      val base = Multimodal.encodePng(w, h, (x, y) => Multimodal.docPixel(id, x, y))
+      val near = Multimodal.encodePng(w, h, (x, y) =>
+        if (x == 0 && y == 0) ~Multimodal.docPixel(id, x, y) & 0xffffff
+        else Multimodal.docPixel(id, x, y))
+      Seq((id, base), (id + 100L, near))
+    }
+    val hashes = Multimodal.imagePhash(rows.toDF("doc_id", "payload"))
+    val pairs = Multimodal.phashPairs(hashes).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val planted = pairs.filter(p => p._2 == p._1 + 100L)
+    assert(planted.length >= 8,
+      s"most planted near-dups must be recalled, got ${planted.length}: ${pairs.toSeq}")
+    planted.foreach(p => assert(p._3 <= 6))
+    val cross = pairs.filterNot(p => p._2 == p._1 + 100L)
+    assert(cross.isEmpty, s"no cross-pattern false pairs expected: ${cross.toSeq}")
+  }
+
+  test("multimodal_phash keyed query emits one stable hash per document") {
+    val a = Multimodal.phash(spark, "/root/testdata/sf0.001").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Multimodal.phash(spark, "/root/testdata/sf0.001").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a === b)
+    assert(a.size === 500)
+  }
+
   test("pdf ingestion is an explicit stub (reference parity)") {
     import org.apache.spark.sql.functions.lit
     val df = Seq(("x")).toDF("pdf")
