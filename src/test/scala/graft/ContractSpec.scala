@@ -16,7 +16,8 @@ class ContractSpec extends SparkSpec {
     assert(rowsOnly === Set("multimodal_meta", "events_approx_stats", "text_topk_approx",
       "text_decontam_bloom", "events_dau_wau_hll",
       "doc_point_ids_sha3", // sha3 unavailable in DuckDB; fixture-spec'd instead
-      "multimodal_decode")) // SQL engines can't decode PNG; fixture-spec'd instead
+      "multimodal_decode", // SQL engines can't decode PNG; fixture-spec'd instead
+      "multimodal_phash")) // same: real decode inside; aHash + pairs spec'd
   }
 
   test("dedup_embedding's exact oracle is valid at every verify scale") {
