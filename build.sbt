@@ -10,6 +10,11 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
+// Suites run SEQUENTIALLY in the forked JVM (testForkedParallel defaults
+// to false) — NswShardSpec relies on this when it temporarily lowers the
+// global Ann.centroidBroadcastBudgetBytes; enabling parallel execution
+// would let concurrent ANN suites flakily route to the sharded build.
+Test / testForkedParallel := false
 run / fork := true
 // pass forked stdout through RAW (no "[info] " prefix) so Bench's one
 // JSON line is machine-parseable from the sbt output

@@ -432,7 +432,11 @@ object Ann {
     */
   def shardCountFor(n: Long): Int = {
     var sh = 2
-    while (2L * sqrtFanout(n / sh) * centroidRowBytes > centroidBroadcastBudgetBytes
+    // n / sh + 1, not n / sh: the EXACT expression nswGraphSharded's
+    // requireCentroidBudget tests — a perfect-square n/sh would otherwise
+    // grow the fanout by 1 between the two checks and re-refuse on a
+    // boundary corpus size
+    while (2L * sqrtFanout(n / sh + 1) * centroidRowBytes > centroidBroadcastBudgetBytes
       && sh < (1 << 20)) sh *= 2
     sh
   }

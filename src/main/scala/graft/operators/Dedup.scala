@@ -293,6 +293,16 @@ object Dedup {
     * (the documented saturation); 32-bit bands give 4.3e9 buckets per
     * band — expected occupancy stays ~1 to ~10^10 docs, and the r<=3
     * pigeonhole over 4 bands is unchanged.
+    *
+    * INTENTIONAL radius tightening with the width: maxHamming stays 3
+    * while the signature doubled, so the normalized near-dup threshold
+    * moved 3/64 → 3/128 — a 128-bit signature resolves twice the
+    * feature hyperplanes, and holding the ABSOLUTE radius keeps the
+    * emitted pairs at the same per-hyperplane disagreement budget
+    * (scaling to r=6 would need 7+ bands, and 7×18-bit bands re-enter
+    * the 16-bit saturation regime this widening exists to escape).
+    * Callers wanting the looser 64-bit-era normalized threshold pass
+    * maxHamming explicitly and accept band recall < 1 past r=3.
     */
   def simhashPairs(s: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
     // bands as INTEGERS from one kernel call, so the hamming verify is

@@ -148,9 +148,22 @@ object Multimodal {
     * cell·64 > Σcells so no division ever happens. Bit 0 is the MSB
     * (row-major), matching the simhash bit layout convention.
     */
-  def phashBits(payload: Array[Byte]): Long = {
-    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-    require(img != null, s"payload of ${payload.length} bytes is not a decodable image")
+  def phashBits(payload: Array[Byte]): Long =
+    phashBitsOpt(payload).getOrElse(
+      throw new IllegalArgumentException(
+        s"payload of ${payload.length} bytes is not a decodable image"))
+
+  /** Total (None-on-undecodable) variant of [[phashBits]]: a real corpus
+    * carries corrupt payloads, and one bad image must drop its ROW, not
+    * abort the executor task and with it the whole query. [[imagePhash]]
+    * skips (and so implicitly counts, via the row delta) undecodable
+    * payloads through this.
+    */
+  def phashBitsOpt(payload: Array[Byte]): Option[Long] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case _: java.io.IOException => null }
+    if (img == null || img.getWidth == 0 || img.getHeight == 0) return None
     val (w, h) = (img.getWidth, img.getHeight)
     val cells = new Array[Long](64)
     var j = 0
@@ -170,19 +183,25 @@ object Multimodal {
       bits = (bits << 1) | (if (cells(b) * 64 > tot) 1L else 0L)
       b += 1
     }
-    bits
+    Some(bits)
   }
 
   /** Per-image 64-bit perceptual hash over a (doc_id, payload) binary
     * column: one decode+hash kernel call per row inside mapPartitions
     * (codec init once per partition), only (doc_id, phash) shuffles —
     * the image-modality twin of `dedup_simhash`'s text signature.
+    * Undecodable payloads DROP their row instead of aborting the task
+    * (one corrupt image in a real corpus must not kill the query); the
+    * failure count is the input-vs-output row delta, the same contract
+    * as the CSV quarantine source.
     */
   def imagePhash(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
-      .mapPartitions(it => it.map { case (id, payload) => (id, phashBits(payload)) })
+      .mapPartitions(it => it.flatMap { case (id, payload) =>
+        phashBitsOpt(payload).map(id -> _)
+      })
       .toDF("doc_id", "phash")
   }
 
@@ -193,6 +212,46 @@ object Multimodal {
     */
   def phash(s: SparkSession, dir: String): DataFrame =
     imagePhash(syntheticImages(s, dir))
+
+  /** Every `DupEvery`-th document plants a near-duplicate twin. */
+  val DupEvery = 25L
+
+  /** Planted twins get doc_id + this offset (far above any corpus id). */
+  val DupIdOffset = 1000000L
+
+  /** Synthetic image corpus WITH planted near-duplicates: every
+    * [[DupEvery]]-th document also emits a twin (id + [[DupIdOffset]])
+    * whose PNG differs in exactly one pixel — the corpus shape the
+    * pair query exists for. Distinct docPixel patterns hash to
+    * ~hamming-32 signatures, so only the planted twins (and nothing
+    * else, deterministically) fall inside the verify radius.
+    */
+  def syntheticImagesWithDups(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Graft.documents(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.flatMap { id =>
+          val w = 8 + (id % 5).toInt
+          val h = 6 + (id % 3).toInt
+          val base = (id, encodePng(w, h, (x, y) => docPixel(id, x, y)))
+          if (id % DupEvery == 0)
+            Iterator(base, (id + DupIdOffset, encodePng(w, h, (x, y) =>
+              if (x == 0 && y == 0) ~docPixel(id, x, y) & 0xffffff
+              else docPixel(id, x, y))))
+          else Iterator(base)
+        }
+      }
+      .toDF("doc_id", "payload")
+  }
+
+  /** The keyed IMAGE-dedup deliverable: real PNG encode → decode →
+    * aHash → pigeonhole-banded hamming pairs, end-to-end over the
+    * dup-planted corpus. Rows-only (decode inside); MultimodalSpec pins
+    * the result to an ImageIO-free all-pairs recomputation straight
+    * from the pixel formula.
+    */
+  def phashPairsQuery(s: SparkSession, dir: String): DataFrame =
+    phashPairs(imagePhash(syntheticImagesWithDups(s, dir)))
 
   /** Image near-dup pairs over a (doc_id, phash) frame: pigeonhole
     * band blocking (8 bands × 8 bits — hamming ≤ 7 guarantees one

@@ -17,7 +17,8 @@ class ContractSpec extends SparkSpec {
       "text_decontam_bloom", "events_dau_wau_hll",
       "doc_point_ids_sha3", // sha3 unavailable in DuckDB; fixture-spec'd instead
       "multimodal_decode", // SQL engines can't decode PNG; fixture-spec'd instead
-      "multimodal_phash")) // same: real decode inside; aHash + pairs spec'd
+      "multimodal_phash", // same: real decode inside; aHash + pairs spec'd
+      "multimodal_phash_pairs")) // same: end-to-end pair query, spec-recomputed
   }
 
   test("dedup_embedding's exact oracle is valid at every verify scale") {

@@ -151,6 +151,51 @@ class MultimodalSpec extends SparkSpec {
     assert(a.size === 500)
   }
 
+  test("multimodal_phash_pairs equals an ImageIO-free all-pairs recomputation") {
+    // recompute every hash straight from the pixel formula (PNG is
+    // lossless, so the kernel must agree), then exact all-pairs hamming
+    // <= 6 — the banded query's blocking must lose nothing at r <= 6
+    // (8 bands x 8 bits pigeonholes hamming <= 7)
+    def hashOf(id: Long, patternId: Long, perturb: Boolean): Long = {
+      val w = 8 + (patternId % 5).toInt
+      val h = 6 + (patternId % 3).toInt
+      val cells = for (j <- 0 until 8; i <- 0 until 8) yield {
+        val (x, y) = (i * w / 8, j * h / 8)
+        val p0 = Multimodal.docPixel(patternId, x, y)
+        val p = if (perturb && x == 0 && y == 0) ~p0 & 0xffffff else p0
+        (((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)).toLong
+      }
+      val tot = cells.sum
+      cells.foldLeft(0L)((acc, c) => (acc << 1) | (if (c * 64 > tot) 1L else 0L))
+    }
+    val ids = (0L until 500L)
+    val hashes = ids.map(id => id -> hashOf(id, id, perturb = false)) ++
+      ids.filter(_ % Multimodal.DupEvery == 0)
+        .map(id => (id + Multimodal.DupIdOffset) -> hashOf(id, id, perturb = true))
+    val expected = (for {
+      (ia, ha) <- hashes; (ib, hb) <- hashes; if ia < ib
+      d = java.lang.Long.bitCount(ha ^ hb).toLong; if d <= 6
+    } yield (ia, ib, d)).toSet
+    val got = Multimodal.phashPairsQuery(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === expected)
+    assert(got.nonEmpty, "planted twins must yield pairs")
+    // every planted twin within radius is exactly (id, id + offset)
+    assert(expected.forall { case (a, b, _) => b == a + Multimodal.DupIdOffset },
+      "distinct patterns must stay outside the verify radius on this corpus")
+  }
+
+  test("undecodable payloads drop their row instead of failing the query") {
+    val rows = Seq(
+      (1L, Multimodal.encodePng(8, 8, (x, y) => Multimodal.docPixel(1L, x, y))),
+      (2L, Array[Byte](1, 2, 3, 4)), // garbage: not an image
+      (3L, Multimodal.encodePng(8, 8, (x, y) => Multimodal.docPixel(3L, x, y))))
+    val out = Multimodal.imagePhash(rows.toDF("doc_id", "payload")).collect()
+    assert(out.map(_.getLong(0)).toSet === Set(1L, 3L))
+    assert(Multimodal.phashBitsOpt(Array[Byte](9, 9)).isEmpty)
+    intercept[IllegalArgumentException](Multimodal.phashBits(Array[Byte](9, 9)))
+  }
+
   test("pdf ingestion is an explicit stub (reference parity)") {
     import org.apache.spark.sql.functions.lit
     val df = Seq(("x")).toDF("pdf")

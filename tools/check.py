@@ -81,7 +81,12 @@ def lint_survey_ids():
     cross-referencing from VERDICT/ADVICE. Fail loudly on collision."""
     import collections, re
     path = os.path.join(os.path.dirname(__file__), "..", "SURVEY.md")
-    ids = re.findall(r"^\| ([0-9]+[a-z0-9]*) \|", open(path).read(), re.M)
+    text = open(path).read()
+    # anchor to the §2 table: other sections may hold tables whose first
+    # column also matches the numeric-id pattern
+    start = text.index("## §2")
+    end = text.index("## §3", start)
+    ids = re.findall(r"^\| ([0-9]+[a-z0-9]*) \|", text[start:end], re.M)
     dups = [k for k, n in collections.Counter(ids).items() if n > 1]
     if dups:
         print(f"[FAIL] SURVEY.md duplicate row ids: {sorted(dups)}")
