@@ -113,14 +113,33 @@ object IndexBuilder {
   /** Materialize the two collections: MAIN plain parquet (small: one row
     * per doc), CHUNKS bucketed by doc_key. Returns re-loaded frames.
     */
-  def write(s: SparkSession, dir: String, outDir: String, buckets: Int = 16): (DataFrame, DataFrame) = {
+  def write(s: SparkSession, dir: String, outDir: String, buckets: Int = 16,
+            table: String = "graft_chunks"): (DataFrame, DataFrame) = {
     val (main, chunks) = build(s, dir)
     main.write.mode("overwrite").parquet(s"$outDir/main")
-    s.sql("DROP TABLE IF EXISTS graft_chunks")
+    s.sql(s"DROP TABLE IF EXISTS $table")
     chunks.write.mode("overwrite")
       .bucketBy(buckets, "doc_key").sortBy("doc_key", "chunk_id")
       .option("path", s"$outDir/chunks")
-      .saveAsTable("graft_chunks")
-    (s.read.parquet(s"$outDir/main"), s.table("graft_chunks"))
+      .saveAsTable(table)
+    (s.read.parquet(s"$outDir/main"), s.table(table))
+  }
+
+  private val writtenIndexes =
+    scala.collection.mutable.Map.empty[String, (DataFrame, DataFrame)]
+
+  /** Session-memoized written index generation per data dir — the disk
+    * twin of Graft.memoCache: the first consumer writes MAIN + bucketed
+    * CHUNKS once (a deployment's index build job), every later consumer
+    * reads the same generation (the serving tier). Keyed per dir with a
+    * dir-derived table name so generations for different corpora
+    * coexist in one catalog.
+    */
+  def writtenIndex(s: SparkSession, dir: String): (DataFrame, DataFrame) = synchronized {
+    writtenIndexes.getOrElseUpdate(dir, {
+      val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val out = new java.io.File(s"target/graft_index/$safe").getAbsolutePath
+      write(s, dir, out, buckets = 16, table = s"graft_chunks$safe")
+    })
   }
 }

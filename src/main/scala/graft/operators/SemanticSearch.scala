@@ -160,6 +160,58 @@ object SemanticSearch {
       .limit(3)
   }
 
+  /** The flagship search run OFF THE WRITTEN INDEX GENERATION — the
+    * [[searchPipeline]] semantics reading [[IndexBuilder.writtenIndex]]'s
+    * MAIN + bucketed CHUNKS instead of the raw embeddings table (the
+    * deployment shape: build job writes, serving reads; the reference's
+    * Qdrant collections qdrant.py:139-176 are exactly this split).
+    * Read-equivalence means the result is IDENTICAL to searchPipeline's
+    * (same oracle verifies both); the layout's value shows in the plan:
+    * the per-doc best-chunk window, the ±1-chunk context self-join and
+    * the context groupBy all run on CHUNKS' bucket partitioning
+    * (hash(doc_key, 16) from the scan) — ZERO shuffles of chunk rows,
+    * where the raw-table pipeline exchanges them once per consumer
+    * (IndexBuilderSpec asserts no shuffle above the bucketed scan).
+    */
+  def searchFromIndex(s: SparkSession, dir: String): DataFrame = {
+    val (main, chunks) = IndexBuilder.writtenIndex(s, dir)
+    val qv = chunks.orderBy(col("chunk_id")).limit(1).select(col("embedding").as("qvec"))
+    val top = main.crossJoin(broadcast(qv))
+      .select(col("doc_key").as("label"),
+        VectorOps.cosine6(col("doc_vec"), col("qvec")).as("doc_score"))
+      .orderBy(col("doc_score").desc, col("label"))
+      .limit(3)
+    val w = Window.partitionBy(col("b_label"))
+      .orderBy(col("chunk_score").desc, col("center_vec"))
+    val best = chunks.crossJoin(broadcast(qv))
+      .select(col("doc_key").as("b_label"), col("chunk_id").as("center_vec"),
+        VectorOps.cosine6(col("embedding"), col("qvec")).as("chunk_score"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+    val emb = chunks.select(col("doc_key").as("e_label"), col("chunk_id").as("vec_id"))
+    val ctx = best
+      .join(emb, col("e_label") === col("b_label") &&
+        abs(col("vec_id") - col("center_vec")) <= 1)
+      .groupBy(col("b_label"), col("center_vec"))
+      .agg(array_join(
+        transform(array_sort(collect_list(col("vec_id"))), _.cast("string")), ",")
+        .as("ctx_vecs"))
+    // final assembly BROADCASTS the ≤3-row top-docs side into the
+    // per-doc frames (best, ctx), which both stream on the bucketed
+    // hash(doc_key) partitioning — chunk-derived rows never shuffle
+    // (a top-side build would ENSURE_REQUIREMENTS-exchange the
+    // corpus-sized ctx frame instead)
+    val tb = best.join(broadcast(top), col("b_label") === col("label"))
+      .select(col("label").as("t_label"), col("doc_score"),
+        col("center_vec").as("t_center"), col("chunk_score"))
+    ctx
+      .join(broadcast(tb),
+        col("b_label") === col("t_label") && col("center_vec") === col("t_center"))
+      .select(col("t_label").as("label"), col("doc_score"),
+        col("t_center").as("center_vec"), col("chunk_score"), col("ctx_vecs"))
+      .orderBy(col("doc_score").desc, col("label"))
+      .limit(3)
+  }
+
   /** DuckDB-side cosine of a list column vs the query list, all-double. */
   private def duckCos(v: String): String =
     s"""round(
@@ -225,22 +277,28 @@ object SemanticSearch {
         |SELECT c.doc_id, center_pos, string_agg(tok, ' ' ORDER BY c.pos) AS context
         |FROM c JOIN ctr ON c.doc_id = ctr.doc_id AND abs(c.pos - ctr.center_pos) <= 1
         |GROUP BY c.doc_id, center_pos""".stripMargin,
-    "search_pipeline" ->
-      s"""WITH $duckQuery,
-         |$duckDocScores,
-         |cs AS (SELECT e.label, e.vec_id, ${duckCos("e.embedding")} AS chunk_score
-         |       FROM embeddings e, q),
-         |best AS (SELECT label, vec_id AS center_vec, chunk_score,
-         |          row_number() OVER (PARTITION BY label
-         |            ORDER BY chunk_score DESC, vec_id) AS rn FROM cs),
-         |b1 AS (SELECT label, center_vec, chunk_score FROM best WHERE rn = 1),
-         |ctx AS (SELECT b1.label, b1.center_vec,
-         |         string_agg(CAST(e.vec_id AS VARCHAR), ',' ORDER BY e.vec_id) AS ctx_vecs
-         |        FROM b1 JOIN embeddings e
-         |          ON e.label = b1.label AND abs(e.vec_id - b1.center_vec) <= 1
-         |        GROUP BY 1, 2)
-         |SELECT t.label, t.doc_score, b.center_vec, b.chunk_score, c.ctx_vecs
-         |FROM top t JOIN b1 b ON t.label = b.label
-         | JOIN ctx c ON t.label = c.label AND b.center_vec = c.center_vec""".stripMargin,
+    "search_pipeline" -> duckSearchPipelineSql,
+    // the written-index search is READ-EQUIVALENT to the raw-table
+    // pipeline by construction — one oracle verifies both, which is the
+    // point: same answers, bucketed-layout plan
+    "search_from_index" -> duckSearchPipelineSql,
   )
+
+  private lazy val duckSearchPipelineSql: String =
+    s"""WITH $duckQuery,
+       |$duckDocScores,
+       |cs AS (SELECT e.label, e.vec_id, ${duckCos("e.embedding")} AS chunk_score
+       |       FROM embeddings e, q),
+       |best AS (SELECT label, vec_id AS center_vec, chunk_score,
+       |          row_number() OVER (PARTITION BY label
+       |            ORDER BY chunk_score DESC, vec_id) AS rn FROM cs),
+       |b1 AS (SELECT label, center_vec, chunk_score FROM best WHERE rn = 1),
+       |ctx AS (SELECT b1.label, b1.center_vec,
+       |         string_agg(CAST(e.vec_id AS VARCHAR), ',' ORDER BY e.vec_id) AS ctx_vecs
+       |        FROM b1 JOIN embeddings e
+       |          ON e.label = b1.label AND abs(e.vec_id - b1.center_vec) <= 1
+       |        GROUP BY 1, 2)
+       |SELECT t.label, t.doc_score, b.center_vec, b.chunk_score, c.ctx_vecs
+       |FROM top t JOIN b1 b ON t.label = b.label
+       | JOIN ctx c ON t.label = c.label AND b.center_vec = c.center_vec""".stripMargin
 }

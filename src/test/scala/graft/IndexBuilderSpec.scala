@@ -120,6 +120,35 @@ class IndexBuilderSpec extends SparkSpec {
       "pruned scan must list exactly the cell's files")
   }
 
+  test("search_from_index equals search_pipeline and never shuffles chunk rows") {
+    import graft.operators.SemanticSearch
+    val fromIndex = SemanticSearch.searchFromIndex(spark, dir)
+    val got = fromIndex.collect().map(_.toSeq)
+    val expected = SemanticSearch.searchPipeline(spark, dir).collect().map(_.toSeq)
+    assert(got.toSeq === expected.toSeq, "written-index search must be read-equivalent")
+    // the bucketed CHUNKS scan must feed the window, the ±1 self-join and
+    // the context groupBy WITHOUT an exchange: no ShuffleExchange may sit
+    // above a bucketed chunks file scan anywhere in the executed plan
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+    val helper = new AdaptiveSparkPlanHelper {}
+    val plan = fromIndex.queryExecution.executedPlan
+    val offending = helper.collectWithSubqueries(plan) {
+      case e: ShuffleExchangeLike
+        if helper.collectFirst(e.child) {
+          case sc: FileSourceScanExec if sc.relation.bucketSpec.isDefined => sc
+        }.isDefined => e
+    }
+    assert(offending.isEmpty,
+      s"bucketed chunk rows must not shuffle, found exchanges above the bucketed scan:\n$offending")
+    // and the bucketed scan IS in the plan (the assert above is not vacuous)
+    val bucketedScans = helper.collectWithSubqueries(plan) {
+      case sc: FileSourceScanExec if sc.relation.bucketSpec.isDefined => sc
+    }
+    assert(bucketedScans.nonEmpty, "search_from_index must read the bucketed CHUNKS table")
+  }
+
   test("chunks collection round-trips bucketed with chunk metadata") {
     val out = Files.createTempDirectory("graft-index").toString
     val (main, chunks) = IndexBuilder.write(spark, dir, out, buckets = 4)
