@@ -510,6 +510,108 @@ object Ann {
     nswFinish(e, r1Pooled, k)
   }
 
+  /** Stored-corpus fraction of the incremental-insert keyed query:
+    * vec_id < 4N/5 is the stored index, the top fifth is the arriving
+    * batch — both derivable in-plan by each engine.
+    */
+  val InsertSplitNum = 4L
+  val InsertSplitDen = 5L
+
+  /** Memoized embedding-carrying cell assignment of the STORED slice
+    * (vec_id < split) — the incremental insert's stored index, built
+    * once per session exactly like [[nswCells]] but over the slice.
+    */
+  private def nswStoredCells(s: SparkSession, dir: String, split: Long,
+                             nprobe: Int): DataFrame =
+    Graft.memoCache(s"nsw_cells_ins_${split}_$nprobe", dir) {
+      requireCentroidBudget(sqrtFanout(split), "nswGraphInsert stored")
+      val e = withNorm(Graft.embeddings(s, dir).filter(col("vec_id") < split))
+      val nc = e.agg(greatest(lit(8L), expr("cast(floor(sqrt(count(1))) as bigint)"))
+        .as("ncents"))
+      val cents = e.crossJoin(broadcast(nc)).filter(col("vec_id") < col("ncents"))
+        .agg(sort_array(collect_list(struct(col("vec_id").as("cid"), col("embedding").as("cvec"),
+          col("nrm").as("cnrm")))).as("cents"))
+      cellsOver(e, cents, nprobe)
+    }
+
+  /** The stored slice's finished NSW graph (full blocked build +
+    * NN-descent over vec_id < split), memoized — the index generation
+    * the incremental insert maintains.
+    */
+  private[graft] def nswStoredGraph(s: SparkSession, dir: String, split: Long,
+                                    k: Int, nprobe: Int): DataFrame =
+    Graft.memoCache(s"nsw_graph_ins_${split}_${k}_$nprobe", dir) {
+      val stored = Graft.embeddings(s, dir).filter(col("vec_id") < split)
+        .select(col("vec_id"), col("embedding"))
+      nswEdgesFromCells(stored, nswStoredCells(s, dir, split, nprobe).hint("SHUFFLE_HASH"), k)
+    }
+
+  /** INCREMENTAL graph-index maintenance — the [[dedup_incremental]]
+    * asymmetric pattern pointed at the NSW index (until r14 the only
+    * path was a full rebuild per corpus generation): a batch of new
+    * vectors (vec_id >= split) is inserted into the STORED graph
+    * (vec_id < split) without re-scoring the stored corpus.
+    *
+    *  1. the batch assigns to its top-`nprobe` cells of the STORED
+    *     centroid set (|B|·√|S| scoring — ∝ batch, the probe cost a
+    *     flat query pays);
+    *  2. candidate pairs = batch cells ⋈ (stored ∪ batch) cells on the
+    *     shared cell id — every pair has ≥ 1 new side, so pair work is
+    *     ∝ batch · cell occupancy, never |S|^1.5;
+    *  3. both directions of the scored pairs pool: new srcs take their
+    *     top-k (their out-edges), TOUCHED stored srcs re-rank their
+    *     existing edge list ∪ the new arrivals (HNSW's insert-time
+    *     neighbor-list repair), and untouched stored srcs pass through
+    *     via a broadcast anti join — one streaming read of the stored
+    *     edge frame emits the new generation (the IndexBuilder.upsert
+    *     write pattern), with ALL ranking work ∝ batch.
+    *
+    * No NN-descent runs on insert (the classic insert-time trade:
+    * descent is a batch-build refinement; Round14OpsSpec measures the
+    * merged graph's edge recall against the flat-rebuild bound).
+    * Determinism: same tie-breaks as the build, so the whole operator
+    * unrolls to a generated DuckDB oracle (keyed `ann_graph_insert`).
+    */
+  def nswGraphInsert(s: SparkSession, dir: String, k: Int = 4, nprobe: Int = 3): DataFrame = {
+    val nTot = Graft.tableRows(s, dir, "embeddings")
+    val split = nTot * InsertSplitNum / InsertSplitDen
+    val e = Graft.embeddings(s, dir)
+    val storedCells = nswStoredCells(s, dir, split, nprobe)
+    val storedEdges = nswStoredGraph(s, dir, split, k, nprobe)
+      .select(col("src"), col("dst"), col("cos"), col("rn"))
+    // batch assignment against the STORED centroid set (derived by the
+    // same dense-id threshold — √|S| rows, no stored-corpus rescore)
+    val eS = withNorm(e.filter(col("vec_id") < split))
+    val nc = eS.agg(greatest(lit(8L), expr("cast(floor(sqrt(count(1))) as bigint)"))
+      .as("ncents"))
+    val cents = eS.crossJoin(broadcast(nc)).filter(col("vec_id") < col("ncents"))
+      .agg(sort_array(collect_list(struct(col("vec_id").as("cid"), col("embedding").as("cvec"),
+        col("nrm").as("cnrm")))).as("cents"))
+    val batchCells = cellsOver(withNorm(e.filter(col("vec_id") >= split)), cents, nprobe)
+    val allCells = storedCells.select(col("vec_id"), col("embedding"), col("nrm"), col("cid"))
+      .union(batchCells)
+      .hint("SHUFFLE_HASH")
+    val pairs = batchCells.as("x").join(allCells.as("y"),
+        col("x.cid") === col("y.cid") && col("x.vec_id") =!= col("y.vec_id"))
+      .select(col("x.vec_id").as("src"), col("y.vec_id").as("dst"),
+        round(VectorOps.dot(col("x.embedding"), col("y.embedding"))
+          / (col("x.nrm") * col("y.nrm")), 6).as("cos"))
+    // both directions: new→any out-edges AND the touched-old repair side
+    val undp = pairs.union(
+        pairs.select(col("dst").as("src"), col("src").as("dst"), col("cos")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Graft.trackCaches("nsw_insert_undp", undp)
+    val touched = undp.select(col("src")).distinct()
+    val touchedOld = storedEdges.join(broadcast(touched), Seq("src"), "left_semi")
+      .select(col("src"), col("dst"), col("cos"))
+    val wTop = Window.partitionBy(col("src")).orderBy(col("cos").desc, col("dst"))
+    val reranked = touchedOld.union(undp).distinct()
+      .withColumn("rn", row_number().over(wTop).cast("long")).filter(col("rn") <= k)
+      .select(col("src"), col("dst"), col("cos"), col("rn"))
+    val untouched = storedEdges.join(broadcast(touched), Seq("src"), "left_anti")
+    untouched.unionByName(reranked)
+  }
+
   /** NSW blocking-index health report: log2-bucketed histogram of cell
     * occupancy over the memoized [[nswAssign]] narrow frame. The
     * graph build's cost bound — nprobe^2 * N^1.5 candidate pairs —
@@ -1628,35 +1730,79 @@ object Ann {
       .limit(k)
   }
 
-  /** The blocked-NSW build as a DuckDB CTE chain ending in `topk`
-    * (src, dst, cos, rn) — the exact cross-engine twin of
-    * [[nswEdgesFromCells]]; shared by the `ann_graph_nsw` edge oracle
-    * and the `embed_outlier_knn` isolation aggregate.
+  /** The blocked-NSW build as a DuckDB CTE chain ending in `topk$f`
+    * (src, dst, cos, rn), parameterized over the source CTE `src` and a
+    * CTE-name suffix `f` — the exact cross-engine twin of
+    * [[nswEdgesFromCells]]; shared (at src="e", f="") by the
+    * `ann_graph_nsw` edge oracle, the graph-search chain and the
+    * `embed_outlier_knn` isolation aggregate, and (at src="es", f="i")
+    * by the incremental insert's stored-slice build.
     */
-  private val duckNswTopk =
-    s"""c AS (SELECT vec_id AS cid, v FROM e WHERE vec_id <
-       |        greatest(8, CAST(floor(sqrt((SELECT count(*) FROM e))) AS BIGINT))),
-       |sc AS (SELECT x.vec_id, y.cid, round($duckCosPair, 6) AS cscore
-       |       FROM e x JOIN (SELECT cid, v FROM c) y ON true),
-       |asg AS (SELECT vec_id, cid FROM (
+  private def duckNswTopkOver(src: String, f: String): String =
+    s"""c$f AS (SELECT vec_id AS cid, v FROM $src WHERE vec_id <
+       |        greatest(8, CAST(floor(sqrt((SELECT count(*) FROM $src))) AS BIGINT))),
+       |sc$f AS (SELECT x.vec_id, y.cid, round($duckCosPair, 6) AS cscore
+       |       FROM $src x JOIN (SELECT cid, v FROM c$f) y ON true),
+       |asg$f AS (SELECT vec_id, cid FROM (
        |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
-       |          ORDER BY cscore DESC, cid) AS rn FROM sc) WHERE rn <= 3),
-       |m AS (SELECT e.vec_id, asg.cid FROM e JOIN asg ON e.vec_id = asg.vec_id),
-       |cand0 AS (SELECT DISTINCT x.vec_id AS src, y.vec_id AS dst
-       |          FROM m x JOIN m y ON x.cid = y.cid AND x.vec_id != y.vec_id),
-       |cos0 AS (SELECT src, dst, round($duckCosPair, 6) AS cos
-       |         FROM cand0 JOIN e x ON x.vec_id = src JOIN e y ON y.vec_id = dst),
-       |r1 AS (SELECT src, dst FROM (SELECT src, dst, row_number() OVER (
-       |         PARTITION BY src ORDER BY cos DESC, dst) AS rn FROM cos0) WHERE rn <= 4),
-       |und AS (SELECT src, dst FROM r1 UNION SELECT dst, src FROM r1),
-       |hop2 AS (SELECT DISTINCT a.src AS src, b.dst AS dst
-       |         FROM und a JOIN und b ON a.dst = b.src WHERE a.src != b.dst),
-       |allc AS (SELECT src, dst FROM hop2 UNION SELECT src, dst FROM cand0),
-       |csA AS (SELECT src, dst, round($duckCosPair, 6) AS cos
-       |        FROM allc JOIN e x ON x.vec_id = src JOIN e y ON y.vec_id = dst),
-       |topk AS (SELECT src, dst, cos, CAST(rn AS BIGINT) AS rn FROM (
+       |          ORDER BY cscore DESC, cid) AS rn FROM sc$f) WHERE rn <= 3),
+       |m$f AS (SELECT s.vec_id, a.cid FROM $src s JOIN asg$f a ON s.vec_id = a.vec_id),
+       |cand0$f AS (SELECT DISTINCT x.vec_id AS src, y.vec_id AS dst
+       |          FROM m$f x JOIN m$f y ON x.cid = y.cid AND x.vec_id != y.vec_id),
+       |cos0$f AS (SELECT src, dst, round($duckCosPair, 6) AS cos
+       |         FROM cand0$f JOIN $src x ON x.vec_id = src JOIN $src y ON y.vec_id = dst),
+       |r1$f AS (SELECT src, dst FROM (SELECT src, dst, row_number() OVER (
+       |         PARTITION BY src ORDER BY cos DESC, dst) AS rn FROM cos0$f) WHERE rn <= 4),
+       |und$f AS (SELECT src, dst FROM r1$f UNION SELECT dst, src FROM r1$f),
+       |hop2$f AS (SELECT DISTINCT a.src AS src, b.dst AS dst
+       |         FROM und$f a JOIN und$f b ON a.dst = b.src WHERE a.src != b.dst),
+       |allc$f AS (SELECT src, dst FROM hop2$f UNION SELECT src, dst FROM cand0$f),
+       |csA$f AS (SELECT src, dst, round($duckCosPair, 6) AS cos
+       |        FROM allc$f JOIN $src x ON x.vec_id = src JOIN $src y ON y.vec_id = dst),
+       |topk$f AS (SELECT src, dst, cos, CAST(rn AS BIGINT) AS rn FROM (
        |  SELECT src, dst, cos, row_number() OVER (PARTITION BY src
-       |          ORDER BY cos DESC, dst) AS rn FROM csA) WHERE rn <= 4)""".stripMargin
+       |          ORDER BY cos DESC, dst) AS rn FROM csA$f) WHERE rn <= 4)""".stripMargin
+
+  private val duckNswTopk = duckNswTopkOver("e", "")
+
+  /** The incremental insert as DuckDB CTEs — the exact twin of
+    * [[nswGraphInsert]]: stored-slice build (suffix `i`), batch
+    * assignment to the stored centroids, new-side-only candidate
+    * pairs, touched-src re-rank, untouched pass-through. Heavy CTEs
+    * are MATERIALIZED (referenced more than once; DuckDB inlines CTEs
+    * by default, which would re-expand the whole stored build per
+    * reference).
+    */
+  private def duckGraphInsertSql: String =
+    s"""WITH $duckE,
+       |spl AS (SELECT count(*) * $InsertSplitNum // $InsertSplitDen AS v FROM e),
+       |es AS (SELECT vec_id, v FROM e WHERE vec_id < (SELECT v FROM spl)),
+       |${duckNswTopkOver("es", "i")},
+       |topkim AS MATERIALIZED (SELECT * FROM topki),
+       |bat AS (SELECT vec_id, v FROM e WHERE vec_id >= (SELECT v FROM spl)),
+       |bsc AS (SELECT x.vec_id, y.cid, round($duckCosPair, 6) AS cscore
+       |        FROM bat x JOIN (SELECT cid, v FROM ci) y ON true),
+       |basg AS (SELECT vec_id, cid FROM (
+       |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+       |          ORDER BY cscore DESC, cid) AS rn FROM bsc) WHERE rn <= 3),
+       |bcell AS (SELECT b.vec_id, a.cid FROM bat b JOIN basg a ON b.vec_id = a.vec_id),
+       |acell AS (SELECT vec_id, cid FROM mi UNION ALL SELECT vec_id, cid FROM bcell),
+       |np AS (SELECT DISTINCT x.vec_id AS src, y.vec_id AS dst
+       |       FROM bcell x JOIN acell y ON x.cid = y.cid AND x.vec_id != y.vec_id),
+       |npc AS MATERIALIZED (SELECT src, dst, round($duckCosPair, 6) AS cos
+       |       FROM np JOIN e x ON x.vec_id = src JOIN e y ON y.vec_id = dst),
+       |undp AS MATERIALIZED (SELECT src, dst, cos FROM npc
+       |        UNION ALL SELECT dst, src, cos FROM npc),
+       |tsrc AS MATERIALIZED (SELECT DISTINCT src FROM undp),
+       |told AS (SELECT t.src, t.dst, t.cos FROM topkim t JOIN tsrc ON t.src = tsrc.src),
+       |rer AS (SELECT src, dst, cos, CAST(rn AS BIGINT) AS rn FROM (
+       |  SELECT src, dst, cos, row_number() OVER (PARTITION BY src
+       |          ORDER BY cos DESC, dst) AS rn
+       |  FROM (SELECT DISTINCT src, dst, cos FROM (
+       |    SELECT * FROM told UNION ALL SELECT * FROM undp))) WHERE rn <= 4)
+       |SELECT t.src, t.dst, t.cos, t.rn FROM topkim t
+       |WHERE t.src NOT IN (SELECT src FROM tsrc)
+       |UNION ALL SELECT src, dst, cos, rn FROM rer""".stripMargin
 
   /** One shard of the shard-and-merge NSW build as DuckDB CTEs ending
     * in `r1s$t`: shard-t seeds (first √n_t member ids via the residue
@@ -2205,6 +2351,7 @@ object Ann {
          |SELECT t.src, t.dst, t.cos, t.rn, (r.src IS NOT NULL) AS mutual
          |FROM topk t LEFT JOIN topk r ON t.src = r.dst AND t.dst = r.src""".stripMargin,
     "ann_graph_sharded" -> duckShardedSql,
+    "ann_graph_insert" -> duckGraphInsertSql,
     "ann_graph_search" ->
       s"""WITH $duckE,
          |$duckGraphSearchCtes

@@ -63,6 +63,46 @@ class Round14OpsSpec extends SparkSpec {
     assert(got.length === qids.size * Ann.GraphSearchK)
   }
 
+  test("incremental insert: untouched srcs pass through, touched only improve, new nodes recalled") {
+    val split = vecs.size.toLong * Ann.InsertSplitNum / Ann.InsertSplitDen
+    val merged = Ann.nswGraphInsert(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val stored = Ann.nswStoredGraph(spark, dir, split, 4, 3)
+      .select("src", "dst", "cos", "rn").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val mBySrc = merged.groupBy(_._1)
+    val sBySrc = stored.groupBy(_._1)
+    // every stored src and every batch node has an edge list; out-degree bounded
+    assert(mBySrc.keySet === (0L until vecs.size.toLong).toSet)
+    mBySrc.values.foreach(es => assert(es.length <= 4))
+    // stored srcs: either untouched (identical rows) or strictly-not-worse
+    // (the re-rank merges new candidates INTO the existing list)
+    var untouchedN = 0; var improvedN = 0
+    for ((src, se) <- sBySrc) {
+      val me = mBySrc(src)
+      if (me.toSet == se.toSet) untouchedN += 1
+      else {
+        assert(me.map(_._3).sum >= se.map(_._3).sum - 1e-9,
+          s"touched src $src got WORSE after insert")
+        improvedN += 1
+      }
+    }
+    assert(untouchedN > 0, "some stored srcs should be untouched by a 20% batch")
+    assert(improvedN > 0, "some stored srcs should gain better neighbors")
+    // new-node edge recall vs the exact top-4 over the FULL corpus
+    val newSrcs = (split until vecs.size.toLong).toSeq
+    val hits = newSrcs.map { q =>
+      val exact = (vecs - q).toSeq
+        .map { case (id, v) => (id, cosR(v, vecs(q))) }
+        .sortBy { case (id, c) => (-c, id) }.take(4).map(_._1).toSet
+      (mBySrc(q).map(_._2).toSet & exact).size
+    }.sum
+    val recall = hits.toDouble / (4 * newSrcs.size)
+    info(f"new-node edge recall@4 after insert: $recall%.3f " +
+      s"(untouched $untouchedN, repaired $improvedN stored srcs)")
+    assert(recall >= 0.5, s"insert-time edge recall $recall below bound")
+  }
+
   test("graph-search recall clears the graph-quality bound and is internally consistent") {
     val row = Ann.graphSearchRecall(spark, dir).collect().head
     val (k, nq, nov, micros) =
