@@ -968,6 +968,52 @@ object TextAnalysis {
     s.createDataFrame(recorded.toSeq).toDF("step", "pair", "merged", "cnt")
   }
 
+  /** APPLY the learned BPE merges and measure coverage — the missing
+    * half of the tokenizer-training loop (train → apply → coverage):
+    * [[bpeMergeSteps]]' merge table (≤ `steps` rows of bounded driver
+    * state, the kmeans_step pattern) re-tokenizes the corpus, and the
+    * per-document OOV rate of the resulting symbol stream against the
+    * top-`vocabSize` symbol vocabulary is the [[oovRate]] report under
+    * the LEARNED tokenization.
+    *
+    * Scale shape: merges fold over the DISTINCT word vocabulary (the
+    * trainer's own invariant — merge work ∝ vocab, never corpus), the
+    * per-type symbol arrays join back to word instances on one hashed
+    * exchange, and the symbol stream is memoized because vocab cut and
+    * coverage aggregate both fold over it.
+    */
+  def bpeApply(s: SparkSession, dir: String, steps: Int = BpeMergeSteps,
+               vocabSize: Int = 16): DataFrame = {
+    val merges = bpeMergeSteps(s, dir, steps).collect()
+      .sortBy(_.getLong(0)).map(r => (r.getString(1), r.getString(2)))
+    var symsExpr = "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
+    for ((pair, merged) <- merges) {
+      val Array(a, b) = pair.split(" ", 2)
+      symsExpr = s"aggregate($symsExpr, array_repeat('', 0), (acc, x) -> " +
+        s"if(size(acc) > 0 and element_at(acc, -1) = '$a' and x = '$b', " +
+        s"concat(slice(acc, 1, size(acc) - 1), array('$merged')), " +
+        s"concat(acc, array(x))))"
+    }
+    val inst = Graft.documents(s, dir)
+      .select(col("doc_id"),
+        explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("w"))
+      .filter(length(col("w")) >= 2)
+    val types = inst.select(col("w")).distinct()
+      .select(col("w"), expr(symsExpr).as("syms"))
+    val syms = Graft.memoCache("bpe_apply_syms", dir)(
+      inst.join(types.hint("SHUFFLE_HASH"), "w")
+        .select(col("doc_id"), explode(col("syms")).as("sym")))
+    val vocab = syms.groupBy(col("sym")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("sym").asc).limit(vocabSize)
+      .select(col("sym").as("v_sym"))
+    syms.join(broadcast(vocab), col("sym") === col("v_sym"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_syms"),
+        sum(when(col("v_sym").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("doc_id"), col("n_syms"), col("n_oov"),
+        expr("n_oov * 1000000 div n_syms").as("oov_micros"))
+  }
+
   /** Corpus-level BPE merge-step statistics: the top-20 adjacent
     * character pairs inside letter-run words, weighted by occurrence —
     * the argmax of this table IS the next merge a byte-pair-encoding
@@ -1197,17 +1243,50 @@ object TextAnalysis {
        |          '(' || replace((SELECT pair FROM t$k), ' ', '') || ')') AS repr, cnt
        |        FROM w${k - 1})""".stripMargin
 
-  private def duckBpeMergesSql: String = {
+  /** Shared BPE-training CTE prefix: word vocab → bracketed repr →
+    * `BpeMergeSteps` (p/t/w) merge rounds, ending in `w$BpeMergeSteps`.
+    */
+  private def duckBpePrefix: String = {
     val chains = (1 to BpeMergeSteps).map(duckBpeStep).mkString(",\n")
-    val union = (1 to BpeMergeSteps).map(k =>
-      s"SELECT CAST($k AS BIGINT) AS step, pair, replace(pair, ' ', '') AS merged, c AS cnt FROM t$k")
-      .mkString("\nUNION ALL ")
-    s"""WITH wv AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
+    s"""wv AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
        |        SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
        |        FROM documents) WHERE len(word) >= 2 GROUP BY 1),
        |w0 AS (SELECT '(' || array_to_string(string_split(word, ''), ')(') || ')' AS repr,
        |        cnt FROM wv),
-       |$chains
+       |$chains""".stripMargin
+  }
+
+  /** bpe_apply as DuckDB CTEs: the trained w-chain's final repr splits
+    * back into (word, symbol-array) types, joins to per-doc word
+    * instances, and the symbol stream's per-doc OOV vs its own top-16
+    * symbol vocab is the coverage report — the exact twin of
+    * [[bpeApply]]. `ds` is MATERIALIZED (vocab cut + coverage aggregate
+    * both read it; DuckDB would otherwise re-expand the training chain
+    * per reference).
+    */
+  private def duckBpeApplySql: String =
+    s"""WITH $duckBpePrefix,
+       |wt AS (SELECT replace(replace(repr, '(', ''), ')', '') AS w,
+       |        string_split(substring(repr, 2, len(repr) - 2), ')(') AS syms
+       |       FROM w$BpeMergeSteps),
+       |dw AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+       |       FROM documents),
+       |ds AS MATERIALIZED (SELECT doc_id, unnest(syms) AS sym
+       |      FROM (SELECT dw.doc_id, wt.syms FROM dw JOIN wt USING (w))),
+       |v AS (SELECT sym FROM (SELECT sym, count(*) AS c FROM ds
+       |      GROUP BY 1 ORDER BY c DESC, sym LIMIT 16)),
+       |j AS (SELECT d.doc_id, (v.sym IS NOT NULL) AS inv
+       |      FROM ds d LEFT JOIN v ON d.sym = v.sym)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_syms,
+       | CAST(count(*) FILTER (WHERE NOT inv) AS BIGINT) AS n_oov,
+       | CAST(count(*) FILTER (WHERE NOT inv) AS BIGINT) * 1000000 // count(*) AS oov_micros
+       |FROM j GROUP BY 1""".stripMargin
+
+  private def duckBpeMergesSql: String = {
+    val union = (1 to BpeMergeSteps).map(k =>
+      s"SELECT CAST($k AS BIGINT) AS step, pair, replace(pair, ' ', '') AS merged, c AS cnt FROM t$k")
+      .mkString("\nUNION ALL ")
+    s"""WITH $duckBpePrefix
        |$union""".stripMargin
   }
 
@@ -1255,6 +1334,7 @@ object TextAnalysis {
         | tn + CAST(round(0.5 * ln(2) * (1000000000 - qn)) AS BIGINT) AS jsd_nanos
         |FROM agg""".stripMargin,
     "bpe_merge_steps" -> duckBpeMergesSql,
+    "bpe_apply" -> duckBpeApplySql,
     "text_top_ngram" ->
       """WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
         |  FROM documents),

@@ -103,6 +103,43 @@ class Round14OpsSpec extends SparkSpec {
     assert(recall >= 0.5, s"insert-time edge recall $recall below bound")
   }
 
+  test("bpe_apply equals a plain-Scala retokenization under the learned merges") {
+    import graft.operators.TextAnalysis
+    val merges = TextAnalysis.bpeMergeSteps(spark, dir).collect()
+      .sortBy(_.getLong(0))
+      .map(r => (r.getString(1).split(" ", 2), r.getString(2)))
+    def retok(w: String): Seq[String] = {
+      var syms: Seq[String] = w.map(_.toString)
+      for ((Array(a, b), m) <- merges) {
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        for (x <- syms) {
+          if (out.nonEmpty && out.last == a && x == b) { out.remove(out.length - 1); out += m }
+          else out += x
+        }
+        syms = out.toSeq
+      }
+      syms
+    }
+    val docs = Graft.documents(spark, dir).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val symStream = docs.flatMap { case (id, text) =>
+      "[a-z]+".r.findAllIn(text.toLowerCase).filter(_.length >= 2)
+        .flatMap(retok).map(id -> _)
+    }
+    val vocab = symStream.groupBy(_._2).view.mapValues(_.length).toSeq
+      .sortBy { case (sym, c) => (-c, sym) }.take(16).map(_._1).toSet
+    val expected = symStream.groupBy(_._1).map { case (id, ss) =>
+      val oov = ss.count(s => !vocab.contains(s._2)).toLong
+      (id, ss.length.toLong, oov, oov * 1000000L / ss.length)
+    }.toSet
+    val got = TextAnalysis.bpeApply(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got === expected)
+    // the loop closed: at least one learned multi-char symbol made the
+    // top-16 vocab (training actually changed the coverage unit)
+    assert(vocab.exists(_.length > 1), s"no merged symbol in vocab: $vocab")
+  }
+
   test("graph-search recall clears the graph-quality bound and is internally consistent") {
     val row = Ann.graphSearchRecall(spark, dir).collect().head
     val (k, nq, nov, micros) =
