@@ -1,0 +1,133 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-curve measurement harness (bench-adjacent main, like Bench):
+  * replicates the sf0.1 tables into multiplied corpora under /tmp and
+  * times named probes at each decade, emitting one JSONL line per
+  * (probe, scale) — the evidence file the round's docs/ curves come
+  * from.
+  *
+  * Corpus replication:
+  *  - embeddings: R exact copies with offset vec_ids/labels (a
+  *    dup-heavy corpus; build-cost shape is unaffected by duplicate
+  *    vectors and real corpora ARE dup-heavy).
+  *  - documents: per-replica word SUFFIXING keeps replica vocabularies
+  *    disjoint (so true near-dup structure grows linearly — within a
+  *    replica only), PLUS every 10th document REPLACED by a fixed
+  *    unsuffixed TEMPLATE sentence across all replicas — the
+  *    boilerplate stress the dedup_tfidf_cosine df-skew advisory asks
+  *    about: for template-only docs the template bigrams ARE the top-8
+  *    features (an appended template never is: doc-specific bigrams
+  *    out-idf it, ln(N) vs ln(10) — measured linear), so the shared
+  *    posting list grows with the corpus and the candidate self-join
+  *    on it is quadratic unless capped.
+  *
+  * Usage: SPARK_GRAFT_PROBES=tfidf,phash SPARK_GRAFT_SCALES=1,10,30
+  *   sbt "runMain graft.ScaleProbe"
+  */
+object ScaleProbe {
+
+  val Template = "quarterly compliance disclosure boilerplate notice required by section seven"
+
+  private def scaledDir(s: SparkSession, mult: Int): String = {
+    val dir = s"/tmp/graft_scale/x$mult"
+    val done = new java.io.File(s"$dir/_DONE")
+    if (done.exists()) return dir
+    val src = "/root/testdata/sf0.1"
+    val e = s.read.parquet(s"$src/embeddings.parquet")
+    val d = s.read.parquet(s"$src/documents.parquet")
+    val nE = e.count(); val nL = 1000000L
+    val nD = d.count()
+    val reps = s.range(0, mult.toLong).toDF("rep")
+    e.crossJoin(reps)
+      .select((col("vec_id") + col("rep") * nE).as("vec_id"),
+        col("embedding"),
+        (col("label") + col("rep") * nL).cast("int").as("label"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    d.crossJoin(reps)
+      .select((col("doc_id") + col("rep") * nD).as("doc_id"),
+        when(col("doc_id") % 10 === 0, lit(Template))
+          .otherwise(
+            expr("array_join(transform(split(text, ' '), w -> concat(w, 'r', cast(rep as string))), ' ')"))
+          .as("text"),
+        col("source"), col("lang"), col("n_chars"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    done.createNewFile()
+    dir
+  }
+
+  private def time[A](f: => A): (Double, A) = {
+    val t0 = System.nanoTime()
+    val a = f
+    ((System.nanoTime() - t0) / 1e9, a)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = Graft.configure(SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val probes = sys.env.getOrElse("SPARK_GRAFT_PROBES", "tfidf").split(",").toSet
+    val scales = sys.env.getOrElse("SPARK_GRAFT_SCALES", "1,10").split(",").map(_.toInt)
+    val out = new java.io.PrintWriter(new java.io.FileWriter(
+      sys.env.getOrElse("SPARK_GRAFT_PROBE_OUT", "/tmp/graft_probe.jsonl"), true))
+    def emit(m: (String, Any)*): Unit = {
+      val line = m.map {
+        case (k, v: String) => s""""$k":"$v""""
+        case (k, v) => s""""$k":$v"""
+      }.mkString("{", ",", "}")
+      out.println(line); out.flush(); System.err.println(s"[probe] $line")
+    }
+    for (mult <- scales) {
+      val dir = scaledDir(spark, mult)
+      Graft.releaseCaches()
+      if (probes("tfidf")) {
+        val (sec, n) = time(operators.TextAnalysis.tfidfCosinePairs(spark, dir).count())
+        val (csec, cands) = time(operators.TextAnalysis.tfidfCosineCandidates(spark, dir).count())
+        emit("probe" -> "dedup_tfidf_cosine", "scale" -> s"${mult}x", "sec" -> sec,
+          "pairs" -> n, "cand_pairs" -> cands, "cand_sec" -> csec)
+      }
+      if (probes("phash")) {
+        val (hsec, nh) = time(operators.Multimodal.phash(spark, dir).count())
+        val (psec, np) = time(operators.Multimodal.phashPairsQuery(spark, dir).count())
+        emit("probe" -> "multimodal_phash", "scale" -> s"${mult}x", "hash_sec" -> hsec,
+          "n_images" -> nh, "pairs_sec" -> psec, "pairs" -> np)
+      }
+      if (probes("evals")) {
+        val (s1, _) = time(operators.Ann.recallSweep(spark, dir).count())
+        val (s2, _) = time(operators.Ann.pqRecallEval(spark, dir).count())
+        val (s3, _) = time(operators.Ann.matryoshkaEval(spark, dir).count())
+        val (s4, _) = time(operators.Dedup.lshRecallEval(spark, dir).count())
+        emit("probe" -> "evaluators", "scale" -> s"${mult}x", "recall_sweep_sec" -> s1,
+          "pq_recall_sec" -> s2, "matryoshka_sec" -> s3, "lsh_recall_sec" -> s4)
+      }
+      if (probes("gsearch")) {
+        val (bsec, _) = time(operators.Ann.nswGraph(spark, dir).count()) // build once
+        val (ssec, _) = time(operators.Ann.graphSearch(spark, dir).count()) // search reads memo
+        val (s2sec, _) = time(operators.Ann.graphSearch(spark, dir).count()) // warm repeat
+        emit("probe" -> "ann_graph_search", "scale" -> s"${mult}x", "build_sec" -> bsec,
+          "search_sec" -> ssec, "search_warm_sec" -> s2sec)
+      }
+      if (probes("ginsert")) {
+        val (fsec, _) = time(operators.Ann.nswGraph(spark, dir).count()) // full-rebuild yardstick
+        Graft.releaseCaches()
+        val nTot = Graft.tableRows(spark, dir, "embeddings")
+        val split = nTot * operators.Ann.InsertSplitNum / operators.Ann.InsertSplitDen
+        val (ssec, _) = time(operators.Ann.nswStoredGraph(spark, dir, split, 4, 3).count())
+        val (isec, n) = time(operators.Ann.nswGraphInsert(spark, dir).count())
+        emit("probe" -> "ann_graph_insert", "scale" -> s"${mult}x", "rebuild_sec" -> fsec,
+          "stored_build_sec" -> ssec, "insert_marginal_sec" -> isec, "edges" -> n)
+      }
+      Graft.releaseCaches()
+    }
+    out.close()
+    spark.stop()
+  }
+}

@@ -341,6 +341,43 @@ object TextAnalysis {
     */
   def tfidfCosinePairs(s: SparkSession, dir: String, topT: Int = 8,
                        tauMicros: Long = 800000L): DataFrame = {
+    val u = tfidfUnitVecs(s, dir, topT)
+    u.as("a").join(u.as("b"),
+        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        (col("a.q") * col("b.q")).as("p"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(sum(col("p")).as("dot"))
+      .select(col("id_a"), col("id_b"), expr("dot div 1000000").as("cos_micros"))
+      .filter(col("cos_micros") >= tauMicros)
+  }
+
+  /** Document-frequency cap on [[tfidfCosinePairs]]' inverted-index
+    * postings — the pressure valve `dedup_winnow_pairs` already has
+    * (df > 5 fingerprints dropped pre-join): a posting of df = s emits
+    * s(s-1)/2 candidate pairs on ONE join key, so a boilerplate corpus
+    * where a template bigram stays top-8 across many docs is quadratic
+    * without it (MEASURED, docs/bench_r14_tfidf_curve.jsonl: template
+    * docs at 10% of a replicated sf0.1 → candidate pairs 1.9M → 30M →
+    * quadratic at 10×; with the cap the curve is linear). The cap
+    * bounds per-key work at cap², total candidates at topT·N·cap —
+    * linear in the corpus. Trade (documented, same as winnow): docs
+    * whose ENTIRE top-8 is capped-hot boilerplate become unindexable to
+    * this operator, and capped terms stop contributing to pair dots
+    * (cosines underestimate ⇒ recall trade, precision kept — unit
+    * norms still cover all top-8 terms). 256 » every df this corpus's
+    * verify scales produce (max measured 245 at sf0.1), so the valve
+    * only engages on genuinely hot postings.
+    */
+  val TfidfDfCap = 256L
+
+  /** Per-doc top-`topT` bigram tf-idf unit vectors in integer micros —
+    * the inverted index [[tfidfCosinePairs]] self-joins, postings
+    * df-capped at [[TfidfDfCap]]. Factored out so the candidate-stage
+    * probe ([[tfidfCosineCandidates]]) measures the exact production
+    * join input.
+    */
+  private def tfidfUnitVecs(s: SparkSession, dir: String, topT: Int): DataFrame = {
     val tf = Graft.documents(s, dir)
       .select(col("doc_id"), expr("split(lower(text), '\\\\s+')").as("toks"))
       .filter(expr("size(toks) >= 2"))
@@ -354,26 +391,34 @@ object TextAnalysis {
       .partitionBy(col("doc_id")).orderBy(col("tfidf6").desc, col("tok"))
     val top = tf.join(dfreq, "tok")
       .crossJoin(broadcast(n))
-      .select(col("doc_id"), col("tok"),
+      .select(col("doc_id"), col("tok"), col("df"),
         expr("round(cast(tf as double) * ln(cast(n as double) / cast(df as double)), 6)")
           .as("tfidf6"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= topT)
-      .select(col("doc_id"), col("tok"), col("tfidf6"))
+      .select(col("doc_id"), col("tok"), col("df"), col("tfidf6"))
     val nrm = top.groupBy(col("doc_id"))
       .agg(sqrt(sum(col("tfidf6") * col("tfidf6"))).as("nrm"))
-    val u = top.join(nrm, "doc_id")
+    // the df cap applies to the INDEX, after the unit norm: feature
+    // selection and norms are unchanged, hot postings just stop
+    // generating candidates (see TfidfDfCap for the measured reason)
+    top.join(nrm, "doc_id")
+      .filter(col("df") <= TfidfDfCap)
       .select(col("doc_id"), col("tok"),
         expr("cast(round(tfidf6 / nrm * 1000000) as bigint)").as("q"))
       .hint("SHUFFLE_HASH")
+  }
+
+  /** Candidate-pair stage of [[tfidfCosinePairs]] in isolation — the
+    * ScaleProbe hook for the posting-skew curve (how many distinct doc
+    * pairs the inverted-index self-join emits before the dot/τ cut).
+    */
+  def tfidfCosineCandidates(s: SparkSession, dir: String, topT: Int = 8): DataFrame = {
+    val u = tfidfUnitVecs(s, dir, topT)
     u.as("a").join(u.as("b"),
         col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        (col("a.q") * col("b.q")).as("p"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(sum(col("p")).as("dot"))
-      .select(col("id_a"), col("id_b"), expr("dot div 1000000").as("cos_micros"))
-      .filter(col("cos_micros") >= tauMicros)
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
   }
 
   def tfidfTopk(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
@@ -1598,7 +1643,7 @@ object TextAnalysis {
         |FROM toks JOIN uni USING (tok)
         |GROUP BY doc_id""".stripMargin,
     "dedup_tfidf_cosine" ->
-      """WITH t0 AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS ts
+      ("""WITH t0 AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS ts
         |  FROM documents WHERE len(string_split_regex(lower(text), '\s+')) >= 2),
         |toks AS (SELECT doc_id, ts[i] || ' ' || ts[i + 1] AS tok
         |  FROM t0, unnest(range(1, len(ts))) AS r(i)),
@@ -1614,13 +1659,15 @@ object TextAnalysis {
         |nr AS (SELECT doc_id, sqrt(sum(tfidf6 * tfidf6)) AS nrm FROM topt GROUP BY 1),
         |u AS (SELECT t.doc_id, t.tok,
         |        CAST(round(t.tfidf6 / nr.nrm * 1000000) AS BIGINT) AS q
-        |      FROM topt t JOIN nr ON t.doc_id = nr.doc_id),
+        |      FROM topt t JOIN nr ON t.doc_id = nr.doc_id
+        |           JOIN df d2 ON t.tok = d2.tok
+        |      WHERE d2.df <= """.stripMargin + TfidfDfCap.toString + """),
         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |        CAST(sum(a.q * b.q) AS BIGINT) AS dot
         |      FROM u a JOIN u b ON a.tok = b.tok AND a.doc_id < b.doc_id
         |      GROUP BY 1, 2)
         |SELECT id_a, id_b, dot // 1000000 AS cos_micros
-        |FROM p WHERE dot // 1000000 >= 800000""".stripMargin,
+        |FROM p WHERE dot // 1000000 >= 800000""".stripMargin),
     "tfidf_topk" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok
         |  FROM documents),

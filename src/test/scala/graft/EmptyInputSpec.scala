@@ -151,4 +151,15 @@ class EmptyInputSpec extends SparkSpec {
     assert(Ann.pqRecallEval(spark, dir).collect().forall(_.getLong(2) === 0L))
     assert(Dedup.clusterPurity(spark, dir).count() === 0)
   }
+
+  test("round-14 operators are safe on empty tables") {
+    assert(Ann.graphSearch(spark, dir).count() === 0)
+    // recall on zero queries: a single all-zero report row, no div-by-0 throw
+    val rec = Ann.graphSearchRecall(spark, dir).collect()
+    assert(rec.length === 1 && rec.head.getLong(2) === 0L)
+    assert(Ann.nswGraphInsert(spark, dir).count() === 0)
+    assert(TextAnalysis.bpeApply(spark, dir).count() === 0)
+    assert(Multimodal.phashPairsQuery(spark, dir).count() === 0)
+    assert(TextAnalysis.tfidfCosineCandidates(spark, dir).count() === 0)
+  }
 }
