@@ -593,12 +593,30 @@ object Ann {
       .hint("SHUFFLE_HASH")
     val pairs = batchCells.as("x").join(allCells.as("y"),
         col("x.cid") === col("y.cid") && col("x.vec_id") =!= col("y.vec_id"))
-      .select(col("x.vec_id").as("src"), col("y.vec_id").as("dst"),
+      .select(col("x.vec_id").as("src"), col("x.cid").as("cid"), col("y.vec_id").as("dst"),
         round(VectorOps.dot(col("x.embedding"), col("y.embedding"))
           / (col("x.nrm") * col("y.nrm")), 6).as("cos"))
-    // both directions: new→any out-edges AND the touched-old repair side
-    val undp = pairs.union(
-        pairs.select(col("dst").as("src"), col("src").as("dst"), col("cos")))
+    // both directions: new→any out-edges AND the touched-old repair
+    // side. Only batch→STORED pairs reverse (dst < split): batch→batch
+    // pairs already appear in both orientations from the x-side join,
+    // and a duplicate row inside one (src, cell) would let k-1 better
+    // candidates occupy 2(k-1) heap rows and evict a true top-k pair
+    // from the pre-cut below.
+    val undRaw = pairs.select(col("src"), col("cid"), col("dst"), col("cos")).union(
+      pairs.filter(col("dst") < split)
+        .select(col("dst").as("src"), col("cid"), col("src").as("dst"), col("cos")))
+    // per-(src, cell) bounded heap BEFORE pooling — nswR1's lossless
+    // pre-cut (every true top-k pair shares a cell where at most k-1
+    // better candidates outrank it), satisfied by the join's hash(cid)
+    // partitioning. Without it the raw pair stream hits the distinct
+    // (MEASURED at 100×: 360M undirected pair rows, insert 333s —
+    // MORE than the 198s stored build it was supposed to beat; with
+    // the cut the distinct sees ≤ k rows per (src, cell)).
+    val wCell = Window.partitionBy(col("src"), col("cid"))
+      .orderBy(col("cos").desc, col("dst"))
+    val undp = undRaw
+      .withColumn("rn", row_number().over(wCell)).filter(col("rn") <= k)
+      .select(col("src"), col("dst"), col("cos"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     Graft.trackCaches("nsw_insert_undp", undp)
     val touched = undp.select(col("src")).distinct()
