@@ -1020,6 +1020,143 @@ object Ann {
         expr(s"n_overlap * 1000000 div greatest($k * n_queries, 1)").as("recall_micros"))
   }
 
+  /** Greedy rounds per upper layer of [[hnswSearch]]'s descent: each
+    * round the per-query state (1 node) expands one hop in the current
+    * layer and keeps the best — the batch analog of HNSW's
+    * greedy-to-local-minimum upper-layer walk. Upper layers shrink 4×
+    * per level, so 2 hops cross a layer's diameter with high
+    * probability; fixed (not walk-until-stable) keeps the whole descent
+    * a bounded, cross-engine-unrollable round count.
+    */
+  val HnswDescentRounds = 2
+
+  /** Batch search through the FULL LAYERED HNSW index — the exact
+    * serving walk of the reference's vector store (qdrant.py:210-246;
+    * Qdrant's query path is hierarchical descent, Malkov & Yashunin
+    * 2016 Alg. 5): where [[graphSearch]] enters the flat NSW graph via
+    * its √N centroid layer, this enters at the structure's own sparse
+    * top layer and DESCENDS —
+    *
+    *  1. ENTRY: each query scores the top layer's node set (geometric
+    *     4^-l decay ⇒ O(N/4^Lmax) ≈ a handful of nodes) and keeps the
+    *     best;
+    *  2. DESCEND: for each layer Lmax..1, [[HnswDescentRounds]] greedy
+    *     rounds — the 1-node state expands along that layer's edges,
+    *     rescores, keeps the per-query best (state ∪ neighbors, so the
+    *     walk never regresses);
+    *  3. REFINE: `rounds` beam-expansion rounds at width `beam` in
+    *     layer 0 — identical machinery to [[graphSearch]]'s refine
+    *     stage, but seeded by the descent instead of a centroid scan.
+    *
+    * Deterministic end-to-end (fixed round counts, (score desc, node)
+    * total-order tie-breaks, integer-exact level draws), so the whole
+    * layered walk unrolls to a generated DuckDB oracle: the 17-layer
+    * build stack, then one chained MATERIALIZED CTE per descent/beam
+    * round. Scale shape: the layered index (≈ 8N/3 undirected edges,
+    * memoized with destination vectors attached) is the serving tier's
+    * loaded structure; per round the probe is index ⋈ broadcast(Q·state)
+    * with scoring inline in the join projection — per-query cost
+    * O(ef·2k + Lmax·2k) score kernels, INDEPENDENT of N (vs
+    * [[graphSearch]]'s Q×√N entry scan: at 10^12 vectors the √N entry
+    * pass scores 10^6 centroids/query while the descent scores ~40·2k —
+    * the entire reason serving indexes are hierarchical).
+    */
+  def hnswSearch(s: SparkSession, dir: String, k: Int = GraphSearchK,
+                 beam: Int = GraphSearchBeam,
+                 rounds: Int = GraphSearchRounds): DataFrame = {
+    import s.implicits._
+    val edges = hnswGraph(s, dir)
+    // THE LAYERED SEARCH INDEX: per-layer undirected adjacency with the
+    // destination's vector attached ONCE (session-shared) — the frame a
+    // serving tier holds in memory, layer as just another key column
+    val undL = Graft.memoCache("hnsw_search_index", dir) {
+      val en = withNorm(Graft.embeddings(s, dir))
+        .select(col("vec_id").as("dst"), col("embedding").as("dv"), col("nrm").as("dnrm"))
+      edges.select(col("layer"), col("src"), col("dst"))
+        .union(edges.select(col("layer"), col("dst").as("src"), col("src").as("dst")))
+        .distinct()
+        .join(en.hint("SHUFFLE_HASH"), "dst")
+        .select(col("layer"), col("src"), col("dst"), col("dv"), col("dnrm"))
+    }
+    val qrows = withNorm(graphSearchQueries(s, dir)
+        .select(col("q_id").as("vec_id"), col("qv").as("embedding")))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1), r.getDouble(2)))
+    val qv = qrows.map(q => q._1 -> (q._2, q._3)).toMap
+    def topPerQ(rows: Iterable[(Long, Long, Double)], cut: Int): Map[Long, Seq[(Long, Double)]] =
+      rows.groupBy(_._1).map { case (q, rs) =>
+        q -> rs.map(r => (r._2, r._3)).toSeq.distinct
+          .sortBy { case (n, sc) => (-sc, n) }.take(cut)
+      }
+    // entry: the top layer's node set is O(N·4^-Lmax) ≈ a handful —
+    // ONE bounded scoring job (the census collect is ≤ 17 rows)
+    val lv = hnswLevels(s, dir)
+    val maxLevel = lv.agg(max(col("level")).as("ml")).collect().head.getLong(0)
+    val qsDf = qrows.toSeq.toDF("q_id", "qv", "qnrm")
+    val entry = Graft.embeddings(s, dir)
+      .join(lv.filter(col("level") === maxLevel).select(col("vec_id")), "vec_id")
+      .select(col("vec_id").as("node"), col("embedding").as("nv"))
+      .crossJoin(broadcast(qsDf))
+      .filter(col("node") =!= col("q_id"))
+      .select(col("q_id"), col("node"),
+        round(VectorOps.dot(col("nv"), col("qv")) / (VectorOps.norm(col("nv")) * col("qnrm")), 6)
+          .as("score"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // BEAM STATE ON THE DRIVER, bounded by the query batch (see
+    // graphSearch — same request-sized working set, same one-probe-job
+    // round shape; only ≤ Q·cut·2k scored candidates ever come back)
+    var state: Map[Long, Seq[(Long, Double)]] = topPerQ(entry, 1)
+    def expand(layer: Long, cut: Int): Unit = {
+      val frontier = state.toSeq.flatMap { case (q, ns) =>
+        ns.map(n => (q, n._1, qv(q)._1, qv(q)._2))
+      }
+      if (frontier.nonEmpty) {
+        val stDf = frontier.toDF("q_id", "node", "qv", "qnrm")
+        val scored = undL.filter(col("layer") === layer)
+          .join(broadcast(stDf), col("src") === col("node"))
+          .filter(col("dst") =!= col("q_id"))
+          .select(col("q_id"), col("dst"),
+            round(VectorOps.dot(col("dv"), col("qv")) / (col("dnrm") * col("qnrm")), 6)
+              .as("score"))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        val pooled = state.toSeq.flatMap { case (q, ns) => ns.map(n => (q, n._1, n._2)) } ++ scored
+        state = topPerQ(pooled, cut)
+      }
+    }
+    // layers above maxLevel are empty by construction, so skipping them
+    // driver-side equals the oracle's static 16..1 descent over
+    // zero-row layer CTEs
+    for (l <- maxLevel to 1L by -1L; _ <- 1 to HnswDescentRounds) expand(l, 1)
+    for (_ <- 1 to rounds) expand(0L, beam)
+    val out = state.toSeq.flatMap { case (q, ns) =>
+      ns.take(k).zipWithIndex.map { case ((n, sc), i) => (q, (i + 1).toLong, n, sc) }
+    }.sortBy(r => (r._1, r._2))
+    out.toDF("q_id", "rn", "vec_id", "score")
+  }
+
+  /** Recall@k of the layered HNSW search vs the exact per-query top-k —
+    * [[graphSearchRecall]]'s twin over [[hnswSearch]], so the two entry
+    * strategies (√N centroid scan vs hierarchical descent) are
+    * monitored by the SAME metric on the SAME query batch and the
+    * descent's N-independent entry is shown to cost no recall.
+    */
+  def hnswSearchRecall(s: SparkSession, dir: String, k: Int = GraphSearchK): DataFrame = {
+    val found = hnswSearch(s, dir, k).select(col("q_id"), col("vec_id"))
+    val qs = graphSearchQueries(s, dir)
+    val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("vec_id"))
+    val exact = Graft.embeddings(s, dir)
+      .crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        VectorOps.cosine6(col("embedding"), col("qv")).as("score"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("q_id"), col("vec_id"))
+    found.join(exact, Seq("q_id", "vec_id"))
+      .agg(count(lit(1)).as("n_overlap"))
+      .crossJoin(broadcast(qs.agg(count(lit(1)).as("n_queries"))))
+      .select(lit(k.toLong).as("k"), col("n_queries"), col("n_overlap"),
+        expr(s"n_overlap * 1000000 div greatest($k * n_queries, 1)").as("recall_micros"))
+  }
+
   /** Filtered vector search: cosine top-k restricted by a metadata
     * predicate (label subset) — the payload-filter + search combination
     * every vector DB exposes (reference: qdrant.py:227 filters CHUNKS
@@ -1956,6 +2093,58 @@ object Ann {
        | WHERE rn <= $GraphSearchK)""".stripMargin
   }
 
+  /** The layered HNSW search as a DuckDB CTE chain ending in `hfin`
+    * (q_id, rn, vec_id, score) — [[duckHnswLayersSql]]'s full 17-layer
+    * build stack, per-layer undirected adjacency, then [[hnswSearch]]'s
+    * walk UNROLLED one MATERIALIZED CTE per round: entry at the top
+    * non-empty layer, [[HnswDescentRounds]] greedy rounds per layer
+    * 16..1 (empty layers flow the state through unchanged — the
+    * cross-engine twin of the driver skipping layers above Lmax), then
+    * the [[GraphSearchRounds]] beam rounds in layer 0.
+    */
+  private def duckHnswSearchCtes: String = {
+    val chains = (0 to 16).map(duckHnswLayer).mkString(",\n")
+    // tk$l materializes each layer build ONCE; gu$l's UNION would
+    // otherwise inline (= re-evaluate) the whole topk$l chain twice —
+    // measured 2x on the oracle's dominant layer-0 build
+    val gu = (0 to 16).map(l =>
+      s"""tk$l AS MATERIALIZED (SELECT src, dst FROM topk$l),
+         |gu$l AS MATERIALIZED (SELECT src, dst FROM tk$l UNION SELECT dst, src FROM tk$l)""".stripMargin)
+      .mkString(",\n")
+    val steps = (16 to 1 by -1).flatMap(l => Seq.fill(HnswDescentRounds)((l, 1))) ++
+      Seq.fill(GraphSearchRounds)((0, GraphSearchBeam))
+    val roundCtes = steps.zipWithIndex.map { case ((l, cut), i) =>
+      s"""hs${i + 1} AS MATERIALIZED (SELECT q_id, node, score FROM (
+         |  SELECT q_id, node, score, row_number() OVER (PARTITION BY q_id
+         |          ORDER BY score DESC, node) AS rn
+         |  FROM (SELECT DISTINCT q_id, node, score FROM (
+         |    SELECT q_id, node, score FROM hs$i
+         |    UNION ALL
+         |    SELECT s.q_id, u.dst AS node, round($duckCosQ, 6) AS score
+         |    FROM hs$i s JOIN gu$l u ON u.src = s.node
+         |         JOIN e x ON x.vec_id = u.dst JOIN qs q ON q.q_id = s.q_id
+         |    WHERE u.dst != s.q_id))
+         | ) WHERE rn <= $cut)""".stripMargin
+    }.mkString(",\n")
+    s"""$duckLevels,
+       |$chains,
+       |$gu,
+       |qs AS MATERIALIZED (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 25 = 7
+       |       ORDER BY vec_id LIMIT $GraphSearchQueryCount),
+       |mx AS (SELECT max(level) AS ml FROM lv),
+       |hs0 AS MATERIALIZED (SELECT q_id, node, score FROM (
+       |  SELECT q_id, node, score, row_number() OVER (PARTITION BY q_id
+       |          ORDER BY score DESC, node) AS rn
+       |  FROM (SELECT q.q_id, x.vec_id AS node, round($duckCosQ, 6) AS score
+       |        FROM e x JOIN lv ON x.vec_id = lv.vec_id JOIN mx ON lv.level = mx.ml
+       |             JOIN qs q ON x.vec_id != q.q_id)) WHERE rn <= 1),
+       |$roundCtes,
+       |hfin AS (SELECT q_id, CAST(rn AS BIGINT) AS rn, node AS vec_id, score FROM (
+       |  SELECT q_id, node, score, row_number() OVER (PARTITION BY q_id
+       |          ORDER BY score DESC, node) AS rn FROM hs${steps.size})
+       | WHERE rn <= $GraphSearchK)""".stripMargin
+  }
+
   /** Prefix-dim cosine for the matryoshka oracle: [[duckCosPair]]
     * truncated to the first `d` list positions.
     */
@@ -2417,6 +2606,25 @@ object Ann {
          | CAST(count(*) AS BIGINT) * 1000000
          |   // greatest($GraphSearchK * (SELECT count(*) FROM qs), 1) AS recall_micros
          |FROM fin f JOIN ex ON ex.q_id = f.q_id AND ex.vec_id = f.vec_id""".stripMargin,
+    "ann_hnsw_search" ->
+      s"""WITH $duckE,
+         |$duckHnswSearchCtes
+         |SELECT q_id, rn, vec_id, score FROM hfin""".stripMargin,
+    "ann_hnsw_search_recall" ->
+      s"""WITH $duckE,
+         |$duckHnswSearchCtes,
+         |ex AS (SELECT q_id, vec_id FROM (
+         |  SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+         |          ORDER BY score DESC, vec_id) AS rn
+         |  FROM (SELECT q.q_id, x.vec_id, round($duckCosQ, 6) AS score
+         |        FROM e x JOIN qs q ON x.vec_id != q.q_id))
+         | WHERE rn <= $GraphSearchK)
+         |SELECT CAST($GraphSearchK AS BIGINT) AS k,
+         | (SELECT CAST(count(*) AS BIGINT) FROM qs) AS n_queries,
+         | CAST(count(*) AS BIGINT) AS n_overlap,
+         | CAST(count(*) AS BIGINT) * 1000000
+         |   // greatest($GraphSearchK * (SELECT count(*) FROM qs), 1) AS recall_micros
+         |FROM hfin f JOIN ex ON ex.q_id = f.q_id AND ex.vec_id = f.vec_id""".stripMargin,
     "ann_recall_sweep" -> duckRecallSweepSql,
     "embed_matryoshka" -> duckMatryoshkaSql,
     "ann_pq_recall" ->

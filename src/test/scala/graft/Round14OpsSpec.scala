@@ -157,4 +157,55 @@ class Round14OpsSpec extends SparkSpec {
       Ann.GraphSearchRounds.toLong * Ann.GraphSearchBeam * 2 * 4
     info(s"recall@4 = $micros micros; per-query score budget $budget vs corpus ${vecs.size}")
   }
+
+  test("hnswSearch equals the plain-Scala layered-descent recomputation") {
+    val levels = Ann.hnswLevels(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val maxLevel = levels.values.max
+    // per-layer undirected adjacency from the layered edge frame
+    val lund = scala.collection.mutable.Map.empty[(Long, Long), Set[Long]]
+    Ann.hnswGraph(spark, dir).select("layer", "src", "dst").collect().foreach { r =>
+      val (l, s, d) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      lund((l, s)) = lund.getOrElse((l, s), Set.empty) + d
+      lund((l, d)) = lund.getOrElse((l, d), Set.empty) + s
+    }
+    def hnswRef(q: Long): Seq[(Long, Double)] = {
+      def sc(n: Long) = cosR(vecs(n), vecs(q))
+      var state: Map[Long, Double] = levels.filter(_._2 == maxLevel).keys
+        .filter(_ != q).map(n => n -> sc(n)).toSeq
+        .sortBy { case (n, s) => (-s, n) }.take(1).toMap
+      def expand(layer: Long, cut: Int): Unit = {
+        val cand = state ++ state.keys.flatMap(n => lund.getOrElse((layer, n), Set.empty))
+          .filter(n => n != q && !state.contains(n)).map(n => n -> sc(n))
+        state = cand.toSeq.sortBy { case (n, s) => (-s, n) }.take(cut).toMap
+      }
+      for (l <- maxLevel to 1L by -1L; _ <- 1 to Ann.HnswDescentRounds) expand(l, 1)
+      for (_ <- 1 to Ann.GraphSearchRounds) expand(0L, Ann.GraphSearchBeam)
+      state.toSeq.sortBy { case (n, s) => (-s, n) }.take(Ann.GraphSearchK)
+    }
+    val got = Ann.hnswSearch(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val qids = vecs.keys.toSeq.sorted.filter(_ % 25 == 7).take(Ann.GraphSearchQueryCount)
+    val expected = qids.flatMap { q =>
+      hnswRef(q).zipWithIndex.map { case ((n, s), i) => (q, (i + 1).toLong, n, s) }
+    }
+    assert(got.toSet === expected.toSet)
+    info(s"layered descent entered at level $maxLevel " +
+      s"(${levels.count(_._2 == maxLevel)} entry node(s)) for ${qids.size} queries")
+  }
+
+  test("hnswSearch recall matches graphSearch's bound with an N-independent entry") {
+    val row = Ann.hnswSearchRecall(spark, dir).collect().head
+    val (k, nq, nov, micros) =
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+    assert(k === Ann.GraphSearchK.toLong)
+    assert(nq === Ann.GraphSearchQueryCount.toLong)
+    assert(micros === nov * 1000000L / (k * nq))
+    // the hierarchical entry replaces the sqrt(N) centroid scan with an
+    // O(1)-node top-layer entry + Lmax greedy hops; it must still clear
+    // the same graph-quality floor the flat-entry search is held to
+    assert(micros >= 600000L, s"hnsw-search recall@4 = $micros micros")
+    val flat = Ann.graphSearchRecall(spark, dir).collect().head.getLong(3)
+    info(s"layered recall@4 = $micros micros vs flat-entry $flat micros")
+  }
 }
