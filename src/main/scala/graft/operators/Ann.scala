@@ -1133,6 +1133,85 @@ object Ann {
     out.toDF("q_id", "rn", "vec_id", "score")
   }
 
+  /** Batch graph search over an int8-QUANTIZED index — the compressed
+    * serving tier (FAISS SQ8 / Qdrant scalar quantization): the graph
+    * is built offline at full precision ([[nswGraph]] — build quality
+    * is not sacrificed), but the serving index attaches the
+    * [[FloatVecDot.quantize]] int8 codes instead of the float vectors,
+    * a 4× memory cut (at 10^12 × 64 dims: 256 TB of float32 index
+    * shrinks to 64 TB — the difference between an index that fits the
+    * serving fleet's RAM and one that doesn't). Scoring is the
+    * int8-reconstructed cosine: round(qdot / (‖d8‖·‖q8‖), 6) with the
+    * dot EXACT integer arithmetic (lvec_dot) — deterministic
+    * cross-engine, so the whole quantized walk has a generated DuckDB
+    * oracle like the float one. Beam machinery identical to
+    * [[graphSearch]]; the quantization penalty is measured by the spec
+    * (top-k overlap vs the float search and vs exact).
+    */
+  def graphSearchInt8(s: SparkSession, dir: String, k: Int = GraphSearchK,
+                      beam: Int = GraphSearchBeam,
+                      rounds: Int = GraphSearchRounds): DataFrame = {
+    import s.implicits._
+    val edges = nswGraph(s, dir)
+    // the COMPRESSED search index: undirected adjacency carrying int8
+    // codes + their integer-exact norms, not float vectors
+    val und8 = Graft.memoCache("graph_search_index_int8", dir) {
+      val en = Graft.embeddings(s, dir)
+        .select(col("vec_id").as("dst"),
+          call_function("fvec_quantize", col("embedding")).as("dq"))
+        .select(col("dst"), col("dq"),
+          sqrt(call_function("lvec_dot", col("dq"), col("dq")).cast("double")).as("dn8"))
+      edges.select(col("src"), col("dst"))
+        .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct()
+        .join(en.hint("SHUFFLE_HASH"), "dst")
+        .select(col("src"), col("dst"), col("dq"), col("dn8"))
+    }
+    val qrows = graphSearchQueries(s, dir)
+      .select(col("q_id"), call_function("fvec_quantize", col("qv")).as("q8"))
+      .select(col("q_id"), col("q8"),
+        sqrt(call_function("lvec_dot", col("q8"), col("q8")).cast("double")).as("qn8"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1), r.getDouble(2)))
+    val qv = qrows.map(q => q._1 -> (q._2, q._3)).toMap
+    def topPerQ(rows: Iterable[(Long, Long, Double)], cut: Int): Map[Long, Seq[(Long, Double)]] =
+      rows.groupBy(_._1).map { case (q, rs) =>
+        q -> rs.map(r => (r._2, r._3)).toSeq.distinct
+          .sortBy { case (n, sc) => (-sc, n) }.take(cut)
+      }
+    val qsDf = qrows.toSeq.toDF("q_id", "q8", "qn8")
+    val entry = Graft.embeddings(s, dir)
+      .filter(col("vec_id") < sqrtFanout(Graft.tableRows(s, dir, "embeddings")))
+      .select(col("vec_id").as("node"),
+        call_function("fvec_quantize", col("embedding")).as("nq"))
+      .select(col("node"), col("nq"),
+        sqrt(call_function("lvec_dot", col("nq"), col("nq")).cast("double")).as("nn8"))
+      .crossJoin(broadcast(qsDf))
+      .filter(col("node") =!= col("q_id"))
+      .select(col("q_id"), col("node"),
+        round(call_function("lvec_dot", col("nq"), col("q8")).cast("double")
+          / (col("nn8") * col("qn8")), 6).as("score"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    var state: Map[Long, Seq[(Long, Double)]] = topPerQ(entry, 1)
+    for (_ <- 1 to rounds) {
+      val frontier = state.toSeq.flatMap { case (q, ns) =>
+        ns.map(n => (q, n._1, qv(q)._1, qv(q)._2))
+      }
+      val stDf = frontier.toDF("q_id", "node", "q8", "qn8")
+      val scored = und8.join(broadcast(stDf), col("src") === col("node"))
+        .filter(col("dst") =!= col("q_id"))
+        .select(col("q_id"), col("dst"),
+          round(call_function("lvec_dot", col("dq"), col("q8")).cast("double")
+            / (col("dn8") * col("qn8")), 6).as("score"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      val pooled = state.toSeq.flatMap { case (q, ns) => ns.map(n => (q, n._1, n._2)) } ++ scored
+      state = topPerQ(pooled, beam)
+    }
+    val out = state.toSeq.flatMap { case (q, ns) =>
+      ns.take(k).zipWithIndex.map { case ((n, sc), i) => (q, (i + 1).toLong, n, sc) }
+    }.sortBy(r => (r._1, r._2))
+    out.toDF("q_id", "rn", "vec_id", "score")
+  }
+
   /** Recall@k of the layered HNSW search vs the exact per-query top-k —
     * [[graphSearchRecall]]'s twin over [[hnswSearch]], so the two entry
     * strategies (√N centroid scan vs hierarchical descent) are
@@ -2093,6 +2172,59 @@ object Ann {
        | WHERE rn <= $GraphSearchK)""".stripMargin
   }
 
+  /** Int8-code-vs-query score for the quantized search oracle
+    * (aliases: `x` = a row of `e8`, `q` = a row of `qs8`): EXACT
+    * integer dot over the int8 codes, then the double normalize+round.
+    */
+  private val duckCosQ8 =
+    """CAST(list_sum(list_transform(range(1,65), i -> x.qv[i] * q.qqv[i])) AS DOUBLE)
+      | / (x.n8 * q.qn8)""".stripMargin
+
+  /** The int8-index graph search as a DuckDB CTE chain ending in
+    * `fin8` (q_id, rn, vec_id, score): [[duckNswTopk]]'s FLOAT-built
+    * graph, the int8 quantization of every vector (`e8` — the exact
+    * twin of fvec_quantize: q_i = round(v_i / max|v| * 127)), then
+    * [[graphSearchInt8]]'s beam rounds unrolled with the quantized
+    * score.
+    */
+  private def duckGraphSearchInt8Ctes: String = {
+    val rounds = (1 to GraphSearchRounds).map { r =>
+      s"""s8$r AS MATERIALIZED (SELECT q_id, node, score FROM (
+         |  SELECT q_id, node, score, row_number() OVER (PARTITION BY q_id
+         |          ORDER BY score DESC, node) AS rn
+         |  FROM (SELECT DISTINCT q_id, node, score FROM (
+         |    SELECT q_id, node, score FROM s8${r - 1}
+         |    UNION ALL
+         |    SELECT s.q_id, u.dst AS node, round($duckCosQ8, 6) AS score
+         |    FROM s8${r - 1} s JOIN gund u ON u.src = s.node
+         |         JOIN e8 x ON x.vec_id = u.dst JOIN qs8 q ON q.q_id = s.q_id
+         |    WHERE u.dst != s.q_id))
+         | ) WHERE rn <= $GraphSearchBeam)""".stripMargin
+    }.mkString(",\n")
+    s"""$duckNswTopk,
+       |gund AS MATERIALIZED (SELECT src, dst FROM topk UNION SELECT dst, src FROM topk),
+       |e8 AS MATERIALIZED (SELECT vec_id, qv,
+       |  sqrt(CAST(list_sum(list_transform(range(1,65), i -> qv[i] * qv[i])) AS DOUBLE)) AS n8
+       | FROM (SELECT vec_id,
+       |   CASE WHEN scale = CAST(0 AS DOUBLE) THEN list_transform(v, x -> CAST(0 AS BIGINT))
+       |   ELSE list_transform(v, x -> CAST(round(x / scale * CAST(127 AS DOUBLE)) AS BIGINT)) END AS qv
+       |  FROM (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS scale FROM e))),
+       |qs8 AS MATERIALIZED (SELECT vec_id AS q_id, qv AS qqv, n8 AS qn8 FROM e8
+       |       WHERE vec_id % 25 = 7 ORDER BY vec_id LIMIT $GraphSearchQueryCount),
+       |s80 AS MATERIALIZED (SELECT q_id, node, score FROM (
+       |  SELECT q_id, node, score, row_number() OVER (PARTITION BY q_id
+       |          ORDER BY score DESC, node) AS rn
+       |  FROM (SELECT q.q_id, x.vec_id AS node, round($duckCosQ8, 6) AS score
+       |        FROM e8 x JOIN qs8 q ON x.vec_id != q.q_id
+       |        WHERE x.vec_id < (SELECT greatest(8,
+       |          CAST(floor(sqrt(count(*))) AS BIGINT)) FROM e))) WHERE rn <= 1),
+       |$rounds,
+       |fin8 AS (SELECT q_id, CAST(rn AS BIGINT) AS rn, node AS vec_id, score FROM (
+       |  SELECT q_id, node, score, row_number() OVER (PARTITION BY q_id
+       |          ORDER BY score DESC, node) AS rn FROM s8$GraphSearchRounds)
+       | WHERE rn <= $GraphSearchK)""".stripMargin
+  }
+
   /** The layered HNSW search as a DuckDB CTE chain ending in `hfin`
     * (q_id, rn, vec_id, score) — [[duckHnswLayersSql]]'s full 17-layer
     * build stack, per-layer undirected adjacency, then [[hnswSearch]]'s
@@ -2606,6 +2738,10 @@ object Ann {
          | CAST(count(*) AS BIGINT) * 1000000
          |   // greatest($GraphSearchK * (SELECT count(*) FROM qs), 1) AS recall_micros
          |FROM fin f JOIN ex ON ex.q_id = f.q_id AND ex.vec_id = f.vec_id""".stripMargin,
+    "ann_graph_search_int8" ->
+      s"""WITH $duckE,
+         |$duckGraphSearchInt8Ctes
+         |SELECT q_id, rn, vec_id, score FROM fin8""".stripMargin,
     "ann_hnsw_search" ->
       s"""WITH $duckE,
          |$duckHnswSearchCtes

@@ -208,4 +208,46 @@ class Round14OpsSpec extends SparkSpec {
     val flat = Ann.graphSearchRecall(spark, dir).collect().head.getLong(3)
     info(s"layered recall@4 = $micros micros vs flat-entry $flat micros")
   }
+
+  test("graphSearchInt8 equals the plain-Scala quantized-beam recomputation") {
+    def q8(v: Array[Float]): Array[Long] = {
+      val scale = v.map(x => math.abs(x.toDouble)).max
+      if (scale == 0.0) Array.fill(v.length)(0L)
+      else v.map(x => BigDecimal(x.toDouble / scale * 127.0)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+    }
+    val codes = vecs.map { case (id, v) => id -> q8(v) }
+    val norms = codes.map { case (id, c) => id -> math.sqrt(c.map(x => x.toDouble * x).sum) }
+    def sc8(n: Long, q: Long): Double = {
+      val d = codes(n).zip(codes(q)).map { case (a, b) => a * b }.sum
+      BigDecimal(d.toDouble / (norms(n) * norms(q)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    def beam8(q: Long): Seq[(Long, Double)] = {
+      val cents = vecs.keys.filter(_ < Ann.sqrtFanout(vecs.size.toLong)).toSeq
+      var state: Map[Long, Double] = cents.filter(_ != q).map(n => n -> sc8(n, q))
+        .sortBy { case (n, s) => (-s, n) }.take(1).toMap
+      for (_ <- 1 to Ann.GraphSearchRounds) {
+        val cand = state ++ state.keys.flatMap(und.getOrElse(_, Set.empty))
+          .filter(n => n != q && !state.contains(n)).map(n => n -> sc8(n, q))
+        state = cand.toSeq.sortBy { case (n, s) => (-s, n) }.take(Ann.GraphSearchBeam).toMap
+      }
+      state.toSeq.sortBy { case (n, s) => (-s, n) }.take(Ann.GraphSearchK)
+    }
+    val got = Ann.graphSearchInt8(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val qids = vecs.keys.toSeq.sorted.filter(_ % 25 == 7).take(Ann.GraphSearchQueryCount)
+    val expected = qids.flatMap { q =>
+      beam8(q).zipWithIndex.map { case ((n, s), i) => (q, (i + 1).toLong, n, s) }
+    }
+    assert(got.toSet === expected.toSet)
+    // the quantization penalty, measured: the int8 walk's result set vs
+    // the float walk's on the same graph/batch — SQ8 at 64 dims keeps
+    // ~1% score error, so the top-4 sets should mostly agree
+    val f = Ann.graphSearch(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val overlap = got.map(r => (r._1, r._3)).toSet.intersect(f).size
+    info(s"int8 vs float top-4 overlap: $overlap/${f.size}")
+    assert(overlap * 2 >= f.size, s"int8 walk diverged from float: $overlap/${f.size}")
+  }
 }
