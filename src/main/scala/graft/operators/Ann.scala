@@ -578,7 +578,6 @@ object Ann {
     val e = Graft.embeddings(s, dir)
     val storedCells = nswStoredCells(s, dir, split, nprobe)
     val storedEdges = nswStoredGraph(s, dir, split, k, nprobe)
-      .select(col("src"), col("dst"), col("cos"), col("rn"))
     // batch assignment against the STORED centroid set (derived by the
     // same dense-id threshold — √|S| rows, no stored-corpus rescore)
     val eS = withNorm(e.filter(col("vec_id") < split))
@@ -587,23 +586,53 @@ object Ann {
     val cents = eS.crossJoin(broadcast(nc)).filter(col("vec_id") < col("ncents"))
       .agg(sort_array(collect_list(struct(col("vec_id").as("cid"), col("embedding").as("cvec"),
         col("nrm").as("cnrm")))).as("cents"))
-    val batchCells = cellsOver(withNorm(e.filter(col("vec_id") >= split)), cents, nprobe)
+    nswInsertCore(storedCells, cents, storedEdges, e.filter(col("vec_id") >= split), k, nprobe)
+  }
+
+  /** Incremental insert over an ARBITRARY stored generation — the core
+    * of [[nswGraphInsert]] (which fixes stored = the vec_id < 4N/5
+    * slice for the keyed oracle) and of the streaming index
+    * maintenance ([[graft.streaming.IndexStreams]]: each microbatch is
+    * a `batchEmb`). `storedEmb`/`batchEmb` are (vec_id, embedding)
+    * frames with DISJOINT ids; stored ids must be dense from 0 (the
+    * corpus-generation id contract — the √|S| centroid set is the
+    * dense-id threshold pick, a pure per-row filter, never a sort).
+    */
+  def nswInsertBatch(storedEmb: DataFrame, storedEdges: DataFrame,
+                     batchEmb: DataFrame, k: Int = 4, nprobe: Int = 3): DataFrame = {
+    val eS = withNorm(storedEmb.select(col("vec_id"), col("embedding")))
+    val nc = eS.agg(greatest(lit(8L), expr("cast(floor(sqrt(count(1))) as bigint)"))
+      .as("ncents"))
+    val cents = eS.crossJoin(broadcast(nc)).filter(col("vec_id") < col("ncents"))
+      .agg(sort_array(collect_list(struct(col("vec_id").as("cid"), col("embedding").as("cvec"),
+        col("nrm").as("cnrm")))).as("cents"))
+    nswInsertCore(cellsOver(eS, cents, nprobe), cents, storedEdges, batchEmb, k, nprobe)
+  }
+
+  private def nswInsertCore(storedCells: DataFrame, cents: DataFrame,
+                            storedEdges0: DataFrame, batchEmb: DataFrame,
+                            k: Int, nprobe: Int): DataFrame = {
+    val storedEdges = storedEdges0.select(col("src"), col("dst"), col("cos"), col("rn"))
+    val batchCells =
+      cellsOver(withNorm(batchEmb.select(col("vec_id"), col("embedding"))), cents, nprobe)
     val allCells = storedCells.select(col("vec_id"), col("embedding"), col("nrm"), col("cid"))
-      .union(batchCells)
+      .withColumn("stored", lit(true))
+      .union(batchCells.withColumn("stored", lit(false)))
       .hint("SHUFFLE_HASH")
     val pairs = batchCells.as("x").join(allCells.as("y"),
         col("x.cid") === col("y.cid") && col("x.vec_id") =!= col("y.vec_id"))
       .select(col("x.vec_id").as("src"), col("x.cid").as("cid"), col("y.vec_id").as("dst"),
+        col("y.stored").as("dst_stored"),
         round(VectorOps.dot(col("x.embedding"), col("y.embedding"))
           / (col("x.nrm") * col("y.nrm")), 6).as("cos"))
     // both directions: new→any out-edges AND the touched-old repair
-    // side. Only batch→STORED pairs reverse (dst < split): batch→batch
-    // pairs already appear in both orientations from the x-side join,
-    // and a duplicate row inside one (src, cell) would let k-1 better
-    // candidates occupy 2(k-1) heap rows and evict a true top-k pair
-    // from the pre-cut below.
+    // side. Only batch→STORED pairs reverse: batch→batch pairs already
+    // appear in both orientations from the x-side join, and a duplicate
+    // row inside one (src, cell) would let k-1 better candidates occupy
+    // 2(k-1) heap rows and evict a true top-k pair from the pre-cut
+    // below.
     val undRaw = pairs.select(col("src"), col("cid"), col("dst"), col("cos")).union(
-      pairs.filter(col("dst") < split)
+      pairs.filter(col("dst_stored"))
         .select(col("dst").as("src"), col("cid"), col("src").as("dst"), col("cos")))
     // per-(src, cell) bounded heap BEFORE pooling — nswR1's lossless
     // pre-cut (every true top-k pair shares a cell where at most k-1

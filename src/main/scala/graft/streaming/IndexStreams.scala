@@ -1,0 +1,94 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.operators.Ann
+
+/** Streaming ANN-index maintenance — the 18g versioned-generation
+  * pattern (EventStreams/IndexBuilder: immutable generations + atomic
+  * pointer advance) pointed at the NSW serving index: new vectors
+  * arrive on a stream and each microbatch is folded into the current
+  * stored generation by the batch-proportional [[Ann.nswInsertBatch]]
+  * (no stored-corpus rescore — the keyed `ann_graph_insert` cost
+  * contract), writing generation b+1. The reference's serving store
+  * does exactly this online (qdrant.py:150-170 upserts points into a
+  * live HNSW collection); here the same capability is a Structured
+  * Streaming sink over the batch insert operator.
+  *
+  * Layout under `genRoot`:
+  *  - `gen=0/edges` + `gen=0/members`: the seed build (written by the
+  *    caller before starting the stream);
+  *  - `gen=<b+1>/edges` + `gen=<b+1>/newmembers`: microbatch b's
+  *    output. Generation dirs are written ONCE with overwrite and the
+  *    generation number is a pure function of the checkpointed batch
+  *    id, so a replayed batch rewrites its own generation unchanged
+  *    (exactly-once by idempotence, like 30g's twin); members are
+  *    never copied forward — a generation's corpus is the union of the
+  *    seed members and every earlier generation's `newmembers`.
+  *
+  * Scale: per microbatch the insert scores |B|·√|S| centroids and
+  * |B|-proportional candidate pairs (see nswGraphInsert's measured
+  * 100× evidence: 86s insert vs 273s rebuild at a 20% batch); the
+  * stored edge frame is read once per batch and only touched srcs are
+  * re-ranked. Compaction of the accumulated generation chain is
+  * [[graft.operators.IndexBuilder.compact]]'s job, unchanged.
+  */
+object IndexStreams {
+
+  /** Current generation number = max gen=* dir under the root. */
+  private[graft] def currentGen(root: String): Long = {
+    val f = new java.io.File(root)
+    val gens = Option(f.listFiles()).getOrElse(Array.empty)
+      .filter(d => d.isDirectory && d.getName.startsWith("gen="))
+      .map(_.getName.stripPrefix("gen=").toLong)
+    require(gens.nonEmpty, s"IndexStreams: no seed generation under $root — " +
+      "write gen=0/edges and gen=0/members before starting the stream")
+    gens.max
+  }
+
+  /** All member frames up to and including generation `g`. */
+  private[graft] def membersThrough(s: SparkSession, root: String, g: Long): DataFrame = {
+    val paths = (s"$root/gen=0/members" +:
+      (1L to g).map(i => s"$root/gen=$i/newmembers"))
+      .filter(p => new java.io.File(p).exists())
+    paths.map(s.read.parquet(_)).reduce(_.unionByName(_))
+  }
+
+  /** Start the maintenance stream: `vecStream` is a streaming frame of
+    * (vec_id, embedding) arrivals (ids dense above the stored corpus —
+    * the generation id contract). Each microbatch b reads the current
+    * generation, inserts, and writes generation b+1.
+    */
+  def maintainNswIndex(vecStream: DataFrame, genRoot: String, checkpoint: String,
+                       k: Int = 4, nprobe: Int = 3): StreamingQuery =
+    vecStream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val s = batch.sparkSession
+          val target = batchId + 1
+          // a replayed batch must fold into the SAME stored state it saw
+          // first — generations after target-1 (if a later write raced a
+          // crash) are ignored, so the rewrite is bit-identical
+          val stored = target - 1
+          val storedEmb = membersThrough(s, genRoot, stored)
+          val storedEdges = s.read.parquet(s"$genRoot/gen=$stored/edges")
+          val merged = Ann.nswInsertBatch(storedEmb, storedEdges,
+            batch.select(col("vec_id"), col("embedding")), k, nprobe)
+          merged.write.mode("overwrite").parquet(s"$genRoot/gen=$target/edges")
+          batch.select(col("vec_id"), col("embedding"))
+            .write.mode("overwrite").parquet(s"$genRoot/gen=$target/newmembers")
+        }
+        ()
+      }
+      .start()
+
+  /** File-source entry point: stream (vec_id, embedding) arrivals from
+    * a growing parquet dir, one file per microbatch — the spec's feed
+    * and the shape of a production drop-folder ingest.
+    */
+  def fromParquetDir(s: SparkSession, dir: String, schemaFrom: DataFrame): DataFrame =
+    s.readStream.schema(schemaFrom.schema).option("maxFilesPerTrigger", 1).parquet(dir)
+}

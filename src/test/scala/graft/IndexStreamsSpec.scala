@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Ann
+import graft.streaming.IndexStreams
+
+/** Streaming NSW-index maintenance: vectors arrive in microbatches and
+  * each batch folds into the stored generation via the same
+  * batch-proportional insert the keyed `ann_graph_insert` verifies —
+  * the house batch-parity proof (30e/30f style): every streamed
+  * generation must equal its batch twin exactly.
+  */
+class IndexStreamsSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("streamed generations equal the sequential batch-insert twins") {
+    val root = java.nio.file.Files.createTempDirectory("graft-idxgen").toString
+    val inDir = java.nio.file.Files.createTempDirectory("graft-idxin").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-idxck").toString
+    val e = Graft.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val n = e.count()
+    val cut1 = n * 3 / 5
+    val cut2 = n * 4 / 5
+    // seed generation: full build over the first 3/5 of the corpus
+    val seedEmb = e.filter(col("vec_id") < cut1)
+    val seedEdges = Ann.nswStoredGraph(spark, dir, cut1, 4, 3)
+    seedEdges.write.parquet(s"$root/gen=0/edges")
+    seedEmb.write.parquet(s"$root/gen=0/members")
+    assert(IndexStreams.currentGen(root) === 0L)
+
+    val b1 = e.filter(col("vec_id") >= cut1 && col("vec_id") < cut2)
+    val b2 = e.filter(col("vec_id") >= cut2)
+    def edgeSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double, Long)] =
+      df.select(col("src"), col("dst"), col("cos"), col("rn")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+
+    val q = IndexStreams.maintainNswIndex(
+      IndexStreams.fromParquetDir(spark, inDir, e), root, ckpt)
+    try {
+      // one file per microbatch, arrival order controlled by draining
+      // the source between drops
+      b1.coalesce(1).write.mode("append").parquet(inDir)
+      q.processAllAvailable()
+      b2.coalesce(1).write.mode("append").parquet(inDir)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    assert(IndexStreams.currentGen(root) === 2L)
+    // batch twins, computed sequentially over the same generations
+    val twin1 = Ann.nswInsertBatch(seedEmb, seedEdges, b1)
+    val got1 = spark.read.parquet(s"$root/gen=1/edges")
+    assert(edgeSet(got1) === edgeSet(twin1), "generation 1 diverged from its batch twin")
+    val twin2 = Ann.nswInsertBatch(seedEmb.unionByName(b1), got1, b2)
+    val got2 = spark.read.parquet(s"$root/gen=2/edges")
+    assert(edgeSet(got2) === edgeSet(twin2), "generation 2 diverged from its batch twin")
+    // the final generation serves the WHOLE corpus: every vector has an
+    // edge list, out-degree stays bounded by k
+    val bySrc = edgeSet(got2).groupBy(_._1)
+    assert(bySrc.keySet === (0L until n).toSet)
+    bySrc.values.foreach(es => assert(es.size <= 4))
+    // members chain reconstructs the corpus without ever copying it forward
+    val members = IndexStreams.membersThrough(spark, root, 2L)
+    assert(members.select("vec_id").collect().map(_.getLong(0)).toSet ===
+      (0L until n).toSet)
+    info(s"2 streamed generations over ${n} vectors, " +
+      s"batch sizes ${b1.count()}/${b2.count()}, both equal their batch twins")
+  }
+}
