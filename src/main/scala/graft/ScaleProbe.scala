@@ -115,6 +115,20 @@ object ScaleProbe {
         emit("probe" -> "ann_graph_search", "scale" -> s"${mult}x", "build_sec" -> bsec,
           "search_sec" -> ssec, "search_warm_sec" -> s2sec)
       }
+      if (probes("hsearch")) {
+        val (bsec, _) = time(operators.Ann.hnswGraph(spark, dir).count()) // layered build once
+        val (ssec, _) = time(operators.Ann.hnswSearch(spark, dir).count())
+        val (wsec, _) = time(operators.Ann.hnswSearch(spark, dir).count()) // warm repeat
+        emit("probe" -> "ann_hnsw_search", "scale" -> s"${mult}x", "build_sec" -> bsec,
+          "search_sec" -> ssec, "search_warm_sec" -> wsec)
+      }
+      if (probes("i8search")) {
+        val (bsec, _) = time(operators.Ann.nswGraph(spark, dir).count()) // float build once
+        val (ssec, _) = time(operators.Ann.graphSearchInt8(spark, dir).count())
+        val (wsec, _) = time(operators.Ann.graphSearchInt8(spark, dir).count())
+        emit("probe" -> "ann_graph_search_int8", "scale" -> s"${mult}x", "build_sec" -> bsec,
+          "search_sec" -> ssec, "search_warm_sec" -> wsec)
+      }
       if (probes("ginsert")) {
         val (fsec, _) = time(operators.Ann.nswGraph(spark, dir).count()) // full-rebuild yardstick
         Graft.releaseCaches()

@@ -1119,7 +1119,9 @@ object Ann {
     // entry: the top layer's node set is O(N·4^-Lmax) ≈ a handful —
     // ONE bounded scoring job (the census collect is ≤ 17 rows)
     val lv = hnswLevels(s, dir)
-    val maxLevel = lv.agg(max(col("level")).as("ml")).collect().head.getLong(0)
+    // null-safe: an empty corpus has no levels → no descent, empty entry
+    val mlRow = lv.agg(max(col("level")).as("ml")).collect().head
+    val maxLevel = if (mlRow.isNullAt(0)) 0L else mlRow.getLong(0)
     val qsDf = qrows.toSeq.toDF("q_id", "qv", "qnrm")
     val entry = Graft.embeddings(s, dir)
       .join(lv.filter(col("level") === maxLevel).select(col("vec_id")), "vec_id")

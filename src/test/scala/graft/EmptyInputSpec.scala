@@ -161,5 +161,10 @@ class EmptyInputSpec extends SparkSpec {
     assert(TextAnalysis.bpeApply(spark, dir).count() === 0)
     assert(Multimodal.phashPairsQuery(spark, dir).count() === 0)
     assert(TextAnalysis.tfidfCosineCandidates(spark, dir).count() === 0)
+    // wave-2 serving ops: empty corpus → empty result / all-zero report
+    assert(Ann.hnswSearch(spark, dir).count() === 0)
+    val hrec = Ann.hnswSearchRecall(spark, dir).collect()
+    assert(hrec.length === 1 && hrec.head.getLong(2) === 0L)
+    assert(Ann.graphSearchInt8(spark, dir).count() === 0)
   }
 }
