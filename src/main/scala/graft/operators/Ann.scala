@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Graft
@@ -946,25 +946,34 @@ object Ann {
     * which is the entire point of serving through a navigable graph
     * instead of scanning.
     */
-  def graphSearch(s: SparkSession, dir: String, k: Int = GraphSearchK,
-                  beam: Int = GraphSearchBeam,
-                  rounds: Int = GraphSearchRounds): DataFrame = {
-    import s.implicits._
-    val edges = nswGraph(s, dir)
-    // THE SEARCH INDEX: undirected adjacency with the destination's
-    // vector and norm attached ONCE (2kN rows, persisted + session-
-    // shared) — the frame a serving tier would hold in memory. Every
-    // round is then one broadcast-join probe of this cache: no per-round
-    // vector re-attach, no extra broadcast stage.
-    val undE = Graft.memoCache("graph_search_index", dir) {
-      val en = withNorm(Graft.embeddings(s, dir))
-        .select(col("vec_id").as("dst"), col("embedding").as("dv"), col("nrm").as("dnrm"))
+  /** THE SERVING INDEX of the flat-graph searches: undirected adjacency
+    * with the destination's vector, norm and label metadata attached
+    * ONCE (2kN rows, persisted + session-shared) — the frame a serving
+    * tier holds in memory. Every beam round is then one broadcast-join
+    * probe of this cache: no per-round vector re-attach, no extra
+    * broadcast stage. The label rides along (one int per row) so the
+    * filtered search reads the SAME index — a serving tier stores
+    * filterable payload next to the vectors (qdrant.py:139-176 puts the
+    * article metadata in the point payload for exactly this reason).
+    */
+  private def graphSearchIndex(s: SparkSession, dir: String): DataFrame =
+    Graft.memoCache("graph_search_index", dir) {
+      val edges = nswGraph(s, dir)
+      val en = Graft.embeddings(s, dir)
+        .select(col("vec_id").as("dst"), col("embedding").as("dv"),
+          VectorOps.norm(col("embedding")).as("dnrm"), col("label").as("dlabel"))
       edges.select(col("src"), col("dst"))
         .union(edges.select(col("dst").as("src"), col("src").as("dst")))
         .distinct()
         .join(en.hint("SHUFFLE_HASH"), "dst")
-        .select(col("src"), col("dst"), col("dv"), col("dnrm"))
+        .select(col("src"), col("dst"), col("dv"), col("dnrm"), col("dlabel"))
     }
+
+  def graphSearch(s: SparkSession, dir: String, k: Int = GraphSearchK,
+                  beam: Int = GraphSearchBeam,
+                  rounds: Int = GraphSearchRounds): DataFrame = {
+    import s.implicits._
+    val undE = graphSearchIndex(s, dir)
     // query batch with norms, held on the driver (Q rows — the serving
     // request): the per-round frontier ships (q_id, node, qv, qnrm) so
     // the probe's scoring is inline in the join projection
@@ -1047,6 +1056,104 @@ object Ann {
         // greatest(..., 1): an empty query batch (empty corpus slice)
         // reports 0, not DIVIDE_BY_ZERO under ANSI
         expr(s"n_overlap * 1000000 div greatest($k * n_queries, 1)").as("recall_micros"))
+  }
+
+  /** Metadata filter of [[graphSearchFiltered]]: keep nodes whose label
+    * satisfies label % Mod == Res — two of the corpus's ten labels,
+    * ~20% selectivity: selective enough that the filtered top-k differs
+    * from the unfiltered one (the filter actually bites), dense enough
+    * that every beam neighborhood contains passing nodes (the regime
+    * where filter-during-walk serving works at all; past ~99%
+    * selectivity every engine, Qdrant included, flips to brute-force
+    * over the filtered set — that route already exists here as
+    * `topk_chunks_filtered`).
+    */
+  val GraphSearchFilterMod = 5L
+
+  /** Residue of the [[graphSearchFiltered]] label filter. */
+  val GraphSearchFilterRes = 2L
+
+  /** Batch FILTERED search through the built NSW graph — the serving
+    * shape of a metadata-constrained vector query (qdrant.py:210-246
+    * passes a Qdrant query_filter: the reference's serving tier applies
+    * the chunk-id filter DURING the HNSW walk, not by post-filtering a
+    * fixed top-k). Two coupled per-query states:
+    *
+    *  - the NAVIGATION beam — [[graphSearch]]'s, deliberately
+    *    UNFILTERED: dropping non-passing nodes from the traversal
+    *    itself disconnects the graph exactly when the filter is
+    *    selective (the classic filtered-HNSW failure mode), so the walk
+    *    routes THROUGH non-matching regions;
+    *  - a RESULT accumulator — the best k among every node the walk
+    *    ever SCORED (entry pass included) that passes the filter. The
+    *    walk already paid for those score kernels; the accumulator just
+    *    refuses to forget the passing ones a wider beam would keep.
+    *
+    * Same determinism contract as [[graphSearch]] (fixed entry, fixed
+    * rounds, (score desc, node) tie-breaks), so the filtered walk
+    * unrolls to a generated DuckDB oracle: per round one scored-
+    * candidates CTE feeding BOTH the beam cut and the accumulator cut.
+    * Scale shape identical to the unfiltered search — the filter is one
+    * int comparison inline in the probe join's projection, evaluated on
+    * the SAME shared serving index (the label column rides the memoized
+    * adjacency; a serving tier stores filterable payload next to the
+    * vectors). Queries whose walk never scores a passing node emit no
+    * rows — the serving contract for an over-selective filter.
+    */
+  def graphSearchFiltered(s: SparkSession, dir: String, k: Int = GraphSearchK,
+                          beam: Int = GraphSearchBeam,
+                          rounds: Int = GraphSearchRounds): DataFrame = {
+    import s.implicits._
+    val undE = graphSearchIndex(s, dir)
+    val qrows = withNorm(graphSearchQueries(s, dir)
+        .select(col("q_id").as("vec_id"), col("qv").as("embedding")))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1), r.getDouble(2)))
+    def topPerQ(rows: Iterable[(Long, Long, Double)], cut: Int): Map[Long, Seq[(Long, Double)]] =
+      rows.groupBy(_._1).map { case (q, rs) =>
+        q -> rs.map(r => (r._2, r._3)).toSeq.distinct
+          .sortBy { case (n, sc) => (-sc, n) }.take(cut)
+      }
+    def passCol(label: Column): Column =
+      (pmod(label.cast("long"), lit(GraphSearchFilterMod)) === lit(GraphSearchFilterRes)).as("pass")
+    // entry: each query scores the √N centroid layer once, the filter
+    // flag riding the same projection
+    val cents = Graft.embeddings(s, dir)
+      .filter(col("vec_id") < sqrtFanout(Graft.tableRows(s, dir, "embeddings")))
+      .select(col("vec_id").as("node"), col("embedding").as("nv"), col("label").as("nlabel"))
+    val qsDf = qrows.toSeq.toDF("q_id", "qv", "qnrm")
+    val entry = cents.crossJoin(broadcast(qsDf))
+      .filter(col("node") =!= col("q_id"))
+      .select(col("q_id"), col("node"),
+        round(VectorOps.dot(col("nv"), col("qv")) / (VectorOps.norm(col("nv")) * col("qnrm")), 6)
+          .as("score"),
+        passCol(col("nlabel")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    var state: Map[Long, Seq[(Long, Double)]] = topPerQ(entry.map(e => (e._1, e._2, e._3)), 1)
+    var res: Map[Long, Seq[(Long, Double)]] = topPerQ(entry.filter(_._4).map(e => (e._1, e._2, e._3)), k)
+    val qv = qrows.map(q => q._1 -> (q._2, q._3)).toMap
+    for (_ <- 1 to rounds) {
+      val frontier = state.toSeq.flatMap { case (q, ns) =>
+        ns.map(n => (q, n._1, qv(q)._1, qv(q)._2))
+      }
+      val stDf = frontier.toDF("q_id", "node", "qv", "qnrm")
+      val scored = undE.join(broadcast(stDf), col("src") === col("node"))
+        .filter(col("dst") =!= col("q_id"))
+        .select(col("q_id"), col("dst"),
+          round(VectorOps.dot(col("dv"), col("qv")) / (col("dnrm") * col("qnrm")), 6)
+            .as("score"),
+          passCol(col("dlabel")))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+      val pooled = state.toSeq.flatMap { case (q, ns) => ns.map(n => (q, n._1, n._2)) } ++
+        scored.map(t => (t._1, t._2, t._3))
+      state = topPerQ(pooled, beam)
+      val rpooled = res.toSeq.flatMap { case (q, ns) => ns.map(n => (q, n._1, n._2)) } ++
+        scored.filter(_._4).map(t => (t._1, t._2, t._3))
+      res = topPerQ(rpooled, k)
+    }
+    val out = res.toSeq.flatMap { case (q, ns) =>
+      ns.take(k).zipWithIndex.map { case ((n, sc), i) => (q, (i + 1).toLong, n, sc) }
+    }.sortBy(r => (r._1, r._2))
+    out.toDF("q_id", "rn", "vec_id", "score")
   }
 
   /** Greedy rounds per upper layer of [[hnswSearch]]'s descent: each
@@ -2203,6 +2310,60 @@ object Ann {
        | WHERE rn <= $GraphSearchK)""".stripMargin
   }
 
+  /** The FILTERED batch graph search as a DuckDB CTE chain ending in
+    * `finf` (q_id, rn, vec_id, score) — [[duckGraphSearchCtes]]'s walk
+    * with each round's scored candidates MATERIALIZED once (`scf$r`)
+    * and read twice: by the unfiltered beam cut (`stf$r`) and by the
+    * filter-passing result accumulator (`resf$r`), exactly mirroring
+    * [[graphSearchFiltered]]'s two coupled per-query states.
+    */
+  private def duckGraphSearchFilteredCtes: String = {
+    val pass = s"(x.label % $GraphSearchFilterMod = $GraphSearchFilterRes)"
+    val rounds = (1 to GraphSearchRounds).map { r =>
+      s"""scf$r AS MATERIALIZED (
+         |  SELECT s.q_id, u.dst AS node, round($duckCosQ, 6) AS score, $pass AS pass
+         |  FROM stf${r - 1} s JOIN gund u ON u.src = s.node
+         |       JOIN e x ON x.vec_id = u.dst JOIN qs q ON q.q_id = s.q_id
+         |  WHERE u.dst != s.q_id),
+         |stf$r AS MATERIALIZED (SELECT q_id, node, score FROM (
+         |  SELECT q_id, node, score, row_number() OVER (PARTITION BY q_id
+         |          ORDER BY score DESC, node) AS rn
+         |  FROM (SELECT DISTINCT q_id, node, score FROM (
+         |    SELECT q_id, node, score FROM stf${r - 1}
+         |    UNION ALL
+         |    SELECT q_id, node, score FROM scf$r))
+         | ) WHERE rn <= $GraphSearchBeam),
+         |resf$r AS MATERIALIZED (SELECT q_id, node, score FROM (
+         |  SELECT q_id, node, score, row_number() OVER (PARTITION BY q_id
+         |          ORDER BY score DESC, node) AS rn
+         |  FROM (SELECT DISTINCT q_id, node, score FROM (
+         |    SELECT q_id, node, score FROM resf${r - 1}
+         |    UNION ALL
+         |    SELECT q_id, node, score FROM scf$r WHERE pass))
+         | ) WHERE rn <= $GraphSearchK)""".stripMargin
+    }.mkString(",\n")
+    s"""$duckNswTopk,
+       |gund AS MATERIALIZED (SELECT src, dst FROM topk UNION SELECT dst, src FROM topk),
+       |qs AS MATERIALIZED (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 25 = 7
+       |       ORDER BY vec_id LIMIT $GraphSearchQueryCount),
+       |entf AS MATERIALIZED (
+       |  SELECT q.q_id, x.vec_id AS node, round($duckCosQ, 6) AS score, $pass AS pass
+       |  FROM c cc JOIN e x ON x.vec_id = cc.cid
+       |       JOIN qs q ON x.vec_id != q.q_id),
+       |stf0 AS MATERIALIZED (SELECT q_id, node, score FROM (
+       |  SELECT q_id, node, score, row_number() OVER (PARTITION BY q_id
+       |          ORDER BY score DESC, node) AS rn FROM entf) WHERE rn <= 1),
+       |resf0 AS MATERIALIZED (SELECT q_id, node, score FROM (
+       |  SELECT q_id, node, score, row_number() OVER (PARTITION BY q_id
+       |          ORDER BY score DESC, node) AS rn FROM entf WHERE pass)
+       | WHERE rn <= $GraphSearchK),
+       |$rounds,
+       |finf AS (SELECT q_id, CAST(rn AS BIGINT) AS rn, node AS vec_id, score FROM (
+       |  SELECT q_id, node, score, row_number() OVER (PARTITION BY q_id
+       |          ORDER BY score DESC, node) AS rn FROM resf$GraphSearchRounds)
+       | WHERE rn <= $GraphSearchK)""".stripMargin
+  }
+
   /** Int8-code-vs-query score for the quantized search oracle
     * (aliases: `x` = a row of `e8`, `q` = a row of `qs8`): EXACT
     * integer dot over the int8 codes, then the double normalize+round.
@@ -2773,6 +2934,10 @@ object Ann {
       s"""WITH $duckE,
          |$duckGraphSearchInt8Ctes
          |SELECT q_id, rn, vec_id, score FROM fin8""".stripMargin,
+    "ann_graph_search_filtered" ->
+      s"""WITH $duckE,
+         |$duckGraphSearchFilteredCtes
+         |SELECT q_id, rn, vec_id, score FROM finf""".stripMargin,
     "ann_hnsw_search" ->
       s"""WITH $duckE,
          |$duckHnswSearchCtes

@@ -166,5 +166,6 @@ class EmptyInputSpec extends SparkSpec {
     val hrec = Ann.hnswSearchRecall(spark, dir).collect()
     assert(hrec.length === 1 && hrec.head.getLong(2) === 0L)
     assert(Ann.graphSearchInt8(spark, dir).count() === 0)
+    assert(Ann.graphSearchFiltered(spark, dir).count() === 0)
   }
 }

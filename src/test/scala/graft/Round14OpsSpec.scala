@@ -140,6 +140,49 @@ class Round14OpsSpec extends SparkSpec {
     assert(vocab.exists(_.length > 1), s"no merged symbol in vocab: $vocab")
   }
 
+  test("graphSearchFiltered equals the plain-Scala twin; the filter bites and all hits pass") {
+    val labels: Map[Long, Int] =
+      Graft.embeddings(spark, dir).select("vec_id", "label").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    def pass(n: Long) = labels(n).toLong % Ann.GraphSearchFilterMod == Ann.GraphSearchFilterRes
+    // twin of the coupled (navigation beam, result accumulator) walk:
+    // the beam is beamRef's, the accumulator keeps the best k PASSING
+    // nodes among everything any round ever scored (entry included)
+    def filteredRef(q: Long, beam: Int, rounds: Int, k: Int): Seq[(Long, Double)] = {
+      val cents = vecs.keys.filter(_ < Ann.sqrtFanout(vecs.size.toLong)).toSeq
+      def sc(n: Long) = cosR(vecs(n), vecs(q))
+      def cut(rs: Seq[(Long, Double)], c: Int) =
+        rs.distinct.sortBy { case (n, s) => (-s, n) }.take(c)
+      val entry = cents.filter(_ != q).map(n => n -> sc(n))
+      var state = cut(entry, 1)
+      var res = cut(entry.filter(e => pass(e._1)), k)
+      for (_ <- 1 to rounds) {
+        val scored = state.map(_._1).flatMap(und.getOrElse(_, Set.empty)).distinct
+          .filter(_ != q).map(n => n -> sc(n))
+        state = cut(state ++ scored, beam)
+        res = cut(res ++ scored.filter(e => pass(e._1)), k)
+      }
+      res
+    }
+    val got = Ann.graphSearchFiltered(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val qids = vecs.keys.toSeq.sorted.filter(_ % 25 == 7).take(Ann.GraphSearchQueryCount)
+    val expected = qids.flatMap { q =>
+      filteredRef(q, Ann.GraphSearchBeam, Ann.GraphSearchRounds, Ann.GraphSearchK)
+        .zipWithIndex.map { case ((n, s), i) => (q, (i + 1).toLong, n, s) }
+    }
+    assert(got.toSet === expected.toSet)
+    // serving contract: every returned node satisfies the filter
+    assert(got.forall(r => pass(r._3)), "a non-passing node escaped the filter")
+    // and the filter BITES: the unfiltered walk's top-k contains
+    // non-passing nodes for at least one query (else the test is vacuous)
+    val unfiltered = Ann.graphSearch(spark, dir).collect().map(r => r.getLong(2))
+    assert(unfiltered.exists(n => !pass(n)),
+      "filter never excludes anything — raise its selectivity")
+    info(s"${got.length} filtered hits over ${qids.size} queries " +
+      s"(~${100 * labels.values.count(l => l.toLong % Ann.GraphSearchFilterMod == Ann.GraphSearchFilterRes) / labels.size}% of the corpus passes)")
+  }
+
   test("graph-search recall clears the graph-quality bound and is internally consistent") {
     val row = Ann.graphSearchRecall(spark, dir).collect().head
     val (k, nq, nov, micros) =
