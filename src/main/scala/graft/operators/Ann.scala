@@ -1156,6 +1156,34 @@ object Ann {
     out.toDF("q_id", "rn", "vec_id", "score")
   }
 
+  /** Recall@k of the FILTERED graph search vs the exact top-k over the
+    * passing subset — the number a filtered-ANN deployment actually
+    * watches: selective filters degrade graph recall (fewer passing
+    * nodes per neighborhood ⇒ the walk must score more non-answers per
+    * answer), and this makes that degradation oracle-visible next to
+    * the unfiltered `ann_graph_search_recall` baseline. The exact side
+    * is [[graphSearchRecall]]'s broadcast-batch scan restricted to
+    * filter-passing rows.
+    */
+  def graphSearchFilteredRecall(s: SparkSession, dir: String, k: Int = GraphSearchK): DataFrame = {
+    val found = graphSearchFiltered(s, dir, k).select(col("q_id"), col("vec_id"))
+    val qs = graphSearchQueries(s, dir)
+    val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("vec_id"))
+    val exact = Graft.embeddings(s, dir)
+      .filter(pmod(col("label").cast("long"), lit(GraphSearchFilterMod)) === lit(GraphSearchFilterRes))
+      .crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        VectorOps.cosine6(col("embedding"), col("qv")).as("score"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("q_id"), col("vec_id"))
+    found.join(exact, Seq("q_id", "vec_id"))
+      .agg(count(lit(1)).as("n_overlap"))
+      .crossJoin(broadcast(qs.agg(count(lit(1)).as("n_queries"))))
+      .select(lit(k.toLong).as("k"), col("n_queries"), col("n_overlap"),
+        expr(s"n_overlap * 1000000 div greatest($k * n_queries, 1)").as("recall_micros"))
+  }
+
   /** Greedy rounds per upper layer of [[hnswSearch]]'s descent: each
     * round the per-query state (1 node) expands one hop in the current
     * layer and keeps the best — the batch analog of HNSW's
@@ -2938,6 +2966,22 @@ object Ann {
       s"""WITH $duckE,
          |$duckGraphSearchFilteredCtes
          |SELECT q_id, rn, vec_id, score FROM finf""".stripMargin,
+    "ann_graph_search_filtered_recall" ->
+      s"""WITH $duckE,
+         |$duckGraphSearchFilteredCtes,
+         |exf AS (SELECT q_id, vec_id FROM (
+         |  SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+         |          ORDER BY score DESC, vec_id) AS rn
+         |  FROM (SELECT q.q_id, x.vec_id, round($duckCosQ, 6) AS score
+         |        FROM e x JOIN qs q ON x.vec_id != q.q_id
+         |        WHERE x.label % $GraphSearchFilterMod = $GraphSearchFilterRes))
+         | WHERE rn <= $GraphSearchK)
+         |SELECT CAST($GraphSearchK AS BIGINT) AS k,
+         | (SELECT CAST(count(*) AS BIGINT) FROM qs) AS n_queries,
+         | CAST(count(*) AS BIGINT) AS n_overlap,
+         | CAST(count(*) AS BIGINT) * 1000000
+         |   // greatest($GraphSearchK * (SELECT count(*) FROM qs), 1) AS recall_micros
+         |FROM finf f JOIN exf ON exf.q_id = f.q_id AND exf.vec_id = f.vec_id""".stripMargin,
     "ann_hnsw_search" ->
       s"""WITH $duckE,
          |$duckHnswSearchCtes

@@ -167,5 +167,7 @@ class EmptyInputSpec extends SparkSpec {
     assert(hrec.length === 1 && hrec.head.getLong(2) === 0L)
     assert(Ann.graphSearchInt8(spark, dir).count() === 0)
     assert(Ann.graphSearchFiltered(spark, dir).count() === 0)
+    val frec = Ann.graphSearchFilteredRecall(spark, dir).collect()
+    assert(frec.length === 1 && frec.head.getLong(2) === 0L)
   }
 }

@@ -183,6 +183,23 @@ class Round14OpsSpec extends SparkSpec {
       s"(~${100 * labels.values.count(l => l.toLong % Ann.GraphSearchFilterMod == Ann.GraphSearchFilterRes) / labels.size}% of the corpus passes)")
   }
 
+  test("filtered recall clears the family floor and shows only bounded filter degradation") {
+    val row = Ann.graphSearchFilteredRecall(spark, dir).collect().head
+    val (k, nq, nov, micros) =
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+    assert(k === Ann.GraphSearchK.toLong)
+    assert(nq === Ann.GraphSearchQueryCount.toLong)
+    assert(micros === nov * 1000000L / (k * nq))
+    // the walk pays for the filter in recall (fewer passing nodes per
+    // neighborhood), but the accumulator keeps every passing node the
+    // beam ever scored, so it must still clear the family's 0.6 floor
+    // (measured: 0.7375 at sf0.001, 0.7125 at sf0.01 — vs 0.75/0.79
+    // unfiltered)
+    assert(micros >= 600000L, s"filtered graph-search recall@4 = $micros micros")
+    val unfiltered = Ann.graphSearchRecall(spark, dir).collect().head.getLong(3)
+    info(s"filtered recall@4 = $micros micros vs unfiltered $unfiltered micros")
+  }
+
   test("graph-search recall clears the graph-quality bound and is internally consistent") {
     val row = Ann.graphSearchRecall(spark, dir).collect().head
     val (k, nq, nov, micros) =
