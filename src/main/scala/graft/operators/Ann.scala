@@ -972,8 +972,22 @@ object Ann {
   def graphSearch(s: SparkSession, dir: String, k: Int = GraphSearchK,
                   beam: Int = GraphSearchBeam,
                   rounds: Int = GraphSearchRounds): DataFrame = {
+    // entry layer: each query scores the √N centroid set once (one job)
+    val cents = Graft.embeddings(s, dir)
+      .filter(col("vec_id") < sqrtFanout(Graft.tableRows(s, dir, "embeddings")))
+      .select(col("vec_id").as("node"), col("embedding").as("nv"))
+    beamSearchOver(s, graphSearchIndex(s, dir), cents, dir, k, beam, rounds)
+  }
+
+  /** The shared beam core of [[graphSearch]] and [[graphSearchFromGen]]:
+    * entry scoring over `cents` (node, nv), then `rounds` synchronized
+    * beam expansions over the prepared serving index `undE`
+    * (src, dst, dv, dnrm) — the two callers differ ONLY in where the
+    * index frame comes from (session memo vs a written generation).
+    */
+  private def beamSearchOver(s: SparkSession, undE: DataFrame, cents: DataFrame,
+                             dir: String, k: Int, beam: Int, rounds: Int): DataFrame = {
     import s.implicits._
-    val undE = graphSearchIndex(s, dir)
     // query batch with norms, held on the driver (Q rows — the serving
     // request): the per-round frontier ships (q_id, node, qv, qnrm) so
     // the probe's scoring is inline in the join projection
@@ -996,10 +1010,6 @@ object Ann {
         q -> rs.map(r => (r._2, r._3)).toSeq.distinct
           .sortBy { case (n, sc) => (-sc, n) }.take(cut)
       }
-    // entry: each query scores the √N centroid layer once (one job)
-    val cents = Graft.embeddings(s, dir)
-      .filter(col("vec_id") < sqrtFanout(Graft.tableRows(s, dir, "embeddings")))
-      .select(col("vec_id").as("node"), col("embedding").as("nv"))
     val qsDf = qrows.toSeq.toDF("q_id", "qv", "qnrm")
     val entry = cents.crossJoin(broadcast(qsDf))
       .filter(col("node") =!= col("q_id"))
@@ -1029,6 +1039,51 @@ object Ann {
       ns.take(k).zipWithIndex.map { case ((n, sc), i) => (q, (i + 1).toLong, n, sc) }
     }.sortBy(r => (r._1, r._2))
     out.toDF("q_id", "rn", "vec_id", "score")
+  }
+
+  private val writtenGraphGens =
+    scala.collection.mutable.Map.empty[String, (DataFrame, DataFrame)]
+
+  /** Session-memoized WRITTEN graph-index generation per data dir — the
+    * disk twin of the `graph_search_index` memo, [[IndexBuilder
+    * .writtenIndex]]'s convention applied to the ANN serving graph: the
+    * first consumer WRITES the adjacency-with-payload frame and the
+    * centroid entry set as parquet (the build job publishing an index
+    * generation — exactly what the streaming maintenance's `gen=<n>`
+    * dirs hold), every later consumer READS that artifact (the serving
+    * tier loading the index from storage, qdrant.py:139-176's
+    * collection-on-disk). Returns (adjacency, entry) DataFrames backed
+    * by file scans.
+    */
+  def writtenGraphGen(s: SparkSession, dir: String): (DataFrame, DataFrame) = synchronized {
+    writtenGraphGens.getOrElseUpdate(dir, {
+      val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val out = new java.io.File(s"target/graft_gen/$safe").getAbsolutePath
+      graphSearchIndex(s, dir).write.mode("overwrite").parquet(s"$out/adjacency")
+      Graft.embeddings(s, dir)
+        .filter(col("vec_id") < sqrtFanout(Graft.tableRows(s, dir, "embeddings")))
+        .select(col("vec_id").as("node"), col("embedding").as("nv"))
+        .write.mode("overwrite").parquet(s"$out/entry")
+      (s.read.parquet(s"$out/adjacency"), s.read.parquet(s"$out/entry"))
+    })
+  }
+
+  /** The batch graph search run OFF THE WRITTEN INDEX GENERATION — the
+    * deployment split `search_from_index` gave the flagship search,
+    * applied to the ANN serving graph: a build job publishes the
+    * adjacency + entry artifacts once ([[writtenGraphGen]]), the search
+    * LOADS and walks them. Read-equivalence means the result is
+    * IDENTICAL to [[graphSearch]]'s (the same generated oracle verifies
+    * both), and the probe plan's index side is a parquet file scan of
+    * the generation instead of the in-memory memo — the restart-safe
+    * serving shape: a fresh session (or another machine) serves the
+    * index without rebuilding it.
+    */
+  def graphSearchFromGen(s: SparkSession, dir: String, k: Int = GraphSearchK,
+                         beam: Int = GraphSearchBeam,
+                         rounds: Int = GraphSearchRounds): DataFrame = {
+    val (adjacency, entry) = writtenGraphGen(s, dir)
+    beamSearchOver(s, adjacency, entry, dir, k, beam, rounds)
   }
 
   /** Recall@k of the batch graph search vs the exact per-query top-k —
@@ -2940,6 +2995,13 @@ object Ann {
     "ann_graph_sharded" -> duckShardedSql,
     "ann_graph_insert" -> duckGraphInsertSql,
     "ann_graph_search" ->
+      s"""WITH $duckE,
+         |$duckGraphSearchCtes
+         |SELECT q_id, rn, vec_id, score FROM fin""".stripMargin,
+    // read-equivalent to ann_graph_search by construction (the walk is
+    // identical; only the index frame's storage differs) — the SAME
+    // generated oracle verifies the written-generation serving path
+    "ann_graph_search_from_gen" ->
       s"""WITH $duckE,
          |$duckGraphSearchCtes
          |SELECT q_id, rn, vec_id, score FROM fin""".stripMargin,

@@ -169,5 +169,6 @@ class EmptyInputSpec extends SparkSpec {
     assert(Ann.graphSearchFiltered(spark, dir).count() === 0)
     val frec = Ann.graphSearchFilteredRecall(spark, dir).collect()
     assert(frec.length === 1 && frec.head.getLong(2) === 0L)
+    assert(Ann.graphSearchFromGen(spark, dir).count() === 0)
   }
 }

@@ -183,6 +183,21 @@ class Round14OpsSpec extends SparkSpec {
       s"(~${100 * labels.values.count(l => l.toLong % Ann.GraphSearchFilterMod == Ann.GraphSearchFilterRes) / labels.size}% of the corpus passes)")
   }
 
+  test("graphSearchFromGen serves the written generation read-equivalently off a file scan") {
+    val fromGen = Ann.graphSearchFromGen(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val live = Ann.graphSearch(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(fromGen === live, "written-generation search diverged from the live-index search")
+    assert(fromGen.nonEmpty)
+    // the serving side reads the PUBLISHED artifact (a parquet file
+    // scan of target/graft_gen), not the session memo — the restart-safe
+    // deployment split
+    val (adj, _) = Ann.writtenGraphGen(spark, dir)
+    val leaves = adj.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
+    assert(leaves.contains("graft_gen"), s"adjacency not file-backed:\n$leaves")
+  }
+
   test("filtered recall clears the family floor and shows only bounded filter degradation") {
     val row = Ann.graphSearchFilteredRecall(spark, dir).collect().head
     val (k, nq, nov, micros) =
