@@ -129,6 +129,21 @@ object ScaleProbe {
         emit("probe" -> "ann_graph_search_int8", "scale" -> s"${mult}x", "build_sec" -> bsec,
           "search_sec" -> ssec, "search_warm_sec" -> wsec)
       }
+      if (probes("fsearch")) {
+        val (bsec, _) = time(operators.Ann.nswGraph(spark, dir).count()) // build once
+        val (ssec, _) = time(operators.Ann.graphSearchFiltered(spark, dir).count())
+        val (wsec, _) = time(operators.Ann.graphSearchFiltered(spark, dir).count())
+        emit("probe" -> "ann_graph_search_filtered", "scale" -> s"${mult}x", "build_sec" -> bsec,
+          "search_sec" -> ssec, "search_warm_sec" -> wsec)
+      }
+      if (probes("gensearch")) {
+        val (bsec, _) = time(operators.Ann.nswGraph(spark, dir).count()) // build once
+        val (psec, _) = time(operators.Ann.writtenGraphGen(spark, dir)._1.count()) // publish + load
+        val (ssec, _) = time(operators.Ann.graphSearchFromGen(spark, dir).count())
+        val (wsec, _) = time(operators.Ann.graphSearchFromGen(spark, dir).count())
+        emit("probe" -> "ann_graph_search_from_gen", "scale" -> s"${mult}x", "build_sec" -> bsec,
+          "publish_sec" -> psec, "search_sec" -> ssec, "search_warm_sec" -> wsec)
+      }
       if (probes("ginsert")) {
         val (fsec, _) = time(operators.Ann.nswGraph(spark, dir).count()) // full-rebuild yardstick
         Graft.releaseCaches()
