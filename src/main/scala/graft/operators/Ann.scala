@@ -948,16 +948,20 @@ object Ann {
     */
   /** THE SERVING INDEX of the flat-graph searches: undirected adjacency
     * with the destination's vector, norm and label metadata attached
-    * ONCE (2kN rows, persisted + session-shared) — the frame a serving
-    * tier holds in memory. Every beam round is then one broadcast-join
-    * probe of this cache: no per-round vector re-attach, no extra
-    * broadcast stage. The label rides along (one int per row) so the
-    * filtered search reads the SAME index — a serving tier stores
-    * filterable payload next to the vectors (qdrant.py:139-176 puts the
-    * article metadata in the point payload for exactly this reason).
+    * ONCE (2kN rows, memoFlat: eagerly materialized + plan-flattened,
+    * session-shared) — the frame a serving tier holds in memory. Every
+    * beam round is then one broadcast-join probe of this cache: no
+    * per-round vector re-attach, no extra broadcast stage, and no
+    * per-action re-planning of the deep build plan (the memoFlat
+    * rationale — measured 7× per probe; serving off this frame now
+    * matches serving off a written generation). The label rides along
+    * (one int per row) so the filtered search reads the SAME index — a
+    * serving tier stores filterable payload next to the vectors
+    * (qdrant.py:139-176 puts the article metadata in the point payload
+    * for exactly this reason).
     */
-  private def graphSearchIndex(s: SparkSession, dir: String): DataFrame =
-    Graft.memoCache("graph_search_index", dir) {
+  private[graft] def graphSearchIndex(s: SparkSession, dir: String): DataFrame =
+    Graft.memoFlat("graph_search_index", dir) {
       val edges = nswGraph(s, dir)
       val en = Graft.embeddings(s, dir)
         .select(col("vec_id").as("dst"), col("embedding").as("dv"),
@@ -1293,7 +1297,7 @@ object Ann {
     // THE LAYERED SEARCH INDEX: per-layer undirected adjacency with the
     // destination's vector attached ONCE (session-shared) — the frame a
     // serving tier holds in memory, layer as just another key column
-    val undL = Graft.memoCache("hnsw_search_index", dir) {
+    val undL = Graft.memoFlat("hnsw_search_index", dir) {
       val en = withNorm(Graft.embeddings(s, dir))
         .select(col("vec_id").as("dst"), col("embedding").as("dv"), col("nrm").as("dnrm"))
       edges.select(col("layer"), col("src"), col("dst"))
@@ -1381,7 +1385,7 @@ object Ann {
     val edges = nswGraph(s, dir)
     // the COMPRESSED search index: undirected adjacency carrying int8
     // codes + their integer-exact norms, not float vectors
-    val und8 = Graft.memoCache("graph_search_index_int8", dir) {
+    val und8 = Graft.memoFlat("graph_search_index_int8", dir) {
       val en = Graft.embeddings(s, dir)
         .select(col("vec_id").as("dst"),
           call_function("fvec_quantize", col("embedding")).as("dq"))
