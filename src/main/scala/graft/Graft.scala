@@ -140,7 +140,26 @@ object Graft {
     trackedCaches.values.foreach(_.foreach(_.unpersist(false)))
     trackedCaches.clear()
     memoScopes.clear()
+    teardownHooks.foreach(_())
   }
+
+  /** Operators that hold session state OUTSIDE the cache registry (the
+    * written-index memo maps) register a teardown hook so
+    * [[releaseCaches]] clears them too — otherwise a memoized frame
+    * whose persist was unpersisted above would be served stale from the
+    * side map on the next request (ScaleProbe releases between scales).
+    */
+  private val teardownHooks = scala.collection.mutable.ArrayBuffer.empty[() => Unit]
+  def onRelease(hook: () => Unit): Unit = synchronized { teardownHooks += hook }
+
+  /** Absolute root for written index artifacts (generations, bucketed
+    * chunk tables). CWD-relative `target/` paths let two concurrent
+    * JVMs sharing a working dir clobber each other's generations with
+    * mode(overwrite); anchoring to one configurable absolute root keyed
+    * by artifact name keeps the layout deterministic per deployment.
+    */
+  def artifactRoot: String = new java.io.File(
+    sys.env.getOrElse("GRAFT_ARTIFACT_DIR", "target")).getAbsolutePath
 
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")

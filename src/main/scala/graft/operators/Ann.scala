@@ -566,9 +566,12 @@ object Ann {
     *     edge frame emits the new generation (the IndexBuilder.upsert
     *     write pattern), with ALL ranking work ∝ batch.
     *
-    * No NN-descent runs on insert (the classic insert-time trade:
-    * descent is a batch-build refinement; Round14OpsSpec measures the
-    * merged graph's edge recall against the flat-rebuild bound).
+    * ONE bounded NN-descent repair round runs after the merge (r15),
+    * restricted to touched+new srcs — neighbors-of-neighbors through
+    * the merged graph, work ∝ batch·k² — recovering most of the edge
+    * recall the r14 no-descent insert traded away (0.653 vs the 0.70
+    * flat rebuild; Round14OpsSpec measures the merged graph's recall
+    * against the flat-rebuild bound).
     * Determinism: same tie-breaks as the build, so the whole operator
     * unrolls to a generated DuckDB oracle (keyed `ann_graph_insert`).
     */
@@ -586,7 +589,7 @@ object Ann {
     val cents = eS.crossJoin(broadcast(nc)).filter(col("vec_id") < col("ncents"))
       .agg(sort_array(collect_list(struct(col("vec_id").as("cid"), col("embedding").as("cvec"),
         col("nrm").as("cnrm")))).as("cents"))
-    nswInsertCore(storedCells, cents, storedEdges, e.filter(col("vec_id") >= split), k, nprobe)
+    nswInsertCore(storedCells, cents, storedEdges, e.filter(col("vec_id") >= split), e, k, nprobe)
   }
 
   /** Incremental insert over an ARBITRARY stored generation — the core
@@ -606,12 +609,14 @@ object Ann {
     val cents = eS.crossJoin(broadcast(nc)).filter(col("vec_id") < col("ncents"))
       .agg(sort_array(collect_list(struct(col("vec_id").as("cid"), col("embedding").as("cvec"),
         col("nrm").as("cnrm")))).as("cents"))
-    nswInsertCore(cellsOver(eS, cents, nprobe), cents, storedEdges, batchEmb, k, nprobe)
+    nswInsertCore(cellsOver(eS, cents, nprobe), cents, storedEdges, batchEmb,
+      storedEmb.select(col("vec_id"), col("embedding"))
+        .unionByName(batchEmb.select(col("vec_id"), col("embedding"))), k, nprobe)
   }
 
   private def nswInsertCore(storedCells: DataFrame, cents: DataFrame,
                             storedEdges0: DataFrame, batchEmb: DataFrame,
-                            k: Int, nprobe: Int): DataFrame = {
+                            allEmb: DataFrame, k: Int, nprobe: Int): DataFrame = {
     val storedEdges = storedEdges0.select(col("src"), col("dst"), col("cos"), col("rn"))
     val batchCells =
       cellsOver(withNorm(batchEmb.select(col("vec_id"), col("embedding"))), cents, nprobe)
@@ -648,15 +653,49 @@ object Ann {
       .select(col("src"), col("dst"), col("cos"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     Graft.trackCaches("nsw_insert_undp", undp)
+    // No broadcast hint on `touched`: for the keyed 4N/5-split insert the
+    // batch is N/5, so the touched set grows LINEARLY with the corpus and
+    // a forced broadcast would blow past driver/broadcast limits exactly
+    // at the scale the insert's cost contract targets. AQE still converts
+    // these to broadcast joins at runtime when the set is actually small
+    // (the common incremental-batch case) — measured no regression.
     val touched = undp.select(col("src")).distinct()
-    val touchedOld = storedEdges.join(broadcast(touched), Seq("src"), "left_semi")
+    val touchedOld = storedEdges.join(touched, Seq("src"), "left_semi")
       .select(col("src"), col("dst"), col("cos"))
     val wTop = Window.partitionBy(col("src")).orderBy(col("cos").desc, col("dst"))
     val reranked = touchedOld.union(undp).distinct()
       .withColumn("rn", row_number().over(wTop).cast("long")).filter(col("rn") <= k)
       .select(col("src"), col("dst"), col("cos"), col("rn"))
-    val untouched = storedEdges.join(broadcast(touched), Seq("src"), "left_anti")
-    untouched.unionByName(reranked)
+    val untouched = storedEdges.join(touched, Seq("src"), "left_anti")
+    val merged = untouched.unionByName(reranked)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Graft.trackCaches("nsw_insert_merged", merged)
+    // ONE bounded NN-descent repair round over touched+new srcs — the
+    // r14 insert skipped descent entirely and paid 0.05 edge recall vs
+    // the flat rebuild (0.653 vs 0.70, the documented no-descent
+    // trade). Candidates are neighbors-of-neighbors THROUGH the merged
+    // graph, restricted to touched srcs: work ∝ |touched|·(2k)^2 — the
+    // insert's ∝-batch cost contract holds (one more corpus-frame read
+    // for the score attach, never corpus-pair work). Untouched srcs
+    // keep bit-identical rows: the repair re-ranks only touched lists.
+    val mg = merged.select(col("src"), col("dst"), col("cos"))
+    val undM = mg.select(col("src"), col("dst"))
+      .union(mg.select(col("dst").as("src"), col("src").as("dst")))
+    val hop2 = undM.join(touched, Seq("src"), "left_semi").as("a")
+      .join(undM.as("b"), col("a.dst") === col("b.src"))
+      .filter(col("a.src") =!= col("b.dst"))
+      .select(col("a.src").as("src"), col("b.dst").as("dst")).distinct()
+    val vecs = withNorm(allEmb.select(col("vec_id"), col("embedding")))
+    val h2c = hop2
+      .join(vecs.select(col("vec_id").as("src"), col("embedding").as("xe"), col("nrm").as("xn")), "src")
+      .join(vecs.select(col("vec_id").as("dst"), col("embedding").as("ye"), col("nrm").as("yn")), "dst")
+      .select(col("src"), col("dst"),
+        round(VectorOps.dot(col("xe"), col("ye")) / (col("xn") * col("yn")), 6).as("cos"))
+    val tch = mg.join(touched, Seq("src"), "left_semi")
+    val repaired = tch.union(h2c).distinct()
+      .withColumn("rn", row_number().over(wTop).cast("long")).filter(col("rn") <= k)
+      .select(col("src"), col("dst"), col("cos"), col("rn"))
+    untouched.unionByName(repaired)
   }
 
   /** NSW blocking-index health report: log2-bucketed histogram of cell
@@ -983,19 +1022,64 @@ object Ann {
     beamSearchOver(s, graphSearchIndex(s, dir), cents, dir, k, beam, rounds)
   }
 
+  /** Query-batch size above which the beam rounds run fully distributed
+    * instead of driver-ranked. The driver path funnels Q·beam·2k scored
+    * rows through the driver per round and broadcasts Q·beam frontier
+    * rows (with query vectors) back out — provably bounded for a keyed
+    * Q=20 request, linear-in-Q driver state for a batch-serving job.
+    * Above this cutoff the SAME round semantics run as Spark jobs
+    * (distinct + per-query window per round), whose fixed ~2s/round
+    * exchange overhead is amortized by the batch. 256 queries ≈ 2 MB of
+    * frontier state per round — comfortably inside either path, so the
+    * switch sits where neither regresses (the clustersOf threshold
+    * pattern, Dedup.scala clustersOf).
+    */
+  val GraphSearchDistQ = 256
+
   /** The shared beam core of [[graphSearch]] and [[graphSearchFromGen]]:
     * entry scoring over `cents` (node, nv), then `rounds` synchronized
     * beam expansions over the prepared serving index `undE`
     * (src, dst, dv, dnrm) — the two callers differ ONLY in where the
     * index frame comes from (session memo vs a written generation).
+    * Routes by query-batch size: at or below [[GraphSearchDistQ]] the
+    * beam state is driver-ranked (bounded by the keyed request), above
+    * it the rounds run distributed ([[beamSearchRoundsDist]]) so a
+    * production batch never pulls Q·ef·2k rows through the driver.
+    * Both paths compute identical values (same scoring expression, same
+    * (score desc, node) total order, same distinct-then-cut rounds) —
+    * spec-asserted equal in AnnGraphSpec.
     */
   private def beamSearchOver(s: SparkSession, undE: DataFrame, cents: DataFrame,
-                             dir: String, k: Int, beam: Int, rounds: Int): DataFrame = {
+                             dir: String, k: Int, beam: Int, rounds: Int): DataFrame =
+    // the keyed query batch is statically bounded (limit
+    // GraphSearchQueryCount = 20 < GraphSearchDistQ), so the driver
+    // path is picked without paying a count job per request
+    beamSearchRoundsDriver(s, undE, cents, graphSearchQueries(s, dir), k, beam, rounds)
+
+  /** Routed entry for EXPLICIT query batches (batch-serving jobs, the
+    * large-Q probe, the parity spec): counts the request — free
+    * relative to the walk — and picks the execution shape.
+    */
+  private[graft] def beamSearchBatch(s: SparkSession, undE: DataFrame, cents: DataFrame,
+                                     queries: DataFrame, k: Int, beam: Int, rounds: Int,
+                                     distThreshold: Int = GraphSearchDistQ): DataFrame = {
+    if (queries.count() > distThreshold)
+      beamSearchRoundsDist(s, undE, cents, queries, k, beam, rounds)
+    else
+      beamSearchRoundsDriver(s, undE, cents, queries, k, beam, rounds)
+  }
+
+  /** Driver-ranked beam rounds — the small-Q path (see
+    * [[GraphSearchDistQ]]): beam state lives on the driver, bounded by
+    * the query batch; scoring and index probes stay distributed.
+    */
+  private def beamSearchRoundsDriver(s: SparkSession, undE: DataFrame, cents: DataFrame,
+                                     queries: DataFrame, k: Int, beam: Int, rounds: Int): DataFrame = {
     import s.implicits._
     // query batch with norms, held on the driver (Q rows — the serving
     // request): the per-round frontier ships (q_id, node, qv, qnrm) so
     // the probe's scoring is inline in the join projection
-    val qrows = withNorm(graphSearchQueries(s, dir)
+    val qrows = withNorm(queries
         .select(col("q_id").as("vec_id"), col("qv").as("embedding")))
       .collect().map(r => (r.getLong(0), r.getSeq[Float](1), r.getDouble(2)))
     // BEAM STATE LIVES ON THE DRIVER — bounded by the QUERY BATCH
@@ -1045,8 +1129,69 @@ object Ann {
     out.toDF("q_id", "rn", "vec_id", "score")
   }
 
+  /** Fully distributed beam rounds — the large-Q path: beam state is a
+    * (q_id, node, score) frame of Q·beam rows that NEVER visits the
+    * driver. Per round:
+    *
+    *  1. PROBE: state ⋈ index on node=src — the index side is
+    *    pre-partitioned by src ONCE (persisted with its hash
+    *    partitioning intact), so every round reshuffles only the
+    *    Q·beam frontier, never the 2kN-edge index;
+    *  2. SCORE: attach query vectors by joining the (small, persisted)
+    *    query frame on q_id — scoring inline in the projection, same
+    *    round-6 cosine as the driver path;
+    *  3. CUT: union with the carried state, distinct (score is a pure
+    *    function of (q_id, node), so distinct collapses re-discovered
+    *    nodes exactly like the driver-side dedup), per-query
+    *    row_number window on (score desc, node), keep top-beam;
+    *    localCheckpoint cuts the 8-round lineage (clustersUnionFind's
+    *    per-iteration pattern).
+    *
+    * Per-round cost: Q·beam·2k score kernels + two exchanges of
+    * Q·beam-row frames — independent of corpus size N, linear in the
+    * query batch, no driver funnel. Values are identical to the driver
+    * path by construction (same expressions, same total order).
+    */
+  private def beamSearchRoundsDist(s: SparkSession, undE: DataFrame, cents: DataFrame,
+                                   queries: DataFrame, k: Int, beam: Int, rounds: Int): DataFrame = {
+    val qn = withNorm(queries.select(col("q_id").as("vec_id"), col("qv").as("embedding")))
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"), col("nrm").as("qnrm"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // index pre-partitioned by the probe key ONCE: rounds reuse the
+    // persisted partitioning, so only the frontier side ever exchanges
+    val idx = undE.repartition(col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Graft.trackCaches("beam_dist_round_frames", qn, idx)
+    val wBeam = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("node"))
+    // entry: score the √N centroid layer per query, keep the best
+    var state = qn.crossJoin(cents)
+      .filter(col("node") =!= col("q_id"))
+      .select(col("q_id"), col("node"),
+        round(VectorOps.dot(col("nv"), col("qv")) / (VectorOps.norm(col("nv")) * col("qnrm")), 6)
+          .as("score"))
+      .withColumn("rn", row_number().over(wBeam)).filter(col("rn") === 1)
+      .select(col("q_id"), col("node"), col("score"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val scored = idx.join(state.select(col("q_id"), col("node")), col("src") === col("node"))
+        .join(qn, "q_id")
+        .filter(col("dst") =!= col("q_id"))
+        .select(col("q_id"), col("dst").as("node"),
+          round(VectorOps.dot(col("dv"), col("qv")) / (col("dnrm") * col("qnrm")), 6)
+            .as("score"))
+      state = state.unionByName(scored).distinct()
+        .withColumn("rn", row_number().over(wBeam)).filter(col("rn") <= beam)
+        .select(col("q_id"), col("node"), col("score"))
+        .localCheckpoint(true)
+    }
+    state.withColumn("rn", row_number().over(wBeam).cast("long")).filter(col("rn") <= k)
+      .select(col("q_id"), col("rn"), col("node").as("vec_id"), col("score"))
+      .orderBy(col("q_id"), col("rn"))
+  }
+
   private val writtenGraphGens =
     scala.collection.mutable.Map.empty[String, (DataFrame, DataFrame)]
+  Graft.onRelease(() => writtenGraphGens.clear())
 
   /** Session-memoized WRITTEN graph-index generation per data dir — the
     * disk twin of the `graph_search_index` memo, [[IndexBuilder
@@ -1062,7 +1207,7 @@ object Ann {
   def writtenGraphGen(s: SparkSession, dir: String): (DataFrame, DataFrame) = synchronized {
     writtenGraphGens.getOrElseUpdate(dir, {
       val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
-      val out = new java.io.File(s"target/graft_gen/$safe").getAbsolutePath
+      val out = s"${Graft.artifactRoot}/graft_gen/$safe"
       graphSearchIndex(s, dir).write.mode("overwrite").parquet(s"$out/adjacency")
       Graft.embeddings(s, dir)
         .filter(col("vec_id") < sqrtFanout(Graft.tableRows(s, dir, "embeddings")))
@@ -1071,9 +1216,13 @@ object Ann {
       // the serving tier LOADS the artifact once: persist the read-back
       // frames so the per-round probes hit RAM, not a repeated parquet
       // scan (9+ probe jobs per query batch; at 100x the adjacency is
-      // GBs per scan) — spill-safe via the default MEMORY_AND_DISK
-      (s.read.parquet(s"$out/adjacency").persist(),
-        s.read.parquet(s"$out/entry").persist())
+      // GBs per scan) — spill-safe via the default MEMORY_AND_DISK, and
+      // registered with the cache registry so releaseCaches() frees the
+      // blocks (the onRelease hook above clears the memo map in step)
+      val adj = s.read.parquet(s"$out/adjacency").persist()
+      val entry = s.read.parquet(s"$out/entry").persist()
+      Graft.trackCaches(s"written_graph_gen_$safe", adj, entry)
+      (adj, entry)
     })
   }
 
@@ -1163,12 +1312,71 @@ object Ann {
     * adjacency; a serving tier stores filterable payload next to the
     * vectors). Queries whose walk never scores a passing node emit no
     * rows — the serving contract for an over-selective filter.
+    *
+    * ADAPTIVE ef (r15): a fixed navigation width degrades hard as the
+    * filter gets selective — the known filtered-HNSW failure mode: at
+    * pass rate p the walk scores ~1/p non-answers per answer, so the
+    * accumulator starves unless the beam widens. The rule is one
+    * integer expression of two corpus counts (deterministic, so the
+    * generated oracle computes the SAME width as a scalar subquery):
+    * ef = clamp(beam · nTot / (5 · nPass), beam, [[GraphSearchEfMax]])
+    * — normalized so the design selectivity (the 20% label filter the
+    * keyed query runs) keeps ef = beam, and a 1% filter saturates at
+    * EfMax. nPass is one count over the corpus — the cost of a
+    * selectivity ESTIMATE a real serving tier keeps as a statistic.
     */
   def graphSearchFiltered(s: SparkSession, dir: String, k: Int = GraphSearchK,
                           beam: Int = GraphSearchBeam,
-                          rounds: Int = GraphSearchRounds): DataFrame = {
+                          rounds: Int = GraphSearchRounds): DataFrame =
+    graphSearchFilteredWalk(s, dir, k, beam, rounds,
+      byId = false, GraphSearchFilterMod, GraphSearchFilterRes)
+
+  /** Navigation-beam ceiling of the adaptive-ef rule: past this the
+    * walk's per-round cost stops growing and an even-more-selective
+    * filter trades recall instead (the regime where a deployment flips
+    * to brute-force over the filtered subset — that route exists as
+    * `ann_filtered`).
+    */
+  val GraphSearchEfMax = 128L
+
+  /** The adaptive navigation width: beam · nTot / (designMod · nPass),
+    * clamped to [beam, EfMax] — integer floor division in BOTH engines.
+    */
+  private def adaptiveEf(beam: Int, nTot: Long, nPass: Long): Int =
+    math.min(GraphSearchEfMax,
+      math.max(beam.toLong,
+        beam.toLong * nTot / (GraphSearchFilterMod * math.max(nPass, 1L)))).toInt
+
+  /** Session-memoized filter pass count — the selectivity statistic the
+    * adaptive-ef rule reads (one footer-cheap count per (dir, filter)
+    * per session, the [[Graft.tableRows]] pattern).
+    */
+  private val passCounts = scala.collection.mutable.Map.empty[(String, Boolean, Long, Long), Long]
+  private def filterPassCount(s: SparkSession, dir: String, byId: Boolean,
+                              fMod: Long, fRes: Long): Long = {
+    val key = (dir, byId, fMod, fRes)
+    synchronized(passCounts.get(key)).getOrElse {
+      val c = if (byId) col("vec_id") else col("label")
+      val n = Graft.embeddings(s, dir)
+        .filter(pmod(c.cast("long"), lit(fMod)) === lit(fRes)).count()
+      synchronized(passCounts.getOrElseUpdate(key, n))
+    }
+  }
+  Graft.onRelease(() => passCounts.clear())
+
+  /** The filtered walk over an arbitrary (mod, res) filter on either
+    * the label payload (`byId = false` — the keyed query's metadata
+    * filter) or the vector id (`byId = true` — the selectivity CURVE's
+    * axis: labels quantize to 10% steps, ids reach 1%).
+    */
+  private[graft] def graphSearchFilteredWalk(s: SparkSession, dir: String, k: Int,
+                                             beam: Int, rounds: Int, byId: Boolean,
+                                             fMod: Long, fRes: Long): DataFrame = {
     import s.implicits._
     val undE = graphSearchIndex(s, dir)
+    val nTot = Graft.tableRows(s, dir, "embeddings")
+    val nPass = filterPassCount(s, dir, byId, fMod, fRes)
+    val ef = adaptiveEf(beam, nTot, nPass)
     val qrows = withNorm(graphSearchQueries(s, dir)
         .select(col("q_id").as("vec_id"), col("qv").as("embedding")))
       .collect().map(r => (r.getLong(0), r.getSeq[Float](1), r.getDouble(2)))
@@ -1177,8 +1385,8 @@ object Ann {
         q -> rs.map(r => (r._2, r._3)).toSeq.distinct
           .sortBy { case (n, sc) => (-sc, n) }.take(cut)
       }
-    def passCol(label: Column): Column =
-      (pmod(label.cast("long"), lit(GraphSearchFilterMod)) === lit(GraphSearchFilterRes)).as("pass")
+    def passCol(id: Column, label: Column): Column =
+      (pmod((if (byId) id else label).cast("long"), lit(fMod)) === lit(fRes)).as("pass")
     // entry: each query scores the √N centroid layer once, the filter
     // flag riding the same projection
     val cents = Graft.embeddings(s, dir)
@@ -1190,7 +1398,7 @@ object Ann {
       .select(col("q_id"), col("node"),
         round(VectorOps.dot(col("nv"), col("qv")) / (VectorOps.norm(col("nv")) * col("qnrm")), 6)
           .as("score"),
-        passCol(col("nlabel")))
+        passCol(col("node"), col("nlabel")))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
     var state: Map[Long, Seq[(Long, Double)]] = topPerQ(entry.map(e => (e._1, e._2, e._3)), 1)
     var res: Map[Long, Seq[(Long, Double)]] = topPerQ(entry.filter(_._4).map(e => (e._1, e._2, e._3)), k)
@@ -1205,11 +1413,11 @@ object Ann {
         .select(col("q_id"), col("dst"),
           round(VectorOps.dot(col("dv"), col("qv")) / (col("dnrm") * col("qnrm")), 6)
             .as("score"),
-          passCol(col("dlabel")))
+          passCol(col("dst"), col("dlabel")))
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
       val pooled = state.toSeq.flatMap { case (q, ns) => ns.map(n => (q, n._1, n._2)) } ++
         scored.map(t => (t._1, t._2, t._3))
-      state = topPerQ(pooled, beam)
+      state = topPerQ(pooled, ef)
       val rpooled = res.toSeq.flatMap { case (q, ns) => ns.map(n => (q, n._1, n._2)) } ++
         scored.filter(_._4).map(t => (t._1, t._2, t._3))
       res = topPerQ(rpooled, k)
@@ -1224,28 +1432,42 @@ object Ann {
     * passing subset — the number a filtered-ANN deployment actually
     * watches: selective filters degrade graph recall (fewer passing
     * nodes per neighborhood ⇒ the walk must score more non-answers per
-    * answer), and this makes that degradation oracle-visible next to
-    * the unfiltered `ann_graph_search_recall` baseline. The exact side
-    * is [[graphSearchRecall]]'s broadcast-batch scan restricted to
-    * filter-passing rows.
+    * answer). r15 makes the whole DEGRADATION CURVE oracle-visible:
+    * one row per selectivity (20%, 5%, 1% via vec_id-residue filters —
+    * labels quantize to 10% steps, ids reach 1%), each row carrying the
+    * adaptive ef the walk actually ran at, so the ef rule's effect is
+    * hash-checked next to the unfiltered `ann_graph_search_recall`
+    * baseline. The exact side is [[graphSearchRecall]]'s
+    * broadcast-batch scan restricted to filter-passing rows.
     */
+  val FilterCurveMods: Seq[Long] = Seq(5L, 20L, 100L)
+  val FilterCurveRes = 2L
+
   def graphSearchFilteredRecall(s: SparkSession, dir: String, k: Int = GraphSearchK): DataFrame = {
-    val found = graphSearchFiltered(s, dir, k).select(col("q_id"), col("vec_id"))
+    val nTot = Graft.tableRows(s, dir, "embeddings")
     val qs = graphSearchQueries(s, dir)
     val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("vec_id"))
-    val exact = Graft.embeddings(s, dir)
-      .filter(pmod(col("label").cast("long"), lit(GraphSearchFilterMod)) === lit(GraphSearchFilterRes))
-      .crossJoin(broadcast(qs))
-      .filter(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id"),
-        VectorOps.cosine6(col("embedding"), col("qv")).as("score"))
-      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
-      .select(col("q_id"), col("vec_id"))
-    found.join(exact, Seq("q_id", "vec_id"))
-      .agg(count(lit(1)).as("n_overlap"))
-      .crossJoin(broadcast(qs.agg(count(lit(1)).as("n_queries"))))
-      .select(lit(k.toLong).as("k"), col("n_queries"), col("n_overlap"),
-        expr(s"n_overlap * 1000000 div greatest($k * n_queries, 1)").as("recall_micros"))
+    FilterCurveMods.map { m =>
+      val nPass = filterPassCount(s, dir, byId = true, m, FilterCurveRes)
+      val ef = adaptiveEf(GraphSearchBeam, nTot, nPass)
+      val found = graphSearchFilteredWalk(s, dir, k, GraphSearchBeam, GraphSearchRounds,
+          byId = true, m, FilterCurveRes)
+        .select(col("q_id"), col("vec_id"))
+      val exact = Graft.embeddings(s, dir)
+        .filter(pmod(col("vec_id"), lit(m)) === lit(FilterCurveRes))
+        .crossJoin(broadcast(qs))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          VectorOps.cosine6(col("embedding"), col("qv")).as("score"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+        .select(col("q_id"), col("vec_id"))
+      found.join(exact, Seq("q_id", "vec_id"))
+        .agg(count(lit(1)).as("n_overlap"))
+        .crossJoin(broadcast(qs.agg(count(lit(1)).as("n_queries"))))
+        .select(lit(m).as("f_mod"), lit(ef.toLong).as("ef"),
+          lit(k.toLong).as("k"), col("n_queries"), col("n_overlap"),
+          expr(s"n_overlap * 1000000 div greatest($k * n_queries, 1)").as("recall_micros"))
+    }.reduce(_.unionByName(_))
   }
 
   /** Greedy rounds per upper layer of [[hnswSearch]]'s descent: each
@@ -2291,10 +2513,26 @@ object Ann {
        |  SELECT src, dst, cos, row_number() OVER (PARTITION BY src
        |          ORDER BY cos DESC, dst) AS rn
        |  FROM (SELECT DISTINCT src, dst, cos FROM (
-       |    SELECT * FROM told UNION ALL SELECT * FROM undp))) WHERE rn <= 4)
+       |    SELECT * FROM told UNION ALL SELECT * FROM undp))) WHERE rn <= 4),
+       |mg AS MATERIALIZED (
+       |  SELECT t.src, t.dst, t.cos FROM topkim t
+       |  WHERE t.src NOT IN (SELECT src FROM tsrc)
+       |  UNION ALL SELECT src, dst, cos FROM rer),
+       |undm AS (SELECT src, dst FROM mg UNION SELECT dst, src FROM mg),
+       |h2 AS (SELECT DISTINCT a.src AS src, b.dst AS dst
+       |       FROM undm a JOIN undm b ON a.dst = b.src
+       |       WHERE a.src != b.dst AND a.src IN (SELECT src FROM tsrc)),
+       |h2c AS (SELECT src, dst, round($duckCosPair, 6) AS cos
+       |        FROM h2 JOIN e x ON x.vec_id = src JOIN e y ON y.vec_id = dst),
+       |tch AS (SELECT m.src, m.dst, m.cos FROM mg m JOIN tsrc ON m.src = tsrc.src),
+       |rep AS (SELECT src, dst, cos, CAST(rn AS BIGINT) AS rn FROM (
+       |  SELECT src, dst, cos, row_number() OVER (PARTITION BY src
+       |          ORDER BY cos DESC, dst) AS rn
+       |  FROM (SELECT DISTINCT src, dst, cos FROM (
+       |    SELECT * FROM tch UNION ALL SELECT * FROM h2c))) WHERE rn <= 4)
        |SELECT t.src, t.dst, t.cos, t.rn FROM topkim t
        |WHERE t.src NOT IN (SELECT src FROM tsrc)
-       |UNION ALL SELECT src, dst, cos, rn FROM rer""".stripMargin
+       |UNION ALL SELECT src, dst, cos, rn FROM rep""".stripMargin
 
   /** One shard of the shard-and-merge NSW build as DuckDB CTEs ending
     * in `r1s$t`: shard-t seeds (first √n_t member ids via the residue
@@ -2402,59 +2640,92 @@ object Ann {
        | WHERE rn <= $GraphSearchK)""".stripMargin
   }
 
-  /** The FILTERED batch graph search as a DuckDB CTE chain ending in
-    * `finf` (q_id, rn, vec_id, score) — [[duckGraphSearchCtes]]'s walk
-    * with each round's scored candidates MATERIALIZED once (`scf$r`)
-    * and read twice: by the unfiltered beam cut (`stf$r`) and by the
-    * filter-passing result accumulator (`resf$r`), exactly mirroring
-    * [[graphSearchFiltered]]'s two coupled per-query states.
+  /** Shared prelude of the filtered-walk oracles: graph, undirected
+    * adjacency, query batch (referenced by every per-selectivity walk).
     */
-  private def duckGraphSearchFilteredCtes: String = {
-    val pass = s"(x.label % $GraphSearchFilterMod = $GraphSearchFilterRes)"
-    val rounds = (1 to GraphSearchRounds).map { r =>
-      s"""scf$r AS MATERIALIZED (
-         |  SELECT s.q_id, u.dst AS node, round($duckCosQ, 6) AS score, $pass AS pass
-         |  FROM stf${r - 1} s JOIN gund u ON u.src = s.node
-         |       JOIN e x ON x.vec_id = u.dst JOIN qs q ON q.q_id = s.q_id
-         |  WHERE u.dst != s.q_id),
-         |stf$r AS MATERIALIZED (SELECT q_id, node, score FROM (
-         |  SELECT q_id, node, score, row_number() OVER (PARTITION BY q_id
-         |          ORDER BY score DESC, node) AS rn
-         |  FROM (SELECT DISTINCT q_id, node, score FROM (
-         |    SELECT q_id, node, score FROM stf${r - 1}
-         |    UNION ALL
-         |    SELECT q_id, node, score FROM scf$r))
-         | ) WHERE rn <= $GraphSearchBeam),
-         |resf$r AS MATERIALIZED (SELECT q_id, node, score FROM (
-         |  SELECT q_id, node, score, row_number() OVER (PARTITION BY q_id
-         |          ORDER BY score DESC, node) AS rn
-         |  FROM (SELECT DISTINCT q_id, node, score FROM (
-         |    SELECT q_id, node, score FROM resf${r - 1}
-         |    UNION ALL
-         |    SELECT q_id, node, score FROM scf$r WHERE pass))
-         | ) WHERE rn <= $GraphSearchK)""".stripMargin
-    }.mkString(",\n")
+  private def duckFilteredPrelude: String =
     s"""$duckNswTopk,
        |gund AS MATERIALIZED (SELECT src, dst FROM topk UNION SELECT dst, src FROM topk),
        |qs AS MATERIALIZED (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 25 = 7
-       |       ORDER BY vec_id LIMIT $GraphSearchQueryCount),
-       |entf AS MATERIALIZED (
+       |       ORDER BY vec_id LIMIT $GraphSearchQueryCount)""".stripMargin
+
+  /** One FILTERED batch graph-search walk as a DuckDB CTE chain ending
+    * in `finf$x` (q_id, rn, vec_id, score) — [[duckGraphSearchCtes]]'s
+    * walk with each round's scored candidates MATERIALIZED once
+    * (`scf${x}_r`) and read twice: by the beam cut (`stf${x}_r`, width =
+    * the ADAPTIVE ef computed by the `efc$x` scalar CTE — the exact
+    * integer twin of [[adaptiveEf]]) and by the filter-passing result
+    * accumulator (`resf${x}_r`), exactly mirroring
+    * [[graphSearchFilteredWalk]]'s two coupled per-query states.
+    * `attr` is the filtered column (label for the keyed metadata
+    * filter, vec_id for the selectivity curve).
+    */
+  private def duckFilteredWalkCtes(x: String, attr: String, fMod: Long, fRes: Long): String = {
+    val pass = s"(x.$attr % $fMod = $fRes)"
+    val ef = s"(SELECT ef FROM efc$x)"
+    val rounds = (1 to GraphSearchRounds).map { r =>
+      s"""scf${x}_$r AS MATERIALIZED (
+         |  SELECT s.q_id, u.dst AS node, round($duckCosQ, 6) AS score, $pass AS pass
+         |  FROM stf${x}_${r - 1} s JOIN gund u ON u.src = s.node
+         |       JOIN e x ON x.vec_id = u.dst JOIN qs q ON q.q_id = s.q_id
+         |  WHERE u.dst != s.q_id),
+         |stf${x}_$r AS MATERIALIZED (SELECT q_id, node, score FROM (
+         |  SELECT q_id, node, score, row_number() OVER (PARTITION BY q_id
+         |          ORDER BY score DESC, node) AS rn
+         |  FROM (SELECT DISTINCT q_id, node, score FROM (
+         |    SELECT q_id, node, score FROM stf${x}_${r - 1}
+         |    UNION ALL
+         |    SELECT q_id, node, score FROM scf${x}_$r))
+         | ) WHERE rn <= $ef),
+         |resf${x}_$r AS MATERIALIZED (SELECT q_id, node, score FROM (
+         |  SELECT q_id, node, score, row_number() OVER (PARTITION BY q_id
+         |          ORDER BY score DESC, node) AS rn
+         |  FROM (SELECT DISTINCT q_id, node, score FROM (
+         |    SELECT q_id, node, score FROM resf${x}_${r - 1}
+         |    UNION ALL
+         |    SELECT q_id, node, score FROM scf${x}_$r WHERE pass))
+         | ) WHERE rn <= $GraphSearchK)""".stripMargin
+    }.mkString(",\n")
+    s"""efc$x AS (SELECT least($GraphSearchEfMax, greatest($GraphSearchBeam,
+       |  $GraphSearchBeam * (SELECT count(*) FROM e)
+       |    // ($GraphSearchFilterMod * greatest((SELECT count(*) FROM e x WHERE $pass), 1)))) AS ef),
+       |entf$x AS MATERIALIZED (
        |  SELECT q.q_id, x.vec_id AS node, round($duckCosQ, 6) AS score, $pass AS pass
        |  FROM c cc JOIN e x ON x.vec_id = cc.cid
        |       JOIN qs q ON x.vec_id != q.q_id),
-       |stf0 AS MATERIALIZED (SELECT q_id, node, score FROM (
+       |stf${x}_0 AS MATERIALIZED (SELECT q_id, node, score FROM (
        |  SELECT q_id, node, score, row_number() OVER (PARTITION BY q_id
-       |          ORDER BY score DESC, node) AS rn FROM entf) WHERE rn <= 1),
-       |resf0 AS MATERIALIZED (SELECT q_id, node, score FROM (
+       |          ORDER BY score DESC, node) AS rn FROM entf$x) WHERE rn <= 1),
+       |resf${x}_0 AS MATERIALIZED (SELECT q_id, node, score FROM (
        |  SELECT q_id, node, score, row_number() OVER (PARTITION BY q_id
-       |          ORDER BY score DESC, node) AS rn FROM entf WHERE pass)
+       |          ORDER BY score DESC, node) AS rn FROM entf$x WHERE pass)
        | WHERE rn <= $GraphSearchK),
        |$rounds,
-       |finf AS (SELECT q_id, CAST(rn AS BIGINT) AS rn, node AS vec_id, score FROM (
+       |finf$x AS (SELECT q_id, CAST(rn AS BIGINT) AS rn, node AS vec_id, score FROM (
        |  SELECT q_id, node, score, row_number() OVER (PARTITION BY q_id
-       |          ORDER BY score DESC, node) AS rn FROM resf$GraphSearchRounds)
+       |          ORDER BY score DESC, node) AS rn FROM resf${x}_$GraphSearchRounds)
        | WHERE rn <= $GraphSearchK)""".stripMargin
   }
+
+  /** One selectivity point of the filtered-recall CURVE oracle: the
+    * exact filtered top-k (`exf$x`) and the aggregate row (`row$x`).
+    */
+  private def duckFilteredRecallRow(x: String, fMod: Long, fRes: Long): String =
+    s"""exf$x AS (SELECT q_id, vec_id FROM (
+       |  SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+       |          ORDER BY score DESC, vec_id) AS rn
+       |  FROM (SELECT q.q_id, x.vec_id, round($duckCosQ, 6) AS score
+       |        FROM e x JOIN qs q ON x.vec_id != q.q_id
+       |        WHERE x.vec_id % $fMod = $fRes))
+       | WHERE rn <= $GraphSearchK),
+       |row$x AS (SELECT CAST($fMod AS BIGINT) AS f_mod,
+       |  (SELECT CAST(ef AS BIGINT) FROM efc$x) AS ef,
+       |  CAST($GraphSearchK AS BIGINT) AS k,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM qs) AS n_queries,
+       |  CAST(count(*) AS BIGINT) AS n_overlap,
+       |  CAST(count(*) AS BIGINT) * 1000000
+       |    // greatest($GraphSearchK * (SELECT count(*) FROM qs), 1) AS recall_micros
+       |FROM finf$x f JOIN exf$x ex ON ex.q_id = f.q_id AND ex.vec_id = f.vec_id)""".stripMargin
 
   /** Int8-code-vs-query score for the quantized search oracle
     * (aliases: `x` = a row of `e8`, `q` = a row of `qs8`): EXACT
@@ -3035,24 +3306,17 @@ object Ann {
          |SELECT q_id, rn, vec_id, score FROM fin8""".stripMargin,
     "ann_graph_search_filtered" ->
       s"""WITH $duckE,
-         |$duckGraphSearchFilteredCtes
+         |$duckFilteredPrelude,
+         |${duckFilteredWalkCtes("", "label", GraphSearchFilterMod, GraphSearchFilterRes)}
          |SELECT q_id, rn, vec_id, score FROM finf""".stripMargin,
     "ann_graph_search_filtered_recall" ->
       s"""WITH $duckE,
-         |$duckGraphSearchFilteredCtes,
-         |exf AS (SELECT q_id, vec_id FROM (
-         |  SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
-         |          ORDER BY score DESC, vec_id) AS rn
-         |  FROM (SELECT q.q_id, x.vec_id, round($duckCosQ, 6) AS score
-         |        FROM e x JOIN qs q ON x.vec_id != q.q_id
-         |        WHERE x.label % $GraphSearchFilterMod = $GraphSearchFilterRes))
-         | WHERE rn <= $GraphSearchK)
-         |SELECT CAST($GraphSearchK AS BIGINT) AS k,
-         | (SELECT CAST(count(*) AS BIGINT) FROM qs) AS n_queries,
-         | CAST(count(*) AS BIGINT) AS n_overlap,
-         | CAST(count(*) AS BIGINT) * 1000000
-         |   // greatest($GraphSearchK * (SELECT count(*) FROM qs), 1) AS recall_micros
-         |FROM finf f JOIN exf ON exf.q_id = f.q_id AND exf.vec_id = f.vec_id""".stripMargin,
+         |$duckFilteredPrelude,
+         |${FilterCurveMods.map(m =>
+            duckFilteredWalkCtes(s"m$m", "vec_id", m, FilterCurveRes)).mkString(",\n")},
+         |${FilterCurveMods.map(m =>
+            duckFilteredRecallRow(s"m$m", m, FilterCurveRes)).mkString(",\n")}
+         |${FilterCurveMods.map(m => s"SELECT * FROM rowm$m").mkString("\nUNION ALL ")}""".stripMargin,
     "ann_hnsw_search" ->
       s"""WITH $duckE,
          |$duckHnswSearchCtes

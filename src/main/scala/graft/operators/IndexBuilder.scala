@@ -127,6 +127,7 @@ object IndexBuilder {
 
   private val writtenIndexes =
     scala.collection.mutable.Map.empty[String, (DataFrame, DataFrame)]
+  Graft.onRelease(() => writtenIndexes.clear())
 
   /** Session-memoized written index generation per data dir — the disk
     * twin of Graft.memoCache: the first consumer writes MAIN + bucketed
@@ -138,7 +139,7 @@ object IndexBuilder {
   def writtenIndex(s: SparkSession, dir: String): (DataFrame, DataFrame) = synchronized {
     writtenIndexes.getOrElseUpdate(dir, {
       val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
-      val out = new java.io.File(s"target/graft_index/$safe").getAbsolutePath
+      val out = s"${Graft.artifactRoot}/graft_index/$safe"
       write(s, dir, out, buckets = 16, table = s"graft_chunks$safe")
     })
   }

@@ -160,9 +160,13 @@ object Multimodal {
     * payloads through this.
     */
   def phashBitsOpt(payload: Array[Byte]): Option[Long] = {
+    // NonFatal, not just IOException: ImageIO readers throw runtime
+    // exceptions (CMMException, ArrayIndexOutOfBounds, IllegalArgument)
+    // on corrupt-but-recognized payloads, and those must also drop the
+    // row rather than abort the task.
     val img =
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-      catch { case _: java.io.IOException => null }
+      catch { case scala.util.control.NonFatal(_) => null }
     if (img == null || img.getWidth == 0 || img.getHeight == 0) return None
     val (w, h) = (img.getWidth, img.getHeight)
     val cells = new Array[Long](64)

@@ -1045,7 +1045,7 @@ object TextAnalysis {
       .filter(length(col("w")) >= 2)
     val types = inst.select(col("w")).distinct()
       .select(col("w"), expr(symsExpr).as("syms"))
-    val syms = Graft.memoCache("bpe_apply_syms", dir)(
+    val syms = Graft.memoCache(s"bpe_apply_syms_$steps", dir)(
       inst.join(types.hint("SHUFFLE_HASH"), "w")
         .select(col("doc_id"), explode(col("syms")).as("sym")))
     val vocab = syms.groupBy(col("sym")).agg(count(lit(1)).as("c"))

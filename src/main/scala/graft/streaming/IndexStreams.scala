@@ -48,6 +48,20 @@ object IndexStreams {
     gens.max
   }
 
+  /** Latest existing generation at or below `cap` — the stored state a
+    * microbatch folds into. The generation chain may have holes (empty
+    * microbatches write nothing), so contiguity cannot be assumed.
+    */
+  private[graft] def latestGenAtMost(root: String, cap: Long): Long = {
+    val f = new java.io.File(root)
+    val gens = Option(f.listFiles()).getOrElse(Array.empty)
+      .filter(d => d.isDirectory && d.getName.startsWith("gen="))
+      .map(_.getName.stripPrefix("gen=").toLong)
+      .filter(_ <= cap)
+    require(gens.nonEmpty, s"IndexStreams: no generation <= $cap under $root")
+    gens.max
+  }
+
   /** All member frames up to and including generation `g`. */
   private[graft] def membersThrough(s: SparkSession, root: String, g: Long): DataFrame = {
     val paths = (s"$root/gen=0/members" +:
@@ -69,10 +83,14 @@ object IndexStreams {
         if (!batch.isEmpty) {
           val s = batch.sparkSession
           val target = batchId + 1
-          // a replayed batch must fold into the SAME stored state it saw
-          // first — generations after target-1 (if a later write raced a
-          // crash) are ignored, so the rewrite is bit-identical
-          val stored = target - 1
+          // stored = the latest generation at or below batchId, NOT
+          // batchId itself: empty microbatches skip their write, so the
+          // generation chain has holes; assuming contiguity would read a
+          // non-existent gen=<batchId>/edges after any empty batch and
+          // wedge the stream (the checkpoint replays into the same hole).
+          // Replay stays bit-identical: a crashed write of gen=target is
+          // above batchId and thus never selected here.
+          val stored = latestGenAtMost(genRoot, batchId)
           val storedEmb = membersThrough(s, genRoot, stored)
           val storedEdges = s.read.parquet(s"$genRoot/gen=$stored/edges")
           val merged = Ann.nswInsertBatch(storedEmb, storedEdges,

@@ -65,4 +65,49 @@ class IndexStreamsSpec extends SparkSpec {
     info(s"2 streamed generations over ${n} vectors, " +
       s"batch sizes ${b1.count()}/${b2.count()}, both equal their batch twins")
   }
+
+  test("empty microbatches leave generation holes the stream tolerates") {
+    // the r14 wedge: gen = batchId+1 with empty batches SKIPPING their
+    // write meant the batch after any empty one read a non-existent
+    // gen=<batchId>/edges and threw, and the checkpoint replayed into
+    // the same hole forever. The fix folds into the latest EXISTING
+    // generation <= batchId; this drops an empty file between two real
+    // batches and asserts the stream sails through the hole.
+    val root = java.nio.file.Files.createTempDirectory("graft-idxgen2").toString
+    val inDir = java.nio.file.Files.createTempDirectory("graft-idxin2").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-idxck2").toString
+    val e = Graft.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val n = e.count()
+    val cut = n * 4 / 5
+    val seedEmb = e.filter(col("vec_id") < cut)
+    val seedEdges = Ann.nswStoredGraph(spark, dir, cut, 4, 3)
+    seedEdges.write.parquet(s"$root/gen=0/edges")
+    seedEmb.write.parquet(s"$root/gen=0/members")
+    val batch = e.filter(col("vec_id") >= cut)
+
+    val q = IndexStreams.maintainNswIndex(
+      IndexStreams.fromParquetDir(spark, inDir, e), root, ckpt)
+    try {
+      // microbatch 0: EMPTY (a quiet interval in production) — no write
+      e.filter(lit(false)).coalesce(1).write.mode("append").parquet(inDir)
+      q.processAllAvailable()
+      assert(IndexStreams.currentGen(root) === 0L, "empty batch must not write a generation")
+      // microbatch 1: real — folds into gen=0 (the hole at gen=1 is permanent)
+      batch.coalesce(1).write.mode("append").parquet(inDir)
+      q.processAllAvailable()
+      assert(q.exception.isEmpty, s"stream wedged on the hole: ${q.exception}")
+    } finally q.stop()
+
+    assert(IndexStreams.currentGen(root) === 2L)
+    assert(!new java.io.File(s"$root/gen=1").exists(), "hole expected at gen=1")
+    val twin = Ann.nswInsertBatch(seedEmb, seedEdges, batch)
+    def edgeSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double, Long)] =
+      df.select(col("src"), col("dst"), col("cos"), col("rn")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(edgeSet(spark.read.parquet(s"$root/gen=2/edges")) === edgeSet(twin),
+      "post-hole generation diverged from its batch twin")
+    // the members chain is hole-tolerant too
+    val members = IndexStreams.membersThrough(spark, root, 2L)
+    assert(members.select("vec_id").collect().map(_.getLong(0)).toSet === (0L until n).toSet)
+  }
 }

@@ -98,9 +98,23 @@ class Round14OpsSpec extends SparkSpec {
       (mBySrc(q).map(_._2).toSet & exact).size
     }.sum
     val recall = hits.toDouble / (4 * newSrcs.size)
-    info(f"new-node edge recall@4 after insert: $recall%.3f " +
-      s"(untouched $untouchedN, repaired $improvedN stored srcs)")
+    // yardstick: the FLAT REBUILD's edge recall on the same srcs — the
+    // r15 bounded NN-descent repair round must land within 0.02 of it
+    // (r14's no-descent insert sat 0.05 below: 0.653 vs 0.70)
+    val rebuildBySrc = Ann.nswGraph(spark, dir).select("src", "dst").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+    val rebuildHits = newSrcs.map { q =>
+      val exact = (vecs - q).toSeq
+        .map { case (id, v) => (id, cosR(v, vecs(q))) }
+        .sortBy { case (id, c) => (-c, id) }.take(4).map(_._1).toSet
+      (rebuildBySrc.getOrElse(q, Array.empty).map(_._2).toSet & exact).size
+    }.sum
+    val rebuildRecall = rebuildHits.toDouble / (4 * newSrcs.size)
+    info(f"new-node edge recall@4 after insert: $recall%.3f vs flat rebuild " +
+      f"$rebuildRecall%.3f (untouched $untouchedN, repaired $improvedN stored srcs)")
     assert(recall >= 0.5, s"insert-time edge recall $recall below bound")
+    assert(recall >= rebuildRecall - 0.02,
+      f"insert recall $recall%.3f not within 0.02 of rebuild $rebuildRecall%.3f")
   }
 
   test("bpe_apply equals a plain-Scala retokenization under the learned merges") {
@@ -205,21 +219,38 @@ class Round14OpsSpec extends SparkSpec {
     assert(adj.storageLevel.useMemory, "the loaded generation should be cached for serving")
   }
 
-  test("filtered recall clears the family floor and shows only bounded filter degradation") {
-    val row = Ann.graphSearchFilteredRecall(spark, dir).collect().head
-    val (k, nq, nov, micros) =
-      (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
-    assert(k === Ann.GraphSearchK.toLong)
-    assert(nq === Ann.GraphSearchQueryCount.toLong)
-    assert(micros === nov * 1000000L / (k * nq))
-    // the walk pays for the filter in recall (fewer passing nodes per
-    // neighborhood), but the accumulator keeps every passing node the
-    // beam ever scored, so it must still clear the family's 0.6 floor
-    // (measured: 0.7375 at sf0.001, 0.7125 at sf0.01 — vs 0.75/0.79
-    // unfiltered)
-    assert(micros >= 600000L, s"filtered graph-search recall@4 = $micros micros")
+  test("filtered recall curve: adaptive ef holds recall up as the filter tightens") {
+    val rows = Ann.graphSearchFilteredRecall(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq === Ann.FilterCurveMods)
+    // the spec-pinned adaptive-ef rule: beam·nTot/(5·nPass) clamped to
+    // [beam, EfMax] — at the 20% design selectivity ef stays 32; at 5%
+    // and 1% it saturates the rule's widening
+    val nTot = vecs.size.toLong
+    for ((m, ef, k, nq, nov, micros) <- rows) {
+      val nPass = vecs.keys.count(_ % m == Ann.FilterCurveRes).toLong
+      val expectEf = math.min(Ann.GraphSearchEfMax,
+        math.max(Ann.GraphSearchBeam.toLong,
+          Ann.GraphSearchBeam.toLong * nTot / (Ann.GraphSearchFilterMod * nPass)))
+      assert(ef === expectEf, s"adaptive ef at mod=$m")
+      assert(k === Ann.GraphSearchK.toLong)
+      assert(nq === Ann.GraphSearchQueryCount.toLong)
+      assert(micros === nov * 1000000L / (k * nq))
+    }
+    assert(rows.head._2 === Ann.GraphSearchBeam.toLong, "design selectivity must keep ef = beam")
+    assert(rows.tail.forall(_._2 > Ann.GraphSearchBeam), "tighter filters must widen ef")
+    // every selectivity must clear the family's 0.6 floor — the entire
+    // point of the adaptive rule (fixed ef=32 degrades hard below ~5%
+    // pass rate; measured WITH the rule at sf0.001: 0.7375 / 0.9875 /
+    // 0.9625 for 20% / 5% / 1%)
+    rows.foreach { case (m, _, _, _, _, micros) =>
+      assert(micros >= 600000L, s"filtered recall@4 at mod=$m = $micros micros")
+    }
     val unfiltered = Ann.graphSearchRecall(spark, dir).collect().head.getLong(3)
-    info(s"filtered recall@4 = $micros micros vs unfiltered $unfiltered micros")
+    info(s"filtered recall curve (mod -> ef, micros): " +
+      rows.map(r => s"${r._1} -> ${r._2}, ${r._6}").mkString("; ") +
+      s" vs unfiltered $unfiltered micros")
   }
 
   test("graph-search recall clears the graph-quality bound and is internally consistent") {
