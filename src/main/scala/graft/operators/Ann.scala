@@ -750,8 +750,15 @@ object Ann {
     * 100 TB this is a map stage over the vector ids, no shuffle at all.
     */
   def hnswLevels(s: SparkSession, dir: String): DataFrame =
-    Graft.embeddings(s, dir)
-      .select(col("vec_id"),
+    hnswLevelsOver(Graft.embeddings(s, dir))
+
+  /** The deterministic level draw over any (vec_id, ...) frame — a pure
+    * per-row function of vec_id, so stored-slice and full-corpus builds
+    * agree on every node's level (the property the layered INSERT needs:
+    * a node's layer membership never changes when the corpus grows).
+    */
+  private[graft] def hnswLevelsOver(e: DataFrame): DataFrame =
+    e.select(col("vec_id"),
         expr(hex12ToLong("md5(cast(vec_id as string))", "instr")).as("h"))
       .select(col("vec_id"), expr(levelFromH("h")).cast("long").as("level"))
 
@@ -840,26 +847,36 @@ object Ann {
 
   private def hnswGraphBuild(s: SparkSession, dir: String, k: Int, nprobe: Int): DataFrame = {
     val e = Graft.embeddings(s, dir).select(col("vec_id"), col("embedding"))
-    // norms once per VECTOR, before the layer explode — they ride the
-    // membership rows so every later pair cosine is dot-only
-    val nodes = withNorm(e).join(hnswLevels(s, dir), "vec_id")
+    val nTot = Graft.tableRows(s, dir, "embeddings")
+    val nodes = hnswNodesOver(e)
+    val cents = hnswCentsOver(nodes, hnswLevelsOver(e), nTot, "hnswGraph")
+    val cells = hnswCellsOver(nodes, cents, nprobe)
+    hnswEdgesFromCells(e, cells, k)
+  }
+
+  /** Layered membership frame (vec_id, embedding, nrm, layer) — norms
+    * once per VECTOR, before the layer explode, so every later pair
+    * cosine is dot-only.
+    */
+  private def hnswNodesOver(e: DataFrame): DataFrame =
+    withNorm(e).join(hnswLevelsOver(e), "vec_id")
       .select(col("vec_id"), col("embedding"), col("nrm"),
         explode(expr("sequence(0L, level)")).as("layer"))
-    // per-layer census DERIVED from the N-row level frame, not a pass
-    // over the 4N/3-row membership explode: layer-l members are exactly
-    // the nodes with level >= l, so nl/mid are suffix aggregates of the
-    // <= 17-row per-LEVEL histogram (itself a map-side-combinable
-    // groupBy over a vec_id-only projection — the scan prunes the
-    // vector column). One fewer consumption of the heavy `nodes`
-    // subtree. N comes from the memoized parquet-metadata count
-    // (immutable-corpus assumption, see Graft.tableRows) so the census
-    // is computed exactly once
-    val nTot = Graft.tableRows(s, dir, "embeddings")
-    // layered centroid stack: Σ_l √(N·4^-l) = √N · Σ_l 2^-l < 2√N rows
-    // broadcast in total — same ~300 B/row curve as the flat build
-    // (see centroidBroadcastBudgetBytes), refused loudly past budget
-    requireCentroidBudget(2L * sqrtFanout(nTot), "hnswGraph")
-    val census = hnswLevels(s, dir).groupBy(col("level"))
+
+  /** Per-layer centroid arrays (layer, cents) of the layered build —
+    * census DERIVED from the N-row level frame, not a pass over the
+    * 4N/3-row membership explode: layer-l members are exactly the nodes
+    * with level >= l, so nl/mid are suffix aggregates of the <= 17-row
+    * per-LEVEL histogram (itself a map-side-combinable groupBy over a
+    * vec_id-only projection — the scan prunes the vector column).
+    * Layered centroid stack: Σ_l √(N·4^-l) = √N · Σ_l 2^-l < 2√N rows
+    * broadcast in total — same ~300 B/row curve as the flat build
+    * (see centroidBroadcastBudgetBytes), refused loudly past budget.
+    */
+  private def hnswCentsOver(nodes: DataFrame, levels: DataFrame, nTot: Long,
+                            who: String): DataFrame = {
+    requireCentroidBudget(2L * sqrtFanout(nTot), who)
+    val census = levels.groupBy(col("level"))
       .agg(count(lit(1)).as("cl"), min(col("vec_id")).as("lmid"))
       .select(explode(expr("sequence(0L, level)")).as("layer"), col("cl"), col("lmid"))
       .groupBy(col("layer"))
@@ -867,20 +884,33 @@ object Ann {
     val seedThr = census.select(col("layer"), col("mid"),
       expr(s"(CAST($nTot AS BIGINT) * least(nl, greatest(CAST(8 AS BIGINT), " +
         "cast(floor(sqrt(nl)) as bigint))) + nl - 1) div nl").as("thr"))
-    val cents = nodes.join(broadcast(seedThr), "layer")
+    nodes.join(broadcast(seedThr), "layer")
       .filter(col("vec_id") < col("thr") || col("vec_id") === col("mid"))
       .groupBy(col("layer"))
       .agg(sort_array(collect_list(struct(col("vec_id").as("cid"), col("embedding").as("cvec"),
         col("nrm").as("cnrm")))).as("cents"))
-    val cells = nodes.join(broadcast(cents), "layer")
+  }
+
+  /** Per-layer top-nprobe cell assignment of `nodes` against the
+    * (broadcast) per-layer centroid arrays.
+    */
+  private def hnswCellsOver(nodes: DataFrame, cents: DataFrame, nprobe: Int): DataFrame =
+    nodes.join(broadcast(cents), "layer")
       .select(col("layer"), col("vec_id"), col("embedding"), col("nrm"),
         explode(expr(s"slice(array_sort(transform(cents, c -> named_struct(" +
           s"'negc', -round(fvec_dot(embedding, c.cvec) / (nrm * c.cnrm), 6), 'cid', c.cid))), 1, $nprobe)"))
           .as("cc"))
       .select(col("layer"), col("vec_id"), col("embedding"), col("nrm"), col("cc.cid").as("cid"))
       .hint("SHUFFLE_HASH")
-    // every layer's blocked pairs in ONE (layer, cid) shuffle; cosine
-    // inline in the join projection so vectors never ride a pair shuffle
+
+  /** The layered build's edge stage over a prepared cell assignment:
+    * blocked pairs in ONE (layer, cid) shuffle (cosine inline in the
+    * join projection so vectors never ride a pair shuffle), per-cell
+    * heap, per-(src,layer) round-1 cut, one hop2 NN-descent round, and
+    * the mutual flag. Shared by the full build and the stored-slice
+    * build of the layered INSERT (`ann_hnsw_insert`).
+    */
+  private def hnswEdgesFromCells(e: DataFrame, cells: DataFrame, k: Int): DataFrame = {
     val pairs = cells.as("x").join(cells.as("y"),
         col("x.layer") === col("y.layer") && col("x.cid") === col("y.cid") &&
           col("x.vec_id") =!= col("y.vec_id"))
@@ -921,6 +951,133 @@ object Ann {
         col("src") === col("r_dst") && col("dst") === col("r_src"), "left")
       .select(col("layer"), col("src"), col("dst"), col("cos"), col("rn"),
         col("r_src").isNotNull.as("mutual"))
+  }
+
+  /** Stored-slice layered cells, memoized — the layered INSERT's probe
+    * structure (the flat insert's nswStoredCells with a layer key).
+    */
+  private[graft] def hnswStoredCells(s: SparkSession, dir: String, split: Long,
+                                     nprobe: Int): DataFrame =
+    Graft.memoCache(s"hnsw_cells_ins_${split}_$nprobe", dir) {
+      val eS = Graft.embeddings(s, dir).filter(col("vec_id") < split)
+        .select(col("vec_id"), col("embedding"))
+      hnswCellsOver(hnswNodesOver(eS), hnswStoredCents(s, dir, split), nprobe)
+    }
+
+  /** Stored-slice per-layer centroid stack (dense-id contract: stored
+    * ids run 0..split-1, so |stored| = split).
+    */
+  private def hnswStoredCents(s: SparkSession, dir: String, split: Long): DataFrame = {
+    val eS = Graft.embeddings(s, dir).filter(col("vec_id") < split)
+      .select(col("vec_id"), col("embedding"))
+    hnswCentsOver(hnswNodesOver(eS), hnswLevelsOver(eS), split, "hnswGraphInsert stored")
+  }
+
+  /** Stored-slice layered build, memoized — the generation the layered
+    * insert folds into.
+    */
+  private[graft] def hnswStoredGraph(s: SparkSession, dir: String, split: Long,
+                                     k: Int, nprobe: Int): DataFrame =
+    Graft.memoCache(s"hnsw_graph_ins_${split}_${k}_$nprobe", dir) {
+      val eS = Graft.embeddings(s, dir).filter(col("vec_id") < split)
+        .select(col("vec_id"), col("embedding"))
+      hnswEdgesFromCells(eS, hnswStoredCells(s, dir, split, nprobe), k)
+    }
+
+  /** INCREMENTAL maintenance of the LAYERED index — [[nswGraphInsert]]'s
+    * asymmetric pattern applied to the structure the serving walk
+    * ([[hnswSearch]]) actually reads (until r15 the layered index was
+    * rebuilt per corpus generation while only the flat NSW graph had an
+    * insert path). A batch of new vectors (vec_id >= 4N/5) folds into
+    * the STORED layered build:
+    *
+    *  1. each new vector draws its level from the SAME deterministic
+    *     md5 draw as the build ([[hnswLevelsOver]] is a pure function
+    *     of vec_id — a node's layer membership never changes when the
+    *     corpus grows), and joins layers 0..level;
+    *  2. per layer, the batch members assign to their top-`nprobe`
+    *     STORED centroids (|B_l|·√|S_l| scoring — ∝ batch, the layered
+    *     probe cost a descent pays);
+    *  3. candidate pairs, touched-src re-rank and untouched
+    *     pass-through run per (layer, src) — [[nswGraphInsert]]'s merge
+    *     with `layer` added to every key, all ranking work ∝ batch;
+    *  4. ONE bounded NN-descent repair round per layer over
+    *     touched+new srcs (work ∝ batch·k² per layer, geometrically
+    *     thinner per level).
+    *
+    * Output (layer, src, dst, cos, rn) — the merged generation
+    * [[hnswSearch]]'s descent serves (spec-verified in HnswSpec; the
+    * keyed `ann_hnsw_insert` oracle unrolls stored-build + insert per
+    * layer).
+    */
+  def hnswGraphInsert(s: SparkSession, dir: String, k: Int = 4, nprobe: Int = 3): DataFrame = {
+    val nTot = Graft.tableRows(s, dir, "embeddings")
+    val split = nTot * InsertSplitNum / InsertSplitDen
+    val e = Graft.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val eB = e.filter(col("vec_id") >= split)
+    val storedEdges = hnswStoredGraph(s, dir, split, k, nprobe)
+      .select(col("layer"), col("src"), col("dst"), col("cos"), col("rn"))
+    val storedCells = hnswStoredCells(s, dir, split, nprobe)
+    val batchCells = hnswCellsOver(hnswNodesOver(eB), hnswStoredCents(s, dir, split), nprobe)
+    val allCells = storedCells
+      .select(col("layer"), col("vec_id"), col("embedding"), col("nrm"), col("cid"))
+      .withColumn("stored", lit(true))
+      .union(batchCells.withColumn("stored", lit(false)))
+      .hint("SHUFFLE_HASH")
+    val pairs = batchCells.as("x").join(allCells.as("y"),
+        col("x.layer") === col("y.layer") && col("x.cid") === col("y.cid") &&
+          col("x.vec_id") =!= col("y.vec_id"))
+      .select(col("x.layer").as("layer"), col("x.vec_id").as("src"), col("x.cid").as("cid"),
+        col("y.vec_id").as("dst"), col("y.stored").as("dst_stored"),
+        round(VectorOps.dot(col("x.embedding"), col("y.embedding"))
+          / (col("x.nrm") * col("y.nrm")), 6).as("cos"))
+    // batch→batch pairs already appear in both orientations; only
+    // batch→stored reverses (the flat insert's duplicate-row argument)
+    val undRaw = pairs.select(col("layer"), col("src"), col("cid"), col("dst"), col("cos"))
+      .union(pairs.filter(col("dst_stored"))
+        .select(col("layer"), col("dst").as("src"), col("cid"), col("src").as("dst"), col("cos")))
+    // per-(src, layer, cell) lossless pre-cut before the distinct —
+    // nswInsertCore's heap argument, layer-keyed
+    val wCell = Window.partitionBy(col("src"), col("layer"), col("cid"))
+      .orderBy(col("cos").desc, col("dst"))
+    val undp = undRaw
+      .withColumn("rn", row_number().over(wCell)).filter(col("rn") <= k)
+      .select(col("layer"), col("src"), col("dst"), col("cos"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Graft.trackCaches("hnsw_insert_undp", undp)
+    val touched = undp.select(col("layer"), col("src")).distinct()
+    val touchedOld = storedEdges.join(touched, Seq("layer", "src"), "left_semi")
+      .select(col("layer"), col("src"), col("dst"), col("cos"))
+    val wTop = Window.partitionBy(col("src"), col("layer"))
+      .orderBy(col("cos").desc, col("dst"))
+    val reranked = touchedOld.union(undp).distinct()
+      .withColumn("rn", row_number().over(wTop).cast("long")).filter(col("rn") <= k)
+      .select(col("layer"), col("src"), col("dst"), col("cos"), col("rn"))
+    val untouched = storedEdges.join(touched, Seq("layer", "src"), "left_anti")
+    val merged = untouched.unionByName(reranked)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Graft.trackCaches("hnsw_insert_merged", merged)
+    // bounded per-layer NN-descent repair round over touched+new srcs
+    val mg = merged.select(col("layer"), col("src"), col("dst"), col("cos"))
+    val undM = mg.select(col("layer"), col("src"), col("dst"))
+      .union(mg.select(col("layer"), col("dst").as("src"), col("src").as("dst")))
+    val hop2 = undM.join(touched, Seq("layer", "src"), "left_semi").as("a")
+      .join(undM.as("b"),
+        col("a.layer") === col("b.layer") && col("a.dst") === col("b.src") &&
+          col("a.src") =!= col("b.dst"))
+      .select(col("a.layer").as("layer"), col("a.src").as("src"), col("b.dst").as("dst"))
+      .distinct()
+    val vecs = withNorm(e)
+    val h2c = hop2
+      .join(vecs.select(col("vec_id").as("src"), col("embedding").as("xe"), col("nrm").as("xn")), "src")
+      .join(vecs.select(col("vec_id").as("dst"), col("embedding").as("ye"), col("nrm").as("yn")), "dst")
+      .select(col("layer"), col("src"), col("dst"),
+        round(VectorOps.dot(col("xe"), col("ye")) / (col("xn") * col("yn")), 6).as("cos"))
+    val tch = mg.join(touched, Seq("layer", "src"), "left_semi")
+    val repaired = tch.union(h2c).distinct()
+      .withColumn("rn", row_number().over(wTop).cast("long")).filter(col("rn") <= k)
+      .select(col("layer"), col("src"), col("dst"), col("cos"), col("rn"))
+    untouched.unionByName(repaired)
   }
 
   /** Beam width of the batch graph search (HNSW's ef). Measured recall
@@ -1513,13 +1670,24 @@ object Ann {
     */
   def hnswSearch(s: SparkSession, dir: String, k: Int = GraphSearchK,
                  beam: Int = GraphSearchBeam,
-                 rounds: Int = GraphSearchRounds): DataFrame = {
+                 rounds: Int = GraphSearchRounds): DataFrame =
+    hnswSearchOver(s, dir, hnswGraph(s, dir), "hnsw_search_index", k, beam, rounds)
+
+  /** The layered descent over an ARBITRARY layered edge frame — the
+    * serving walk of [[hnswSearch]] (which reads the full rebuild) and
+    * of the spec that serves the MERGED [[hnswGraphInsert]] generation
+    * (the deployment's post-insert state). `memoKey` keys the prepared
+    * search index per edge source.
+    */
+  private[graft] def hnswSearchOver(s: SparkSession, dir: String, edges: DataFrame,
+                                    memoKey: String, k: Int = GraphSearchK,
+                                    beam: Int = GraphSearchBeam,
+                                    rounds: Int = GraphSearchRounds): DataFrame = {
     import s.implicits._
-    val edges = hnswGraph(s, dir)
     // THE LAYERED SEARCH INDEX: per-layer undirected adjacency with the
     // destination's vector attached ONCE (session-shared) — the frame a
     // serving tier holds in memory, layer as just another key column
-    val undL = Graft.memoFlat("hnsw_search_index", dir) {
+    val undL = Graft.memoFlat(memoKey, dir) {
       val en = withNorm(Graft.embeddings(s, dir))
         .select(col("vec_id").as("dst"), col("embedding").as("dv"), col("nrm").as("dnrm"))
       edges.select(col("layer"), col("src"), col("dst"))
@@ -2331,7 +2499,7 @@ object Ann {
       | / (sqrt(list_sum(list_transform(range(1,65), i -> x.v[i] * x.v[i])))
       |    * sqrt(list_sum(list_transform(range(1,65), i -> y.v[i] * y.v[i]))))""".stripMargin
 
-  private val duckE =
+  private[operators] val duckE =
     """e AS (SELECT vec_id, label,
       | list_transform(embedding, z -> CAST(z AS DOUBLE)) AS v FROM embeddings)""".stripMargin
 
@@ -2343,40 +2511,112 @@ object Ann {
        |lv AS (SELECT vec_id, CAST(${levelFromH("h")} AS BIGINT) AS level FROM h0)""".stripMargin
 
   /** One full blocked-NSW build (assignment → blocked pairs → NN-descent
-    * → reciprocal top-k) over the nodes of HNSW layer `l`, as a DuckDB
-    * CTE chain ending in `lay$l`. Empty layers flow through as zero
-    * rows, so a static 0..16 stack covers every drawable level.
+    * → reciprocal top-k) over the nodes of HNSW layer `l` drawn from
+    * base relation `base` (name suffix `f`), as a DuckDB CTE chain
+    * ending in `lay$f$l`. Empty layers flow through as zero rows, so a
+    * static 0..16 stack covers every drawable level. `f = ""` over `e`
+    * is the full layered build; `f = "s"` over the stored slice `es` is
+    * the generation the layered INSERT oracle folds into.
     */
-  private def duckHnswLayer(l: Int): String =
-    s"""el$l AS (SELECT e.vec_id, e.v FROM e JOIN lv ON e.vec_id = lv.vec_id WHERE lv.level >= $l),
-       |nl$l AS (SELECT CAST(count(*) AS BIGINT) AS nl, min(vec_id) AS mid FROM el$l),
-       |c$l AS (SELECT vec_id AS cid, v FROM el$l, nl$l
-       |  WHERE vec_id < ((SELECT CAST(count(*) AS BIGINT) FROM e)
+  private def duckHnswLayerOver(l: Int, base: String, f: String): String =
+    s"""el$f$l AS (SELECT b.vec_id, b.v FROM $base b JOIN lv ON b.vec_id = lv.vec_id WHERE lv.level >= $l),
+       |nl$f$l AS (SELECT CAST(count(*) AS BIGINT) AS nl, min(vec_id) AS mid FROM el$f$l),
+       |c$f$l AS (SELECT vec_id AS cid, v FROM el$f$l, nl$f$l
+       |  WHERE vec_id < ((SELECT CAST(count(*) AS BIGINT) FROM $base)
        |      * least(nl, greatest(CAST(8 AS BIGINT), CAST(floor(sqrt(nl)) AS BIGINT))) + nl - 1) // nl
        |     OR vec_id = mid),
-       |sc$l AS (SELECT x.vec_id, y.cid, round($duckCosPair, 6) AS cscore
-       |       FROM el$l x JOIN (SELECT cid, v FROM c$l) y ON true),
-       |asg$l AS (SELECT vec_id, cid FROM (
+       |sc$f$l AS (SELECT x.vec_id, y.cid, round($duckCosPair, 6) AS cscore
+       |       FROM el$f$l x JOIN (SELECT cid, v FROM c$f$l) y ON true),
+       |asg$f$l AS (SELECT vec_id, cid FROM (
        |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
-       |          ORDER BY cscore DESC, cid) AS rn FROM sc$l) WHERE rn <= 3),
-       |cand0$l AS (SELECT DISTINCT x.vec_id AS src, y.vec_id AS dst
-       |          FROM asg$l x JOIN asg$l y ON x.cid = y.cid AND x.vec_id != y.vec_id),
-       |cos0$l AS (SELECT src, dst, round($duckCosPair, 6) AS cos
-       |         FROM cand0$l JOIN el$l x ON x.vec_id = src JOIN el$l y ON y.vec_id = dst),
-       |r1$l AS (SELECT src, dst FROM (SELECT src, dst, row_number() OVER (
-       |         PARTITION BY src ORDER BY cos DESC, dst) AS rn FROM cos0$l) WHERE rn <= 4),
-       |und$l AS (SELECT src, dst FROM r1$l UNION SELECT dst, src FROM r1$l),
-       |hop2$l AS (SELECT DISTINCT a.src AS src, b.dst AS dst
-       |         FROM und$l a JOIN und$l b ON a.dst = b.src WHERE a.src != b.dst),
-       |allc$l AS (SELECT src, dst FROM hop2$l UNION SELECT src, dst FROM cand0$l),
-       |csA$l AS (SELECT src, dst, round($duckCosPair, 6) AS cos
-       |        FROM allc$l JOIN el$l x ON x.vec_id = src JOIN el$l y ON y.vec_id = dst),
-       |topk$l AS (SELECT src, dst, cos, CAST(rn AS BIGINT) AS rn FROM (
+       |          ORDER BY cscore DESC, cid) AS rn FROM sc$f$l) WHERE rn <= 3),
+       |cand0$f$l AS (SELECT DISTINCT x.vec_id AS src, y.vec_id AS dst
+       |          FROM asg$f$l x JOIN asg$f$l y ON x.cid = y.cid AND x.vec_id != y.vec_id),
+       |cos0$f$l AS (SELECT src, dst, round($duckCosPair, 6) AS cos
+       |         FROM cand0$f$l JOIN el$f$l x ON x.vec_id = src JOIN el$f$l y ON y.vec_id = dst),
+       |r1$f$l AS (SELECT src, dst FROM (SELECT src, dst, row_number() OVER (
+       |         PARTITION BY src ORDER BY cos DESC, dst) AS rn FROM cos0$f$l) WHERE rn <= 4),
+       |und$f$l AS (SELECT src, dst FROM r1$f$l UNION SELECT dst, src FROM r1$f$l),
+       |hop2$f$l AS (SELECT DISTINCT a.src AS src, b.dst AS dst
+       |         FROM und$f$l a JOIN und$f$l b ON a.dst = b.src WHERE a.src != b.dst),
+       |allc$f$l AS (SELECT src, dst FROM hop2$f$l UNION SELECT src, dst FROM cand0$f$l),
+       |csA$f$l AS (SELECT src, dst, round($duckCosPair, 6) AS cos
+       |        FROM allc$f$l JOIN el$f$l x ON x.vec_id = src JOIN el$f$l y ON y.vec_id = dst),
+       |topk$f$l AS (SELECT src, dst, cos, CAST(rn AS BIGINT) AS rn FROM (
        |  SELECT src, dst, cos, row_number() OVER (PARTITION BY src
-       |          ORDER BY cos DESC, dst) AS rn FROM csA$l) WHERE rn <= 4),
-       |lay$l AS (SELECT CAST($l AS BIGINT) AS layer, t.src, t.dst, t.cos, t.rn,
+       |          ORDER BY cos DESC, dst) AS rn FROM csA$f$l) WHERE rn <= 4),
+       |lay$f$l AS (SELECT CAST($l AS BIGINT) AS layer, t.src, t.dst, t.cos, t.rn,
        |  (r.src IS NOT NULL) AS mutual
-       |  FROM topk$l t LEFT JOIN topk$l r ON t.src = r.dst AND t.dst = r.src)""".stripMargin
+       |  FROM topk$f$l t LEFT JOIN topk$f$l r ON t.src = r.dst AND t.dst = r.src)""".stripMargin
+
+  private def duckHnswLayer(l: Int): String = duckHnswLayerOver(l, "e", "")
+
+  /** One layer of the layered-INSERT oracle: batch members of layer l
+    * assign to the STORED layer centroids (`cs$l` from the stored-slice
+    * chain), candidate pairs vs stored+batch cells, touched re-rank,
+    * one NN-descent repair round, untouched pass-through — the exact
+    * per-layer twin of [[hnswGraphInsert]]'s merge (and a layer-keyed
+    * [[duckGraphInsertSql]]). Ends in `outi$l`.
+    */
+  private def duckHnswInsertLayer(l: Int): String =
+    s"""topkims$l AS MATERIALIZED (SELECT * FROM topks$l),
+       |bli$l AS (SELECT e.vec_id, e.v FROM e JOIN lv ON e.vec_id = lv.vec_id
+       |          WHERE lv.level >= $l AND e.vec_id >= (SELECT v FROM spl)),
+       |bsci$l AS (SELECT x.vec_id, y.cid, round($duckCosPair, 6) AS cscore
+       |        FROM bli$l x JOIN (SELECT cid, v FROM cs$l) y ON true),
+       |basgi$l AS (SELECT vec_id, cid FROM (
+       |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+       |          ORDER BY cscore DESC, cid) AS rn FROM bsci$l) WHERE rn <= 3),
+       |acelli$l AS (SELECT vec_id, cid FROM asgs$l UNION ALL SELECT vec_id, cid FROM basgi$l),
+       |npi$l AS (SELECT DISTINCT x.vec_id AS src, y.vec_id AS dst
+       |       FROM basgi$l x JOIN acelli$l y ON x.cid = y.cid AND x.vec_id != y.vec_id),
+       |npci$l AS MATERIALIZED (SELECT src, dst, round($duckCosPair, 6) AS cos
+       |       FROM npi$l JOIN e x ON x.vec_id = src JOIN e y ON y.vec_id = dst),
+       |undpi$l AS MATERIALIZED (SELECT src, dst, cos FROM npci$l
+       |        UNION ALL SELECT dst, src, cos FROM npci$l),
+       |tsrci$l AS MATERIALIZED (SELECT DISTINCT src FROM undpi$l),
+       |toldi$l AS (SELECT t.src, t.dst, t.cos FROM topkims$l t JOIN tsrci$l ts ON t.src = ts.src),
+       |reri$l AS (SELECT src, dst, cos FROM (
+       |  SELECT src, dst, cos, row_number() OVER (PARTITION BY src
+       |          ORDER BY cos DESC, dst) AS rn
+       |  FROM (SELECT DISTINCT src, dst, cos FROM (
+       |    SELECT * FROM toldi$l UNION ALL SELECT * FROM undpi$l))) WHERE rn <= 4),
+       |mgi$l AS MATERIALIZED (
+       |  SELECT t.src, t.dst, t.cos FROM topkims$l t
+       |  WHERE t.src NOT IN (SELECT src FROM tsrci$l)
+       |  UNION ALL SELECT src, dst, cos FROM reri$l),
+       |undmi$l AS (SELECT src, dst FROM mgi$l UNION SELECT dst, src FROM mgi$l),
+       |h2i$l AS (SELECT DISTINCT a.src AS src, b.dst AS dst
+       |       FROM undmi$l a JOIN undmi$l b ON a.dst = b.src
+       |       WHERE a.src != b.dst AND a.src IN (SELECT src FROM tsrci$l)),
+       |h2ci$l AS (SELECT src, dst, round($duckCosPair, 6) AS cos
+       |        FROM h2i$l JOIN e x ON x.vec_id = src JOIN e y ON y.vec_id = dst),
+       |tchi$l AS (SELECT m.src, m.dst, m.cos FROM mgi$l m JOIN tsrci$l ts ON m.src = ts.src),
+       |repi$l AS (SELECT src, dst, cos, CAST(rn AS BIGINT) AS rn FROM (
+       |  SELECT src, dst, cos, row_number() OVER (PARTITION BY src
+       |          ORDER BY cos DESC, dst) AS rn
+       |  FROM (SELECT DISTINCT src, dst, cos FROM (
+       |    SELECT * FROM tchi$l UNION ALL SELECT * FROM h2ci$l))) WHERE rn <= 4),
+       |outi$l AS (SELECT CAST($l AS BIGINT) AS layer, t.src, t.dst, t.cos, t.rn
+       |  FROM topkims$l t WHERE t.src NOT IN (SELECT src FROM tsrci$l)
+       |  UNION ALL SELECT CAST($l AS BIGINT) AS layer, src, dst, cos, rn FROM repi$l)""".stripMargin
+
+  /** The layered incremental insert (`ann_hnsw_insert`) as one DuckDB
+    * statement: stored-slice layered build (suffix `s`, 0..16) + one
+    * insert chain per layer, unioned.
+    */
+  private def duckHnswInsertSql: String = {
+    val stored = (0 to 16).map(duckHnswLayerOver(_, "es", "s")).mkString(",\n")
+    val inserts = (0 to 16).map(duckHnswInsertLayer).mkString(",\n")
+    val union = (0 to 16).map(l => s"SELECT * FROM outi$l").mkString("\nUNION ALL ")
+    s"""WITH $duckE,
+       |$duckLevels,
+       |spl AS (SELECT count(*) * $InsertSplitNum // $InsertSplitDen AS v FROM e),
+       |es AS (SELECT vec_id, v FROM e WHERE vec_id < (SELECT v FROM spl)),
+       |$stored,
+       |$inserts
+       |$union""".stripMargin
+  }
 
   private def duckHnswLayersSql: String = {
     val chains = (0 to 16).map(duckHnswLayer).mkString(",\n")
@@ -2610,7 +2850,7 @@ object Ann {
     * mirroring [[graphSearch]]'s per-round
     * state ∪ rescored-neighbors → distinct → top-beam.
     */
-  private def duckGraphSearchCtes: String = {
+  private[operators] def duckGraphSearchCtes: String = {
     val rounds = (1 to GraphSearchRounds).map { r =>
       s"""st$r AS MATERIALIZED (SELECT q_id, node, score FROM (
          |  SELECT q_id, node, score, row_number() OVER (PARTITION BY q_id
@@ -3274,6 +3514,7 @@ object Ann {
          |FROM topk t LEFT JOIN topk r ON t.src = r.dst AND t.dst = r.src""".stripMargin,
     "ann_graph_sharded" -> duckShardedSql,
     "ann_graph_insert" -> duckGraphInsertSql,
+    "ann_hnsw_insert" -> duckHnswInsertSql,
     "ann_graph_search" ->
       s"""WITH $duckE,
          |$duckGraphSearchCtes

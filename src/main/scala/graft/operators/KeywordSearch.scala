@@ -104,6 +104,51 @@ object KeywordSearch {
       .limit(k)
   }
 
+  /** Hybrid search THROUGH THE ANN GRAPH — the production fusion shape:
+    * where [[hybridRrf]] fuses BM25 with a brute-force cosine ranking,
+    * this fuses it with [[Ann.graphSearch]]'s beam walk over the built
+    * NSW serving index (the reference's deployment pairs a lexical
+    * ranker with Qdrant's HNSW, never with a corpus scan). Per query of
+    * the walk's keyed batch: the walk's hits map to their doc groups
+    * (label), keep the best walk rank per (query, group), then RRF
+    * (c=60) against the shared BM25 group ranking; top-`k` fused groups
+    * per query.
+    *
+    * Scale shape: every fused frame is bounded — the walk output is
+    * Q·k rows by construction, the BM25 side is the same
+    * TakeOrderedAndProject-bounded list `hybrid_rrf` fuses, and the
+    * per-query replication is Q × top-N. Nothing corpus-sized enters
+    * the fusion; the corpus work is the walk (N-independent per round)
+    * and the one BM25 scoring pass.
+    */
+  def hybridRrfGraph(s: SparkSession, dir: String, k: Int = 3, n: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val walk = Ann.graphSearch(s, dir)
+    val lab = Graft.embeddings(s, dir)
+      .select(col("vec_id"), col("label").cast("long").as("a_label"))
+    val annRank = walk.join(lab, "vec_id")
+      .groupBy(col("q_id").as("a_q"), col("a_label"))
+      .agg(min(col("rn")).as("r_ann"))
+    val bmRank = bm25Scores(s, dir)
+      .groupBy((col("doc_id") % 10).as("b_label"))
+      .agg(max(col("bm25")).as("bm"))
+      .orderBy(col("bm").desc, col("b_label")).limit(n)
+      .withColumn("r_bm",
+        row_number().over(Window.orderBy(col("bm").desc, col("b_label"))).cast("long"))
+      .select(col("b_label"), col("r_bm"))
+    val bmPerQ = walk.select(col("q_id").as("b_q")).distinct().crossJoin(bmRank)
+    annRank.join(bmPerQ,
+        col("a_q") === col("b_q") && col("a_label") === col("b_label"), "full_outer")
+      .select(coalesce(col("a_q"), col("b_q")).as("q_id"),
+        coalesce(col("a_label"), col("b_label")).as("label"),
+        (coalesce(expr("cast(1 as double) / (cast(60 as double) + r_ann)"), expr("cast(0 as double)"))
+          + coalesce(expr("cast(1 as double) / (cast(60 as double) + r_bm)"), expr("cast(0 as double)")))
+          .as("rrf"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("rrf").desc, col("label"))).cast("long"))
+      .filter(col("rk") <= k)
+  }
+
   /** Facet counts for a search-results page: (source, lang) buckets over
     * the BM25 top-k with hit count and best score — the sidebar a search
     * UI renders next to the hits. The k-row result page broadcasts (it
@@ -240,6 +285,27 @@ object KeywordSearch {
          | + coalesce(CAST(1 AS DOUBLE) / (CAST(60 AS DOUBLE) + r_bm), CAST(0 AS DOUBLE)) AS rrf
          |FROM cr FULL OUTER JOIN br ON c_label = b_label
          |ORDER BY rrf DESC, label LIMIT 10""".stripMargin
+    },
+    "hybrid_rrf_graph" -> {
+      val terms = QueryTerms.map(t => s"'$t'").mkString(", ")
+      s"""WITH ${Ann.duckE},
+         |${Ann.duckGraphSearchCtes},
+         |${bmCtes(terms)},
+         |bl AS (SELECT CAST(doc_id % 10 AS BIGINT) AS b_label, max(bm25) AS bm
+         |       FROM scored GROUP BY 1),
+         |br AS (SELECT b_label, CAST(row_number() OVER (ORDER BY bm DESC, b_label) AS BIGINT) AS r_bm
+         |       FROM (SELECT * FROM bl ORDER BY bm DESC, b_label LIMIT 1000)),
+         |ar AS (SELECT f.q_id AS a_q, CAST(e.label AS BIGINT) AS a_label, min(f.rn) AS r_ann
+         |       FROM fin f JOIN e ON e.vec_id = f.vec_id GROUP BY 1, 2),
+         |bpq AS (SELECT b_q, b_label, r_bm
+         |        FROM (SELECT DISTINCT q_id AS b_q FROM fin), br),
+         |fu AS (SELECT coalesce(a_q, b_q) AS q_id, coalesce(a_label, b_label) AS label,
+         |  coalesce(CAST(1 AS DOUBLE) / (CAST(60 AS DOUBLE) + r_ann), CAST(0 AS DOUBLE))
+         |  + coalesce(CAST(1 AS DOUBLE) / (CAST(60 AS DOUBLE) + r_bm), CAST(0 AS DOUBLE)) AS rrf
+         |  FROM ar FULL OUTER JOIN bpq ON a_q = b_q AND a_label = b_label)
+         |SELECT q_id, label, rrf, CAST(rk AS BIGINT) AS rk FROM (
+         |  SELECT q_id, label, rrf, row_number() OVER (PARTITION BY q_id
+         |          ORDER BY rrf DESC, label) AS rk FROM fu) WHERE rk <= 3""".stripMargin
     },
     "search_facets" -> {
       val terms = QueryTerms.map(t => s"'$t'").mkString(", ")
