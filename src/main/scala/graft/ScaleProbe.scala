@@ -144,6 +144,28 @@ object ScaleProbe {
         emit("probe" -> "ann_graph_search_from_gen", "scale" -> s"${mult}x", "build_sec" -> bsec,
           "publish_sec" -> psec, "search_sec" -> ssec, "search_warm_sec" -> wsec)
       }
+      if (probes("bigq")) {
+        // batch-serving shape: Q far beyond the keyed 20-query request,
+        // walked through BOTH beam paths (driver-ranked vs distributed
+        // rounds) over the same serving index — the routing threshold's
+        // evidence line
+        val (bsec, _) = time(operators.Ann.nswGraph(spark, dir).count()) // build once
+        val undE = operators.Ann.graphSearchIndex(spark, dir)
+        val cents = spark.read.parquet(s"$dir/embeddings.parquet")
+          .filter(col("vec_id") < operators.Ann.sqrtFanout(
+            Graft.tableRows(spark, dir, "embeddings")))
+          .select(col("vec_id").as("node"), col("embedding").as("nv"))
+        val queries = spark.read.parquet(s"$dir/embeddings.parquet")
+          .filter(col("vec_id") % 7 === 3).orderBy(col("vec_id")).limit(2000)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+        val (dsec, nd) = time(operators.Ann.beamSearchBatch(
+          spark, undE, cents, queries, 4, 32, 8, distThreshold = 0).count())
+        val (vsec, nv) = time(operators.Ann.beamSearchBatch(
+          spark, undE, cents, queries, 4, 32, 8, distThreshold = Int.MaxValue).count())
+        emit("probe" -> "beam_bigq", "scale" -> s"${mult}x", "q" -> 2000,
+          "build_sec" -> bsec, "dist_sec" -> dsec, "driver_sec" -> vsec,
+          "rows_dist" -> nd, "rows_driver" -> nv)
+      }
       if (probes("ginsert")) {
         val (fsec, _) = time(operators.Ann.nswGraph(spark, dir).count()) // full-rebuild yardstick
         Graft.releaseCaches()

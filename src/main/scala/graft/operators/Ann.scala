@@ -1185,13 +1185,21 @@ object Ann {
     * rows (with query vectors) back out — provably bounded for a keyed
     * Q=20 request, linear-in-Q driver state for a batch-serving job.
     * Above this cutoff the SAME round semantics run as Spark jobs
-    * (distinct + per-query window per round), whose fixed ~2s/round
-    * exchange overhead is amortized by the batch. 256 queries ≈ 2 MB of
-    * frontier state per round — comfortably inside either path, so the
-    * switch sits where neither regresses (the clustersOf threshold
+    * (distinct + per-query window per round) whose per-round exchange
+    * overhead is amortized by the batch (the clustersOf threshold
     * pattern, Dedup.scala clustersOf).
+    *
+    * Placement is MEMORY-bounded, not latency-bounded: measured at 10×
+    * (docs/bench_r15_scale_probes.jsonl, Q=2000) the driver path still
+    * WINS wall-clock locally (4.1s vs 8.4s — single-JVM collects are
+    * cheap) with values identical, so the cutoff sits where the
+    * per-round driver state stops being comfortable, not where local
+    * latency crosses: 8192 queries × beam 32 × 2k=8 ≈ 2M scored rows ≈
+    * 10^2 MB per round. A cluster deployment whose driver is smaller
+    * (or whose Q is 10^5) lowers it; the routed path is spec-equal
+    * either way (Round15OpsSpec).
     */
-  val GraphSearchDistQ = 256
+  val GraphSearchDistQ = 8192
 
   /** The shared beam core of [[graphSearch]] and [[graphSearchFromGen]]:
     * entry scoring over `cents` (node, nv), then `rounds` synchronized
@@ -2713,7 +2721,7 @@ object Ann {
        |allc$f AS (SELECT src, dst FROM hop2$f UNION SELECT src, dst FROM cand0$f),
        |csA$f AS (SELECT src, dst, round($duckCosPair, 6) AS cos
        |        FROM allc$f JOIN $src x ON x.vec_id = src JOIN $src y ON y.vec_id = dst),
-       |topk$f AS (SELECT src, dst, cos, CAST(rn AS BIGINT) AS rn FROM (
+       |topk$f AS MATERIALIZED (SELECT src, dst, cos, CAST(rn AS BIGINT) AS rn FROM (
        |  SELECT src, dst, cos, row_number() OVER (PARTITION BY src
        |          ORDER BY cos DESC, dst) AS rn FROM csA$f) WHERE rn <= 4)""".stripMargin
 

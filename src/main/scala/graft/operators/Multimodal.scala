@@ -43,7 +43,17 @@ object Multimodal {
     * pixel bit-exactly; the encoder is deterministic for fixed pixels,
     * so payload bytes are stable across runs and engines.
     */
-  def encodePng(width: Int, height: Int, rgb: (Int, Int) => Int): Array[Byte] = {
+  def encodePng(width: Int, height: Int, rgb: (Int, Int) => Int): Array[Byte] =
+    encodeImage("png", width, height, rgb)
+
+  /** REAL image encode for any format the JDK's javax.imageio writes
+    * natively — "png" (lossless) and "jpg" (lossy DCT; the decoded
+    * pixels differ from the input, which is exactly the re-encode
+    * behavior the mixed-codec dedup corpus exists to exercise). The
+    * encoder is deterministic for fixed pixels within a JDK, so payload
+    * bytes are stable across runs.
+    */
+  def encodeImage(fmt: String, width: Int, height: Int, rgb: (Int, Int) => Int): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(
       width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
     var y = 0
@@ -53,7 +63,7 @@ object Multimodal {
       y += 1
     }
     val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
+    javax.imageio.ImageIO.write(img, fmt, bos)
     bos.toByteArray
   }
 
@@ -248,14 +258,68 @@ object Multimodal {
       .toDF("doc_id", "payload")
   }
 
-  /** The keyed IMAGE-dedup deliverable: real PNG encode → decode →
-    * aHash → pigeonhole-banded hamming pairs, end-to-end over the
-    * dup-planted corpus. Rows-only (decode inside); MultimodalSpec pins
-    * the result to an ImageIO-free all-pairs recomputation straight
-    * from the pixel formula.
+  /** Planted UNDECODABLE payloads get doc_id + this offset. */
+  val BadIdOffset = 2000000L
+
+  /** Every `BadEvery`-th document also plants a truncated payload. */
+  val BadEvery = 50L
+
+  /** Codec per document of the MIXED corpus: even ids PNG, odd JPEG —
+    * the two formats javax.imageio both reads and writes natively.
+    */
+  def codecOf(id: Long): String = if (id % 2 == 0) "png" else "jpg"
+
+  /** Synthetic MIXED-CODEC image corpus with planted duplicates and
+    * corrupt payloads — the r15 corpus that kills the single-codec
+    * caveat on the image-dedup family:
+    *
+    *  - even ids encode PNG, odd ids JPEG (one decode path, two real
+    *    codecs);
+    *  - every [[DupEvery]]-th PNG doc plants a ONE-PIXEL near-dup twin
+    *    (lossless ⇒ hamming ≤ 6 exactly as the pixel formula predicts);
+    *  - every [[DupEvery]]-th JPEG doc plants an EXACT RE-ENCODE twin
+    *    (same pixels through the lossy codec ⇒ identical payload ⇒
+    *    hamming 0 — the re-upload dup a crawl corpus actually contains;
+    *    a one-pixel JPEG perturbation measures hamming up to 13 on
+    *    these noise fields, outside any radius that still separates
+    *    distinct patterns, min-hamming 14 across the 500-doc corpus);
+    *  - every [[BadEvery]]-th doc plants a TRUNCATED payload
+    *    (id + [[BadIdOffset]]) that the decode path must DROP, not
+    *    throw on — the row-delta contract, spec-asserted.
+    */
+  def syntheticImagesMixedWithDups(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Graft.documents(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.flatMap { id =>
+          val w = 8 + (id % 5).toInt
+          val h = 6 + (id % 3).toInt
+          val fmt = codecOf(id)
+          val payload = encodeImage(fmt, w, h, (x, y) => docPixel(id, x, y))
+          val base = Iterator((id, payload))
+          val twin =
+            if (id % DupEvery != 0) Iterator.empty
+            else if (fmt == "png") Iterator((id + DupIdOffset, encodeImage(fmt, w, h, (x, y) =>
+              if (x == 0 && y == 0) ~docPixel(id, x, y) & 0xffffff else docPixel(id, x, y))))
+            else Iterator((id + DupIdOffset, encodeImage(fmt, w, h, (x, y) => docPixel(id, x, y))))
+          val bad =
+            if (id % BadEvery == 0) Iterator((id + BadIdOffset, payload.take(10)))
+            else Iterator.empty
+          base ++ twin ++ bad
+        }
+      }
+      .toDF("doc_id", "payload")
+  }
+
+  /** The keyed IMAGE-dedup deliverable: real mixed-codec (PNG + JPEG)
+    * encode → decode → aHash → pigeonhole-banded hamming pairs,
+    * end-to-end over the dup-and-corruption-planted corpus
+    * ([[syntheticImagesMixedWithDups]]). Rows-only (decode inside);
+    * MultimodalSpec pins the result to a local per-payload
+    * recomputation and asserts the corrupt payloads dropped.
     */
   def phashPairsQuery(s: SparkSession, dir: String): DataFrame =
-    phashPairs(imagePhash(syntheticImagesWithDups(s, dir)))
+    phashPairs(imagePhash(syntheticImagesMixedWithDups(s, dir)))
 
   /** Image near-dup pairs over a (doc_id, phash) frame: pigeonhole
     * band blocking (8 bands × 8 bits — hamming ≤ 7 guarantees one

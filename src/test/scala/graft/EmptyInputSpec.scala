@@ -167,8 +167,15 @@ class EmptyInputSpec extends SparkSpec {
     assert(hrec.length === 1 && hrec.head.getLong(2) === 0L)
     assert(Ann.graphSearchInt8(spark, dir).count() === 0)
     assert(Ann.graphSearchFiltered(spark, dir).count() === 0)
+    // the r15 selectivity CURVE: one all-zero row per selectivity point
     val frec = Ann.graphSearchFilteredRecall(spark, dir).collect()
-    assert(frec.length === 1 && frec.head.getLong(2) === 0L)
+    assert(frec.length === Ann.FilterCurveMods.length)
+    assert(frec.forall(_.getLong(4) === 0L), "n_overlap must be 0 on an empty corpus")
     assert(Ann.graphSearchFromGen(spark, dir).count() === 0)
+  }
+
+  test("round-15 operators are safe on empty tables") {
+    assert(Ann.hnswGraphInsert(spark, dir).count() === 0)
+    assert(graft.operators.KeywordSearch.hybridRrfGraph(spark, dir).count() === 0)
   }
 }

@@ -110,4 +110,75 @@ class IndexStreamsSpec extends SparkSpec {
     val members = IndexStreams.membersThrough(spark, root, 2L)
     assert(members.select("vec_id").collect().map(_.getLong(0)).toSet === (0L until n).toSet)
   }
+
+  test("read-while-write: serving gen=n is identical before and after the gen=n+1 commit") {
+    // the deployment's steady state: a serving tier reads generation n
+    // WHILE the maintenance stream commits n+1. Generations are
+    // immutable (each commit only creates a new gen dir), so a search
+    // over gen=n must return bit-identical results before and after the
+    // commit — this makes that immutability observable end to end.
+    val root = java.nio.file.Files.createTempDirectory("graft-idxgen3").toString
+    val inDir = java.nio.file.Files.createTempDirectory("graft-idxin3").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-idxck3").toString
+    val e = Graft.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val n = e.count()
+    val cut = n * 4 / 5
+    val seedEmb = e.filter(col("vec_id") < cut)
+    Ann.nswStoredGraph(spark, dir, cut, 4, 3).write.parquet(s"$root/gen=0/edges")
+    seedEmb.write.parquet(s"$root/gen=0/members")
+
+    // the serving read of a generation: undirected adjacency with the
+    // member vectors attached + the dense-id centroid entry set — the
+    // exact structure graphSearchFromGen loads, composed from this
+    // stream's gen layout, walked by the shared routed beam core
+    def serveGen(g: Long): Seq[(Long, Long, Long, Double)] = {
+      val members = IndexStreams.membersThrough(spark, root, g)
+      val nm = members.count()
+      val en = members
+        .select(col("vec_id").as("dst"), col("embedding").as("dv"),
+          graft.functions.VectorOps.norm(col("embedding")).as("dnrm"))
+      val edges = spark.read.parquet(s"$root/gen=$g/edges")
+      val undE = edges.select(col("src"), col("dst"))
+        .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct()
+        .join(en, "dst")
+        .select(col("src"), col("dst"), col("dv"), col("dnrm"))
+      val cents = members
+        .filter(col("vec_id") < Ann.sqrtFanout(nm))
+        .select(col("vec_id").as("node"), col("embedding").as("nv"))
+      val queries = members.filter(pmod(col("vec_id"), lit(25L)) === 7L)
+        .orderBy(col("vec_id")).limit(5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+      Ann.beamSearchBatch(spark, undE, cents, queries, 4, 32, 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .sortBy(t => (t._1, t._2)).toSeq
+    }
+    def genFiles(g: Long): Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(s"$root/gen=$g"))
+        .map(f => f.getPath -> f.length()).toMap
+    }
+
+    val before = serveGen(0)
+    val filesBefore = genFiles(0)
+    assert(before.nonEmpty)
+
+    val q = IndexStreams.maintainNswIndex(
+      IndexStreams.fromParquetDir(spark, inDir, e), root, ckpt)
+    try {
+      e.filter(col("vec_id") >= cut).coalesce(1).write.mode("append").parquet(inDir)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(IndexStreams.currentGen(root) === 1L)
+
+    // gen=0 is untouched on disk and serves bit-identical results
+    assert(genFiles(0) === filesBefore, "the commit must not touch the served generation")
+    assert(serveGen(0) === before,
+      "search over gen=0 diverged across the gen=1 commit")
+    // and the NEW generation serves the grown corpus
+    val after = serveGen(1)
+    assert(after.nonEmpty)
+    info(s"served gen=0 identically across the gen=1 commit (${before.size} result rows)")
+  }
 }

@@ -151,27 +151,39 @@ class MultimodalSpec extends SparkSpec {
     assert(a.size === 500)
   }
 
-  test("multimodal_phash_pairs equals an ImageIO-free all-pairs recomputation") {
-    // recompute every hash straight from the pixel formula (PNG is
-    // lossless, so the kernel must agree), then exact all-pairs hamming
-    // <= 6 — the banded query's blocking must lose nothing at r <= 6
-    // (8 bands x 8 bits pigeonholes hamming <= 7)
-    def hashOf(id: Long, patternId: Long, perturb: Boolean): Long = {
-      val w = 8 + (patternId % 5).toInt
-      val h = 6 + (patternId % 3).toInt
+  test("multimodal_phash_pairs: mixed PNG+JPEG corpus, local recomputation, corrupt payloads drop") {
+    // recompute every hash locally: PNG docs straight from the pixel
+    // formula (lossless, ImageIO-free); JPEG docs through a local
+    // encode+kernel call (the lossy decode is the codec's own output —
+    // the point is that the DISTRIBUTED pipeline agrees with a local
+    // per-payload recomputation). Then exact all-pairs hamming <= 6 —
+    // the banded blocking must lose nothing at r <= 6.
+    def pngHashOf(id: Long, perturb: Boolean): Long = {
+      val w = 8 + (id % 5).toInt
+      val h = 6 + (id % 3).toInt
       val cells = for (j <- 0 until 8; i <- 0 until 8) yield {
         val (x, y) = (i * w / 8, j * h / 8)
-        val p0 = Multimodal.docPixel(patternId, x, y)
+        val p0 = Multimodal.docPixel(id, x, y)
         val p = if (perturb && x == 0 && y == 0) ~p0 & 0xffffff else p0
         (((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)).toLong
       }
       val tot = cells.sum
       cells.foldLeft(0L)((acc, c) => (acc << 1) | (if (c * 64 > tot) 1L else 0L))
     }
+    def jpgHashOf(id: Long): Long = {
+      val w = 8 + (id % 5).toInt
+      val h = 6 + (id % 3).toInt
+      Multimodal.phashBits(
+        Multimodal.encodeImage("jpg", w, h, (x, y) => Multimodal.docPixel(id, x, y)))
+    }
     val ids = (0L until 500L)
-    val hashes = ids.map(id => id -> hashOf(id, id, perturb = false)) ++
-      ids.filter(_ % Multimodal.DupEvery == 0)
-        .map(id => (id + Multimodal.DupIdOffset) -> hashOf(id, id, perturb = true))
+    val hashes = ids.map(id =>
+        id -> (if (Multimodal.codecOf(id) == "png") pngHashOf(id, perturb = false) else jpgHashOf(id))) ++
+      ids.filter(_ % Multimodal.DupEvery == 0).map { id =>
+        val twin = if (Multimodal.codecOf(id) == "png") pngHashOf(id, perturb = true)
+          else jpgHashOf(id) // exact re-encode: identical payload, identical hash
+        (id + Multimodal.DupIdOffset) -> twin
+      }
     val expected = (for {
       (ia, ha) <- hashes; (ib, hb) <- hashes; if ia < ib
       d = java.lang.Long.bitCount(ha ^ hb).toLong; if d <= 6
@@ -180,9 +192,20 @@ class MultimodalSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(got === expected)
     assert(got.nonEmpty, "planted twins must yield pairs")
-    // every planted twin within radius is exactly (id, id + offset)
+    // every pair within radius is exactly a planted (id, id + offset)
+    // twin — both codecs' dups found, distinct patterns stay clear
     assert(expected.forall { case (a, b, _) => b == a + Multimodal.DupIdOffset },
       "distinct patterns must stay outside the verify radius on this corpus")
+    assert(expected.exists { case (a, _, _) => Multimodal.codecOf(a) == "png" }, "png twins found")
+    assert(expected.exists { case (a, _, _) => Multimodal.codecOf(a) == "jpg" }, "jpg twins found")
+    // the UNDECODABLE plants are exactly the dropped rows: input rows
+    // minus hashed rows = planted truncated-payload count
+    val corpus = Multimodal.syntheticImagesMixedWithDups(spark, "/root/testdata/sf0.001")
+    val nBad = ids.count(_ % Multimodal.BadEvery == 0).toLong
+    val nIn = corpus.count()
+    val nHashed = Multimodal.imagePhash(corpus).count()
+    assert(nIn - nHashed === nBad, s"expected exactly $nBad dropped corrupt payloads")
+    assert(nBad > 0)
   }
 
   test("undecodable payloads drop their row instead of failing the query") {

@@ -25,11 +25,25 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns), ignore_index=True)
 
 def main(sf_dir, out_dir):
-    con = duckdb.connect()
-    for t in TABLES:
-        p = f"{sf_dir}/{t}.parquet"
-        if os.path.exists(p):
-            con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    def fresh_con():
+        # one connection PER ORACLE: the big generated-CTE oracles (the
+        # serving family at scaled corpora) otherwise accumulate DuckDB
+        # allocator state across queries until a hard OOM abort kills
+        # the whole gate; a bounded memory_limit turns would-be aborts
+        # into per-query failures
+        c = duckdb.connect()
+        # high enough that the big serving oracles never spill (a 50 GB
+        # disk spill is worse than RAM here); per-query connections
+        # return the memory between oracles
+        c.sql("SET memory_limit='100GB'")
+        for t in TABLES:
+            p = f"{sf_dir}/{t}.parquet"
+            if os.path.isdir(p):  # Spark-written table dir (scaled corpora)
+                c.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}/*.parquet')")
+            elif os.path.exists(p):
+                c.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+        return c
+    con = fresh_con()
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_ok = 0
     names = sorted(d for d in os.listdir(out_dir) if os.path.isdir(f"{out_dir}/{d}"))
@@ -51,7 +65,16 @@ def main(sf_dir, out_dir):
             exp = con.sql(oracle[name]).df()
         except Exception as e:
             print(f"[FAIL] {name}: oracle SQL error: {e}")
+            try:
+                con.close()
+            except Exception:
+                pass
+            con = fresh_con()
             continue
+        finally:
+            if os.environ.get("GRAFT_CHECK_FRESH_CON"):
+                con.close()
+                con = fresh_con()
         g, e = norm(got), norm(exp)
         if list(g.columns) != list(e.columns):
             print(f"[FAIL] {name}: columns {list(g.columns)} != {list(e.columns)}")
