@@ -33,7 +33,7 @@ object Bench {
     // 353.8s vs 104.8s isolated in a fresh JVM) — the same JVM-debt
     // attribution failure the per-family fork exists to prevent.
     if (n == "ann_graph_nsw" || n == "ann_graph_hnsw_layers" ||
-      n == "ann_graph_sharded" ||
+      n == "ann_graph_sharded" || n == "ann_hnsw_insert" ||
       n == "embed_outlier_knn") return n // graph builds run solo (JVM debt)
     val head = n.takeWhile(_ != '_')
     if (head.length <= 2 && head.startsWith("q")) "q" else head
@@ -44,7 +44,7 @@ object Bench {
     */
   private[graft] val soloFamilies: Set[String] =
     Set("ann_graph_nsw", "ann_graph_hnsw_layers", "ann_graph_sharded",
-      "embed_outlier_knn")
+      "ann_hnsw_insert", "embed_outlier_knn")
 
   /** Fixed bucket count for [[chunkFamilies]]' name-hash placement. */
   private[graft] val NumChunkBuckets = 12

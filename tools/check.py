@@ -34,8 +34,12 @@ def main(sf_dir, out_dir):
         c = duckdb.connect()
         # high enough that the big serving oracles never spill (a 50 GB
         # disk spill is worse than RAM here); per-query connections
-        # return the memory between oracles
-        c.sql("SET memory_limit='100GB'")
+        # return the memory between oracles. Both knobs are
+        # env-overridable for the scaled-corpus gates: pipeline state
+        # scales with threads, so fewer threads = less peak memory.
+        c.sql(f"SET memory_limit='{os.environ.get('GRAFT_CHECK_MEM', '100GB')}'")
+        if os.environ.get("GRAFT_CHECK_THREADS"):
+            c.sql(f"SET threads={int(os.environ['GRAFT_CHECK_THREADS'])}")
         for t in TABLES:
             p = f"{sf_dir}/{t}.parquet"
             if os.path.isdir(p):  # Spark-written table dir (scaled corpora)
