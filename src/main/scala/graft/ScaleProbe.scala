@@ -166,6 +166,18 @@ object ScaleProbe {
           "build_sec" -> bsec, "dist_sec" -> dsec, "driver_sec" -> vsec,
           "rows_dist" -> nd, "rows_driver" -> nv)
       }
+      if (probes("hinsert")) {
+        // layered-insert cost contract: marginal insert work ∝ batch,
+        // vs the full layered rebuild as the yardstick
+        val (fsec, _) = time(operators.Ann.hnswGraph(spark, dir).count())
+        Graft.releaseCaches()
+        val nTot = Graft.tableRows(spark, dir, "embeddings")
+        val split = nTot * operators.Ann.InsertSplitNum / operators.Ann.InsertSplitDen
+        val (ssec, _) = time(operators.Ann.hnswStoredGraph(spark, dir, split, 4, 3).count())
+        val (isec, n) = time(operators.Ann.hnswGraphInsert(spark, dir).count())
+        emit("probe" -> "ann_hnsw_insert", "scale" -> s"${mult}x", "rebuild_sec" -> fsec,
+          "stored_build_sec" -> ssec, "insert_marginal_sec" -> isec, "edges" -> n)
+      }
       if (probes("ginsert")) {
         val (fsec, _) = time(operators.Ann.nswGraph(spark, dir).count()) // full-rebuild yardstick
         Graft.releaseCaches()

@@ -648,11 +648,12 @@ object Ann {
     // the cut the distinct sees ≤ k rows per (src, cell)).
     val wCell = Window.partitionBy(col("src"), col("cid"))
       .orderBy(col("cos").desc, col("dst"))
+    // localCheckpoint (not persist): read by touched + reranked, and a
+    // SQL cache would re-plan the pair-join tree per stage (see merged)
     val undp = undRaw
       .withColumn("rn", row_number().over(wCell)).filter(col("rn") <= k)
       .select(col("src"), col("dst"), col("cos"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    Graft.trackCaches("nsw_insert_undp", undp)
+      .localCheckpoint(true)
     // No broadcast hint on `touched`: for the keyed 4N/5-split insert the
     // batch is N/5, so the touched set grows LINEARLY with the corpus and
     // a forced broadcast would blow past driver/broadcast limits exactly
@@ -667,9 +668,13 @@ object Ann {
       .withColumn("rn", row_number().over(wTop).cast("long")).filter(col("rn") <= k)
       .select(col("src"), col("dst"), col("cos"), col("rn"))
     val untouched = storedEdges.join(touched, Seq("src"), "left_anti")
-    val merged = untouched.unionByName(reranked)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    Graft.trackCaches("nsw_insert_merged", merged)
+    // eager localCheckpoint, not persist: the repair stage builds on a
+    // DEEP plan (stored build memo → insert merge), and a SQL-cached
+    // frame pays per-stage AQE re-planning over that whole tree — the
+    // memoFlat lesson (measured on this operator: 17.5s → ~6s marginal
+    // at sf0.1 from this one change); the flattened scan also frees the
+    // repair joins from the lineage
+    val merged = untouched.unionByName(reranked).localCheckpoint(true)
     // ONE bounded NN-descent repair round over touched+new srcs — the
     // r14 insert skipped descent entirely and paid 0.05 edge recall vs
     // the flat rebuild (0.653 vs 0.70, the documented no-descent
@@ -695,7 +700,9 @@ object Ann {
     val repaired = tch.union(h2c).distinct()
       .withColumn("rn", row_number().over(wTop).cast("long")).filter(col("rn") <= k)
       .select(col("src"), col("dst"), col("cos"), col("rn"))
-    untouched.unionByName(repaired)
+    // the untouched slice comes back out of the FLAT merged frame, not
+    // by re-planning the deep storedEdges tree a second time
+    merged.join(touched, Seq("src"), "left_anti").unionByName(repaired)
   }
 
   /** NSW blocking-index health report: log2-bucketed histogram of cell
@@ -1040,11 +1047,12 @@ object Ann {
     // nswInsertCore's heap argument, layer-keyed
     val wCell = Window.partitionBy(col("src"), col("layer"), col("cid"))
       .orderBy(col("cos").desc, col("dst"))
+    // localCheckpoint, not persist — the flat-insert planning lesson
+    // (per-stage AQE re-planning over the deep pair-join tree)
     val undp = undRaw
       .withColumn("rn", row_number().over(wCell)).filter(col("rn") <= k)
       .select(col("layer"), col("src"), col("dst"), col("cos"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    Graft.trackCaches("hnsw_insert_undp", undp)
+      .localCheckpoint(true)
     val touched = undp.select(col("layer"), col("src")).distinct()
     val touchedOld = storedEdges.join(touched, Seq("layer", "src"), "left_semi")
       .select(col("layer"), col("src"), col("dst"), col("cos"))
@@ -1054,9 +1062,7 @@ object Ann {
       .withColumn("rn", row_number().over(wTop).cast("long")).filter(col("rn") <= k)
       .select(col("layer"), col("src"), col("dst"), col("cos"), col("rn"))
     val untouched = storedEdges.join(touched, Seq("layer", "src"), "left_anti")
-    val merged = untouched.unionByName(reranked)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    Graft.trackCaches("hnsw_insert_merged", merged)
+    val merged = untouched.unionByName(reranked).localCheckpoint(true)
     // bounded per-layer NN-descent repair round over touched+new srcs
     val mg = merged.select(col("layer"), col("src"), col("dst"), col("cos"))
     val undM = mg.select(col("layer"), col("src"), col("dst"))
@@ -1077,7 +1083,7 @@ object Ann {
     val repaired = tch.union(h2c).distinct()
       .withColumn("rn", row_number().over(wTop).cast("long")).filter(col("rn") <= k)
       .select(col("layer"), col("src"), col("dst"), col("cos"), col("rn"))
-    untouched.unionByName(repaired)
+    merged.join(touched, Seq("layer", "src"), "left_anti").unionByName(repaired)
   }
 
   /** Beam width of the batch graph search (HNSW's ef). Measured recall

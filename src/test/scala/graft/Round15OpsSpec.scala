@@ -152,6 +152,51 @@ class Round15OpsSpec extends SparkSpec {
       f"serving the merged index lost too much recall: $sIns%.3f vs $sReb%.3f")
   }
 
+  test("distributed rounds reuse the index partitioning: only the frontier exchanges") {
+    // the scale contract of beamSearchRoundsDist: the 2kN-row index is
+    // pre-partitioned by src ONCE (persisted with its hash partitioning
+    // intact), so each of the 8 rounds exchanges only the Q·beam
+    // frontier — at 100 TB the index never reshuffles per round. This
+    // pins the plan shape that contract rests on.
+    val (undE, _) = servingParts()
+    val idx = undE.repartition(col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      idx.count() // materialize the cache
+      val state = Graft.embeddings(spark, dir).limit(64)
+        .select(col("vec_id").as("q_id"), col("vec_id").as("node"))
+      val joined = idx.join(state, col("src") === col("node"))
+      val plan = joined.queryExecution.executedPlan
+      def exchanges(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike] = p match {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike =>
+          e +: e.children.flatMap(exchanges)
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          exchanges(a.executedPlan)
+        case other => other.children.flatMap(exchanges)
+      }
+      def hasCacheScan(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+        p.collectFirst {
+          case _: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => true
+        }.nonEmpty
+      // walk to the join, then: the index child must carry NO exchange
+      // above its cache scan; at most the state child exchanges
+      val join = plan.collectFirst {
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+      }.orElse(plan.collectFirst {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a
+      }.flatMap(_.executedPlan.collectFirst {
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+      }))
+      assert(join.nonEmpty, s"no join found in:\n$plan")
+      val Seq(left, right) = join.get.children
+      val idxSide = if (hasCacheScan(left)) left else right
+      assert(hasCacheScan(idxSide), s"no cache scan under either join child:\n$plan")
+      assert(exchanges(idxSide).isEmpty,
+        s"the persisted index side must NOT re-exchange per round:\n$idxSide")
+    } finally idx.unpersist(false)
+  }
+
   test("routed beam search: keyed 20-query batch is path-independent too") {
     val (undE, cents) = servingParts()
     val queries = Graft.embeddings(spark, dir)
