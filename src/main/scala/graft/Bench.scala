@@ -249,6 +249,12 @@ object Bench {
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$om,"sf":"$sfDir"}"""
     }
     val bySlowest = results.toSeq.sortBy(-_._2)
+    // optional side artifact with the FULL per-query map (the stdout
+    // line truncates to the driver's 2000-char tail window)
+    sys.env.get("SPARK_GRAFT_FULL_OUT").foreach { p =>
+      val w = new java.io.PrintWriter(p)
+      try w.println(line(bySlowest, 0)) finally w.close()
+    }
     val out = Iterator.range(0, bySlowest.size + 1)
       .map(drop => line(bySlowest.dropRight(drop), drop))
       .find(_.length <= 1950)
