@@ -1,0 +1,98 @@
+#!/usr/bin/env python3
+"""Driver-regime stress gate: ONE DuckDB connection, default settings,
+every oracle sequentially in sorted-name order — the harshest plausible
+model of the driver's harness (r15's CORRECTNESS artifact came back
+empty; the builder's per-connection replica hid whatever killed it).
+
+Records per-oracle wall time and process RSS growth so the memory hogs
+are named, and compares results exactly like tools/check.py.
+
+Usage: python3 tools/gate_one_con.py <sfDir> <verifyOutDir> [report.jsonl]
+"""
+import sys, os, json, glob, time
+import duckdb
+import pandas as pd
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def rss_gb():
+    with open("/proc/self/status") as f:
+        for line in f:
+            if line.startswith("VmRSS"):
+                return int(line.split()[1]) / 2**20
+    return -1.0
+
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    for c in df.columns:
+        if pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].astype("float64")
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+
+def main(sf_dir, out_dir, report=None):
+    con = duckdb.connect()  # defaults: no memory_limit/threads overrides
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(p):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}/*.parquet')")
+        elif os.path.exists(p):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    rep = open(report, "w") if report else None
+    n_ok, rows_only = 0, 0
+    names = sorted(d for d in os.listdir(out_dir) if os.path.isdir(f"{out_dir}/{d}"))
+    for name in names:
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        got = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True) if files \
+            else pd.DataFrame()
+        if name not in oracle:
+            ok = len(got) > 0
+            n_ok += 1 if ok else 0
+            rows_only += 1
+            print(f"[rows-only] {name}: rows={len(got)} {'OK' if ok else 'EMPTY!'}", flush=True)
+            continue
+        r0, t0 = rss_gb(), time.time()
+        try:
+            exp = con.sql(oracle[name]).df()
+        except Exception as e:
+            print(f"[FAIL] {name}: oracle error after {time.time()-t0:.1f}s "
+                  f"rss {r0:.2f}->{rss_gb():.2f}GB: {str(e)[:300]}", flush=True)
+            if rep:
+                rep.write(json.dumps({"name": name, "sec": round(time.time()-t0, 2),
+                                      "rss0": round(r0, 2), "rss1": round(rss_gb(), 2),
+                                      "err": str(e)[:200]}) + "\n")
+                rep.flush()
+            continue
+        dt, r1 = time.time() - t0, rss_gb()
+        if rep:
+            rep.write(json.dumps({"name": name, "sec": round(dt, 2),
+                                  "rss0": round(r0, 2), "rss1": round(r1, 2)}) + "\n")
+            rep.flush()
+        g, e = norm(got), norm(exp)
+        status = None
+        if list(g.columns) != list(e.columns):
+            status = f"columns {list(g.columns)} != {list(e.columns)}"
+        elif list(g.dtypes) != list(e.dtypes):
+            status = f"dtypes {dict(g.dtypes.astype(str))} != {dict(e.dtypes.astype(str))}"
+        elif len(g) != len(e):
+            status = f"rows {len(g)} != {len(e)}"
+        else:
+            diff = (g != e) & ~(g.isna() & e.isna())
+            if diff.any().any():
+                status = f"{int(diff.any(axis=1).sum())} mismatched rows"
+        if status:
+            print(f"[FAIL] {name}: {status}  ({dt:.1f}s, rss {r0:.2f}->{r1:.2f}GB)", flush=True)
+        else:
+            print(f"[ok] {name}: {len(g)} rows  ({dt:.1f}s, rss {r0:.2f}->{r1:.2f}GB)", flush=True)
+            n_ok += 1
+    print(f"== {n_ok}/{len(names)} green ({rows_only} rows-only) | final rss {rss_gb():.2f}GB ==")
+    return 0 if n_ok == len(names) else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2], sys.argv[3] if len(sys.argv) > 3 else None))
