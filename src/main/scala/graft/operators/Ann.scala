@@ -1012,6 +1012,19 @@ object Ann {
     *     touched+new srcs (work ∝ batch·k² per layer, geometrically
     *     thinner per level).
     *
+    * HIERARCHY-HEIGHT CAP (deliberate trade): batch nodes assign via
+    * the STORED per-layer centroids, so a new node whose level draw
+    * exceeds the stored hierarchy's max layer gets edges only up to
+    * that stored height — its top-layer memberships materialize at the
+    * next full rebuild. P(draw > Lmax(stored)) ≈ 4^-Lmax per insert
+    * (one in ~4^5 ≈ 1000 at the 500-node verify corpus, vanishing as
+    * the stored corpus grows), and a missing top-layer edge only
+    * shortens the descent's express lanes — recall degrades by at most
+    * the descent-entry difference, never correctness. Seeding a fresh
+    * centroid for a newly drawn top layer would grow height online but
+    * makes the merge order-dependent; rebuild-on-epoch is the
+    * deployment answer.
+    *
     * Output (layer, src, dst, cos, rn) — the merged generation
     * [[hnswSearch]]'s descent serves (spec-verified in HnswSpec; the
     * keyed `ann_hnsw_insert` oracle unrolls stored-build + insert per
@@ -1329,10 +1342,14 @@ object Ann {
       .select(col("vec_id").as("q_id"), col("embedding").as("qv"), col("nrm").as("qnrm"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // index pre-partitioned by the probe key ONCE: rounds reuse the
-    // persisted partitioning, so only the frontier side ever exchanges
+    // persisted partitioning, so only the frontier side ever exchanges.
+    // Both frames are call-scoped: every round ends in an EAGER
+    // localCheckpoint, so by the time this returns nothing downstream
+    // reads them — unpersist here rather than parking a GB-scale index
+    // copy in the cache registry under a shared key (ADVICE r15:
+    // interleaved searches over different dirs evicted each other).
     val idx = undE.repartition(col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    Graft.trackCaches("beam_dist_round_frames", qn, idx)
     val wBeam = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("node"))
     // entry: score the √N centroid layer per query, keep the best
     var state = qn.crossJoin(cents)
@@ -1355,7 +1372,35 @@ object Ann {
         .select(col("q_id"), col("node"), col("score"))
         .localCheckpoint(true)
     }
+    qn.unpersist(false)
+    idx.unpersist(false)
     state.withColumn("rn", row_number().over(wBeam).cast("long")).filter(col("rn") <= k)
+      .select(col("q_id"), col("rn"), col("node").as("vec_id"), col("score"))
+      .orderBy(col("q_id"), col("rn"))
+  }
+
+  /** One distributed beam-state round: (state ∪ scored) → distinct →
+    * per-query (score desc, node) top-`cut` — the exact frame twin of
+    * the driver paths' `topPerQ` (score is a pure function of
+    * (q_id, node), so the frame distinct collapses re-discovered nodes
+    * identically), with an eager localCheckpoint cutting the per-round
+    * lineage. Shared by every distributed walk variant (flat uses its
+    * inline original; filtered/int8/layered route here).
+    */
+  private def distCutRound(state: DataFrame, scored: DataFrame, cut: Int): DataFrame = {
+    val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("node"))
+    state.unionByName(scored).distinct()
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= cut)
+      .select(col("q_id"), col("node"), col("score"))
+      .localCheckpoint(true)
+  }
+
+  /** Final (q_id, rn, vec_id, score) cut shared by the distributed
+    * walks.
+    */
+  private def distFinal(state: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("node"))
+    state.withColumn("rn", row_number().over(w).cast("long")).filter(col("rn") <= k)
       .select(col("q_id"), col("rn"), col("node").as("vec_id"), col("score"))
       .orderBy(col("q_id"), col("rn"))
   }
@@ -1538,17 +1583,101 @@ object Ann {
   /** The filtered walk over an arbitrary (mod, res) filter on either
     * the label payload (`byId = false` — the keyed query's metadata
     * filter) or the vector id (`byId = true` — the selectivity CURVE's
-    * axis: labels quantize to 10% steps, ids reach 1%).
+    * axis: labels quantize to 10% steps, ids reach 1%). Driver-ranked
+    * dual state (navigation beam at adaptive ef + filter-passing
+    * result heap at k), bounded by the keyed request — batch-serving
+    * jobs route through [[graphSearchFilteredBatch]] instead.
     */
   private[graft] def graphSearchFilteredWalk(s: SparkSession, dir: String, k: Int,
                                              beam: Int, rounds: Int, byId: Boolean,
-                                             fMod: Long, fRes: Long): DataFrame = {
+                                             fMod: Long, fRes: Long): DataFrame =
+    graphSearchFilteredWalkDriver(s, dir, graphSearchQueries(s, dir),
+      k, beam, rounds, byId, fMod, fRes)
+
+  /** Routed entry for EXPLICIT query batches through the FILTERED walk
+    * — [[beamSearchBatch]]'s dispatch applied to the dual-state
+    * variant: at or below `distThreshold` the two per-query states
+    * live on the driver (bounded by the request), above it the rounds
+    * run as Spark jobs ([[graphSearchFilteredRoundsDist]]) so a
+    * production batch never funnels Q·ef·2k scored rows through the
+    * driver. Values identical on both paths (same scoring expression,
+    * same adaptive ef, same (score desc, node) total order) —
+    * spec-asserted in Round16OpsSpec.
+    */
+  private[graft] def graphSearchFilteredBatch(s: SparkSession, dir: String, queries: DataFrame,
+                                              k: Int, beam: Int, rounds: Int, byId: Boolean,
+                                              fMod: Long, fRes: Long,
+                                              distThreshold: Int = GraphSearchDistQ): DataFrame =
+    if (queries.count() > distThreshold)
+      graphSearchFilteredRoundsDist(s, dir, queries, k, beam, rounds, byId, fMod, fRes)
+    else
+      graphSearchFilteredWalkDriver(s, dir, queries, k, beam, rounds, byId, fMod, fRes)
+
+  /** Fully distributed filtered rounds — the large-Q path: BOTH
+    * per-query states (navigation beam at adaptive ef, filter-passing
+    * result accumulator at k) are (q_id, node, score) frames that never
+    * visit the driver. Each round scores the frontier's neighborhood
+    * ONCE (pass flag riding the projection) and feeds both cuts — the
+    * same one-probe-per-round shape as the driver walk, so per-round
+    * cost is Q·ef·2k score kernels + bounded-frame exchanges,
+    * independent of corpus size.
+    */
+  private def graphSearchFilteredRoundsDist(s: SparkSession, dir: String, queries: DataFrame,
+                                            k: Int, beam: Int, rounds: Int, byId: Boolean,
+                                            fMod: Long, fRes: Long): DataFrame = {
+    val nTot = Graft.tableRows(s, dir, "embeddings")
+    val ef = adaptiveEf(beam, nTot, filterPassCount(s, dir, byId, fMod, fRes))
+    def passCol(id: Column, label: Column): Column =
+      (pmod((if (byId) id else label).cast("long"), lit(fMod)) === lit(fRes)).as("pass")
+    val qn = withNorm(queries.select(col("q_id").as("vec_id"), col("qv").as("embedding")))
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"), col("nrm").as("qnrm"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val idx = graphSearchIndex(s, dir).repartition(col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cents = Graft.embeddings(s, dir)
+      .filter(col("vec_id") < sqrtFanout(nTot))
+      .select(col("vec_id").as("node"), col("embedding").as("nv"), col("label").as("nlabel"))
+    val entry = qn.crossJoin(cents)
+      .filter(col("node") =!= col("q_id"))
+      .select(col("q_id"), col("node"),
+        round(VectorOps.dot(col("nv"), col("qv")) / (VectorOps.norm(col("nv")) * col("qnrm")), 6)
+          .as("score"),
+        passCol(col("node"), col("nlabel")))
+      .localCheckpoint(true)
+    var state = distCutRound(entry.limit(0).drop("pass"),
+      entry.select(col("q_id"), col("node"), col("score")), 1)
+    var res = distCutRound(entry.limit(0).drop("pass"),
+      entry.filter(col("pass")).select(col("q_id"), col("node"), col("score")), k)
+    for (_ <- 1 to rounds) {
+      val scored = idx.join(state.select(col("q_id"), col("node")), col("src") === col("node"))
+        .join(qn, "q_id")
+        .filter(col("dst") =!= col("q_id"))
+        .select(col("q_id"), col("dst").as("node"),
+          round(VectorOps.dot(col("dv"), col("qv")) / (col("dnrm") * col("qnrm")), 6)
+            .as("score"),
+          passCol(col("dst"), col("dlabel")))
+        .localCheckpoint(true)
+      state = distCutRound(state, scored.select(col("q_id"), col("node"), col("score")), ef)
+      res = distCutRound(res, scored.filter(col("pass"))
+        .select(col("q_id"), col("node"), col("score")), k)
+    }
+    qn.unpersist(false)
+    idx.unpersist(false)
+    distFinal(res, k)
+  }
+
+  /** The driver-ranked filtered walk core over an explicit query batch
+    * (see [[graphSearchFilteredWalk]] for semantics).
+    */
+  private def graphSearchFilteredWalkDriver(s: SparkSession, dir: String, queries: DataFrame,
+                                            k: Int, beam: Int, rounds: Int, byId: Boolean,
+                                            fMod: Long, fRes: Long): DataFrame = {
     import s.implicits._
     val undE = graphSearchIndex(s, dir)
     val nTot = Graft.tableRows(s, dir, "embeddings")
     val nPass = filterPassCount(s, dir, byId, fMod, fRes)
     val ef = adaptiveEf(beam, nTot, nPass)
-    val qrows = withNorm(graphSearchQueries(s, dir)
+    val qrows = withNorm(queries
         .select(col("q_id").as("vec_id"), col("qv").as("embedding")))
       .collect().map(r => (r.getLong(0), r.getSeq[Float](1), r.getDouble(2)))
     def topPerQ(rows: Iterable[(Long, Long, Double)], cut: Int): Map[Long, Seq[(Long, Double)]] =
@@ -1696,12 +1825,18 @@ object Ann {
   private[graft] def hnswSearchOver(s: SparkSession, dir: String, edges: DataFrame,
                                     memoKey: String, k: Int = GraphSearchK,
                                     beam: Int = GraphSearchBeam,
-                                    rounds: Int = GraphSearchRounds): DataFrame = {
-    import s.implicits._
-    // THE LAYERED SEARCH INDEX: per-layer undirected adjacency with the
-    // destination's vector attached ONCE (session-shared) — the frame a
-    // serving tier holds in memory, layer as just another key column
-    val undL = Graft.memoFlat(memoKey, dir) {
+                                    rounds: Int = GraphSearchRounds): DataFrame =
+    // keyed batch is statically bounded — driver path, no count job
+    hnswSearchOverDriver(s, dir, edges, memoKey, graphSearchQueries(s, dir), k, beam, rounds)
+
+  /** The layered search index over an edge frame — per-layer undirected
+    * adjacency with the destination's vector attached ONCE
+    * (session-shared under `memoKey`): the frame a serving tier holds
+    * in memory, layer as just another key column.
+    */
+  private def layeredIndex(s: SparkSession, dir: String, edges: DataFrame,
+                           memoKey: String): DataFrame =
+    Graft.memoFlat(memoKey, dir) {
       val en = withNorm(Graft.embeddings(s, dir))
         .select(col("vec_id").as("dst"), col("embedding").as("dv"), col("nrm").as("dnrm"))
       edges.select(col("layer"), col("src"), col("dst"))
@@ -1710,7 +1845,77 @@ object Ann {
         .join(en.hint("SHUFFLE_HASH"), "dst")
         .select(col("layer"), col("src"), col("dst"), col("dv"), col("dnrm"))
     }
-    val qrows = withNorm(graphSearchQueries(s, dir)
+
+  /** Routed entry for EXPLICIT query batches through the layered HNSW
+    * walk — [[beamSearchBatch]]'s dispatch applied to the hierarchical
+    * descent; values identical on both paths (Round16OpsSpec).
+    */
+  private[graft] def hnswSearchBatch(s: SparkSession, dir: String, edges: DataFrame,
+                                     memoKey: String, queries: DataFrame,
+                                     k: Int = GraphSearchK, beam: Int = GraphSearchBeam,
+                                     rounds: Int = GraphSearchRounds,
+                                     distThreshold: Int = GraphSearchDistQ): DataFrame =
+    if (queries.count() > distThreshold)
+      hnswSearchRoundsDist(s, dir, edges, memoKey, queries, k, beam, rounds)
+    else
+      hnswSearchOverDriver(s, dir, edges, memoKey, queries, k, beam, rounds)
+
+  /** Fully distributed layered descent — the large-Q path: the 1-node
+    * greedy state per upper layer and the layer-0 refine beam are
+    * (q_id, node, score) frames that never visit the driver. Same
+    * phase schedule as the driver walk (entry at the top non-empty
+    * layer, [[HnswDescentRounds]] greedy rounds per layer Lmax..1,
+    * `rounds` beam rounds at layer 0), same scoring, same total order.
+    */
+  private def hnswSearchRoundsDist(s: SparkSession, dir: String, edges: DataFrame,
+                                   memoKey: String, queries: DataFrame,
+                                   k: Int, beam: Int, rounds: Int): DataFrame = {
+    val undL = layeredIndex(s, dir, edges, memoKey)
+    val qn = withNorm(queries.select(col("q_id").as("vec_id"), col("qv").as("embedding")))
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"), col("nrm").as("qnrm"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val idx = undL.repartition(col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val lv = hnswLevels(s, dir)
+    val mlRow = lv.agg(max(col("level")).as("ml")).collect().head
+    val maxLevel = if (mlRow.isNullAt(0)) 0L else mlRow.getLong(0)
+    val entry = qn.crossJoin(
+        Graft.embeddings(s, dir)
+          .join(lv.filter(col("level") === maxLevel).select(col("vec_id")), "vec_id")
+          .select(col("vec_id").as("node"), col("embedding").as("nv")))
+      .filter(col("node") =!= col("q_id"))
+      .select(col("q_id"), col("node"),
+        round(VectorOps.dot(col("nv"), col("qv")) / (VectorOps.norm(col("nv")) * col("qnrm")), 6)
+          .as("score"))
+    var state = distCutRound(entry.limit(0), entry, 1)
+    def expand(layer: Long, cut: Int): Unit = {
+      val scored = idx.filter(col("layer") === layer)
+        .join(state.select(col("q_id"), col("node")), col("src") === col("node"))
+        .join(qn, "q_id")
+        .filter(col("dst") =!= col("q_id"))
+        .select(col("q_id"), col("dst").as("node"),
+          round(VectorOps.dot(col("dv"), col("qv")) / (col("dnrm") * col("qnrm")), 6)
+            .as("score"))
+      state = distCutRound(state, scored, cut)
+    }
+    for (l <- maxLevel to 1L by -1L; _ <- 1 to HnswDescentRounds) expand(l, 1)
+    for (_ <- 1 to rounds) expand(0L, beam)
+    qn.unpersist(false)
+    idx.unpersist(false)
+    distFinal(state, k)
+  }
+
+  /** The driver-ranked layered walk core over an explicit query batch
+    * (see [[hnswSearch]] for semantics).
+    */
+  private def hnswSearchOverDriver(s: SparkSession, dir: String, edges: DataFrame,
+                                   memoKey: String, queries: DataFrame,
+                                   k: Int = GraphSearchK,
+                                   beam: Int = GraphSearchBeam,
+                                   rounds: Int = GraphSearchRounds): DataFrame = {
+    import s.implicits._
+    val undL = layeredIndex(s, dir, edges, memoKey)
+    val qrows = withNorm(queries
         .select(col("q_id").as("vec_id"), col("qv").as("embedding")))
       .collect().map(r => (r.getLong(0), r.getSeq[Float](1), r.getDouble(2)))
     val qv = qrows.map(q => q._1 -> (q._2, q._3)).toMap
@@ -1784,12 +1989,18 @@ object Ann {
     */
   def graphSearchInt8(s: SparkSession, dir: String, k: Int = GraphSearchK,
                       beam: Int = GraphSearchBeam,
-                      rounds: Int = GraphSearchRounds): DataFrame = {
-    import s.implicits._
-    val edges = nswGraph(s, dir)
-    // the COMPRESSED search index: undirected adjacency carrying int8
-    // codes + their integer-exact norms, not float vectors
-    val und8 = Graft.memoFlat("graph_search_index_int8", dir) {
+                      rounds: Int = GraphSearchRounds): DataFrame =
+    // the keyed query batch is statically bounded (20 < GraphSearchDistQ)
+    // — driver path without paying a count job per request
+    graphSearchInt8Driver(s, dir, graphSearchQueries(s, dir), k, beam, rounds)
+
+  /** The COMPRESSED serving index (session-memoized): undirected
+    * adjacency carrying int8 codes + their integer-exact norms, not
+    * float vectors.
+    */
+  private def int8Index(s: SparkSession, dir: String): DataFrame =
+    Graft.memoFlat("graph_search_index_int8", dir) {
+      val edges = nswGraph(s, dir)
       val en = Graft.embeddings(s, dir)
         .select(col("vec_id").as("dst"),
           call_function("fvec_quantize", col("embedding")).as("dq"))
@@ -1801,7 +2012,66 @@ object Ann {
         .join(en.hint("SHUFFLE_HASH"), "dst")
         .select(col("src"), col("dst"), col("dq"), col("dn8"))
     }
-    val qrows = graphSearchQueries(s, dir)
+
+  /** Routed entry for EXPLICIT query batches through the int8 walk —
+    * [[beamSearchBatch]]'s dispatch applied to the quantized serving
+    * tier; values identical on both paths (Round16OpsSpec).
+    */
+  private[graft] def graphSearchInt8Batch(s: SparkSession, dir: String, queries: DataFrame,
+                                          k: Int, beam: Int, rounds: Int,
+                                          distThreshold: Int = GraphSearchDistQ): DataFrame =
+    if (queries.count() > distThreshold)
+      graphSearchInt8RoundsDist(s, dir, queries, k, beam, rounds)
+    else
+      graphSearchInt8Driver(s, dir, queries, k, beam, rounds)
+
+  /** Fully distributed int8 rounds — the large-Q path over the
+    * quantized index: beam state never visits the driver; scoring is
+    * the same integer-exact lvec_dot cosine as the driver walk.
+    */
+  private def graphSearchInt8RoundsDist(s: SparkSession, dir: String, queries: DataFrame,
+                                        k: Int, beam: Int, rounds: Int): DataFrame = {
+    val qn = queries
+      .select(col("q_id"), call_function("fvec_quantize", col("qv")).as("q8"))
+      .select(col("q_id"), col("q8"),
+        sqrt(call_function("lvec_dot", col("q8"), col("q8")).cast("double")).as("qn8"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val idx = int8Index(s, dir).repartition(col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cents8 = Graft.embeddings(s, dir)
+      .filter(col("vec_id") < sqrtFanout(Graft.tableRows(s, dir, "embeddings")))
+      .select(col("vec_id").as("node"),
+        call_function("fvec_quantize", col("embedding")).as("nq"))
+      .select(col("node"), col("nq"),
+        sqrt(call_function("lvec_dot", col("nq"), col("nq")).cast("double")).as("nn8"))
+    val entry = qn.crossJoin(cents8)
+      .filter(col("node") =!= col("q_id"))
+      .select(col("q_id"), col("node"),
+        round(call_function("lvec_dot", col("nq"), col("q8")).cast("double")
+          / (col("nn8") * col("qn8")), 6).as("score"))
+    var state = distCutRound(entry.limit(0), entry, 1)
+    for (_ <- 1 to rounds) {
+      val scored = idx.join(state.select(col("q_id"), col("node")), col("src") === col("node"))
+        .join(qn, "q_id")
+        .filter(col("dst") =!= col("q_id"))
+        .select(col("q_id"), col("dst").as("node"),
+          round(call_function("lvec_dot", col("dq"), col("q8")).cast("double")
+            / (col("dn8") * col("qn8")), 6).as("score"))
+      state = distCutRound(state, scored, beam)
+    }
+    qn.unpersist(false)
+    idx.unpersist(false)
+    distFinal(state, k)
+  }
+
+  /** The driver-ranked int8 walk core over an explicit query batch
+    * (see [[graphSearchInt8]] for semantics).
+    */
+  private def graphSearchInt8Driver(s: SparkSession, dir: String, queries: DataFrame,
+                                    k: Int, beam: Int, rounds: Int): DataFrame = {
+    import s.implicits._
+    val und8 = int8Index(s, dir)
+    val qrows = queries
       .select(col("q_id"), call_function("fvec_quantize", col("qv")).as("q8"))
       .select(col("q_id"), col("q8"),
         sqrt(call_function("lvec_dot", col("q8"), col("q8")).cast("double")).as("qn8"))

@@ -245,6 +245,12 @@ object Multimodal {
     Graft.documents(s, dir).select(col("doc_id")).as[Long]
       .mapPartitions { it =>
         it.flatMap { id =>
+          // planted-row id spaces must stay disjoint: base < dup twins
+          // (+DupIdOffset) < bad payloads (+BadIdOffset). A corpus id
+          // at or past DupIdOffset would collide with a twin id and
+          // silently corrupt the planted-row accounting — fail loudly.
+          require(id >= 0 && id < DupIdOffset,
+            s"doc_id $id collides with the planted-twin id space (>= $DupIdOffset)")
           val w = 8 + (id % 5).toInt
           val h = 6 + (id % 3).toInt
           val base = (id, encodePng(w, h, (x, y) => docPixel(id, x, y)))
@@ -292,6 +298,11 @@ object Multimodal {
     Graft.documents(s, dir).select(col("doc_id")).as[Long]
       .mapPartitions { it =>
         it.flatMap { id =>
+          // same disjoint-id-space guard as syntheticImagesWithDups:
+          // base ids must sit below the twin offset (and twins of ids
+          // >= DupIdOffset would collide with bad ids)
+          require(id >= 0 && id < DupIdOffset,
+            s"doc_id $id collides with the planted-twin id space (>= $DupIdOffset)")
           val w = 8 + (id % 5).toInt
           val h = 6 + (id % 3).toInt
           val fmt = codecOf(id)

@@ -43,7 +43,8 @@ class Round15OpsSpec extends SparkSpec {
     assert(dist === driver,
       "distributed beam rounds diverged from the driver-ranked walk")
     // the router itself: at the default threshold this 60-query batch
-    // takes the driver path (60 <= 256) and still produces the same rows
+    // takes the driver path (60 <= GraphSearchDistQ = 8192) and still
+    // produces the same rows
     val routed = rows(Ann.beamSearchBatch(spark, undE, cents, queries, 4, 32, 8))
     assert(routed === driver)
     info(s"${driver.map(_._1).distinct.size} queries, ${driver.size} result rows, paths identical")

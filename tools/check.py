@@ -32,12 +32,15 @@ def main(sf_dir, out_dir):
         # the whole gate; a bounded memory_limit turns would-be aborts
         # into per-query failures
         c = duckdb.connect()
-        # high enough that the big serving oracles never spill (a 50 GB
-        # disk spill is worse than RAM here); per-query connections
-        # return the memory between oracles. Both knobs are
-        # env-overridable for the scaled-corpus gates: pipeline state
+        # raise the limit only when asked (GRAFT_CHECK_MEM, for the
+        # scaled-corpus gates) — an unconditional 100GB default would
+        # EXCEED physical RAM on smaller hosts and convert spillable
+        # oracle queries into hard OOM aborts, the exact failure this
+        # guard exists to prevent; otherwise keep DuckDB's ~80%-of-RAM
+        # default. Thread count is also env-overridable: pipeline state
         # scales with threads, so fewer threads = less peak memory.
-        c.sql(f"SET memory_limit='{os.environ.get('GRAFT_CHECK_MEM', '100GB')}'")
+        if os.environ.get("GRAFT_CHECK_MEM"):
+            c.sql(f"SET memory_limit='{os.environ['GRAFT_CHECK_MEM']}'")
         if os.environ.get("GRAFT_CHECK_THREADS"):
             c.sql(f"SET threads={int(os.environ['GRAFT_CHECK_THREADS'])}")
         for t in TABLES:
