@@ -129,9 +129,26 @@ object Graft {
       case _ =>
         val df = build.localCheckpoint(true)
         memoScopes(key) = (scope, df)
+        // the checkpoint's RDD blocks live OUTSIDE the SQL cache, so
+        // trackCaches/unpersist(df) can't free them — capture the
+        // LogicalRDD's backing RDD and release it in releaseCaches(),
+        // else every memoFlat index LEAKS its blocks for the session
+        // (measured: a 30x stored-cells frame left behind slowed the
+        // next cold build ~1.6x). Unpersisting kills the data, but the
+        // memo entry is dropped in the same release, so nothing can
+        // read the dead frame.
+        df.queryExecution.analyzed.collectFirst {
+          case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+        }.foreach(flatCheckpointRdds += _)
         df
     }
   }
+
+  /** Backing RDDs of the [[memoFlat]] checkpoints, released with the
+    * rest of the session caches.
+    */
+  private val flatCheckpointRdds =
+    scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.rdd.RDD[_]]
 
   /** Session-end teardown: unpersist every tracked cache. Wired into
     * Bench/Verify before spark.stop() and into SparkSpec's afterAll.
@@ -139,6 +156,8 @@ object Graft {
   def releaseCaches(): Unit = synchronized {
     trackedCaches.values.foreach(_.foreach(_.unpersist(false)))
     trackedCaches.clear()
+    flatCheckpointRdds.foreach(_.unpersist(false))
+    flatCheckpointRdds.clear()
     memoScopes.clear()
     teardownHooks.foreach(_())
   }

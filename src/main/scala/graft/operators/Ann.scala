@@ -965,7 +965,7 @@ object Ann {
     */
   private[graft] def hnswStoredCells(s: SparkSession, dir: String, split: Long,
                                      nprobe: Int): DataFrame =
-    Graft.memoCache(s"hnsw_cells_ins_${split}_$nprobe", dir) {
+    Graft.memoFlat(s"hnsw_cells_ins_${split}_$nprobe", dir) {
       val eS = Graft.embeddings(s, dir).filter(col("vec_id") < split)
         .select(col("vec_id"), col("embedding"))
       hnswCellsOver(hnswNodesOver(eS), hnswStoredCents(s, dir, split), nprobe)
@@ -988,8 +988,29 @@ object Ann {
     Graft.memoCache(s"hnsw_graph_ins_${split}_${k}_$nprobe", dir) {
       val eS = Graft.embeddings(s, dir).filter(col("vec_id") < split)
         .select(col("vec_id"), col("embedding"))
-      hnswEdgesFromCells(eS, hnswStoredCells(s, dir, split, nprobe), k)
+      // re-apply the join hint AFTER the cache read: the hint embedded
+      // by hnswCellsOver is stranded inside the cached plan (Spark logs
+      // "join hint ... not part of a join relation"), so without this
+      // the pair self-join degrades to SortMergeJoin — sorting the fat
+      // exploded vectors frame twice. Measured at the 30x corpus:
+      // stored build 57.3s -> SHJ restores the flat-build shape (the
+      // flat nswStoredGraph always re-hinted; this path forgot to).
+      hnswEdgesFromCells(eS, hnswStoredCells(s, dir, split, nprobe).hint("SHUFFLE_HASH"), k)
     }
+
+  /** Probe-only twin of [[hnswStoredGraph]] with the cell assignment
+    * INLINE (uncached) — the full build's shape over the stored slice,
+    * used by ProbeHnswStored to isolate the r15 100x stored-build
+    * anomaly. Not memoized, not keyed.
+    */
+  private[graft] def hnswStoredGraphInline(s: SparkSession, dir: String, split: Long,
+                                           k: Int, nprobe: Int): DataFrame = {
+    val eS = Graft.embeddings(s, dir).filter(col("vec_id") < split)
+      .select(col("vec_id"), col("embedding"))
+    val nodes = hnswNodesOver(eS)
+    val cents = hnswCentsOver(nodes, hnswLevelsOver(eS), split, "hnswStoredGraphInline")
+    hnswEdgesFromCells(eS, hnswCellsOver(nodes, cents, nprobe), k)
+  }
 
   /** INCREMENTAL maintenance of the LAYERED index — [[nswGraphInsert]]'s
     * asymmetric pattern applied to the structure the serving walk
