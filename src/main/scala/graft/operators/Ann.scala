@@ -297,7 +297,7 @@ object Ann {
     * (consumers route to [[nswGraphSharded]] there).
     */
   private[graft] def nswCells(s: SparkSession, dir: String, nprobe: Int): DataFrame =
-    Graft.memoCache(s"nsw_cells_$nprobe", dir) {
+    Graft.memoFlat(s"nsw_cells_$nprobe", dir) {
       requireCentroidBudget(sqrtFanout(Graft.tableRows(s, dir, "embeddings")), "nswCells")
       val e = withNorm(Graft.embeddings(s, dir))
       val nc = e.agg(greatest(lit(8L), expr("cast(floor(sqrt(count(1))) as bigint)"))
@@ -523,7 +523,7 @@ object Ann {
     */
   private def nswStoredCells(s: SparkSession, dir: String, split: Long,
                              nprobe: Int): DataFrame =
-    Graft.memoCache(s"nsw_cells_ins_${split}_$nprobe", dir) {
+    Graft.memoFlat(s"nsw_cells_ins_${split}_$nprobe", dir) {
       requireCentroidBudget(sqrtFanout(split), "nswGraphInsert stored")
       val e = withNorm(Graft.embeddings(s, dir).filter(col("vec_id") < split))
       val nc = e.agg(greatest(lit(8L), expr("cast(floor(sqrt(count(1))) as bigint)"))
