@@ -166,6 +166,42 @@ object ScaleProbe {
           "build_sec" -> bsec, "dist_sec" -> dsec, "driver_sec" -> vsec,
           "rows_dist" -> nd, "rows_driver" -> nv)
       }
+      if (probes("bigq_variants")) {
+        // r16: the SAME big-Q evidence line for the three walks that
+        // gained a distributed route this round — filtered (dual
+        // state), int8 (quantized index) and layered HNSW (descent).
+        // Row-count equality across paths is asserted, not just timed.
+        val queries = spark.read.parquet(s"$dir/embeddings.parquet")
+          .filter(col("vec_id") % 7 === 3).orderBy(col("vec_id")).limit(2000)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+        val (fb, _) = time(operators.Ann.nswGraph(spark, dir).count())
+        val (fd, nfd) = time(operators.Ann.graphSearchFilteredBatch(
+          spark, dir, queries, 4, 32, 8, byId = true, 5L, 2L, distThreshold = 0).count())
+        val (fv, nfv) = time(operators.Ann.graphSearchFilteredBatch(
+          spark, dir, queries, 4, 32, 8, byId = true, 5L, 2L,
+          distThreshold = Int.MaxValue).count())
+        require(nfd == nfv, s"filtered big-Q paths diverged: $nfd != $nfv")
+        emit("probe" -> "filtered_bigq", "scale" -> s"${mult}x", "q" -> 2000,
+          "build_sec" -> fb, "dist_sec" -> fd, "driver_sec" -> fv, "rows" -> nfd)
+        val (id8, n8d) = time(operators.Ann.graphSearchInt8Batch(
+          spark, dir, queries, 4, 32, 8, distThreshold = 0).count())
+        val (iv8, n8v) = time(operators.Ann.graphSearchInt8Batch(
+          spark, dir, queries, 4, 32, 8, distThreshold = Int.MaxValue).count())
+        require(n8d == n8v, s"int8 big-Q paths diverged: $n8d != $n8v")
+        emit("probe" -> "int8_bigq", "scale" -> s"${mult}x", "q" -> 2000,
+          "dist_sec" -> id8, "driver_sec" -> iv8, "rows" -> n8d)
+        val (hb, _) = time(operators.Ann.hnswGraph(spark, dir).count())
+        val edges = operators.Ann.hnswGraph(spark, dir)
+        val (hd, nhd) = time(operators.Ann.hnswSearchBatch(
+          spark, dir, edges, "hnsw_search_index", queries, 4, 32, 8,
+          distThreshold = 0).count())
+        val (hv, nhv) = time(operators.Ann.hnswSearchBatch(
+          spark, dir, edges, "hnsw_search_index", queries, 4, 32, 8,
+          distThreshold = Int.MaxValue).count())
+        require(nhd == nhv, s"layered big-Q paths diverged: $nhd != $nhv")
+        emit("probe" -> "hnsw_bigq", "scale" -> s"${mult}x", "q" -> 2000,
+          "build_sec" -> hb, "dist_sec" -> hd, "driver_sec" -> hv, "rows" -> nhd)
+      }
       if (probes("hinsert")) {
         // layered-insert cost contract: marginal insert work ∝ batch,
         // vs the full layered rebuild as the yardstick
