@@ -1463,6 +1463,45 @@ object Ann {
     })
   }
 
+  private val writtenHnswGens = scala.collection.mutable.Map.empty[String, DataFrame]
+  Graft.onRelease(() => writtenHnswGens.clear())
+
+  /** Session-memoized WRITTEN generation of the LAYERED serving index —
+    * [[writtenGraphGen]]'s convention applied to the hierarchical
+    * structure: the build job publishes the prepared per-layer
+    * adjacency-with-payload frame (layer, src, dst, dv, dnrm) as
+    * parquet once; every later consumer LOADS that artifact (persisted
+    * read-back so the per-phase probes hit RAM). No separate entry
+    * artifact: the layered walk's entry set is the top level's nodes,
+    * a pure function of vec_id via the deterministic level draw.
+    */
+  def writtenHnswGen(s: SparkSession, dir: String): DataFrame = synchronized {
+    writtenHnswGens.getOrElseUpdate(dir, {
+      val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val out = s"${Graft.artifactRoot}/graft_hnsw_gen/$safe"
+      layeredIndex(s, dir, hnswGraph(s, dir), "hnsw_search_index")
+        .write.mode("overwrite").parquet(s"$out/adjacency")
+      val adj = s.read.parquet(s"$out/adjacency").persist()
+      Graft.trackCaches(s"written_hnsw_gen_$safe", adj)
+      adj
+    })
+  }
+
+  /** The layered HNSW search run OFF THE WRITTEN INDEX GENERATION —
+    * [[graphSearchFromGen]]'s deployment split applied to the
+    * hierarchical index: a build job publishes the layered adjacency
+    * artifact once ([[writtenHnswGen]]), the search loads and descends
+    * it. Read-equivalence makes the result IDENTICAL to
+    * [[hnswSearch]]'s — the same generated oracle verifies both — while
+    * the walk's index side is a parquet scan of the generation: the
+    * restart-safe serving shape (a fresh session, or another machine,
+    * serves the hierarchy without rebuilding it).
+    */
+  def hnswSearchFromGen(s: SparkSession, dir: String, k: Int = GraphSearchK,
+                        beam: Int = GraphSearchBeam,
+                        rounds: Int = GraphSearchRounds): DataFrame =
+    hnswWalkDriver(s, dir, writtenHnswGen(s, dir), graphSearchQueries(s, dir), k, beam, rounds)
+
   /** The batch graph search run OFF THE WRITTEN INDEX GENERATION — the
     * deployment split `search_from_index` gave the flagship search,
     * applied to the ANN serving graph: a build job publishes the
@@ -1933,9 +1972,19 @@ object Ann {
                                    memoKey: String, queries: DataFrame,
                                    k: Int = GraphSearchK,
                                    beam: Int = GraphSearchBeam,
-                                   rounds: Int = GraphSearchRounds): DataFrame = {
+                                   rounds: Int = GraphSearchRounds): DataFrame =
+    hnswWalkDriver(s, dir, layeredIndex(s, dir, edges, memoKey), queries, k, beam, rounds)
+
+  /** The driver-ranked layered walk over a PREPARED per-layer serving
+    * index (layer, src, dst, dv, dnrm) — split out so the live build
+    * ([[hnswSearchOverDriver]]) and the written-generation load
+    * ([[hnswSearchFromGen]]) share one walk, the flat walk's
+    * beamSearchOver factoring applied to the descent.
+    */
+  private def hnswWalkDriver(s: SparkSession, dir: String, undL: DataFrame,
+                             queries: DataFrame, k: Int, beam: Int,
+                             rounds: Int): DataFrame = {
     import s.implicits._
-    val undL = layeredIndex(s, dir, edges, memoKey)
     val qrows = withNorm(queries
         .select(col("q_id").as("vec_id"), col("qv").as("embedding")))
       .collect().map(r => (r.getLong(0), r.getSeq[Float](1), r.getDouble(2)))
@@ -3881,6 +3930,13 @@ object Ann {
             duckFilteredRecallRow(s"m$m", m, FilterCurveRes)).mkString(",\n")}
          |${FilterCurveMods.map(m => s"SELECT * FROM rowm$m").mkString("\nUNION ALL ")}""".stripMargin,
     "ann_hnsw_search" ->
+      s"""WITH $duckE,
+         |$duckHnswSearchCtes
+         |SELECT q_id, rn, vec_id, score FROM hfin""".stripMargin,
+    // read-equivalence: serving the WRITTEN layered generation returns
+    // byte-identical rows to the live walk, so the same chain verifies
+    // both (the ann_graph_search_from_gen precedent)
+    "ann_hnsw_search_from_gen" ->
       s"""WITH $duckE,
          |$duckHnswSearchCtes
          |SELECT q_id, rn, vec_id, score FROM hfin""".stripMargin,

@@ -79,6 +79,30 @@ class Round16OpsSpec extends SparkSpec {
     info(s"${driver.map(_._1).distinct.size} queries, ${driver.size} rows, paths identical")
   }
 
+  test("layered search off the written generation equals the live walk (read-equivalence)") {
+    val live = rows(Ann.hnswSearch(spark, dir))
+    val fromGen = rows(Ann.hnswSearchFromGen(spark, dir))
+    assert(live.nonEmpty)
+    assert(fromGen === live,
+      "written-generation layered serving diverged from the live hierarchy")
+  }
+
+  test("the merged insert generation serves through BOTH routed paths identically") {
+    // r15 built the layered insert; r16 routed the layered walk — the
+    // composition: a post-insert generation served by the distributed
+    // rounds must equal the driver descent over the same merged edges
+    val merged = Ann.hnswGraphInsert(spark, dir)
+      .select(col("layer"), col("src"), col("dst"))
+    val queries = queries60()
+    val driver = rows(Ann.hnswSearchBatch(spark, dir, merged, "hnsw_merge_serve_r16",
+      queries, 4, 32, 8, distThreshold = Int.MaxValue))
+    val dist = rows(Ann.hnswSearchBatch(spark, dir, merged, "hnsw_merge_serve_r16",
+      queries, 4, 32, 8, distThreshold = 0))
+    assert(driver.nonEmpty)
+    assert(dist === driver,
+      "distributed descent over the merged insert generation diverged from the driver path")
+  }
+
   test("keyed entries still ride the driver path and match the batch router") {
     // the keyed Q=20 queries must be untouched by the refactor: the
     // public entry (driver core, no count job) equals the routed batch
