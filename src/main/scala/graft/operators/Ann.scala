@@ -2032,7 +2032,7 @@ object Ann {
       }
     }
     // layers above maxLevel are empty by construction, so skipping them
-    // driver-side equals the oracle's static 16..1 descent over
+    // driver-side equals the oracle's static OracleMaxLayer..1 descent over
     // zero-row layer CTEs
     for (l <- maxLevel to 1L by -1L; _ <- 1 to HnswDescentRounds) expand(l, 1)
     for (_ <- 1 to rounds) expand(0L, beam)
