@@ -127,6 +127,13 @@ object Graft {
     memoScopes.get(key) match {
       case Some((`scope`, df)) => df
       case _ =>
+        // a different-scope entry under this key is superseded NOW, not
+        // at session end: unpersist its checkpoint blocks at replacement
+        // time, else a session interleaving scopes pins every dead
+        // generation's blocks until releaseCaches (the r15 eviction
+        // scenario). The memo entry is overwritten in the same
+        // synchronized block, so nothing can read the dead frame.
+        flatCheckpointRdds.remove(key).foreach(_.unpersist(false))
         val df = build.localCheckpoint(true)
         memoScopes(key) = (scope, df)
         // the checkpoint's RDD blocks live OUTSIDE the SQL cache, so
@@ -139,16 +146,17 @@ object Graft {
         // read the dead frame.
         df.queryExecution.analyzed.collectFirst {
           case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
-        }.foreach(flatCheckpointRdds += _)
+        }.foreach(flatCheckpointRdds(key) = _)
         df
     }
   }
 
-  /** Backing RDDs of the [[memoFlat]] checkpoints, released with the
-    * rest of the session caches.
+  /** Backing RDDs of the [[memoFlat]] checkpoints, keyed by memo key so
+    * a replaced generation is freed at replacement time; the remainder
+    * is released with the rest of the session caches.
     */
   private val flatCheckpointRdds =
-    scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.rdd.RDD[_]]
+    scala.collection.mutable.Map.empty[String, org.apache.spark.rdd.RDD[_]]
 
   /** Session-end teardown: unpersist every tracked cache. Wired into
     * Bench/Verify before spark.stop() and into SparkSpec's afterAll.
@@ -156,7 +164,7 @@ object Graft {
   def releaseCaches(): Unit = synchronized {
     trackedCaches.values.foreach(_.foreach(_.unpersist(false)))
     trackedCaches.clear()
-    flatCheckpointRdds.foreach(_.unpersist(false))
+    flatCheckpointRdds.values.foreach(_.unpersist(false))
     flatCheckpointRdds.clear()
     memoScopes.clear()
     teardownHooks.foreach(_())

@@ -19,6 +19,10 @@ object Verify {
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // the generated layered oracles carry a static 0..OracleMaxLayer CTE
+    // stack — fail the whole dump loudly if this corpus draws a higher
+    // level, instead of emitting oracles that silently omit layers
+    operators.Ann.assertOracleLayerCap(spark, sfDir)
     new java.io.File(outDir).mkdirs()
     var columnsByQuery = Map.empty[String, Seq[String]]
     SparkEntry.queries.filter(kv => keep(kv._1)).foreach { case (name, fn) =>

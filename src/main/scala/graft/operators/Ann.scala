@@ -1241,6 +1241,20 @@ object Ann {
     */
   val GraphSearchDistQ = 8192
 
+  /** Bounded routing probe for the four routed serving entries: does
+    * the explicit query batch exceed `distThreshold`? A plain
+    * `queries.count()` fully evaluates an arbitrary caller frame just
+    * to make a ≷ comparison (and a non-deterministic frame could route
+    * on a different cardinality than the walk then sees); limiting to
+    * threshold+1 rows makes the probe job cost bounded by the
+    * threshold, never the batch.
+    */
+  private def exceedsQ(queries: DataFrame, distThreshold: Int): Boolean =
+    // clamped +1: specs pin a path with distThreshold = Int.MaxValue,
+    // which a naive +1 would overflow into a negative LIMIT
+    queries.limit(math.min(distThreshold.toLong + 1, Int.MaxValue).toInt)
+      .count() > distThreshold
+
   /** The shared beam core of [[graphSearch]] and [[graphSearchFromGen]]:
     * entry scoring over `cents` (node, nv), then `rounds` synchronized
     * beam expansions over the prepared serving index `undE`
@@ -1268,7 +1282,7 @@ object Ann {
   private[graft] def beamSearchBatch(s: SparkSession, undE: DataFrame, cents: DataFrame,
                                      queries: DataFrame, k: Int, beam: Int, rounds: Int,
                                      distThreshold: Int = GraphSearchDistQ): DataFrame = {
-    if (queries.count() > distThreshold)
+    if (exceedsQ(queries, distThreshold))
       beamSearchRoundsDist(s, undE, cents, queries, k, beam, rounds)
     else
       beamSearchRoundsDriver(s, undE, cents, queries, k, beam, rounds)
@@ -1487,6 +1501,51 @@ object Ann {
     })
   }
 
+  private val writtenInt8Gens =
+    scala.collection.mutable.Map.empty[String, (DataFrame, DataFrame)]
+  Graft.onRelease(() => writtenInt8Gens.clear())
+
+  /** Session-memoized WRITTEN generation of the QUANTIZED serving
+    * index — [[writtenGraphGen]]'s convention applied to the int8 tier
+    * (the 4× memory-cut artifact a serving fleet actually ships,
+    * qdrant.py:73's scalar-quantization analog): the build job
+    * publishes the adjacency with int8 codes + integer-exact norms
+    * (src, dst, dq, dn8) and the quantized √N entry set (node, nq,
+    * nn8) as parquet once; every later consumer LOADS those artifacts
+    * (persisted read-back so the per-round probes hit RAM). The float
+    * vectors never enter the artifact — the whole point of shipping
+    * the quantized generation.
+    */
+  def writtenInt8Gen(s: SparkSession, dir: String): (DataFrame, DataFrame) = synchronized {
+    writtenInt8Gens.getOrElseUpdate(dir, {
+      val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val out = s"${Graft.artifactRoot}/graft_int8_gen/$safe"
+      int8Index(s, dir).write.mode("overwrite").parquet(s"$out/adjacency")
+      int8Cents(s, dir).write.mode("overwrite").parquet(s"$out/entry")
+      val adj = s.read.parquet(s"$out/adjacency").persist()
+      val entry = s.read.parquet(s"$out/entry").persist()
+      Graft.trackCaches(s"written_int8_gen_$safe", adj, entry)
+      (adj, entry)
+    })
+  }
+
+  /** The int8 graph search run OFF THE WRITTEN INDEX GENERATION —
+    * [[graphSearchFromGen]]'s deployment split applied to the
+    * quantized tier: a build job publishes the int8 adjacency + entry
+    * artifacts once ([[writtenInt8Gen]]), the search LOADS and walks
+    * them through the shared driver core. Read-equivalence makes the
+    * result IDENTICAL to [[graphSearchInt8]]'s — the same generated
+    * oracle verifies both — which closes the deployment-split family:
+    * flat (18p11), layered (18p13) and now quantized serving all run
+    * off restart-safe on-disk generations.
+    */
+  def graphSearchInt8FromGen(s: SparkSession, dir: String, k: Int = GraphSearchK,
+                             beam: Int = GraphSearchBeam,
+                             rounds: Int = GraphSearchRounds): DataFrame = {
+    val (adjacency, entry) = writtenInt8Gen(s, dir)
+    graphSearchInt8DriverOver(s, adjacency, entry, graphSearchQueries(s, dir), k, beam, rounds)
+  }
+
   /** The layered HNSW search run OFF THE WRITTEN INDEX GENERATION —
     * [[graphSearchFromGen]]'s deployment split applied to the
     * hierarchical index: a build job publishes the layered adjacency
@@ -1668,7 +1727,7 @@ object Ann {
                                               k: Int, beam: Int, rounds: Int, byId: Boolean,
                                               fMod: Long, fRes: Long,
                                               distThreshold: Int = GraphSearchDistQ): DataFrame =
-    if (queries.count() > distThreshold)
+    if (exceedsQ(queries, distThreshold))
       graphSearchFilteredRoundsDist(s, dir, queries, k, beam, rounds, byId, fMod, fRes)
     else
       graphSearchFilteredWalkDriver(s, dir, queries, k, beam, rounds, byId, fMod, fRes)
@@ -1915,7 +1974,7 @@ object Ann {
                                      k: Int = GraphSearchK, beam: Int = GraphSearchBeam,
                                      rounds: Int = GraphSearchRounds,
                                      distThreshold: Int = GraphSearchDistQ): DataFrame =
-    if (queries.count() > distThreshold)
+    if (exceedsQ(queries, distThreshold))
       hnswSearchRoundsDist(s, dir, edges, memoKey, queries, k, beam, rounds)
     else
       hnswSearchOverDriver(s, dir, edges, memoKey, queries, k, beam, rounds)
@@ -2064,6 +2123,19 @@ object Ann {
     // — driver path without paying a count job per request
     graphSearchInt8Driver(s, dir, graphSearchQueries(s, dir), k, beam, rounds)
 
+  /** The int8 ENTRY SET: the √N centroid ids with their quantized
+    * codes + integer-exact norms — the quantized twin of the flat
+    * walk's entry frame, shared by the driver and distributed paths
+    * and written out as the generation's `entry` artifact.
+    */
+  private def int8Cents(s: SparkSession, dir: String): DataFrame =
+    Graft.embeddings(s, dir)
+      .filter(col("vec_id") < sqrtFanout(Graft.tableRows(s, dir, "embeddings")))
+      .select(col("vec_id").as("node"),
+        call_function("fvec_quantize", col("embedding")).as("nq"))
+      .select(col("node"), col("nq"),
+        sqrt(call_function("lvec_dot", col("nq"), col("nq")).cast("double")).as("nn8"))
+
   /** The COMPRESSED serving index (session-memoized): undirected
     * adjacency carrying int8 codes + their integer-exact norms, not
     * float vectors.
@@ -2090,7 +2162,7 @@ object Ann {
   private[graft] def graphSearchInt8Batch(s: SparkSession, dir: String, queries: DataFrame,
                                           k: Int, beam: Int, rounds: Int,
                                           distThreshold: Int = GraphSearchDistQ): DataFrame =
-    if (queries.count() > distThreshold)
+    if (exceedsQ(queries, distThreshold))
       graphSearchInt8RoundsDist(s, dir, queries, k, beam, rounds)
     else
       graphSearchInt8Driver(s, dir, queries, k, beam, rounds)
@@ -2108,12 +2180,7 @@ object Ann {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val idx = int8Index(s, dir).repartition(col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cents8 = Graft.embeddings(s, dir)
-      .filter(col("vec_id") < sqrtFanout(Graft.tableRows(s, dir, "embeddings")))
-      .select(col("vec_id").as("node"),
-        call_function("fvec_quantize", col("embedding")).as("nq"))
-      .select(col("node"), col("nq"),
-        sqrt(call_function("lvec_dot", col("nq"), col("nq")).cast("double")).as("nn8"))
+    val cents8 = int8Cents(s, dir)
     val entry = qn.crossJoin(cents8)
       .filter(col("node") =!= col("q_id"))
       .select(col("q_id"), col("node"),
@@ -2138,9 +2205,20 @@ object Ann {
     * (see [[graphSearchInt8]] for semantics).
     */
   private def graphSearchInt8Driver(s: SparkSession, dir: String, queries: DataFrame,
-                                    k: Int, beam: Int, rounds: Int): DataFrame = {
+                                    k: Int, beam: Int, rounds: Int): DataFrame =
+    graphSearchInt8DriverOver(s, int8Index(s, dir), int8Cents(s, dir), queries,
+      k, beam, rounds)
+
+  /** The driver-ranked int8 walk over EXPLICIT index frames — the
+    * [[beamSearchOver]] split applied to the quantized tier: callers
+    * differ only in where the (src, dst, dq, dn8) adjacency and the
+    * (node, nq, nn8) entry set come from (session memo vs a written
+    * generation).
+    */
+  private def graphSearchInt8DriverOver(s: SparkSession, und8: DataFrame, cents8: DataFrame,
+                                        queries: DataFrame,
+                                        k: Int, beam: Int, rounds: Int): DataFrame = {
     import s.implicits._
-    val und8 = int8Index(s, dir)
     val qrows = queries
       .select(col("q_id"), call_function("fvec_quantize", col("qv")).as("q8"))
       .select(col("q_id"), col("q8"),
@@ -2153,12 +2231,7 @@ object Ann {
           .sortBy { case (n, sc) => (-sc, n) }.take(cut)
       }
     val qsDf = qrows.toSeq.toDF("q_id", "q8", "qn8")
-    val entry = Graft.embeddings(s, dir)
-      .filter(col("vec_id") < sqrtFanout(Graft.tableRows(s, dir, "embeddings")))
-      .select(col("vec_id").as("node"),
-        call_function("fvec_quantize", col("embedding")).as("nq"))
-      .select(col("node"), col("nq"),
-        sqrt(call_function("lvec_dot", col("nq"), col("nq")).cast("double")).as("nn8"))
+    val entry = cents8
       .crossJoin(broadcast(qsDf))
       .filter(col("node") =!= col("q_id"))
       .select(col("q_id"), col("node"),
@@ -2970,6 +3043,24 @@ object Ann {
     * cost is a correctness-gate requirement, not a nicety.
     */
   val OracleMaxLayer: Int = 9
+
+  /** Verify-time guard for the generated layered oracles: the DuckDB
+    * statements carry a STATIC 0..[[OracleMaxLayer]] CTE stack while
+    * the Spark build is dynamic over the actual max drawn level
+    * (capped at 16). The 9 cap is verified empirically (max draw over
+    * ids 0..N-1 is 9 up to N = 50000; the first id drawing level >= 10
+    * is 204596), so a gate run on a ~205k+ row corpus would generate
+    * an oracle silently missing layers 10+ — fail the dump loudly at
+    * oracle-generation time instead of producing an unattributable
+    * hash mismatch. Cost: one max() over a vec_id-only projection.
+    */
+  def assertOracleLayerCap(s: SparkSession, dir: String): Unit = {
+    val maxLvl = hnswLevels(s, dir).agg(max(col("level"))).head.getLong(0)
+    require(maxLvl <= OracleMaxLayer,
+      s"corpus at $dir draws HNSW level $maxLvl > OracleMaxLayer=$OracleMaxLayer: " +
+        s"the generated layered oracles would omit layers ${OracleMaxLayer + 1}..$maxLvl; " +
+        "raise OracleMaxLayer (and re-measure the one-connection gate cost) before trusting the gate")
+  }
 
   /** The layered incremental insert (`ann_hnsw_insert`) as one DuckDB
     * statement: stored-slice layered build (suffix `s`,
@@ -3913,6 +4004,13 @@ object Ann {
          |   // greatest($GraphSearchK * (SELECT count(*) FROM qs), 1) AS recall_micros
          |FROM fin f JOIN ex ON ex.q_id = f.q_id AND ex.vec_id = f.vec_id""".stripMargin,
     "ann_graph_search_int8" ->
+      s"""WITH $duckE,
+         |$duckGraphSearchInt8Ctes
+         |SELECT q_id, rn, vec_id, score FROM fin8""".stripMargin,
+    // read-equivalent to ann_graph_search_int8 by construction (the
+    // walk is identical; only the index frames' storage differs) — the
+    // SAME generated oracle verifies the quantized written generation
+    "ann_graph_search_int8_from_gen" ->
       s"""WITH $duckE,
          |$duckGraphSearchInt8Ctes
          |SELECT q_id, rn, vec_id, score FROM fin8""".stripMargin,

@@ -4,25 +4,15 @@ against the DuckDB oracle at a given SF dir and diff exactly.
 
 Usage: python3 tools/check.py <sfDir> <verifyOutDir>
 (run Verify first: sbt "runMain graft.Verify <sfDir> <outDir>")
+
+Normalization + the compare ladder live in tools/gatelib.py, shared with
+tools/gate_one_con.py so the two gate regimes can't drift.
 """
-import sys, os, json, glob
+import sys, os, json
 import duckdb
-import pandas as pd
 
-TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
-
-def norm(df: pd.DataFrame) -> pd.DataFrame:
-    df = df[sorted(df.columns)]
-    # unify int widths only (int32→int64); deliberately do NOT coerce
-    # float↔int — the driver's hash is dtype-sensitive (a DuckDB HUGEINT
-    # arriving as float64 vs Spark's int64 is a real mismatch; oracle SQL
-    # must CAST(... AS BIGINT))
-    for c in df.columns:
-        if pd.api.types.is_integer_dtype(df[c]):
-            df[c] = df[c].astype("int64")
-        elif pd.api.types.is_float_dtype(df[c]):
-            df[c] = df[c].astype("float64")
-    return df.sort_values(by=list(df.columns), ignore_index=True)
+sys.path.insert(0, os.path.dirname(__file__))
+from gatelib import register_views, load_result, rows_only_status, compare
 
 def main(sf_dir, out_dir):
     def fresh_con():
@@ -43,30 +33,21 @@ def main(sf_dir, out_dir):
             c.sql(f"SET memory_limit='{os.environ['GRAFT_CHECK_MEM']}'")
         if os.environ.get("GRAFT_CHECK_THREADS"):
             c.sql(f"SET threads={int(os.environ['GRAFT_CHECK_THREADS'])}")
-        for t in TABLES:
-            p = f"{sf_dir}/{t}.parquet"
-            if os.path.isdir(p):  # Spark-written table dir (scaled corpora)
-                c.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}/*.parquet')")
-            elif os.path.exists(p):
-                c.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+        register_views(c, sf_dir)
         return c
     con = fresh_con()
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_ok = 0
     names = sorted(d for d in os.listdir(out_dir) if os.path.isdir(f"{out_dir}/{d}"))
     for name in names:
-        files = glob.glob(f"{out_dir}/{name}/*.parquet")
-        got = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True) if files \
-            else pd.DataFrame()
+        got = load_result(out_dir, name)
         if name not in oracle:
-            # the driver sorts rows-only outputs too — arrays/binary crash it
-            try:
-                norm(got)
-            except Exception as e:
-                print(f"[FAIL] {name}: rows-only output not sortable (driver would crash): {e}")
-                continue
-            print(f"[rows-only] {name}: rows={len(got)} {'OK' if len(got) > 0 else 'EMPTY!'}")
-            n_ok += 1 if len(got) > 0 else 0
+            ok, msg = rows_only_status(got)
+            if ok:
+                print(f"[rows-only] {name}: {msg}")
+                n_ok += 1
+            else:
+                print(f"[FAIL] {name}: {msg}")
             continue
         try:
             exp = con.sql(oracle[name]).df()
@@ -82,27 +63,18 @@ def main(sf_dir, out_dir):
             if os.environ.get("GRAFT_CHECK_FRESH_CON"):
                 con.close()
                 con = fresh_con()
-        g, e = norm(got), norm(exp)
-        if list(g.columns) != list(e.columns):
-            print(f"[FAIL] {name}: columns {list(g.columns)} != {list(e.columns)}")
-            continue
-        if list(g.dtypes) != list(e.dtypes):
-            print(f"[FAIL] {name}: dtypes spark={dict(g.dtypes.astype(str))} "
-                  f"!= oracle={dict(e.dtypes.astype(str))}")
-            continue
-        if len(g) != len(e):
-            print(f"[FAIL] {name}: rows {len(g)} != {len(e)}")
-            continue
-        diff = (g != e) & ~(g.isna() & e.isna())
-        if diff.any().any():
-            bad = diff.any(axis=1)
-            print(f"[FAIL] {name}: {int(bad.sum())} mismatched rows; first:")
-            idx = bad.idxmax()
+        status, g, e = compare(got, exp)
+        if status is None:
+            print(f"[ok] {name}: {len(g)} rows")
+            n_ok += 1
+        elif status.endswith("mismatched rows"):
+            print(f"[FAIL] {name}: {status}; first:")
+            diff = (g != e) & ~(g.isna() & e.isna())
+            idx = diff.any(axis=1).idxmax()
             print("  spark:", g.loc[idx].to_dict())
             print("  duck :", e.loc[idx].to_dict())
-            continue
-        print(f"[ok] {name}: {len(g)} rows")
-        n_ok += 1
+        else:
+            print(f"[FAIL] {name}: {status}")
     print(f"== {n_ok}/{len(names)} green ==")
     return 0 if n_ok == len(names) else 1
 

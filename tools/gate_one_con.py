@@ -5,15 +5,16 @@ model of the driver's harness (r15's CORRECTNESS artifact came back
 empty; the builder's per-connection replica hid whatever killed it).
 
 Records per-oracle wall time and process RSS growth so the memory hogs
-are named, and compares results exactly like tools/check.py.
+are named. Normalization + the compare ladder live in tools/gatelib.py,
+shared with tools/check.py so the two gate regimes can't drift.
 
 Usage: python3 tools/gate_one_con.py <sfDir> <verifyOutDir> [report.jsonl]
 """
-import sys, os, json, glob, time
+import sys, os, json, time
 import duckdb
-import pandas as pd
 
-TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+sys.path.insert(0, os.path.dirname(__file__))
+from gatelib import register_views, load_result, rows_only_status, compare
 
 
 def rss_gb():
@@ -24,37 +25,20 @@ def rss_gb():
     return -1.0
 
 
-def norm(df: pd.DataFrame) -> pd.DataFrame:
-    df = df[sorted(df.columns)]
-    for c in df.columns:
-        if pd.api.types.is_integer_dtype(df[c]):
-            df[c] = df[c].astype("int64")
-        elif pd.api.types.is_float_dtype(df[c]):
-            df[c] = df[c].astype("float64")
-    return df.sort_values(by=list(df.columns), ignore_index=True)
-
-
 def main(sf_dir, out_dir, report=None):
     con = duckdb.connect()  # defaults: no memory_limit/threads overrides
-    for t in TABLES:
-        p = f"{sf_dir}/{t}.parquet"
-        if os.path.isdir(p):
-            con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}/*.parquet')")
-        elif os.path.exists(p):
-            con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    register_views(con, sf_dir)
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     rep = open(report, "w") if report else None
     n_ok, rows_only = 0, 0
     names = sorted(d for d in os.listdir(out_dir) if os.path.isdir(f"{out_dir}/{d}"))
     for name in names:
-        files = glob.glob(f"{out_dir}/{name}/*.parquet")
-        got = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True) if files \
-            else pd.DataFrame()
+        got = load_result(out_dir, name)
         if name not in oracle:
-            ok = len(got) > 0
+            ok, msg = rows_only_status(got)
             n_ok += 1 if ok else 0
             rows_only += 1
-            print(f"[rows-only] {name}: rows={len(got)} {'OK' if ok else 'EMPTY!'}", flush=True)
+            print(f"{'[rows-only]' if ok else '[FAIL]'} {name}: {msg}", flush=True)
             continue
         r0, t0 = rss_gb(), time.time()
         try:
@@ -73,18 +57,7 @@ def main(sf_dir, out_dir, report=None):
             rep.write(json.dumps({"name": name, "sec": round(dt, 2),
                                   "rss0": round(r0, 2), "rss1": round(r1, 2)}) + "\n")
             rep.flush()
-        g, e = norm(got), norm(exp)
-        status = None
-        if list(g.columns) != list(e.columns):
-            status = f"columns {list(g.columns)} != {list(e.columns)}"
-        elif list(g.dtypes) != list(e.dtypes):
-            status = f"dtypes {dict(g.dtypes.astype(str))} != {dict(e.dtypes.astype(str))}"
-        elif len(g) != len(e):
-            status = f"rows {len(g)} != {len(e)}"
-        else:
-            diff = (g != e) & ~(g.isna() & e.isna())
-            if diff.any().any():
-                status = f"{int(diff.any(axis=1).sum())} mismatched rows"
+        status, g, _ = compare(got, exp)
         if status:
             print(f"[FAIL] {name}: {status}  ({dt:.1f}s, rss {r0:.2f}->{r1:.2f}GB)", flush=True)
         else:
