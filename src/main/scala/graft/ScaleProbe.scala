@@ -202,6 +202,83 @@ object ScaleProbe {
         emit("probe" -> "hnsw_bigq", "scale" -> s"${mult}x", "q" -> 2000,
           "build_sec" -> hb, "dist_sec" -> hd, "driver_sec" -> hv, "rows" -> nhd)
       }
+      if (probes("crossq")) {
+        // r17: crossover evidence ABOVE GraphSearchDistQ=8192 — every
+        // earlier big-Q probe ran Q=2000, where the driver-ranked path
+        // wins 2-3x locally; the 8192 placement was argued from driver
+        // MEMORY (Q·beam·2k scored rows per round), never measured.
+        // Probe the routed walks above the threshold and record both
+        // wall times plus the per-round driver state the driver path
+        // holds (scored candidate rows = Q·beam·~2k it collects).
+        val (bsec, _) = time(operators.Ann.nswGraph(spark, dir).count())
+        val undE = operators.Ann.graphSearchIndex(spark, dir)
+        val cents = spark.read.parquet(s"$dir/embeddings.parquet")
+          .filter(col("vec_id") < operators.Ann.sqrtFanout(
+            Graft.tableRows(spark, dir, "embeddings")))
+          .select(col("vec_id").as("node"), col("embedding").as("nv"))
+        emit("probe" -> "crossq_build", "scale" -> s"${mult}x", "build_sec" -> bsec)
+        // a 1-in-7 residue of the corpus can't supply Q > N/7, so the
+        // batch REPLICATES the residue's vectors under fresh q_ids
+        // (offset far above any corpus vec_id) — the Q axis is what's
+        // probed; per-query work is identical whether vectors repeat
+        val qbase = spark.read.parquet(s"$dir/embeddings.parquet")
+          .filter(col("vec_id") % 7 === 3)
+          .select(col("vec_id"), col("embedding"))
+          .localCheckpoint(true)
+        val nBase = qbase.count()
+        def qbatch(q: Int) = {
+          val reps = (q + nBase - 1) / nBase
+          qbase.crossJoin(spark.range(reps).toDF("qrep"))
+            .select((col("vec_id") + col("qrep") * 1000000000L).as("q_id"),
+              col("embedding").as("qv"))
+            .orderBy(col("q_id")).limit(q)
+        }
+        def tryPath(f: => Long): (Double, Long) =
+          try time(f) catch { case e: Throwable =>
+            System.err.println(s"[probe] path failed: $e"); (-1.0, -1L) }
+        for (q <- Seq(16384, 65536)) {
+          val queries = qbatch(q)
+          val (dsec, nd) = tryPath(operators.Ann.beamSearchBatch(
+            spark, undE, cents, queries, 4, 32, 8, distThreshold = 0).count())
+          val (vsec, nv) = tryPath(operators.Ann.beamSearchBatch(
+            spark, undE, cents, queries, 4, 32, 8, distThreshold = Int.MaxValue).count())
+          if (nd >= 0 && nv >= 0) require(nd == nv, s"flat crossq paths diverged: $nd != $nv")
+          emit("probe" -> "flat_crossq", "scale" -> s"${mult}x", "q" -> q,
+            "dist_sec" -> dsec, "driver_sec" -> vsec, "rows" -> math.max(nd, nv),
+            "driver_scored_rows_per_round" -> q.toLong * 32 * 8)
+        }
+        // the other three routed walks at one above-threshold point
+        val q16 = qbatch(16384)
+        val (fd, nfd) = tryPath(operators.Ann.graphSearchFilteredBatch(
+          spark, dir, q16, 4, 32, 8, byId = true, 5L, 2L, distThreshold = 0).count())
+        val (fv, nfv) = tryPath(operators.Ann.graphSearchFilteredBatch(
+          spark, dir, q16, 4, 32, 8, byId = true, 5L, 2L,
+          distThreshold = Int.MaxValue).count())
+        if (nfd >= 0 && nfv >= 0) require(nfd == nfv, s"filtered crossq paths diverged")
+        emit("probe" -> "filtered_crossq", "scale" -> s"${mult}x", "q" -> 16384,
+          "dist_sec" -> fd, "driver_sec" -> fv, "rows" -> math.max(nfd, nfv))
+        val (id8, n8d) = tryPath(operators.Ann.graphSearchInt8Batch(
+          spark, dir, q16, 4, 32, 8, distThreshold = 0).count())
+        val (iv8, n8v) = tryPath(operators.Ann.graphSearchInt8Batch(
+          spark, dir, q16, 4, 32, 8, distThreshold = Int.MaxValue).count())
+        if (n8d >= 0 && n8v >= 0) require(n8d == n8v, s"int8 crossq paths diverged")
+        emit("probe" -> "int8_crossq", "scale" -> s"${mult}x", "q" -> 16384,
+          "dist_sec" -> id8, "driver_sec" -> iv8, "rows" -> math.max(n8d, n8v))
+        // the layered descent last (the most round-heavy walk:
+        // ~2 greedy rounds x layers + 8 beam rounds)
+        val (hb, _) = time(operators.Ann.hnswGraph(spark, dir).count())
+        val edges = operators.Ann.hnswGraph(spark, dir)
+        val (hd, nhd) = tryPath(operators.Ann.hnswSearchBatch(
+          spark, dir, edges, "hnsw_search_index", q16, 4, 32, 8,
+          distThreshold = 0).count())
+        val (hv, nhv) = tryPath(operators.Ann.hnswSearchBatch(
+          spark, dir, edges, "hnsw_search_index", q16, 4, 32, 8,
+          distThreshold = Int.MaxValue).count())
+        if (nhd >= 0 && nhv >= 0) require(nhd == nhv, s"layered crossq paths diverged")
+        emit("probe" -> "hnsw_crossq", "scale" -> s"${mult}x", "q" -> 16384,
+          "build_sec" -> hb, "dist_sec" -> hd, "driver_sec" -> hv,
+          "rows" -> math.max(nhd, nhv))
+      }
       if (probes("hinsert")) {
         // layered-insert cost contract: marginal insert work ∝ batch,
         // vs the full layered rebuild as the yardstick

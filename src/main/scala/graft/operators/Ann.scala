@@ -1060,6 +1060,46 @@ object Ann {
       .select(col("layer"), col("src"), col("dst"), col("cos"), col("rn"))
     val storedCells = hnswStoredCells(s, dir, split, nprobe)
     val batchCells = hnswCellsOver(hnswNodesOver(eB), hnswStoredCents(s, dir, split), nprobe)
+    hnswInsertCore(storedCells, batchCells, storedEdges, e, k)
+  }
+
+  /** Layered incremental insert over an ARBITRARY stored generation —
+    * [[nswInsertBatch]]'s contract applied to the hierarchy: the core
+    * of [[hnswGraphInsert]] (which fixes stored = the vec_id < 4N/5
+    * slice for the keyed oracle) and of the LAYERED streaming index
+    * maintenance ([[graft.streaming.IndexStreams.maintainHnswIndex]]:
+    * each microbatch is a `batchEmb`). Same id contract as the flat
+    * batch insert: `storedEmb`/`batchEmb` are (vec_id, embedding)
+    * frames with DISJOINT ids, stored ids dense from 0 (the per-layer
+    * centroid stacks are dense-id threshold picks). One count job
+    * sizes the stored corpus for the centroid budget — bounded
+    * driver-side metadata, exactly what a generation manifest holds.
+    */
+  def hnswInsertBatch(storedEmb: DataFrame, storedEdges: DataFrame,
+                      batchEmb: DataFrame, k: Int = 4, nprobe: Int = 3): DataFrame = {
+    val eS = storedEmb.select(col("vec_id"), col("embedding"))
+    val nS = eS.count()
+    val nodesS = hnswNodesOver(eS)
+    val cents = hnswCentsOver(nodesS, hnswLevelsOver(eS), nS, "hnswInsertBatch stored")
+    val storedCells = hnswCellsOver(nodesS, cents, nprobe)
+    val batchCells =
+      hnswCellsOver(hnswNodesOver(batchEmb.select(col("vec_id"), col("embedding"))), cents, nprobe)
+    val allEmb = eS.unionByName(batchEmb.select(col("vec_id"), col("embedding")))
+    hnswInsertCore(storedCells, batchCells,
+      storedEdges.select(col("layer"), col("src"), col("dst"), col("cos"), col("rn")),
+      allEmb, k)
+  }
+
+  /** The shared merge+repair core of the layered insert (see
+    * [[hnswGraphInsert]] for the full semantics & cost contract):
+    * blocked batch→all pairs per (layer, cell), lossless per-cell
+    * pre-cut, touched-src re-rank with untouched pass-through, one
+    * bounded per-layer NN-descent repair round. `allEmb` = stored ∪
+    * batch vectors, read once for the repair's score attach.
+    */
+  private def hnswInsertCore(storedCells: DataFrame, batchCells: DataFrame,
+                             storedEdges: DataFrame, allEmb: DataFrame,
+                             k: Int): DataFrame = {
     val allCells = storedCells
       .select(col("layer"), col("vec_id"), col("embedding"), col("nrm"), col("cid"))
       .withColumn("stored", lit(true))
@@ -1107,7 +1147,7 @@ object Ann {
           col("a.src") =!= col("b.dst"))
       .select(col("a.layer").as("layer"), col("a.src").as("src"), col("b.dst").as("dst"))
       .distinct()
-    val vecs = withNorm(e)
+    val vecs = withNorm(allEmb)
     val h2c = hop2
       .join(vecs.select(col("vec_id").as("src"), col("embedding").as("xe"), col("nrm").as("xn")), "src")
       .join(vecs.select(col("vec_id").as("dst"), col("embedding").as("ye"), col("nrm").as("yn")), "dst")
@@ -1229,15 +1269,19 @@ object Ann {
     * overhead is amortized by the batch (the clustersOf threshold
     * pattern, Dedup.scala clustersOf).
     *
-    * Placement is MEMORY-bounded, not latency-bounded: measured at 10×
-    * (docs/bench_r15_scale_probes.jsonl, Q=2000) the driver path still
-    * WINS wall-clock locally (4.1s vs 8.4s — single-JVM collects are
-    * cheap) with values identical, so the cutoff sits where the
-    * per-round driver state stops being comfortable, not where local
-    * latency crosses: 8192 queries × beam 32 × 2k=8 ≈ 2M scored rows ≈
-    * 10^2 MB per round. A cluster deployment whose driver is smaller
-    * (or whose Q is 10^5) lowers it; the routed path is spec-equal
-    * either way (Round15OpsSpec).
+    * Placement is measured on BOTH sides of the threshold (r17,
+    * docs/bench_r17_crossover.md): below it the driver path wins
+    * wall-clock locally (Q=2000 at 10×: driver 4.0-6.7s vs dist
+    * 8.3-17.5s across the four walks — single-JVM collects are cheap);
+    * above it the DISTRIBUTED path wins on every walk (Q=16384: flat
+    * 1.8×, filtered 4.2×, int8 1.8×, layered 1.1×), and at Q=65536 the
+    * driver path is fragile — it collects 16.8M scored rows per round
+    * and either limps to parity or dies on heap depending on JVM
+    * state. Any value in ~4000..16000 routes the measured points
+    * identically; 8192 = 2M scored rows ≈ 10^2 MB per round sits in
+    * the middle. A cluster deployment whose driver is smaller (or
+    * whose Q is 10^5) lowers it; the routed path is spec-equal either
+    * way (Round15OpsSpec/Round16OpsSpec).
     */
   val GraphSearchDistQ = 8192
 
@@ -2007,18 +2051,29 @@ object Ann {
         round(VectorOps.dot(col("nv"), col("qv")) / (VectorOps.norm(col("nv")) * col("qnrm")), 6)
           .as("score"))
     var state = distCutRound(entry.limit(0), entry, 1)
-    def expand(layer: Long, cut: Int): Unit = {
-      val scored = idx.filter(col("layer") === layer)
+    def scoredFrom(layer: Long): DataFrame =
+      idx.filter(col("layer") === layer)
         .join(state.select(col("q_id"), col("node")), col("src") === col("node"))
         .join(qn, "q_id")
         .filter(col("dst") =!= col("q_id"))
         .select(col("q_id"), col("dst").as("node"),
           round(VectorOps.dot(col("dv"), col("qv")) / (col("dnrm") * col("qnrm")), 6)
             .as("score"))
-      state = distCutRound(state, scored, cut)
-    }
-    for (l <- maxLevel to 1L by -1L; _ <- 1 to HnswDescentRounds) expand(l, 1)
-    for (_ <- 1 to rounds) expand(0L, beam)
+    // upper-layer greedy descent: one distCutRound per round. Two r17
+    // alternatives were MEASURED SLOWER at 10x/Q=2000 and rejected:
+    // (a) chaining a layer's rounds into one plan with the lineage cut
+    // per LAYER — 20.6s vs 15.7s, because the pooled union references
+    // the prior state subtree twice so round r's probe re-executes
+    // inside round r+1's plan; (b) replacing the distinct+window cut
+    // with a map-side-combinable argmax aggregation — 17.1-17.5s vs
+    // 15.7-15.9s paired same-session runs, the two narrow shuffles of
+    // the Q-row state pipeline better than one struct-max shuffle.
+    // ~0.55s/round of fixed stage+checkpoint latency is the measured
+    // local floor of this path (docs/bench_r17_scale_probes.jsonl).
+    for (l <- maxLevel to 1L by -1L; _ <- 1 to HnswDescentRounds)
+      state = distCutRound(state, scoredFrom(l), 1)
+    for (_ <- 1 to rounds)
+      state = distCutRound(state, scoredFrom(0L), beam)
     qn.unpersist(false)
     idx.unpersist(false)
     distFinal(state, k)

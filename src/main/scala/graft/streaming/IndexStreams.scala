@@ -103,6 +103,41 @@ object IndexStreams {
       }
       .start()
 
+  /** Streaming maintenance of the LAYERED index — [[maintainNswIndex]]'s
+    * versioned-generation fold applied to the hierarchy the layered
+    * serving walk ([[Ann.hnswSearch]]) actually reads: each microbatch
+    * folds into the current generation's (layer, src, dst, cos, rn)
+    * edges via the batch-proportional [[Ann.hnswInsertBatch]] (new
+    * nodes draw their levels from the same deterministic md5 function
+    * of vec_id, so a node's layer membership is identical whether it
+    * arrived by stream or by rebuild). Same layout, hole-tolerance and
+    * exactly-once-by-idempotence contract as the flat twin; the seed
+    * generation's `edges` must be a layered build
+    * ([[Ann.hnswStoredGraph]] / a prior generation of this stream).
+    */
+  def maintainHnswIndex(vecStream: DataFrame, genRoot: String, checkpoint: String,
+                        k: Int = 4, nprobe: Int = 3): StreamingQuery =
+    vecStream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val s = batch.sparkSession
+          val target = batchId + 1
+          // same hole-tolerant generation pick as the flat stream (an
+          // empty microbatch writes nothing; contiguity can't be assumed)
+          val stored = latestGenAtMost(genRoot, batchId)
+          val storedEmb = membersThrough(s, genRoot, stored)
+          val storedEdges = s.read.parquet(s"$genRoot/gen=$stored/edges")
+          val merged = Ann.hnswInsertBatch(storedEmb, storedEdges,
+            batch.select(col("vec_id"), col("embedding")), k, nprobe)
+          merged.write.mode("overwrite").parquet(s"$genRoot/gen=$target/edges")
+          batch.select(col("vec_id"), col("embedding"))
+            .write.mode("overwrite").parquet(s"$genRoot/gen=$target/newmembers")
+        }
+        ()
+      }
+      .start()
+
   /** File-source entry point: stream (vec_id, embedding) arrivals from
     * a growing parquet dir, one file per microbatch — the spec's feed
     * and the shape of a production drop-folder ingest.

@@ -66,6 +66,59 @@ class IndexStreamsSpec extends SparkSpec {
       s"batch sizes ${b1.count()}/${b2.count()}, both equal their batch twins")
   }
 
+  test("streamed LAYERED generations equal the sequential hnsw batch-insert twins") {
+    // the r16 gap: only the FLAT NSW index had a streaming twin, so the
+    // index the layered serving walk reads could not be stream-maintained.
+    // Same contract as the flat test: every streamed generation must
+    // equal its sequential hnswInsertBatch twin exactly, layer included.
+    val root = java.nio.file.Files.createTempDirectory("graft-hidxgen").toString
+    val inDir = java.nio.file.Files.createTempDirectory("graft-hidxin").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-hidxck").toString
+    val e = Graft.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val n = e.count()
+    val cut1 = n * 3 / 5
+    val cut2 = n * 4 / 5
+    val seedEmb = e.filter(col("vec_id") < cut1)
+    val seedEdges = Ann.hnswStoredGraph(spark, dir, cut1, 4, 3)
+      .select(col("layer"), col("src"), col("dst"), col("cos"), col("rn"))
+    seedEdges.write.parquet(s"$root/gen=0/edges")
+    seedEmb.write.parquet(s"$root/gen=0/members")
+
+    val b1 = e.filter(col("vec_id") >= cut1 && col("vec_id") < cut2)
+    val b2 = e.filter(col("vec_id") >= cut2)
+    def edgeSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long, Double, Long)] =
+      df.select(col("layer"), col("src"), col("dst"), col("cos"), col("rn")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+        .toSet
+
+    val q = IndexStreams.maintainHnswIndex(
+      IndexStreams.fromParquetDir(spark, inDir, e), root, ckpt)
+    try {
+      b1.coalesce(1).write.mode("append").parquet(inDir)
+      q.processAllAvailable()
+      b2.coalesce(1).write.mode("append").parquet(inDir)
+      q.processAllAvailable()
+      assert(q.exception.isEmpty, s"layered maintenance stream failed: ${q.exception}")
+    } finally q.stop()
+
+    assert(IndexStreams.currentGen(root) === 2L)
+    val twin1 = Ann.hnswInsertBatch(seedEmb, seedEdges, b1)
+    val got1 = spark.read.parquet(s"$root/gen=1/edges")
+    assert(edgeSet(got1) === edgeSet(twin1), "layered generation 1 diverged from its batch twin")
+    val twin2 = Ann.hnswInsertBatch(seedEmb.unionByName(b1), got1, b2)
+    val got2 = spark.read.parquet(s"$root/gen=2/edges")
+    assert(edgeSet(got2) === edgeSet(twin2), "layered generation 2 diverged from its batch twin")
+    // the final generation covers the whole corpus at layer 0 (every
+    // vector serves), per-(layer, src) out-degree stays bounded by k,
+    // and the hierarchy has more than one layer (it IS layered)
+    val es2 = edgeSet(got2)
+    assert(es2.filter(_._1 == 0L).map(_._2) === (0L until n).toSet)
+    assert(es2.map(_._1).max >= 1L, "expected a multi-layer hierarchy")
+    es2.groupBy(t => (t._1, t._2)).values.foreach(es => assert(es.size <= 4))
+    info(s"2 streamed layered generations over $n vectors, " +
+      s"${es2.map(_._1).max + 1} layers, both equal their hnswInsertBatch twins")
+  }
+
   test("empty microbatches leave generation holes the stream tolerates") {
     // the r14 wedge: gen = batchId+1 with empty batches SKIPPING their
     // write meant the batch after any empty one read a non-existent
