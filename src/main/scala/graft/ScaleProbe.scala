@@ -279,6 +279,22 @@ object ScaleProbe {
           "build_sec" -> hb, "dist_sec" -> hd, "driver_sec" -> hv,
           "rows" -> math.max(nhd, nhv))
       }
+      if (probes("pipeline")) {
+        // r17 pipeline additions. The scaled corpus is the designed
+        // worst case for dedup_substring: every 10th document IS the
+        // fixed template, so the template's 8-grams accumulate N/10
+        // occurrences on ONE gram key — the df-skew the count-window
+        // over gram must absorb (the window shuffles exactly what a
+        // groupBy would; the probe checks the hot partition doesn't
+        // break linearity). pack_sequences should be flat-linear: one
+        // shard exchange + a sequential in-partition scan.
+        val (dsec, ndup) = time(operators.Dedup.substringDup(spark, dir)
+          .agg(sum(col("n_dup"))).collect()(0).getLong(0))
+        val (psec, nseq) = time(operators.TextAnalysis.packSequences(spark, dir).count())
+        emit("probe" -> "pipeline_ops", "scale" -> s"${mult}x",
+          "substring_sec" -> dsec, "dup_positions" -> ndup,
+          "pack_sec" -> psec, "sequences" -> nseq)
+      }
       if (probes("hinsert")) {
         // layered-insert cost contract: marginal insert work ∝ batch,
         // vs the full layered rebuild as the yardstick

@@ -1038,6 +1038,47 @@ object Dedup {
         col("n_a"), col("n_b"))
   }
 
+  /** Exact duplicated-substring detection at k-gram granularity (the
+    * Lee et al. "Deduplicating Training Data Makes Language Models
+    * Better" ExactSubstr pass, re-expressed for Spark): every position
+    * whose k-token window also occurs in ANOTHER document is a
+    * duplicated position; per document this reports total positions,
+    * duplicated positions, and the duplicated fraction. Unlike
+    * [[Dedup.winnow]]/`dedup_winnow_pairs` (which SAMPLE fingerprints
+    * for candidate pairs) this is exhaustive over positions — the pass
+    * a training pipeline runs to CUT duplicated spans, not just to
+    * flag document pairs.
+    *
+    * Plan: one codegen'd projection explodes the k-gram stream, then
+    * three map-side-combinable exchanges — (doc_id, gram) count, a
+    * count-over-gram window for the cross-doc document frequency
+    * (window, not a self-join: no recompute of the gram subtree), and
+    * the final per-doc rollup. Everything is linear in corpus positions;
+    * there is no pair join, so boilerplate mega-df grams cost one
+    * window partition, never a quadratic candidate set. At 100 TB the
+    * only constant worth cutting is the gram string itself as shuffle
+    * key (~50 bytes for k=8); swap in a 128-bit hash of the gram to
+    * quarter the exchange volume — kept as the exact string here so
+    * the DuckDB oracle groups on identical keys.
+    */
+  def substringDup(s: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("gram"))
+    Graft.documents(s, dir)
+      .select(col("doc_id"), expr("split(lower(text), '\\\\s+')").as("toks"))
+      .filter(expr(s"size(toks) >= $k"))
+      .select(col("doc_id"),
+        explode(expr(s"transform(sequence(1, size(toks) - ${k - 1}), j -> " +
+          s"array_join(slice(toks, j, $k), ' '))")).as("gram"))
+      .groupBy(col("doc_id"), col("gram"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("n_docs", count(lit(1)).over(w))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_grams"),
+        sum(when(col("n_docs") >= 2, col("c")).otherwise(lit(0L))).as("n_dup"))
+      .select(col("doc_id"), col("n_grams"), col("n_dup"),
+        expr("n_dup * 1000000 div n_grams").as("dup_frac_micros"))
+  }
+
   private val duckShingles =
     """t AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents
       |      WHERE len(string_split_regex(text, '\s+')) >= 3),
@@ -1090,6 +1131,18 @@ object Dedup {
       | FROM (SELECT doc_id, toks, unnest(range(0, extra + 1)) AS i FROM fw1))""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "dedup_substring" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+        |  FROM documents),
+        |g AS (SELECT doc_id, array_to_string(toks[j:j+7], ' ') AS gram
+        |      FROM t, unnest(range(1, len(toks) - 6)) u(j) WHERE len(toks) >= 8),
+        |dg AS (SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS c FROM g GROUP BY 1, 2),
+        |nd AS (SELECT gram, count(*) AS n_docs FROM dg GROUP BY 1),
+        |per AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+        |         CAST(sum(CASE WHEN n_docs >= 2 THEN c ELSE 0 END) AS BIGINT) AS n_dup
+        |        FROM dg JOIN nd USING (gram) GROUP BY 1)
+        |SELECT doc_id, n_grams, n_dup, n_dup * 1000000 // n_grams AS dup_frac_micros
+        |FROM per""".stripMargin,
     "dedup_lsh_curve" ->
       """WITH br AS (SELECT * FROM (VALUES (1, 12), (2, 6), (3, 4), (4, 3), (6, 2), (12, 1))
         |  AS t(b, r))

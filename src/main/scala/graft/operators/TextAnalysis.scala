@@ -1223,6 +1223,51 @@ object TextAnalysis {
       .withColumn("fill_micros", expr(s"n_tokens * 1000000 div $budget"))
   }
 
+  /** Training-sequence packing: greedy first-fit of whole documents
+    * into fixed token-budget sequences, the step that turns a filtered
+    * corpus into the context-window-sized training examples a
+    * pre-training run consumes. Packing is inherently sequential (a
+    * document's sequence depends on every predecessor's), so the scale
+    * unit is the SHARD: documents hash to `doc_id % shards`, each shard
+    * packs independently in doc_id order, and a real deployment sizes
+    * `shards` ∝ corpus tokens (like [[shardPlan]]) so per-shard work
+    * stays constant as the corpus grows — no global sort, no driver
+    * state, no cross-shard dependency. Plan: one hash exchange on the
+    * shard key, an in-partition sort, one sequential mapPartitions pass
+    * (a shard never spans partitions under hash partitioning, and the
+    * scan resets its accumulator on shard change so co-resident shards
+    * are fine), then a map-side-combinable rollup per (shard, seq_id).
+    * Greedy semantics: a doc opens a new sequence iff it would overflow
+    * the budget; an over-budget doc occupies its own sequence rather
+    * than being dropped (span-splitting is [[Chunking.fixedWindows]]'
+    * job upstream).
+    */
+  def packSequences(s: SparkSession, dir: String, budget: Long = 256L,
+      shards: Int = 8): DataFrame = {
+    import s.implicits._
+    Graft.documents(s, dir)
+      .select(col("doc_id"), expr(s"doc_id % $shards").as("shard"),
+        expr("cast(size(split(lower(text), '\\\\s+')) as bigint)").as("t"))
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("doc_id"))
+      .as[(Long, Long, Long)]
+      .mapPartitions { it =>
+        var curShard = Long.MinValue
+        var seq = 0L
+        var cur = 0L
+        it.map { case (docId, shard, t) =>
+          if (shard != curShard) { curShard = shard; seq = 0L; cur = 0L }
+          if (cur > 0L && cur + t > budget) { seq += 1L; cur = 0L }
+          cur += t
+          (shard, seq, docId, t)
+        }
+      }
+      .toDF("shard", "seq_id", "doc_id", "t")
+      .groupBy(col("shard"), col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("t")).as("n_tokens"),
+        min(col("doc_id")).as("first_doc"))
+  }
+
   /** First 8 hex digits of hex-string expression `h` as a long —
     * portable (posFn = instr for Spark, strpos for DuckDB).
     */
@@ -1336,6 +1381,22 @@ object TextAnalysis {
   }
 
   val oracle: Map[String, String] = Map(
+    "pack_sequences" ->
+      """WITH RECURSIVE d AS (SELECT doc_id, doc_id % 8 AS shard,
+        |  CAST(len(string_split_regex(lower(text), '\s+')) AS BIGINT) AS t FROM documents),
+        |r AS (SELECT shard, doc_id, t,
+        |        row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn FROM d),
+        |s AS (
+        |  SELECT shard, rn, doc_id, t, CAST(0 AS BIGINT) AS seq_id, t AS cur
+        |  FROM r WHERE rn = 1
+        |  UNION ALL
+        |  SELECT r.shard, r.rn, r.doc_id, r.t,
+        |    CASE WHEN s.cur + r.t > 256 THEN s.seq_id + 1 ELSE s.seq_id END,
+        |    CASE WHEN s.cur + r.t > 256 THEN r.t ELSE s.cur + r.t END
+        |  FROM s JOIN r ON r.shard = s.shard AND r.rn = s.rn + 1)
+        |SELECT shard, seq_id, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(t) AS BIGINT) AS n_tokens, min(doc_id) AS first_doc
+        |FROM s GROUP BY 1, 2""".stripMargin,
     "text_heaps_law" ->
       """WITH t AS (SELECT string_split_regex(lower(text), '\s+') AS toks FROM documents),
         |p AS (SELECT len(toks) AS ntok, len(list_distinct(toks)) AS ntyp FROM t

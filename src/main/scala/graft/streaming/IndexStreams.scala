@@ -62,12 +62,69 @@ object IndexStreams {
     gens.max
   }
 
-  /** All member frames up to and including generation `g`. */
+  /** All member frames up to and including generation `g`: the newest
+    * FULL `members` checkpoint at or below `g` (the seed's gen=0, or a
+    * [[compactMembersAt]] rewrite), plus every later generation's
+    * `newmembers` delta. Starting from the newest full checkpoint —
+    * rather than always from gen=0 — is what lets [[pruneGenerations]]
+    * garbage-collect superseded generations without breaking replay.
+    */
   private[graft] def membersThrough(s: SparkSession, root: String, g: Long): DataFrame = {
-    val paths = (s"$root/gen=0/members" +:
-      (1L to g).map(i => s"$root/gen=$i/newmembers"))
+    val bases = (0L to g).filter(i => new java.io.File(s"$root/gen=$i/members").exists())
+    require(bases.nonEmpty, s"IndexStreams: no full members checkpoint <= gen $g " +
+      s"under $root — the seed gen=0/members is missing and nothing was compacted")
+    val base = bases.max
+    val paths = (s"$root/gen=$base/members" +:
+      ((base + 1) to g).map(i => s"$root/gen=$i/newmembers"))
       .filter(p => new java.io.File(p).exists())
     paths.map(s.read.parquet(_)).reduce(_.unionByName(_))
+  }
+
+  /** Materialize the FULL member set at generation `g` as
+    * `gen=<g>/members` — a member-chain checkpoint. Idempotent (skips
+    * if the checkpoint already exists) and safe against concurrent
+    * readers: the write target never participates in its own
+    * [[membersThrough]] read set, and existing readers keep resolving
+    * through their old base until the new checkpoint is complete.
+    */
+  def compactMembersAt(s: SparkSession, root: String, g: Long): Unit = {
+    val target = new java.io.File(s"$root/gen=$g/members")
+    if (!target.exists()) {
+      membersThrough(s, root, g)
+        .write.mode("overwrite").parquet(target.getPath)
+    }
+  }
+
+  /** Generation GC: retain the newest `keep` generations and delete
+    * everything older, first compacting the member chain into the
+    * oldest retained generation so every surviving generation still
+    * reconstructs its full member set. Returns the new base generation.
+    *
+    * Contract: only generations STRICTLY BELOW the compacted base are
+    * deleted, and the base is ≤ currentGen − keep + 1 — so the stream's
+    * checkpoint replay region (≥ the latest generation) and every
+    * retained serving generation are untouched. A serving tier runs
+    * this periodically behind the read path (`keep ≥ 2` leaves the
+    * previous generation for in-flight readers mid-pointer-swing).
+    */
+  def pruneGenerations(s: SparkSession, root: String, keep: Int = 2): Long = {
+    require(keep >= 1, s"pruneGenerations: keep must be >= 1, got $keep")
+    val cur = currentGen(root)
+    val cutoff = math.max(cur - keep + 1, 0L)
+    // holes: gen=<cutoff> may not exist (empty microbatches write
+    // nothing) — the base is the newest EXISTING generation at or below
+    // the cutoff, which every retained generation resolves through
+    val base = latestGenAtMost(root, cutoff)
+    compactMembersAt(s, root, base)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete()
+    }
+    Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
+      .filter(d => d.isDirectory && d.getName.startsWith("gen=") &&
+        d.getName.stripPrefix("gen=").toLong < base)
+      .foreach(rm)
+    base
   }
 
   /** Start the maintenance stream: `vecStream` is a streaming frame of

@@ -234,4 +234,65 @@ class IndexStreamsSpec extends SparkSpec {
     assert(after.nonEmpty)
     info(s"served gen=0 identically across the gen=1 commit (${before.size} result rows)")
   }
+
+  test("pruneGenerations compacts the member chain and GCs superseded generations") {
+    // index lifecycle: generations accumulate forever without GC, but
+    // naive deletion would break member reconstruction (members are
+    // never copied forward — every generation resolves through the
+    // chain of newmembers deltas back to a full checkpoint). The prune
+    // first compacts the chain into the oldest retained generation,
+    // then deletes everything below it; every retained generation must
+    // reconstruct the same member set, and future inserts folding into
+    // the pruned root must equal their unpruned twins.
+    val root = java.nio.file.Files.createTempDirectory("graft-prune").toString
+    val e = Graft.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val n = e.count()
+    val (c1, c2, c3) = (n * 2 / 5, n * 3 / 5, n * 4 / 5)
+    val seedEmb = e.filter(col("vec_id") < c1)
+    val seedEdges = Ann.nswStoredGraph(spark, dir, c1, 4, 3)
+    seedEdges.write.parquet(s"$root/gen=0/edges")
+    seedEmb.write.parquet(s"$root/gen=0/members")
+    val b1 = e.filter(col("vec_id") >= c1 && col("vec_id") < c2)
+    val b2 = e.filter(col("vec_id") >= c2 && col("vec_id") < c3)
+    val b3 = e.filter(col("vec_id") >= c3)
+    def edgeSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double, Long)] =
+      df.select(col("src"), col("dst"), col("cos"), col("rn")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val e1 = Ann.nswInsertBatch(seedEmb, seedEdges, b1)
+    e1.write.parquet(s"$root/gen=1/edges")
+    b1.write.parquet(s"$root/gen=1/newmembers")
+    val e2 = Ann.nswInsertBatch(seedEmb.unionByName(b1),
+      spark.read.parquet(s"$root/gen=1/edges"), b2)
+    e2.write.parquet(s"$root/gen=2/edges")
+    b2.write.parquet(s"$root/gen=2/newmembers")
+
+    val memBefore = IndexStreams.membersThrough(spark, root, 2L)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val base = IndexStreams.pruneGenerations(spark, root, keep = 2)
+    assert(base === 1L)
+    assert(!new java.io.File(s"$root/gen=0").exists(),
+      "the superseded generation must be deleted")
+    assert(new java.io.File(s"$root/gen=1/members").exists(),
+      "the new base must carry a full member checkpoint")
+    assert(IndexStreams.currentGen(root) === 2L,
+      "pruning must never touch the retained generations")
+    val memAfter = IndexStreams.membersThrough(spark, root, 2L)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(memAfter === memBefore,
+      "pruning changed the reconstructed member set")
+    // pruning is idempotent: a second run at the same cutoff is a no-op
+    assert(IndexStreams.pruneGenerations(spark, root, keep = 2) === 1L)
+
+    // the stream continues after GC: the next insert resolves members
+    // through the compacted checkpoint and equals the unpruned twin
+    val stored = IndexStreams.membersThrough(spark, root, 2L)
+    val got3 = Ann.nswInsertBatch(stored,
+      spark.read.parquet(s"$root/gen=2/edges"), b3)
+    val twin3 = Ann.nswInsertBatch(
+      seedEmb.unionByName(b1).unionByName(b2), e2, b3)
+    assert(edgeSet(got3) === edgeSet(twin3),
+      "post-prune insert diverged from the unpruned twin")
+    info(s"pruned to base gen=$base, member set of ${memAfter.size} intact, " +
+      "post-prune insert equals the unpruned twin")
+  }
 }

@@ -1,0 +1,85 @@
+package graft
+
+import graft.operators.{Dedup, TextAnalysis}
+
+/** Round-17 training-pipeline additions: exhaustive duplicated-substring
+  * detection (the ExactSubstr pass) and greedy training-sequence packing.
+  * Both are pinned on a planted corpus where the expected output is
+  * computable by hand, plus corpus-level invariants on the test data.
+  */
+class Round17PipelineSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  private def docsFrame(rows: Seq[(Long, String)]): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+      .selectExpr("doc_id", "text", "'en' AS lang", "'spec' AS source",
+        "cast(length(text) as bigint) AS n_chars")
+  }
+
+  test("dedup_substring counts planted duplicated spans exactly") {
+    // shared: an 8-token span present verbatim in docs 0 and 1 (offset
+    // differs); doc 2 is disjoint. k=8 grams: doc0 has 10-8+1=3
+    // positions of which exactly 1 (the planted span) recurs cross-doc;
+    // doc1 has 9-8+1=2 positions, 1 duplicated; doc2: 8 positions at
+    // len 15, 0 duplicated.
+    val span = (1 to 8).map(i => s"dup$i").mkString(" ")
+    val corpus = docsFrame(Seq(
+      0L -> s"alpha beta $span",
+      1L -> s"$span gamma",
+      2L -> (1 to 15).map(i => s"uniq$i").mkString(" ")))
+    val d = tempSfDir("documents" -> corpus)
+    val got = Dedup.substringDup(spark, d).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got === Map(
+      0L -> ((3L, 1L, 333333L)),
+      1L -> ((2L, 1L, 500000L)),
+      2L -> ((8L, 0L, 0L))))
+  }
+
+  test("dedup_substring has cross-doc signal on the corpus and bounds hold") {
+    val rows = Dedup.substringDup(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, dup) = (r.getLong(1), r.getLong(2))
+      assert(dup >= 0L && dup <= n, s"doc ${r.getLong(0)}: n_dup $dup outside [0, $n]")
+    }
+    assert(rows.map(_.getLong(2)).sum > 0L,
+      "test corpus plants near-duplicates but no duplicated 8-gram position was found")
+  }
+
+  test("pack_sequences matches a hand-rolled greedy packer on a planted corpus") {
+    // one shard (doc_ids all ≡ 1 mod 8), budget 256; token counts
+    // 100, 100, 100, 300, 50: greedy → seq0 = {100, 100}, seq1 = {100},
+    // (300 overflows alone) seq1 gets 100 then 300 overflows → seq2 =
+    // {300}, seq3 = {50}.
+    def words(n: Int): String = (1 to n).map(i => s"w$i").mkString(" ")
+    val corpus = docsFrame(Seq(
+      1L -> words(100), 9L -> words(100), 17L -> words(100),
+      25L -> words(300), 33L -> words(50)))
+    val d = tempSfDir("documents" -> corpus)
+    val got = TextAnalysis.packSequences(spark, d).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got === Map(
+      (1L, 0L) -> ((2L, 200L, 1L)),
+      (1L, 1L) -> ((1L, 100L, 17L)),
+      (1L, 2L) -> ((1L, 300L, 25L)),
+      (1L, 3L) -> ((1L, 50L, 33L))))
+  }
+
+  test("pack_sequences partitions the corpus exactly once within budget") {
+    val out = TextAnalysis.packSequences(spark, dir).collect()
+    val nDocs = Graft.documents(spark, dir).count()
+    assert(out.map(_.getLong(2)).sum === nDocs,
+      "every document must land in exactly one training sequence")
+    out.filter(_.getLong(2) > 1L).foreach { r =>
+      assert(r.getLong(3) <= 256L,
+        s"multi-doc sequence (${r.getLong(0)}, ${r.getLong(1)}) exceeds the token budget")
+    }
+    // greedy never leaves a sequence so empty that the NEXT sequence's
+    // whole load would have fit (weak but partitioning-independent)
+    assert(out.forall(_.getLong(2) >= 1L))
+  }
+}
