@@ -2637,6 +2637,60 @@ object Ann {
       .limit(k)
   }
 
+  /** Centroid-pruned MaxSim (PLAID-style late interaction at scale):
+    * [[maxSim]] scores EVERY corpus vector against every query token —
+    * correct, but a full scan per query set. The deployed form prunes
+    * with the IVF structure first: each query token probes its top
+    * `nprobe` centroid cells (the [[ivfMultiProbe]] rule per token),
+    * candidate documents are the label groups owning at least one
+    * vector in a probed cell, and the exact MaxSim runs over candidate
+    * groups only. All pruning state is tiny and broadcast — the
+    * token×centroid score table (|Q|·√N rows), the probed-cell union,
+    * the candidate-label set — so the plan is two linear projections
+    * over the corpus (assignment, then the pruned exact scan) with no
+    * shuffle wider than the per-(label, qid) partial-agg. Probe
+    * selection is a groupBy argmax over sorted structs (no window, no
+    * driver collect); determinism comes from cosine6 rounding with cid
+    * tie-break, so the SQL oracle replays the identical pruning.
+    */
+  def maxSimPruned(s: SparkSession, dir: String, k: Int = 5, nprobe: Int = 2): DataFrame = {
+    val qs = Graft.embeddings(s, dir).filter(col("vec_id") < 4)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val cents = Graft.embeddings(s, dir).filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    // per query token: top-nprobe cells, sorted-struct slice (the
+    // token×centroid frame is |Q|×fanout — never windowed, never big)
+    val probed = cents.crossJoin(broadcast(qs))
+      .select(col("qid"),
+        struct((-VectorOps.cosine6(col("cvec"), col("qv"))).as("negc"),
+          col("cid").as("cid")).as("sc"))
+      .groupBy(col("qid"))
+      .agg(expr(s"slice(sort_array(collect_list(sc)), 1, $nprobe)").as("top"))
+      .select(explode(col("top")).as("t"))
+      .select(col("t.cid").as("cid")).distinct()
+    // candidate labels: one assignment projection over the corpus (the
+    // memoized ivf_assign kernel shape, with the label carried)
+    val centsRow = Graft.embeddings(s, dir).filter(col("vec_id") < 8)
+      .agg(collect_list(struct(col("vec_id").as("cid"), col("embedding").as("cvec"))).as("cents"))
+    val candLabels = Graft.embeddings(s, dir)
+      .crossJoin(broadcast(centsRow))
+      .select(col("label"),
+        call_function("ivf_assign", col("embedding"), col("cents")).as("cid"))
+      .join(broadcast(probed), "cid")
+      .select(col("label")).distinct()
+    Graft.embeddings(s, dir)
+      .join(broadcast(candLabels), Seq("label"), "left_semi")
+      .crossJoin(broadcast(qs))
+      .select(col("label"), col("qid"),
+        VectorOps.cosine6(col("embedding"), col("qv")).as("c"))
+      .groupBy(col("label"), col("qid"))
+      .agg(max(col("c")).as("mx"))
+      .groupBy(col("label"))
+      .agg(sum(expr("cast(round(mx * 1000000) as bigint)")).as("maxsim_micros"))
+      .orderBy(col("maxsim_micros").desc, col("label"))
+      .limit(k)
+  }
+
   /** Embedding QA: per-label vector-norm outliers — broken encoders
     * produce near-zero or blown-up norms, and this is the standard
     * batch health check before indexing. Norms are quantized to integer
@@ -3875,6 +3929,29 @@ object Ann {
          |SELECT label,
          | CAST(sum(CAST(round(mx * 1000000) AS BIGINT)) AS BIGINT) AS maxsim_micros
          |FROM mx GROUP BY 1 ORDER BY maxsim_micros DESC, label LIMIT 5""".stripMargin,
+    "ann_maxsim_pruned" ->
+      s"""WITH $duckE,
+         |c AS (SELECT vec_id AS cid, v FROM e WHERE vec_id < 8),
+         |qv AS (SELECT vec_id AS qid, v FROM e WHERE vec_id < 4),
+         |sc AS (SELECT x.vec_id, y.cid, round($duckCosPair, 6) AS cscore
+         |       FROM e x JOIN c y ON true),
+         |asg AS (SELECT vec_id, cid FROM (
+         |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+         |          ORDER BY cscore DESC, cid) AS rn FROM sc) WHERE rn = 1),
+         |qc AS (SELECT x.qid, y.cid, round($duckCosPair, 6) AS cscore
+         |       FROM qv x JOIN c y ON true),
+         |probed AS (SELECT DISTINCT cid FROM (
+         |  SELECT qid, cid, row_number() OVER (PARTITION BY qid
+         |          ORDER BY cscore DESC, cid) AS rn FROM qc) WHERE rn <= 2),
+         |cl AS (SELECT DISTINCT e2.label FROM e e2
+         |       JOIN asg ON e2.vec_id = asg.vec_id JOIN probed USING (cid)),
+         |ms AS (SELECT x.label, y.qid, max(round($duckCosPair, 6)) AS mx
+         |       FROM e x JOIN qv y ON true
+         |       WHERE x.label IN (SELECT label FROM cl)
+         |       GROUP BY 1, 2)
+         |SELECT label,
+         | CAST(sum(CAST(round(mx * 1000000) AS BIGINT)) AS BIGINT) AS maxsim_micros
+         |FROM ms GROUP BY 1 ORDER BY maxsim_micros DESC, label LIMIT 5""".stripMargin,
     "embed_norm_outliers" ->
       s"""WITH $duckE,
          |m AS (SELECT label, CAST(round(sqrt(list_sum(

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, TextAnalysis}
+import graft.operators.{Ann, Dedup, TextAnalysis}
 
 /** Round-17 training-pipeline additions: exhaustive duplicated-substring
   * detection (the ExactSubstr pass) and greedy training-sequence packing.
@@ -81,5 +81,23 @@ class Round17PipelineSpec extends SparkSpec {
     // greedy never leaves a sequence so empty that the NEXT sequence's
     // whole load would have fit (weak but partitioning-independent)
     assert(out.forall(_.getLong(2) >= 1L))
+  }
+
+  test("centroid pruning never alters a surviving candidate's MaxSim score") {
+    // the PLAID contract: pruning selects WHICH label groups get scored,
+    // but a candidate's score is the exact MaxSim over all its vectors —
+    // so every pruned-result row must appear in the brute-force ranking
+    // with an identical score
+    def scores(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.collect().map(r => r.getInt(0).toLong -> r.getLong(1)).toMap
+    val full = scores(Ann.maxSim(spark, dir, k = 1000))
+    val pruned = scores(Ann.maxSimPruned(spark, dir, k = 1000))
+    assert(pruned.nonEmpty)
+    pruned.foreach { case (label, micros) =>
+      assert(full.get(label).contains(micros),
+        s"label $label scored $micros pruned vs ${full.get(label)} brute-force")
+    }
+    info(s"${pruned.size}/${full.size} label groups survived pruning, " +
+      "all surviving scores identical to brute force")
   }
 }
