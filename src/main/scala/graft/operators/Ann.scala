@@ -1504,9 +1504,13 @@ object Ann {
       val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
       val out = s"${Graft.artifactRoot}/graft_gen/$safe"
       graphSearchIndex(s, dir).write.mode("overwrite").parquet(s"$out/adjacency")
+      // the entry set ships its filterable payload (nlabel) next to the
+      // vectors — the adjacency already carries dlabel — so the FILTERED
+      // walk serves off the same generation (qdrant payload-storage shape)
       Graft.embeddings(s, dir)
         .filter(col("vec_id") < sqrtFanout(Graft.tableRows(s, dir, "embeddings")))
-        .select(col("vec_id").as("node"), col("embedding").as("nv"))
+        .select(col("vec_id").as("node"), col("embedding").as("nv"),
+          col("label").as("nlabel"))
         .write.mode("overwrite").parquet(s"$out/entry")
       // the serving tier LOADS the artifact once: persist the read-back
       // frames so the per-round probes hit RAM, not a repeated parquet
@@ -1621,6 +1625,26 @@ object Ann {
                          rounds: Int = GraphSearchRounds): DataFrame = {
     val (adjacency, entry) = writtenGraphGen(s, dir)
     beamSearchOver(s, adjacency, entry, dir, k, beam, rounds)
+  }
+
+  /** The FILTERED walk run OFF THE WRITTEN INDEX GENERATION — the last
+    * serving walk without a deployment split (flat 18p11, layered
+    * 18p13, int8 18p14 already have one): [[writtenGraphGen]]'s
+    * adjacency carries the label payload (dlabel) and its entry set
+    * ships nlabel, so a metadata-constrained query serves off the same
+    * restart-safe on-disk generation the unfiltered walk reads — the
+    * reference's payload-indexed collection shape (qdrant.py:210-246's
+    * query_filter over stored payload). Read-equivalence ⇒ identical
+    * rows to [[graphSearchFiltered]], so the same generated oracle
+    * verifies both.
+    */
+  def graphSearchFilteredFromGen(s: SparkSession, dir: String, k: Int = GraphSearchK,
+                                 beam: Int = GraphSearchBeam,
+                                 rounds: Int = GraphSearchRounds): DataFrame = {
+    val (adjacency, entry) = writtenGraphGen(s, dir)
+    graphSearchFilteredDriverOver(s, dir, adjacency, entry,
+      graphSearchQueries(s, dir), k, beam, rounds,
+      byId = false, GraphSearchFilterMod, GraphSearchFilterRes)
   }
 
   /** Recall@k of the batch graph search vs the exact per-query top-k —
@@ -1830,13 +1854,33 @@ object Ann {
   }
 
   /** The driver-ranked filtered walk core over an explicit query batch
-    * (see [[graphSearchFilteredWalk]] for semantics).
+    * (see [[graphSearchFilteredWalk]] for semantics), reading the LIVE
+    * memoized index; [[graphSearchFilteredDriverOver]] is the same core
+    * over caller-supplied index frames (the written-generation path).
     */
   private def graphSearchFilteredWalkDriver(s: SparkSession, dir: String, queries: DataFrame,
                                             k: Int, beam: Int, rounds: Int, byId: Boolean,
                                             fMod: Long, fRes: Long): DataFrame = {
+    val cents = Graft.embeddings(s, dir)
+      .filter(col("vec_id") < sqrtFanout(Graft.tableRows(s, dir, "embeddings")))
+      .select(col("vec_id").as("node"), col("embedding").as("nv"), col("label").as("nlabel"))
+    graphSearchFilteredDriverOver(s, dir, graphSearchIndex(s, dir), cents,
+      queries, k, beam, rounds, byId, fMod, fRes)
+  }
+
+  /** The filtered walk core over CALLER-SUPPLIED index frames:
+    * `undE` = the undirected adjacency with payload (src, dst, dv,
+    * dnrm, dlabel) and `cents` = the √N entry set with its filterable
+    * payload (node, nv, nlabel) — the shapes [[writtenGraphGen]]
+    * publishes. Corpus statistics (row count, filter pass count) still
+    * come from `dir`: a serving tier ships them as index metadata next
+    * to the artifact.
+    */
+  private def graphSearchFilteredDriverOver(s: SparkSession, dir: String, undE: DataFrame,
+                                            cents: DataFrame, queries: DataFrame,
+                                            k: Int, beam: Int, rounds: Int, byId: Boolean,
+                                            fMod: Long, fRes: Long): DataFrame = {
     import s.implicits._
-    val undE = graphSearchIndex(s, dir)
     val nTot = Graft.tableRows(s, dir, "embeddings")
     val nPass = filterPassCount(s, dir, byId, fMod, fRes)
     val ef = adaptiveEf(beam, nTot, nPass)
@@ -1852,9 +1896,6 @@ object Ann {
       (pmod((if (byId) id else label).cast("long"), lit(fMod)) === lit(fRes)).as("pass")
     // entry: each query scores the √N centroid layer once, the filter
     // flag riding the same projection
-    val cents = Graft.embeddings(s, dir)
-      .filter(col("vec_id") < sqrtFanout(Graft.tableRows(s, dir, "embeddings")))
-      .select(col("vec_id").as("node"), col("embedding").as("nv"), col("label").as("nlabel"))
     val qsDf = qrows.toSeq.toDF("q_id", "qv", "qnrm")
     val entry = cents.crossJoin(broadcast(qsDf))
       .filter(col("node") =!= col("q_id"))
@@ -4147,6 +4188,14 @@ object Ann {
          |$duckGraphSearchInt8Ctes
          |SELECT q_id, rn, vec_id, score FROM fin8""".stripMargin,
     "ann_graph_search_filtered" ->
+      s"""WITH $duckE,
+         |$duckFilteredPrelude,
+         |${duckFilteredWalkCtes("", "label", GraphSearchFilterMod, GraphSearchFilterRes)}
+         |SELECT q_id, rn, vec_id, score FROM finf""".stripMargin,
+    // read-equivalence: the filtered walk off the written generation
+    // returns identical rows to the live walk, so the same chain
+    // verifies both (the ann_graph_search_from_gen precedent)
+    "ann_graph_search_filtered_from_gen" ->
       s"""WITH $duckE,
          |$duckFilteredPrelude,
          |${duckFilteredWalkCtes("", "label", GraphSearchFilterMod, GraphSearchFilterRes)}

@@ -28,6 +28,20 @@ class Round17OpsSpec extends SparkSpec {
       "live and written-generation paths identical")
   }
 
+  test("filtered walk off the written generation equals the live filtered walk") {
+    // the last serving walk without a deployment split: the written
+    // generation's adjacency carries dlabel and its entry set nlabel,
+    // so the metadata-constrained query serves off the same on-disk
+    // artifact the unfiltered walk reads
+    val live = rows(Ann.graphSearchFiltered(spark, dir))
+    val fromGen = rows(Ann.graphSearchFilteredFromGen(spark, dir))
+    assert(live.nonEmpty)
+    assert(fromGen === live,
+      "written-generation filtered serving diverged from the live walk")
+    info(s"${live.map(_._1).distinct.size} queries, ${live.size} rows, " +
+      "live and written-generation filtered paths identical")
+  }
+
   test("the written int8 generation carries no float vectors") {
     val (adj, entry) = Ann.writtenInt8Gen(spark, dir)
     // the artifact's whole point is the 4x memory cut: quantized codes
