@@ -1187,7 +1187,7 @@ object Ann {
     * vector (residue 7 — never the entry node), capped at
     * [[GraphSearchQueryCount]].
     */
-  private def graphSearchQueries(s: SparkSession, dir: String): DataFrame =
+  private[graft] def graphSearchQueries(s: SparkSession, dir: String): DataFrame =
     Graft.embeddings(s, dir)
       .filter(pmod(col("vec_id"), lit(25L)) === 7L)
       .orderBy(col("vec_id")).limit(GraphSearchQueryCount)
@@ -1575,6 +1575,41 @@ object Ann {
       Graft.trackCaches(s"written_int8_gen_$safe", adj, entry)
       (adj, entry)
     })
+  }
+
+  /** Publish the QUANTIZED serving artifact from arbitrary (members,
+    * edges) frames — the periodic job a serving fleet runs against a
+    * STREAM-MAINTAINED generation root ([[graft.streaming.IndexStreams
+    * .maintainNswIndex]]): quantize the member vectors once, attach
+    * codes + integer-exact norms to the undirected adjacency, quantize
+    * the √N entry set, and write both under `outRoot` — the same
+    * (src, dst, dq, dn8) / (node, nq, nn8) layout [[writtenInt8Gen]]
+    * publishes from a live session build, with the same no-float-vector
+    * guarantee. Work is one projection over members + one hashed join
+    * onto the edge frame — ∝ index size, no rebuild. Returns the loaded
+    * artifact frames, walkable by the shared int8 driver core.
+    */
+  def publishInt8Gen(s: SparkSession, members: DataFrame, edges: DataFrame,
+                     outRoot: String): (DataFrame, DataFrame) = {
+    val en = members
+      .select(col("vec_id").as("dst"),
+        call_function("fvec_quantize", col("embedding")).as("dq"))
+      .select(col("dst"), col("dq"),
+        sqrt(call_function("lvec_dot", col("dq"), col("dq")).cast("double")).as("dn8"))
+    edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .join(en.hint("SHUFFLE_HASH"), "dst")
+      .select(col("src"), col("dst"), col("dq"), col("dn8"))
+      .write.mode("overwrite").parquet(s"$outRoot/adjacency")
+    val nm = members.count()
+    members.filter(col("vec_id") < sqrtFanout(nm))
+      .select(col("vec_id").as("node"),
+        call_function("fvec_quantize", col("embedding")).as("nq"))
+      .select(col("node"), col("nq"),
+        sqrt(call_function("lvec_dot", col("nq"), col("nq")).cast("double")).as("nn8"))
+      .write.mode("overwrite").parquet(s"$outRoot/entry")
+    (s.read.parquet(s"$outRoot/adjacency"), s.read.parquet(s"$outRoot/entry"))
   }
 
   /** The int8 graph search run OFF THE WRITTEN INDEX GENERATION —
@@ -2311,7 +2346,7 @@ object Ann {
     * (node, nq, nn8) entry set come from (session memo vs a written
     * generation).
     */
-  private def graphSearchInt8DriverOver(s: SparkSession, und8: DataFrame, cents8: DataFrame,
+  private[graft] def graphSearchInt8DriverOver(s: SparkSession, und8: DataFrame, cents8: DataFrame,
                                         queries: DataFrame,
                                         k: Int, beam: Int, rounds: Int): DataFrame = {
     import s.implicits._

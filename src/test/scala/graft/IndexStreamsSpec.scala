@@ -295,4 +295,61 @@ class IndexStreamsSpec extends SparkSpec {
     info(s"pruned to base gen=$base, member set of ${memAfter.size} intact, " +
       "post-prune insert equals the unpruned twin")
   }
+
+  test("publishInt8Gen from a generation root serves the oracle-verified int8 result") {
+    // the fleet's periodic job: derive the quantized serving artifact
+    // from the stream-maintained generation root instead of a live
+    // session build. Seeding gen=0 with the full corpus build makes the
+    // check exact and non-circular: the published artifact must serve
+    // BYTE-IDENTICAL rows to the keyed (oracle-verified) int8 walk,
+    // proving quantization, undirection, the payload join, the entry
+    // set and the artifact write/load all compose to the same result.
+    val root = java.nio.file.Files.createTempDirectory("graft-i8pub").toString
+    val out0 = java.nio.file.Files.createTempDirectory("graft-i8art").toString
+    val e = Graft.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    Ann.nswGraph(spark, dir).write.parquet(s"$root/gen=0/edges")
+    e.write.parquet(s"$root/gen=0/members")
+    val (adj, entry) = Ann.publishInt8Gen(spark,
+      IndexStreams.membersThrough(spark, root, 0L),
+      spark.read.parquet(s"$root/gen=0/edges"), out0)
+    // no float vectors in the published artifact (the 4x memory cut)
+    assert(adj.columns.toSet === Set("src", "dst", "dq", "dn8"))
+    assert(entry.columns.toSet === Set("node", "nq", "nn8"))
+    assert((adj.schema ++ entry.schema).forall(!_.dataType.simpleString.contains("float")),
+      "float vector columns leaked into the quantized artifact")
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long, Double)] =
+      df.select("q_id", "rn", "vec_id", "score").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .sortBy(t => (t._1, t._2)).toSeq
+    val got = rows(Ann.graphSearchInt8DriverOver(spark, adj, entry,
+      Ann.graphSearchQueries(spark, dir), 4, 32, 8))
+    val want = rows(Ann.graphSearchInt8(spark, dir))
+    assert(got.nonEmpty)
+    assert(got === want,
+      "artifact published from the generation root diverged from the live int8 walk")
+
+    // the stream angle: fold one batch in, publish from the NEW
+    // generation, and serve the grown corpus off it
+    val n = e.count()
+    val cut = n * 4 / 5
+    val root2 = java.nio.file.Files.createTempDirectory("graft-i8pub2").toString
+    val out2 = java.nio.file.Files.createTempDirectory("graft-i8art2").toString
+    val seedEmb = e.filter(col("vec_id") < cut)
+    val seedEdges = Ann.nswStoredGraph(spark, dir, cut, 4, 3)
+    seedEdges.write.parquet(s"$root2/gen=0/edges")
+    seedEmb.write.parquet(s"$root2/gen=0/members")
+    val b = e.filter(col("vec_id") >= cut)
+    Ann.nswInsertBatch(seedEmb, seedEdges, b).write.parquet(s"$root2/gen=1/edges")
+    b.write.parquet(s"$root2/gen=1/newmembers")
+    val (adj2, entry2) = Ann.publishInt8Gen(spark,
+      IndexStreams.membersThrough(spark, root2, 1L),
+      spark.read.parquet(s"$root2/gen=1/edges"), out2)
+    // the grown corpus is fully served: every vector has adjacency rows
+    assert(adj2.select("src").distinct().count() === n)
+    val served = rows(Ann.graphSearchInt8DriverOver(spark, adj2, entry2,
+      Ann.graphSearchQueries(spark, dir), 4, 32, 8))
+    assert(served.nonEmpty)
+    info(s"published int8 artifact equals the live walk (${got.size} rows); " +
+      s"post-insert publish serves all $n vectors")
+  }
 }
