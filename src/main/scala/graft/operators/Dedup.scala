@@ -1079,6 +1079,55 @@ object Dedup {
         expr("n_dup * 1000000 div n_grams").as("dup_frac_micros"))
   }
 
+  /** The CUT half of [[substringDup]]'s account: REWRITE each document
+    * with its cross-doc duplicated spans removed, keeping the one
+    * canonical first occurrence (min (doc_id, pos) over the gram's
+    * occurrences — the Lee et al. ExactSubstr removal rule at k-gram
+    * granularity). A token is cut when ANY duplicated non-keeper
+    * k-window covers it; the retained text is the surviving tokens in
+    * order, emitted with the removal count for audit. A fully
+    * duplicated non-canonical document loses every token and drops out
+    * of the output — exactly the dedup decision.
+    *
+    * Plan: the gram stream feeds one (gram) aggregate for the global
+    * df + keeper pick, a gram-keyed join marks removed positions, an
+    * 8-way position explode + distinct turns spans into cut token
+    * indices, and one anti join + per-doc ordered fold rebuilds the
+    * text. Every exchange keys on corpus-scaling (gram / (doc, idx) /
+    * doc) columns and combines map-side; per-doc state is bounded by
+    * document length. The keeper encoding doc_id·10⁶ + pos matches the
+    * oracle exactly (pos < 10⁶ by the doc-length bound; swap to a
+    * struct-min at longer docs).
+    */
+  def substringCut(s: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    val toks = Graft.documents(s, dir)
+      .select(col("doc_id"), expr("split(lower(text), '\\\\s+')").as("toks"))
+    val grams = toks.filter(expr(s"size(toks) >= $k"))
+      .select(col("doc_id"),
+        posexplode(expr(s"transform(sequence(1, size(toks) - ${k - 1}), j -> " +
+          s"array_join(slice(toks, j, $k), ' '))")).as(Seq("p0", "gram")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"), col("gram"))
+    val gi = grams.groupBy(col("gram"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id") * 1000000L + col("pos")).as("keeper"))
+    val remtok = grams.join(gi, "gram")
+      .filter(col("n_docs") >= 2 &&
+        col("doc_id") * 1000000L + col("pos") =!= col("keeper"))
+      .select(col("doc_id"), explode(expr(s"sequence(pos, pos + ${k - 1})")).as("idx"))
+      .distinct()
+    toks
+      .select(col("doc_id"), expr("cast(size(toks) as bigint)").as("n"),
+        posexplode(col("toks")).as(Seq("i0", "tok")))
+      .select(col("doc_id"), (col("i0") + 1).cast("long").as("idx"), col("tok"), col("n"))
+      .join(remtok, Seq("doc_id", "idx"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(max(col("n")).as("n_tokens"), count(lit(1)).as("n_kept"),
+        expr("array_join(transform(sort_array(collect_list(struct(idx, tok))), x -> x.tok), ' ')")
+          .as("retained_text"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - col("n_kept")).as("n_removed"), col("retained_text"))
+  }
+
   private val duckShingles =
     """t AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents
       |      WHERE len(string_split_regex(text, '\s+')) >= 3),
@@ -1143,6 +1192,29 @@ object Dedup {
         |        FROM dg JOIN nd USING (gram) GROUP BY 1)
         |SELECT doc_id, n_grams, n_dup, n_dup * 1000000 // n_grams AS dup_frac_micros
         |FROM per""".stripMargin,
+    "dedup_substring_cut" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+        |  FROM documents),
+        |g AS (SELECT doc_id, CAST(j AS BIGINT) AS pos,
+        |        array_to_string(toks[j:j+7], ' ') AS gram
+        |      FROM t, unnest(range(1, len(toks) - 6)) u(j) WHERE len(toks) >= 8),
+        |gi AS (SELECT gram, count(DISTINCT doc_id) AS n_docs,
+        |        min(doc_id * 1000000 + pos) AS keeper FROM g GROUP BY 1),
+        |rem AS (SELECT doc_id, pos FROM g JOIN gi USING (gram)
+        |        WHERE n_docs >= 2 AND doc_id * 1000000 + pos != keeper),
+        |remtok AS (SELECT DISTINCT doc_id, pos + o AS idx
+        |           FROM rem, unnest(range(0, 8)) v(o)),
+        |tok AS (SELECT doc_id, CAST(i AS BIGINT) AS idx, toks[i] AS tok,
+        |         CAST(len(toks) AS BIGINT) AS n
+        |        FROM t, unnest(range(1, len(toks) + 1)) w(i)),
+        |kept AS (SELECT kk.doc_id, kk.idx, kk.tok, kk.n FROM tok kk
+        |         ANTI JOIN remtok r ON kk.doc_id = r.doc_id AND kk.idx = r.idx),
+        |agg AS (SELECT doc_id, max(n) AS n_tokens, count(*) AS n_kept,
+        |         string_agg(tok, ' ' ORDER BY idx) AS retained_text
+        |        FROM kept GROUP BY 1)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        | CAST(n_tokens - n_kept AS BIGINT) AS n_removed, retained_text
+        |FROM agg""".stripMargin,
     "dedup_lsh_curve" ->
       """WITH br AS (SELECT * FROM (VALUES (1, 12), (2, 6), (3, 4), (4, 3), (6, 2), (12, 1))
         |  AS t(b, r))

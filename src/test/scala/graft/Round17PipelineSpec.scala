@@ -38,6 +38,36 @@ class Round17PipelineSpec extends SparkSpec {
       2L -> ((8L, 0L, 0L))))
   }
 
+  test("dedup_substring_cut removes planted spans, keeps the canonical occurrence") {
+    // docs 0 and 1 share an 8-token span; the keeper is doc 0's
+    // occurrence (min (doc_id, pos)), so doc 0 keeps everything and
+    // doc 1 loses exactly the span's 8 tokens; doc 2 is untouched.
+    val span = (1 to 8).map(i => s"dup$i").mkString(" ")
+    val corpus = docsFrame(Seq(
+      0L -> s"alpha beta $span",
+      1L -> s"$span gamma tail",
+      2L -> (1 to 15).map(i => s"uniq$i").mkString(" ")))
+    val d = tempSfDir("documents" -> corpus)
+    val got = Dedup.substringCut(spark, d).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(got(0L) === ((10L, 0L, s"alpha beta $span")))
+    assert(got(1L) === ((10L, 8L, "gamma tail")))
+    assert(got(2L) === ((15L, 0L, (1 to 15).map(i => s"uniq$i").mkString(" "))))
+  }
+
+  test("dedup_substring_cut drops a fully duplicated non-canonical document") {
+    // doc 1 IS doc 0 verbatim: every position duplicates, doc 0's
+    // occurrences are all keepers, doc 1 loses every token and drops
+    // out of the output — the dedup decision as a rewrite
+    val text = (1 to 12).map(i => s"w$i").mkString(" ")
+    val d = tempSfDir("documents" -> docsFrame(Seq(0L -> text, 1L -> text)))
+    val got = Dedup.substringCut(spark, d).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(got === Map(0L -> ((12L, 0L, text))))
+  }
+
   test("dedup_substring has cross-doc signal on the corpus and bounds hold") {
     val rows = Dedup.substringDup(spark, dir).collect()
     assert(rows.nonEmpty)
