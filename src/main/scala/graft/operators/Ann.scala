@@ -2076,13 +2076,17 @@ object Ann {
   private def layeredIndex(s: SparkSession, dir: String, edges: DataFrame,
                            memoKey: String): DataFrame =
     Graft.memoFlat(memoKey, dir) {
-      val en = withNorm(Graft.embeddings(s, dir))
-        .select(col("vec_id").as("dst"), col("embedding").as("dv"), col("nrm").as("dnrm"))
+      val en = Graft.embeddings(s, dir)
+        .select(col("vec_id").as("dst"), col("embedding").as("dv"),
+          VectorOps.norm(col("embedding")).as("dnrm"), col("label").as("dlabel"))
       edges.select(col("layer"), col("src"), col("dst"))
         .union(edges.select(col("layer"), col("dst").as("src"), col("src").as("dst")))
         .distinct()
         .join(en.hint("SHUFFLE_HASH"), "dst")
-        .select(col("layer"), col("src"), col("dst"), col("dv"), col("dnrm"))
+        // dlabel rides the prepared index like the flat twin's
+        // (graphSearchIndex): the filterable payload a serving tier
+        // stores next to the vectors, read by hnswSearchFiltered
+        .select(col("layer"), col("src"), col("dst"), col("dv"), col("dnrm"), col("dlabel"))
     }
 
   /** Routed entry for EXPLICIT query batches through the layered HNSW
@@ -2227,6 +2231,207 @@ object Ann {
     for (l <- maxLevel to 1L by -1L; _ <- 1 to HnswDescentRounds) expand(l, 1)
     for (_ <- 1 to rounds) expand(0L, beam)
     val out = state.toSeq.flatMap { case (q, ns) =>
+      ns.take(k).zipWithIndex.map { case ((n, sc), i) => (q, (i + 1).toLong, n, sc) }
+    }.sortBy(r => (r._1, r._2))
+    out.toDF("q_id", "rn", "vec_id", "score")
+  }
+
+  /** Metadata-FILTERED layered descent — [[graphSearchFiltered]]'s dual
+    * state applied to the hierarchy [[hnswSearch]] serves, which is the
+    * reference deployment's actual shape: Qdrant applies the
+    * query_filter DURING the HNSW search over the layered index
+    * (qdrant.py:73 builds HNSW, qdrant.py:220-239 filters the walk).
+    * The descent through layers max..1 navigates UNFILTERED (dropping
+    * non-passing nodes from navigation disconnects the hierarchy
+    * exactly when the filter is selective — the same failure mode the
+    * flat filtered walk avoids), and the base layer runs the two
+    * coupled states: the navigation beam at the same adaptive ef, plus
+    * a filter-passing result accumulator over every base-phase scored
+    * node, seeded by the descent's arrival node when it passes. Same
+    * determinism contract as both parents ((score desc, node) cuts,
+    * cosine6), so the whole walk unrolls to a generated oracle — the
+    * layered descent CTEs feeding the filtered base-round CTEs.
+    */
+  def hnswSearchFiltered(s: SparkSession, dir: String, k: Int = GraphSearchK,
+                         beam: Int = GraphSearchBeam,
+                         rounds: Int = GraphSearchRounds): DataFrame =
+    hnswWalkFilteredDriver(s, dir,
+      layeredIndex(s, dir, hnswGraph(s, dir), "hnsw_search_index"),
+      graphSearchQueries(s, dir), k, beam, rounds,
+      GraphSearchFilterMod, GraphSearchFilterRes)
+
+  /** Routed entry for EXPLICIT query batches through the FILTERED
+    * layered walk — the same [[GraphSearchDistQ]] dispatch every other
+    * serving walk has: at or below the threshold the dual per-query
+    * states live on the driver (bounded by the request), above it the
+    * descent and base rounds run as Spark jobs
+    * ([[hnswFilteredRoundsDist]]) whose state never visits the driver.
+    * Values identical on both paths (same scoring, same adaptive ef,
+    * same (score desc, node) total order) — spec-asserted in
+    * Round17OpsSpec.
+    */
+  private[graft] def hnswSearchFilteredBatch(s: SparkSession, dir: String, queries: DataFrame,
+                                             k: Int = GraphSearchK,
+                                             beam: Int = GraphSearchBeam,
+                                             rounds: Int = GraphSearchRounds,
+                                             distThreshold: Int = GraphSearchDistQ): DataFrame =
+    if (exceedsQ(queries, distThreshold))
+      hnswFilteredRoundsDist(s, dir, queries, k, beam, rounds,
+        GraphSearchFilterMod, GraphSearchFilterRes)
+    else
+      hnswWalkFilteredDriver(s, dir,
+        layeredIndex(s, dir, hnswGraph(s, dir), "hnsw_search_index"),
+        queries, k, beam, rounds, GraphSearchFilterMod, GraphSearchFilterRes)
+
+  /** Fully distributed filtered layered rounds — the large-Q path:
+    * per-round state stays as (q_id, node, score) frames on executors
+    * ([[distCutRound]] per descent round, twice per base round for the
+    * dual state), mirroring [[hnswSearchRoundsDist]] +
+    * [[graphSearchFilteredRoundsDist]].
+    */
+  private def hnswFilteredRoundsDist(s: SparkSession, dir: String, queries: DataFrame,
+                                     k: Int, beam: Int, rounds: Int,
+                                     fMod: Long, fRes: Long): DataFrame = {
+    val nTot = Graft.tableRows(s, dir, "embeddings")
+    val ef = adaptiveEf(beam, nTot, filterPassCount(s, dir, byId = false, fMod, fRes))
+    val qn = withNorm(queries.select(col("q_id").as("vec_id"), col("qv").as("embedding")))
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"), col("nrm").as("qnrm"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val idx = layeredIndex(s, dir, hnswGraph(s, dir), "hnsw_search_index")
+      .repartition(col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val lv = hnswLevels(s, dir)
+    val mlRow = lv.agg(max(col("level")).as("ml")).collect().head
+    val maxLevel = if (mlRow.isNullAt(0)) 0L else mlRow.getLong(0)
+    val entry = qn.crossJoin(
+        Graft.embeddings(s, dir)
+          .join(lv.filter(col("level") === maxLevel).select(col("vec_id")), "vec_id")
+          .select(col("vec_id").as("node"), col("embedding").as("nv")))
+      .filter(col("node") =!= col("q_id"))
+      .select(col("q_id"), col("node"),
+        round(VectorOps.dot(col("nv"), col("qv")) / (VectorOps.norm(col("nv")) * col("qnrm")), 6)
+          .as("score"))
+    var state = distCutRound(entry.limit(0), entry, 1)
+    for (l <- maxLevel to 1L by -1L; _ <- 1 to HnswDescentRounds) {
+      val scored = idx.filter(col("layer") === l)
+        .join(state.select(col("q_id"), col("node")), col("src") === col("node"))
+        .join(qn, "q_id")
+        .filter(col("dst") =!= col("q_id"))
+        .select(col("q_id"), col("dst").as("node"),
+          round(VectorOps.dot(col("dv"), col("qv")) / (col("dnrm") * col("qnrm")), 6)
+            .as("score"))
+      state = distCutRound(state, scored, 1)
+    }
+    // accumulator seed: the descent's arrival node where it passes —
+    // one scan with the Q-row state broadcast onto it
+    var res = distCutRound(state.limit(0),
+      Graft.embeddings(s, dir)
+        .select(col("vec_id").as("node"), col("label").as("nlabel"))
+        .filter(pmod(col("nlabel").cast("long"), lit(fMod)) === lit(fRes))
+        .join(broadcast(state), "node")
+        .select(col("q_id"), col("node"), col("score")), k)
+    for (_ <- 1 to rounds) {
+      val scored = idx.filter(col("layer") === 0L)
+        .join(state.select(col("q_id"), col("node")), col("src") === col("node"))
+        .join(qn, "q_id")
+        .filter(col("dst") =!= col("q_id"))
+        .select(col("q_id"), col("dst").as("node"),
+          round(VectorOps.dot(col("dv"), col("qv")) / (col("dnrm") * col("qnrm")), 6)
+            .as("score"),
+          (pmod(col("dlabel").cast("long"), lit(fMod)) === lit(fRes)).as("pass"))
+        .localCheckpoint(true)
+      state = distCutRound(state, scored.select(col("q_id"), col("node"), col("score")), ef)
+      res = distCutRound(res, scored.filter(col("pass"))
+        .select(col("q_id"), col("node"), col("score")), k)
+    }
+    qn.unpersist(false)
+    idx.unpersist(false)
+    distFinal(res, k)
+  }
+
+  /** The driver-ranked filtered layered walk core (see
+    * [[hnswSearchFiltered]]): [[hnswWalkDriver]]'s descent + the flat
+    * filtered walk's dual base state, bounded by the request.
+    */
+  private def hnswWalkFilteredDriver(s: SparkSession, dir: String, undL: DataFrame,
+                                     queries: DataFrame, k: Int, beam: Int, rounds: Int,
+                                     fMod: Long, fRes: Long): DataFrame = {
+    import s.implicits._
+    val nTot = Graft.tableRows(s, dir, "embeddings")
+    val nPass = filterPassCount(s, dir, byId = false, fMod, fRes)
+    val ef = adaptiveEf(beam, nTot, nPass)
+    val qrows = withNorm(queries
+        .select(col("q_id").as("vec_id"), col("qv").as("embedding")))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1), r.getDouble(2)))
+    val qv = qrows.map(q => q._1 -> (q._2, q._3)).toMap
+    def topPerQ(rows: Iterable[(Long, Long, Double)], cut: Int): Map[Long, Seq[(Long, Double)]] =
+      rows.groupBy(_._1).map { case (q, rs) =>
+        q -> rs.map(r => (r._2, r._3)).toSeq.distinct
+          .sortBy { case (n, sc) => (-sc, n) }.take(cut)
+      }
+    val lv = hnswLevels(s, dir)
+    val mlRow = lv.agg(max(col("level")).as("ml")).collect().head
+    val maxLevel = if (mlRow.isNullAt(0)) 0L else mlRow.getLong(0)
+    val qsDf = qrows.toSeq.toDF("q_id", "qv", "qnrm")
+    val entry = Graft.embeddings(s, dir)
+      .join(lv.filter(col("level") === maxLevel).select(col("vec_id")), "vec_id")
+      .select(col("vec_id").as("node"), col("embedding").as("nv"))
+      .crossJoin(broadcast(qsDf))
+      .filter(col("node") =!= col("q_id"))
+      .select(col("q_id"), col("node"),
+        round(VectorOps.dot(col("nv"), col("qv")) / (VectorOps.norm(col("nv")) * col("qnrm")), 6)
+          .as("score"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    var state: Map[Long, Seq[(Long, Double)]] = topPerQ(entry, 1)
+    def frontierDf(): Option[DataFrame] = {
+      val frontier = state.toSeq.flatMap { case (q, ns) =>
+        ns.map(n => (q, n._1, qv(q)._1, qv(q)._2))
+      }
+      if (frontier.isEmpty) None else Some(frontier.toDF("q_id", "node", "qv", "qnrm"))
+    }
+    // descent: unfiltered greedy navigation, exactly hnswWalkDriver's
+    for (l <- maxLevel to 1L by -1L; _ <- 1 to HnswDescentRounds)
+      frontierDf().foreach { stDf =>
+        val scored = undL.filter(col("layer") === l)
+          .join(broadcast(stDf), col("src") === col("node"))
+          .filter(col("dst") =!= col("q_id"))
+          .select(col("q_id"), col("dst"),
+            round(VectorOps.dot(col("dv"), col("qv")) / (col("dnrm") * col("qnrm")), 6)
+              .as("score"))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        state = topPerQ(state.toSeq.flatMap { case (q, ns) =>
+          ns.map(n => (q, n._1, n._2)) } ++ scored, 1)
+      }
+    // base phase seed: the accumulator starts from the descent's
+    // arrival node where it passes the filter (one bounded lookup job)
+    val arrivals = state.toSeq.flatMap { case (q, ns) => ns.map(n => (q, n._1, n._2)) }
+    var res: Map[Long, Seq[(Long, Double)]] =
+      if (arrivals.isEmpty) Map.empty
+      else {
+        val passing = Graft.embeddings(s, dir)
+          .select(col("vec_id").as("node"), col("label").as("nlabel"))
+          .join(broadcast(arrivals.toDF("q_id", "node", "score")), "node")
+          .filter(pmod(col("nlabel").cast("long"), lit(fMod)) === lit(fRes))
+          .select(col("q_id"), col("node"), col("score"))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        topPerQ(passing, k)
+      }
+    for (_ <- 1 to rounds)
+      frontierDf().foreach { stDf =>
+        val scored = undL.filter(col("layer") === 0L)
+          .join(broadcast(stDf), col("src") === col("node"))
+          .filter(col("dst") =!= col("q_id"))
+          .select(col("q_id"), col("dst"),
+            round(VectorOps.dot(col("dv"), col("qv")) / (col("dnrm") * col("qnrm")), 6)
+              .as("score"),
+            (pmod(col("dlabel").cast("long"), lit(fMod)) === lit(fRes)).as("pass"))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+        state = topPerQ(state.toSeq.flatMap { case (q, ns) => ns.map(n => (q, n._1, n._2)) } ++
+          scored.map(t => (t._1, t._2, t._3)), ef)
+        res = topPerQ(res.toSeq.flatMap { case (q, ns) => ns.map(n => (q, n._1, n._2)) } ++
+          scored.filter(_._4).map(t => (t._1, t._2, t._3)), k)
+      }
+    val out = res.toSeq.flatMap { case (q, ns) =>
       ns.take(k).zipWithIndex.map { case ((n, sc), i) => (q, (i + 1).toLong, n, sc) }
     }.sortBy(r => (r._1, r._2))
     out.toDF("q_id", "rn", "vec_id", "score")
@@ -3719,6 +3924,85 @@ object Ann {
        | WHERE rn <= $GraphSearchK)""".stripMargin
   }
 
+  /** The FILTERED layered walk as a DuckDB CTE chain ending in `hffin`
+    * (q_id, rn, vec_id, score): [[duckHnswSearchCtes]]'s layer builds +
+    * unfiltered descent, then [[duckFilteredWalkCtes]]'s dual-state
+    * base rounds (beam cut at the adaptive ef, filter-passing
+    * accumulator at k) seeded by the descent's arrival node where it
+    * passes — the exact twin of [[hnswSearchFiltered]].
+    */
+  private def duckHnswFilteredCtes(attr: String, fMod: Long, fRes: Long): String = {
+    val chains = (0 to OracleMaxLayer).map(duckHnswLayer).mkString(",\n")
+    val gu = (0 to OracleMaxLayer).map(l =>
+      s"""tk$l AS MATERIALIZED (SELECT src, dst FROM topk$l),
+         |gu$l AS MATERIALIZED (SELECT src, dst FROM tk$l UNION SELECT dst, src FROM tk$l)""".stripMargin)
+      .mkString(",\n")
+    val pass = s"(x.$attr % $fMod = $fRes)"
+    val ef = "(SELECT ef FROM efch)"
+    val descentSteps = (OracleMaxLayer to 1 by -1).flatMap(l => Seq.fill(HnswDescentRounds)(l))
+    val descentCtes = descentSteps.zipWithIndex.map { case (l, i) =>
+      s"""hs${i + 1} AS MATERIALIZED (SELECT q_id, node, score FROM (
+         |  SELECT q_id, node, score, row_number() OVER (PARTITION BY q_id
+         |          ORDER BY score DESC, node) AS rn
+         |  FROM (SELECT DISTINCT q_id, node, score FROM (
+         |    SELECT q_id, node, score FROM hs$i
+         |    UNION ALL
+         |    SELECT s.q_id, u.dst AS node, round($duckCosQ, 6) AS score
+         |    FROM hs$i s JOIN gu$l u ON u.src = s.node
+         |         JOIN e x ON x.vec_id = u.dst JOIN qs q ON q.q_id = s.q_id
+         |    WHERE u.dst != s.q_id))
+         | ) WHERE rn <= 1)""".stripMargin
+    }.mkString(",\n")
+    val d = descentSteps.size
+    val baseRounds = (1 to GraphSearchRounds).map { r =>
+      s"""schf_$r AS MATERIALIZED (
+         |  SELECT s.q_id, u.dst AS node, round($duckCosQ, 6) AS score, $pass AS pass
+         |  FROM sthf_${r - 1} s JOIN gu0 u ON u.src = s.node
+         |       JOIN e x ON x.vec_id = u.dst JOIN qs q ON q.q_id = s.q_id
+         |  WHERE u.dst != s.q_id),
+         |sthf_$r AS MATERIALIZED (SELECT q_id, node, score FROM (
+         |  SELECT q_id, node, score, row_number() OVER (PARTITION BY q_id
+         |          ORDER BY score DESC, node) AS rn
+         |  FROM (SELECT DISTINCT q_id, node, score FROM (
+         |    SELECT q_id, node, score FROM sthf_${r - 1}
+         |    UNION ALL
+         |    SELECT q_id, node, score FROM schf_$r))
+         | ) WHERE rn <= $ef),
+         |reshf_$r AS MATERIALIZED (SELECT q_id, node, score FROM (
+         |  SELECT q_id, node, score, row_number() OVER (PARTITION BY q_id
+         |          ORDER BY score DESC, node) AS rn
+         |  FROM (SELECT DISTINCT q_id, node, score FROM (
+         |    SELECT q_id, node, score FROM reshf_${r - 1}
+         |    UNION ALL
+         |    SELECT q_id, node, score FROM schf_$r WHERE pass))
+         | ) WHERE rn <= $GraphSearchK)""".stripMargin
+    }.mkString(",\n")
+    s"""$duckLevels,
+       |$chains,
+       |$gu,
+       |qs AS MATERIALIZED (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 25 = 7
+       |       ORDER BY vec_id LIMIT $GraphSearchQueryCount),
+       |mx AS (SELECT max(level) AS ml FROM lv),
+       |efch AS MATERIALIZED (SELECT least($GraphSearchEfMax, greatest($GraphSearchBeam,
+       |  $GraphSearchBeam * (SELECT count(*) FROM e)
+       |    // ($GraphSearchFilterMod * greatest((SELECT count(*) FROM e x WHERE $pass), 1)))) AS ef),
+       |hs0 AS MATERIALIZED (SELECT q_id, node, score FROM (
+       |  SELECT q_id, node, score, row_number() OVER (PARTITION BY q_id
+       |          ORDER BY score DESC, node) AS rn
+       |  FROM (SELECT q.q_id, x.vec_id AS node, round($duckCosQ, 6) AS score
+       |        FROM e x JOIN lv ON x.vec_id = lv.vec_id JOIN mx ON lv.level = mx.ml
+       |             JOIN qs q ON x.vec_id != q.q_id)) WHERE rn <= 1),
+       |$descentCtes,
+       |sthf_0 AS MATERIALIZED (SELECT q_id, node, score FROM hs$d),
+       |reshf_0 AS MATERIALIZED (SELECT s.q_id, s.node, s.score FROM hs$d s
+       |  JOIN e x ON x.vec_id = s.node WHERE $pass),
+       |$baseRounds,
+       |hffin AS (SELECT q_id, CAST(rn AS BIGINT) AS rn, node AS vec_id, score FROM (
+       |  SELECT q_id, node, score, row_number() OVER (PARTITION BY q_id
+       |          ORDER BY score DESC, node) AS rn FROM reshf_$GraphSearchRounds)
+       | WHERE rn <= $GraphSearchK)""".stripMargin
+  }
+
   /** Prefix-dim cosine for the matryoshka oracle: [[duckCosPair]]
     * truncated to the first `d` list positions.
     */
@@ -4247,6 +4531,10 @@ object Ann {
       s"""WITH $duckE,
          |$duckHnswSearchCtes
          |SELECT q_id, rn, vec_id, score FROM hfin""".stripMargin,
+    "ann_hnsw_search_filtered" ->
+      s"""WITH $duckE,
+         |${duckHnswFilteredCtes("label", GraphSearchFilterMod, GraphSearchFilterRes)}
+         |SELECT q_id, rn, vec_id, score FROM hffin""".stripMargin,
     // read-equivalence: serving the WRITTEN layered generation returns
     // byte-identical rows to the live walk, so the same chain verifies
     // both (the ann_graph_search_from_gen precedent)

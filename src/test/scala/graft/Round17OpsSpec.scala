@@ -42,6 +42,51 @@ class Round17OpsSpec extends SparkSpec {
       "live and written-generation filtered paths identical")
   }
 
+  test("layered filtered walk: results pass the filter with exact scores") {
+    // the oracle pins the walk end to end; the spec pins the two
+    // invariants independent of graph shape: every returned node
+    // satisfies the metadata filter, and every returned score IS the
+    // true cosine(query, node) recomputed from the raw vectors
+    import org.apache.spark.sql.functions._
+    val out = Ann.hnswSearchFiltered(spark, dir)
+    val got = rows(out)
+    assert(got.nonEmpty)
+    val emb = Graft.embeddings(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getSeq[Float](1).toArray, r.getInt(2))).toMap
+    def cos6(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+      BigDecimal(dot / (na * nb)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    got.foreach { case (q, _, v, score) =>
+      assert(emb(v)._2.toLong % Ann.GraphSearchFilterMod === Ann.GraphSearchFilterRes,
+        s"result $v for query $q does not pass the label filter")
+      assert(cos6(emb(q)._1, emb(v)._1) === score,
+        s"returned score for ($q, $v) is not the true cosine")
+    }
+    // per-query ranks are dense from 1
+    got.groupBy(_._1).values.foreach { qs =>
+      assert(qs.map(_._2).sorted === (1L to qs.size).toSeq)
+    }
+    info(s"${got.map(_._1).distinct.size} queries, ${got.size} rows, " +
+      "all filter-passing with exact recomputed scores")
+  }
+
+  test("filtered layered walk: driver, distributed and routed paths are identical") {
+    // the Round16OpsSpec contract extended to the new walk: every
+    // serving walk routes through the GraphSearchDistQ dispatch, and
+    // the two physical paths must return the same rows
+    val q = Ann.graphSearchQueries(spark, dir)
+    val driver = rows(Ann.hnswSearchFilteredBatch(spark, dir, q, distThreshold = Int.MaxValue))
+    val dist = rows(Ann.hnswSearchFilteredBatch(spark, dir, q, distThreshold = 0))
+    val routed = rows(Ann.hnswSearchFiltered(spark, dir))
+    assert(driver.nonEmpty)
+    assert(dist === driver, "distributed filtered layered walk diverged from the driver path")
+    assert(routed === driver, "routed keyed walk diverged from the driver path")
+    info(s"${driver.size} rows identical across driver/distributed/routed paths")
+  }
+
   test("the written int8 generation carries no float vectors") {
     val (adj, entry) = Ann.writtenInt8Gen(spark, dir)
     // the artifact's whole point is the 4x memory cut: quantized codes
