@@ -279,6 +279,34 @@ object ScaleProbe {
           "build_sec" -> hb, "dist_sec" -> hd, "driver_sec" -> hv,
           "rows" -> math.max(nhd, nhv))
       }
+      if (probes("hfq")) {
+        // r17: the new FILTERED LAYERED walk on both sides of the
+        // GraphSearchDistQ threshold — extends the crossover table
+        // (bench_r17_crossover.md) to the fifth routed walk
+        val (hb, _) = time(operators.Ann.hnswGraph(spark, dir).count())
+        val qbase = spark.read.parquet(s"$dir/embeddings.parquet")
+          .filter(col("vec_id") % 7 === 3)
+          .select(col("vec_id"), col("embedding"))
+          .localCheckpoint(true)
+        val nBase = qbase.count()
+        def qbatch(q: Int) = {
+          val reps = (q + nBase - 1) / nBase
+          qbase.crossJoin(spark.range(reps).toDF("qrep"))
+            .select((col("vec_id") + col("qrep") * 1000000000L).as("q_id"),
+              col("embedding").as("qv"))
+            .orderBy(col("q_id")).limit(q)
+        }
+        for (q <- Seq(2000, 16384)) {
+          val queries = qbatch(q)
+          val (hd, nhd) = time(operators.Ann.hnswSearchFilteredBatch(
+            spark, dir, queries, distThreshold = 0).count())
+          val (hv, nhv) = time(operators.Ann.hnswSearchFilteredBatch(
+            spark, dir, queries, distThreshold = Int.MaxValue).count())
+          require(nhd == nhv, s"hnsw filtered crossq paths diverged: $nhd != $nhv")
+          emit("probe" -> "hnsw_filtered_crossq", "scale" -> s"${mult}x", "q" -> q,
+            "build_sec" -> hb, "dist_sec" -> hd, "driver_sec" -> hv, "rows" -> nhd)
+        }
+      }
       if (probes("pipeline")) {
         // r17 pipeline additions. The scaled corpus is the designed
         // worst case for dedup_substring: every 10th document IS the
