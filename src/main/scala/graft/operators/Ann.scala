@@ -1644,6 +1644,21 @@ object Ann {
                         rounds: Int = GraphSearchRounds): DataFrame =
     hnswWalkDriver(s, dir, writtenHnswGen(s, dir), graphSearchQueries(s, dir), k, beam, rounds)
 
+  /** The FILTERED layered walk run OFF THE WRITTEN INDEX GENERATION —
+    * completes the serving matrix (all five walks × {live, written}):
+    * [[writtenHnswGen]]'s artifact carries the filterable payload
+    * (dlabel rides [[layeredIndex]]), so the metadata-constrained
+    * hierarchical query serves off the same restart-safe generation
+    * the unfiltered descent reads. Read-equivalence ⇒ identical rows
+    * to [[hnswSearchFiltered]]; the same generated oracle verifies
+    * both.
+    */
+  def hnswSearchFilteredFromGen(s: SparkSession, dir: String, k: Int = GraphSearchK,
+                                beam: Int = GraphSearchBeam,
+                                rounds: Int = GraphSearchRounds): DataFrame =
+    hnswWalkFilteredDriver(s, dir, writtenHnswGen(s, dir), graphSearchQueries(s, dir),
+      k, beam, rounds, GraphSearchFilterMod, GraphSearchFilterRes)
+
   /** The batch graph search run OFF THE WRITTEN INDEX GENERATION — the
     * deployment split `search_from_index` gave the flagship search,
     * applied to the ANN serving graph: a build job publishes the
@@ -4532,6 +4547,12 @@ object Ann {
          |$duckHnswSearchCtes
          |SELECT q_id, rn, vec_id, score FROM hfin""".stripMargin,
     "ann_hnsw_search_filtered" ->
+      s"""WITH $duckE,
+         |${duckHnswFilteredCtes("label", GraphSearchFilterMod, GraphSearchFilterRes)}
+         |SELECT q_id, rn, vec_id, score FROM hffin""".stripMargin,
+    // read-equivalence: the filtered layered walk off the written
+    // generation returns identical rows to the live walk
+    "ann_hnsw_search_filtered_from_gen" ->
       s"""WITH $duckE,
          |${duckHnswFilteredCtes("label", GraphSearchFilterMod, GraphSearchFilterRes)}
          |SELECT q_id, rn, vec_id, score FROM hffin""".stripMargin,

@@ -87,6 +87,16 @@ class Round17OpsSpec extends SparkSpec {
     info(s"${driver.size} rows identical across driver/distributed/routed paths")
   }
 
+  test("filtered layered walk off the written generation equals the live walk") {
+    // the final cell of the serving matrix: all five walks serve both
+    // live and from a restart-safe written generation
+    val live = rows(Ann.hnswSearchFiltered(spark, dir))
+    val fromGen = rows(Ann.hnswSearchFilteredFromGen(spark, dir))
+    assert(live.nonEmpty)
+    assert(fromGen === live,
+      "written-generation filtered layered serving diverged from the live walk")
+  }
+
   test("the written int8 generation carries no float vectors") {
     val (adj, entry) = Ann.writtenInt8Gen(spark, dir)
     // the artifact's whole point is the 4x memory cut: quantized codes
