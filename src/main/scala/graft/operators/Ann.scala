@@ -2483,9 +2483,11 @@ object Ann {
     Graft.embeddings(s, dir)
       .filter(col("vec_id") < sqrtFanout(Graft.tableRows(s, dir, "embeddings")))
       .select(col("vec_id").as("node"),
-        call_function("fvec_quantize", col("embedding")).as("nq"))
+        call_function("fvec_quantize", col("embedding")).as("nq"),
+        col("label").as("nlabel"))
       .select(col("node"), col("nq"),
-        sqrt(call_function("lvec_dot", col("nq"), col("nq")).cast("double")).as("nn8"))
+        sqrt(call_function("lvec_dot", col("nq"), col("nq")).cast("double")).as("nn8"),
+        col("nlabel"))
 
   /** The COMPRESSED serving index (session-memoized): undirected
     * adjacency carrying int8 codes + their integer-exact norms, not
@@ -2496,14 +2498,19 @@ object Ann {
       val edges = nswGraph(s, dir)
       val en = Graft.embeddings(s, dir)
         .select(col("vec_id").as("dst"),
-          call_function("fvec_quantize", col("embedding")).as("dq"))
+          call_function("fvec_quantize", col("embedding")).as("dq"),
+          col("label").as("dlabel"))
         .select(col("dst"), col("dq"),
-          sqrt(call_function("lvec_dot", col("dq"), col("dq")).cast("double")).as("dn8"))
+          sqrt(call_function("lvec_dot", col("dq"), col("dq")).cast("double")).as("dn8"),
+          col("dlabel"))
       edges.select(col("src"), col("dst"))
         .union(edges.select(col("dst").as("src"), col("src").as("dst")))
         .distinct()
         .join(en.hint("SHUFFLE_HASH"), "dst")
-        .select(col("src"), col("dst"), col("dq"), col("dn8"))
+        // the filterable payload ships with the quantized index too —
+        // Qdrant composes scalar quantization WITH query filters; the
+        // int8-filtered walk reads dlabel/nlabel from the same artifact
+        .select(col("src"), col("dst"), col("dq"), col("dn8"), col("dlabel"))
     }
 
   /** Routed entry for EXPLICIT query batches through the int8 walk —
@@ -2605,6 +2612,94 @@ object Ann {
       state = topPerQ(pooled, beam)
     }
     val out = state.toSeq.flatMap { case (q, ns) =>
+      ns.take(k).zipWithIndex.map { case ((n, sc), i) => (q, (i + 1).toLong, n, sc) }
+    }.sortBy(r => (r._1, r._2))
+    out.toDF("q_id", "rn", "vec_id", "score")
+  }
+
+  /** Metadata-FILTERED search over the QUANTIZED index — the remaining
+    * combination a serving fleet runs (Qdrant composes scalar
+    * quantization WITH query filters on the same collection): the int8
+    * walk's integer-exact scoring, the flat filtered walk's two
+    * coupled states (unfiltered navigation beam at the adaptive ef +
+    * filter-passing accumulator seeded from the quantized entry
+    * census). The filterable payload rides the quantized index
+    * (dlabel/nlabel) — no float vectors enter the serving path. Same
+    * determinism contract, so the walk unrolls to a generated oracle.
+    */
+  def graphSearchInt8Filtered(s: SparkSession, dir: String, k: Int = GraphSearchK,
+                              beam: Int = GraphSearchBeam,
+                              rounds: Int = GraphSearchRounds): DataFrame =
+    graphSearchInt8FilteredDriverOver(s, dir, int8Index(s, dir), int8Cents(s, dir),
+      graphSearchQueries(s, dir), k, beam, rounds,
+      GraphSearchFilterMod, GraphSearchFilterRes)
+
+  /** The int8-FILTERED walk off the WRITTEN quantized generation —
+    * [[writtenInt8Gen]] ships the payload columns, so the
+    * metadata-constrained quantized query serves from the same on-disk
+    * artifact; read-equivalence ⇒ the same oracle verifies both.
+    */
+  def graphSearchInt8FilteredFromGen(s: SparkSession, dir: String, k: Int = GraphSearchK,
+                                     beam: Int = GraphSearchBeam,
+                                     rounds: Int = GraphSearchRounds): DataFrame = {
+    val (adjacency, entry) = writtenInt8Gen(s, dir)
+    graphSearchInt8FilteredDriverOver(s, dir, adjacency, entry,
+      graphSearchQueries(s, dir), k, beam, rounds,
+      GraphSearchFilterMod, GraphSearchFilterRes)
+  }
+
+  /** The dual-state int8 walk core over caller-supplied quantized
+    * index frames (und8 with dlabel, cents8 with nlabel).
+    */
+  private def graphSearchInt8FilteredDriverOver(s: SparkSession, dir: String,
+                                                und8: DataFrame, cents8: DataFrame,
+                                                queries: DataFrame, k: Int, beam: Int,
+                                                rounds: Int, fMod: Long,
+                                                fRes: Long): DataFrame = {
+    import s.implicits._
+    val nTot = Graft.tableRows(s, dir, "embeddings")
+    val ef = adaptiveEf(beam, nTot, filterPassCount(s, dir, byId = false, fMod, fRes))
+    val qrows = queries
+      .select(col("q_id"), call_function("fvec_quantize", col("qv")).as("q8"))
+      .select(col("q_id"), col("q8"),
+        sqrt(call_function("lvec_dot", col("q8"), col("q8")).cast("double")).as("qn8"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1), r.getDouble(2)))
+    val qv = qrows.map(q => q._1 -> (q._2, q._3)).toMap
+    def topPerQ(rows: Iterable[(Long, Long, Double)], cut: Int): Map[Long, Seq[(Long, Double)]] =
+      rows.groupBy(_._1).map { case (q, rs) =>
+        q -> rs.map(r => (r._2, r._3)).toSeq.distinct
+          .sortBy { case (n, sc) => (-sc, n) }.take(cut)
+      }
+    val qsDf = qrows.toSeq.toDF("q_id", "q8", "qn8")
+    val entry = cents8
+      .crossJoin(broadcast(qsDf))
+      .filter(col("node") =!= col("q_id"))
+      .select(col("q_id"), col("node"),
+        round(call_function("lvec_dot", col("nq"), col("q8")).cast("double")
+          / (col("nn8") * col("qn8")), 6).as("score"),
+        (pmod(col("nlabel").cast("long"), lit(fMod)) === lit(fRes)).as("pass"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    var state: Map[Long, Seq[(Long, Double)]] = topPerQ(entry.map(e => (e._1, e._2, e._3)), 1)
+    var res: Map[Long, Seq[(Long, Double)]] =
+      topPerQ(entry.filter(_._4).map(e => (e._1, e._2, e._3)), k)
+    for (_ <- 1 to rounds) {
+      val frontier = state.toSeq.flatMap { case (q, ns) =>
+        ns.map(n => (q, n._1, qv(q)._1, qv(q)._2))
+      }
+      val stDf = frontier.toDF("q_id", "node", "q8", "qn8")
+      val scored = und8.join(broadcast(stDf), col("src") === col("node"))
+        .filter(col("dst") =!= col("q_id"))
+        .select(col("q_id"), col("dst"),
+          round(call_function("lvec_dot", col("dq"), col("q8")).cast("double")
+            / (col("dn8") * col("qn8")), 6).as("score"),
+          (pmod(col("dlabel").cast("long"), lit(fMod)) === lit(fRes)).as("pass"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+      state = topPerQ(state.toSeq.flatMap { case (q, ns) => ns.map(n => (q, n._1, n._2)) } ++
+        scored.map(t => (t._1, t._2, t._3)), ef)
+      res = topPerQ(res.toSeq.flatMap { case (q, ns) => ns.map(n => (q, n._1, n._2)) } ++
+        scored.filter(_._4).map(t => (t._1, t._2, t._3)), k)
+    }
+    val out = res.toSeq.flatMap { case (q, ns) =>
       ns.take(k).zipWithIndex.map { case ((n, sc), i) => (q, (i + 1).toLong, n, sc) }
     }.sortBy(r => (r._1, r._2))
     out.toDF("q_id", "rn", "vec_id", "score")
@@ -3886,6 +3981,71 @@ object Ann {
        | WHERE rn <= $GraphSearchK)""".stripMargin
   }
 
+  /** The FILTERED quantized walk as a DuckDB CTE chain ending in
+    * `fin8f`: [[duckGraphSearchInt8Ctes]]'s float-built graph +
+    * quantization with the label carried, then
+    * [[duckFilteredWalkCtes]]'s dual-state rounds under the
+    * integer-exact int8 score — the exact twin of
+    * [[graphSearchInt8Filtered]].
+    */
+  private def duckInt8FilteredCtes(fMod: Long, fRes: Long): String = {
+    val pass = s"(x.label % $fMod = $fRes)"
+    val ef = "(SELECT ef FROM efc8)"
+    val rounds = (1 to GraphSearchRounds).map { r =>
+      s"""sc8f_$r AS MATERIALIZED (
+         |  SELECT s.q_id, u.dst AS node, round($duckCosQ8, 6) AS score, $pass AS pass
+         |  FROM st8f_${r - 1} s JOIN gund u ON u.src = s.node
+         |       JOIN e8 x ON x.vec_id = u.dst JOIN qs8 q ON q.q_id = s.q_id
+         |  WHERE u.dst != s.q_id),
+         |st8f_$r AS MATERIALIZED (SELECT q_id, node, score FROM (
+         |  SELECT q_id, node, score, row_number() OVER (PARTITION BY q_id
+         |          ORDER BY score DESC, node) AS rn
+         |  FROM (SELECT DISTINCT q_id, node, score FROM (
+         |    SELECT q_id, node, score FROM st8f_${r - 1}
+         |    UNION ALL
+         |    SELECT q_id, node, score FROM sc8f_$r))
+         | ) WHERE rn <= $ef),
+         |res8f_$r AS MATERIALIZED (SELECT q_id, node, score FROM (
+         |  SELECT q_id, node, score, row_number() OVER (PARTITION BY q_id
+         |          ORDER BY score DESC, node) AS rn
+         |  FROM (SELECT DISTINCT q_id, node, score FROM (
+         |    SELECT q_id, node, score FROM res8f_${r - 1}
+         |    UNION ALL
+         |    SELECT q_id, node, score FROM sc8f_$r WHERE pass))
+         | ) WHERE rn <= $GraphSearchK)""".stripMargin
+    }.mkString(",\n")
+    s"""$duckNswTopk,
+       |gund AS MATERIALIZED (SELECT src, dst FROM topk UNION SELECT dst, src FROM topk),
+       |e8 AS MATERIALIZED (SELECT vec_id, label, qv,
+       |  sqrt(CAST(list_sum(list_transform(range(1,65), i -> qv[i] * qv[i])) AS DOUBLE)) AS n8
+       | FROM (SELECT vec_id, label,
+       |   CASE WHEN scale = CAST(0 AS DOUBLE) THEN list_transform(v, x -> CAST(0 AS BIGINT))
+       |   ELSE list_transform(v, x -> CAST(round(x / scale * CAST(127 AS DOUBLE)) AS BIGINT)) END AS qv
+       |  FROM (SELECT vec_id, label, v, list_max(list_transform(v, x -> abs(x))) AS scale FROM e))),
+       |qs8 AS MATERIALIZED (SELECT vec_id AS q_id, qv AS qqv, n8 AS qn8 FROM e8
+       |       WHERE vec_id % 25 = 7 ORDER BY vec_id LIMIT $GraphSearchQueryCount),
+       |efc8 AS MATERIALIZED (SELECT least($GraphSearchEfMax, greatest($GraphSearchBeam,
+       |  $GraphSearchBeam * (SELECT count(*) FROM e)
+       |    // ($GraphSearchFilterMod * greatest((SELECT count(*) FROM e8 x WHERE $pass), 1)))) AS ef),
+       |ent8f AS MATERIALIZED (
+       |  SELECT q.q_id, x.vec_id AS node, round($duckCosQ8, 6) AS score, $pass AS pass
+       |  FROM e8 x JOIN qs8 q ON x.vec_id != q.q_id
+       |  WHERE x.vec_id < (SELECT greatest(8,
+       |    CAST(floor(sqrt(count(*))) AS BIGINT)) FROM e)),
+       |st8f_0 AS MATERIALIZED (SELECT q_id, node, score FROM (
+       |  SELECT q_id, node, score, row_number() OVER (PARTITION BY q_id
+       |          ORDER BY score DESC, node) AS rn FROM ent8f) WHERE rn <= 1),
+       |res8f_0 AS MATERIALIZED (SELECT q_id, node, score FROM (
+       |  SELECT q_id, node, score, row_number() OVER (PARTITION BY q_id
+       |          ORDER BY score DESC, node) AS rn FROM ent8f WHERE pass)
+       | WHERE rn <= $GraphSearchK),
+       |$rounds,
+       |fin8f AS (SELECT q_id, CAST(rn AS BIGINT) AS rn, node AS vec_id, score FROM (
+       |  SELECT q_id, node, score, row_number() OVER (PARTITION BY q_id
+       |          ORDER BY score DESC, node) AS rn FROM res8f_$GraphSearchRounds)
+       | WHERE rn <= $GraphSearchK)""".stripMargin
+  }
+
   /** The layered HNSW search as a DuckDB CTE chain ending in `hfin`
     * (q_id, rn, vec_id, score) — [[duckHnswLayersSql]]'s full layered
     * build stack (0..[[OracleMaxLayer]]), per-layer undirected
@@ -4556,6 +4716,16 @@ object Ann {
       s"""WITH $duckE,
          |${duckHnswFilteredCtes("label", GraphSearchFilterMod, GraphSearchFilterRes)}
          |SELECT q_id, rn, vec_id, score FROM hffin""".stripMargin,
+    "ann_graph_search_int8_filtered" ->
+      s"""WITH $duckE,
+         |${duckInt8FilteredCtes(GraphSearchFilterMod, GraphSearchFilterRes)}
+         |SELECT q_id, rn, vec_id, score FROM fin8f""".stripMargin,
+    // read-equivalence: the filtered quantized walk off the written
+    // generation returns identical rows to the live walk
+    "ann_graph_search_int8_filtered_from_gen" ->
+      s"""WITH $duckE,
+         |${duckInt8FilteredCtes(GraphSearchFilterMod, GraphSearchFilterRes)}
+         |SELECT q_id, rn, vec_id, score FROM fin8f""".stripMargin,
     // read-equivalence: serving the WRITTEN layered generation returns
     // byte-identical rows to the live walk, so the same chain verifies
     // both (the ann_graph_search_from_gen precedent)

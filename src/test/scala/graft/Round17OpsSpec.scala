@@ -97,13 +97,25 @@ class Round17OpsSpec extends SparkSpec {
       "written-generation filtered layered serving diverged from the live walk")
   }
 
+  test("int8 filtered walk off the written generation equals the live walk") {
+    // the quantized + filtered combination (Qdrant composes scalar
+    // quantization WITH query filters on one collection), served both
+    // live and from the written artifact
+    val live = rows(Ann.graphSearchInt8Filtered(spark, dir))
+    val fromGen = rows(Ann.graphSearchInt8FilteredFromGen(spark, dir))
+    assert(live.nonEmpty)
+    assert(fromGen === live,
+      "written-generation int8-filtered serving diverged from the live walk")
+  }
+
   test("the written int8 generation carries no float vectors") {
     val (adj, entry) = Ann.writtenInt8Gen(spark, dir)
     // the artifact's whole point is the 4x memory cut: quantized codes
-    // (+ their exact norms) only — a float embedding column in either
-    // frame would silently ship the full-precision index
-    assert(adj.columns.toSet === Set("src", "dst", "dq", "dn8"))
-    assert(entry.columns.toSet === Set("node", "nq", "nn8"))
+    // (+ their exact norms) and the filterable integer payload only — a
+    // float embedding column in either frame would silently ship the
+    // full-precision index
+    assert(adj.columns.toSet === Set("src", "dst", "dq", "dn8", "dlabel"))
+    assert(entry.columns.toSet === Set("node", "nq", "nn8", "nlabel"))
     val floatish = (adj.schema ++ entry.schema).filter { f =>
       f.dataType.simpleString.contains("float")
     }
