@@ -2648,6 +2648,69 @@ object Ann {
       GraphSearchFilterMod, GraphSearchFilterRes)
   }
 
+  /** Routed entry for EXPLICIT query batches through the int8-FILTERED
+    * walk — the [[GraphSearchDistQ]] dispatch applied to the sixth
+    * serving walk; values identical on both paths (Round17OpsSpec).
+    */
+  private[graft] def graphSearchInt8FilteredBatch(s: SparkSession, dir: String,
+                                                  queries: DataFrame,
+                                                  k: Int = GraphSearchK,
+                                                  beam: Int = GraphSearchBeam,
+                                                  rounds: Int = GraphSearchRounds,
+                                                  distThreshold: Int = GraphSearchDistQ): DataFrame =
+    if (exceedsQ(queries, distThreshold))
+      int8FilteredRoundsDist(s, dir, queries, k, beam, rounds,
+        GraphSearchFilterMod, GraphSearchFilterRes)
+    else
+      graphSearchInt8FilteredDriverOver(s, dir, int8Index(s, dir), int8Cents(s, dir),
+        queries, k, beam, rounds, GraphSearchFilterMod, GraphSearchFilterRes)
+
+  /** Fully distributed int8-filtered rounds — the large-Q path: dual
+    * per-round state stays on executors ([[distCutRound]] twice per
+    * round), mirroring [[graphSearchFilteredRoundsDist]] under the
+    * integer-exact quantized score.
+    */
+  private def int8FilteredRoundsDist(s: SparkSession, dir: String, queries: DataFrame,
+                                     k: Int, beam: Int, rounds: Int,
+                                     fMod: Long, fRes: Long): DataFrame = {
+    val nTot = Graft.tableRows(s, dir, "embeddings")
+    val ef = adaptiveEf(beam, nTot, filterPassCount(s, dir, byId = false, fMod, fRes))
+    val qn = queries
+      .select(col("q_id"), call_function("fvec_quantize", col("qv")).as("q8"))
+      .select(col("q_id"), col("q8"),
+        sqrt(call_function("lvec_dot", col("q8"), col("q8")).cast("double")).as("qn8"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val idx = int8Index(s, dir).repartition(col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val entry = qn.crossJoin(int8Cents(s, dir))
+      .filter(col("node") =!= col("q_id"))
+      .select(col("q_id"), col("node"),
+        round(call_function("lvec_dot", col("nq"), col("q8")).cast("double")
+          / (col("nn8") * col("qn8")), 6).as("score"),
+        (pmod(col("nlabel").cast("long"), lit(fMod)) === lit(fRes)).as("pass"))
+      .localCheckpoint(true)
+    var state = distCutRound(entry.limit(0).drop("pass"),
+      entry.select(col("q_id"), col("node"), col("score")), 1)
+    var res = distCutRound(entry.limit(0).drop("pass"),
+      entry.filter(col("pass")).select(col("q_id"), col("node"), col("score")), k)
+    for (_ <- 1 to rounds) {
+      val scored = idx.join(state.select(col("q_id"), col("node")), col("src") === col("node"))
+        .join(qn, "q_id")
+        .filter(col("dst") =!= col("q_id"))
+        .select(col("q_id"), col("dst").as("node"),
+          round(call_function("lvec_dot", col("dq"), col("q8")).cast("double")
+            / (col("dn8") * col("qn8")), 6).as("score"),
+          (pmod(col("dlabel").cast("long"), lit(fMod)) === lit(fRes)).as("pass"))
+        .localCheckpoint(true)
+      state = distCutRound(state, scored.select(col("q_id"), col("node"), col("score")), ef)
+      res = distCutRound(res, scored.filter(col("pass"))
+        .select(col("q_id"), col("node"), col("score")), k)
+    }
+    qn.unpersist(false)
+    idx.unpersist(false)
+    distFinal(res, k)
+  }
+
   /** The dual-state int8 walk core over caller-supplied quantized
     * index frames (und8 with dlabel, cents8 with nlabel).
     */

@@ -97,6 +97,16 @@ class Round17OpsSpec extends SparkSpec {
       "written-generation filtered layered serving diverged from the live walk")
   }
 
+  test("int8 filtered walk: driver, distributed and routed paths are identical") {
+    val q = Ann.graphSearchQueries(spark, dir)
+    val driver = rows(Ann.graphSearchInt8FilteredBatch(spark, dir, q, distThreshold = Int.MaxValue))
+    val dist = rows(Ann.graphSearchInt8FilteredBatch(spark, dir, q, distThreshold = 0))
+    val routed = rows(Ann.graphSearchInt8Filtered(spark, dir))
+    assert(driver.nonEmpty)
+    assert(dist === driver, "distributed int8-filtered walk diverged from the driver path")
+    assert(routed === driver, "routed keyed int8-filtered walk diverged from the driver path")
+  }
+
   test("int8 filtered walk off the written generation equals the live walk") {
     // the quantized + filtered combination (Qdrant composes scalar
     // quantization WITH query filters on one collection), served both
