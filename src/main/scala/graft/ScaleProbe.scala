@@ -307,6 +307,33 @@ object ScaleProbe {
             "build_sec" -> hb, "dist_sec" -> hd, "driver_sec" -> hv, "rows" -> nhd)
         }
       }
+      if (probes("i8fq")) {
+        // r17: the int8-FILTERED walk on both sides of the threshold —
+        // the sixth routed walk's crossover evidence
+        val (fb, _) = time(operators.Ann.nswGraph(spark, dir).count())
+        val qbase = spark.read.parquet(s"$dir/embeddings.parquet")
+          .filter(col("vec_id") % 7 === 3)
+          .select(col("vec_id"), col("embedding"))
+          .localCheckpoint(true)
+        val nBase = qbase.count()
+        def qbatch8(q: Int) = {
+          val reps = (q + nBase - 1) / nBase
+          qbase.crossJoin(spark.range(reps).toDF("qrep"))
+            .select((col("vec_id") + col("qrep") * 1000000000L).as("q_id"),
+              col("embedding").as("qv"))
+            .orderBy(col("q_id")).limit(q)
+        }
+        for (q <- Seq(2000, 16384)) {
+          val queries = qbatch8(q)
+          val (d8, n8d) = time(operators.Ann.graphSearchInt8FilteredBatch(
+            spark, dir, queries, distThreshold = 0).count())
+          val (v8, n8v) = time(operators.Ann.graphSearchInt8FilteredBatch(
+            spark, dir, queries, distThreshold = Int.MaxValue).count())
+          require(n8d == n8v, s"int8 filtered crossq paths diverged: $n8d != $n8v")
+          emit("probe" -> "int8_filtered_crossq", "scale" -> s"${mult}x", "q" -> q,
+            "build_sec" -> fb, "dist_sec" -> d8, "driver_sec" -> v8, "rows" -> n8d)
+        }
+      }
       if (probes("pipeline")) {
         // r17 pipeline additions. The scaled corpus is the designed
         // worst case for dedup_substring: every 10th document IS the
