@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Ann, Dedup, TextAnalysis}
+import graft.operators.{Ann, Dedup, Reranker, TextAnalysis}
 
 /** Round-17 training-pipeline additions: exhaustive duplicated-substring
   * detection (the ExactSubstr pass) and greedy training-sequence packing.
@@ -111,6 +111,49 @@ class Round17PipelineSpec extends SparkSpec {
     // greedy never leaves a sequence so empty that the NEXT sequence's
     // whole load would have fit (weak but partitioning-independent)
     assert(out.forall(_.getLong(2) >= 1L))
+  }
+
+  test("rerank scorePairs is batch-boundary independent and honors the batch cap") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val cands = (0L until 37L).map(i =>
+      (i, "data model results", s"passage $i " + (if (i % 3 == 0) "data model" else "other")))
+      .toDF("id", "query", "passage")
+    def run(bs: Int): Map[Long, Double] = {
+      // recording scorer: counts pairs per invocation via an exception
+      // on violation (assertions can't cross executors; require can)
+      val capped: Reranker.BatchScorer = pairs => {
+        require(pairs.size <= bs, s"scorer saw ${pairs.size} pairs > batch $bs")
+        Reranker.lexicalStandIn(pairs)
+      }
+      Reranker.scorePairs(spark, cands, capped, bs)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    }
+    val ref = run(1)
+    assert(ref.size === 37)
+    assert(run(7) === ref, "batchSize 7 changed the scores")
+    assert(run(1000) === ref, "one big batch changed the scores")
+  }
+
+  test("rerank reorders bm25 candidates by cross-scorer relevance") {
+    // doc 1: four query terms, tf=2 each, very short (wins BM25 via tf
+    // + length normalization); doc 2: ALL FIVE terms once, heavily
+    // diluted (wins the cross scorer's coverage) — the rerank stage
+    // must put doc 2 first even though bm25 put doc 1 first
+    val corpus = docsFrame(Seq(
+      1L -> "data model results analysis data model results analysis",
+      2L -> ("data model results analysis method " +
+        (1 to 40).map(i => s"pad$i").mkString(" ")),
+      3L -> (1 to 20).map(i => s"noise$i").mkString(" ")))
+    val d = tempSfDir("documents" -> corpus)
+    val bm25Order = graft.operators.KeywordSearch.bm25(spark, d, 3).collect().map(_.getLong(0))
+    assert(bm25Order.head === 1L,
+      s"planted corpus must have bm25 prefer the compact high-tf doc, got ${bm25Order.toSeq}")
+    val out = Reranker.rerankBm25(spark, d, k = 3, n = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(out.head._1 === 2L, s"full-coverage doc must rerank first, got ${out.toSeq}")
+    assert(out.head._2 === 1000000L)
+    assert(out(1) === ((1L, 800000L)), s"4/5-coverage doc must rank second, got ${out.toSeq}")
   }
 
   test("centroid pruning never alters a surviving candidate's MaxSim score") {
