@@ -1241,10 +1241,19 @@ object TextAnalysis {
     * the budget; an over-budget doc occupies its own sequence rather
     * than being dropped (span-splitting is [[Chunking.fixedWindows]]'
     * job upstream).
+    *
+    * The shard count AUTO-SCALES with the corpus —
+    * max(8, ⌈docs / docsPerShard⌉) from the memoized row count — so
+    * per-shard sequential work stays bounded at ~docsPerShard docs no
+    * matter the corpus size (the `doc_shard_plan` sizing rule applied
+    * to the packer); the oracle computes the same count as a scalar
+    * subquery.
     */
   def packSequences(s: SparkSession, dir: String, budget: Long = 256L,
-      shards: Int = 8): DataFrame = {
+      docsPerShard: Long = 256L): DataFrame = {
     import s.implicits._
+    val shards = math.max(8L,
+      (Graft.tableRows(s, dir, "documents") + docsPerShard - 1) / docsPerShard)
     Graft.documents(s, dir)
       .select(col("doc_id"), expr(s"doc_id % $shards").as("shard"),
         expr("cast(size(split(lower(text), '\\\\s+')) as bigint)").as("t"))
@@ -1382,7 +1391,9 @@ object TextAnalysis {
 
   val oracle: Map[String, String] = Map(
     "pack_sequences" ->
-      """WITH RECURSIVE d AS (SELECT doc_id, doc_id % 8 AS shard,
+      """WITH RECURSIVE ns AS (
+        |  SELECT greatest(8, (count(*) + 255) // 256) AS n_shards FROM documents),
+        |d AS (SELECT doc_id, doc_id % (SELECT n_shards FROM ns) AS shard,
         |  CAST(len(string_split_regex(lower(text), '\s+')) AS BIGINT) AS t FROM documents),
         |r AS (SELECT shard, doc_id, t,
         |        row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn FROM d),
