@@ -2370,10 +2370,11 @@ object Ann {
     */
   private def hnswWalkFilteredDriver(s: SparkSession, dir: String, undL: DataFrame,
                                      queries: DataFrame, k: Int, beam: Int, rounds: Int,
-                                     fMod: Long, fRes: Long): DataFrame = {
+                                     fMod: Long, fRes: Long,
+                                     byId: Boolean = false): DataFrame = {
     import s.implicits._
     val nTot = Graft.tableRows(s, dir, "embeddings")
-    val nPass = filterPassCount(s, dir, byId = false, fMod, fRes)
+    val nPass = filterPassCount(s, dir, byId, fMod, fRes)
     val ef = adaptiveEf(beam, nTot, nPass)
     val qrows = withNorm(queries
         .select(col("q_id").as("vec_id"), col("qv").as("embedding")))
@@ -2426,7 +2427,8 @@ object Ann {
         val passing = Graft.embeddings(s, dir)
           .select(col("vec_id").as("node"), col("label").as("nlabel"))
           .join(broadcast(arrivals.toDF("q_id", "node", "score")), "node")
-          .filter(pmod(col("nlabel").cast("long"), lit(fMod)) === lit(fRes))
+          .filter(pmod((if (byId) col("node") else col("nlabel")).cast("long"),
+            lit(fMod)) === lit(fRes))
           .select(col("q_id"), col("node"), col("score"))
           .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
         topPerQ(passing, k)
@@ -2439,7 +2441,8 @@ object Ann {
           .select(col("q_id"), col("dst"),
             round(VectorOps.dot(col("dv"), col("qv")) / (col("dnrm") * col("qnrm")), 6)
               .as("score"),
-            (pmod(col("dlabel").cast("long"), lit(fMod)) === lit(fRes)).as("pass"))
+            (pmod((if (byId) col("dst") else col("dlabel")).cast("long"),
+              lit(fMod)) === lit(fRes)).as("pass"))
           .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
         state = topPerQ(state.toSeq.flatMap { case (q, ns) => ns.map(n => (q, n._1, n._2)) } ++
           scored.map(t => (t._1, t._2, t._3)), ef)
@@ -2450,6 +2453,42 @@ object Ann {
       ns.take(k).zipWithIndex.map { case ((n, sc), i) => (q, (i + 1).toLong, n, sc) }
     }.sortBy(r => (r._1, r._2))
     out.toDF("q_id", "rn", "vec_id", "score")
+  }
+
+  /** Recall degradation CURVE of the FILTERED LAYERED walk — the
+    * hierarchy twin of [[graphSearchFilteredRecall]]: one row per
+    * selectivity (20%, 5%, 1% via vec_id-residue filters), each
+    * carrying the adaptive ef the descent's base phase ran at, exact
+    * side restricted to the passing subset. Makes the filtered-HNSW
+    * degradation the reference's deployment actually monitors
+    * oracle-visible next to the flat curve.
+    */
+  def hnswSearchFilteredRecall(s: SparkSession, dir: String, k: Int = GraphSearchK): DataFrame = {
+    val nTot = Graft.tableRows(s, dir, "embeddings")
+    val qs = graphSearchQueries(s, dir)
+    val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("vec_id"))
+    val undL = layeredIndex(s, dir, hnswGraph(s, dir), "hnsw_search_index")
+    FilterCurveMods.map { m =>
+      val nPass = filterPassCount(s, dir, byId = true, m, FilterCurveRes)
+      val ef = adaptiveEf(GraphSearchBeam, nTot, nPass)
+      val found = hnswWalkFilteredDriver(s, dir, undL, qs, k, GraphSearchBeam,
+          GraphSearchRounds, m, FilterCurveRes, byId = true)
+        .select(col("q_id"), col("vec_id"))
+      val exact = Graft.embeddings(s, dir)
+        .filter(pmod(col("vec_id"), lit(m)) === lit(FilterCurveRes))
+        .crossJoin(broadcast(qs))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          VectorOps.cosine6(col("embedding"), col("qv")).as("score"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+        .select(col("q_id"), col("vec_id"))
+      found.join(exact, Seq("q_id", "vec_id"))
+        .agg(count(lit(1)).as("n_overlap"))
+        .crossJoin(broadcast(qs.agg(count(lit(1)).as("n_queries"))))
+        .select(lit(m).as("f_mod"), lit(ef.toLong).as("ef"),
+          lit(k.toLong).as("k"), col("n_queries"), col("n_overlap"),
+          expr(s"n_overlap * 1000000 div greatest($k * n_queries, 1)").as("recall_micros"))
+    }.reduce(_.unionByName(_))
   }
 
   /** Batch graph search over an int8-QUANTIZED index — the compressed
@@ -4169,77 +4208,123 @@ object Ann {
     * accumulator at k) seeded by the descent's arrival node where it
     * passes — the exact twin of [[hnswSearchFiltered]].
     */
-  private def duckHnswFilteredCtes(attr: String, fMod: Long, fRes: Long): String = {
+  /** Shared prelude of the filtered-layered oracles: levels, the full
+    * per-layer builds, per-layer undirected adjacency, query batch and
+    * top-level census — emitted ONCE per statement so a multi-walk
+    * statement (the recall curve) shares the dominant layer-build
+    * cost across its walks.
+    */
+  private def duckHnswFilteredPrelude: String = {
     val chains = (0 to OracleMaxLayer).map(duckHnswLayer).mkString(",\n")
     val gu = (0 to OracleMaxLayer).map(l =>
       s"""tk$l AS MATERIALIZED (SELECT src, dst FROM topk$l),
          |gu$l AS MATERIALIZED (SELECT src, dst FROM tk$l UNION SELECT dst, src FROM tk$l)""".stripMargin)
       .mkString(",\n")
-    val pass = s"(x.$attr % $fMod = $fRes)"
-    val ef = "(SELECT ef FROM efch)"
-    val descentSteps = (OracleMaxLayer to 1 by -1).flatMap(l => Seq.fill(HnswDescentRounds)(l))
-    val descentCtes = descentSteps.zipWithIndex.map { case (l, i) =>
-      s"""hs${i + 1} AS MATERIALIZED (SELECT q_id, node, score FROM (
-         |  SELECT q_id, node, score, row_number() OVER (PARTITION BY q_id
-         |          ORDER BY score DESC, node) AS rn
-         |  FROM (SELECT DISTINCT q_id, node, score FROM (
-         |    SELECT q_id, node, score FROM hs$i
-         |    UNION ALL
-         |    SELECT s.q_id, u.dst AS node, round($duckCosQ, 6) AS score
-         |    FROM hs$i s JOIN gu$l u ON u.src = s.node
-         |         JOIN e x ON x.vec_id = u.dst JOIN qs q ON q.q_id = s.q_id
-         |    WHERE u.dst != s.q_id))
-         | ) WHERE rn <= 1)""".stripMargin
-    }.mkString(",\n")
-    val d = descentSteps.size
-    val baseRounds = (1 to GraphSearchRounds).map { r =>
-      s"""schf_$r AS MATERIALIZED (
-         |  SELECT s.q_id, u.dst AS node, round($duckCosQ, 6) AS score, $pass AS pass
-         |  FROM sthf_${r - 1} s JOIN gu0 u ON u.src = s.node
-         |       JOIN e x ON x.vec_id = u.dst JOIN qs q ON q.q_id = s.q_id
-         |  WHERE u.dst != s.q_id),
-         |sthf_$r AS MATERIALIZED (SELECT q_id, node, score FROM (
-         |  SELECT q_id, node, score, row_number() OVER (PARTITION BY q_id
-         |          ORDER BY score DESC, node) AS rn
-         |  FROM (SELECT DISTINCT q_id, node, score FROM (
-         |    SELECT q_id, node, score FROM sthf_${r - 1}
-         |    UNION ALL
-         |    SELECT q_id, node, score FROM schf_$r))
-         | ) WHERE rn <= $ef),
-         |reshf_$r AS MATERIALIZED (SELECT q_id, node, score FROM (
-         |  SELECT q_id, node, score, row_number() OVER (PARTITION BY q_id
-         |          ORDER BY score DESC, node) AS rn
-         |  FROM (SELECT DISTINCT q_id, node, score FROM (
-         |    SELECT q_id, node, score FROM reshf_${r - 1}
-         |    UNION ALL
-         |    SELECT q_id, node, score FROM schf_$r WHERE pass))
-         | ) WHERE rn <= $GraphSearchK)""".stripMargin
-    }.mkString(",\n")
     s"""$duckLevels,
        |$chains,
        |$gu,
        |qs AS MATERIALIZED (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 25 = 7
        |       ORDER BY vec_id LIMIT $GraphSearchQueryCount),
        |mx AS (SELECT max(level) AS ml FROM lv),
-       |efch AS MATERIALIZED (SELECT least($GraphSearchEfMax, greatest($GraphSearchBeam,
-       |  $GraphSearchBeam * (SELECT count(*) FROM e)
-       |    // ($GraphSearchFilterMod * greatest((SELECT count(*) FROM e x WHERE $pass), 1)))) AS ef),
        |hs0 AS MATERIALIZED (SELECT q_id, node, score FROM (
        |  SELECT q_id, node, score, row_number() OVER (PARTITION BY q_id
        |          ORDER BY score DESC, node) AS rn
        |  FROM (SELECT q.q_id, x.vec_id AS node, round($duckCosQ, 6) AS score
        |        FROM e x JOIN lv ON x.vec_id = lv.vec_id JOIN mx ON lv.level = mx.ml
        |             JOIN qs q ON x.vec_id != q.q_id)) WHERE rn <= 1),
-       |$descentCtes,
-       |sthf_0 AS MATERIALIZED (SELECT q_id, node, score FROM hs$d),
-       |reshf_0 AS MATERIALIZED (SELECT s.q_id, s.node, s.score FROM hs$d s
+       |${duckHnswDescent("")}""".stripMargin
+  }
+
+  /** The unfiltered greedy descent rounds hs{x}1..hs{x}D off `hs0`
+    * (shared by every walk in a statement — the descent is filter-
+    * independent by design).
+    */
+  private def duckHnswDescent(x: String): String = {
+    val descentSteps = (OracleMaxLayer to 1 by -1).flatMap(l => Seq.fill(HnswDescentRounds)(l))
+    descentSteps.zipWithIndex.map { case (l, i) =>
+      val prev = if (i == 0) "hs0" else s"hs$x${i}"
+      s"""hs$x${i + 1} AS MATERIALIZED (SELECT q_id, node, score FROM (
+         |  SELECT q_id, node, score, row_number() OVER (PARTITION BY q_id
+         |          ORDER BY score DESC, node) AS rn
+         |  FROM (SELECT DISTINCT q_id, node, score FROM (
+         |    SELECT q_id, node, score FROM $prev
+         |    UNION ALL
+         |    SELECT s.q_id, u.dst AS node, round($duckCosQ, 6) AS score
+         |    FROM $prev s JOIN gu$l u ON u.src = s.node
+         |         JOIN e x ON x.vec_id = u.dst JOIN qs q ON q.q_id = s.q_id
+         |    WHERE u.dst != s.q_id))
+         | ) WHERE rn <= 1)""".stripMargin
+    }.mkString(",\n")
+  }
+
+  /** One filtered BASE phase (suffix `x`) off the shared descent's
+    * arrival state: adaptive-ef scalar, dual-state rounds, final cut
+    * `hffin$x`. `attr` = label (keyed metadata filter) or vec_id (the
+    * selectivity curve's axis).
+    */
+  private def duckHnswFilteredWalk(x: String, attr: String, fMod: Long, fRes: Long): String = {
+    val pass = s"(x.$attr % $fMod = $fRes)"
+    val ef = s"(SELECT ef FROM efch$x)"
+    val d = (OracleMaxLayer - 1 + 1) * HnswDescentRounds
+    val baseRounds = (1 to GraphSearchRounds).map { r =>
+      s"""schf$x$r AS MATERIALIZED (
+         |  SELECT s.q_id, u.dst AS node, round($duckCosQ, 6) AS score, $pass AS pass
+         |  FROM sthf${x}_${r - 1} s JOIN gu0 u ON u.src = s.node
+         |       JOIN e x ON x.vec_id = u.dst JOIN qs q ON q.q_id = s.q_id
+         |  WHERE u.dst != s.q_id),
+         |sthf${x}_$r AS MATERIALIZED (SELECT q_id, node, score FROM (
+         |  SELECT q_id, node, score, row_number() OVER (PARTITION BY q_id
+         |          ORDER BY score DESC, node) AS rn
+         |  FROM (SELECT DISTINCT q_id, node, score FROM (
+         |    SELECT q_id, node, score FROM sthf${x}_${r - 1}
+         |    UNION ALL
+         |    SELECT q_id, node, score FROM schf$x$r))
+         | ) WHERE rn <= $ef),
+         |reshf${x}_$r AS MATERIALIZED (SELECT q_id, node, score FROM (
+         |  SELECT q_id, node, score, row_number() OVER (PARTITION BY q_id
+         |          ORDER BY score DESC, node) AS rn
+         |  FROM (SELECT DISTINCT q_id, node, score FROM (
+         |    SELECT q_id, node, score FROM reshf${x}_${r - 1}
+         |    UNION ALL
+         |    SELECT q_id, node, score FROM schf$x$r WHERE pass))
+         | ) WHERE rn <= $GraphSearchK)""".stripMargin
+    }.mkString(",\n")
+    s"""efch$x AS MATERIALIZED (SELECT least($GraphSearchEfMax, greatest($GraphSearchBeam,
+       |  $GraphSearchBeam * (SELECT count(*) FROM e)
+       |    // ($GraphSearchFilterMod * greatest((SELECT count(*) FROM e x WHERE $pass), 1)))) AS ef),
+       |sthf${x}_0 AS MATERIALIZED (SELECT q_id, node, score FROM hs$d),
+       |reshf${x}_0 AS MATERIALIZED (SELECT s.q_id, s.node, s.score FROM hs$d s
        |  JOIN e x ON x.vec_id = s.node WHERE $pass),
        |$baseRounds,
-       |hffin AS (SELECT q_id, CAST(rn AS BIGINT) AS rn, node AS vec_id, score FROM (
+       |hffin$x AS (SELECT q_id, CAST(rn AS BIGINT) AS rn, node AS vec_id, score FROM (
        |  SELECT q_id, node, score, row_number() OVER (PARTITION BY q_id
-       |          ORDER BY score DESC, node) AS rn FROM reshf_$GraphSearchRounds)
+       |          ORDER BY score DESC, node) AS rn FROM reshf${x}_$GraphSearchRounds)
        | WHERE rn <= $GraphSearchK)""".stripMargin
   }
+
+  private def duckHnswFilteredCtes(attr: String, fMod: Long, fRes: Long): String =
+    s"""$duckHnswFilteredPrelude,
+       |${duckHnswFilteredWalk("", attr, fMod, fRes)}""".stripMargin
+
+  /** One selectivity point of the LAYERED filtered-recall curve: exact
+    * filtered top-k (`exh$x`) + the aggregate row (`rowh$x`).
+    */
+  private def duckHnswFilteredRecallRow(x: String, fMod: Long, fRes: Long): String =
+    s"""exh$x AS (SELECT q_id, vec_id FROM (
+       |  SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+       |          ORDER BY score DESC, vec_id) AS rn
+       |  FROM (SELECT q.q_id, x.vec_id, round($duckCosQ, 6) AS score
+       |        FROM e x JOIN qs q ON x.vec_id != q.q_id
+       |        WHERE x.vec_id % $fMod = $fRes))
+       | WHERE rn <= $GraphSearchK),
+       |rowh$x AS (SELECT CAST($fMod AS BIGINT) AS f_mod,
+       |  (SELECT CAST(ef AS BIGINT) FROM efch$x) AS ef,
+       |  CAST($GraphSearchK AS BIGINT) AS k,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM qs) AS n_queries,
+       |  CAST(count(*) AS BIGINT) AS n_overlap,
+       |  CAST(count(*) AS BIGINT) * 1000000
+       |    // greatest($GraphSearchK * (SELECT count(*) FROM qs), 1) AS recall_micros
+       |FROM hffin$x f JOIN exh$x ex ON ex.q_id = f.q_id AND ex.vec_id = f.vec_id)""".stripMargin
 
   /** Prefix-dim cosine for the matryoshka oracle: [[duckCosPair]]
     * truncated to the first `d` list positions.
@@ -4779,6 +4864,14 @@ object Ann {
       s"""WITH $duckE,
          |${duckHnswFilteredCtes("label", GraphSearchFilterMod, GraphSearchFilterRes)}
          |SELECT q_id, rn, vec_id, score FROM hffin""".stripMargin,
+    "ann_hnsw_search_filtered_recall" ->
+      s"""WITH $duckE,
+         |$duckHnswFilteredPrelude,
+         |${FilterCurveMods.map(m =>
+            duckHnswFilteredWalk(s"m$m", "vec_id", m, FilterCurveRes)).mkString(",\n")},
+         |${FilterCurveMods.map(m =>
+            duckHnswFilteredRecallRow(s"m$m", m, FilterCurveRes)).mkString(",\n")}
+         |${FilterCurveMods.map(m => s"SELECT * FROM rowhm$m").mkString("\nUNION ALL ")}""".stripMargin,
     "ann_graph_search_int8_filtered" ->
       s"""WITH $duckE,
          |${duckInt8FilteredCtes(GraphSearchFilterMod, GraphSearchFilterRes)}

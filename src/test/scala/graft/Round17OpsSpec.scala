@@ -97,6 +97,21 @@ class Round17OpsSpec extends SparkSpec {
       "written-generation filtered layered serving diverged from the live walk")
   }
 
+  test("layered filtered recall curve: adaptive ef widens as the filter tightens") {
+    val rows = Ann.hnswSearchFilteredRecall(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(5))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq === Ann.FilterCurveMods)
+    // the adaptive-ef rule is monotone in selectivity: tighter filter
+    // (larger mod) ⇒ wider navigation beam, clamped to EfMax
+    rows.sliding(2).foreach { case Array((m1, e1, _), (m2, e2, _)) =>
+      assert(e1 <= e2, s"ef must not shrink from mod $m1 (ef $e1) to mod $m2 (ef $e2)")
+    }
+    rows.foreach { case (m, ef, rec) =>
+      assert(ef >= Ann.GraphSearchBeam && ef <= Ann.GraphSearchEfMax)
+      assert(rec >= 0L && rec <= 1000000L, s"recall out of range at mod $m")
+    }
+  }
+
   test("int8 filtered walk: driver, distributed and routed paths are identical") {
     val q = Ann.graphSearchQueries(spark, dir)
     val driver = rows(Ann.graphSearchInt8FilteredBatch(spark, dir, q, distThreshold = Int.MaxValue))
