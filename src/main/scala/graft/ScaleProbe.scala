@@ -66,6 +66,28 @@ object ScaleProbe {
     ((System.nanoTime() - t0) / 1e9, a)
   }
 
+  /** Big-Q query batch off a 1-in-7 corpus residue: the residue can't
+    * supply Q > N/7, so the batch REPLICATES the residue's vectors
+    * under fresh q_ids (offset far above any corpus vec_id) — the Q
+    * axis is what every crossq probe measures; per-query work is
+    * identical whether vectors repeat. One builder shared by the
+    * crossq/hfq/i8fq probes (same batch ⇒ comparable lines).
+    */
+  private def qbatchOf(spark: SparkSession, dir: String): Int => DataFrame = {
+    val qbase = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter(col("vec_id") % 7 === 3)
+      .select(col("vec_id"), col("embedding"))
+      .localCheckpoint(true)
+    val nBase = qbase.count()
+    (q: Int) => {
+      val reps = (q + nBase - 1) / nBase
+      qbase.crossJoin(spark.range(reps).toDF("qrep"))
+        .select((col("vec_id") + col("qrep") * 1000000000L).as("q_id"),
+          col("embedding").as("qv"))
+        .orderBy(col("q_id")).limit(q)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = Graft.configure(SparkSession.builder()
@@ -217,22 +239,7 @@ object ScaleProbe {
             Graft.tableRows(spark, dir, "embeddings")))
           .select(col("vec_id").as("node"), col("embedding").as("nv"))
         emit("probe" -> "crossq_build", "scale" -> s"${mult}x", "build_sec" -> bsec)
-        // a 1-in-7 residue of the corpus can't supply Q > N/7, so the
-        // batch REPLICATES the residue's vectors under fresh q_ids
-        // (offset far above any corpus vec_id) — the Q axis is what's
-        // probed; per-query work is identical whether vectors repeat
-        val qbase = spark.read.parquet(s"$dir/embeddings.parquet")
-          .filter(col("vec_id") % 7 === 3)
-          .select(col("vec_id"), col("embedding"))
-          .localCheckpoint(true)
-        val nBase = qbase.count()
-        def qbatch(q: Int) = {
-          val reps = (q + nBase - 1) / nBase
-          qbase.crossJoin(spark.range(reps).toDF("qrep"))
-            .select((col("vec_id") + col("qrep") * 1000000000L).as("q_id"),
-              col("embedding").as("qv"))
-            .orderBy(col("q_id")).limit(q)
-        }
+        val qbatch = qbatchOf(spark, dir)
         def tryPath(f: => Long): (Double, Long) =
           try time(f) catch { case e: Throwable =>
             System.err.println(s"[probe] path failed: $e"); (-1.0, -1L) }
@@ -284,18 +291,7 @@ object ScaleProbe {
         // GraphSearchDistQ threshold — extends the crossover table
         // (bench_r17_crossover.md) to the fifth routed walk
         val (hb, _) = time(operators.Ann.hnswGraph(spark, dir).count())
-        val qbase = spark.read.parquet(s"$dir/embeddings.parquet")
-          .filter(col("vec_id") % 7 === 3)
-          .select(col("vec_id"), col("embedding"))
-          .localCheckpoint(true)
-        val nBase = qbase.count()
-        def qbatch(q: Int) = {
-          val reps = (q + nBase - 1) / nBase
-          qbase.crossJoin(spark.range(reps).toDF("qrep"))
-            .select((col("vec_id") + col("qrep") * 1000000000L).as("q_id"),
-              col("embedding").as("qv"))
-            .orderBy(col("q_id")).limit(q)
-        }
+        val qbatch = qbatchOf(spark, dir)
         for (q <- Seq(2000, 16384)) {
           val queries = qbatch(q)
           val (hd, nhd) = time(operators.Ann.hnswSearchFilteredBatch(
@@ -311,18 +307,7 @@ object ScaleProbe {
         // r17: the int8-FILTERED walk on both sides of the threshold —
         // the sixth routed walk's crossover evidence
         val (fb, _) = time(operators.Ann.nswGraph(spark, dir).count())
-        val qbase = spark.read.parquet(s"$dir/embeddings.parquet")
-          .filter(col("vec_id") % 7 === 3)
-          .select(col("vec_id"), col("embedding"))
-          .localCheckpoint(true)
-        val nBase = qbase.count()
-        def qbatch8(q: Int) = {
-          val reps = (q + nBase - 1) / nBase
-          qbase.crossJoin(spark.range(reps).toDF("qrep"))
-            .select((col("vec_id") + col("qrep") * 1000000000L).as("q_id"),
-              col("embedding").as("qv"))
-            .orderBy(col("q_id")).limit(q)
-        }
+        val qbatch8 = qbatchOf(spark, dir)
         for (q <- Seq(2000, 16384)) {
           val queries = qbatch8(q)
           val (d8, n8d) = time(operators.Ann.graphSearchInt8FilteredBatch(
