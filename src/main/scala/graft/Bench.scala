@@ -152,10 +152,38 @@ object Bench {
     results
   }
 
+  /** Instantaneous runnable-task count from /proc/loadavg's 4th field
+    * ("R/T"), minus this parent thread. Unlike the 1-minute average —
+    * which a chunk's OWN 32 executor threads pollute for the next
+    * minute — the instantaneous count sampled BETWEEN child JVMs (the
+    * child has exited when we read it) sees only co-tenant load: the
+    * exact signal behind three rounds of manual driver-artifact
+    * attribution (embed_outlier_knn r15, layered walks r16,
+    * ann_hnsw_search r17's 16.9s-vs-2.5s).
+    */
+  private[graft] def runnableNow(): Int =
+    try {
+      val f = scala.io.Source.fromFile("/proc/loadavg").getLines().next().split("\\s+")
+      math.max(f(3).split("/")(0).toInt - 1, 0)
+    } catch { case _: Throwable => 0 }
+
+  /** Max of a few spaced instantaneous samples (a single read aliases
+    * against scheduler ticks).
+    */
+  private def sampledLoad(): Int =
+    (1 to 3).map { i => val r = runnableNow(); if (i < 3) Thread.sleep(100); r }.max
+
   /** Spawn one child JVM per family chunk; each child re-enters this
     * main with SPARK_GRAFT_CHILD set and writes `name\tseconds` lines
     * to its SPARK_GRAFT_OUT file. Returns None if forking isn't
     * possible (no usable classpath) so the caller can fall back.
+    *
+    * Contention robustness (r18): each chunk stamps the co-tenant
+    * runnable count before and after its child runs; a chunk whose
+    * stamps exceed SPARK_GRAFT_LOAD_MAX (default 4) re-runs ONCE in a
+    * fresh child and merges per-query minima — so a driver artifact
+    * produced while something else hammered the box converges to the
+    * controlled measurement instead of needing a post-hoc bisect doc.
     */
   private def runForked(names: Seq[String], sfDir: String): Option[Map[String, Double]] = {
     val cp = System.getProperty("java.class.path")
@@ -167,10 +195,12 @@ object Bench {
     val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
       .getInputArguments.asScala.toSeq
       .filter(a => a.startsWith("--add-opens") || a.startsWith("-D") || a.startsWith("-X"))
-    val results = scala.collection.mutable.Map.empty[String, Double]
-    val chunks = chunkFamilies(names, maxPerChunk = 28)
-    for ((chunk, i) <- chunks.zipWithIndex) {
-      val out = java.io.File.createTempFile(s"graft-bench-$i-", ".tsv")
+    val loadMax = sys.env.get("SPARK_GRAFT_LOAD_MAX").flatMap(_.toIntOption).getOrElse(4)
+    val chunkTimeoutMin = sys.env.get("SPARK_GRAFT_CHUNK_TIMEOUT_MIN")
+      .flatMap(_.toLongOption).getOrElse(20L)
+
+    def runChunkChild(chunk: Seq[String], tag: String): Map[String, Double] = {
+      val out = java.io.File.createTempFile(s"graft-bench-$tag-", ".tsv")
       out.deleteOnExit()
       val cmd = (javaBin.getAbsolutePath +: jvmArgs) ++ Seq("-cp", cp, "graft.Bench")
       val pb = new ProcessBuilder(cmd.asJava)
@@ -180,32 +210,50 @@ object Bench {
       pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
       pb.redirectOutput(ProcessBuilder.Redirect.DISCARD)
       pb.redirectError(ProcessBuilder.Redirect.INHERIT)
-      val t0 = System.nanoTime()
       val proc = pb.start()
       // default 20 min covers every family at the driver's sf0.1; large
       // scale experiments (30x/100x corpora, where the graph builds alone
       // run minutes per iteration) raise it via env instead of having a
       // hung-child guard silently convert a slow-but-correct chunk to -1s
-      val chunkTimeoutMin = sys.env.get("SPARK_GRAFT_CHUNK_TIMEOUT_MIN")
-        .flatMap(_.toLongOption).getOrElse(20L)
       val finished = proc.waitFor(chunkTimeoutMin, java.util.concurrent.TimeUnit.MINUTES)
       if (!finished) proc.destroyForcibly()
-      System.err.println(f"[bench] chunk ${i + 1}/${chunks.size} (${chunk.size} queries, " +
-        f"${family(chunk.head)}..${family(chunk.last)}): ${(System.nanoTime() - t0) / 1e9}%.1fs")
       val lines = try scala.io.Source.fromFile(out).getLines().toSeq
                   catch { case _: Throwable => Seq.empty }
-      lines.foreach { l =>
-        l.split('\t') match {
-          case Array(n, v) => try results(n) = v.toDouble catch { case _: NumberFormatException => () }
-          case _ => ()
-        }
-      }
-      // a crashed/hung child reports its whole chunk as failed (-1)
-      chunk.filterNot(results.contains).foreach { n =>
-        System.err.println(s"[bench] $n missing from child output")
-        results(n) = -1.0
-      }
       out.delete()
+      val got = lines.flatMap { l =>
+        l.split('\t') match {
+          case Array(n, v) => v.toDoubleOption.map(n -> _)
+          case _ => None
+        }
+      }.toMap
+      // a crashed/hung child reports its whole chunk as failed (-1)
+      chunk.filterNot(got.contains).foreach(n =>
+        System.err.println(s"[bench] $n missing from child output ($tag)"))
+      chunk.map(n => n -> got.getOrElse(n, -1.0)).toMap
+    }
+
+    val results = scala.collection.mutable.Map.empty[String, Double]
+    val chunks = chunkFamilies(names, maxPerChunk = 28)
+    for ((chunk, i) <- chunks.zipWithIndex) {
+      val loadBefore = sampledLoad()
+      val t0 = System.nanoTime()
+      val first = runChunkChild(chunk, s"$i-a")
+      val loadAfter = sampledLoad()
+      val contended = loadBefore > loadMax || loadAfter > loadMax
+      System.err.println(f"[bench] chunk ${i + 1}/${chunks.size} (${chunk.size} queries, " +
+        f"${family(chunk.head)}..${family(chunk.last)}): ${(System.nanoTime() - t0) / 1e9}%.1fs " +
+        f"runnable_before=$loadBefore runnable_after=$loadAfter" +
+        (if (contended) " CONTENDED -> re-running chunk once" else ""))
+      val merged =
+        if (!contended) first
+        else {
+          val second = runChunkChild(chunk, s"$i-b")
+          chunk.map { n =>
+            val (a, b) = (first(n), second(n))
+            n -> (if (a < 0) b else if (b < 0) a else math.min(a, b))
+          }.toMap
+        }
+      merged.foreach { case (n, v) => results(n) = v }
     }
     Some(results.toMap)
   }

@@ -184,9 +184,22 @@ object Graft {
     * JVMs sharing a working dir clobber each other's generations with
     * mode(overwrite); anchoring to one configurable absolute root keyed
     * by artifact name keeps the layout deterministic per deployment.
+    *
+    * Scheme-qualified roots (`hdfs://…`, `s3a://…`, `file:/…`) pass
+    * through UNTOUCHED — every write/read against the root goes through
+    * Spark's Hadoop FileSystem layer, which resolves the scheme itself;
+    * absolutization is only for bare local paths, where CWD-relativity
+    * is the hazard. Note on object stores: artifact publishes here rely
+    * on `mode(overwrite)` + the committer's `_SUCCESS` marker, never on
+    * directory rename, so the layout is S3-safe (no atomic-rename
+    * assumption); concurrent publishers to the SAME artifact key still
+    * need external coordination, exactly as on HDFS.
     */
-  def artifactRoot: String = new java.io.File(
-    sys.env.getOrElse("GRAFT_ARTIFACT_DIR", "target")).getAbsolutePath
+  def artifactRoot: String = {
+    val raw = sys.env.getOrElse("GRAFT_ARTIFACT_DIR", "target")
+    if (raw.contains("://") || raw.startsWith("file:")) raw.stripSuffix("/")
+    else new java.io.File(raw).getAbsolutePath
+  }
 
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")

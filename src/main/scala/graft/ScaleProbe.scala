@@ -335,6 +335,37 @@ object ScaleProbe {
           "substring_sec" -> dsec, "dup_positions" -> ndup,
           "pack_sec" -> psec, "sequences" -> nseq)
       }
+      if (probes("substr")) {
+        // r17 mandate #5 evidence: the ExactSubstr gram exchange keyed
+        // by the 128-bit hash vs the raw gram string — wall time AND
+        // shuffle-write bytes per route, so the exchange-volume cut is
+        // measured, not asserted. The listener tallies stage-level
+        // shuffle writes; listener delivery is async, so each route
+        // waits for the bus to drain before reading its tally.
+        val tally = new java.util.concurrent.atomic.AtomicLong()
+        val listener = new org.apache.spark.scheduler.SparkListener {
+          override def onStageCompleted(
+              sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+            tally.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+        }
+        spark.sparkContext.addSparkListener(listener)
+        def route(f: => Long): (Double, Long, Long) = {
+          Thread.sleep(2000); tally.set(0L)
+          val (sec, n) = time(f)
+          Thread.sleep(2000) // drain the listener bus
+          (sec, n, tally.get())
+        }
+        val (hs, nh, hb) = route(operators.Dedup.substringDup(spark, dir)
+          .agg(sum(col("n_dup"))).collect()(0).getLong(0))
+        val (ss, ns, sb) = route(operators.Dedup.substringDupStringKeyed(spark, dir)
+          .agg(sum(col("n_dup"))).collect()(0).getLong(0))
+        require(nh == ns, s"hash/string substring routes diverged: $nh != $ns")
+        spark.sparkContext.removeSparkListener(listener)
+        emit("probe" -> "substr_hashkey", "scale" -> s"${mult}x",
+          "hash_sec" -> hs, "hash_shuffle_bytes" -> hb,
+          "string_sec" -> ss, "string_shuffle_bytes" -> sb,
+          "dup_positions" -> nh)
+      }
       if (probes("hinsert")) {
         // layered-insert cost contract: marginal insert work ∝ batch,
         // vs the full layered rebuild as the yardstick

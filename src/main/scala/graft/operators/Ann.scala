@@ -1588,26 +1588,85 @@ object Ann {
     * guarantee. Work is one projection over members + one hashed join
     * onto the edge frame — ∝ index size, no rebuild. Returns the loaded
     * artifact frames, walkable by the shared int8 driver core.
+    *
+    * Payload parity with [[writtenInt8Gen]]: when the members frame
+    * carries a `label` column, the filterable payload ships in the
+    * artifact too (`dlabel` on the adjacency, `nlabel` on the entry
+    * set), so a stream-published generation serves the FILTERED int8
+    * walk ([[graphSearchInt8FilteredDriverOver]]) exactly like a
+    * session-built one. Label-less members publish the two-column
+    * layout, which serves only the unfiltered walk.
     */
   def publishInt8Gen(s: SparkSession, members: DataFrame, edges: DataFrame,
                      outRoot: String): (DataFrame, DataFrame) = {
-    val en = members
+    val hasLabel = members.columns.contains("label")
+    val enBase = members
       .select(col("vec_id").as("dst"),
-        call_function("fvec_quantize", col("embedding")).as("dq"))
+        call_function("fvec_quantize", col("embedding")).as("dq"),
+        (if (hasLabel) col("label") else lit(null)).as("dlabel"))
       .select(col("dst"), col("dq"),
-        sqrt(call_function("lvec_dot", col("dq"), col("dq")).cast("double")).as("dn8"))
+        sqrt(call_function("lvec_dot", col("dq"), col("dq")).cast("double")).as("dn8"),
+        col("dlabel"))
+    val adjCols = Seq(col("src"), col("dst"), col("dq"), col("dn8")) ++
+      (if (hasLabel) Seq(col("dlabel")) else Seq.empty)
     edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
-      .join(en.hint("SHUFFLE_HASH"), "dst")
-      .select(col("src"), col("dst"), col("dq"), col("dn8"))
+      .join(enBase.hint("SHUFFLE_HASH"), "dst")
+      .select(adjCols: _*)
       .write.mode("overwrite").parquet(s"$outRoot/adjacency")
     val nm = members.count()
+    val entryCols = Seq(col("node"), col("nq"),
+      sqrt(call_function("lvec_dot", col("nq"), col("nq")).cast("double")).as("nn8")) ++
+      (if (hasLabel) Seq(col("nlabel")) else Seq.empty)
     members.filter(col("vec_id") < sqrtFanout(nm))
       .select(col("vec_id").as("node"),
-        call_function("fvec_quantize", col("embedding")).as("nq"))
-      .select(col("node"), col("nq"),
-        sqrt(call_function("lvec_dot", col("nq"), col("nq")).cast("double")).as("nn8"))
+        call_function("fvec_quantize", col("embedding")).as("nq"),
+        (if (hasLabel) col("label") else lit(null)).as("nlabel"))
+      .select(entryCols: _*)
+      .write.mode("overwrite").parquet(s"$outRoot/entry")
+    (s.read.parquet(s"$outRoot/adjacency"), s.read.parquet(s"$outRoot/entry"))
+  }
+
+  /** Publish the LAYERED serving artifact from arbitrary (members,
+    * edges) frames — [[publishInt8Gen]]'s periodic-fleet-job contract
+    * applied to the hierarchy: the job a serving tier runs against a
+    * STREAM-MAINTAINED layered generation root
+    * ([[graft.streaming.IndexStreams.maintainHnswIndex]]), so the
+    * hierarchy serves off a restart-safe artifact without a per-session
+    * rebuild. Attaches member vectors + norms (and the filterable
+    * `dlabel` payload when members carry `label`) to the undirected
+    * per-layer adjacency — the exact (layer, src, dst, dv, dnrm[,
+    * dlabel]) layout [[writtenHnswGen]] publishes from a live build —
+    * and writes the top-layer entry set (node, nv, level) alongside
+    * (the descent's start set is a pure function of the member ids via
+    * the deterministic level draw, so the artifact is self-contained:
+    * a walk needs no corpus access). Work is one projection over
+    * members + one hashed join onto the edge frame — ∝ index size, no
+    * rebuild. Returns the loaded (adjacency, entry) frames, walkable by
+    * [[hnswWalkDriverOver]].
+    */
+  def publishHnswGen(s: SparkSession, members: DataFrame, edges: DataFrame,
+                     outRoot: String): (DataFrame, DataFrame) = {
+    val hasLabel = members.columns.contains("label")
+    val en = members
+      .select(col("vec_id").as("dst"), col("embedding").as("dv"),
+        graft.functions.VectorOps.norm(col("embedding")).as("dnrm"),
+        (if (hasLabel) col("label") else lit(null)).as("dlabel"))
+    val adjCols = Seq(col("layer"), col("src"), col("dst"), col("dv"), col("dnrm")) ++
+      (if (hasLabel) Seq(col("dlabel")) else Seq.empty)
+    edges.select(col("layer"), col("src"), col("dst"))
+      .union(edges.select(col("layer"), col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .join(en.hint("SHUFFLE_HASH"), "dst")
+      .select(adjCols: _*)
+      .write.mode("overwrite").parquet(s"$outRoot/adjacency")
+    val lv = hnswLevelsOver(members)
+    val mlRow = lv.agg(max(col("level")).as("ml")).collect().head
+    val maxLevel = if (mlRow.isNullAt(0)) 0L else mlRow.getLong(0)
+    members.join(lv.filter(col("level") === maxLevel).select(col("vec_id")), "vec_id")
+      .select(col("vec_id").as("node"), col("embedding").as("nv"),
+        lit(maxLevel).as("level"))
       .write.mode("overwrite").parquet(s"$outRoot/entry")
     (s.read.parquet(s"$outRoot/adjacency"), s.read.parquet(s"$outRoot/entry"))
   }
@@ -2193,6 +2252,29 @@ object Ann {
   private def hnswWalkDriver(s: SparkSession, dir: String, undL: DataFrame,
                              queries: DataFrame, k: Int, beam: Int,
                              rounds: Int): DataFrame = {
+    // entry: the top layer's node set is O(N·4^-Lmax) ≈ a handful —
+    // ONE bounded scoring job (the census collect is ≤ 17 rows)
+    val lv = hnswLevels(s, dir)
+    // null-safe: an empty corpus has no levels → no descent, empty entry
+    val mlRow = lv.agg(max(col("level")).as("ml")).collect().head
+    val maxLevel = if (mlRow.isNullAt(0)) 0L else mlRow.getLong(0)
+    val entryNodes = Graft.embeddings(s, dir)
+      .join(lv.filter(col("level") === maxLevel).select(col("vec_id")), "vec_id")
+      .select(col("vec_id").as("node"), col("embedding").as("nv"))
+    hnswWalkDriverOver(s, undL, entryNodes, maxLevel, queries, k, beam, rounds)
+  }
+
+  /** The layered driver walk over fully EXPLICIT serving state — the
+    * (layer, src, dst, dv, dnrm) adjacency, the top-layer entry node
+    * set (node, nv) and its level — so a SELF-CONTAINED published
+    * artifact ([[publishHnswGen]]: entry rows carry `level` = the top
+    * layer) serves the descent without any corpus access; the dir-based
+    * caller above derives the same state from the live corpus.
+    */
+  private[graft] def hnswWalkDriverOver(s: SparkSession, undL: DataFrame,
+                                        entryNodes: DataFrame, maxLevel: Long,
+                                        queries: DataFrame, k: Int, beam: Int,
+                                        rounds: Int): DataFrame = {
     import s.implicits._
     val qrows = withNorm(queries
         .select(col("q_id").as("vec_id"), col("qv").as("embedding")))
@@ -2203,16 +2285,9 @@ object Ann {
         q -> rs.map(r => (r._2, r._3)).toSeq.distinct
           .sortBy { case (n, sc) => (-sc, n) }.take(cut)
       }
-    // entry: the top layer's node set is O(N·4^-Lmax) ≈ a handful —
-    // ONE bounded scoring job (the census collect is ≤ 17 rows)
-    val lv = hnswLevels(s, dir)
-    // null-safe: an empty corpus has no levels → no descent, empty entry
-    val mlRow = lv.agg(max(col("level")).as("ml")).collect().head
-    val maxLevel = if (mlRow.isNullAt(0)) 0L else mlRow.getLong(0)
     val qsDf = qrows.toSeq.toDF("q_id", "qv", "qnrm")
-    val entry = Graft.embeddings(s, dir)
-      .join(lv.filter(col("level") === maxLevel).select(col("vec_id")), "vec_id")
-      .select(col("vec_id").as("node"), col("embedding").as("nv"))
+    val entry = entryNodes
+      .select(col("node"), col("nv"))
       .crossJoin(broadcast(qsDf))
       .filter(col("node") =!= col("q_id"))
       .select(col("q_id"), col("node"),
@@ -2753,7 +2828,7 @@ object Ann {
   /** The dual-state int8 walk core over caller-supplied quantized
     * index frames (und8 with dlabel, cents8 with nlabel).
     */
-  private def graphSearchInt8FilteredDriverOver(s: SparkSession, dir: String,
+  private[graft] def graphSearchInt8FilteredDriverOver(s: SparkSession, dir: String,
                                                 und8: DataFrame, cents8: DataFrame,
                                                 queries: DataFrame, k: Int, beam: Int,
                                                 rounds: Int, fMod: Long,
@@ -3137,9 +3212,11 @@ object Ann {
     * `nprobe` centroid cells (the [[ivfMultiProbe]] rule per token),
     * candidate documents are the label groups owning at least one
     * vector in a probed cell, and the exact MaxSim runs over candidate
-    * groups only. All pruning state is tiny and broadcast — the
-    * token×centroid score table (|Q|·√N rows), the probed-cell union,
-    * the candidate-label set — so the plan is two linear projections
+    * groups only. The statically tiny pruning state broadcasts — the
+    * token×centroid score table (|Q|·√N rows), the probed-cell union —
+    * while the data-dependent candidate-label set is left to AQE
+    * (broadcast when small, shuffled semi join when a probe is
+    * unselective); so the plan is two linear projections
     * over the corpus (assignment, then the pruned exact scan) with no
     * shuffle wider than the per-(label, qid) partial-agg. Probe
     * selection is a groupBy argmax over sorted structs (no window, no
@@ -3171,8 +3248,14 @@ object Ann {
         call_function("ivf_assign", col("embedding"), col("cents")).as("cid"))
       .join(broadcast(probed), "cid")
       .select(col("label")).distinct()
+    // the candidate-label set is data-dependent (how many labels own a
+    // vector in a probed cell), so its broadcast is NOT forced: AQE
+    // broadcasts it when the runtime size is small (the plan the spec
+    // asserts at test scale) and falls back to a shuffled semi join when
+    // a low-selectivity probe makes the set large — a forced broadcast
+    // there would collect an unbounded frame onto the driver
     Graft.embeddings(s, dir)
-      .join(broadcast(candLabels), Seq("label"), "left_semi")
+      .join(candLabels, Seq("label"), "left_semi")
       .crossJoin(broadcast(qs))
       .select(col("label"), col("qid"),
         VectorOps.cosine6(col("embedding"), col("qv")).as("c"))

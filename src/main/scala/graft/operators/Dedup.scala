@@ -1057,19 +1057,41 @@ object Dedup {
     * there is no pair join, so boilerplate mega-df grams cost one
     * window partition, never a quadratic candidate set. At 100 TB the
     * only constant worth cutting is the gram string itself as shuffle
-    * key (~50 bytes for k=8); swap in a 128-bit hash of the gram to
-    * quarter the exchange volume — kept as the exact string here so
-    * the DuckDB oracle groups on identical keys.
+    * key (~50 bytes for k=8): the gram is REPLACED at explode time by a
+    * 128-bit composite hash `gid` = (xxhash64(gram), xxhash64(gram, 1))
+    * — 16 fixed bytes on the corpus's largest exchange, a ~3–4× volume
+    * cut, with a 2⁻¹²⁸ collision bound that makes the grouped counts
+    * equal to string-keyed grouping for any physical corpus. The
+    * string-keyed route ([[substringDupStringKeyed]]) is retained as
+    * the spec's cross-check against the string-grouping DuckDB oracle.
     */
-  def substringDup(s: SparkSession, dir: String, k: Int = 8): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("gram"))
+  def substringDup(s: SparkSession, dir: String, k: Int = 8): DataFrame =
+    substringDupBy(s, dir, k, gramId)
+
+  /** The gram shuffle key: a 128-bit composite hash of the gram string
+    * (two independently seeded xxhash64 lanes), computed INSIDE the
+    * explode projection so the string itself never enters an exchange.
+    */
+  private def gramId(gram: Column): Column =
+    struct(xxhash64(gram).as("h1"), xxhash64(gram, lit(1L)).as("h2"))
+
+  /** String-keyed route of [[substringDup]] — the oracle-identical
+    * grouping, kept for the spec's hash-vs-string equality check.
+    */
+  private[graft] def substringDupStringKeyed(s: SparkSession, dir: String, k: Int = 8): DataFrame =
+    substringDupBy(s, dir, k, identity)
+
+  private def substringDupBy(s: SparkSession, dir: String, k: Int,
+                             key: Column => Column): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("gid"))
     Graft.documents(s, dir)
       .select(col("doc_id"), expr("split(lower(text), '\\\\s+')").as("toks"))
       .filter(expr(s"size(toks) >= $k"))
       .select(col("doc_id"),
         explode(expr(s"transform(sequence(1, size(toks) - ${k - 1}), j -> " +
           s"array_join(slice(toks, j, $k), ' '))")).as("gram"))
-      .groupBy(col("doc_id"), col("gram"))
+      .select(col("doc_id"), key(col("gram")).as("gid"))
+      .groupBy(col("doc_id"), col("gid"))
       .agg(count(lit(1)).as("c"))
       .withColumn("n_docs", count(lit(1)).over(w))
       .groupBy(col("doc_id"))
@@ -1095,24 +1117,37 @@ object Dedup {
     * indices, and one anti join + per-doc ordered fold rebuilds the
     * text. Every exchange keys on corpus-scaling (gram / (doc, idx) /
     * doc) columns and combines map-side; per-doc state is bounded by
-    * document length. The keeper encoding doc_id·10⁶ + pos matches the
-    * oracle exactly (pos < 10⁶ by the doc-length bound; swap to a
-    * struct-min at longer docs).
+    * document length. The gram key is the same 16-byte 128-bit hash
+    * `gid` as [[substringDup]]'s (string dropped before the exchange);
+    * the keeper is `min(struct(doc_id, pos))` — a total order with no
+    * document-length bound (the r17 doc_id·10⁶ + pos encoding silently
+    * mis-picked past 10⁶ token positions; the struct-min is
+    * scale-independent and the DuckDB oracle mirrors it with the same
+    * lexicographic struct min).
     */
-  def substringCut(s: SparkSession, dir: String, k: Int = 8): DataFrame = {
+  def substringCut(s: SparkSession, dir: String, k: Int = 8): DataFrame =
+    substringCutBy(s, dir, k, gramId)
+
+  /** String-keyed route of [[substringCut]] — the spec's cross-check. */
+  private[graft] def substringCutStringKeyed(s: SparkSession, dir: String, k: Int = 8): DataFrame =
+    substringCutBy(s, dir, k, identity)
+
+  private def substringCutBy(s: SparkSession, dir: String, k: Int,
+                             key: Column => Column): DataFrame = {
     val toks = Graft.documents(s, dir)
       .select(col("doc_id"), expr("split(lower(text), '\\\\s+')").as("toks"))
     val grams = toks.filter(expr(s"size(toks) >= $k"))
       .select(col("doc_id"),
         posexplode(expr(s"transform(sequence(1, size(toks) - ${k - 1}), j -> " +
           s"array_join(slice(toks, j, $k), ' '))")).as(Seq("p0", "gram")))
-      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"), col("gram"))
-    val gi = grams.groupBy(col("gram"))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"),
+        key(col("gram")).as("gid"))
+    val gi = grams.groupBy(col("gid"))
       .agg(countDistinct(col("doc_id")).as("n_docs"),
-        min(col("doc_id") * 1000000L + col("pos")).as("keeper"))
-    val remtok = grams.join(gi, "gram")
+        min(struct(col("doc_id"), col("pos"))).as("keeper"))
+    val remtok = grams.join(gi, "gid")
       .filter(col("n_docs") >= 2 &&
-        col("doc_id") * 1000000L + col("pos") =!= col("keeper"))
+        struct(col("doc_id"), col("pos")) =!= col("keeper"))
       .select(col("doc_id"), explode(expr(s"sequence(pos, pos + ${k - 1})")).as("idx"))
       .distinct()
     toks
@@ -1199,9 +1234,9 @@ object Dedup {
         |        array_to_string(toks[j:j+7], ' ') AS gram
         |      FROM t, unnest(range(1, len(toks) - 6)) u(j) WHERE len(toks) >= 8),
         |gi AS (SELECT gram, count(DISTINCT doc_id) AS n_docs,
-        |        min(doc_id * 1000000 + pos) AS keeper FROM g GROUP BY 1),
+        |        min({'d': doc_id, 'p': pos}) AS keeper FROM g GROUP BY 1),
         |rem AS (SELECT doc_id, pos FROM g JOIN gi USING (gram)
-        |        WHERE n_docs >= 2 AND doc_id * 1000000 + pos != keeper),
+        |        WHERE n_docs >= 2 AND {'d': doc_id, 'p': pos} != keeper),
         |remtok AS (SELECT DISTINCT doc_id, pos + o AS idx
         |           FROM rem, unnest(range(0, 8)) v(o)),
         |tok AS (SELECT doc_id, CAST(i AS BIGINT) AS idx, toks[i] AS tok,

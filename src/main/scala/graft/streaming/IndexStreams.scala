@@ -1,5 +1,6 @@
 package graft.streaming
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
@@ -28,6 +29,19 @@ import graft.operators.Ann
   *    never copied forward — a generation's corpus is the union of the
   *    seed members and every earlier generation's `newmembers`.
   *
+  * All path operations go through the Hadoop [[FileSystem]] API
+  * resolved from the root's own scheme, so a generation root on
+  * `hdfs://` or `s3a://` lists, resolves and GCs exactly like a local
+  * one — the deployment shape at 100 TB, where the serving fleet reads
+  * generations straight off the object store. Commit detection is the
+  * `_SUCCESS` marker Spark's FileOutputCommitter drops at job end:
+  * a directory is only a checkpoint/generation once its marker exists,
+  * never on bare existence (a crashed or in-flight write leaves
+  * `_temporary` but no marker), which is also the object-store-safe
+  * choice — no rename-into-place is ever needed, `mode(overwrite)` +
+  * marker-gating gives the same only-committed-data-is-visible
+  * contract without assuming atomic directory rename (S3 has none).
+  *
   * Scale: per microbatch the insert scores |B|·√|S| centroids and
   * |B|-proportional candidate pairs (see nswGraphInsert's measured
   * 100× evidence: 86s insert vs 273s rebuild at a 20% batch); the
@@ -37,61 +51,88 @@ import graft.operators.Ann
   */
 object IndexStreams {
 
-  /** Current generation number = max gen=* dir under the root. */
-  private[graft] def currentGen(root: String): Long = {
-    val f = new java.io.File(root)
-    val gens = Option(f.listFiles()).getOrElse(Array.empty)
-      .filter(d => d.isDirectory && d.getName.startsWith("gen="))
-      .map(_.getName.stripPrefix("gen=").toLong)
+  private def fsOf(s: SparkSession, root: String): FileSystem =
+    new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
+
+  /** A parquet directory written by a COMPLETED Spark job — the
+    * `_SUCCESS` marker exists. Bare directory existence is never
+    * trusted: Spark creates the target (with `_temporary`) at job
+    * start, so a crashed or still-in-flight write would otherwise be
+    * indistinguishable from a finished one.
+    */
+  private def committed(fs: FileSystem, dir: String): Boolean =
+    fs.exists(new Path(dir, "_SUCCESS"))
+
+  /** Generation numbers under the root whose `edges` write committed.
+    * Uncommitted generations (a crash mid-batch before the edge job's
+    * marker) are invisible — checkpoint replay rewrites them in place.
+    */
+  private def committedGens(s: SparkSession, root: String): Seq[Long] = {
+    val fs = fsOf(s, root)
+    val rootPath = new Path(root)
+    if (!fs.exists(rootPath)) Seq.empty
+    else fs.listStatus(rootPath).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("gen="))
+      .map(_.getPath.getName.stripPrefix("gen=").toLong)
+      .filter(g => committed(fs, s"$root/gen=$g/edges"))
+  }
+
+  /** Current generation number = max committed gen=* dir under the root. */
+  private[graft] def currentGen(s: SparkSession, root: String): Long = {
+    val gens = committedGens(s, root)
     require(gens.nonEmpty, s"IndexStreams: no seed generation under $root — " +
       "write gen=0/edges and gen=0/members before starting the stream")
     gens.max
   }
 
-  /** Latest existing generation at or below `cap` — the stored state a
+  /** Latest committed generation at or below `cap` — the stored state a
     * microbatch folds into. The generation chain may have holes (empty
     * microbatches write nothing), so contiguity cannot be assumed.
     */
-  private[graft] def latestGenAtMost(root: String, cap: Long): Long = {
-    val f = new java.io.File(root)
-    val gens = Option(f.listFiles()).getOrElse(Array.empty)
-      .filter(d => d.isDirectory && d.getName.startsWith("gen="))
-      .map(_.getName.stripPrefix("gen=").toLong)
-      .filter(_ <= cap)
+  private[graft] def latestGenAtMost(s: SparkSession, root: String, cap: Long): Long = {
+    val gens = committedGens(s, root).filter(_ <= cap)
     require(gens.nonEmpty, s"IndexStreams: no generation <= $cap under $root")
     gens.max
   }
 
   /** All member frames up to and including generation `g`: the newest
-    * FULL `members` checkpoint at or below `g` (the seed's gen=0, or a
-    * [[compactMembersAt]] rewrite), plus every later generation's
-    * `newmembers` delta. Starting from the newest full checkpoint —
-    * rather than always from gen=0 — is what lets [[pruneGenerations]]
-    * garbage-collect superseded generations without breaking replay.
+    * COMMITTED full `members` checkpoint at or below `g` (the seed's
+    * gen=0, or a [[compactMembersAt]] rewrite), plus every later
+    * generation's committed `newmembers` delta. Starting from the
+    * newest full checkpoint — rather than always from gen=0 — is what
+    * lets [[pruneGenerations]] garbage-collect superseded generations
+    * without breaking replay. Only `_SUCCESS`-marked writes are ever
+    * selected as a base or as a delta: a crashed compaction or a
+    * mid-flight member write is skipped, and the chain keeps resolving
+    * through the previous committed base.
     */
   private[graft] def membersThrough(s: SparkSession, root: String, g: Long): DataFrame = {
-    val bases = (0L to g).filter(i => new java.io.File(s"$root/gen=$i/members").exists())
+    val fs = fsOf(s, root)
+    val bases = (0L to g).filter(i => committed(fs, s"$root/gen=$i/members"))
     require(bases.nonEmpty, s"IndexStreams: no full members checkpoint <= gen $g " +
       s"under $root — the seed gen=0/members is missing and nothing was compacted")
     val base = bases.max
     val paths = (s"$root/gen=$base/members" +:
       ((base + 1) to g).map(i => s"$root/gen=$i/newmembers"))
-      .filter(p => new java.io.File(p).exists())
+      .filter(p => committed(fs, p))
     paths.map(s.read.parquet(_)).reduce(_.unionByName(_))
   }
 
   /** Materialize the FULL member set at generation `g` as
     * `gen=<g>/members` — a member-chain checkpoint. Idempotent (skips
-    * if the checkpoint already exists) and safe against concurrent
-    * readers: the write target never participates in its own
-    * [[membersThrough]] read set, and existing readers keep resolving
-    * through their old base until the new checkpoint is complete.
+    * only if a COMMITTED checkpoint already exists; a half-written one
+    * from a crashed compaction is overwritten, and until the rewrite's
+    * `_SUCCESS` lands nothing ever reads it) and safe against
+    * concurrent readers: the write target never participates in its
+    * own [[membersThrough]] read set, and existing readers keep
+    * resolving through their old base until the new checkpoint's
+    * marker exists.
     */
   def compactMembersAt(s: SparkSession, root: String, g: Long): Unit = {
-    val target = new java.io.File(s"$root/gen=$g/members")
-    if (!target.exists()) {
+    val target = s"$root/gen=$g/members"
+    if (!committed(fsOf(s, root), target)) {
       membersThrough(s, root, g)
-        .write.mode("overwrite").parquet(target.getPath)
+        .write.mode("overwrite").parquet(target)
     }
   }
 
@@ -102,28 +143,30 @@ object IndexStreams {
     *
     * Contract: only generations STRICTLY BELOW the compacted base are
     * deleted, and the base is ≤ currentGen − keep + 1 — so the stream's
-    * checkpoint replay region (≥ the latest generation) and every
-    * retained serving generation are untouched. A serving tier runs
-    * this periodically behind the read path (`keep ≥ 2` leaves the
-    * previous generation for in-flight readers mid-pointer-swing).
+    * checkpoint replay region and every retained serving generation are
+    * untouched. `keep >= 2` is REQUIRED, not advisory: replay of the
+    * batch that produced the newest generation folds into
+    * `latestGenAtMost(batchId)` — a generation strictly BELOW
+    * currentGen — so at least one older generation must survive any
+    * prune or a post-crash replay finds nothing to fold into and wedges
+    * the stream. (`keep = 2` also leaves the previous generation for
+    * in-flight readers mid-pointer-swing.)
     */
   def pruneGenerations(s: SparkSession, root: String, keep: Int = 2): Long = {
-    require(keep >= 1, s"pruneGenerations: keep must be >= 1, got $keep")
-    val cur = currentGen(root)
+    require(keep >= 2, s"pruneGenerations: keep must be >= 2 (checkpoint replay " +
+      s"of the newest batch folds into a generation BELOW currentGen), got $keep")
+    val cur = currentGen(s, root)
     val cutoff = math.max(cur - keep + 1, 0L)
     // holes: gen=<cutoff> may not exist (empty microbatches write
     // nothing) — the base is the newest EXISTING generation at or below
     // the cutoff, which every retained generation resolves through
-    val base = latestGenAtMost(root, cutoff)
+    val base = latestGenAtMost(s, root, cutoff)
     compactMembersAt(s, root, base)
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-      f.delete()
-    }
-    Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
-      .filter(d => d.isDirectory && d.getName.startsWith("gen=") &&
-        d.getName.stripPrefix("gen=").toLong < base)
-      .foreach(rm)
+    val fs = fsOf(s, root)
+    fs.listStatus(new Path(root)).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("gen=") &&
+        st.getPath.getName.stripPrefix("gen=").toLong < base)
+      .foreach(st => fs.delete(st.getPath, true))
     base
   }
 
@@ -147,14 +190,19 @@ object IndexStreams {
           // wedge the stream (the checkpoint replays into the same hole).
           // Replay stays bit-identical: a crashed write of gen=target is
           // above batchId and thus never selected here.
-          val stored = latestGenAtMost(genRoot, batchId)
+          val stored = latestGenAtMost(s, genRoot, batchId)
           val storedEmb = membersThrough(s, genRoot, stored)
           val storedEdges = s.read.parquet(s"$genRoot/gen=$stored/edges")
           val merged = Ann.nswInsertBatch(storedEmb, storedEdges,
             batch.select(col("vec_id"), col("embedding")), k, nprobe)
-          merged.write.mode("overwrite").parquet(s"$genRoot/gen=$target/edges")
+          // members before edges: the generation only becomes visible
+          // when edges/_SUCCESS lands (committedGens gates on it), so a
+          // crash between the two writes leaves an invisible half-gen
+          // that replay overwrites — never a served generation whose
+          // member delta is missing
           batch.select(col("vec_id"), col("embedding"))
             .write.mode("overwrite").parquet(s"$genRoot/gen=$target/newmembers")
+          merged.write.mode("overwrite").parquet(s"$genRoot/gen=$target/edges")
         }
         ()
       }
@@ -182,14 +230,15 @@ object IndexStreams {
           val target = batchId + 1
           // same hole-tolerant generation pick as the flat stream (an
           // empty microbatch writes nothing; contiguity can't be assumed)
-          val stored = latestGenAtMost(genRoot, batchId)
+          val stored = latestGenAtMost(s, genRoot, batchId)
           val storedEmb = membersThrough(s, genRoot, stored)
           val storedEdges = s.read.parquet(s"$genRoot/gen=$stored/edges")
           val merged = Ann.hnswInsertBatch(storedEmb, storedEdges,
             batch.select(col("vec_id"), col("embedding")), k, nprobe)
-          merged.write.mode("overwrite").parquet(s"$genRoot/gen=$target/edges")
+          // same members-before-edges commit order as the flat stream
           batch.select(col("vec_id"), col("embedding"))
             .write.mode("overwrite").parquet(s"$genRoot/gen=$target/newmembers")
+          merged.write.mode("overwrite").parquet(s"$genRoot/gen=$target/edges")
         }
         ()
       }

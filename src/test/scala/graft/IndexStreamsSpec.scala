@@ -9,12 +9,24 @@ import graft.streaming.IndexStreams
   * batch-proportional insert the keyed `ann_graph_insert` verifies —
   * the house batch-parity proof (30e/30f style): every streamed
   * generation must equal its batch twin exactly.
+  *
+  * Every generation root here is `file:`-SCHEME-QUALIFIED: the r18 port
+  * moved all generation path operations to the Hadoop FileSystem API,
+  * and a scheme'd root is the proof — `java.io.File`-based resolution
+  * would see an empty root at "file:/tmp/..." and throw, while the FS
+  * API resolves the scheme exactly as it would `hdfs://`/`s3a://`.
   */
 class IndexStreamsSpec extends SparkSpec {
   private val dir = "/root/testdata/sf0.001"
 
+  /** (local filesystem path, file:-scheme-qualified twin) */
+  private def schemedTemp(prefix: String): (String, String) = {
+    val l = java.nio.file.Files.createTempDirectory(prefix).toString
+    (l, "file:" + l)
+  }
+
   test("streamed generations equal the sequential batch-insert twins") {
-    val root = java.nio.file.Files.createTempDirectory("graft-idxgen").toString
+    val (_, root) = schemedTemp("graft-idxgen")
     val inDir = java.nio.file.Files.createTempDirectory("graft-idxin").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft-idxck").toString
     val e = Graft.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
@@ -26,7 +38,7 @@ class IndexStreamsSpec extends SparkSpec {
     val seedEdges = Ann.nswStoredGraph(spark, dir, cut1, 4, 3)
     seedEdges.write.parquet(s"$root/gen=0/edges")
     seedEmb.write.parquet(s"$root/gen=0/members")
-    assert(IndexStreams.currentGen(root) === 0L)
+    assert(IndexStreams.currentGen(spark, root) === 0L)
 
     val b1 = e.filter(col("vec_id") >= cut1 && col("vec_id") < cut2)
     val b2 = e.filter(col("vec_id") >= cut2)
@@ -45,7 +57,7 @@ class IndexStreamsSpec extends SparkSpec {
       q.processAllAvailable()
     } finally q.stop()
 
-    assert(IndexStreams.currentGen(root) === 2L)
+    assert(IndexStreams.currentGen(spark, root) === 2L)
     // batch twins, computed sequentially over the same generations
     val twin1 = Ann.nswInsertBatch(seedEmb, seedEdges, b1)
     val got1 = spark.read.parquet(s"$root/gen=1/edges")
@@ -62,7 +74,7 @@ class IndexStreamsSpec extends SparkSpec {
     val members = IndexStreams.membersThrough(spark, root, 2L)
     assert(members.select("vec_id").collect().map(_.getLong(0)).toSet ===
       (0L until n).toSet)
-    info(s"2 streamed generations over ${n} vectors, " +
+    info(s"2 streamed generations over ${n} vectors at a file:-scheme root, " +
       s"batch sizes ${b1.count()}/${b2.count()}, both equal their batch twins")
   }
 
@@ -71,7 +83,7 @@ class IndexStreamsSpec extends SparkSpec {
     // index the layered serving walk reads could not be stream-maintained.
     // Same contract as the flat test: every streamed generation must
     // equal its sequential hnswInsertBatch twin exactly, layer included.
-    val root = java.nio.file.Files.createTempDirectory("graft-hidxgen").toString
+    val (_, root) = schemedTemp("graft-hidxgen")
     val inDir = java.nio.file.Files.createTempDirectory("graft-hidxin").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft-hidxck").toString
     val e = Graft.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
@@ -101,7 +113,7 @@ class IndexStreamsSpec extends SparkSpec {
       assert(q.exception.isEmpty, s"layered maintenance stream failed: ${q.exception}")
     } finally q.stop()
 
-    assert(IndexStreams.currentGen(root) === 2L)
+    assert(IndexStreams.currentGen(spark, root) === 2L)
     val twin1 = Ann.hnswInsertBatch(seedEmb, seedEdges, b1)
     val got1 = spark.read.parquet(s"$root/gen=1/edges")
     assert(edgeSet(got1) === edgeSet(twin1), "layered generation 1 diverged from its batch twin")
@@ -126,7 +138,7 @@ class IndexStreamsSpec extends SparkSpec {
     // the same hole forever. The fix folds into the latest EXISTING
     // generation <= batchId; this drops an empty file between two real
     // batches and asserts the stream sails through the hole.
-    val root = java.nio.file.Files.createTempDirectory("graft-idxgen2").toString
+    val (lroot, root) = schemedTemp("graft-idxgen2")
     val inDir = java.nio.file.Files.createTempDirectory("graft-idxin2").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft-idxck2").toString
     val e = Graft.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
@@ -144,15 +156,16 @@ class IndexStreamsSpec extends SparkSpec {
       // microbatch 0: EMPTY (a quiet interval in production) — no write
       e.filter(lit(false)).coalesce(1).write.mode("append").parquet(inDir)
       q.processAllAvailable()
-      assert(IndexStreams.currentGen(root) === 0L, "empty batch must not write a generation")
+      assert(IndexStreams.currentGen(spark, root) === 0L,
+        "empty batch must not write a generation")
       // microbatch 1: real — folds into gen=0 (the hole at gen=1 is permanent)
       batch.coalesce(1).write.mode("append").parquet(inDir)
       q.processAllAvailable()
       assert(q.exception.isEmpty, s"stream wedged on the hole: ${q.exception}")
     } finally q.stop()
 
-    assert(IndexStreams.currentGen(root) === 2L)
-    assert(!new java.io.File(s"$root/gen=1").exists(), "hole expected at gen=1")
+    assert(IndexStreams.currentGen(spark, root) === 2L)
+    assert(!new java.io.File(s"$lroot/gen=1").exists(), "hole expected at gen=1")
     val twin = Ann.nswInsertBatch(seedEmb, seedEdges, batch)
     def edgeSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double, Long)] =
       df.select(col("src"), col("dst"), col("cos"), col("rn")).collect()
@@ -164,13 +177,69 @@ class IndexStreamsSpec extends SparkSpec {
     assert(members.select("vec_id").collect().map(_.getLong(0)).toSet === (0L until n).toSet)
   }
 
+  test("_SUCCESS gating: partial writes are invisible and recompaction repairs them") {
+    // the r17 advisory: bare directory existence treated a crashed or
+    // in-flight write as a finished checkpoint — a later prune could
+    // then GC the member chain below a corrupt base. Commit detection
+    // is now the _SUCCESS marker: this fabricates a crashed generation
+    // (files on disk, no marker) and asserts it is invisible to every
+    // resolver, then that compaction rewrites it rather than skipping.
+    val (lroot, root) = schemedTemp("graft-succ")
+    val e = Graft.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val n = e.count()
+    val cut = n * 4 / 5
+    val seedEmb = e.filter(col("vec_id") < cut)
+    Ann.nswStoredGraph(spark, dir, cut, 4, 3).write.parquet(s"$root/gen=0/edges")
+    seedEmb.write.parquet(s"$root/gen=0/members")
+
+    // fabricate a CRASHED gen=1: parquet files present, no _SUCCESS
+    // (exactly what a mid-flight FileOutputCommitter job leaves behind)
+    val b = e.filter(col("vec_id") >= cut)
+    b.write.parquet(s"$root/gen=1/newmembers")
+    Ann.nswInsertBatch(seedEmb, spark.read.parquet(s"$root/gen=0/edges"), b)
+      .write.parquet(s"$root/gen=1/edges")
+    Seq("edges", "newmembers").foreach { d =>
+      val ok = new java.io.File(s"$lroot/gen=1/$d/_SUCCESS")
+      assert(ok.exists()); ok.delete()
+    }
+    // also a fake half-written members "checkpoint" at gen=1
+    val fakeMembers = new java.io.File(s"$lroot/gen=1/members/_temporary")
+    fakeMembers.mkdirs()
+
+    // invisible everywhere: the crashed generation is not current, not
+    // a fold base, and neither its member delta nor the half-written
+    // checkpoint enters the chain
+    assert(IndexStreams.currentGen(spark, root) === 0L,
+      "uncommitted generation must not be current")
+    assert(IndexStreams.latestGenAtMost(spark, root, 1L) === 0L,
+      "uncommitted generation must not be a fold base")
+    assert(IndexStreams.membersThrough(spark, root, 1L)
+      .select("vec_id").collect().map(_.getLong(0)).toSet ===
+      (0L until cut).toSet,
+      "member chain must resolve through the committed seed only")
+
+    // compaction at g=1 must NOT skip-on-existence: it rewrites the
+    // half-written members dir into a committed checkpoint
+    IndexStreams.compactMembersAt(spark, root, 1L)
+    assert(new java.io.File(s"$lroot/gen=1/members/_SUCCESS").exists(),
+      "recompaction must produce a committed checkpoint")
+    assert(IndexStreams.membersThrough(spark, root, 1L)
+      .select("vec_id").collect().map(_.getLong(0)).toSet === (0L until cut).toSet)
+
+    // and the GC contract is keep >= 2 (replay of the newest batch
+    // folds into a generation BELOW currentGen)
+    intercept[IllegalArgumentException] {
+      IndexStreams.pruneGenerations(spark, root, keep = 1)
+    }
+  }
+
   test("read-while-write: serving gen=n is identical before and after the gen=n+1 commit") {
     // the deployment's steady state: a serving tier reads generation n
     // WHILE the maintenance stream commits n+1. Generations are
     // immutable (each commit only creates a new gen dir), so a search
     // over gen=n must return bit-identical results before and after the
     // commit — this makes that immutability observable end to end.
-    val root = java.nio.file.Files.createTempDirectory("graft-idxgen3").toString
+    val (lroot, root) = schemedTemp("graft-idxgen3")
     val inDir = java.nio.file.Files.createTempDirectory("graft-idxin3").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft-idxck3").toString
     val e = Graft.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
@@ -209,7 +278,7 @@ class IndexStreamsSpec extends SparkSpec {
     def genFiles(g: Long): Map[String, Long] = {
       def walk(f: java.io.File): Seq[java.io.File] =
         if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
-      walk(new java.io.File(s"$root/gen=$g"))
+      walk(new java.io.File(s"$lroot/gen=$g"))
         .map(f => f.getPath -> f.length()).toMap
     }
 
@@ -223,7 +292,7 @@ class IndexStreamsSpec extends SparkSpec {
       e.filter(col("vec_id") >= cut).coalesce(1).write.mode("append").parquet(inDir)
       q.processAllAvailable()
     } finally q.stop()
-    assert(IndexStreams.currentGen(root) === 1L)
+    assert(IndexStreams.currentGen(spark, root) === 1L)
 
     // gen=0 is untouched on disk and serves bit-identical results
     assert(genFiles(0) === filesBefore, "the commit must not touch the served generation")
@@ -244,7 +313,7 @@ class IndexStreamsSpec extends SparkSpec {
     // then deletes everything below it; every retained generation must
     // reconstruct the same member set, and future inserts folding into
     // the pruned root must equal their unpruned twins.
-    val root = java.nio.file.Files.createTempDirectory("graft-prune").toString
+    val (lroot, root) = schemedTemp("graft-prune")
     val e = Graft.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
     val n = e.count()
     val (c1, c2, c3) = (n * 2 / 5, n * 3 / 5, n * 4 / 5)
@@ -270,11 +339,11 @@ class IndexStreamsSpec extends SparkSpec {
       .select("vec_id").collect().map(_.getLong(0)).toSet
     val base = IndexStreams.pruneGenerations(spark, root, keep = 2)
     assert(base === 1L)
-    assert(!new java.io.File(s"$root/gen=0").exists(),
+    assert(!new java.io.File(s"$lroot/gen=0").exists(),
       "the superseded generation must be deleted")
-    assert(new java.io.File(s"$root/gen=1/members").exists(),
+    assert(new java.io.File(s"$lroot/gen=1/members").exists(),
       "the new base must carry a full member checkpoint")
-    assert(IndexStreams.currentGen(root) === 2L,
+    assert(IndexStreams.currentGen(spark, root) === 2L,
       "pruning must never touch the retained generations")
     val memAfter = IndexStreams.membersThrough(spark, root, 2L)
       .select("vec_id").collect().map(_.getLong(0)).toSet
@@ -304,8 +373,8 @@ class IndexStreamsSpec extends SparkSpec {
     // BYTE-IDENTICAL rows to the keyed (oracle-verified) int8 walk,
     // proving quantization, undirection, the payload join, the entry
     // set and the artifact write/load all compose to the same result.
-    val root = java.nio.file.Files.createTempDirectory("graft-i8pub").toString
-    val out0 = java.nio.file.Files.createTempDirectory("graft-i8art").toString
+    val (_, root) = schemedTemp("graft-i8pub")
+    val out0 = "file:" + java.nio.file.Files.createTempDirectory("graft-i8art").toString
     val e = Graft.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
     Ann.nswGraph(spark, dir).write.parquet(s"$root/gen=0/edges")
     e.write.parquet(s"$root/gen=0/members")
@@ -332,8 +401,8 @@ class IndexStreamsSpec extends SparkSpec {
     // generation, and serve the grown corpus off it
     val n = e.count()
     val cut = n * 4 / 5
-    val root2 = java.nio.file.Files.createTempDirectory("graft-i8pub2").toString
-    val out2 = java.nio.file.Files.createTempDirectory("graft-i8art2").toString
+    val (_, root2) = schemedTemp("graft-i8pub2")
+    val out2 = "file:" + java.nio.file.Files.createTempDirectory("graft-i8art2").toString
     val seedEmb = e.filter(col("vec_id") < cut)
     val seedEdges = Ann.nswStoredGraph(spark, dir, cut, 4, 3)
     seedEdges.write.parquet(s"$root2/gen=0/edges")
@@ -351,5 +420,96 @@ class IndexStreamsSpec extends SparkSpec {
     assert(served.nonEmpty)
     info(s"published int8 artifact equals the live walk (${got.size} rows); " +
       s"post-insert publish serves all $n vectors")
+  }
+
+  test("publishInt8Gen carries the label payload, serving the FILTERED int8 walk") {
+    // the r17 advisory: writtenInt8Gen ships dlabel/nlabel but the
+    // stream publisher did not, so a stream-published artifact could
+    // not serve the filtered quantized walk. With labeled members the
+    // published layout must now match writtenInt8Gen's and serve
+    // graphSearchInt8Filtered's exact rows.
+    val (_, root) = schemedTemp("graft-i8fpub")
+    val outd = "file:" + java.nio.file.Files.createTempDirectory("graft-i8fart").toString
+    val em = Graft.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), col("label"))
+    Ann.nswGraph(spark, dir).write.parquet(s"$root/gen=0/edges")
+    em.write.parquet(s"$root/gen=0/members")
+    val (adj, entry) = Ann.publishInt8Gen(spark,
+      IndexStreams.membersThrough(spark, root, 0L),
+      spark.read.parquet(s"$root/gen=0/edges"), outd)
+    assert(adj.columns.toSet === Set("src", "dst", "dq", "dn8", "dlabel"))
+    assert(entry.columns.toSet === Set("node", "nq", "nn8", "nlabel"))
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long, Double)] =
+      df.select("q_id", "rn", "vec_id", "score").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .sortBy(t => (t._1, t._2)).toSeq
+    val got = rows(Ann.graphSearchInt8FilteredDriverOver(spark, dir, adj, entry,
+      Ann.graphSearchQueries(spark, dir), 4, 32, 8,
+      Ann.GraphSearchFilterMod, Ann.GraphSearchFilterRes))
+    val want = rows(Ann.graphSearchInt8Filtered(spark, dir))
+    assert(got.nonEmpty)
+    assert(got === want,
+      "labeled published artifact diverged from the live filtered int8 walk")
+  }
+
+  test("publishHnswGen publishes the layered serving artifact from a generation root") {
+    // r17 mandate #6: the layered stream (18g3) had no artifact-publish
+    // job — a fleet serving the hierarchy off a maintained root had to
+    // rebuild writtenHnswGen per session. Full-build half: publishing
+    // from a gen=0 seeded with the whole corpus must serve
+    // BYTE-IDENTICAL rows to the keyed (oracle-verified)
+    // ann_hnsw_search_from_gen. Stream half: publishing after an
+    // insert serves the grown corpus, entry set included.
+    val (_, root) = schemedTemp("graft-hpub")
+    val outd = "file:" + java.nio.file.Files.createTempDirectory("graft-hart").toString
+    val em = Graft.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), col("label"))
+    Ann.hnswGraph(spark, dir)
+      .select(col("layer"), col("src"), col("dst"), col("cos"), col("rn"))
+      .write.parquet(s"$root/gen=0/edges")
+    em.write.parquet(s"$root/gen=0/members")
+    val (adj, entry) = Ann.publishHnswGen(spark,
+      IndexStreams.membersThrough(spark, root, 0L),
+      spark.read.parquet(s"$root/gen=0/edges"), outd)
+    assert(adj.columns.toSet === Set("layer", "src", "dst", "dv", "dnrm", "dlabel"))
+    assert(entry.columns.toSet === Set("node", "nv", "level"))
+    val maxLevel = entry.agg(max(col("level"))).collect().head.getLong(0)
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long, Double)] =
+      df.select("q_id", "rn", "vec_id", "score").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .sortBy(t => (t._1, t._2)).toSeq
+    val got = rows(Ann.hnswWalkDriverOver(spark, adj, entry, maxLevel,
+      Ann.graphSearchQueries(spark, dir), 4, 32, 8))
+    val want = rows(Ann.hnswSearchFromGen(spark, dir))
+    assert(got.nonEmpty)
+    assert(got === want,
+      "artifact published from the generation root diverged from the written-gen walk")
+
+    // stream half: seed 4/5, insert the rest, publish gen=1, serve all
+    val e = em.select(col("vec_id"), col("embedding"))
+    val n = e.count()
+    val cut = n * 4 / 5
+    val (_, root2) = schemedTemp("graft-hpub2")
+    val out2 = "file:" + java.nio.file.Files.createTempDirectory("graft-hart2").toString
+    val seedEmb = e.filter(col("vec_id") < cut)
+    val seedEdges = Ann.hnswStoredGraph(spark, dir, cut, 4, 3)
+      .select(col("layer"), col("src"), col("dst"), col("cos"), col("rn"))
+    seedEdges.write.parquet(s"$root2/gen=0/edges")
+    seedEmb.write.parquet(s"$root2/gen=0/members")
+    val b = e.filter(col("vec_id") >= cut)
+    Ann.hnswInsertBatch(seedEmb, seedEdges, b).write.parquet(s"$root2/gen=1/edges")
+    b.write.parquet(s"$root2/gen=1/newmembers")
+    val (adj2, entry2) = Ann.publishHnswGen(spark,
+      IndexStreams.membersThrough(spark, root2, 1L),
+      spark.read.parquet(s"$root2/gen=1/edges"), out2)
+    // label-less members → no payload column, layer 0 serves every vector
+    assert(adj2.columns.toSet === Set("layer", "src", "dst", "dv", "dnrm"))
+    assert(adj2.filter(col("layer") === 0).select("src").distinct().count() === n)
+    val ml2 = entry2.agg(max(col("level"))).collect().head.getLong(0)
+    val served = rows(Ann.hnswWalkDriverOver(spark, adj2, entry2, ml2,
+      Ann.graphSearchQueries(spark, dir), 4, 32, 8))
+    assert(served.nonEmpty)
+    info(s"published layered artifact equals the written-gen walk (${got.size} rows); " +
+      s"post-insert publish serves all $n vectors across ${ml2 + 1}+ levels")
   }
 }

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+import graft.operators.{Ann, Dedup}
+
+/** Round-18 mandate evidence: the ExactSubstr keeper rule without the
+  * 10⁶-position bound, the hashed gram shuffle key, and maxSimPruned's
+  * un-forced candidate broadcast.
+  */
+class Round18OpsSpec extends SparkSpec with AdaptiveSparkPlanHelper {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("substringCut keeper is scale-independent: a >10^6-token doc keeps canonical rank") {
+    // the r17 keeper encoding min(doc_id*1e6 + pos) mis-orders once a
+    // position crosses 1e6: here doc 2's shared span sits at pos
+    // 1,500,001 (old key 3,500,001) while doc 3's sits at pos 3 (old
+    // key 3,000,003) — the OLD rule would crown doc 3 keeper and cut
+    // doc 2; the struct-min total order (2, 1500001) < (3, 3) keeps
+    // doc 2 canonical, independent of document length.
+    val L = 1500000
+    val shared = (0 until 8).map(i => s"s$i")
+    val doc2 = ((0 until L).map(i => s"a$i") ++ shared).mkString(" ")
+    val doc3 = (Seq("b0", "b1") ++ shared).mkString(" ")
+    import spark.implicits._
+    val sf = tempSfDir("documents" -> Seq((2L, doc2), (3L, doc3)).toDF("doc_id", "text"))
+    val out = Dedup.substringCut(spark, sf, 8).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    val (n2, rem2, _) = out(2L)
+    assert(n2 === L + 8L)
+    assert(rem2 === 0L, "the canonical (lowest doc_id) occurrence must never be cut")
+    val (n3, rem3, kept3) = out(3L)
+    assert(n3 === 10L && rem3 === 8L)
+    assert(kept3 === "b0 b1", s"non-keeper span must be cut, got: $kept3")
+  }
+
+  test("hashed gram shuffle key routes equal the string-keyed routes") {
+    // the 128-bit gid replaces the ~50-byte gram string on the corpus's
+    // largest exchange; grouped results must be identical to string
+    // grouping (collision bound 2^-128) — checked on the real corpus
+    // for both the account and the cut
+    val dupH = Dedup.substringDup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val dupS = Dedup.substringDupStringKeyed(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(dupH === dupS, "hash-keyed substringDup diverged from the string-keyed route")
+    assert(dupH.nonEmpty)
+    val cutH = Dedup.substringCut(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    val cutS = Dedup.substringCutStringKeyed(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    assert(cutH === cutS, "hash-keyed substringCut diverged from the string-keyed route")
+    assert(cutH.nonEmpty)
+  }
+
+  test("maxSimPruned's small candidate set still broadcasts (AQE), un-forced") {
+    // the r17 advisory: the candidate-label set is data-dependent, so
+    // its broadcast must not be forced (a low-selectivity probe could
+    // collect an unbounded frame driver-side). At test scale the set is
+    // tiny, so AQE must still pick a broadcast LeftSemi — the fast plan
+    // without the unbounded-collect hazard.
+    val df = Ann.maxSimPruned(spark, dir)
+    df.collect()
+    val semis = collectWithSubqueries(df.queryExecution.executedPlan) {
+      case j: BroadcastHashJoinExec if j.joinType.sql == "LEFT SEMI" => j
+    }
+    assert(semis.nonEmpty,
+      s"expected an AQE-broadcast LeftSemi for the candidate labels:\n" +
+        s"${df.queryExecution.executedPlan}")
+  }
+}
