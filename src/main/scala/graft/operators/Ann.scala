@@ -1249,6 +1249,50 @@ object Ann {
         .select(col("src"), col("dst"), col("dv"), col("dnrm"), col("dlabel"))
     }
 
+  /** Serving-graph connectivity census: cumulative share of the corpus
+    * reachable from the √N entry set within 0..`rounds` BFS hops over
+    * the undirected serving adjacency — the index-health metric behind
+    * every beam-walk recall number (an unreachable island never
+    * surfaces in ANY search, whatever the beam; HNSW papers call this
+    * the connectivity property the long-range links exist to buy).
+    * Stagnating reach across rounds localizes WHERE the graph is
+    * fragmented: a low round-0 share means a too-small entry fanout, a
+    * flat tail means disconnected components.
+    *
+    * Scale shape — frontier-pruned distributed BFS: per round the
+    * adjacency is probed by the FRONTIER only (nodes first reached last
+    * round, shrinking geometrically once coverage saturates), new nodes
+    * drop already-reached ones with an anti join, and both running
+    * frames are lineage-cut per round (the clustersUnionFind iteration
+    * pattern). Driver state is the ROUNDS-sized count list, never a
+    * node set; every node-scaling structure stays distributed. Rounds
+    * are a bounded constant, so the oracle unrolls to a static CTE
+    * chain over the same generated graph.
+    */
+  def graphConnectivity(s: SparkSession, dir: String, rounds: Int = GraphConnRounds): DataFrame = {
+    import s.implicits._
+    val nTot = Graft.tableRows(s, dir, "embeddings")
+    val und = graphSearchIndex(s, dir).select(col("src"), col("dst"))
+    var reached = Graft.embeddings(s, dir)
+      .filter(col("vec_id") < sqrtFanout(nTot))
+      .select(col("vec_id").as("node")).localCheckpoint(true)
+    var frontier = reached
+    val counts = scala.collection.mutable.ArrayBuffer((0L, reached.count()))
+    for (r <- 1 to rounds) {
+      val nbrs = und.join(frontier, col("src") === col("node"))
+        .select(col("dst").as("node")).distinct()
+      frontier = nbrs.join(reached, Seq("node"), "left_anti").localCheckpoint(true)
+      reached = reached.unionByName(frontier).localCheckpoint(true)
+      counts += ((r.toLong, reached.count()))
+    }
+    counts.toSeq.toDF("round", "n_reached")
+      .select(col("round"), col("n_reached"), lit(nTot).as("n_total"),
+        expr(s"n_reached * 1000000 div $nTot").as("reach_micros"))
+  }
+
+  /** BFS depth of the keyed [[graphConnectivity]] census. */
+  val GraphConnRounds: Int = 4
+
   def graphSearch(s: SparkSession, dir: String, k: Int = GraphSearchK,
                   beam: Int = GraphSearchBeam,
                   rounds: Int = GraphSearchRounds): DataFrame = {
@@ -4872,6 +4916,26 @@ object Ann {
          |$duckNswTopk
          |SELECT t.src, t.dst, t.cos, t.rn, (r.src IS NOT NULL) AS mutual
          |FROM topk t LEFT JOIN topk r ON t.src = r.dst AND t.dst = r.src""".stripMargin,
+    "ann_graph_connectivity" -> {
+      val steps = (1 to GraphConnRounds).map { r =>
+        s"""cc$r AS MATERIALIZED (SELECT DISTINCT node FROM (
+           |  SELECT node FROM cc${r - 1} UNION ALL
+           |  SELECT u.dst AS node FROM cc${r - 1} s JOIN gund u ON u.src = s.node))""".stripMargin
+      }.mkString(",\n")
+      val rows = (0 to GraphConnRounds).map(r =>
+        s"SELECT CAST($r AS BIGINT) AS round, " +
+          s"(SELECT CAST(count(*) AS BIGINT) FROM cc$r) AS n_reached")
+        .mkString("\nUNION ALL ")
+      s"""WITH $duckE,
+         |$duckNswTopk,
+         |gund AS MATERIALIZED (SELECT src, dst FROM topk UNION SELECT dst, src FROM topk),
+         |cc0 AS MATERIALIZED (SELECT cid AS node FROM c),
+         |$steps,
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM e)
+         |SELECT r.round, r.n_reached, n.n_total,
+         | r.n_reached * 1000000 // n.n_total AS reach_micros
+         |FROM ($rows) r, n""".stripMargin
+    },
     "ann_graph_sharded" -> duckShardedSql,
     "ann_graph_insert" -> duckGraphInsertSql,
     "ann_hnsw_insert" -> duckHnswInsertSql,

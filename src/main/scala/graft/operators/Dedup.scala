@@ -1163,6 +1163,44 @@ object Dedup {
         (col("n_tokens") - col("n_kept")).as("n_removed"), col("retained_text"))
   }
 
+  /** Benchmark decontamination at 13-gram granularity (the GPT-3
+    * appendix-C / Lee et al. hygiene pass every training pipeline runs
+    * before release): a training document is CONTAMINATED at a position
+    * when its 13-token window also occurs in the held-out evaluation
+    * set; per training doc this reports total positions, contaminated
+    * positions, and the flag. The eval set here is the deterministic
+    * `doc_id % evalMod == 0` slice — the stand-in for a benchmark
+    * suite, which in production is just another documents table unioned
+    * in with a marker column.
+    *
+    * Plan — [[substringDup]]'s single-scan shape with the eval census
+    * in the window: one codegen'd 13-gram explode carrying the eval
+    * flag, the per-gram eval-occurrence count as a sum-over-gid window
+    * (ONE corpus-scaling exchange, keyed by the same 16-byte 128-bit
+    * `gid` hash — the gram string never shuffles), then the per-doc
+    * rollup over training rows only. No pair join, no second corpus
+    * scan: eval-side and train-side ride the same gram stream.
+    */
+  def decontaminate(s: SparkSession, dir: String, k: Int = 13,
+                    evalMod: Long = 50L): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("gid"))
+    Graft.documents(s, dir)
+      .select(col("doc_id"), expr("split(lower(text), '\\\\s+')").as("toks"))
+      .filter(expr(s"size(toks) >= $k"))
+      .select(col("doc_id"),
+        explode(expr(s"transform(sequence(1, size(toks) - ${k - 1}), j -> " +
+          s"array_join(slice(toks, j, $k), ' '))")).as("gram"))
+      .select(col("doc_id"), gramId(col("gram")).as("gid"),
+        (pmod(col("doc_id"), lit(evalMod)) === 0L).as("ev"))
+      .withColumn("n_eval", sum(when(col("ev"), 1L).otherwise(0L)).over(w))
+      .filter(!col("ev"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("n_eval") > 0, 1L).otherwise(0L)).as("n_contaminated"))
+      .select(col("doc_id"), col("n_grams"), col("n_contaminated"),
+        (col("n_contaminated") > 0).cast("long").as("contaminated"))
+  }
+
   private val duckShingles =
     """t AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents
       |      WHERE len(string_split_regex(text, '\s+')) >= 3),
@@ -1227,6 +1265,20 @@ object Dedup {
         |        FROM dg JOIN nd USING (gram) GROUP BY 1)
         |SELECT doc_id, n_grams, n_dup, n_dup * 1000000 // n_grams AS dup_frac_micros
         |FROM per""".stripMargin,
+    "dedup_decontaminate" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+        |  FROM documents),
+        |g AS (SELECT doc_id, array_to_string(toks[j:j+12], ' ') AS gram
+        |      FROM t, unnest(range(1, len(toks) - 11)) u(j) WHERE len(toks) >= 13),
+        |ge AS (SELECT doc_id,
+        |        CAST(sum(CASE WHEN doc_id % 50 = 0 THEN 1 ELSE 0 END)
+        |             OVER (PARTITION BY gram) AS BIGINT) AS n_eval
+        |       FROM g),
+        |tr AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |        CAST(sum(CASE WHEN n_eval > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated
+        |       FROM ge WHERE doc_id % 50 != 0 GROUP BY 1)
+        |SELECT doc_id, n_grams, n_contaminated,
+        | CAST(n_contaminated > 0 AS BIGINT) AS contaminated FROM tr""".stripMargin,
     "dedup_substring_cut" ->
       """WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
         |  FROM documents),

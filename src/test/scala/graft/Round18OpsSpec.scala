@@ -54,6 +54,44 @@ class Round18OpsSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(cutH.nonEmpty)
   }
 
+  test("decontaminate flags exactly the training docs sharing a 13-gram with the eval slice") {
+    // planted corpus: doc 0 IS the eval slice (0 % 50 == 0); doc 1
+    // embeds doc 0's 13-token window verbatim mid-document; doc 2 is
+    // clean but long enough to emit grams. Only doc 1 may be flagged,
+    // with exactly the positions whose window matches.
+    val evalSpan = (0 until 13).map(i => s"e$i")
+    val doc0 = (evalSpan ++ Seq("tail0")).mkString(" ")
+    val doc1 = (Seq("pre0", "pre1") ++ evalSpan ++ Seq("post0")).mkString(" ")
+    val doc2 = (0 until 20).map(i => s"c$i").mkString(" ")
+    import spark.implicits._
+    val sf = tempSfDir("documents" ->
+      Seq((0L, doc0), (1L, doc1), (51L, doc2)).toDF("doc_id", "text"))
+    val out = Dedup.decontaminate(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(!out.contains(0L), "the eval slice itself must not be reported")
+    // doc 1: 16 tokens -> 4 positions; only pos 3 (the verbatim span) hits
+    assert(out(1L) === ((4L, 1L, 1L)))
+    assert(out(51L) === ((8L, 0L, 0L)))
+  }
+
+  test("graphConnectivity is a monotone census reaching the full corpus") {
+    val out = Ann.graphConnectivity(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(out.map(_._1) === (0L to Ann.GraphConnRounds.toLong).toArray)
+    val n = out.head._3
+    // round 0 is the entry set; reach is monotone nondecreasing, never
+    // exceeds the corpus, and micros are consistent with the counts
+    assert(out.head._2 === Ann.sqrtFanout(n))
+    out.sliding(2).foreach { case Array(a, b) => assert(b._2 >= a._2); case _ => () }
+    out.foreach { case (_, r, t, m) =>
+      assert(r <= t && m === r * 1000000L / t)
+    }
+    // the sf0.001 serving graph is fully connected within the census
+    // horizon — the healthy-index baseline the metric exists to monitor
+    assert(out.last._2 === n, s"expected full reach, got ${out.last._2}/$n")
+  }
+
   test("maxSimPruned's small candidate set still broadcasts (AQE), un-forced") {
     // the r17 advisory: the candidate-label set is data-dependent, so
     // its broadcast must not be forced (a low-selectivity probe could
