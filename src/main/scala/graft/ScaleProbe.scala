@@ -355,9 +355,9 @@ object ScaleProbe {
           Thread.sleep(2000) // drain the listener bus
           (sec, n, tally.get())
         }
-        val (hs, nh, hb) = route(operators.Dedup.substringDup(spark, dir)
+        val (hs, nh, hb) = route(operators.Dedup.substringDupHashKeyed(spark, dir)
           .agg(sum(col("n_dup"))).collect()(0).getLong(0))
-        val (ss, ns, sb) = route(operators.Dedup.substringDupStringKeyed(spark, dir)
+        val (ss, ns, sb) = route(operators.Dedup.substringDup(spark, dir)
           .agg(sum(col("n_dup"))).collect()(0).getLong(0))
         require(nh == ns, s"hash/string substring routes diverged: $nh != $ns")
         spark.sparkContext.removeSparkListener(listener)

@@ -1055,31 +1055,38 @@ object Dedup {
     * (window, not a self-join: no recompute of the gram subtree), and
     * the final per-doc rollup. Everything is linear in corpus positions;
     * there is no pair join, so boilerplate mega-df grams cost one
-    * window partition, never a quadratic candidate set. At 100 TB the
-    * only constant worth cutting is the gram string itself as shuffle
-    * key (~50 bytes for k=8): the gram is REPLACED at explode time by a
-    * 128-bit composite hash `gid` = (xxhash64(gram), xxhash64(gram, 1))
-    * — 16 fixed bytes on the corpus's largest exchange, a ~3–4× volume
-    * cut, with a 2⁻¹²⁸ collision bound that makes the grouped counts
-    * equal to string-keyed grouping for any physical corpus. The
-    * string-keyed route ([[substringDupStringKeyed]]) is retained as
-    * the spec's cross-check against the string-grouping DuckDB oracle.
+    * window partition, never a quadratic candidate set.
+    *
+    * Shuffle-key choice — MEASURED, r18 (substr ScaleProbe,
+    * docs/bench_r18_substr_hashkey.md): replacing the ~50-byte gram
+    * string with the 16-byte 128-bit [[gramId]] hash cuts the
+    * compressed exchange volume 1.44×/1.56×/1.68× at 10×/30×/100× (LZ4
+    * shuffle compression already squeezes repetitive gram text, so the
+    * raw 3–4× key-width cut lands much smaller on the wire) — but LOCAL
+    * wall time is 10% (30×) to 44% (100×) SLOWER: two xxhash64 passes
+    * over every gram plus struct-key hash-aggregation cost more than
+    * the bytes save when shuffle is memory/local-disk-bound. The STRING
+    * key is therefore the default; [[substringDupHashKeyed]] is the
+    * deployment variant for network-bound fleets where exchange bytes,
+    * not CPU, are the binding constraint — equality of the two routes
+    * is spec-pinned (2⁻¹²⁸ collision bound).
     */
   def substringDup(s: SparkSession, dir: String, k: Int = 8): DataFrame =
-    substringDupBy(s, dir, k, gramId)
+    substringDupBy(s, dir, k, identity)
 
-  /** The gram shuffle key: a 128-bit composite hash of the gram string
-    * (two independently seeded xxhash64 lanes), computed INSIDE the
-    * explode projection so the string itself never enters an exchange.
+  /** The alternative gram shuffle key: a 128-bit composite hash of the
+    * gram string (two independently seeded xxhash64 lanes), computed
+    * INSIDE the explode projection so the string itself never enters an
+    * exchange. See [[substringDup]] for the measured trade.
     */
-  private def gramId(gram: Column): Column =
+  private[graft] def gramId(gram: Column): Column =
     struct(xxhash64(gram).as("h1"), xxhash64(gram, lit(1L)).as("h2"))
 
-  /** String-keyed route of [[substringDup]] — the oracle-identical
-    * grouping, kept for the spec's hash-vs-string equality check.
+  /** Hash-keyed route of [[substringDup]] — the network-bound-fleet
+    * variant (1.7× fewer exchange bytes at 100×, slower locally).
     */
-  private[graft] def substringDupStringKeyed(s: SparkSession, dir: String, k: Int = 8): DataFrame =
-    substringDupBy(s, dir, k, identity)
+  private[graft] def substringDupHashKeyed(s: SparkSession, dir: String, k: Int = 8): DataFrame =
+    substringDupBy(s, dir, k, gramId)
 
   private def substringDupBy(s: SparkSession, dir: String, k: Int,
                              key: Column => Column): DataFrame = {
@@ -1117,20 +1124,21 @@ object Dedup {
     * indices, and one anti join + per-doc ordered fold rebuilds the
     * text. Every exchange keys on corpus-scaling (gram / (doc, idx) /
     * doc) columns and combines map-side; per-doc state is bounded by
-    * document length. The gram key is the same 16-byte 128-bit hash
-    * `gid` as [[substringDup]]'s (string dropped before the exchange);
-    * the keeper is `min(struct(doc_id, pos))` — a total order with no
-    * document-length bound (the r17 doc_id·10⁶ + pos encoding silently
-    * mis-picked past 10⁶ token positions; the struct-min is
-    * scale-independent and the DuckDB oracle mirrors it with the same
-    * lexicographic struct min).
+    * document length. The gram exchanges default to the string key
+    * (the measured local winner — see [[substringDup]]'s trade note;
+    * [[substringCutHashKeyed]] is the network-bound variant on the
+    * 16-byte [[gramId]]); the keeper is `min(struct(doc_id, pos))` — a
+    * total order with no document-length bound (the r17 doc_id·10⁶ +
+    * pos encoding silently mis-picked past 10⁶ token positions; the
+    * struct-min is scale-independent and the DuckDB oracle mirrors it
+    * with the same lexicographic struct min).
     */
   def substringCut(s: SparkSession, dir: String, k: Int = 8): DataFrame =
-    substringCutBy(s, dir, k, gramId)
-
-  /** String-keyed route of [[substringCut]] — the spec's cross-check. */
-  private[graft] def substringCutStringKeyed(s: SparkSession, dir: String, k: Int = 8): DataFrame =
     substringCutBy(s, dir, k, identity)
+
+  /** Hash-keyed route of [[substringCut]] — the network-bound variant. */
+  private[graft] def substringCutHashKeyed(s: SparkSession, dir: String, k: Int = 8): DataFrame =
+    substringCutBy(s, dir, k, gramId)
 
   private def substringCutBy(s: SparkSession, dir: String, k: Int,
                              key: Column => Column): DataFrame = {
@@ -1175,11 +1183,12 @@ object Dedup {
     *
     * Plan — [[substringDup]]'s single-scan shape with the eval census
     * in the window: one codegen'd 13-gram explode carrying the eval
-    * flag, the per-gram eval-occurrence count as a sum-over-gid window
-    * (ONE corpus-scaling exchange, keyed by the same 16-byte 128-bit
-    * `gid` hash — the gram string never shuffles), then the per-doc
-    * rollup over training rows only. No pair join, no second corpus
-    * scan: eval-side and train-side ride the same gram stream.
+    * flag, the per-gram eval-occurrence count as a sum-over-gram window
+    * (ONE corpus-scaling exchange; the string key is the measured local
+    * winner — see [[substringDup]]'s trade note, [[gramId]] is the
+    * network-bound alternative), then the per-doc rollup over training
+    * rows only. No pair join, no second corpus scan: eval-side and
+    * train-side ride the same gram stream.
     */
   def decontaminate(s: SparkSession, dir: String, k: Int = 13,
                     evalMod: Long = 50L): DataFrame = {
@@ -1190,7 +1199,7 @@ object Dedup {
       .select(col("doc_id"),
         explode(expr(s"transform(sequence(1, size(toks) - ${k - 1}), j -> " +
           s"array_join(slice(toks, j, $k), ' '))")).as("gram"))
-      .select(col("doc_id"), gramId(col("gram")).as("gid"),
+      .select(col("doc_id"), col("gram").as("gid"),
         (pmod(col("doc_id"), lit(evalMod)) === 0L).as("ev"))
       .withColumn("n_eval", sum(when(col("ev"), 1L).otherwise(0L)).over(w))
       .filter(!col("ev"))

@@ -51,49 +51,23 @@ import graft.operators.Ann
   */
 object IndexStreams {
 
-  private def fsOf(s: SparkSession, root: String): FileSystem =
-    new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
-
-  /** A parquet directory written by a COMPLETED Spark job — the
-    * `_SUCCESS` marker exists. Bare directory existence is never
-    * trusted: Spark creates the target (with `_temporary`) at job
-    * start, so a crashed or still-in-flight write would otherwise be
-    * indistinguishable from a finished one.
+  /** Current generation number = max committed gen=* dir under the
+    * root; a generation is committed once its `edges` job dropped its
+    * `_SUCCESS` marker (the dir the sink writes LAST). All semantics —
+    * scheme-aware FileSystem resolution, marker-gated commits, chained
+    * full+delta state, keep>=2 pruning — live in the shared
+    * [[GenFs]] core; this object binds them to the index layout
+    * (commit = `edges`, chain = `members` + `newmembers`).
     */
-  private def committed(fs: FileSystem, dir: String): Boolean =
-    fs.exists(new Path(dir, "_SUCCESS"))
-
-  /** Generation numbers under the root whose `edges` write committed.
-    * Uncommitted generations (a crash mid-batch before the edge job's
-    * marker) are invisible — checkpoint replay rewrites them in place.
-    */
-  private def committedGens(s: SparkSession, root: String): Seq[Long] = {
-    val fs = fsOf(s, root)
-    val rootPath = new Path(root)
-    if (!fs.exists(rootPath)) Seq.empty
-    else fs.listStatus(rootPath).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("gen="))
-      .map(_.getPath.getName.stripPrefix("gen=").toLong)
-      .filter(g => committed(fs, s"$root/gen=$g/edges"))
-  }
-
-  /** Current generation number = max committed gen=* dir under the root. */
-  private[graft] def currentGen(s: SparkSession, root: String): Long = {
-    val gens = committedGens(s, root)
-    require(gens.nonEmpty, s"IndexStreams: no seed generation under $root — " +
-      "write gen=0/edges and gen=0/members before starting the stream")
-    gens.max
-  }
+  private[graft] def currentGen(s: SparkSession, root: String): Long =
+    GenFs.currentGen(s, root, "edges")
 
   /** Latest committed generation at or below `cap` — the stored state a
     * microbatch folds into. The generation chain may have holes (empty
     * microbatches write nothing), so contiguity cannot be assumed.
     */
-  private[graft] def latestGenAtMost(s: SparkSession, root: String, cap: Long): Long = {
-    val gens = committedGens(s, root).filter(_ <= cap)
-    require(gens.nonEmpty, s"IndexStreams: no generation <= $cap under $root")
-    gens.max
-  }
+  private[graft] def latestGenAtMost(s: SparkSession, root: String, cap: Long): Long =
+    GenFs.latestGenAtMost(s, root, cap, "edges")
 
   /** All member frames up to and including generation `g`: the newest
     * COMMITTED full `members` checkpoint at or below `g` (the seed's
@@ -106,17 +80,8 @@ object IndexStreams {
     * mid-flight member write is skipped, and the chain keeps resolving
     * through the previous committed base.
     */
-  private[graft] def membersThrough(s: SparkSession, root: String, g: Long): DataFrame = {
-    val fs = fsOf(s, root)
-    val bases = (0L to g).filter(i => committed(fs, s"$root/gen=$i/members"))
-    require(bases.nonEmpty, s"IndexStreams: no full members checkpoint <= gen $g " +
-      s"under $root — the seed gen=0/members is missing and nothing was compacted")
-    val base = bases.max
-    val paths = (s"$root/gen=$base/members" +:
-      ((base + 1) to g).map(i => s"$root/gen=$i/newmembers"))
-      .filter(p => committed(fs, p))
-    paths.map(s.read.parquet(_)).reduce(_.unionByName(_))
-  }
+  private[graft] def membersThrough(s: SparkSession, root: String, g: Long): DataFrame =
+    GenFs.chainThrough(s, root, g, "members", "newmembers")
 
   /** Materialize the FULL member set at generation `g` as
     * `gen=<g>/members` — a member-chain checkpoint. Idempotent (skips
@@ -128,13 +93,8 @@ object IndexStreams {
     * resolving through their old base until the new checkpoint's
     * marker exists.
     */
-  def compactMembersAt(s: SparkSession, root: String, g: Long): Unit = {
-    val target = s"$root/gen=$g/members"
-    if (!committed(fsOf(s, root), target)) {
-      membersThrough(s, root, g)
-        .write.mode("overwrite").parquet(target)
-    }
-  }
+  def compactMembersAt(s: SparkSession, root: String, g: Long): Unit =
+    GenFs.compactAt(s, root, g, "members", "newmembers")
 
   /** Generation GC: retain the newest `keep` generations and delete
     * everything older, first compacting the member chain into the
@@ -142,33 +102,18 @@ object IndexStreams {
     * reconstructs its full member set. Returns the new base generation.
     *
     * Contract: only generations STRICTLY BELOW the compacted base are
-    * deleted, and the base is ≤ currentGen − keep + 1 — so the stream's
-    * checkpoint replay region and every retained serving generation are
-    * untouched. `keep >= 2` is REQUIRED, not advisory: replay of the
-    * batch that produced the newest generation folds into
+    * deleted, and the base is <= currentGen - keep + 1 — so the
+    * stream's checkpoint replay region and every retained serving
+    * generation are untouched. `keep >= 2` is REQUIRED, not advisory:
+    * replay of the batch that produced the newest generation folds into
     * `latestGenAtMost(batchId)` — a generation strictly BELOW
     * currentGen — so at least one older generation must survive any
     * prune or a post-crash replay finds nothing to fold into and wedges
     * the stream. (`keep = 2` also leaves the previous generation for
     * in-flight readers mid-pointer-swing.)
     */
-  def pruneGenerations(s: SparkSession, root: String, keep: Int = 2): Long = {
-    require(keep >= 2, s"pruneGenerations: keep must be >= 2 (checkpoint replay " +
-      s"of the newest batch folds into a generation BELOW currentGen), got $keep")
-    val cur = currentGen(s, root)
-    val cutoff = math.max(cur - keep + 1, 0L)
-    // holes: gen=<cutoff> may not exist (empty microbatches write
-    // nothing) — the base is the newest EXISTING generation at or below
-    // the cutoff, which every retained generation resolves through
-    val base = latestGenAtMost(s, root, cutoff)
-    compactMembersAt(s, root, base)
-    val fs = fsOf(s, root)
-    fs.listStatus(new Path(root)).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("gen=") &&
-        st.getPath.getName.stripPrefix("gen=").toLong < base)
-      .foreach(st => fs.delete(st.getPath, true))
-    base
-  }
+  def pruneGenerations(s: SparkSession, root: String, keep: Int = 2): Long =
+    GenFs.prune(s, root, keep, "edges", "members", "newmembers")
 
   /** Start the maintenance stream: `vecStream` is a streaming frame of
     * (vec_id, embedding) arrivals (ids dense above the stored corpus —
