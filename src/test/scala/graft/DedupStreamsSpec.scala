@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.streaming.{DedupStreams, IndexStreams}
+
+/** Streaming exact-dedup over versioned fingerprint generations: the
+  * ingest-edge pass that keeps only first-seen texts across
+  * microbatches. House batch-parity proof: the streamed survivor set
+  * must equal the batch exact-dedup over the union corpus (duplicate
+  * ids constructed so first-arrival copies carry the smaller id, making
+  * the two canonical rules coincide). Scheme-qualified roots throughout
+  * (the GenFs core resolves file:/hdfs:/s3a: alike).
+  */
+class DedupStreamsSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  private def schemedTemp(prefix: String): String =
+    "file:" + java.nio.file.Files.createTempDirectory(prefix).toString
+
+  /** Batch twin: sha2 exact dedup (min doc_id per text) over a corpus. */
+  private def exactTwin(docs: org.apache.spark.sql.DataFrame): Set[(Long, String)] =
+    docs.select(col("doc_id"), sha2(col("text"), 256).as("fp"))
+      .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"), col("fp"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+
+  private def seedEmpty(root: String): Unit = {
+    import spark.implicits._
+    Seq.empty[String].toDF("fp")
+      .write.parquet(s"$root/gen=0/fingerprints")
+    Seq.empty[(Long, String)].toDF("doc_id", "fp")
+      .write.parquet(s"$root/gen=0/kept")
+  }
+
+  test("streamed survivors equal the batch exact-dedup over the union corpus") {
+    val root = schemedTemp("graft-dds")
+    val inDir = java.nio.file.Files.createTempDirectory("graft-ddsin").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ddsck").toString
+    seedEmpty(root)
+    val d = Graft.documents(spark, dir).select(col("doc_id"), col("text"))
+    val n = d.count()
+    val cut = n / 2
+    val b1 = d.filter(col("doc_id") < cut)
+    // batch 2: fresh docs + CROSS-BATCH dups (batch-1 texts under new,
+    // LARGER ids) + a WITHIN-BATCH dup pair (two new ids, same text)
+    val crossDups = b1.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+    val withinDup = d.filter(col("doc_id") === cut)
+      .select((col("doc_id") + 200000L).as("doc_id"), col("text"))
+    val b2 = d.filter(col("doc_id") >= cut).unionByName(crossDups).unionByName(withinDup)
+
+    val q = DedupStreams.maintainExactDedup(
+      IndexStreams.fromParquetDir(spark, inDir, d), root, ckpt)
+    try {
+      b1.coalesce(1).write.mode("append").parquet(inDir)
+      q.processAllAvailable()
+      b2.coalesce(1).write.mode("append").parquet(inDir)
+      q.processAllAvailable()
+      assert(q.exception.isEmpty, s"dedup stream failed: ${q.exception}")
+    } finally q.stop()
+
+    // generation 1 = batch-1 survivors; generation 2 = batch-2 novel
+    val kept1 = spark.read.parquet(s"$root/gen=1/kept")
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("fp"))).toSet
+    assert(kept1 === exactTwin(b1), "generation 1 diverged from its batch twin")
+    val streamed = DedupStreams.keptThrough(spark, root, 2L)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("fp"))).toSet
+    // first-arrival ids are smaller by construction, so the streamed
+    // survivors equal the global batch dedup of the union corpus
+    assert(streamed === exactTwin(b1.unionByName(b2)),
+      "streamed survivor set diverged from the batch exact-dedup twin")
+    // every cross-batch and within-batch duplicate was dropped
+    val dupIds = streamed.map(_._1).filter(_ >= 100000L)
+    assert(dupIds.isEmpty, s"duplicate copies survived: $dupIds")
+    info(s"${streamed.size} survivors across 2 generations equal the batch twin " +
+      s"(${crossDups.count()} cross-batch + 1 within-batch dups dropped)")
+  }
+
+  test("pruning keeps the dedup decision state: post-prune batches still dedup") {
+    val root = schemedTemp("graft-ddsp")
+    seedEmpty(root)
+    val d = Graft.documents(spark, dir).select(col("doc_id"), col("text"))
+    val n = d.count()
+    val (c1, c2) = (n * 2 / 5, n * 4 / 5)
+    // two sequential generations written directly (the foreachBatch
+    // body's exact writes), then prune, then a third fold
+    def writeGen(g: Long, batch: org.apache.spark.sql.DataFrame): Unit = {
+      val stored = g - 1
+      val seen = DedupStreams.fingerprintsThrough(spark, root, stored).select(col("fp"))
+      val kept = batch.select(col("doc_id"), sha2(col("text"), 256).as("fp"))
+        .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+        .join(seen, Seq("fp"), "left_anti")
+      kept.select(col("fp")).write.parquet(s"$root/gen=$g/newfingerprints")
+      kept.select(col("doc_id"), col("fp")).write.parquet(s"$root/gen=$g/kept")
+    }
+    writeGen(1L, d.filter(col("doc_id") < c1))
+    writeGen(2L, d.filter(col("doc_id") >= c1 && col("doc_id") < c2))
+    val seenBefore = DedupStreams.fingerprintsThrough(spark, root, 2L)
+      .collect().map(_.getString(0)).toSet
+
+    val base = DedupStreams.pruneGenerations(spark, root, keep = 2)
+    assert(base === 1L)
+    assert(!new java.io.File(root.stripPrefix("file:") + "/gen=0").exists())
+    // the fingerprint chain survives compaction intact
+    val seenAfter = DedupStreams.fingerprintsThrough(spark, root, 2L)
+      .collect().map(_.getString(0)).toSet
+    assert(seenAfter === seenBefore, "pruning changed the seen-fingerprint set")
+
+    // a post-prune batch re-sending ALL earlier texts + genuinely new
+    // ones keeps only the new ones
+    val replay = d.filter(col("doc_id") < c2)
+      .select((col("doc_id") + 300000L).as("doc_id"), col("text"))
+    val fresh = d.filter(col("doc_id") >= c2)
+    writeGen(3L, replay.unionByName(fresh))
+    val kept3 = spark.read.parquet(s"$root/gen=3/kept")
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("fp"))).toSet
+    assert(kept3 === exactTwin(fresh),
+      "post-prune generation re-admitted texts the pruned generations had seen")
+    info(s"prune to base $base kept ${seenAfter.size} fingerprints; " +
+      s"post-prune fold admitted only the ${kept3.size} novel texts")
+  }
+}
