@@ -1176,7 +1176,14 @@ object Dedup {
     * before release): a training document is CONTAMINATED at a position
     * when its 13-token window also occurs in the held-out evaluation
     * set; per training doc this reports total positions, contaminated
-    * positions, and the flag. The eval set here is the deterministic
+    * positions, and the flag. This is the EXHAUSTIVE position-level
+    * complement of the keyed `text_decontam`/`text_contam_frac`
+    * (TextAnalysis.decontaminate), which test winnowing-SAMPLED
+    * fingerprints — the same exhaustive-vs-sampled split the dedup
+    * family draws between [[substringDup]] and `dedup_winnow_pairs`:
+    * sampling can miss a short verbatim span between fingerprint
+    * picks; the position account cannot, and it names the exact spans
+    * to cut rather than a document-level score. The eval set here is the deterministic
     * `doc_id % evalMod == 0` slice — the stand-in for a benchmark
     * suite, which in production is just another documents table unioned
     * in with a marker column.
