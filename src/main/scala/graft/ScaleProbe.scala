@@ -366,6 +366,19 @@ object ScaleProbe {
           "string_sec" -> ss, "string_shuffle_bytes" -> sb,
           "dup_positions" -> nh)
       }
+      if (probes("conn")) {
+        // r18: frontier-BFS connectivity census scaling — the census
+        // rides the memoized serving index, so the probe separates the
+        // build from the 4-round frontier walk; final-round reach shows
+        // whether the dup-heavy scaled corpus stays fully connected
+        val (bsec, _) = time(operators.Ann.nswGraph(spark, dir).count())
+        val (csec, rows) = time(operators.Ann.graphConnectivity(spark, dir).collect())
+        val last = rows.maxBy(_.getLong(0))
+        emit("probe" -> "graph_connectivity", "scale" -> s"${mult}x",
+          "build_sec" -> bsec, "census_sec" -> csec,
+          "n_total" -> last.getLong(2), "reach_final" -> last.getLong(1),
+          "reach_micros" -> last.getLong(3))
+      }
       if (probes("hinsert")) {
         // layered-insert cost contract: marginal insert work ∝ batch,
         // vs the full layered rebuild as the yardstick

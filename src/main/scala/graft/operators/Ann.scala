@@ -2487,7 +2487,7 @@ object Ann {
     * [[hnswSearchFiltered]]): [[hnswWalkDriver]]'s descent + the flat
     * filtered walk's dual base state, bounded by the request.
     */
-  private def hnswWalkFilteredDriver(s: SparkSession, dir: String, undL: DataFrame,
+  private[graft] def hnswWalkFilteredDriver(s: SparkSession, dir: String, undL: DataFrame,
                                      queries: DataFrame, k: Int, beam: Int, rounds: Int,
                                      fMod: Long, fRes: Long,
                                      byId: Boolean = false): DataFrame = {

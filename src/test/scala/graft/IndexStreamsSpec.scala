@@ -484,6 +484,16 @@ class IndexStreamsSpec extends SparkSpec {
     assert(got.nonEmpty)
     assert(got === want,
       "artifact published from the generation root diverged from the written-gen walk")
+    // the dlabel payload rides the published adjacency, so the FILTERED
+    // hierarchical walk serves off the same artifact — full publish
+    // parity with the live writtenHnswGen route
+    val gotF = rows(Ann.hnswWalkFilteredDriver(spark, dir, adj,
+      Ann.graphSearchQueries(spark, dir), 4, 32, 8,
+      Ann.GraphSearchFilterMod, Ann.GraphSearchFilterRes))
+    val wantF = rows(Ann.hnswSearchFilteredFromGen(spark, dir))
+    assert(gotF.nonEmpty)
+    assert(gotF === wantF,
+      "filtered walk over the published artifact diverged from the written-gen route")
 
     // stream half: seed 4/5, insert the rest, publish gen=1, serve all
     val e = em.select(col("vec_id"), col("embedding"))
