@@ -1094,6 +1094,58 @@ object TextAnalysis {
     * aggregate with a one-row total, and two broadcast join-backs — the
     * corpus-sized stream is shuffled once, pre-reduced.
     */
+  /** Curriculum-ordered mixture interleave: the deterministic global
+    * training order a data loader consumes — each source's documents
+    * ranked easy→hard (n_chars ascending, the classic length
+    * curriculum; doc_id tie-break), then the sources round-robin
+    * interleaved so every window of the schedule preserves the mixture
+    * (`interleave_pos` = (rank−1)·n_sources + source_index). Short
+    * docs from every source lead, long ones trail, and no source ever
+    * monopolizes a stretch of the schedule — curriculum + mixture in
+    * one total order.
+    *
+    * Scale shape — the per-source GLOBAL rank is computed WITHOUT a
+    * per-source window sort (a source is terabytes at 100 TB; one
+    * window partition per source is the single-task-sort shape the
+    * layered build banned): a (source, n_chars) census aggregate
+    * (map-side combinable, output ≈ sources × distinct lengths) gets a
+    * cumulative count over the TINY aggregated frame, broadcast back;
+    * each document's rank = cum-before-its-length + its row_number
+    * within the fine-grained (source, n_chars) cell — cells are the
+    * only window partitions and shrink as the length histogram
+    * refines. The DuckDB oracle uses the plain one-window formulation,
+    * so the decomposition is verified exactly.
+    */
+  def curriculumInterleave(s: SparkSession, dir: String): DataFrame = {
+    val docs = Graft.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("n_chars").cast("long").as("n_chars"))
+    val hist = docs.groupBy(col("source"), col("n_chars")).agg(count(lit(1)).as("c"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("n_chars"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val cum = hist
+      .withColumn("before", coalesce(sum(col("c")).over(wCum), lit(0L)))
+      .select(col("source"), col("n_chars"), col("before"))
+    val srcs = docs.select(col("source")).distinct()
+    val wS = org.apache.spark.sql.expressions.Window.orderBy(col("source"))
+    // the source index frame is |sources| rows — the one place a
+    // partitionless window is fine (the frame is broadcast-sized)
+    val srcIdx = srcs.select(col("source"),
+      (row_number().over(wS) - 1).cast("long").as("src_idx"))
+    val nSrc = srcs.agg(count(lit(1)).as("n_src"))
+    val wCell = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"), col("n_chars")).orderBy(col("doc_id"))
+    docs
+      .withColumn("cell_rank", row_number().over(wCell).cast("long"))
+      .join(broadcast(cum), Seq("source", "n_chars"))
+      .join(broadcast(srcIdx), "source")
+      .crossJoin(broadcast(nSrc))
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        (col("before") + col("cell_rank")).as("rank_in_source"),
+        ((col("before") + col("cell_rank") - 1L) * col("n_src") + col("src_idx"))
+          .as("interleave_pos"))
+  }
+
   def dsirWeights(s: SparkSession, dir: String, target: String = "src0"): DataFrame = {
     val bucket = "(instr('0123456789abcdef', substring(h, 1, 1)) - 1) * 16" +
       " + instr('0123456789abcdef', substring(h, 2, 1)) - 1"
@@ -1494,6 +1546,19 @@ object TextAnalysis {
         |      FROM w WHERE length(w) >= 2)
         |SELECT pair, CAST(count(*) AS BIGINT) AS n
         |FROM p GROUP BY 1 ORDER BY n DESC, pair LIMIT 20""".stripMargin,
+    "sample_curriculum" ->
+      """WITH d AS (SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars
+        |  FROM documents),
+        |r AS (SELECT doc_id, source, n_chars,
+        |       CAST(row_number() OVER (PARTITION BY source
+        |            ORDER BY n_chars, doc_id) AS BIGINT) AS rank_in_source
+        |      FROM d),
+        |si AS (SELECT source, CAST(row_number() OVER (ORDER BY source) - 1 AS BIGINT)
+        |        AS src_idx FROM (SELECT DISTINCT source FROM d)),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_src FROM si)
+        |SELECT doc_id, r.source, n_chars, rank_in_source,
+        | (rank_in_source - 1) * n_src + src_idx AS interleave_pos
+        |FROM r JOIN si ON r.source = si.source, n""".stripMargin,
     "sample_dsir_weights" ->
       """WITH toks AS (SELECT doc_id, source,
         |  unnest(string_split_regex(lower(text), '\s+')) AS tok FROM documents),

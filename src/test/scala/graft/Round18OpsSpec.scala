@@ -93,6 +93,39 @@ class Round18OpsSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(out.last._2 === n, s"expected full reach, got ${out.last._2}/$n")
   }
 
+  test("connectivity census: duplicate-heavy corpus fragments, dedup restores full reach") {
+    // the docs/bench_r18_connectivity.md pathology as a pinned planted
+    // case, closing the loop between the dedup and ANN families: exact
+    // duplicates wire the k-NN graph into per-copy cliques (cos=1.0
+    // beats every genuine neighbor), so the census collapses toward
+    // entry-set x replica-count; deduplicating BEFORE indexing restores
+    // full reach. This is the quantified form of "dedup before index".
+    import spark.implicits._
+    val base = Graft.embeddings(spark, dir)
+      .filter(col("vec_id") < 50)
+      .select(col("vec_id"), col("embedding"), col("label"))
+    // 10 exact copies of each base vector under offset ids
+    val dupCorpus = base.crossJoin(spark.range(10).toDF("rep"))
+      .select((col("vec_id") + col("rep") * 50L).as("vec_id"),
+        col("embedding"), col("label"))
+    val dupDir = tempSfDir("embeddings" -> dupCorpus)
+    val dedupDir = tempSfDir("embeddings" -> base)
+    def finalReach(d: String): (Long, Long) = {
+      val last = Ann.graphConnectivity(spark, d).collect().maxBy(_.getLong(0))
+      (last.getLong(1), last.getLong(2))
+    }
+    val (dupReach, dupN) = finalReach(dupDir)
+    val (dedupReach, dedupN) = finalReach(dedupDir)
+    assert(dupN === 500L && dedupN === 50L)
+    // fragmented: the dup corpus reaches well under half of itself
+    // (each entry's neighborhood is dominated by its own copy-clique)
+    assert(dupReach < dupN / 2,
+      s"expected duplicate-induced fragmentation, reached $dupReach/$dupN")
+    // deduplicated: full reach within the same census horizon
+    assert(dedupReach === dedupN,
+      s"deduped corpus must be fully connected, reached $dedupReach/$dedupN")
+  }
+
   test("maxSimPruned's small candidate set still broadcasts (AQE), un-forced") {
     // the r17 advisory: the candidate-label set is data-dependent, so
     // its broadcast must not be forced (a low-selectivity probe could
