@@ -1287,7 +1287,9 @@ object Ann {
     }
     counts.toSeq.toDF("round", "n_reached")
       .select(col("round"), col("n_reached"), lit(nTot).as("n_total"),
-        expr(s"n_reached * 1000000 div $nTot").as("reach_micros"))
+        // greatest(n,1): an empty corpus reports 0/0 as 0 micros
+        // instead of an ANSI divide-by-zero throw
+        expr(s"n_reached * 1000000 div greatest(${nTot}L, 1L)").as("reach_micros"))
   }
 
   /** BFS depth of the keyed [[graphConnectivity]] census. */

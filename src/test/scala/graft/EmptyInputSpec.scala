@@ -178,4 +178,16 @@ class EmptyInputSpec extends SparkSpec {
     assert(Ann.hnswGraphInsert(spark, dir).count() === 0)
     assert(graft.operators.KeywordSearch.hybridRrfGraph(spark, dir).count() === 0)
   }
+
+  test("round-18 operators are safe on empty tables") {
+    assert(Dedup.decontaminate(spark, dir).count() === 0)
+    assert(TextAnalysis.curriculumInterleave(spark, dir).count() === 0)
+    // connectivity census on an empty corpus: one row per round with
+    // zero reach and zero micros (guarded divisor — ANSI mode would
+    // otherwise throw DIVIDE_BY_ZERO on the 0-total corpus)
+    val conn = Ann.graphConnectivity(spark, dir).collect()
+    assert(conn.length === Ann.GraphConnRounds + 1)
+    assert(conn.forall(r => r.getLong(1) === 0L && r.getLong(3) === 0L),
+      "reach and micros must be 0 on an empty corpus")
+  }
 }
