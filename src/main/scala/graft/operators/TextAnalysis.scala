@@ -1127,11 +1127,15 @@ object TextAnalysis {
       .withColumn("before", coalesce(sum(col("c")).over(wCum), lit(0L)))
       .select(col("source"), col("n_chars"), col("before"))
     val srcs = docs.select(col("source")).distinct()
-    val wS = org.apache.spark.sql.expressions.Window.orderBy(col("source"))
-    // the source index frame is |sources| rows — the one place a
-    // partitionless window is fine (the frame is broadcast-sized)
-    val srcIdx = srcs.select(col("source"),
-      (row_number().over(wS) - 1).cast("long").as("src_idx"))
+    // alphabetical source index WITHOUT a partitionless window (even a
+    // |sources|-row frame would plan a SinglePartition exchange + Sort,
+    // the shape the lint bans): rank = how many sources precede it,
+    // a tiny self-join + count
+    val srcIdx = srcs.as("a")
+      .join(srcs.select(col("source").as("prev")).as("b"),
+        col("prev") < col("source"), "left")
+      .groupBy(col("source"))
+      .agg(count(col("prev")).cast("long").as("src_idx"))
     val nSrc = srcs.agg(count(lit(1)).as("n_src"))
     val wCell = org.apache.spark.sql.expressions.Window
       .partitionBy(col("source"), col("n_chars")).orderBy(col("doc_id"))
