@@ -1217,6 +1217,52 @@ object Dedup {
         (col("n_contaminated") > 0).cast("long").as("contaminated"))
   }
 
+  /** The CUT half of [[decontaminate]]'s account — REWRITE each
+    * training document with its benchmark-contaminated spans removed
+    * (the decontamination action Lee et al. actually apply: span
+    * excision, not document dropping — a single leaked 13-gram should
+    * not cost an otherwise-clean million-token document). A training
+    * token is cut when ANY of its covering 13-windows also occurs in
+    * the eval slice; eval documents themselves are never rewritten (or
+    * reported). Output mirrors [[substringCut]]: per training doc the
+    * token count, removed count and retained text, with fully
+    * contaminated documents dropping out.
+    *
+    * Plan: [[decontaminate]]'s single-scan gram stream with the eval
+    * census in the window, then [[substringCut]]'s span machinery —
+    * contaminated positions explode to covered token indices, distinct,
+    * one anti join + per-doc ordered fold rebuilds the text. Every
+    * exchange keys on corpus-scaling (gram / (doc, idx) / doc) columns.
+    */
+  def decontaminateCut(s: SparkSession, dir: String, k: Int = 13,
+                       evalMod: Long = 50L): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("gid"))
+    val toks = Graft.documents(s, dir)
+      .select(col("doc_id"), expr("split(lower(text), '\\\\s+')").as("toks"))
+    val remtok = toks.filter(expr(s"size(toks) >= $k"))
+      .select(col("doc_id"),
+        posexplode(expr(s"transform(sequence(1, size(toks) - ${k - 1}), j -> " +
+          s"array_join(slice(toks, j, $k), ' '))")).as(Seq("p0", "gram")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"),
+        col("gram").as("gid"),
+        (pmod(col("doc_id"), lit(evalMod)) === 0L).as("ev"))
+      .withColumn("n_eval", sum(when(col("ev"), 1L).otherwise(0L)).over(w))
+      .filter(!col("ev") && col("n_eval") > 0)
+      .select(col("doc_id"), explode(expr(s"sequence(pos, pos + ${k - 1})")).as("idx"))
+      .distinct()
+    toks.filter(pmod(col("doc_id"), lit(evalMod)) =!= 0L)
+      .select(col("doc_id"), expr("cast(size(toks) as bigint)").as("n"),
+        posexplode(col("toks")).as(Seq("i0", "tok")))
+      .select(col("doc_id"), (col("i0") + 1).cast("long").as("idx"), col("tok"), col("n"))
+      .join(remtok, Seq("doc_id", "idx"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(max(col("n")).as("n_tokens"), count(lit(1)).as("n_kept"),
+        expr("array_join(transform(sort_array(collect_list(struct(idx, tok))), x -> x.tok), ' ')")
+          .as("retained_text"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - col("n_kept")).as("n_removed"), col("retained_text"))
+  }
+
   private val duckShingles =
     """t AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents
       |      WHERE len(string_split_regex(text, '\s+')) >= 3),
@@ -1281,6 +1327,31 @@ object Dedup {
         |        FROM dg JOIN nd USING (gram) GROUP BY 1)
         |SELECT doc_id, n_grams, n_dup, n_dup * 1000000 // n_grams AS dup_frac_micros
         |FROM per""".stripMargin,
+    "dedup_decontaminate_cut" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+        |  FROM documents),
+        |g AS (SELECT doc_id, CAST(j AS BIGINT) AS pos,
+        |        array_to_string(toks[j:j+12], ' ') AS gram
+        |      FROM t, unnest(range(1, len(toks) - 11)) u(j) WHERE len(toks) >= 13),
+        |ge AS (SELECT doc_id, pos,
+        |        CAST(sum(CASE WHEN doc_id % 50 = 0 THEN 1 ELSE 0 END)
+        |             OVER (PARTITION BY gram) AS BIGINT) AS n_eval
+        |       FROM g),
+        |rem AS (SELECT doc_id, pos FROM ge WHERE doc_id % 50 != 0 AND n_eval > 0),
+        |remtok AS (SELECT DISTINCT doc_id, pos + o AS idx
+        |           FROM rem, unnest(range(0, 13)) v(o)),
+        |tok AS (SELECT doc_id, CAST(i AS BIGINT) AS idx, toks[i] AS tok,
+        |         CAST(len(toks) AS BIGINT) AS n
+        |        FROM t, unnest(range(1, len(toks) + 1)) w(i)
+        |        WHERE doc_id % 50 != 0),
+        |kept AS (SELECT kk.doc_id, kk.idx, kk.tok, kk.n FROM tok kk
+        |         ANTI JOIN remtok r ON kk.doc_id = r.doc_id AND kk.idx = r.idx),
+        |agg AS (SELECT doc_id, max(n) AS n_tokens, count(*) AS n_kept,
+        |         string_agg(tok, ' ' ORDER BY idx) AS retained_text
+        |        FROM kept GROUP BY 1)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        | CAST(n_tokens - n_kept AS BIGINT) AS n_removed, retained_text
+        |FROM agg""".stripMargin,
     "dedup_decontaminate" ->
       """WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
         |  FROM documents),

@@ -75,6 +75,28 @@ class Round18OpsSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(out(51L) === ((8L, 0L, 0L)))
   }
 
+  test("decontaminateCut excises exactly the leaked spans, keeping clean text") {
+    // span excision, not document dropping: doc 1 embeds the eval
+    // 13-gram mid-document and must lose exactly those 13 tokens
+    // (prefix/suffix retained); a fully-contaminated doc drops out; a
+    // clean doc is rewritten verbatim; the eval doc is never reported
+    val evalSpan = (0 until 13).map(i => s"e$i")
+    val doc0 = (evalSpan ++ Seq("tail0")).mkString(" ")
+    val doc1 = (Seq("pre0", "pre1") ++ evalSpan ++ Seq("post0")).mkString(" ")
+    val doc2 = evalSpan.mkString(" ") // fully contaminated
+    val doc3 = (0 until 20).map(i => s"c$i").mkString(" ")
+    import spark.implicits._
+    val sf = tempSfDir("documents" ->
+      Seq((0L, doc0), (1L, doc1), (2L, doc2), (51L, doc3)).toDF("doc_id", "text"))
+    val out = Dedup.decontaminateCut(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(!out.contains(0L), "the eval slice itself must not be rewritten")
+    assert(out(1L) === ((16L, 13L, "pre0 pre1 post0")),
+      "exactly the leaked span must be excised")
+    assert(!out.contains(2L), "a fully contaminated document drops out")
+    assert(out(51L) === ((20L, 0L, doc3)), "clean text must be retained verbatim")
+  }
+
   test("graphConnectivity is a monotone census reaching the full corpus") {
     val out = Ann.graphConnectivity(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
