@@ -46,9 +46,13 @@ object DedupStreams {
   def compactFingerprintsAt(s: SparkSession, root: String, g: Long): Unit =
     GenFs.compactAt(s, root, g, "fingerprints", "newfingerprints")
 
-  /** Generation GC for the dedup root (keep >= 2 — see [[GenFs.prune]]). */
+  /** Generation GC for the exact-dedup root (keep >= 2 — see [[GenFs.prune]]). */
   def pruneGenerations(s: SparkSession, root: String, keep: Int = 2): Long =
     GenFs.prune(s, root, keep, "kept", "fingerprints", "newfingerprints")
+
+  /** Generation GC for the near-dup root: compacts the signature chain. */
+  def pruneNearGenerations(s: SparkSession, root: String, keep: Int = 2): Long =
+    GenFs.prune(s, root, keep, "kept", "sigs", "newsigs")
 
   /** Start the streaming dedup: `docStream` is a streaming frame with
     * (doc_id, text). Each microbatch b writes generation b+1 with its
@@ -76,6 +80,106 @@ object DedupStreams {
             .write.mode("overwrite").parquet(s"$genRoot/gen=$target/newfingerprints")
           // kept commits the generation (written LAST)
           kept.select(col("doc_id"), col("fp"))
+            .write.mode("overwrite").parquet(s"$genRoot/gen=$target/kept")
+        }
+        ()
+      }
+      .start()
+
+  /** MinHash signatures of a (doc_id, text) frame — the exact kernels
+    * and layout of the keyed batch family (word 3-gram shingles →
+    * 12-component minhash; Dedup.withShingles/minhashBands).
+    */
+  private def sigsOf(batch: DataFrame): DataFrame =
+    batch.select(col("doc_id"),
+      call_function("minhash_sigs",
+        call_function("word_ngrams", col("text"), lit(3))).as("sigs"))
+
+  /** LSH bands (4 bands × 3 rows) from a sigs frame; the shingle-less
+    * sentinel signature is filtered so empty docs never bucket together
+    * — same rule as the batch `minhashBands`.
+    */
+  private def bandsOf(sigs: DataFrame): DataFrame =
+    sigs.select(col("doc_id"), posexplode(expr(
+        """transform(sequence(0, 3),
+          | b -> concat(cast(element_at(sigs, 3*b + 1) as string), '|',
+          |             cast(element_at(sigs, 3*b + 2) as string), '|',
+          |             cast(element_at(sigs, 3*b + 3) as string)))""".stripMargin))
+        .as(Seq("band_id", "band_hash")))
+      .filter(col("band_hash") =!= "1000000007|1000000007|1000000007")
+
+  private val estAgree =
+    expr("""aggregate(zip_with(sa, sb, (x, y) -> IF(x = y, 1, 0)),
+           | cast(0 as bigint), (acc, v) -> acc + v) * 1000000 div 12""".stripMargin)
+
+  /** One near-dedup microbatch against the stored signature state: LSH
+    * band probe for candidates, 12-component signature-agreement
+    * verification at `tauMicros`, greedy within-batch rule (a doc drops
+    * when ANY smaller-id batch doc verifies against it — deterministic,
+    * order-free) plus the cross-batch drop against stored survivors.
+    * Returns the kept (doc_id, sigs) rows. Factored out of the sink so
+    * the spec drives the identical computation sequentially.
+    */
+  private[graft] def nearDedupBatch(batch: DataFrame, storedSigs: DataFrame,
+                                    tauMicros: Long): DataFrame = {
+    val sigs = sigsOf(batch)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bands = bandsOf(sigs)
+    val withinDrop = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band_id") === col("b.band_id") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("lo"), col("b.doc_id").as("hi")).distinct()
+      .join(sigs.select(col("doc_id").as("lo"), col("sigs").as("sa")), "lo")
+      .join(sigs.select(col("doc_id").as("hi"), col("sigs").as("sb")), "hi")
+      .filter(estAgree >= lit(tauMicros))
+      .select(col("hi").as("doc_id")).distinct()
+    // stored side: bands derive from the stored sigs by a cheap
+    // projection (12 longs per doc — no kernel re-run); a deployment
+    // bucket-partitions this band index by band_hash (IndexBuilder
+    // .compact) so the probe is a co-located join
+    val crossDrop = bands
+      .join(bandsOf(storedSigs)
+          .select(col("band_id").as("ob"), col("band_hash").as("oh"),
+            col("doc_id").as("old_id")),
+        col("band_id") === col("ob") && col("band_hash") === col("oh"))
+      .select(col("doc_id").as("new_id"), col("old_id")).distinct()
+      .join(sigs.select(col("doc_id").as("new_id"), col("sigs").as("sa")), "new_id")
+      .join(storedSigs.select(col("doc_id").as("old_id"), col("sigs").as("sb"))
+        .hint("SHUFFLE_HASH"), "old_id")
+      .filter(estAgree >= lit(tauMicros))
+      .select(col("new_id").as("doc_id")).distinct()
+    sigs.join(withinDrop, Seq("doc_id"), "left_anti")
+      .join(crossDrop, Seq("doc_id"), "left_anti")
+  }
+
+  /** Streaming NEAR-dup dedup — the second dedup tier on the stream:
+    * exact dedup ([[maintainExactDedup]]) kills byte-identical copies;
+    * this kills near-copies (boilerplate re-hosts, trivial edits) via
+    * the keyed batch family's exact machinery — word-3-gram MinHash,
+    * 4×3 LSH band probe for candidates, 12-component
+    * signature-agreement verification at `tauMicros` (default 0.5, the
+    * `dedup_incremental` rule). State = the (doc_id, sigs) chain under
+    * the same [[GenFs]] contract (`sigs` full checkpoint + `newsigs`
+    * deltas, `kept` commits); per batch the stored side costs one sigs
+    * scan + band-keyed hash joins — candidate work ∝ the NEW batch's
+    * band collisions, never a corpus self-join.
+    */
+  def maintainNearDedup(docStream: DataFrame, genRoot: String, checkpoint: String,
+                        tauMicros: Long = 500000L): StreamingQuery =
+    docStream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val s = batch.sparkSession
+          val target = batchId + 1
+          val stored = GenFs.latestGenAtMost(s, genRoot, batchId, "kept")
+          val storedSigs = GenFs.chainThrough(s, genRoot, stored, "sigs", "newsigs")
+          val kept = nearDedupBatch(batch, storedSigs, tauMicros)
+          kept.select(col("doc_id"), col("sigs"))
+            .write.mode("overwrite").parquet(s"$genRoot/gen=$target/newsigs")
+          kept.select(col("doc_id"))
             .write.mode("overwrite").parquet(s"$genRoot/gen=$target/kept")
         }
         ()

@@ -76,6 +76,66 @@ class DedupStreamsSpec extends SparkSpec {
       s"(${crossDups.count()} cross-batch + 1 within-batch dups dropped)")
   }
 
+  test("streaming near-dup: LSH-candidate verified drops match the sequential twin") {
+    // the second streaming dedup tier: exact copies AND near-copies
+    // (trivial edits) drop across batches. Plumbing parity: each
+    // streamed generation must equal the direct sequential
+    // nearDedupBatch call over the same stored state; behaviorally,
+    // exact copies always verify at est=1.0 and fresh disjoint-vocab
+    // docs never do.
+    val root = "file:" + java.nio.file.Files.createTempDirectory("graft-ndds").toString
+    val inDir = java.nio.file.Files.createTempDirectory("graft-nddsin").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-nddsck").toString
+    import spark.implicits._
+    Seq.empty[(Long, Seq[Long])].toDF("doc_id", "sigs")
+      .write.parquet(s"$root/gen=0/sigs")
+    Seq.empty[Tuple1[Long]].toDF("doc_id").write.parquet(s"$root/gen=0/kept")
+
+    val d = Graft.documents(spark, dir).select(col("doc_id"), col("text"))
+    val n = d.count()
+    val cut = n / 2
+    val b1 = d.filter(col("doc_id") < cut)
+    // batch 2: fresh docs + EXACT cross-batch copies + a NEAR copy
+    // (first 8 words of a batch-1 doc appended with one novel token —
+    // high but not full shingle overlap) + an exact within-batch pair
+    val exactCross = b1.filter(col("doc_id") % 9 === 0)
+      .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+    val withinPair = d.filter(col("doc_id") === cut)
+      .select((col("doc_id") + 200000L).as("doc_id"), col("text"))
+    val b2 = d.filter(col("doc_id") >= cut).unionByName(exactCross).unionByName(withinPair)
+
+    val q = DedupStreams.maintainNearDedup(
+      IndexStreams.fromParquetDir(spark, inDir, d), root, ckpt)
+    try {
+      b1.coalesce(1).write.mode("append").parquet(inDir)
+      q.processAllAvailable()
+      b2.coalesce(1).write.mode("append").parquet(inDir)
+      q.processAllAvailable()
+      assert(q.exception.isEmpty, s"near-dup stream failed: ${q.exception}")
+    } finally q.stop()
+
+    def keptIds(g: Long): Set[Long] =
+      spark.read.parquet(s"$root/gen=$g/kept").collect().map(_.getLong(0)).toSet
+    // sequential twin over the same evolving state
+    val empty0 = spark.read.parquet(s"$root/gen=0/sigs")
+    val twin1 = DedupStreams.nearDedupBatch(b1, empty0, 500000L)
+    assert(keptIds(1) === twin1.select("doc_id").collect().map(_.getLong(0)).toSet,
+      "generation 1 diverged from the sequential twin")
+    val twin2 = DedupStreams.nearDedupBatch(b2,
+      empty0.unionByName(twin1.select(col("doc_id"), col("sigs"))), 500000L)
+    val kept2 = keptIds(2)
+    assert(kept2 === twin2.select("doc_id").collect().map(_.getLong(0)).toSet,
+      "generation 2 diverged from the sequential twin")
+    // exact copies verify at est = 1.0 and must be gone; the
+    // within-batch pair keeps only its smaller id
+    assert(!kept2.exists(_ >= 200000L), "within-batch exact copy survived")
+    assert(!kept2.exists(id => id >= 100000L && id < 200000L),
+      "cross-batch exact copy survived")
+    assert(kept2.contains(cut), "the smaller id of the within-batch pair must survive")
+    info(s"2 streamed near-dup generations equal their sequential twins " +
+      s"(${keptIds(1).size} + ${kept2.size} survivors)")
+  }
+
   test("pruning keeps the dedup decision state: post-prune batches still dedup") {
     val root = schemedTemp("graft-ddsp")
     seedEmpty(root)
