@@ -1199,15 +1199,23 @@ object Dedup {
     */
   def decontaminate(s: SparkSession, dir: String, k: Int = 13,
                     evalMod: Long = 50L): DataFrame = {
+    val d = Graft.documents(s, dir)
+    decontaminateAgainst(
+      d.filter(pmod(col("doc_id"), lit(evalMod)) =!= 0L),
+      d.filter(pmod(col("doc_id"), lit(evalMod)) === 0L), k)
+  }
+
+  /** The production entry point: training docs vs an EXPLICIT benchmark
+    * table (both (doc_id, text, ...) frames) — what a deployment calls
+    * with its real eval suites; the keyed query above is this core with
+    * the deterministic id-slice standing in for the benchmark table.
+    * Id collisions across the two frames are harmless: the eval side
+    * contributes only its gram census, never output rows.
+    */
+  def decontaminateAgainst(train: DataFrame, evalDocs: DataFrame,
+                           k: Int = 13): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("gid"))
-    Graft.documents(s, dir)
-      .select(col("doc_id"), expr("split(lower(text), '\\\\s+')").as("toks"))
-      .filter(expr(s"size(toks) >= $k"))
-      .select(col("doc_id"),
-        explode(expr(s"transform(sequence(1, size(toks) - ${k - 1}), j -> " +
-          s"array_join(slice(toks, j, $k), ' '))")).as("gram"))
-      .select(col("doc_id"), col("gram").as("gid"),
-        (pmod(col("doc_id"), lit(evalMod)) === 0L).as("ev"))
+    contaminationGrams(train, evalDocs, k)
       .withColumn("n_eval", sum(when(col("ev"), 1L).otherwise(0L)).over(w))
       .filter(!col("ev"))
       .groupBy(col("doc_id"))
@@ -1216,6 +1224,21 @@ object Dedup {
       .select(col("doc_id"), col("n_grams"), col("n_contaminated"),
         (col("n_contaminated") > 0).cast("long").as("contaminated"))
   }
+
+  /** Shared single-scan gram stream of both decontamination ops:
+    * (doc_id, pos, gid, ev) over the union of training and eval docs.
+    */
+  private def contaminationGrams(train: DataFrame, evalDocs: DataFrame,
+                                 k: Int): DataFrame =
+    train.select(col("doc_id"), col("text"), lit(false).as("ev"))
+      .unionByName(evalDocs.select(col("doc_id"), col("text"), lit(true).as("ev")))
+      .select(col("doc_id"), col("ev"), expr("split(lower(text), '\\\\s+')").as("toks"))
+      .filter(expr(s"size(toks) >= $k"))
+      .select(col("doc_id"), col("ev"),
+        posexplode(expr(s"transform(sequence(1, size(toks) - ${k - 1}), j -> " +
+          s"array_join(slice(toks, j, $k), ' '))")).as(Seq("p0", "gram")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"),
+        col("gram").as("gid"), col("ev"))
 
   /** The CUT half of [[decontaminate]]'s account — REWRITE each
     * training document with its benchmark-contaminated spans removed
@@ -1236,21 +1259,23 @@ object Dedup {
     */
   def decontaminateCut(s: SparkSession, dir: String, k: Int = 13,
                        evalMod: Long = 50L): DataFrame = {
+    val d = Graft.documents(s, dir)
+    decontaminateCutAgainst(
+      d.filter(pmod(col("doc_id"), lit(evalMod)) =!= 0L),
+      d.filter(pmod(col("doc_id"), lit(evalMod)) === 0L), k)
+  }
+
+  /** Production entry point of the CUT — see [[decontaminateAgainst]]. */
+  def decontaminateCutAgainst(train: DataFrame, evalDocs: DataFrame,
+                              k: Int = 13): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("gid"))
-    val toks = Graft.documents(s, dir)
-      .select(col("doc_id"), expr("split(lower(text), '\\\\s+')").as("toks"))
-    val remtok = toks.filter(expr(s"size(toks) >= $k"))
-      .select(col("doc_id"),
-        posexplode(expr(s"transform(sequence(1, size(toks) - ${k - 1}), j -> " +
-          s"array_join(slice(toks, j, $k), ' '))")).as(Seq("p0", "gram")))
-      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"),
-        col("gram").as("gid"),
-        (pmod(col("doc_id"), lit(evalMod)) === 0L).as("ev"))
+    val remtok = contaminationGrams(train, evalDocs, k)
       .withColumn("n_eval", sum(when(col("ev"), 1L).otherwise(0L)).over(w))
       .filter(!col("ev") && col("n_eval") > 0)
       .select(col("doc_id"), explode(expr(s"sequence(pos, pos + ${k - 1})")).as("idx"))
       .distinct()
-    toks.filter(pmod(col("doc_id"), lit(evalMod)) =!= 0L)
+    train
+      .select(col("doc_id"), expr("split(lower(text), '\\\\s+')").as("toks"))
       .select(col("doc_id"), expr("cast(size(toks) as bigint)").as("n"),
         posexplode(col("toks")).as(Seq("i0", "tok")))
       .select(col("doc_id"), (col("i0") + 1).cast("long").as("idx"), col("tok"), col("n"))

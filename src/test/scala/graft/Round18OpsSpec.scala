@@ -97,6 +97,28 @@ class Round18OpsSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(out(51L) === ((20L, 0L, doc3)), "clean text must be retained verbatim")
   }
 
+  test("decontaminateAgainst takes an explicit benchmark table, id collisions harmless") {
+    // the production entry point: a real eval SUITE as its own frame.
+    // The eval doc deliberately shares doc_id 1 with a training doc —
+    // the eval side contributes only its gram census, never output
+    // rows, so the collision must not leak or suppress anything.
+    val evalSpan = (0 until 13).map(i => s"e$i")
+    import spark.implicits._
+    val evalDocs = Seq((1L, evalSpan.mkString(" "))).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, (Seq("pre0", "pre1") ++ evalSpan ++ Seq("post0")).mkString(" ")),
+      (2L, (0 until 20).map(i => s"c$i").mkString(" "))).toDF("doc_id", "text")
+    val out = Dedup.decontaminateAgainst(train, evalDocs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out.keySet === Set(1L, 2L))
+    assert(out(1L) === ((4L, 1L, 1L)))
+    assert(out(2L) === ((8L, 0L, 0L)))
+    val cut = Dedup.decontaminateCutAgainst(train, evalDocs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(cut(1L) === ((16L, 13L, "pre0 pre1 post0")))
+    assert(cut(2L)._2 === 0L)
+  }
+
   test("graphConnectivity is a monotone census reaching the full corpus") {
     val out = Ann.graphConnectivity(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
