@@ -379,6 +379,29 @@ object ScaleProbe {
           "n_total" -> last.getLong(2), "reach_final" -> last.getLong(1),
           "reach_micros" -> last.getLong(3))
       }
+      if (probes("streamdedup")) {
+        // r18: the streaming near-dup batch-cost contract — a FIXED
+        // 1000-doc microbatch against stored signature state growing
+        // 10k -> 1M rows; the per-batch cost should grow only with the
+        // stored-sigs scan (the band join probes, it doesn't rescore),
+        // never with candidate work (synthetic sigs are unique, so the
+        // band index yields zero false candidates — the floor line)
+        val batch = spark.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), col("text")).orderBy(col("doc_id")).limit(1000)
+          .localCheckpoint(true)
+        for (storedN <- Seq(10000L, 100000L, 1000000L)) {
+          val stored = spark.range(storedN).select(
+              (col("id") + 10000000L).as("doc_id"),
+              expr("transform(sequence(1, 12), i -> abs(xxhash64(id, i)) % 1000000006)")
+                .as("sigs"))
+            .localCheckpoint(true)
+          val (sec, kept) = time(graft.streaming.DedupStreams
+            .nearDedupBatch(batch, stored, 500000L).count())
+          emit("probe" -> "stream_neardedup", "scale" -> s"${mult}x",
+            "batch_docs" -> 1000, "stored_sigs" -> storedN,
+            "sec" -> sec, "kept" -> kept)
+        }
+      }
       if (probes("hinsert")) {
         // layered-insert cost contract: marginal insert work ∝ batch,
         // vs the full layered rebuild as the yardstick
