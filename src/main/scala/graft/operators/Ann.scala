@@ -1272,9 +1272,21 @@ object Ann {
   def graphConnectivity(s: SparkSession, dir: String, rounds: Int = GraphConnRounds): DataFrame = {
     import s.implicits._
     val nTot = Graft.tableRows(s, dir, "embeddings")
+    censusCounts(s, dir, sqrtFanout(nTot), rounds).toDF("round", "n_reached")
+      .select(col("round"), col("n_reached"), lit(nTot).as("n_total"),
+        // greatest(n,1): an empty corpus reports 0/0 as 0 micros
+        // instead of an ANSI divide-by-zero throw
+        expr(s"n_reached * 1000000 div greatest(${nTot}L, 1L)").as("reach_micros"))
+  }
+
+  /** The frontier-BFS census core, parameterized by the dense-id entry
+    * threshold — shared by the keyed census and the fanout sweep.
+    */
+  private def censusCounts(s: SparkSession, dir: String, entryThr: Long,
+                           rounds: Int): Seq[(Long, Long)] = {
     val und = graphSearchIndex(s, dir).select(col("src"), col("dst"))
     var reached = Graft.embeddings(s, dir)
-      .filter(col("vec_id") < sqrtFanout(nTot))
+      .filter(col("vec_id") < entryThr)
       .select(col("vec_id").as("node")).localCheckpoint(true)
     var frontier = reached
     val counts = scala.collection.mutable.ArrayBuffer((0L, reached.count()))
@@ -1285,10 +1297,30 @@ object Ann {
       reached = reached.unionByName(frontier).localCheckpoint(true)
       counts += ((r.toLong, reached.count()))
     }
-    counts.toSeq.toDF("round", "n_reached")
-      .select(col("round"), col("n_reached"), lit(nTot).as("n_total"),
-        // greatest(n,1): an empty corpus reports 0/0 as 0 micros
-        // instead of an ANSI divide-by-zero throw
+    counts.toSeq
+  }
+
+  /** Entry-fanout SWEEP of the connectivity census — the tuning face of
+    * [[graphConnectivity]]: the same 0..rounds reach curve at HALF,
+    * BASE (= the serving walk's sqrt(N) entry set) and DOUBLE the entry
+    * threshold. A low round-0 share with healthy growth says the entry
+    * fanout, not the graph, is the bottleneck (grow the entry set); a
+    * flat curve at every fanout says the graph itself is fragmented
+    * (dedup or re-wire) — the census's two failure modes separated by
+    * one report. Cost: three censuses over the one memoized adjacency;
+    * the oracle shares the generated graph prelude across all three
+    * chains in one statement.
+    */
+  def connectivityFanout(s: SparkSession, dir: String,
+                         rounds: Int = GraphConnRounds): DataFrame = {
+    import s.implicits._
+    val nTot = Graft.tableRows(s, dir, "embeddings")
+    val base = sqrtFanout(nTot)
+    val rows = Seq(math.max(base / 2, 1L), base, base * 2).flatMap { f =>
+      censusCounts(s, dir, f, rounds).map { case (r, c) => (f, r, c) }
+    }
+    rows.toDF("entry_thr", "round", "n_reached")
+      .select(col("entry_thr"), col("round"), col("n_reached"),
         expr(s"n_reached * 1000000 div greatest(${nTot}L, 1L)").as("reach_micros"))
   }
 
@@ -4936,6 +4968,33 @@ object Ann {
          |n AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM e)
          |SELECT r.round, r.n_reached, n.n_total,
          | r.n_reached * 1000000 // n.n_total AS reach_micros
+         |FROM ($rows) r, n""".stripMargin
+    },
+    "ann_conn_fanout" -> {
+      val tags = Seq(("h", "greatest(fb.v // 2, 1)"), ("b", "fb.v"), ("d", "fb.v * 2"))
+      val chains = tags.map { case (t, thr) =>
+        val steps = (1 to GraphConnRounds).map { r =>
+          s"""cc$t$r AS MATERIALIZED (SELECT DISTINCT node FROM (
+             |  SELECT node FROM cc$t${r - 1} UNION ALL
+             |  SELECT u.dst AS node FROM cc$t${r - 1} s JOIN gund u ON u.src = s.node))""".stripMargin
+        }.mkString(",\n")
+        s"""thr$t AS (SELECT CAST($thr AS BIGINT) AS t FROM fb),
+           |cc${t}0 AS MATERIALIZED (SELECT vec_id AS node FROM e, thr$t WHERE vec_id < thr$t.t),
+           |$steps""".stripMargin
+      }.mkString(",\n")
+      val rows = tags.flatMap { case (t, _) =>
+        (0 to GraphConnRounds).map(r =>
+          s"SELECT (SELECT t FROM thr$t) AS entry_thr, CAST($r AS BIGINT) AS round, " +
+            s"(SELECT CAST(count(*) AS BIGINT) FROM cc$t$r) AS n_reached")
+      }.mkString("\nUNION ALL ")
+      s"""WITH $duckE,
+         |$duckNswTopk,
+         |gund AS MATERIALIZED (SELECT src, dst FROM topk UNION SELECT dst, src FROM topk),
+         |fb AS (SELECT greatest(8, CAST(floor(sqrt((SELECT count(*) FROM e))) AS BIGINT)) AS v),
+         |$chains,
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM e)
+         |SELECT r.entry_thr, r.round, r.n_reached,
+         | r.n_reached * 1000000 // greatest(n.n_total, 1) AS reach_micros
          |FROM ($rows) r, n""".stripMargin
     },
     "ann_graph_sharded" -> duckShardedSql,

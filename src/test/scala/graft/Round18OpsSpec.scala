@@ -170,6 +170,30 @@ class Round18OpsSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"deduped corpus must be fully connected, reached $dedupReach/$dedupN")
   }
 
+  test("connectivityFanout: reach is monotone in entry size and embeds the base census") {
+    val out = Ann.connectivityFanout(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byThr = out.groupBy(_._1)
+    assert(byThr.size === 3, s"expected 3 fanouts, got ${byThr.keySet}")
+    // per fanout: a full 0..R curve, monotone over rounds
+    byThr.values.foreach { rows =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq === (0L to Ann.GraphConnRounds.toLong))
+      sorted.sliding(2).foreach { case Array(a, b) => assert(b._3 >= a._3); case _ => () }
+    }
+    // at every round, a bigger entry set reaches at least as much
+    val thrs = byThr.keySet.toSeq.sorted
+    for (r <- 0L to Ann.GraphConnRounds.toLong; Seq(lo, hi) <- thrs.sliding(2)) {
+      val rl = byThr(lo).find(_._2 == r).get._3
+      val rh = byThr(hi).find(_._2 == r).get._3
+      assert(rh >= rl, s"round $r: entry $hi reached $rh < entry $lo's $rl")
+    }
+    // the BASE fanout row reproduces the keyed census exactly
+    val base = Ann.graphConnectivity(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    byThr(thrs(1)).foreach { case (_, r, c, _) => assert(base(r) === c) }
+  }
+
   test("maxSimPruned's small candidate set still broadcasts (AQE), un-forced") {
     // the r17 advisory: the candidate-label set is data-dependent, so
     // its broadcast must not be forced (a low-selectivity probe could
