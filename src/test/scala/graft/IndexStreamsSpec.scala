@@ -233,6 +233,44 @@ class IndexStreamsSpec extends SparkSpec {
     }
   }
 
+  test("member chain resolves through the NEWEST committed checkpoint, skipping uncommitted deltas") {
+    // the multi-compaction layout a long-lived root converges to:
+    // gen=0 full checkpoint, gen=1 delta, gen=2 full checkpoint (a
+    // later compaction), gen=3 delta, gen=4 delta WITHOUT its marker
+    // (in-flight). Resolution at g=4 must start from gen=2's
+    // checkpoint (never re-read gen=0/gen=1), include gen=3, and skip
+    // the uncommitted gen=4 — i.e. equal resolution at g=3.
+    val (lroot, root) = schemedTemp("graft-chain")
+    val e = Graft.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val n = e.count()
+    val (c1, c2, c3) = (n * 2 / 5, n * 3 / 5, n * 4 / 5)
+    e.filter(col("vec_id") < c1).write.parquet(s"$root/gen=0/members")
+    e.filter(col("vec_id") >= c1 && col("vec_id") < c2)
+      .write.parquet(s"$root/gen=1/newmembers")
+    IndexStreams.compactMembersAt(spark, root, 2L)
+    assert(new java.io.File(s"$lroot/gen=2/members/_SUCCESS").exists())
+    e.filter(col("vec_id") >= c2 && col("vec_id") < c3)
+      .write.parquet(s"$root/gen=3/newmembers")
+    e.filter(col("vec_id") >= c3).write.parquet(s"$root/gen=4/newmembers")
+    new java.io.File(s"$lroot/gen=4/newmembers/_SUCCESS").delete()
+
+    def ids(g: Long): Set[Long] = IndexStreams.membersThrough(spark, root, g)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(ids(4L) === (0L until c3).toSet,
+      "chain must include committed deltas above the newest checkpoint and skip uncommitted ones")
+    assert(ids(4L) === ids(3L))
+    // deleting the SUPERSEDED prefix (gens 0-1) must not change resolution
+    Seq("gen=0", "gen=1").foreach { g =>
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete()
+      }
+      rm(new java.io.File(s"$lroot/$g"))
+    }
+    assert(ids(4L) === (0L until c3).toSet,
+      "resolution must not depend on generations below the newest committed checkpoint")
+  }
+
   test("read-while-write: serving gen=n is identical before and after the gen=n+1 commit") {
     // the deployment's steady state: a serving tier reads generation n
     // WHILE the maintenance stream commits n+1. Generations are
