@@ -378,6 +378,15 @@ object ScaleProbe {
           "build_sec" -> bsec, "census_sec" -> csec,
           "n_total" -> last.getLong(2), "reach_final" -> last.getLong(1),
           "reach_micros" -> last.getLong(3))
+        // the fanout sweep on the same corpus: on a dup-fragmented
+        // graph, doubling the entry set should scale reach LINEARLY
+        // (more cliques touched), never repair connectivity — the
+        // data separating "grow the entry set" from "dedup first"
+        val (fsec, frows) = time(operators.Ann.connectivityFanout(spark, dir).collect())
+        val finals = frows.filter(_.getLong(1) == operators.Ann.GraphConnRounds.toLong)
+          .map(r => (r.getLong(0), r.getLong(2))).sortBy(_._1)
+        emit("probe" -> "conn_fanout", "scale" -> s"${mult}x", "sweep_sec" -> fsec,
+          "reach_by_thr" -> finals.map { case (t, c) => s"$t:$c" }.mkString("\"", ",", "\""))
       }
       if (probes("streamdedup")) {
         // r18: the streaming near-dup batch-cost contract — a FIXED
