@@ -173,6 +173,27 @@ object Bench {
   private def sampledLoad(): Int =
     (1 to 3).map { i => val r = runnableNow(); if (i < 3) Thread.sleep(100); r }.max
 
+  /** The child JVM's own currently-runnable thread count (R-state tasks
+    * under /proc/<pid>/task) — subtracted from the system runnable count
+    * to expose CO-TENANT load while a chunk runs. The r18 before/after
+    * stamps missed any burst confined to the chunk's multi-minute
+    * window (ann_graph_sharded shipped 11.4s vs 8.2s clean with both
+    * stamps reading 1); sampling DURING the chunk requires discounting
+    * the chunk's own 32 executor threads, which this count provides.
+    */
+  private def childRunnable(pid: Long): Int = {
+    val tasks = Option(new java.io.File(s"/proc/$pid/task").listFiles())
+      .getOrElse(Array.empty[java.io.File])
+    tasks.count { t =>
+      try {
+        val stat = scala.io.Source.fromFile(new java.io.File(t, "stat")).mkString
+        // the state char follows the parenthesized comm (which may
+        // itself contain spaces/parens — hence lastIndexOf)
+        stat.substring(stat.lastIndexOf(')') + 2).headOption.contains('R')
+      } catch { case _: Throwable => false }
+    }
+  }
+
   /** Spawn one child JVM per family chunk; each child re-enters this
     * main with SPARK_GRAFT_CHILD set and writes `name\tseconds` lines
     * to its SPARK_GRAFT_OUT file. Returns None if forking isn't
@@ -199,7 +220,12 @@ object Bench {
     val chunkTimeoutMin = sys.env.get("SPARK_GRAFT_CHUNK_TIMEOUT_MIN")
       .flatMap(_.toLongOption).getOrElse(20L)
 
-    def runChunkChild(chunk: Seq[String], tag: String): Map[String, Double] = {
+    /** Run one chunk in a fresh child JVM. Returns (per-query seconds,
+      * max co-tenant runnable load observed by a 1 Hz sampler WHILE the
+      * child ran) — the during-chunk signal the r18 before/after stamps
+      * were blind to.
+      */
+    def runChunkChild(chunk: Seq[String], tag: String): (Map[String, Double], Int) = {
       val out = java.io.File.createTempFile(s"graft-bench-$tag-", ".tsv")
       out.deleteOnExit()
       val cmd = (javaBin.getAbsolutePath +: jvmArgs) ++ Seq("-cp", cp, "graft.Bench")
@@ -211,12 +237,27 @@ object Bench {
       pb.redirectOutput(ProcessBuilder.Redirect.DISCARD)
       pb.redirectError(ProcessBuilder.Redirect.INHERIT)
       val proc = pb.start()
+      // 1 Hz co-tenant load sampler: system runnable minus the child's
+      // own R-state threads, max over the chunk's whole window
+      val maxCoLoad = new java.util.concurrent.atomic.AtomicInteger(0)
+      val sampler = new Thread(() => {
+        var live = true
+        while (live && proc.isAlive) {
+          val co = math.max(runnableNow() - childRunnable(proc.pid()), 0)
+          maxCoLoad.updateAndGet(m => math.max(m, co))
+          try Thread.sleep(1000)
+          catch { case _: InterruptedException => live = false }
+        }
+      }, s"graft-bench-load-$tag")
+      sampler.setDaemon(true)
+      sampler.start()
       // default 20 min covers every family at the driver's sf0.1; large
       // scale experiments (30x/100x corpora, where the graph builds alone
       // run minutes per iteration) raise it via env instead of having a
       // hung-child guard silently convert a slow-but-correct chunk to -1s
       val finished = proc.waitFor(chunkTimeoutMin, java.util.concurrent.TimeUnit.MINUTES)
       if (!finished) proc.destroyForcibly()
+      sampler.interrupt()
       val lines = try scala.io.Source.fromFile(out).getLines().toSeq
                   catch { case _: Throwable => Seq.empty }
       out.delete()
@@ -229,7 +270,7 @@ object Bench {
       // a crashed/hung child reports its whole chunk as failed (-1)
       chunk.filterNot(got.contains).foreach(n =>
         System.err.println(s"[bench] $n missing from child output ($tag)"))
-      chunk.map(n => n -> got.getOrElse(n, -1.0)).toMap
+      (chunk.map(n => n -> got.getOrElse(n, -1.0)).toMap, maxCoLoad.get())
     }
 
     val results = scala.collection.mutable.Map.empty[String, Double]
@@ -237,17 +278,18 @@ object Bench {
     for ((chunk, i) <- chunks.zipWithIndex) {
       val loadBefore = sampledLoad()
       val t0 = System.nanoTime()
-      val first = runChunkChild(chunk, s"$i-a")
+      val (first, duringMax) = runChunkChild(chunk, s"$i-a")
       val loadAfter = sampledLoad()
-      val contended = loadBefore > loadMax || loadAfter > loadMax
+      val contended =
+        loadBefore > loadMax || loadAfter > loadMax || duringMax > loadMax
       System.err.println(f"[bench] chunk ${i + 1}/${chunks.size} (${chunk.size} queries, " +
         f"${family(chunk.head)}..${family(chunk.last)}): ${(System.nanoTime() - t0) / 1e9}%.1fs " +
-        f"runnable_before=$loadBefore runnable_after=$loadAfter" +
+        f"runnable_before=$loadBefore runnable_during_max=$duringMax runnable_after=$loadAfter" +
         (if (contended) " CONTENDED -> re-running chunk once" else ""))
       val merged =
         if (!contended) first
         else {
-          val second = runChunkChild(chunk, s"$i-b")
+          val (second, _) = runChunkChild(chunk, s"$i-b")
           chunk.map { n =>
             val (a, b) = (first(n), second(n))
             n -> (if (a < 0) b else if (b < 0) a else math.min(a, b))

@@ -350,21 +350,28 @@ object ScaleProbe {
         }
         spark.sparkContext.addSparkListener(listener)
         def route(f: => Long): (Double, Long, Long) = {
-          Thread.sleep(2000); tally.set(0L)
+          // deterministic bus drain (not a fixed sleep): events queued
+          // by prior work are delivered before the tally resets, and the
+          // route's own events before it is read
+          org.apache.spark.sql.graftbridge.Bridge.drainListenerBus(spark.sparkContext)
+          tally.set(0L)
           val (sec, n) = time(f)
-          Thread.sleep(2000) // drain the listener bus
+          org.apache.spark.sql.graftbridge.Bridge.drainListenerBus(spark.sparkContext)
           (sec, n, tally.get())
         }
-        val (hs, nh, hb) = route(operators.Dedup.substringDupHashKeyed(spark, dir)
-          .agg(sum(col("n_dup"))).collect()(0).getLong(0))
-        val (ss, ns, sb) = route(operators.Dedup.substringDup(spark, dir)
-          .agg(sum(col("n_dup"))).collect()(0).getLong(0))
-        require(nh == ns, s"hash/string substring routes diverged: $nh != $ns")
-        spark.sparkContext.removeSparkListener(listener)
-        emit("probe" -> "substr_hashkey", "scale" -> s"${mult}x",
-          "hash_sec" -> hs, "hash_shuffle_bytes" -> hb,
-          "string_sec" -> ss, "string_shuffle_bytes" -> sb,
-          "dup_positions" -> nh)
+        // finally: a diverged require must not leak the listener into
+        // every subsequent probe (double-counted tallies for the run)
+        try {
+          val (hs, nh, hb) = route(operators.Dedup.substringDupHashKeyed(spark, dir)
+            .agg(sum(col("n_dup"))).collect()(0).getLong(0))
+          val (ss, ns, sb) = route(operators.Dedup.substringDup(spark, dir)
+            .agg(sum(col("n_dup"))).collect()(0).getLong(0))
+          require(nh == ns, s"hash/string substring routes diverged: $nh != $ns")
+          emit("probe" -> "substr_hashkey", "scale" -> s"${mult}x",
+            "hash_sec" -> hs, "hash_shuffle_bytes" -> hb,
+            "string_sec" -> ss, "string_shuffle_bytes" -> sb,
+            "dup_positions" -> nh)
+        } finally spark.sparkContext.removeSparkListener(listener)
       }
       if (probes("conn")) {
         // r18: frontier-BFS connectivity census scaling — the census
@@ -404,8 +411,10 @@ object ScaleProbe {
               expr("transform(sequence(1, 12), i -> abs(xxhash64(id, i)) % 1000000006)")
                 .as("sigs"))
             .localCheckpoint(true)
-          val (sec, kept) = time(graft.streaming.DedupStreams
-            .nearDedupBatch(batch, stored, 500000L).count())
+          val (keptDf, sigsHandle) = graft.streaming.DedupStreams
+            .nearDedupBatch(batch, stored, 500000L)
+          val (sec, kept) = time(keptDf.count())
+          sigsHandle.unpersist()
           emit("probe" -> "stream_neardedup", "scale" -> s"${mult}x",
             "batch_docs" -> 1000, "stored_sigs" -> storedN,
             "sec" -> sec, "kept" -> kept)

@@ -4967,7 +4967,7 @@ object Ann {
          |$steps,
          |n AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM e)
          |SELECT r.round, r.n_reached, n.n_total,
-         | r.n_reached * 1000000 // n.n_total AS reach_micros
+         | r.n_reached * 1000000 // greatest(n.n_total, 1) AS reach_micros
          |FROM ($rows) r, n""".stripMargin
     },
     "ann_conn_fanout" -> {

@@ -1141,7 +1141,11 @@ object TextAnalysis {
       .partitionBy(col("source"), col("n_chars")).orderBy(col("doc_id"))
     docs
       .withColumn("cell_rank", row_number().over(wCell).cast("long"))
-      .join(broadcast(cum), Seq("source", "n_chars"))
+      // no broadcast hint on cum: its size is data-dependent (sources ×
+      // DISTINCT lengths — millions of rows per source under a fine
+      // length distribution), so AQE picks the join strategy from the
+      // measured size instead of a forced unbounded broadcast
+      .join(cum, Seq("source", "n_chars"))
       .join(broadcast(srcIdx), "source")
       .crossJoin(broadcast(nSrc))
       .select(col("doc_id"), col("source"), col("n_chars"),

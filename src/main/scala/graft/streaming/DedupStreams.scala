@@ -71,16 +71,23 @@ object DedupStreams {
           val stored = GenFs.latestGenAtMost(s, genRoot, batchId, "kept")
           val seen = fingerprintsThrough(s, genRoot, stored).select(col("fp"))
           // within-batch canonical first (smallest doc_id per text),
-          // then the cross-generation anti join against the seen set
+          // then the cross-generation anti join against the seen set.
+          // kept is persisted across the two sink writes so the chain
+          // scan + anti join (multi-TB stored side at design scale) run
+          // ONCE per batch, and unpersisted before the sink returns —
+          // a long-running stream never relies on GC to reclaim storage
           val kept = batch
             .select(col("doc_id"), sha2(col("text"), 256).as("fp"))
             .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
             .join(seen, Seq("fp"), "left_anti")
-          kept.select(col("fp"))
-            .write.mode("overwrite").parquet(s"$genRoot/gen=$target/newfingerprints")
-          // kept commits the generation (written LAST)
-          kept.select(col("doc_id"), col("fp"))
-            .write.mode("overwrite").parquet(s"$genRoot/gen=$target/kept")
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            kept.select(col("fp"))
+              .write.mode("overwrite").parquet(s"$genRoot/gen=$target/newfingerprints")
+            // kept commits the generation (written LAST)
+            kept.select(col("doc_id"), col("fp"))
+              .write.mode("overwrite").parquet(s"$genRoot/gen=$target/kept")
+          } finally kept.unpersist()
         }
         ()
       }
@@ -117,11 +124,14 @@ object DedupStreams {
     * verification at `tauMicros`, greedy within-batch rule (a doc drops
     * when ANY smaller-id batch doc verifies against it — deterministic,
     * order-free) plus the cross-batch drop against stored survivors.
-    * Returns the kept (doc_id, sigs) rows. Factored out of the sink so
+    * Returns (kept (doc_id, sigs) rows, the PERSISTED per-batch sigs
+    * frame) — the caller MUST unpersist the sigs handle after its
+    * terminal action on kept, so neither the stream sink nor a probe
+    * loop leaks a cached dataset per batch. Factored out of the sink so
     * the spec drives the identical computation sequentially.
     */
   private[graft] def nearDedupBatch(batch: DataFrame, storedSigs: DataFrame,
-                                    tauMicros: Long): DataFrame = {
+                                    tauMicros: Long): (DataFrame, DataFrame) = {
     val sigs = sigsOf(batch)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bands = bandsOf(sigs)
@@ -150,8 +160,8 @@ object DedupStreams {
         .hint("SHUFFLE_HASH"), "old_id")
       .filter(estAgree >= lit(tauMicros))
       .select(col("new_id").as("doc_id")).distinct()
-    sigs.join(withinDrop, Seq("doc_id"), "left_anti")
-      .join(crossDrop, Seq("doc_id"), "left_anti")
+    (sigs.join(withinDrop, Seq("doc_id"), "left_anti")
+      .join(crossDrop, Seq("doc_id"), "left_anti"), sigs)
   }
 
   /** Streaming NEAR-dup dedup — the second dedup tier on the stream:
@@ -176,11 +186,18 @@ object DedupStreams {
           val target = batchId + 1
           val stored = GenFs.latestGenAtMost(s, genRoot, batchId, "kept")
           val storedSigs = GenFs.chainThrough(s, genRoot, stored, "sigs", "newsigs")
-          val kept = nearDedupBatch(batch, storedSigs, tauMicros)
-          kept.select(col("doc_id"), col("sigs"))
-            .write.mode("overwrite").parquet(s"$genRoot/gen=$target/newsigs")
-          kept.select(col("doc_id"))
-            .write.mode("overwrite").parquet(s"$genRoot/gen=$target/kept")
+          // persist kept across the two writes (the first materializes
+          // it) so the band joins against the stored chain run once per
+          // batch; unpersist BOTH caches before the sink returns
+          val (keptLazy, sigs) = nearDedupBatch(batch, storedSigs, tauMicros)
+          val kept = keptLazy
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            kept.select(col("doc_id"), col("sigs"))
+              .write.mode("overwrite").parquet(s"$genRoot/gen=$target/newsigs")
+            kept.select(col("doc_id"))
+              .write.mode("overwrite").parquet(s"$genRoot/gen=$target/kept")
+          } finally { sigs.unpersist(); kept.unpersist() }
         }
         ()
       }

@@ -12,4 +12,11 @@ import org.apache.spark.sql.classic.{Dataset => ClassicDataset, SparkSession => 
 object Bridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     ClassicDataset.ofRows(spark.asInstanceOf[ClassicSparkSession], plan)
+
+  /** Block until the live listener bus has delivered every queued event
+    * (private[spark]) — a deterministic drain for measurement listeners
+    * (shuffle-byte tallies) instead of a race-prone fixed sleep.
+    */
+  def drainListenerBus(sc: org.apache.spark.SparkContext): Unit =
+    sc.listenerBus.waitUntilEmpty()
 }

@@ -118,14 +118,15 @@ class DedupStreamsSpec extends SparkSpec {
       spark.read.parquet(s"$root/gen=$g/kept").collect().map(_.getLong(0)).toSet
     // sequential twin over the same evolving state
     val empty0 = spark.read.parquet(s"$root/gen=0/sigs")
-    val twin1 = DedupStreams.nearDedupBatch(b1, empty0, 500000L)
+    val (twin1, sig1) = DedupStreams.nearDedupBatch(b1, empty0, 500000L)
     assert(keptIds(1) === twin1.select("doc_id").collect().map(_.getLong(0)).toSet,
       "generation 1 diverged from the sequential twin")
-    val twin2 = DedupStreams.nearDedupBatch(b2,
+    val (twin2, sig2) = DedupStreams.nearDedupBatch(b2,
       empty0.unionByName(twin1.select(col("doc_id"), col("sigs"))), 500000L)
     val kept2 = keptIds(2)
     assert(kept2 === twin2.select("doc_id").collect().map(_.getLong(0)).toSet,
       "generation 2 diverged from the sequential twin")
+    sig1.unpersist(); sig2.unpersist()
     // exact copies verify at est = 1.0 and must be gone; the
     // within-batch pair keeps only its smaller id
     assert(!kept2.exists(_ >= 200000L), "within-batch exact copy survived")

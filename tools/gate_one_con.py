@@ -10,11 +10,20 @@ shared with tools/check.py so the two gate regimes can't drift.
 
 Usage: python3 tools/gate_one_con.py <sfDir> <verifyOutDir> [report.jsonl]
 """
-import sys, os, json, time
+import sys, os, json, time, hashlib
 import duckdb
 
 sys.path.insert(0, os.path.dirname(__file__))
 from gatelib import register_views, load_result, rows_only_status, compare
+
+
+def frame_hash(df):
+    """Stable content hash of a normalized frame — lets the report
+    self-certify WHAT matched, not just that something ran."""
+    try:
+        return hashlib.sha256(df.to_csv(index=False).encode()).hexdigest()[:16]
+    except Exception:
+        return None
 
 
 def rss_gb():
@@ -38,6 +47,12 @@ def main(sf_dir, out_dir, report=None):
             ok, msg = rows_only_status(got)
             n_ok += 1 if ok else 0
             rows_only += 1
+            # rows-only rows go to the report too: the artifact alone
+            # certifies the FULL keyed surface, not just the oracle set
+            if rep:
+                rep.write(json.dumps({"name": name, "mode": "rows_only", "ok": ok,
+                                      "rows": int(len(got))}) + "\n")
+                rep.flush()
             print(f"{'[rows-only]' if ok else '[FAIL]'} {name}: {msg}", flush=True)
             continue
         r0, t0 = rss_gb(), time.time()
@@ -47,17 +62,23 @@ def main(sf_dir, out_dir, report=None):
             print(f"[FAIL] {name}: oracle error after {time.time()-t0:.1f}s "
                   f"rss {r0:.2f}->{rss_gb():.2f}GB: {str(e)[:300]}", flush=True)
             if rep:
-                rep.write(json.dumps({"name": name, "sec": round(time.time()-t0, 2),
+                rep.write(json.dumps({"name": name, "mode": "oracle", "ok": False,
+                                      "sec": round(time.time()-t0, 2),
                                       "rss0": round(r0, 2), "rss1": round(rss_gb(), 2),
                                       "err": str(e)[:200]}) + "\n")
                 rep.flush()
             continue
         dt, r1 = time.time() - t0, rss_gb()
+        status, g, e = compare(got, exp)
         if rep:
-            rep.write(json.dumps({"name": name, "sec": round(dt, 2),
-                                  "rss0": round(r0, 2), "rss1": round(r1, 2)}) + "\n")
+            rec = {"name": name, "mode": "oracle", "ok": status is None,
+                   "sec": round(dt, 2), "rss0": round(r0, 2), "rss1": round(r1, 2),
+                   "rows": int(len(g)), "oracle_rows": int(len(e)),
+                   "hash": frame_hash(g)}
+            if status:
+                rec["status"] = status[:200]
+            rep.write(json.dumps(rec) + "\n")
             rep.flush()
-        status, g, _ = compare(got, exp)
         if status:
             print(f"[FAIL] {name}: {status}  ({dt:.1f}s, rss {r0:.2f}->{r1:.2f}GB)", flush=True)
         else:
