@@ -1270,24 +1270,21 @@ object Ann {
     * chain over the same generated graph.
     */
   def graphConnectivity(s: SparkSession, dir: String, rounds: Int = GraphConnRounds): DataFrame = {
-    import s.implicits._
     val nTot = Graft.tableRows(s, dir, "embeddings")
-    censusCounts(s, dir, sqrtFanout(nTot), rounds).toDF("round", "n_reached")
-      .select(col("round"), col("n_reached"), lit(nTot).as("n_total"),
-        // greatest(n,1): an empty corpus reports 0/0 as 0 micros
-        // instead of an ANSI divide-by-zero throw
-        expr(s"n_reached * 1000000 div greatest(${nTot}L, 1L)").as("reach_micros"))
+    // censusFrame's greatest(n,1): an empty corpus reports 0/0 as 0
+    // micros instead of an ANSI divide-by-zero throw
+    censusFrame(s, censusCounts(s, dir, sqrtFanout(nTot), rounds), nTot)
   }
 
-  /** The frontier-BFS census core, parameterized by the dense-id entry
-    * threshold — shared by the keyed census and the fanout sweep.
+  /** The frontier-BFS census core over an ARBITRARY undirected adjacency
+    * frame (src, dst) and entry frame (node) — the frame-parameterized
+    * face of the census, so the same walk audits the live session index,
+    * a deduped/repaired build, and a WRITTEN generation artifact (the
+    * thing a fleet actually monitors) without three copies of the BFS.
     */
-  private def censusCounts(s: SparkSession, dir: String, entryThr: Long,
-                           rounds: Int): Seq[(Long, Long)] = {
-    val und = graphSearchIndex(s, dir).select(col("src"), col("dst"))
-    var reached = Graft.embeddings(s, dir)
-      .filter(col("vec_id") < entryThr)
-      .select(col("vec_id").as("node")).localCheckpoint(true)
+  private[graft] def censusCountsOver(und: DataFrame, entries: DataFrame,
+                                      rounds: Int): Seq[(Long, Long)] = {
+    var reached = entries.select(col("node")).localCheckpoint(true)
     var frontier = reached
     val counts = scala.collection.mutable.ArrayBuffer((0L, reached.count()))
     for (r <- 1 to rounds) {
@@ -1298,6 +1295,47 @@ object Ann {
       counts += ((r.toLong, reached.count()))
     }
     counts.toSeq
+  }
+
+  /** The census core over the live session index, parameterized by the
+    * dense-id entry threshold — shared by the keyed census and the
+    * fanout sweep.
+    */
+  private def censusCounts(s: SparkSession, dir: String, entryThr: Long,
+                           rounds: Int): Seq[(Long, Long)] =
+    censusCountsOver(
+      graphSearchIndex(s, dir).select(col("src"), col("dst")),
+      Graft.embeddings(s, dir).filter(col("vec_id") < entryThr)
+        .select(col("vec_id").as("node")),
+      rounds)
+
+  /** (round, n_reached, n_total, reach_micros) frame from a census count
+    * list — shared result shaping for the census variants.
+    */
+  private def censusFrame(s: SparkSession, counts: Seq[(Long, Long)],
+                          nTot: Long): DataFrame = {
+    import s.implicits._
+    counts.toDF("round", "n_reached")
+      .select(col("round"), col("n_reached"), lit(nTot).as("n_total"),
+        expr(s"n_reached * 1000000 div greatest(${nTot}L, 1L)").as("reach_micros"))
+  }
+
+  /** [[graphConnectivity]] read off the WRITTEN index generation instead
+    * of the live session memo — what a serving fleet actually monitors
+    * (the published artifact, not the build session's cache): adjacency
+    * and entry set both come from [[writtenGraphGen]]'s parquet
+    * generation, which ships the identical undirected closure and
+    * √N entry rows the live census walks, so the two reports are
+    * row-equal by the walks' read-equivalence convention (and checked so
+    * by Round19OpsSpec + the shared DuckDB oracle).
+    */
+  def graphConnectivityFromGen(s: SparkSession, dir: String,
+                               rounds: Int = GraphConnRounds): DataFrame = {
+    val (adj, entry) = writtenGraphGen(s, dir)
+    censusFrame(s,
+      censusCountsOver(adj.select(col("src"), col("dst")),
+        entry.select(col("node")), rounds),
+      Graft.tableRows(s, dir, "embeddings"))
   }
 
   /** Entry-fanout SWEEP of the connectivity census — the tuning face of
@@ -1326,6 +1364,180 @@ object Ann {
 
   /** BFS depth of the keyed [[graphConnectivity]] census. */
   val GraphConnRounds: Int = 4
+
+  /** Near-duplicate cosine threshold (micros) of the dedup-gated build:
+    * two vectors at/above it are trivially-perturbed copies of one
+    * point, not genuine neighbors. Far stricter than the SemDeDup
+    * curation threshold ([[SemDedupTauMicros]] = 0.35): the build
+    * collapse must only merge vectors whose neighborhoods are
+    * interchangeable — 0.98 is the "same point up to noise" regime —
+    * while curation-grade thresholds would rewrite the index's topology.
+    */
+  val BuildDedupTauMicros: Long = 980000L
+
+  /** Min-label propagation rounds resolving near-dup clusters in the
+    * dedup-gated build. Bounded like [[GraphConnRounds]] so the DuckDB
+    * oracle unrolls the identical static chain; with the final pointer
+    * jump the collapse resolves chains of ~2×3 hops — far beyond any
+    * real near-dup clique at cos ≥ 0.98 (copies of one point are a
+    * 1-hop clique). An unresolved longer chain is BENIGN: its members
+    * stay in the graph as ordinary nodes and its attach edges still
+    * chain to a survivor, so connectivity never regresses — the
+    * bound trades collapse aggressiveness, not correctness.
+    */
+  val BuildDedupRounds: Int = 3
+
+  /** DEDUP-GATED serving-graph build — the repair for the measured
+    * failure mode the connectivity census detects
+    * (docs/bench_r18_connectivity.md): exact duplicates wire the k-NN
+    * graph into per-copy cliques (cos = 1.0 beats every genuine
+    * neighbor), so reach collapses to entry×replicas. Here duplicates
+    * are collapsed BEFORE the graph is wired and re-attached AFTER, so
+    * the published index keeps full-corpus reach (the connectivity
+    * property HNSW's long-range links exist to buy — the reference
+    * serves filtered HNSW on exactly this assumption, qdrant.py:73):
+    *
+    *  1. EXACT collapse — one hash groupBy on the vector value, smallest
+    *     vec_id canonical (the `dedup_exact` rule applied to vectors).
+    *     Runs BEFORE any scoring, so a 10×-replica corpus pays the
+    *     N·√N assignment pass on N/10 canonicals, not N — the collapse
+    *     is a cost CUT at exactly the corpus shape that needs it.
+    *  2. NEAR-DUP collapse — within-cell pairs of the canonical
+    *     assignment at cos ≥ `tauMicros`, resolved to clusters by
+    *     [[BuildDedupRounds]] min-label rounds + one pointer jump
+    *     (bounded ⇒ oracle-unrollable, `dedup_clusters`' rule). The
+    *     build's own cells are the RIGHT blocking: identical-up-to-noise
+    *     vectors share cells by construction, and a pair that never
+    *     shares a cell could not have corrupted the cell-blocked
+    *     build's neighborhoods in the first place.
+    *  3. GRAPH over survivors — the standard blocked NSW machinery
+    *     ([[nswEdgesFromCells]]) over the canonical set, reusing the
+    *     step-2 assignment restricted to survivors (no second scoring
+    *     pass). Centroids are the first √n_canon survivors by id
+    *     (orderBy+limit, density-independent), which on a dup-free
+    *     corpus equals the flat build's `vec_id < √N` rule exactly —
+    *     so with no duplicates this build IS [[nswGraph]].
+    *  4. RE-ATTACH — every collapsed duplicate gets edges to its
+    *     canonical (rn 0) and its canonical's top-k neighborhood
+    *     (the neighbors' own ranks), ≤ k+1 rows per duplicate: the
+    *     serving walk reaches duplicates through their canonical and
+    *     vice versa, so the census returns to ~100% reach on the
+    *     replica corpus (Round19OpsSpec pins both properties: repaired
+    *     reach AND graph-edge equality with the clean-corpus build).
+    *
+    * Output: (src, dst, cos, rn, is_attach) — survivor graph edges
+    * (is_attach = false) plus attach edges (true).
+    *
+    * 100 TB shape: the collapse is one value-keyed groupBy (map-side
+    * combinable; a deployment would key by a 128-bit vector digest —
+    * here the value itself so DuckDB groups identically), the near-dup
+    * stage rides the build's own blocked pairs, label rounds are
+    * corpus-keyed joins with per-round lineage cuts, and the attach
+    * stage is one broadcast-free hashed join per side, ∝ duplicates.
+    */
+  def nswGraphDeduped(s: SparkSession, dir: String, k: Int = 4, nprobe: Int = 3,
+                      tauMicros: Long = BuildDedupTauMicros): DataFrame =
+    Graft.memoCache(s"nsw_graph_deduped_${k}_${nprobe}_$tauMicros", dir) {
+      val e = withNorm(Graft.embeddings(s, dir).select(col("vec_id"), col("embedding")))
+      // 1. exact collapse (min vec_id per identical vector)
+      val eEx = e.join(e.groupBy(col("embedding")).agg(min(col("vec_id")).as("ec")),
+          "embedding")
+        .select(col("vec_id"), col("embedding"), col("nrm"), col("ec"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      Graft.trackCaches("nsw_dedup_eex", eEx)
+      val c1 = eEx.filter(col("vec_id") === col("ec"))
+        .select(col("vec_id"), col("embedding"), col("nrm"))
+      val n1 = c1.count()
+      requireCentroidBudget(sqrtFanout(n1), "nswGraphDeduped")
+      // density-independent centroid pick: first sqrtFanout(n1) survivors
+      // by id (TakeOrdered top-k — the <=sqrt(N) rows the build broadcasts
+      // anyway); equals the flat build's vec_id < sqrt(N) on dense ids
+      val cents = c1.orderBy(col("vec_id")).limit(sqrtFanout(n1).toInt)
+        .agg(sort_array(collect_list(struct(col("vec_id").as("cid"),
+          col("embedding").as("cvec"), col("nrm").as("cnrm")))).as("cents"))
+      val cells1 = cellsOver(c1, cents, nprobe)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      Graft.trackCaches("nsw_dedup_cells", cells1)
+      // 2. near-dup pairs within shared cells (symmetric: x != y, so the
+      // pair frame needs no explicit undirection), integer-micros
+      // threshold so Spark and the oracle compare identical quantities
+      val nd = cells1.as("x").join(cells1.as("y"),
+          col("x.cid") === col("y.cid") && col("x.vec_id") =!= col("y.vec_id"))
+        .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
+          round(VectorOps.dot(col("x.embedding"), col("y.embedding"))
+            / (col("x.nrm") * col("y.nrm")), 6).as("cos"))
+        .filter(expr("cast(round(cos * 1000000) as bigint)") >= lit(tauMicros))
+        .select(col("a"), col("b"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      Graft.trackCaches("nsw_dedup_ndpairs", nd)
+      // bounded min-label propagation (per-round lineage cuts — the
+      // census/clustersUnionFind iteration pattern) + one pointer jump
+      var lbl = c1.select(col("vec_id"), col("vec_id").as("lbl")).localCheckpoint(true)
+      for (_ <- 1 to BuildDedupRounds) {
+        lbl = lbl
+          .join(nd.withColumnRenamed("a", "vec_id"), Seq("vec_id"), "left")
+          .join(lbl.select(col("vec_id").as("b"), col("lbl").as("nlbl")), Seq("b"), "left")
+          .groupBy(col("vec_id"))
+          .agg(least(min(col("lbl")), coalesce(min(col("nlbl")), min(col("lbl")))).as("lbl"))
+          .localCheckpoint(true)
+      }
+      val fin = lbl.as("p")
+        .join(lbl.select(col("vec_id").as("j"), col("lbl").as("jlbl")).as("q"),
+          col("p.lbl") === col("j"))
+        .select(col("p.vec_id").as("vec_id"), col("jlbl").as("canon"))
+        .localCheckpoint(true)
+      // 3. survivor graph: step-2 assignment restricted to survivors
+      val c2ids = fin.filter(col("canon") === col("vec_id")).select(col("vec_id"))
+      val graph = nswEdgesFromCells(
+        c1.join(c2ids, "vec_id").select(col("vec_id"), col("embedding")),
+        cells1.join(c2ids, "vec_id").hint("SHUFFLE_HASH"), k)
+        .select(col("src"), col("dst"), col("cos"), col("rn"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      Graft.trackCaches("nsw_dedup_graph", graph)
+      // 4. re-attach: full-corpus canonical map (exact then near), then
+      // canonical + canonical's neighborhood per duplicate
+      val dups = eEx.select(col("vec_id"), col("ec"))
+        .join(fin.select(col("vec_id").as("ec"), col("canon")), "ec")
+        .select(col("vec_id"), col("canon"))
+        .filter(col("vec_id") =!= col("canon"))
+      val attTargets = dups.select(col("vec_id"), col("canon").as("dst"), lit(0L).as("rn"))
+        .unionByName(dups
+          .join(graph.select(col("src").as("canon"), col("dst"), col("rn")), "canon")
+          .select(col("vec_id"), col("dst"), col("rn")))
+      val att = attTargets
+        .join(e.select(col("vec_id"), col("embedding").as("xv"), col("nrm").as("xn"))
+          .hint("SHUFFLE_HASH"), "vec_id")
+        .join(e.select(col("vec_id").as("dst"), col("embedding").as("yv"),
+          col("nrm").as("yn")).hint("SHUFFLE_HASH"), "dst")
+        .select(col("vec_id").as("src"), col("dst"),
+          round(VectorOps.dot(col("xv"), col("yv")) / (col("xn") * col("yn")), 6).as("cos"),
+          col("rn"), lit(true).as("is_attach"))
+      graph.select(col("src"), col("dst"), col("cos"), col("rn"),
+          lit(false).as("is_attach"))
+        .unionByName(att)
+    }
+
+  /** [[graphConnectivity]] over the DEDUP-GATED build — the proof query
+    * that the repair works: census the [[nswGraphDeduped]] adjacency
+    * (survivor graph + attach edges, undirected) from the standard √N
+    * entry set. On the replica corpora where the plain census collapses
+    * to entry×replicas, this returns to full reach (Round19OpsSpec);
+    * on a dup-free corpus it equals the plain census.
+    */
+  def graphConnectivityDeduped(s: SparkSession, dir: String,
+                               rounds: Int = GraphConnRounds): DataFrame = {
+    val edges = nswGraphDeduped(s, dir)
+    val und = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    val nTot = Graft.tableRows(s, dir, "embeddings")
+    censusFrame(s,
+      censusCountsOver(und,
+        Graft.embeddings(s, dir).filter(col("vec_id") < sqrtFanout(nTot))
+          .select(col("vec_id").as("node")),
+        rounds),
+      nTot)
+  }
 
   def graphSearch(s: SparkSession, dir: String, k: Int = GraphSearchK,
                   beam: Int = GraphSearchBeam,
@@ -3916,16 +4128,14 @@ object Ann {
     * `embed_outlier_knn` isolation aggregate, and (at src="es", f="i")
     * by the incremental insert's stored-slice build.
     */
-  private def duckNswTopkOver(src: String, f: String): String =
-    s"""c$f AS MATERIALIZED (SELECT vec_id AS cid, v FROM $src WHERE vec_id <
-       |        greatest(8, CAST(floor(sqrt((SELECT count(*) FROM $src))) AS BIGINT))),
-       |sc$f AS (SELECT x.vec_id, y.cid, round($duckCosPair, 6) AS cscore
-       |       FROM $src x JOIN (SELECT cid, v FROM c$f) y ON true),
-       |asg$f AS (SELECT vec_id, cid FROM (
-       |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
-       |          ORDER BY cscore DESC, cid) AS rn FROM sc$f) WHERE rn <= 3),
-       |m$f AS MATERIALIZED (SELECT s.vec_id, a.cid FROM $src s JOIN asg$f a ON s.vec_id = a.vec_id),
-       |cand0$f AS MATERIALIZED (SELECT DISTINCT x.vec_id AS src, y.vec_id AS dst
+  /** The NSW chain AFTER the cell assignment `m$f` (vec_id, cid):
+    * blocked pairs → round-1 cut → NN-descent → final top-k, ending in
+    * `topk$f`. Split out of [[duckNswTopkOver]] so the dedup-gated
+    * build's oracle can feed it a RESTRICTED assignment (survivors
+    * only) — one chain, two centroid regimes.
+    */
+  private def duckNswChainFromM(src: String, f: String): String =
+    s"""cand0$f AS MATERIALIZED (SELECT DISTINCT x.vec_id AS src, y.vec_id AS dst
        |          FROM m$f x JOIN m$f y ON x.cid = y.cid AND x.vec_id != y.vec_id),
        |cos0$f AS (SELECT src, dst, round($duckCosPair, 6) AS cos
        |         FROM cand0$f JOIN $src x ON x.vec_id = src JOIN $src y ON y.vec_id = dst),
@@ -3941,7 +4151,70 @@ object Ann {
        |  SELECT src, dst, cos, row_number() OVER (PARTITION BY src
        |          ORDER BY cos DESC, dst) AS rn FROM csA$f) WHERE rn <= 4)""".stripMargin
 
+  private def duckNswTopkOver(src: String, f: String): String =
+    s"""c$f AS MATERIALIZED (SELECT vec_id AS cid, v FROM $src WHERE vec_id <
+       |        greatest(8, CAST(floor(sqrt((SELECT count(*) FROM $src))) AS BIGINT))),
+       |sc$f AS (SELECT x.vec_id, y.cid, round($duckCosPair, 6) AS cscore
+       |       FROM $src x JOIN (SELECT cid, v FROM c$f) y ON true),
+       |asg$f AS (SELECT vec_id, cid FROM (
+       |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+       |          ORDER BY cscore DESC, cid) AS rn FROM sc$f) WHERE rn <= 3),
+       |m$f AS MATERIALIZED (SELECT s.vec_id, a.cid FROM $src s JOIN asg$f a ON s.vec_id = a.vec_id),
+       |${duckNswChainFromM(src, f)}""".stripMargin
+
   private val duckNswTopk = duckNswTopkOver("e", "")
+
+  /** The dedup-gated build ([[nswGraphDeduped]]) as DuckDB CTEs, ending
+    * in `dedup_edges` (src, dst, cos, rn, is_attach) — exact collapse by
+    * vector-value GROUP BY, rank-based √n centroid pick, within-cell
+    * near-dup pairs at [[BuildDedupTauMicros]], the
+    * [[BuildDedupRounds]]-round min-label unroll + pointer jump, the
+    * shared NSW chain over survivors, and the duplicate re-attach.
+    * Shared by the `ann_graph_build_deduped` edge oracle and the
+    * `ann_conn_deduped` census oracle.
+    */
+  private def duckDedupedBuild: String = {
+    val rounds = (1 to BuildDedupRounds).map { r =>
+      s"""l$r AS MATERIALIZED (SELECT c.vec_id,
+         |      least(min(c.lbl), coalesce(min(n.lbl), min(c.lbl))) AS lbl
+         |      FROM l${r - 1} c LEFT JOIN ndp ON ndp.a = c.vec_id
+         |      LEFT JOIN l${r - 1} n ON n.vec_id = ndp.b
+         |      GROUP BY c.vec_id)""".stripMargin
+    }.mkString(",\n")
+    s"""exg AS (SELECT v, min(vec_id) AS ec FROM e GROUP BY v),
+       |exm AS MATERIALIZED (SELECT e.vec_id, x.ec FROM e JOIN exg x ON e.v = x.v),
+       |c1d AS MATERIALIZED (SELECT e.vec_id, e.v FROM e JOIN exm ON e.vec_id = exm.vec_id
+       |      WHERE exm.ec = e.vec_id),
+       |cend AS MATERIALIZED (SELECT vec_id AS cid, v FROM (
+       |  SELECT vec_id, v, row_number() OVER (ORDER BY vec_id) AS rnk FROM c1d)
+       |  WHERE rnk <= greatest(8, CAST(floor(sqrt((SELECT count(*) FROM c1d))) AS BIGINT))),
+       |scd AS (SELECT x.vec_id, y.cid, round($duckCosPair, 6) AS cscore
+       |       FROM c1d x JOIN (SELECT cid, v FROM cend) y ON true),
+       |asgd AS (SELECT vec_id, cid FROM (
+       |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+       |          ORDER BY cscore DESC, cid) AS rn FROM scd) WHERE rn <= 3),
+       |mc1 AS MATERIALIZED (SELECT s.vec_id, a.cid, s.v FROM c1d s JOIN asgd a ON s.vec_id = a.vec_id),
+       |ndp AS MATERIALIZED (SELECT x.vec_id AS a, y.vec_id AS b FROM mc1 x JOIN mc1 y
+       |      ON x.cid = y.cid AND x.vec_id != y.vec_id
+       |      WHERE CAST(round(round($duckCosPair, 6) * 1000000) AS BIGINT) >= $BuildDedupTauMicros),
+       |l0 AS (SELECT vec_id, vec_id AS lbl FROM c1d),
+       |$rounds,
+       |finp AS MATERIALIZED (SELECT p.vec_id, q.lbl AS canon
+       |      FROM l$BuildDedupRounds p JOIN l$BuildDedupRounds q ON p.lbl = q.vec_id),
+       |c2d AS MATERIALIZED (SELECT c.vec_id, c.v FROM c1d c JOIN finp f ON c.vec_id = f.vec_id
+       |      WHERE f.canon = c.vec_id),
+       |md AS MATERIALIZED (SELECT m.vec_id, m.cid FROM mc1 m JOIN c2d ON m.vec_id = c2d.vec_id),
+       |${duckNswChainFromM("c2d", "d")},
+       |dupd AS (SELECT x.vec_id, f.canon FROM exm x JOIN finp f ON x.ec = f.vec_id
+       |      WHERE x.vec_id != f.canon),
+       |att0d AS (SELECT d.vec_id AS src, d.canon AS dst, CAST(0 AS BIGINT) AS rn FROM dupd d
+       |      UNION ALL SELECT d.vec_id, t.dst, t.rn FROM dupd d JOIN topkd t ON t.src = d.canon),
+       |attd AS (SELECT a.src, a.dst, round($duckCosPair, 6) AS cos, a.rn FROM att0d a
+       |      JOIN e x ON x.vec_id = a.src JOIN e y ON y.vec_id = a.dst),
+       |dedup_edges AS MATERIALIZED (
+       |  SELECT src, dst, cos, rn, false AS is_attach FROM topkd
+       |  UNION ALL SELECT src, dst, cos, rn, true AS is_attach FROM attd)""".stripMargin
+  }
 
   /** The incremental insert as DuckDB CTEs — the exact twin of
     * [[nswGraphInsert]]: stored-slice build (suffix `i`), batch
@@ -4964,6 +5237,56 @@ object Ann {
          |$duckNswTopk,
          |gund AS MATERIALIZED (SELECT src, dst FROM topk UNION SELECT dst, src FROM topk),
          |cc0 AS MATERIALIZED (SELECT cid AS node FROM c),
+         |$steps,
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM e)
+         |SELECT r.round, r.n_reached, n.n_total,
+         | r.n_reached * 1000000 // greatest(n.n_total, 1) AS reach_micros
+         |FROM ($rows) r, n""".stripMargin
+    },
+    // the written-generation census is read-equivalent to the live one
+    // (same undirected closure + entry rows through the parquet artifact),
+    // so it shares the live census's oracle verbatim — the walks'
+    // from-gen convention
+    "ann_conn_from_gen" -> {
+      val steps = (1 to GraphConnRounds).map { r =>
+        s"""cc$r AS MATERIALIZED (SELECT DISTINCT node FROM (
+           |  SELECT node FROM cc${r - 1} UNION ALL
+           |  SELECT u.dst AS node FROM cc${r - 1} s JOIN gund u ON u.src = s.node))""".stripMargin
+      }.mkString(",\n")
+      val rows = (0 to GraphConnRounds).map(r =>
+        s"SELECT CAST($r AS BIGINT) AS round, " +
+          s"(SELECT CAST(count(*) AS BIGINT) FROM cc$r) AS n_reached")
+        .mkString("\nUNION ALL ")
+      s"""WITH $duckE,
+         |$duckNswTopk,
+         |gund AS MATERIALIZED (SELECT src, dst FROM topk UNION SELECT dst, src FROM topk),
+         |cc0 AS MATERIALIZED (SELECT cid AS node FROM c),
+         |$steps,
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM e)
+         |SELECT r.round, r.n_reached, n.n_total,
+         | r.n_reached * 1000000 // greatest(n.n_total, 1) AS reach_micros
+         |FROM ($rows) r, n""".stripMargin
+    },
+    "ann_graph_build_deduped" ->
+      s"""WITH $duckE,
+         |$duckDedupedBuild
+         |SELECT src, dst, cos, rn, is_attach FROM dedup_edges""".stripMargin,
+    "ann_conn_deduped" -> {
+      val steps = (1 to GraphConnRounds).map { r =>
+        s"""ccd$r AS MATERIALIZED (SELECT DISTINCT node FROM (
+           |  SELECT node FROM ccd${r - 1} UNION ALL
+           |  SELECT u.dst AS node FROM ccd${r - 1} s JOIN gundd u ON u.src = s.node))""".stripMargin
+      }.mkString(",\n")
+      val rows = (0 to GraphConnRounds).map(r =>
+        s"SELECT CAST($r AS BIGINT) AS round, " +
+          s"(SELECT CAST(count(*) AS BIGINT) FROM ccd$r) AS n_reached")
+        .mkString("\nUNION ALL ")
+      s"""WITH $duckE,
+         |$duckDedupedBuild,
+         |gundd AS MATERIALIZED (SELECT src, dst FROM dedup_edges
+         |       UNION SELECT dst, src FROM dedup_edges),
+         |fbd AS (SELECT greatest(8, CAST(floor(sqrt(count(*))) AS BIGINT)) AS t FROM e),
+         |ccd0 AS MATERIALIZED (SELECT vec_id AS node FROM e, fbd WHERE vec_id < fbd.t),
          |$steps,
          |n AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM e)
          |SELECT r.round, r.n_reached, n.n_total,

@@ -179,6 +179,14 @@ class EmptyInputSpec extends SparkSpec {
     assert(graft.operators.KeywordSearch.hybridRrfGraph(spark, dir).count() === 0)
   }
 
+  test("round-19 operators are safe on empty tables") {
+    assert(Ann.nswGraphDeduped(spark, dir).count() === 0)
+    val conn = Ann.graphConnectivityDeduped(spark, dir).collect()
+    assert(conn.length === Ann.GraphConnRounds + 1)
+    assert(conn.forall(r => r.getLong(1) === 0L && r.getLong(3) === 0L),
+      "empty corpus: deduped census reports zero reach, no div-by-zero")
+  }
+
   test("round-18 operators are safe on empty tables") {
     assert(Dedup.decontaminate(spark, dir).count() === 0)
     assert(TextAnalysis.curriculumInterleave(spark, dir).count() === 0)
