@@ -34,6 +34,7 @@ object Bench {
     // attribution failure the per-family fork exists to prevent.
     if (n == "ann_graph_nsw" || n == "ann_graph_hnsw_layers" ||
       n == "ann_graph_sharded" || n == "ann_hnsw_insert" ||
+      n == "ann_graph_build_deduped" ||
       n == "embed_outlier_knn") return n // graph builds run solo (JVM debt)
     val head = n.takeWhile(_ != '_')
     if (head.length <= 2 && head.startsWith("q")) "q" else head
@@ -44,7 +45,7 @@ object Bench {
     */
   private[graft] val soloFamilies: Set[String] =
     Set("ann_graph_nsw", "ann_graph_hnsw_layers", "ann_graph_sharded",
-      "ann_hnsw_insert", "embed_outlier_knn")
+      "ann_hnsw_insert", "ann_graph_build_deduped", "embed_outlier_knn")
 
   /** Fixed bucket count for [[chunkFamilies]]' name-hash placement. */
   private[graft] val NumChunkBuckets = 12

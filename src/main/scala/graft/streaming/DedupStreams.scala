@@ -203,6 +203,98 @@ object DedupStreams {
       }
       .start()
 
+  /** DISTINCT k-gram census of an eval/benchmark frame — the content of
+    * the decontamination tier's stored generations: one row per
+    * contaminating gram (`gid`), exactly the gram identity
+    * [[graft.operators.Dedup.decontaminateAgainst]]'s single-scan core
+    * windows on (lowercased whitespace tokens, k-token joins).
+    */
+  private[graft] def evalGramsOf(evalDocs: DataFrame, k: Int): DataFrame =
+    evalDocs.select(expr("split(lower(text), '\\\\s+')").as("toks"))
+      .filter(expr(s"size(toks) >= $k"))
+      .select(explode(expr(s"transform(sequence(1, size(toks) - ${k - 1}), j -> " +
+        s"array_join(slice(toks, j, $k), ' '))")).as("gid"))
+      .distinct()
+
+  /** Benchmark-release job: append a new eval suite's gram census as a
+    * `newevalgrams` delta at generation `gen`. Convention: append at
+    * `currentGen(root, "account")` — visible to every batch from the
+    * next one onward (batch b chains through generation b, and the head
+    * account generation is head-batch+1), while a checkpoint REPLAY of
+    * any already-committed batch still resolves the chain it originally
+    * saw. The stream itself never writes eval grams, only accounts.
+    */
+  def appendEvalSuite(s: SparkSession, root: String, gen: Long,
+                      evalDocs: DataFrame, k: Int = 13): Unit =
+    evalGramsOf(evalDocs, k)
+      .write.mode("overwrite").parquet(s"$root/gen=$gen/newevalgrams")
+
+  /** One decontamination microbatch against the stored eval-gram chain:
+    * the batch's 13-gram positions left-join the DISTINCT stored gram
+    * set (distinct on the probe side: two suites may share a gram, and
+    * a duplicated gid would multiply join rows and inflate n_grams),
+    * then the per-doc account — (doc_id, n_grams, n_contaminated,
+    * contaminated), the exact output contract of the batch operator
+    * [[graft.operators.Dedup.decontaminateAgainst]] (a gram position is
+    * contaminated iff its gid occurs in the eval census; sub-k-token
+    * docs drop out on both paths). Factored out of the sink so the spec
+    * drives the identical computation sequentially.
+    */
+  private[graft] def decontamBatch(batch: DataFrame, storedGrams: DataFrame,
+                                   k: Int): DataFrame = {
+    val grams = batch
+      .select(col("doc_id"), expr("split(lower(text), '\\\\s+')").as("toks"))
+      .filter(expr(s"size(toks) >= $k"))
+      .select(col("doc_id"),
+        explode(expr(s"transform(sequence(1, size(toks) - ${k - 1}), j -> " +
+          s"array_join(slice(toks, j, $k), ' '))")).as("gid"))
+    grams
+      .join(storedGrams.select(col("gid")).distinct()
+        .select(col("gid"), lit(1L).as("hit")).hint("SHUFFLE_HASH"),
+        Seq("gid"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("hit").isNotNull, 1L).otherwise(0L)).as("n_contaminated"))
+      .select(col("doc_id"), col("n_grams"), col("n_contaminated"),
+        (col("n_contaminated") > 0).cast("long").as("contaminated"))
+  }
+
+  /** Streaming DECONTAMINATION — the third dedup tier at the ingest
+    * edge (exact copies → near copies → benchmark leakage): training
+    * documents arrive on the stream and each microbatch is accounted
+    * against the stored eval-gram generation chain — `gen=0/evalgrams`
+    * seeds the benchmark census, [[appendEvalSuite]] lands new suites
+    * as `newevalgrams` deltas, and generation b+1's `account` dir (the
+    * commit marker) holds batch b's per-doc contamination account.
+    * Unlike the other two tiers the stream APPENDS no state of its own:
+    * the eval census evolves only by admin appends, so per-batch work is
+    * the batch's gram explode + one gid-keyed hash probe of the chain
+    * (∝ batch + one stored scan, never a pair join) — a deployment
+    * bucket-partitions the stored grams by gid so the probe co-locates
+    * (IndexBuilder.compact). Exactly-once by idempotence, hole-tolerant,
+    * `_SUCCESS`-gated — the shared [[GenFs]] contract.
+    */
+  def maintainDecontam(docStream: DataFrame, genRoot: String, checkpoint: String,
+                       k: Int = 13): StreamingQuery =
+    docStream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val s = batch.sparkSession
+          val target = batchId + 1
+          val stored = GenFs.latestGenAtMost(s, genRoot, batchId, "account")
+          val grams = GenFs.chainThrough(s, genRoot, stored, "evalgrams", "newevalgrams")
+          decontamBatch(batch, grams, k)
+            .write.mode("overwrite").parquet(s"$genRoot/gen=$target/account")
+        }
+        ()
+      }
+      .start()
+
+  /** Generation GC for the decontam root: compacts the eval-gram chain. */
+  def pruneDecontamGenerations(s: SparkSession, root: String, keep: Int = 2): Long =
+    GenFs.prune(s, root, keep, "account", "evalgrams", "newevalgrams")
+
   /** All surviving documents through generation `g` WITHIN THE
     * RETAINED WINDOW — a plain union of immutable committed `kept` dirs
     * (survivors are never revoked, no join). Contract note: `kept` is

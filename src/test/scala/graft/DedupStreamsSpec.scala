@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import graft.operators.Dedup
 import graft.streaming.{DedupStreams, IndexStreams}
 
 /** Streaming exact-dedup over versioned fingerprint generations: the
@@ -135,6 +136,74 @@ class DedupStreamsSpec extends SparkSpec {
     assert(kept2.contains(cut), "the smaller id of the within-batch pair must survive")
     info(s"2 streamed near-dup generations equal their sequential twins " +
       s"(${keptIds(1).size} + ${kept2.size} survivors)")
+  }
+
+  test("streaming decontamination accounts equal the batch operator; late eval suites take effect") {
+    // the third ingest-edge tier: per-batch contamination accounts
+    // against the stored eval-gram chain. Parity: every generation's
+    // account equals the batch decontaminateAgainst over that batch,
+    // and the per-doc accounts compose (union of generations = the
+    // batch account of the union corpus); a suite appended at the head
+    // generation is visible from the next batch onward.
+    import spark.implicits._
+    val root = schemedTemp("graft-dcds")
+    val inDir = java.nio.file.Files.createTempDirectory("graft-dcdsin").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-dcdsck").toString
+    val d = Graft.documents(spark, dir).select(col("doc_id"), col("text"))
+    val eval1 = d.filter(col("doc_id") % 50 === 0)
+    val train = d.filter(col("doc_id") % 50 =!= 0)
+    val cut = d.count() / 2
+    val b1 = train.filter(col("doc_id") < cut)
+    val b2 = train.filter(col("doc_id") >= cut)
+    // suite 2 is a synthetic 13-gram; batch 3 has one doc leaking it
+    // mid-document and one clean doc
+    val leak = (0 until 13).map(i => s"z$i").mkString(" ")
+    val eval2 = Seq((900000L, leak)).toDF("doc_id", "text")
+    val b3 = Seq(
+      (800001L, s"lead0 lead1 $leak tail0"),
+      (800002L, (0 until 20).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
+
+    // seed: suite-1 census + the empty account that commits gen 0
+    DedupStreams.evalGramsOf(eval1, 13).write.parquet(s"$root/gen=0/evalgrams")
+    Seq.empty[(Long, Long, Long, Long)]
+      .toDF("doc_id", "n_grams", "n_contaminated", "contaminated")
+      .write.parquet(s"$root/gen=0/account")
+
+    def account(g: Long): Set[(Long, Long, Long, Long)] =
+      spark.read.parquet(s"$root/gen=$g/account").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    def twin(t: org.apache.spark.sql.DataFrame, e: org.apache.spark.sql.DataFrame) =
+      Dedup.decontaminateAgainst(t, e).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+
+    val q = DedupStreams.maintainDecontam(
+      IndexStreams.fromParquetDir(spark, inDir, d), root, ckpt)
+    try {
+      b1.coalesce(1).write.mode("append").parquet(inDir)
+      q.processAllAvailable()
+      b2.coalesce(1).write.mode("append").parquet(inDir)
+      q.processAllAvailable()
+      // suite 2 publishes at the head generation -> next batch sees it
+      DedupStreams.appendEvalSuite(spark, root, 2L, eval2)
+      b3.coalesce(1).write.mode("append").parquet(inDir)
+      q.processAllAvailable()
+      assert(q.exception.isEmpty, s"decontam stream failed: ${q.exception}")
+    } finally q.stop()
+
+    assert(account(1L) === twin(b1, eval1), "generation 1 diverged from the batch twin")
+    assert(account(2L) === twin(b2, eval1), "generation 2 diverged from the batch twin")
+    // per-doc accounts compose: generations union = the union-corpus account
+    assert(account(1L) ++ account(2L) === twin(b1.unionByName(b2), eval1),
+      "streamed accounts do not compose to the union-corpus batch account")
+    // the late suite is live for batch 3: its leak doc is flagged with
+    // exactly one contaminated position, the clean doc with none
+    val g3 = account(3L)
+    assert(g3 === twin(b3, eval1.unionByName(eval2)),
+      "generation 3 diverged from the two-suite batch twin")
+    assert(g3.contains((800001L, 4L, 1L, 1L)), s"leak doc mis-accounted: $g3")
+    assert(g3.contains((800002L, 8L, 0L, 0L)), s"clean doc mis-accounted: $g3")
+    info(s"3 streamed decontam generations equal their batch twins " +
+      s"(${account(1L).size}+${account(2L).size}+${g3.size} accounts)")
   }
 
   test("pruning keeps the dedup decision state: post-prune batches still dedup") {
