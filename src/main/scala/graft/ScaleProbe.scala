@@ -398,14 +398,14 @@ object ScaleProbe {
       if (probes("streamdedup")) {
         // r18: the streaming near-dup batch-cost contract — a FIXED
         // 1000-doc microbatch against stored signature state growing
-        // 10k -> 1M rows; the per-batch cost should grow only with the
+        // 10k -> 10M rows; the per-batch cost should grow only with the
         // stored-sigs scan (the band join probes, it doesn't rescore),
         // never with candidate work (synthetic sigs are unique, so the
         // band index yields zero false candidates — the floor line)
         val batch = spark.read.parquet(s"$dir/documents.parquet")
           .select(col("doc_id"), col("text")).orderBy(col("doc_id")).limit(1000)
           .localCheckpoint(true)
-        for (storedN <- Seq(10000L, 100000L, 1000000L)) {
+        for (storedN <- Seq(10000L, 100000L, 1000000L, 10000000L)) {
           val stored = spark.range(storedN).select(
               (col("id") + 10000000L).as("doc_id"),
               expr("transform(sequence(1, 12), i -> abs(xxhash64(id, i)) % 1000000006)")
@@ -418,7 +418,67 @@ object ScaleProbe {
           emit("probe" -> "stream_neardedup", "scale" -> s"${mult}x",
             "batch_docs" -> 1000, "stored_sigs" -> storedN,
             "sec" -> sec, "kept" -> kept)
+          stored.unpersist()
         }
+      }
+      if (probes("streamdedupbkt")) {
+        // r19: the band-bucketed stored probe index vs the per-batch
+        // derive-and-shuffle route, on a PARQUET-backed chain (the real
+        // stream's stored side) — wall AND shuffle-write bytes per
+        // route, so the co-location claim is measured, not asserted.
+        // Routes are result-checked equal per notch.
+        val batch = spark.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), col("text")).orderBy(col("doc_id")).limit(1000)
+          .localCheckpoint(true)
+        val tally = new java.util.concurrent.atomic.AtomicLong()
+        val listener = new org.apache.spark.scheduler.SparkListener {
+          override def onStageCompleted(
+              sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+            tally.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+        }
+        spark.sparkContext.addSparkListener(listener)
+        def route(f: => Long): (Double, Long, Long) = {
+          org.apache.spark.sql.graftbridge.Bridge.drainListenerBus(spark.sparkContext)
+          tally.set(0L)
+          val (sec, n) = time(f)
+          org.apache.spark.sql.graftbridge.Bridge.drainListenerBus(spark.sparkContext)
+          (sec, n, tally.get())
+        }
+        try {
+          for (storedN <- Seq(1000000L, 10000000L)) {
+            val root = s"/tmp/graft_scale/ndroot_$storedN"
+            val fs = new java.io.File(s"$root/gen=0/sigs")
+            if (!new java.io.File(s"$root/gen=0/kept/_SUCCESS").exists()) {
+              spark.range(storedN).select(
+                  (col("id") + 10000000L).as("doc_id"),
+                  expr("transform(sequence(1, 12), i -> abs(xxhash64(id, i)) % 1000000006)")
+                    .as("sigs"))
+                .write.mode("overwrite").parquet(fs.getPath)
+              spark.range(0).select(col("id").as("doc_id"))
+                .write.mode("overwrite").parquet(s"$root/gen=0/kept")
+            }
+            val storedSigs = spark.read.parquet(fs.getPath)
+            val (dsec, dkept, dbytes) = route {
+              val (k, sh) = graft.streaming.DedupStreams
+                .nearDedupBatch(batch, storedSigs, 500000L)
+              val n = k.count(); sh.unpersist(); n
+            }
+            val (csec, _) = time(graft.streaming.DedupStreams
+              .compactProbeIndexAt(spark, root, 0L))
+            val (sigsT, bandsT) = (spark.table("graft_nd_sigs"), spark.table("graft_nd_bands"))
+            val (bsec, bkept, bbytes) = route {
+              val (k, sh) = graft.streaming.DedupStreams
+                .nearDedupBatchWithBands(batch, sigsT, bandsT, 500000L)
+              val n = k.count(); sh.unpersist(); n
+            }
+            require(dkept == bkept, s"bucketed/derive routes diverged: $bkept != $dkept")
+            emit("probe" -> "stream_neardedup_bucketed", "scale" -> s"${mult}x",
+              "stored_sigs" -> storedN, "derive_sec" -> dsec,
+              "derive_shuffle_bytes" -> dbytes, "bucketed_sec" -> bsec,
+              "bucketed_shuffle_bytes" -> bbytes, "compact_sec" -> csec,
+              "kept" -> dkept)
+          }
+        } finally spark.sparkContext.removeSparkListener(listener)
       }
       if (probes("hinsert")) {
         // layered-insert cost contract: marginal insert work ∝ batch,

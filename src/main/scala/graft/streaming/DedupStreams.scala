@@ -54,6 +54,34 @@ object DedupStreams {
   def pruneNearGenerations(s: SparkSession, root: String, keep: Int = 2): Long =
     GenFs.prune(s, root, keep, "kept", "sigs", "newsigs")
 
+  /** Materialize the near-dup chain's PROBE INDEX at generation `g` as
+    * two bucketed tables (IndexBuilder.compact's bucketBy-with-path
+    * layout): the band index bucketed by `band_hash` and the signature
+    * table bucketed by `doc_id` — the layout the batch probe joins
+    * cluster on, so past ~10^7 stored sigs the per-batch cost drops to
+    * the bucketed SCAN plus work ∝ the batch (the stored side never
+    * re-shuffles; only the batch's own band/candidate rows move).
+    * Returns (sigs table, bands table) for
+    * [[nearDedupBatchWithBands]]; a maintenance job refreshes it on the
+    * compaction schedule (bucket counts sized so one bucket ≈ one
+    * executor-task's worth of the design-scale index).
+    */
+  def compactProbeIndexAt(s: SparkSession, root: String, g: Long,
+                          buckets: Int = 32): (DataFrame, DataFrame) = {
+    val sigs = GenFs.chainThrough(s, root, g, "sigs", "newsigs")
+    s.sql("DROP TABLE IF EXISTS graft_nd_sigs")
+    sigs.write.mode("overwrite")
+      .bucketBy(buckets, "doc_id").sortBy("doc_id")
+      .option("path", s"$root/gen=$g/sigindex")
+      .saveAsTable("graft_nd_sigs")
+    s.sql("DROP TABLE IF EXISTS graft_nd_bands")
+    bandsOf(sigs).write.mode("overwrite")
+      .bucketBy(buckets, "band_hash").sortBy("band_hash")
+      .option("path", s"$root/gen=$g/bandindex")
+      .saveAsTable("graft_nd_bands")
+    (s.table("graft_nd_sigs"), s.table("graft_nd_bands"))
+  }
+
   /** Start the streaming dedup: `docStream` is a streaming frame with
     * (doc_id, text). Each microbatch b writes generation b+1 with its
     * survivors and their fingerprints.
@@ -131,7 +159,22 @@ object DedupStreams {
     * the spec drives the identical computation sequentially.
     */
   private[graft] def nearDedupBatch(batch: DataFrame, storedSigs: DataFrame,
-                                    tauMicros: Long): (DataFrame, DataFrame) = {
+                                    tauMicros: Long): (DataFrame, DataFrame) =
+    // stored bands derive from the stored sigs by a cheap projection
+    // (12 longs per doc — no kernel re-run); past ~10^7 stored sigs a
+    // deployment persists the BUCKETED band/sig index instead
+    // ([[compactProbeIndexAt]]) so the probe joins co-locate
+    nearDedupBatchWithBands(batch, storedSigs, bandsOf(storedSigs), tauMicros)
+
+  /** [[nearDedupBatch]] with an externally-supplied stored band index —
+    * the route for a band_hash-BUCKETED stored layout: the bucketed
+    * scan satisfies the probe join's clustering (band_hash is a subset
+    * of the (band_id, band_hash) join key), so the multi-TB stored side
+    * never re-shuffles; only the batch's own band rows move.
+    */
+  private[graft] def nearDedupBatchWithBands(batch: DataFrame, storedSigs: DataFrame,
+                                             storedBands: DataFrame,
+                                             tauMicros: Long): (DataFrame, DataFrame) = {
     val sigs = sigsOf(batch)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bands = bandsOf(sigs)
@@ -145,12 +188,8 @@ object DedupStreams {
       .join(sigs.select(col("doc_id").as("hi"), col("sigs").as("sb")), "hi")
       .filter(estAgree >= lit(tauMicros))
       .select(col("hi").as("doc_id")).distinct()
-    // stored side: bands derive from the stored sigs by a cheap
-    // projection (12 longs per doc — no kernel re-run); a deployment
-    // bucket-partitions this band index by band_hash (IndexBuilder
-    // .compact) so the probe is a co-located join
     val crossDrop = bands
-      .join(bandsOf(storedSigs)
+      .join(storedBands
           .select(col("band_id").as("ob"), col("band_hash").as("oh"),
             col("doc_id").as("old_id")),
         col("band_id") === col("ob") && col("band_hash") === col("oh"))

@@ -138,6 +138,40 @@ class DedupStreamsSpec extends SparkSpec {
       s"(${keptIds(1).size} + ${kept2.size} survivors)")
   }
 
+  test("bucketed probe index: nearDedupBatchWithBands equals the derive route") {
+    // the >=10^7-stored-sigs layout: band index bucketed by band_hash +
+    // sig table bucketed by doc_id (compactProbeIndexAt). The bucketed
+    // probe must drop exactly what the per-batch derive route drops.
+    import spark.implicits._
+    val root = schemedTemp("graft-ndbkt")
+    val d = Graft.documents(spark, dir).select(col("doc_id"), col("text"))
+    val cut = d.count() / 2
+    val b1 = d.filter(col("doc_id") < cut)
+    // batch 2 carries fresh docs + exact copies of stored batch-1 docs
+    val b2 = d.filter(col("doc_id") >= cut)
+      .unionByName(b1.filter(col("doc_id") % 9 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+    // seed chain: batch-1 survivors' sigs as the gen-0 full checkpoint
+    val empty = Seq.empty[(Long, Seq[Long])].toDF("doc_id", "sigs")
+    val (k1, s1) = DedupStreams.nearDedupBatch(b1, empty, 500000L)
+    k1.select(col("doc_id"), col("sigs")).write.parquet(s"$root/gen=0/sigs")
+    s1.unpersist()
+    Seq.empty[Tuple1[Long]].toDF("doc_id").write.parquet(s"$root/gen=0/kept")
+
+    val stored = spark.read.parquet(s"$root/gen=0/sigs")
+    val (kd, sd) = DedupStreams.nearDedupBatch(b2, stored, 500000L)
+    val derive = kd.select("doc_id").collect().map(_.getLong(0)).toSet
+    sd.unpersist()
+    val (sigsT, bandsT) = DedupStreams.compactProbeIndexAt(spark, root, 0L, buckets = 4)
+    val (kb, sb) = DedupStreams.nearDedupBatchWithBands(b2, sigsT, bandsT, 500000L)
+    val bucketed = kb.select("doc_id").collect().map(_.getLong(0)).toSet
+    sb.unpersist()
+    assert(bucketed === derive, "bucketed probe diverged from the derive route")
+    assert(derive.nonEmpty)
+    assert(!bucketed.exists(_ >= 100000L), "cross-batch exact copies must drop on the bucketed route")
+    info(s"${bucketed.size} survivors on both routes")
+  }
+
   test("streaming decontamination accounts equal the batch operator; late eval suites take effect") {
     // the third ingest-edge tier: per-batch contamination accounts
     // against the stored eval-gram chain. Parity: every generation's
