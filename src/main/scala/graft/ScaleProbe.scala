@@ -373,6 +373,28 @@ object ScaleProbe {
             "dup_positions" -> nh)
         } finally spark.sparkContext.removeSparkListener(listener)
       }
+      if (probes("dedupbuild")) {
+        // r19: the dedup-gated build vs the plain build on the scaled
+        // corpora — which ARE replica corpora (mult exact copies of
+        // each sf0.1 vector), exactly the pathology the repair targets.
+        // Expected shape: the plain build's cost grows with the full N
+        // and its census fragments; the deduped build collapses to the
+        // 2000 canonicals BEFORE the N*sqrt(N) scoring pass (cost ≈ the
+        // 1x build + the collapse scan) and censuses at full reach.
+        val (psec, pedges) = time(operators.Ann.nswGraph(spark, dir).count())
+        val (pcsec, prows) = time(operators.Ann.graphConnectivity(spark, dir).collect())
+        val plast = prows.maxBy(_.getLong(0))
+        Graft.releaseCaches()
+        val (dsec, dedges) = time(operators.Ann.nswGraphDeduped(spark, dir).count())
+        val (dcsec, drows) = time(operators.Ann.graphConnectivityDeduped(spark, dir).collect())
+        val dlast = drows.maxBy(_.getLong(0))
+        emit("probe" -> "dedup_gated_build", "scale" -> s"${mult}x",
+          "plain_build_sec" -> psec, "plain_edges" -> pedges,
+          "plain_census_sec" -> pcsec, "plain_reach_micros" -> plast.getLong(3),
+          "deduped_build_sec" -> dsec, "deduped_edges" -> dedges,
+          "deduped_census_sec" -> dcsec, "deduped_reach_micros" -> dlast.getLong(3),
+          "n_total" -> dlast.getLong(2))
+      }
       if (probes("conn")) {
         // r18: frontier-BFS connectivity census scaling — the census
         // rides the memoized serving index, so the probe separates the

@@ -4017,7 +4017,14 @@ object Ann {
     * PLANNING on ann_graph_hnsw_layers alone), so oracle-side peak
     * cost is a correctness-gate requirement, not a nicety.
     */
-  val OracleMaxLayer: Int = 9
+  val OracleMaxLayer: Int =
+    // env-overridable for the next corpus notch (the level draw is a
+    // pure function of vec_id: the first id drawing level >= 10 is
+    // 204596, so any corpus whose id range crosses it needs 10). The
+    // default stays 9 so driver artifacts are hash-stable; the ML=10
+    // gate recipe is docs/gate_r19_ml10_summary.txt (priced +18% on the
+    // layered family by the r18 A/B, run GREEN end-to-end in r19).
+    sys.env.get("SPARK_GRAFT_ORACLE_MAX_LAYER").flatMap(_.toIntOption).getOrElse(9)
 
   /** Verify-time guard for the generated layered oracles: the DuckDB
     * statements carry a STATIC 0..[[OracleMaxLayer]] CTE stack while
