@@ -316,10 +316,17 @@ object Bench {
       return
     }
 
+    // SPARK_GRAFT_FORK_SUBSET: restrict the FORKED bench to a query
+    // subset (contention drills / chunk-level triage) — unlike
+    // SPARK_GRAFT_ONLY, the per-chunk child forking and the co-tenant
+    // load guard stay active, so the subset measures exactly like the
+    // full suite would
+    val forkSubset = sys.env.get("SPARK_GRAFT_FORK_SUBSET").map(_.split(",").toSet)
+    val forkSelected = selected.filter(n => forkSubset.forall(_.contains(n)))
     val results: Map[String, Double] =
       if (only.isDefined || sys.env.contains("SPARK_GRAFT_NO_FORK"))
         runInProcess(selected.toSet, sfDir) // isolated spot-check / escape hatch
-      else runForked(selected, sfDir).getOrElse(runInProcess(selected.toSet, sfDir))
+      else runForked(forkSelected, sfDir).getOrElse(runInProcess(forkSelected.toSet, sfDir))
 
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // The driver recovers this line from the LAST 2000 chars of the sbt

@@ -1527,9 +1527,14 @@ object Ann {
   def graphConnectivityDeduped(s: SparkSession, dir: String,
                                rounds: Int = GraphConnRounds): DataFrame = {
     val edges = nswGraphDeduped(s, dir)
+    // eager checkpoint: the BFS probes this adjacency once per round ×
+    // two frame references — without materialization each round would
+    // re-run the union+distinct over the edge cache (measured 31.5s vs
+    // the plain census's 3.5s on its memoized index at 10×)
     val und = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
+      .localCheckpoint(true)
     val nTot = Graft.tableRows(s, dir, "embeddings")
     censusFrame(s,
       censusCountsOver(und,
