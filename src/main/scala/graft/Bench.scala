@@ -174,25 +174,33 @@ object Bench {
   private def sampledLoad(): Int =
     (1 to 3).map { i => val r = runnableNow(); if (i < 3) Thread.sleep(100); r }.max
 
-  /** The child JVM's own currently-runnable thread count (R-state tasks
-    * under /proc/<pid>/task) — subtracted from the system runnable count
-    * to expose CO-TENANT load while a chunk runs. The r18 before/after
-    * stamps missed any burst confined to the chunk's multi-minute
+  /** CO-TENANT runnable load while a chunk runs: R-state tasks across
+    * ALL processes EXCEPT the excluded pids (the bench child and this
+    * parent JVM) — the exact set of tasks competing with the chunk. The
+    * r18 before/after stamps missed any burst confined to the chunk's
     * window (ann_graph_sharded shipped 11.4s vs 8.2s clean with both
-    * stamps reading 1); sampling DURING the chunk requires discounting
-    * the chunk's own 32 executor threads, which this count provides.
+    * stamps reading 1); and the obvious during-chunk signal
+    * (loadavg R-count minus the child's own R threads) proved
+    * skew-prone — the two reads alias against 32 flickering executor
+    * threads (a clean drill chunk measured a phantom 16). A direct
+    * /proc walk is race-free per task and costs ~1-2k stat reads per
+    * 1 Hz sample.
     */
-  private def childRunnable(pid: Long): Int = {
-    val tasks = Option(new java.io.File(s"/proc/$pid/task").listFiles())
+  private def coTenantRunnable(exclude: Set[Long]): Int = {
+    val procs = Option(new java.io.File("/proc").listFiles())
       .getOrElse(Array.empty[java.io.File])
-    tasks.count { t =>
-      try {
-        val stat = scala.io.Source.fromFile(new java.io.File(t, "stat")).mkString
-        // the state char follows the parenthesized comm (which may
-        // itself contain spaces/parens — hence lastIndexOf)
-        stat.substring(stat.lastIndexOf(')') + 2).headOption.contains('R')
-      } catch { case _: Throwable => false }
-    }
+    procs.iterator
+      .filter(p => p.getName.forall(_.isDigit) && !exclude.contains(p.getName.toLong))
+      .flatMap(p => Option(new java.io.File(p, "task").listFiles())
+        .getOrElse(Array.empty[java.io.File]).iterator)
+      .count { t =>
+        try {
+          val stat = scala.io.Source.fromFile(new java.io.File(t, "stat")).mkString
+          // the state char follows the parenthesized comm (which may
+          // itself contain spaces/parens — hence lastIndexOf)
+          stat.substring(stat.lastIndexOf(')') + 2).headOption.contains('R')
+        } catch { case _: Throwable => false }
+      }
   }
 
   /** Spawn one child JVM per family chunk; each child re-enters this
@@ -241,10 +249,11 @@ object Bench {
       // 1 Hz co-tenant load sampler: system runnable minus the child's
       // own R-state threads, max over the chunk's whole window
       val maxCoLoad = new java.util.concurrent.atomic.AtomicInteger(0)
+      val excludePids = Set(proc.pid(), ProcessHandle.current().pid())
       val sampler = new Thread(() => {
         var live = true
         while (live && proc.isAlive) {
-          val co = math.max(runnableNow() - childRunnable(proc.pid()), 0)
+          val co = coTenantRunnable(excludePids)
           maxCoLoad.updateAndGet(m => math.max(m, co))
           try Thread.sleep(1000)
           catch { case _: InterruptedException => live = false }
