@@ -164,7 +164,8 @@ object Bench {
     */
   private[graft] def runnableNow(): Int =
     try {
-      val f = scala.io.Source.fromFile("/proc/loadavg").getLines().next().split("\\s+")
+      val src = scala.io.Source.fromFile("/proc/loadavg")
+      val f = try src.getLines().next().split("\\s+") finally src.close()
       math.max(f(3).split("/")(0).toInt - 1, 0)
     } catch { case _: Throwable => 0 }
 
@@ -194,8 +195,12 @@ object Bench {
       .flatMap(p => Option(new java.io.File(p, "task").listFiles())
         .getOrElse(Array.empty[java.io.File]).iterator)
       .count { t =>
+        // explicit close: at ~2k stat reads per second, leaking the
+        // stream to GC exhausts the parent's fd table within minutes
+        // (measured: EMFILE after 3 chunks)
         try {
-          val stat = scala.io.Source.fromFile(new java.io.File(t, "stat")).mkString
+          val src = scala.io.Source.fromFile(new java.io.File(t, "stat"))
+          val stat = try src.mkString finally src.close()
           // the state char follows the parenthesized comm (which may
           // itself contain spaces/parens — hence lastIndexOf)
           stat.substring(stat.lastIndexOf(')') + 2).headOption.contains('R')

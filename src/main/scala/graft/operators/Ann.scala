@@ -1362,6 +1362,65 @@ object Ann {
         expr(s"n_reached * 1000000 div greatest(${nTot}L, 1L)").as("reach_micros"))
   }
 
+  /** Serving index over the DEDUP-GATED build — the undirected closure
+    * of survivor + attach edges with vector/label payload, the
+    * `graph_search_index` twin for the repaired graph (one hashed
+    * payload join over the memoized edge frame; memoFlat so every
+    * serving consumer shares the materialization).
+    */
+  private[graft] def dedupedSearchIndex(s: SparkSession, dir: String): DataFrame =
+    Graft.memoFlat("dedup_search_index", dir) {
+      val edges = nswGraphDeduped(s, dir)
+      val en = Graft.embeddings(s, dir)
+        .select(col("vec_id").as("dst"), col("embedding").as("dv"),
+          VectorOps.norm(col("embedding")).as("dnrm"), col("label").as("dlabel"))
+      edges.select(col("src"), col("dst"))
+        .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct()
+        .join(en.hint("SHUFFLE_HASH"), "dst")
+        .select(col("src"), col("dst"), col("dv"), col("dnrm"), col("dlabel"))
+    }
+
+  /** The batch beam walk SERVED OFF the dedup-gated build — the serving
+    * face of the repair: on a replica-heavy corpus the plain walk is
+    * trapped inside the entry set's copy-cliques (a query whose
+    * duplicates lie outside them can never reach ANY of its true
+    * neighbors, whatever the beam), while this walk crosses the attach
+    * edges to canonicals and back out to every duplicate
+    * (Round19OpsSpec: all 20 queries recover a score-1.0 copy of
+    * themselves vs half on the plain index). Entry rule, beam, rounds
+    * and driver/distributed routing are [[graphSearch]]'s — only the
+    * adjacency differs; on a dup-free corpus the two walks are
+    * identical.
+    */
+  def graphSearchDeduped(s: SparkSession, dir: String, k: Int = GraphSearchK,
+                         beam: Int = GraphSearchBeam,
+                         rounds: Int = GraphSearchRounds): DataFrame = {
+    val cents = Graft.embeddings(s, dir)
+      .filter(col("vec_id") < sqrtFanout(Graft.tableRows(s, dir, "embeddings")))
+      .select(col("vec_id").as("node"), col("embedding").as("nv"))
+    beamSearchOver(s, dedupedSearchIndex(s, dir), cents, dir, k, beam, rounds)
+  }
+
+  /** Full-corpus canonical map of the dedup-gated build — the artifact
+    * a training pipeline consumes directly (route duplicates' traffic,
+    * weights, and labels to their canonical): (vec_id, canon, is_dup)
+    * for EVERY vector, canonical rows mapping to themselves. Rides the
+    * memoized build at zero marginal scoring: the rn-0 attach edges ARE
+    * the dup→canonical map, so this is one left join over the edge
+    * cache.
+    */
+  def dedupCanonMap(s: SparkSession, dir: String): DataFrame = {
+    val rn0 = nswGraphDeduped(s, dir)
+      .filter(col("is_attach") && col("rn") === 0L)
+      .select(col("src").as("vec_id"), col("dst").as("cn"))
+    Graft.embeddings(s, dir).select(col("vec_id"))
+      .join(rn0, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("cn"), col("vec_id")).as("canon"),
+        col("cn").isNotNull.cast("long").as("is_dup"))
+  }
+
   /** BFS depth of the keyed [[graphConnectivity]] census. */
   val GraphConnRounds: Int = 4
 
@@ -5304,6 +5363,45 @@ object Ann {
          |SELECT r.round, r.n_reached, n.n_total,
          | r.n_reached * 1000000 // greatest(n.n_total, 1) AS reach_micros
          |FROM ($rows) r, n""".stripMargin
+    },
+    "embed_canon_map" ->
+      s"""WITH $duckE,
+         |$duckDedupedBuild,
+         |fmapq AS (SELECT x.vec_id, f.canon FROM exm x JOIN finp f ON x.ec = f.vec_id)
+         |SELECT vec_id, canon, CAST(vec_id != canon AS BIGINT) AS is_dup FROM fmapq""".stripMargin,
+    "ann_graph_search_deduped" -> {
+      val rounds = (1 to GraphSearchRounds).map { r =>
+        s"""std$r AS MATERIALIZED (SELECT q_id, node, score FROM (
+           |  SELECT q_id, node, score, row_number() OVER (PARTITION BY q_id
+           |          ORDER BY score DESC, node) AS rn
+           |  FROM (SELECT DISTINCT q_id, node, score FROM (
+           |    SELECT q_id, node, score FROM std${r - 1}
+           |    UNION ALL
+           |    SELECT s.q_id, u.dst AS node, round($duckCosQ, 6) AS score
+           |    FROM std${r - 1} s JOIN gundd u ON u.src = s.node
+           |         JOIN e x ON x.vec_id = u.dst JOIN qs q ON q.q_id = s.q_id
+           |    WHERE u.dst != s.q_id))
+           | ) WHERE rn <= $GraphSearchBeam)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $duckE,
+         |$duckDedupedBuild,
+         |gundd AS MATERIALIZED (SELECT src, dst FROM dedup_edges
+         |       UNION SELECT dst, src FROM dedup_edges),
+         |qs AS MATERIALIZED (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 25 = 7
+         |       ORDER BY vec_id LIMIT $GraphSearchQueryCount),
+         |cdw AS (SELECT vec_id, v FROM e WHERE vec_id <
+         |        greatest(8, CAST(floor(sqrt((SELECT count(*) FROM e))) AS BIGINT))),
+         |std0 AS MATERIALIZED (SELECT q_id, node, score FROM (
+         |  SELECT q_id, node, score, row_number() OVER (PARTITION BY q_id
+         |          ORDER BY score DESC, node) AS rn
+         |  FROM (SELECT q.q_id, x.vec_id AS node, round($duckCosQ, 6) AS score
+         |        FROM cdw x JOIN qs q ON x.vec_id != q.q_id)) WHERE rn <= 1),
+         |$rounds,
+         |fin AS MATERIALIZED (SELECT q_id, CAST(rn AS BIGINT) AS rn, node AS vec_id, score FROM (
+         |  SELECT q_id, node, score, row_number() OVER (PARTITION BY q_id
+         |          ORDER BY score DESC, node) AS rn FROM std$GraphSearchRounds)
+         | WHERE rn <= $GraphSearchK)
+         |SELECT q_id, rn, vec_id, score FROM fin""".stripMargin
     },
     "ann_conn_fanout" -> {
       val tags = Seq(("h", "greatest(fb.v // 2, 1)"), ("b", "fb.v"), ("d", "fb.v * 2"))

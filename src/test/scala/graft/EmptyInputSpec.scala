@@ -185,6 +185,8 @@ class EmptyInputSpec extends SparkSpec {
     assert(conn.length === Ann.GraphConnRounds + 1)
     assert(conn.forall(r => r.getLong(1) === 0L && r.getLong(3) === 0L),
       "empty corpus: deduped census reports zero reach, no div-by-zero")
+    assert(Ann.dedupCanonMap(spark, dir).count() === 0)
+    assert(Ann.graphSearchDeduped(spark, dir).count() === 0)
   }
 
   test("round-18 operators are safe on empty tables") {

@@ -98,6 +98,42 @@ class Round19OpsSpec extends SparkSpec {
       s"full reach expected, got ${last.getLong(1)}/${last.getLong(2)}")
   }
 
+  test("serving off the repaired index: queries escape their copy-cliques") {
+    import spark.implicits._
+    val base = Graft.embeddings(spark, dir)
+      .filter(col("vec_id") < 50)
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val dupCorpus = base.crossJoin(spark.range(10).toDF("rep"))
+      .select((col("vec_id") + col("rep") * 50L).as("vec_id"),
+        col("embedding"), col("label"))
+    val dupDir = tempSfDir("embeddings" -> dupCorpus)
+    def top1Scores(df: org.apache.spark.sql.DataFrame): Map[Long, Double] =
+      df.filter(col("rn") === 1L).collect()
+        .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    // every query has 9 exact copies in the corpus, so a healthy index
+    // returns a score-1.0 top hit for EVERY query; on the fragmented
+    // plain index only queries whose copy-clique intersects the entry
+    // set (base id 7 here) can reach one
+    val plain = top1Scores(Ann.graphSearch(spark, dupDir))
+    val fixed = top1Scores(Ann.graphSearchDeduped(spark, dupDir))
+    assert(fixed.size === plain.size && fixed.nonEmpty)
+    val fixedPerfect = fixed.values.count(_ === 1.0)
+    val plainPerfect = plain.values.count(_ === 1.0)
+    assert(fixedPerfect === fixed.size,
+      s"repaired index must recover a 1.0 copy for every query, got $fixedPerfect/${fixed.size}")
+    assert(plainPerfect < fixed.size / 2 + 1,
+      s"expected the plain index trapped in entry cliques, got $plainPerfect perfect hits")
+    // the canonical map routes every duplicate to its base
+    val cmap = Ann.dedupCanonMap(spark, dupDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(cmap.length === 500)
+    cmap.foreach { case (v, c, d) =>
+      assert(c === v % 50L, s"$v must map to its base, got $c")
+      assert(d === (if (v >= 50L) 1L else 0L))
+    }
+    info(s"top-1=1.0 queries: plain $plainPerfect/${plain.size}, repaired $fixedPerfect/${fixed.size}")
+  }
+
   test("graphConnectivityFromGen row-equals the live census") {
     // a fleet monitors the PUBLISHED artifact, not the build session's
     // memo: the written-generation census must report exactly what the
