@@ -1421,6 +1421,20 @@ object Ann {
         col("cn").isNotNull.cast("long").as("is_dup"))
   }
 
+  /** Per-canonical training weights of the dedup-gated collapse — the
+    * reweight half of dedup-then-reweight: collapsing duplicates
+    * WITHOUT re-weighting their canonical silently shifts the training
+    * distribution, so the pipeline that routes traffic through
+    * [[dedupCanonMap]] consumes this report to scale each survivor by
+    * its collapsed multiplicity. One row per attach target:
+    * (canon, weight = member count incl. itself, n_dups). A map-side
+    * combinable groupBy over the memoized map — zero marginal scoring.
+    */
+  def dedupCanonWeights(s: SparkSession, dir: String): DataFrame =
+    dedupCanonMap(s, dir)
+      .groupBy(col("canon"))
+      .agg(count(lit(1)).as("weight"), sum(col("is_dup")).as("n_dups"))
+
   /** BFS depth of the keyed [[graphConnectivity]] census. */
   val GraphConnRounds: Int = 4
 
@@ -5369,6 +5383,13 @@ object Ann {
          |$duckDedupedBuild,
          |fmapq AS (SELECT x.vec_id, f.canon FROM exm x JOIN finp f ON x.ec = f.vec_id)
          |SELECT vec_id, canon, CAST(vec_id != canon AS BIGINT) AS is_dup FROM fmapq""".stripMargin,
+    "embed_canon_weights" ->
+      s"""WITH $duckE,
+         |$duckDedupedBuild,
+         |fmapq AS (SELECT x.vec_id, f.canon FROM exm x JOIN finp f ON x.ec = f.vec_id)
+         |SELECT canon, CAST(count(*) AS BIGINT) AS weight,
+         | CAST(sum(CASE WHEN vec_id != canon THEN 1 ELSE 0 END) AS BIGINT) AS n_dups
+         |FROM fmapq GROUP BY canon""".stripMargin,
     "ann_graph_search_deduped" -> {
       val rounds = (1 to GraphSearchRounds).map { r =>
         s"""std$r AS MATERIALIZED (SELECT q_id, node, score FROM (

@@ -131,6 +131,14 @@ class Round19OpsSpec extends SparkSpec {
       assert(c === v % 50L, s"$v must map to its base, got $c")
       assert(d === (if (v >= 50L) 1L else 0L))
     }
+    // the reweight half: every canonical carries its collapsed
+    // multiplicity (10 copies -> weight 10, 9 of them duplicates)
+    val weights = Ann.dedupCanonWeights(spark, dupDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(weights.length === 50)
+    weights.foreach { case (c, w, nd) =>
+      assert(c < 50L && w === 10L && nd === 9L, s"canon $c: weight $w dups $nd")
+    }
     info(s"top-1=1.0 queries: plain $plainPerfect/${plain.size}, repaired $fixedPerfect/${fixed.size}")
   }
 
