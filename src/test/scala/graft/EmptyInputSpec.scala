@@ -186,6 +186,7 @@ class EmptyInputSpec extends SparkSpec {
     assert(conn.forall(r => r.getLong(1) === 0L && r.getLong(3) === 0L),
       "empty corpus: deduped census reports zero reach, no div-by-zero")
     assert(Ann.dedupCanonMap(spark, dir).count() === 0)
+    assert(Ann.dedupCanonWeights(spark, dir).count() === 0)
     assert(Ann.graphSearchDeduped(spark, dir).count() === 0)
   }
 
