@@ -1893,6 +1893,49 @@ object Ann {
     })
   }
 
+  private val writtenDedupedGens =
+    scala.collection.mutable.Map.empty[String, (DataFrame, DataFrame)]
+  Graft.onRelease(() => writtenDedupedGens.clear())
+
+  /** Session-memoized WRITTEN generation of the DEDUP-GATED serving
+    * index — [[writtenGraphGen]]'s convention applied to the repaired
+    * graph: the first consumer writes the deduped
+    * adjacency-with-payload (survivor + attach edges, undirected) and
+    * the √N entry set as parquet; every later consumer reads the
+    * artifact. A fleet that repairs its index publishes the REPAIRED
+    * generation — shipping the fragmented one would serve the exact
+    * failure mode the build fixed.
+    */
+  def writtenDedupedGen(s: SparkSession, dir: String): (DataFrame, DataFrame) = synchronized {
+    writtenDedupedGens.getOrElseUpdate(dir, {
+      val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val out = s"${Graft.artifactRoot}/graft_dedup_gen/$safe"
+      dedupedSearchIndex(s, dir).write.mode("overwrite").parquet(s"$out/adjacency")
+      Graft.embeddings(s, dir)
+        .filter(col("vec_id") < sqrtFanout(Graft.tableRows(s, dir, "embeddings")))
+        .select(col("vec_id").as("node"), col("embedding").as("nv"),
+          col("label").as("nlabel"))
+        .write.mode("overwrite").parquet(s"$out/entry")
+      val adj = s.read.parquet(s"$out/adjacency").persist()
+      val entry = s.read.parquet(s"$out/entry").persist()
+      Graft.trackCaches(s"written_dedup_gen_$safe", adj, entry)
+      (adj, entry)
+    })
+  }
+
+  /** [[graphSearchDeduped]] run OFF THE WRITTEN generation — the
+    * repaired index's deployment split, closing the serving matrix
+    * (flat/layered/int8/filtered/deduped × live/written).
+    * Read-equivalence ⇒ identical results to the live walk, so the
+    * DuckDB oracle is shared verbatim.
+    */
+  def graphSearchDedupedFromGen(s: SparkSession, dir: String, k: Int = GraphSearchK,
+                                beam: Int = GraphSearchBeam,
+                                rounds: Int = GraphSearchRounds): DataFrame = {
+    val (adjacency, entry) = writtenDedupedGen(s, dir)
+    beamSearchOver(s, adjacency, entry, dir, k, beam, rounds)
+  }
+
   private val writtenHnswGens = scala.collection.mutable.Map.empty[String, DataFrame]
   Graft.onRelease(() => writtenHnswGens.clear())
 
@@ -4249,6 +4292,45 @@ object Ann {
 
   private val duckNswTopk = duckNswTopkOver("e", "")
 
+  /** The batch beam walk over the dedup-gated build as one DuckDB
+    * statement — shared verbatim by `ann_graph_search_deduped` and its
+    * written-generation twin (read-equivalence).
+    */
+  private lazy val duckDedupedWalkSql: String = {
+    val rounds = (1 to GraphSearchRounds).map { r =>
+      s"""std$r AS MATERIALIZED (SELECT q_id, node, score FROM (
+         |  SELECT q_id, node, score, row_number() OVER (PARTITION BY q_id
+         |          ORDER BY score DESC, node) AS rn
+         |  FROM (SELECT DISTINCT q_id, node, score FROM (
+         |    SELECT q_id, node, score FROM std${r - 1}
+         |    UNION ALL
+         |    SELECT s.q_id, u.dst AS node, round($duckCosQ, 6) AS score
+         |    FROM std${r - 1} s JOIN gundd u ON u.src = s.node
+         |         JOIN e x ON x.vec_id = u.dst JOIN qs q ON q.q_id = s.q_id
+         |    WHERE u.dst != s.q_id))
+         | ) WHERE rn <= $GraphSearchBeam)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $duckE,
+       |$duckDedupedBuild,
+       |gundd AS MATERIALIZED (SELECT src, dst FROM dedup_edges
+       |       UNION SELECT dst, src FROM dedup_edges),
+       |qs AS MATERIALIZED (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 25 = 7
+       |       ORDER BY vec_id LIMIT $GraphSearchQueryCount),
+       |cdw AS (SELECT vec_id, v FROM e WHERE vec_id <
+       |        greatest(8, CAST(floor(sqrt((SELECT count(*) FROM e))) AS BIGINT))),
+       |std0 AS MATERIALIZED (SELECT q_id, node, score FROM (
+       |  SELECT q_id, node, score, row_number() OVER (PARTITION BY q_id
+       |          ORDER BY score DESC, node) AS rn
+       |  FROM (SELECT q.q_id, x.vec_id AS node, round($duckCosQ, 6) AS score
+       |        FROM cdw x JOIN qs q ON x.vec_id != q.q_id)) WHERE rn <= 1),
+       |$rounds,
+       |fin AS MATERIALIZED (SELECT q_id, CAST(rn AS BIGINT) AS rn, node AS vec_id, score FROM (
+       |  SELECT q_id, node, score, row_number() OVER (PARTITION BY q_id
+       |          ORDER BY score DESC, node) AS rn FROM std$GraphSearchRounds)
+       | WHERE rn <= $GraphSearchK)
+       |SELECT q_id, rn, vec_id, score FROM fin""".stripMargin
+  }
+
   /** The dedup-gated build ([[nswGraphDeduped]]) as DuckDB CTEs, ending
     * in `dedup_edges` (src, dst, cos, rn, is_attach) — exact collapse by
     * vector-value GROUP BY, rank-based √n centroid pick, within-cell
@@ -5390,40 +5472,11 @@ object Ann {
          |SELECT canon, CAST(count(*) AS BIGINT) AS weight,
          | CAST(sum(CASE WHEN vec_id != canon THEN 1 ELSE 0 END) AS BIGINT) AS n_dups
          |FROM fmapq GROUP BY canon""".stripMargin,
-    "ann_graph_search_deduped" -> {
-      val rounds = (1 to GraphSearchRounds).map { r =>
-        s"""std$r AS MATERIALIZED (SELECT q_id, node, score FROM (
-           |  SELECT q_id, node, score, row_number() OVER (PARTITION BY q_id
-           |          ORDER BY score DESC, node) AS rn
-           |  FROM (SELECT DISTINCT q_id, node, score FROM (
-           |    SELECT q_id, node, score FROM std${r - 1}
-           |    UNION ALL
-           |    SELECT s.q_id, u.dst AS node, round($duckCosQ, 6) AS score
-           |    FROM std${r - 1} s JOIN gundd u ON u.src = s.node
-           |         JOIN e x ON x.vec_id = u.dst JOIN qs q ON q.q_id = s.q_id
-           |    WHERE u.dst != s.q_id))
-           | ) WHERE rn <= $GraphSearchBeam)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH $duckE,
-         |$duckDedupedBuild,
-         |gundd AS MATERIALIZED (SELECT src, dst FROM dedup_edges
-         |       UNION SELECT dst, src FROM dedup_edges),
-         |qs AS MATERIALIZED (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 25 = 7
-         |       ORDER BY vec_id LIMIT $GraphSearchQueryCount),
-         |cdw AS (SELECT vec_id, v FROM e WHERE vec_id <
-         |        greatest(8, CAST(floor(sqrt((SELECT count(*) FROM e))) AS BIGINT))),
-         |std0 AS MATERIALIZED (SELECT q_id, node, score FROM (
-         |  SELECT q_id, node, score, row_number() OVER (PARTITION BY q_id
-         |          ORDER BY score DESC, node) AS rn
-         |  FROM (SELECT q.q_id, x.vec_id AS node, round($duckCosQ, 6) AS score
-         |        FROM cdw x JOIN qs q ON x.vec_id != q.q_id)) WHERE rn <= 1),
-         |$rounds,
-         |fin AS MATERIALIZED (SELECT q_id, CAST(rn AS BIGINT) AS rn, node AS vec_id, score FROM (
-         |  SELECT q_id, node, score, row_number() OVER (PARTITION BY q_id
-         |          ORDER BY score DESC, node) AS rn FROM std$GraphSearchRounds)
-         | WHERE rn <= $GraphSearchK)
-         |SELECT q_id, rn, vec_id, score FROM fin""".stripMargin
-    },
+    "ann_graph_search_deduped" -> duckDedupedWalkSql,
+    // the written-generation deduped walk is read-equivalent to the
+    // live one (identical adjacency + entry rows through the parquet
+    // artifact) — shared oracle, the walks' from-gen convention
+    "ann_graph_search_deduped_from_gen" -> duckDedupedWalkSql,
     "ann_conn_fanout" -> {
       val tags = Seq(("h", "greatest(fb.v // 2, 1)"), ("b", "fb.v"), ("d", "fb.v * 2"))
       val chains = tags.map { case (t, thr) =>

@@ -142,6 +142,15 @@ class Round19OpsSpec extends SparkSpec {
     info(s"top-1=1.0 queries: plain $plainPerfect/${plain.size}, repaired $fixedPerfect/${fixed.size}")
   }
 
+  test("graphSearchDedupedFromGen row-equals the live deduped walk") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val live = rows(Ann.graphSearchDeduped(spark, dir))
+    val gen = rows(Ann.graphSearchDedupedFromGen(spark, dir))
+    assert(gen === live, "written-generation deduped walk diverged from the live walk")
+    assert(live.nonEmpty)
+  }
+
   test("graphConnectivityFromGen row-equals the live census") {
     // a fleet monitors the PUBLISHED artifact, not the build session's
     // memo: the written-generation census must report exactly what the
