@@ -1450,13 +1450,16 @@ object Ann {
 
   /** Min-label propagation rounds resolving near-dup clusters in the
     * dedup-gated build. Bounded like [[GraphConnRounds]] so the DuckDB
-    * oracle unrolls the identical static chain; with the final pointer
-    * jump the collapse resolves chains of ~2×3 hops — far beyond any
-    * real near-dup clique at cos ≥ 0.98 (copies of one point are a
-    * 1-hop clique). An unresolved longer chain is BENIGN: its members
-    * stay in the graph as ordinary nodes and its attach edges still
-    * chain to a survivor, so connectivity never regresses — the
-    * bound trades collapse aggressiveness, not correctness.
+    * oracle unrolls the identical static chain; with the two final
+    * pointer jumps the collapse resolves chains of 4×3 = 12 hops —
+    * far beyond any real near-dup clique at cos ≥ 0.98 (copies of one
+    * point are a 1-hop clique; Round20OpsSpec pins the exact radius on
+    * a planted drift chain). An unresolved longer chain is BENIGN: its
+    * members stay in the graph as ordinary nodes and its attach edges
+    * still chain to a survivor (canon pointers strictly decrease, so
+    * iterating the map terminates at a survivor), so connectivity
+    * never regresses — the bound trades collapse aggressiveness, not
+    * correctness.
     */
   val BuildDedupRounds: Int = 3
 
@@ -1477,7 +1480,7 @@ object Ann {
     *     is a cost CUT at exactly the corpus shape that needs it.
     *  2. NEAR-DUP collapse — within-cell pairs of the canonical
     *     assignment at cos ≥ `tauMicros`, resolved to clusters by
-    *     [[BuildDedupRounds]] min-label rounds + one pointer jump
+    *     [[BuildDedupRounds]] min-label rounds + two pointer jumps
     *     (bounded ⇒ oracle-unrollable, `dedup_clusters`' rule). The
     *     build's own cells are the RIGHT blocking: identical-up-to-noise
     *     vectors share cells by construction, and a pair that never
@@ -1508,29 +1511,55 @@ object Ann {
     * corpus-keyed joins with per-round lineage cuts, and the attach
     * stage is one broadcast-free hashed join per side, ∝ duplicates.
     */
-  def nswGraphDeduped(s: SparkSession, dir: String, k: Int = 4, nprobe: Int = 3,
-                      tauMicros: Long = BuildDedupTauMicros): DataFrame =
-    Graft.memoCache(s"nsw_graph_deduped_${k}_${nprobe}_$tauMicros", dir) {
-      val e = withNorm(Graft.embeddings(s, dir).select(col("vec_id"), col("embedding")))
-      // 1. exact collapse (min vec_id per identical vector)
-      val eEx = e.join(e.groupBy(col("embedding")).agg(min(col("vec_id")).as("ec")),
+  /** The shared COLLAPSE of the dedup-gated builds (steps 1-2 of
+    * [[nswGraphDeduped]]'s contract), memoized per frame so the flat
+    * and the LAYERED ([[hnswGraphDeduped]]) dedup-gated builds compute
+    * it ONCE per session — the canonical map is a property of the
+    * corpus, not of the index shape consuming it. Returns
+    * `(eEx, cells1, fin)`:
+    *
+    *  - `eEx` (vec_id, embedding, nrm, ec): every vector with its
+    *    EXACT-collapse canonical (min vec_id per identical value);
+    *  - `cells1` (vec_id, embedding, nrm, cid): the exact-survivor
+    *    top-`nprobe` cell assignment (first-√n₁-survivors centroids) —
+    *    the blocking the near-dup stage AND the flat survivor graph
+    *    both ride;
+    *  - `fin` (vec_id, canon): exact-survivor → near-dup canonical,
+    *    resolved by [[BuildDedupRounds]] min-label rounds + TWO pointer
+    *    jumps. The second jump doubles the resolved chain radius to
+    *    ~4×[[BuildDedupRounds]] hops at one extra bounded self-join
+    *    (r19 ADVICE): with one jump, a near-dup chain longer than
+    *    2×rounds hops emitted canons that were themselves dups
+    *    (canon(canon) != canon), splitting one cluster's training
+    *    weight across pseudo-canonicals. Chains beyond even the doubled
+    *    radius stay BENIGN (members keep strictly-decreasing canon
+    *    pointers, so iterating the map always lands on a survivor —
+    *    Round20OpsSpec pins the exact resolved radius and the residual).
+    */
+  private[graft] def dedupCollapse(s: SparkSession, dir: String, nprobe: Int = 3,
+                                   tauMicros: Long = BuildDedupTauMicros)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val e = withNorm(Graft.embeddings(s, dir).select(col("vec_id"), col("embedding")))
+    // 1. exact collapse (min vec_id per identical vector)
+    val eEx = Graft.memoCache("nsw_dedup_eex", dir) {
+      e.join(e.groupBy(col("embedding")).agg(min(col("vec_id")).as("ec")),
           "embedding")
         .select(col("vec_id"), col("embedding"), col("nrm"), col("ec"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      Graft.trackCaches("nsw_dedup_eex", eEx)
-      val c1 = eEx.filter(col("vec_id") === col("ec"))
-        .select(col("vec_id"), col("embedding"), col("nrm"))
+    }
+    val c1 = eEx.filter(col("vec_id") === col("ec"))
+      .select(col("vec_id"), col("embedding"), col("nrm"))
+    val cells1 = Graft.memoCache(s"nsw_dedup_cells_$nprobe", dir) {
       val n1 = c1.count()
-      requireCentroidBudget(sqrtFanout(n1), "nswGraphDeduped")
+      requireCentroidBudget(sqrtFanout(n1), "dedupCollapse")
       // density-independent centroid pick: first sqrtFanout(n1) survivors
       // by id (TakeOrdered top-k — the <=sqrt(N) rows the build broadcasts
       // anyway); equals the flat build's vec_id < sqrt(N) on dense ids
       val cents = c1.orderBy(col("vec_id")).limit(sqrtFanout(n1).toInt)
         .agg(sort_array(collect_list(struct(col("vec_id").as("cid"),
           col("embedding").as("cvec"), col("nrm").as("cnrm")))).as("cents"))
-      val cells1 = cellsOver(c1, cents, nprobe)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      Graft.trackCaches("nsw_dedup_cells", cells1)
+      cellsOver(c1, cents, nprobe)
+    }
+    val fin = Graft.memoFlat(s"nsw_dedup_fin_${nprobe}_$tauMicros", dir) {
       // 2. near-dup pairs within shared cells (symmetric: x != y, so the
       // pair frame needs no explicit undirection), integer-micros
       // threshold so Spark and the oracle compare identical quantities
@@ -1544,7 +1573,7 @@ object Ann {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       Graft.trackCaches("nsw_dedup_ndpairs", nd)
       // bounded min-label propagation (per-round lineage cuts — the
-      // census/clustersUnionFind iteration pattern) + one pointer jump
+      // census/clustersUnionFind iteration pattern) + two pointer jumps
       var lbl = c1.select(col("vec_id"), col("vec_id").as("lbl")).localCheckpoint(true)
       for (_ <- 1 to BuildDedupRounds) {
         lbl = lbl
@@ -1554,11 +1583,23 @@ object Ann {
           .agg(least(min(col("lbl")), coalesce(min(col("nlbl")), min(col("lbl")))).as("lbl"))
           .localCheckpoint(true)
       }
-      val fin = lbl.as("p")
-        .join(lbl.select(col("vec_id").as("j"), col("lbl").as("jlbl")).as("q"),
-          col("p.lbl") === col("j"))
-        .select(col("p.vec_id").as("vec_id"), col("jlbl").as("canon"))
-        .localCheckpoint(true)
+      def jump(m: DataFrame): DataFrame = m.as("p")
+        .join(m.select(col("vec_id").as("j"), col("canon").as("jc")).as("q"),
+          col("p.canon") === col("j"))
+        .select(col("p.vec_id").as("vec_id"), col("jc").as("canon"))
+      jump(jump(lbl.withColumnRenamed("lbl", "canon")))
+    }
+    (eEx, cells1, fin)
+  }
+
+  def nswGraphDeduped(s: SparkSession, dir: String, k: Int = 4, nprobe: Int = 3,
+                      tauMicros: Long = BuildDedupTauMicros): DataFrame =
+    Graft.memoCache(s"nsw_graph_deduped_${k}_${nprobe}_$tauMicros", dir) {
+      val e = withNorm(Graft.embeddings(s, dir).select(col("vec_id"), col("embedding")))
+      // 1-2. the shared collapse (memoized across the flat + layered builds)
+      val (eEx, cells1, fin) = dedupCollapse(s, dir, nprobe, tauMicros)
+      val c1 = eEx.filter(col("vec_id") === col("ec"))
+        .select(col("vec_id"), col("embedding"), col("nrm"))
       // 3. survivor graph: step-2 assignment restricted to survivors
       val c2ids = fin.filter(col("canon") === col("vec_id")).select(col("vec_id"))
       val graph = nswEdgesFromCells(
@@ -4335,7 +4376,7 @@ object Ann {
     * in `dedup_edges` (src, dst, cos, rn, is_attach) — exact collapse by
     * vector-value GROUP BY, rank-based √n centroid pick, within-cell
     * near-dup pairs at [[BuildDedupTauMicros]], the
-    * [[BuildDedupRounds]]-round min-label unroll + pointer jump, the
+    * [[BuildDedupRounds]]-round min-label unroll + two pointer jumps, the
     * shared NSW chain over survivors, and the duplicate re-attach.
     * Shared by the `ann_graph_build_deduped` edge oracle and the
     * `ann_conn_deduped` census oracle.
@@ -4366,8 +4407,10 @@ object Ann {
        |      WHERE CAST(round(round($duckCosPair, 6) * 1000000) AS BIGINT) >= $BuildDedupTauMicros),
        |l0 AS (SELECT vec_id, vec_id AS lbl FROM c1d),
        |$rounds,
-       |finp AS MATERIALIZED (SELECT p.vec_id, q.lbl AS canon
+       |finj AS MATERIALIZED (SELECT p.vec_id, q.lbl AS canon
        |      FROM l$BuildDedupRounds p JOIN l$BuildDedupRounds q ON p.lbl = q.vec_id),
+       |finp AS MATERIALIZED (SELECT a.vec_id, b.canon
+       |      FROM finj a JOIN finj b ON a.canon = b.vec_id),
        |c2d AS MATERIALIZED (SELECT c.vec_id, c.v FROM c1d c JOIN finp f ON c.vec_id = f.vec_id
        |      WHERE f.canon = c.vec_id),
        |md AS MATERIALIZED (SELECT m.vec_id, m.cid FROM mc1 m JOIN c2d ON m.vec_id = c2d.vec_id),
