@@ -918,6 +918,21 @@ object Ann {
     * build of the layered INSERT (`ann_hnsw_insert`).
     */
   private def hnswEdgesFromCells(e: DataFrame, cells: DataFrame, k: Int): DataFrame = {
+    val edges = hnswEdgesCore(e, cells, k)
+    val rev = edges.select(col("layer").as("r_layer"),
+      col("src").as("r_src"), col("dst").as("r_dst"))
+    edges.join(rev, col("layer") === col("r_layer") &&
+        col("src") === col("r_dst") && col("dst") === col("r_src"), "left")
+      .select(col("layer"), col("src"), col("dst"), col("cos"), col("rn"),
+        col("r_src").isNotNull.as("mutual"))
+  }
+
+  /** [[hnswEdgesFromCells]] minus the mutual flag — the ranked per-layer
+    * edge stack (layer, src, dst, cos, rn) shared with the dedup-gated
+    * layered build, whose output contract carries `is_attach` instead
+    * of `mutual`.
+    */
+  private def hnswEdgesCore(e: DataFrame, cells: DataFrame, k: Int): DataFrame = {
     val pairs = cells.as("x").join(cells.as("y"),
         col("x.layer") === col("y.layer") && col("x.cid") === col("y.cid") &&
           col("x.vec_id") =!= col("y.vec_id"))
@@ -950,14 +965,8 @@ object Ann {
         col("nrm").as("dnrm")).hint("SHUFFLE_HASH"), "dst")
       .select(col("layer"), col("src"), col("dst"),
         round(VectorOps.dot(col("sv"), col("dv")) / (col("snrm") * col("dnrm")), 6).as("cos"))
-    val edges = r1.union(hop2Scored).distinct()
+    r1.union(hop2Scored).distinct()
       .withColumn("rn", row_number().over(wTop).cast("long")).filter(col("rn") <= k)
-    val rev = edges.select(col("layer").as("r_layer"),
-      col("src").as("r_src"), col("dst").as("r_dst"))
-    edges.join(rev, col("layer") === col("r_layer") &&
-        col("src") === col("r_dst") && col("dst") === col("r_src"), "left")
-      .select(col("layer"), col("src"), col("dst"), col("cos"), col("rn"),
-        col("r_src").isNotNull.as("mutual"))
   }
 
   /** Stored-slice layered cells, memoized — the layered INSERT's probe
@@ -1656,6 +1665,144 @@ object Ann {
           .select(col("vec_id").as("node")),
         rounds),
       nTot)
+  }
+
+  /** DEDUP-GATED LAYERED index build — [[nswGraphDeduped]]'s repair
+    * applied to the hierarchy the reference actually serves
+    * (qdrant.py:73 — Qdrant = HNSW): the plain [[hnswGraph]] wires
+    * per-copy cliques into EVERY layer of a replica-heavy corpus, and
+    * the upper layers — whose whole job is long-range reachability —
+    * fragment exactly like the flat graph (Round20OpsSpec measures the
+    * layered census collapse). The collapse runs ONCE
+    * ([[dedupCollapse]], shared with the flat build's memo) and its
+    * canonical map gates every layer:
+    *
+    *  1. survivors = the collapse's canonical set; their level draws
+    *     are untouched ([[hnswLevelsOver]] is a pure function of
+    *     vec_id, so survivor levels are already deterministic and
+    *     stable under the collapse);
+    *  2. the layered stack builds over survivors ONLY, with the same
+    *     per-layer machinery as [[hnswGraph]] — except the dense-id
+    *     seed thresholds scale by the survivor ID RANGE (max survivor
+    *     id + 1) instead of the row count: survivor ids are a
+    *     pseudo-uniform subset of [0, N), so range-scaled thresholds
+    *     keep ~√n_l seeds per layer whatever the duplicate mass; on a
+    *     dup-free dense corpus the range equals the count and this
+    *     build IS [[hnswGraph]] edge-for-edge;
+    *  3. every duplicate re-attaches at LAYER 0 — its canonical (rn 0)
+    *     plus the canonical's base-layer neighborhood, ≤ k+1 rows per
+    *     duplicate. Duplicates never enter the upper layers: the
+    *     descent reaches them through their canonical's base
+    *     neighborhood, mirroring the flat repair.
+    *
+    * Output: (layer, src, dst, cos, rn, is_attach) — the survivor
+    * layer stack (is_attach = false) plus the layer-0 attach edges.
+    *
+    * 100 TB shape: identical to [[hnswGraph]] over the survivor mass
+    * (one (layer, cid) shuffle for the whole stack) plus the flat
+    * repair's attach joins ∝ duplicates; on a replica-heavy corpus the
+    * collapse CUTS the dominant per-layer pair cost before any scoring,
+    * the same cost-advantage-widens-with-replicas curve measured for
+    * the flat build (docs/bench_r19_scale_probes.jsonl).
+    */
+  def hnswGraphDeduped(s: SparkSession, dir: String, k: Int = 4, nprobe: Int = 3,
+                       tauMicros: Long = BuildDedupTauMicros): DataFrame =
+    Graft.memoCache(s"hnsw_graph_deduped_${k}_${nprobe}_$tauMicros", dir) {
+      val e = withNorm(Graft.embeddings(s, dir).select(col("vec_id"), col("embedding")))
+      val (eEx, _, fin) = dedupCollapse(s, dir, nprobe, tauMicros)
+      val c2ids = fin.filter(col("canon") === col("vec_id")).select(col("vec_id"))
+      val eS = Graft.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+        .join(c2ids, "vec_id")
+      // survivor ID RANGE for the per-layer seed thresholds (one
+      // footer-cheap agg job; null-safe for the empty corpus)
+      val idRow = eS.agg(max(col("vec_id"))).collect().head
+      val idBound = if (idRow.isNullAt(0)) 0L else idRow.getLong(0) + 1L
+      val nodes = hnswNodesOver(eS)
+      val cents = hnswCentsOver(nodes, hnswLevelsOver(eS), idBound, "hnswGraphDeduped")
+      val graph = hnswEdgesCore(eS, hnswCellsOver(nodes, cents, nprobe), k)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      Graft.trackCaches("hnsw_dedup_graph", graph)
+      // layer-0 attach: full-corpus canonical map, then canonical +
+      // canonical's base-layer neighborhood per duplicate
+      val dups = eEx.select(col("vec_id"), col("ec"))
+        .join(fin.select(col("vec_id").as("ec"), col("canon")), "ec")
+        .select(col("vec_id"), col("canon"))
+        .filter(col("vec_id") =!= col("canon"))
+      val l0 = graph.filter(col("layer") === 0L)
+      val attTargets = dups.select(col("vec_id"), col("canon").as("dst"), lit(0L).as("rn"))
+        .unionByName(dups
+          .join(l0.select(col("src").as("canon"), col("dst"), col("rn")), "canon")
+          .select(col("vec_id"), col("dst"), col("rn")))
+      val att = attTargets
+        .join(e.select(col("vec_id"), col("embedding").as("xv"), col("nrm").as("xn"))
+          .hint("SHUFFLE_HASH"), "vec_id")
+        .join(e.select(col("vec_id").as("dst"), col("embedding").as("yv"),
+          col("nrm").as("yn")).hint("SHUFFLE_HASH"), "dst")
+        .select(lit(0L).as("layer"), col("vec_id").as("src"), col("dst"),
+          round(VectorOps.dot(col("xv"), col("yv")) / (col("xn") * col("yn")), 6).as("cos"),
+          col("rn"), lit(true).as("is_attach"))
+      graph.select(col("layer"), col("src"), col("dst"), col("cos"), col("rn"),
+          lit(false).as("is_attach"))
+        .unionByName(att)
+    }
+
+  /** [[graphConnectivity]] over the DEDUP-GATED LAYERED build — the
+    * layered twin of [[graphConnectivityDeduped]]'s proof query: census
+    * the [[hnswGraphDeduped]] adjacency (every layer's survivor edges +
+    * the layer-0 attach edges, undirected, layer-blind — the node set a
+    * descent can reach) from the standard √N entry set. On replica
+    * corpora where the plain layered census collapses to
+    * entry×replicas, this returns to full reach (Round20OpsSpec); on a
+    * dup-free corpus it equals a census of the plain layered stack.
+    */
+  def hnswConnectivityDeduped(s: SparkSession, dir: String,
+                              rounds: Int = GraphConnRounds): DataFrame = {
+    val edges = hnswGraphDeduped(s, dir)
+    // eager checkpoint — the BFS probes the adjacency once per round ×
+    // two references (graphConnectivityDeduped's measured fix)
+    val und = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    val nTot = Graft.tableRows(s, dir, "embeddings")
+    censusFrame(s,
+      censusCountsOver(und,
+        Graft.embeddings(s, dir).filter(col("vec_id") < sqrtFanout(nTot))
+          .select(col("vec_id").as("node")),
+        rounds),
+      nTot)
+  }
+
+  /** The layered descent SERVED OFF the dedup-gated hierarchy — the
+    * serving face of the layered repair, [[graphSearchDeduped]]'s
+    * contract through [[hnswSearch]]'s walk: entry at the top SURVIVOR
+    * layer, greedy descent through the survivor stack, beam refinement
+    * in the base layer whose adjacency includes the attach edges — so
+    * the walk crosses from canonicals out to every duplicate and back
+    * (Round20OpsSpec: on the 10×-replica corpus every query recovers a
+    * score-1.0 copy THROUGH the layered descent, vs entry-clique
+    * trapping on the plain hierarchy). On a dup-free corpus the walk
+    * equals [[hnswSearch]].
+    */
+  def hnswSearchDeduped(s: SparkSession, dir: String, k: Int = GraphSearchK,
+                        beam: Int = GraphSearchBeam,
+                        rounds: Int = GraphSearchRounds): DataFrame = {
+    val edges = hnswGraphDeduped(s, dir)
+    val undL = layeredIndex(s, dir, edges, "hnsw_dedup_search_index")
+    val (_, _, fin) = dedupCollapse(s, dir)
+    val c2ids = fin.filter(col("canon") === col("vec_id")).select(col("vec_id"))
+    val eS = Graft.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      .join(c2ids, "vec_id")
+    // entry = survivors at the top SURVIVOR level (dups hold no layer
+    // membership; the level draw stays the pure vec_id function)
+    val lvS = hnswLevelsOver(eS)
+    val mlRow = lvS.agg(max(col("level")).as("ml")).collect().head
+    val maxLevel = if (mlRow.isNullAt(0)) 0L else mlRow.getLong(0)
+    val entryNodes = eS
+      .join(lvS.filter(col("level") === maxLevel).select(col("vec_id")), "vec_id")
+      .select(col("vec_id").as("node"), col("embedding").as("nv"))
+    hnswWalkDriverOver(s, undL, entryNodes, maxLevel,
+      graphSearchQueries(s, dir), k, beam, rounds)
   }
 
   def graphSearch(s: SparkSession, dir: String, k: Int = GraphSearchK,
@@ -4082,11 +4229,17 @@ object Ann {
     * is the full layered build; `f = "s"` over the stored slice `es` is
     * the generation the layered INSERT oracle folds into.
     */
-  private def duckHnswLayerOver(l: Int, base: String, f: String): String =
+  /** `bound` is the per-layer seed-threshold scale: the node-count of a
+    * dense-id corpus (default — the full/stored builds), or the
+    * survivor ID RANGE for the dedup-gated build whose ids are sparse.
+    */
+  private def duckHnswLayerOver(l: Int, base: String, f: String,
+                                bound: String = ""): String = {
+    val b = if (bound.nonEmpty) bound else s"(SELECT CAST(count(*) AS BIGINT) FROM $base)"
     s"""el$f$l AS MATERIALIZED (SELECT b.vec_id, b.v FROM $base b JOIN lv ON b.vec_id = lv.vec_id WHERE lv.level >= $l),
        |nl$f$l AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS nl, min(vec_id) AS mid FROM el$f$l),
        |c$f$l AS MATERIALIZED (SELECT vec_id AS cid, v FROM el$f$l, nl$f$l
-       |  WHERE vec_id < ((SELECT CAST(count(*) AS BIGINT) FROM $base)
+       |  WHERE vec_id < ($b
        |      * least(nl, greatest(CAST(8 AS BIGINT), CAST(floor(sqrt(nl)) AS BIGINT))) + nl - 1) // nl
        |     OR vec_id = mid),
        |sc$f$l AS (SELECT x.vec_id, y.cid, round($duckCosPair, 6) AS cscore
@@ -4112,6 +4265,7 @@ object Ann {
        |lay$f$l AS (SELECT CAST($l AS BIGINT) AS layer, t.src, t.dst, t.cos, t.rn,
        |  (r.src IS NOT NULL) AS mutual
        |  FROM topk$f$l t LEFT JOIN topk$f$l r ON t.src = r.dst AND t.dst = r.src)""".stripMargin
+  }
 
   private def duckHnswLayer(l: Int): String = duckHnswLayerOver(l, "e", "")
 
@@ -4381,7 +4535,14 @@ object Ann {
     * Shared by the `ann_graph_build_deduped` edge oracle and the
     * `ann_conn_deduped` census oracle.
     */
-  private def duckDedupedBuild: String = {
+  /** The COLLAPSE stage of the dedup-gated builds as DuckDB CTEs —
+    * [[dedupCollapse]]'s cross-engine twin, ending in `exm` (vec_id,
+    * ec), `finp` (exact-survivor vec_id, canon — min-label rounds + two
+    * pointer jumps), `c2d` (survivors) and `dupd` (full-corpus dup →
+    * canon). Shared by the flat chain ([[duckDedupedBuild]]) and the
+    * LAYERED dedup-gated oracles, exactly as the Spark collapse is.
+    */
+  private def duckDedupCollapse: String = {
     val rounds = (1 to BuildDedupRounds).map { r =>
       s"""l$r AS MATERIALIZED (SELECT c.vec_id,
          |      least(min(c.lbl), coalesce(min(n.lbl), min(c.lbl))) AS lbl
@@ -4413,10 +4574,14 @@ object Ann {
        |      FROM finj a JOIN finj b ON a.canon = b.vec_id),
        |c2d AS MATERIALIZED (SELECT c.vec_id, c.v FROM c1d c JOIN finp f ON c.vec_id = f.vec_id
        |      WHERE f.canon = c.vec_id),
+       |dupd AS (SELECT x.vec_id, f.canon FROM exm x JOIN finp f ON x.ec = f.vec_id
+       |      WHERE x.vec_id != f.canon)""".stripMargin
+  }
+
+  private def duckDedupedBuild: String =
+    s"""$duckDedupCollapse,
        |md AS MATERIALIZED (SELECT m.vec_id, m.cid FROM mc1 m JOIN c2d ON m.vec_id = c2d.vec_id),
        |${duckNswChainFromM("c2d", "d")},
-       |dupd AS (SELECT x.vec_id, f.canon FROM exm x JOIN finp f ON x.ec = f.vec_id
-       |      WHERE x.vec_id != f.canon),
        |att0d AS (SELECT d.vec_id AS src, d.canon AS dst, CAST(0 AS BIGINT) AS rn FROM dupd d
        |      UNION ALL SELECT d.vec_id, t.dst, t.rn FROM dupd d JOIN topkd t ON t.src = d.canon),
        |attd AS (SELECT a.src, a.dst, round($duckCosPair, 6) AS cos, a.rn FROM att0d a
@@ -4424,6 +4589,81 @@ object Ann {
        |dedup_edges AS MATERIALIZED (
        |  SELECT src, dst, cos, rn, false AS is_attach FROM topkd
        |  UNION ALL SELECT src, dst, cos, rn, true AS is_attach FROM attd)""".stripMargin
+
+  /** The dedup-gated LAYERED build ([[hnswGraphDeduped]]) as DuckDB
+    * CTEs ending in `hnsw_dedup_edges` (layer, src, dst, cos, rn,
+    * is_attach): the shared collapse, one [[duckHnswLayerOver]] chain
+    * per layer over the survivor set `c2d` with the seed thresholds
+    * scaled by the survivor ID RANGE (`hdb` = max survivor id + 1 — the
+    * Spark build's idBound), and the layer-0 duplicate attach. Requires
+    * `$duckE` and `$duckLevels` in scope.
+    */
+  private def duckHnswDedupedBuild: String = {
+    val chains = (0 to OracleMaxLayer)
+      .map(duckHnswLayerOver(_, "c2d", "hd", "(SELECT hb FROM hdb)")).mkString(",\n")
+    val stack = (0 to OracleMaxLayer)
+      .map(l => s"SELECT CAST($l AS BIGINT) AS layer, src, dst, cos, rn FROM topkhd$l")
+      .mkString("\n  UNION ALL ")
+    s"""$duckDedupCollapse,
+       |hdb AS (SELECT coalesce(max(vec_id) + 1, 0) AS hb FROM c2d),
+       |$chains,
+       |atth0 AS (SELECT d.vec_id AS src, d.canon AS dst, CAST(0 AS BIGINT) AS rn FROM dupd d
+       |      UNION ALL SELECT d.vec_id, t.dst, t.rn FROM dupd d JOIN topkhd0 t ON t.src = d.canon),
+       |atthd AS (SELECT a.src, a.dst, round($duckCosPair, 6) AS cos, a.rn FROM atth0 a
+       |      JOIN e x ON x.vec_id = a.src JOIN e y ON y.vec_id = a.dst),
+       |hnsw_dedup_edges AS MATERIALIZED (
+       |  SELECT layer, src, dst, cos, rn, false AS is_attach FROM ($stack)
+       |  UNION ALL SELECT CAST(0 AS BIGINT) AS layer, src, dst, cos, rn, true AS is_attach
+       |  FROM atthd)""".stripMargin
+  }
+
+  /** The deduped layered descent ([[hnswSearchDeduped]]) as one DuckDB
+    * statement — [[duckHnswSearchCtes]]'s walk with the survivor stack
+    * as the per-layer adjacency, the layer-0 adjacency including the
+    * attach edges, and entry at the top SURVIVOR level.
+    */
+  private def duckHnswDedupedWalkSql: String = {
+    val gu = (0 to OracleMaxLayer).map { l =>
+      val src = if (l == 0)
+        s"(SELECT src, dst FROM hnsw_dedup_edges WHERE layer = 0)"
+      else s"topkhd$l"
+      s"""tkhd${l}u AS MATERIALIZED (SELECT src, dst FROM $src),
+         |guhd$l AS MATERIALIZED (SELECT src, dst FROM tkhd${l}u UNION SELECT dst, src FROM tkhd${l}u)""".stripMargin
+    }.mkString(",\n")
+    val steps = (OracleMaxLayer to 1 by -1).flatMap(l => Seq.fill(HnswDescentRounds)((l, 1))) ++
+      Seq.fill(GraphSearchRounds)((0, GraphSearchBeam))
+    val roundCtes = steps.zipWithIndex.map { case ((l, cut), i) =>
+      s"""hsd${i + 1} AS MATERIALIZED (SELECT q_id, node, score FROM (
+         |  SELECT q_id, node, score, row_number() OVER (PARTITION BY q_id
+         |          ORDER BY score DESC, node) AS rn
+         |  FROM (SELECT DISTINCT q_id, node, score FROM (
+         |    SELECT q_id, node, score FROM hsd$i
+         |    UNION ALL
+         |    SELECT s.q_id, u.dst AS node, round($duckCosQ, 6) AS score
+         |    FROM hsd$i s JOIN guhd$l u ON u.src = s.node
+         |         JOIN e x ON x.vec_id = u.dst JOIN qs q ON q.q_id = s.q_id
+         |    WHERE u.dst != s.q_id))
+         | ) WHERE rn <= $cut)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $duckE,
+       |$duckLevels,
+       |$duckHnswDedupedBuild,
+       |$gu,
+       |qs AS MATERIALIZED (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 25 = 7
+       |       ORDER BY vec_id LIMIT $GraphSearchQueryCount),
+       |mxd AS (SELECT max(lv.level) AS ml FROM lv JOIN c2d ON lv.vec_id = c2d.vec_id),
+       |hsd0 AS MATERIALIZED (SELECT q_id, node, score FROM (
+       |  SELECT q_id, node, score, row_number() OVER (PARTITION BY q_id
+       |          ORDER BY score DESC, node) AS rn
+       |  FROM (SELECT q.q_id, x.vec_id AS node, round($duckCosQ, 6) AS score
+       |        FROM c2d x JOIN lv ON x.vec_id = lv.vec_id JOIN mxd ON lv.level = mxd.ml
+       |             JOIN qs q ON x.vec_id != q.q_id)) WHERE rn <= 1),
+       |$roundCtes,
+       |hdfin AS MATERIALIZED (SELECT q_id, CAST(rn AS BIGINT) AS rn, node AS vec_id, score FROM (
+       |  SELECT q_id, node, score, row_number() OVER (PARTITION BY q_id
+       |          ORDER BY score DESC, node) AS rn FROM hsd${steps.size})
+       | WHERE rn <= $GraphSearchK)
+       |SELECT q_id, rn, vec_id, score FROM hdfin""".stripMargin
   }
 
   /** The incremental insert as DuckDB CTEs — the exact twin of
@@ -5515,6 +5755,35 @@ object Ann {
          |SELECT canon, CAST(count(*) AS BIGINT) AS weight,
          | CAST(sum(CASE WHEN vec_id != canon THEN 1 ELSE 0 END) AS BIGINT) AS n_dups
          |FROM fmapq GROUP BY canon""".stripMargin,
+    "ann_hnsw_build_deduped" ->
+      s"""WITH $duckE,
+         |$duckLevels,
+         |$duckHnswDedupedBuild
+         |SELECT layer, src, dst, cos, rn, is_attach FROM hnsw_dedup_edges""".stripMargin,
+    "ann_hnsw_conn_deduped" -> {
+      val steps = (1 to GraphConnRounds).map { r =>
+        s"""cchd$r AS MATERIALIZED (SELECT DISTINCT node FROM (
+           |  SELECT node FROM cchd${r - 1} UNION ALL
+           |  SELECT u.dst AS node FROM cchd${r - 1} s JOIN gundhd u ON u.src = s.node))""".stripMargin
+      }.mkString(",\n")
+      val rows = (0 to GraphConnRounds).map(r =>
+        s"SELECT CAST($r AS BIGINT) AS round, " +
+          s"(SELECT CAST(count(*) AS BIGINT) FROM cchd$r) AS n_reached")
+        .mkString("\nUNION ALL ")
+      s"""WITH $duckE,
+         |$duckLevels,
+         |$duckHnswDedupedBuild,
+         |gundhd AS MATERIALIZED (SELECT src, dst FROM hnsw_dedup_edges
+         |       UNION SELECT dst, src FROM hnsw_dedup_edges),
+         |fbhd AS (SELECT greatest(8, CAST(floor(sqrt(count(*))) AS BIGINT)) AS t FROM e),
+         |cchd0 AS MATERIALIZED (SELECT vec_id AS node FROM e, fbhd WHERE vec_id < fbhd.t),
+         |$steps,
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM e)
+         |SELECT r.round, r.n_reached, n.n_total,
+         | r.n_reached * 1000000 // greatest(n.n_total, 1) AS reach_micros
+         |FROM ($rows) r, n""".stripMargin
+    },
+    "ann_hnsw_search_deduped" -> duckHnswDedupedWalkSql,
     "ann_graph_search_deduped" -> duckDedupedWalkSql,
     // the written-generation deduped walk is read-equivalent to the
     // live one (identical adjacency + entry rows through the parquet

@@ -190,6 +190,15 @@ class EmptyInputSpec extends SparkSpec {
     assert(Ann.graphSearchDeduped(spark, dir).count() === 0)
   }
 
+  test("round-20 operators are safe on empty tables") {
+    assert(Ann.hnswGraphDeduped(spark, dir).count() === 0)
+    val conn = Ann.hnswConnectivityDeduped(spark, dir).collect()
+    assert(conn.length === Ann.GraphConnRounds + 1)
+    assert(conn.forall(r => r.getLong(1) === 0L && r.getLong(3) === 0L),
+      "empty corpus: layered deduped census reports zero reach, no div-by-zero")
+    assert(Ann.hnswSearchDeduped(spark, dir).count() === 0)
+  }
+
   test("round-18 operators are safe on empty tables") {
     assert(Dedup.decontaminate(spark, dir).count() === 0)
     assert(TextAnalysis.curriculumInterleave(spark, dir).count() === 0)

@@ -73,4 +73,97 @@ class Round20OpsSpec extends SparkSpec {
       s"full reach expected over the attach chain, got ${census.getLong(1)}/$n")
     info(s"radius $radius pinned; residual ${n - 1 - radius} members benign; reach $n/$n")
   }
+
+  test("layered dedup-gated build: replica corpus regains full reach THROUGH the hierarchy") {
+    import spark.implicits._
+    val base = Graft.embeddings(spark, dir)
+      .filter(col("vec_id") < 50)
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val dupCorpus = base.crossJoin(spark.range(10).toDF("rep"))
+      .select((col("vec_id") + col("rep") * 50L).as("vec_id"),
+        col("embedding"), col("label"))
+    val dupDir = tempSfDir("embeddings" -> dupCorpus)
+    val cleanDir = tempSfDir("embeddings" -> base)
+
+    // the pathology reaches EVERY layer: the plain layered census on the
+    // replica corpus is fragmented exactly like the flat graph's
+    val plainEdges = Ann.hnswGraph(spark, dupDir)
+    val plainUnd = plainEdges.select(col("src"), col("dst"))
+      .union(plainEdges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint(true)
+    val entries = Graft.embeddings(spark, dupDir)
+      .filter(col("vec_id") < Ann.sqrtFanout(500L)).select(col("vec_id").as("node"))
+    // milder than the flat collapse (replicas draw DIFFERENT levels, so
+    // upper layers hold at most a few copies of each point and partially
+    // bridge the base-layer cliques) but still broken — and the serve
+    // assertion below shows the base-layer beam stays clique-trapped
+    val plainReach = Ann.censusCountsOver(plainUnd, entries, 4).maxBy(_._1)._2
+    assert(plainReach < 500L,
+      s"expected residual dup-fragmentation in the plain layered build, reached $plainReach/500")
+
+    // the repair: full reach through survivor stack + layer-0 attach
+    val fixed = lastRow(Ann.hnswConnectivityDeduped(spark, dupDir).collect())
+    assert(fixed.getLong(1) === 500L && fixed.getLong(2) === 500L,
+      s"layered dedup-gated build must restore full reach, got ${fixed.getLong(1)}/500")
+
+    // the survivor stack equals the clean-corpus layered build
+    // edge-for-edge on EVERY layer (same levels — the draw is a pure
+    // vec_id function — same range-scaled seeds, same cells)
+    val deduped = Ann.hnswGraphDeduped(spark, dupDir)
+    val survivorStack = deduped.filter(!col("is_attach"))
+      .select(col("layer"), col("src"), col("dst"), col("cos"), col("rn")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4))).toSet
+    val cleanStack = Ann.hnswGraph(spark, cleanDir)
+      .select(col("layer"), col("src"), col("dst"), col("cos"), col("rn")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4))).toSet
+    assert(survivorStack === cleanStack,
+      "survivor layer stack must equal the clean-corpus layered build edge-for-edge")
+
+    // replicas attach at LAYER 0 only: rn-0 cos-1.0 edge to the base
+    // plus the base's layer-0 neighborhood, <= k+1 rows each
+    val att = deduped.filter(col("is_attach")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+    assert(att.forall(_._1 == 0L), "attach edges live in the base layer only")
+    val rn0 = att.filter(_._5 == 0L)
+    assert(rn0.map(_._2).toSet === (50L until 500L).toSet)
+    rn0.foreach { case (_, d, c, cos, _) =>
+      assert(c === d % 50L && cos === 1.0, s"replica $d must attach to its base at 1.0")
+    }
+    assert(att.groupBy(_._2).forall(_._2.length <= 5), "at most k+1 attach edges per dup")
+
+    // SERVING through the layered descent: every query recovers a
+    // score-1.0 copy of itself; the plain hierarchy stays trapped in
+    // the entry copy-cliques
+    def top1(df: org.apache.spark.sql.DataFrame): Map[Long, Double] =
+      df.filter(col("rn") === 1L).collect()
+        .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val plainTop = top1(Ann.hnswSearch(spark, dupDir))
+    val fixedTop = top1(Ann.hnswSearchDeduped(spark, dupDir))
+    assert(fixedTop.size === plainTop.size && fixedTop.nonEmpty)
+    assert(fixedTop.values.forall(_ === 1.0),
+      s"layered deduped descent must recover a 1.0 copy for every query, " +
+        s"got ${fixedTop.values.count(_ === 1.0)}/${fixedTop.size}")
+    assert(plainTop.values.count(_ === 1.0) < fixedTop.size / 2 + 1,
+      s"expected the plain hierarchy trapped, got ${plainTop.values.count(_ === 1.0)}")
+    info(s"plain reach $plainReach/500 -> layered deduped 500/500; " +
+      s"${survivorStack.size} survivor edges equal the clean stack; " +
+      s"serve ${fixedTop.values.count(_ === 1.0)}/${fixedTop.size} perfect vs " +
+      s"${plainTop.values.count(_ === 1.0)} plain")
+  }
+
+  test("layered dedup-gated build: dup-free corpus equals the plain layered build") {
+    val base = Graft.embeddings(spark, dir).filter(col("vec_id") < 120)
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val d = tempSfDir("embeddings" -> base)
+    val deduped = Ann.hnswGraphDeduped(spark, d)
+    assert(deduped.filter(col("is_attach")).isEmpty)
+    val a = deduped.select(col("layer"), col("src"), col("dst"), col("cos"), col("rn"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4))).toSet
+    val b = Ann.hnswGraph(spark, d)
+      .select(col("layer"), col("src"), col("dst"), col("cos"), col("rn"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4))).toSet
+    assert(a === b, "on a dup-free dense corpus the deduped layered build IS hnswGraph")
+  }
 }
