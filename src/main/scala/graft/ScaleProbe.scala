@@ -417,6 +417,22 @@ object ScaleProbe {
         emit("probe" -> "conn_fanout", "scale" -> s"${mult}x", "sweep_sec" -> fsec,
           "reach_by_thr" -> finals.map { case (t, c) => s"$t:$c" }.mkString("\"", ",", "\""))
       }
+      if (probes("conngen")) {
+        // r20: the census OFF THE WRITTEN GENERATION — the artifact a
+        // fleet actually monitors. The narrow-projection eager
+        // checkpoint means the generation parquet is scanned ONCE per
+        // census whatever the round count; the probe separates the
+        // publish (build+write+load) from the walk and runs the census
+        // twice to show the flat repeat cost (the second census re-uses
+        // nothing across calls by design — each checkpoint is fresh).
+        val (psec, _) = time(operators.Ann.writtenGraphGen(spark, dir)._1.count())
+        val (c1sec, rows1) = time(operators.Ann.graphConnectivityFromGen(spark, dir).collect())
+        val (c2sec, _) = time(operators.Ann.graphConnectivityFromGen(spark, dir).collect())
+        val last = rows1.maxBy(_.getLong(0))
+        emit("probe" -> "conn_from_gen", "scale" -> s"${mult}x",
+          "publish_sec" -> psec, "census_sec" -> c1sec, "census2_sec" -> c2sec,
+          "n_total" -> last.getLong(2), "reach_micros" -> last.getLong(3))
+      }
       if (probes("streamdedup")) {
         // r18: the streaming near-dup batch-cost contract — a FIXED
         // 1000-doc microbatch against stored signature state growing

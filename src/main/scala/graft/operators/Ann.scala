@@ -1341,9 +1341,17 @@ object Ann {
   def graphConnectivityFromGen(s: SparkSession, dir: String,
                                rounds: Int = GraphConnRounds): DataFrame = {
     val (adj, entry) = writtenGraphGen(s, dir)
+    // eager checkpoint of the NARROW (src, dst) projection — the
+    // graphConnectivityDeduped fix applied to the written artifact:
+    // without it every BFS round re-plans and re-scans the full
+    // payload-carrying generation frame (the persisted read-back holds
+    // dv/dnrm/dlabel too), so the artifact is read once per round × two
+    // references — at 100 TB that is 2×rounds object-store scans vs ONE
+    // here (the checkpoint materializes the 16-byte-row adjacency in a
+    // single pass and the rounds probe the flat blocks).
+    val und = adj.select(col("src"), col("dst")).localCheckpoint(true)
     censusFrame(s,
-      censusCountsOver(adj.select(col("src"), col("dst")),
-        entry.select(col("node")), rounds),
+      censusCountsOver(und, entry.select(col("node")), rounds),
       Graft.tableRows(s, dir, "embeddings"))
   }
 
