@@ -616,7 +616,18 @@ object Ann {
 
   private def nswInsertCore(storedCells: DataFrame, cents: DataFrame,
                             storedEdges0: DataFrame, batchEmb: DataFrame,
-                            allEmb: DataFrame, k: Int, nprobe: Int): DataFrame = {
+                            allEmb: DataFrame, k: Int, nprobe: Int): DataFrame =
+    nswInsertCoreT(storedCells, cents, storedEdges0, batchEmb, allEmb, k, nprobe)._1
+
+  /** [[nswInsertCore]] also returning the TOUCHED src set — the deduped
+    * insert refreshes exactly the attach edges whose canonical's
+    * neighborhood the merge re-ranked, so it needs the set the core
+    * already derives.
+    */
+  private def nswInsertCoreT(storedCells: DataFrame, cents: DataFrame,
+                             storedEdges0: DataFrame, batchEmb: DataFrame,
+                             allEmb: DataFrame, k: Int, nprobe: Int)
+      : (DataFrame, DataFrame) = {
     val storedEdges = storedEdges0.select(col("src"), col("dst"), col("cos"), col("rn"))
     val batchCells =
       cellsOver(withNorm(batchEmb.select(col("vec_id"), col("embedding"))), cents, nprobe)
@@ -702,7 +713,7 @@ object Ann {
       .select(col("src"), col("dst"), col("cos"), col("rn"))
     // the untouched slice comes back out of the FLAT merged frame, not
     // by re-planning the deep storedEdges tree a second time
-    merged.join(touched, Seq("src"), "left_anti").unionByName(repaired)
+    (merged.join(touched, Seq("src"), "left_anti").unionByName(repaired), touched)
   }
 
   /** NSW blocking-index health report: log2-bucketed histogram of cell
@@ -1556,27 +1567,46 @@ object Ann {
   private[graft] def dedupCollapse(s: SparkSession, dir: String, nprobe: Int = 3,
                                    tauMicros: Long = BuildDedupTauMicros)
       : (DataFrame, DataFrame, DataFrame) = {
-    val e = withNorm(Graft.embeddings(s, dir).select(col("vec_id"), col("embedding")))
+    val (eEx, cells1, fin, _) = dedupCollapseOver(s,
+      Graft.embeddings(s, dir).select(col("vec_id"), col("embedding")),
+      "nsw_dedup", dir, nprobe, tauMicros)
+    (eEx, cells1, fin)
+  }
+
+  /** [[dedupCollapse]] over an ARBITRARY corpus frame, memoized under
+    * `tag` — the frame-parameterized collapse, so the stored-slice
+    * generation of the DEDUPED insert ([[dedupedInsertBatch]]) shares
+    * the exact code path (and oracle shape) of the full-corpus builds.
+    * Also returns the collected survivor centroid array (`cents`) —
+    * the probe structure the insert assigns its batch against.
+    */
+  private[graft] def dedupCollapseOver(s: SparkSession, eIn: DataFrame, tag: String,
+                                       dir: String, nprobe: Int,
+                                       tauMicros: Long)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val e = withNorm(eIn.select(col("vec_id"), col("embedding")))
     // 1. exact collapse (min vec_id per identical vector)
-    val eEx = Graft.memoCache("nsw_dedup_eex", dir) {
+    val eEx = Graft.memoCache(s"${tag}_eex", dir) {
       e.join(e.groupBy(col("embedding")).agg(min(col("vec_id")).as("ec")),
           "embedding")
         .select(col("vec_id"), col("embedding"), col("nrm"), col("ec"))
     }
     val c1 = eEx.filter(col("vec_id") === col("ec"))
       .select(col("vec_id"), col("embedding"), col("nrm"))
-    val cells1 = Graft.memoCache(s"nsw_dedup_cells_$nprobe", dir) {
+    val cents = Graft.memoCache(s"${tag}_cents", dir) {
       val n1 = c1.count()
       requireCentroidBudget(sqrtFanout(n1), "dedupCollapse")
       // density-independent centroid pick: first sqrtFanout(n1) survivors
       // by id (TakeOrdered top-k — the <=sqrt(N) rows the build broadcasts
       // anyway); equals the flat build's vec_id < sqrt(N) on dense ids
-      val cents = c1.orderBy(col("vec_id")).limit(sqrtFanout(n1).toInt)
+      c1.orderBy(col("vec_id")).limit(sqrtFanout(n1).toInt)
         .agg(sort_array(collect_list(struct(col("vec_id").as("cid"),
           col("embedding").as("cvec"), col("nrm").as("cnrm")))).as("cents"))
+    }
+    val cells1 = Graft.memoCache(s"${tag}_cells_$nprobe", dir) {
       cellsOver(c1, cents, nprobe)
     }
-    val fin = Graft.memoFlat(s"nsw_dedup_fin_${nprobe}_$tauMicros", dir) {
+    val fin = Graft.memoFlat(s"${tag}_fin_${nprobe}_$tauMicros", dir) {
       // 2. near-dup pairs within shared cells (symmetric: x != y, so the
       // pair frame needs no explicit undirection), integer-micros
       // threshold so Spark and the oracle compare identical quantities
@@ -1588,7 +1618,7 @@ object Ann {
         .filter(expr("cast(round(cos * 1000000) as bigint)") >= lit(tauMicros))
         .select(col("a"), col("b"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      Graft.trackCaches("nsw_dedup_ndpairs", nd)
+      Graft.trackCaches(s"${tag}_ndpairs", nd)
       // bounded min-label propagation (per-round lineage cuts — the
       // census/clustersUnionFind iteration pattern) + two pointer jumps
       var lbl = c1.select(col("vec_id"), col("vec_id").as("lbl")).localCheckpoint(true)
@@ -1606,15 +1636,25 @@ object Ann {
         .select(col("p.vec_id").as("vec_id"), col("jc").as("canon"))
       jump(jump(lbl.withColumnRenamed("lbl", "canon")))
     }
-    (eEx, cells1, fin)
+    (eEx, cells1, fin, cents)
   }
 
   def nswGraphDeduped(s: SparkSession, dir: String, k: Int = 4, nprobe: Int = 3,
                       tauMicros: Long = BuildDedupTauMicros): DataFrame =
-    Graft.memoCache(s"nsw_graph_deduped_${k}_${nprobe}_$tauMicros", dir) {
-      val e = withNorm(Graft.embeddings(s, dir).select(col("vec_id"), col("embedding")))
+    nswGraphDedupedOver(s, Graft.embeddings(s, dir).select(col("vec_id"), col("embedding")),
+      "nsw_dedup", dir, k, nprobe, tauMicros)
+
+  /** [[nswGraphDeduped]] over an ARBITRARY corpus frame, memoized under
+    * `tag` — the stored-slice generation the DEDUPED insert folds into
+    * rides the identical code path as the full build.
+    */
+  private[graft] def nswGraphDedupedOver(s: SparkSession, eIn: DataFrame, tag: String,
+                                         dir: String, k: Int, nprobe: Int,
+                                         tauMicros: Long): DataFrame =
+    Graft.memoCache(s"${tag}_graph_deduped_${k}_${nprobe}_$tauMicros", dir) {
+      val e = withNorm(eIn.select(col("vec_id"), col("embedding")))
       // 1-2. the shared collapse (memoized across the flat + layered builds)
-      val (eEx, cells1, fin) = dedupCollapse(s, dir, nprobe, tauMicros)
+      val (eEx, cells1, fin, _) = dedupCollapseOver(s, eIn, tag, dir, nprobe, tauMicros)
       val c1 = eEx.filter(col("vec_id") === col("ec"))
         .select(col("vec_id"), col("embedding"), col("nrm"))
       // 3. survivor graph: step-2 assignment restricted to survivors
@@ -1624,7 +1664,7 @@ object Ann {
         cells1.join(c2ids, "vec_id").hint("SHUFFLE_HASH"), k)
         .select(col("src"), col("dst"), col("cos"), col("rn"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      Graft.trackCaches("nsw_dedup_graph", graph)
+      Graft.trackCaches(s"${tag}_graph", graph)
       // 4. re-attach: full-corpus canonical map (exact then near), then
       // canonical + canonical's neighborhood per duplicate
       val dups = eEx.select(col("vec_id"), col("ec"))
@@ -1812,6 +1852,201 @@ object Ann {
     hnswWalkDriverOver(s, undL, entryNodes, maxLevel,
       graphSearchQueries(s, dir), k, beam, rounds)
   }
+
+  /** INCREMENTAL maintenance of the DEDUPED generation —
+    * [[nswInsertBatch]]'s asymmetric pattern applied to the REPAIRED
+    * index: without it, a new batch containing duplicates of stored
+    * vectors re-fragments the graph the dedup-gated build just fixed
+    * (each arriving copy would wire a fresh clique). A batch folds into
+    * the stored deduped generation in dup-routed stages, every one of
+    * them work ∝ batch:
+    *
+    *  1. EXACT probe — batch values hash-join the stored exact-group
+    *     map (value → stored exact-canonical); hits route to the stored
+    *     canonical's canon, misses form batch-internal exact groups
+    *     (min batch id). One value-keyed probe of the stored map.
+    *  2. NEAR-DUP probe — batch exact-survivors assign to the STORED
+    *     survivor centroids (|B|·√n₁ scoring) and pair against the
+    *     stored CANONICALS in their cells plus each other at
+    *     `tauMicros`; bounded min-label rounds + two pointer jumps over
+    *     the batch-side pair graph (stored canonicals are terminal —
+    *     the stored map is immutable until rebuild), seeded by the
+    *     minimum matched stored canonical. A batch near-dup of a stored
+    *     near-DUP (not its canonical) stays a survivor — the bounded
+    *     chain residual, resolved at the next rebuild.
+    *  3. SURVIVORS take the standard insert path ([[nswInsertCore]])
+    *     into the stored SURVIVOR graph, probing the same stored
+    *     centroid set.
+    *  4. ATTACH maintenance — new dups get rn-0 + canonical-neighborhood
+    *     edges off the MERGED graph; stored dups whose canonical the
+    *     merge TOUCHED get their neighborhood rows refreshed; all other
+    *     stored attach rows pass through bit-identical. Work ∝ batch +
+    *     affected dups, never ∝ stored dup mass.
+    *
+    * Returns (edges, canon_map, weights): the merged deduped edge frame
+    * (src, dst, cos, rn, is_attach), the post-insert full canonical map
+    * (vec_id, canon, is_dup), and the INCREMENTALLY-updated per-canon
+    * training weights (stored weights + batch deltas — spec-pinned
+    * equal to a recompute over the merged map, and equal to the batch
+    * rebuild's on a pure-dup batch).
+    */
+  def dedupedInsertBatch(s: SparkSession, dir: String, storedEmb: DataFrame,
+                         storedTag: String, batchEmb: DataFrame, k: Int = 4,
+                         nprobe: Int = 3, tauMicros: Long = BuildDedupTauMicros)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val (eExS, cells1S, finS, centsS) =
+      dedupCollapseOver(s, storedEmb, storedTag, dir, nprobe, tauMicros)
+    val storedDeduped = nswGraphDedupedOver(s, storedEmb, storedTag, dir, k, nprobe, tauMicros)
+    val storedGraph = storedDeduped.filter(!col("is_attach"))
+      .select(col("src"), col("dst"), col("cos"), col("rn"))
+    val storedAtt = storedDeduped.filter(col("is_attach"))
+    val c2S = finS.filter(col("canon") === col("vec_id")).select(col("vec_id"))
+    // 1. exact probe: stored group map first, batch-internal groups second
+    val eBn = withNorm(batchEmb.select(col("vec_id"), col("embedding")))
+    val exgS = eExS.groupBy(col("embedding")).agg(min(col("ec")).as("sec"))
+    val bGrp = eBn.groupBy(col("embedding")).agg(min(col("vec_id")).as("bmin"))
+    val bExm = eBn.join(exgS, Seq("embedding"), "left")
+      .join(bGrp, Seq("embedding"))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        coalesce(col("sec"), col("bmin")).as("ec"))
+      .localCheckpoint(true)
+    // 2. near-dup probe of batch exact-survivors
+    val bC1 = bExm.filter(col("vec_id") === col("ec"))
+      .select(col("vec_id"), col("embedding"), col("nrm"))
+    val bCells = cellsOver(bC1, centsS, nprobe)
+      .localCheckpoint(true)
+    val sCells = cells1S.join(c2S, "vec_id")
+    val pS = bCells.as("x").join(sCells.as("y").hint("SHUFFLE_HASH"),
+        col("x.cid") === col("y.cid"))
+      .select(col("x.vec_id").as("b"), col("y.vec_id").as("c"),
+        round(VectorOps.dot(col("x.embedding"), col("y.embedding"))
+          / (col("x.nrm") * col("y.nrm")), 6).as("cos"))
+      .filter(expr("cast(round(cos * 1000000) as bigint)") >= lit(tauMicros))
+      .select(col("b"), col("c"))
+    val pB = bCells.as("x").join(bCells.as("y"),
+        col("x.cid") === col("y.cid") && col("x.vec_id") =!= col("y.vec_id"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
+        round(VectorOps.dot(col("x.embedding"), col("y.embedding"))
+          / (col("x.nrm") * col("y.nrm")), 6).as("cos"))
+      .filter(expr("cast(round(cos * 1000000) as bigint)") >= lit(tauMicros))
+      .select(col("a"), col("b"))
+      .localCheckpoint(true)
+    val seedS = pS.groupBy(col("b")).agg(min(col("c")).as("sc"))
+      .withColumnRenamed("b", "vec_id")
+    var lbl = bC1.select(col("vec_id"))
+      .join(seedS, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        least(col("vec_id"), coalesce(col("sc"), col("vec_id"))).as("lbl"))
+      .localCheckpoint(true)
+    for (_ <- 1 to BuildDedupRounds) {
+      lbl = lbl
+        .join(pB.withColumnRenamed("a", "vec_id"), Seq("vec_id"), "left")
+        .join(lbl.select(col("vec_id").as("b"), col("lbl").as("nlbl")), Seq("b"), "left")
+        .groupBy(col("vec_id"))
+        .agg(least(min(col("lbl")), coalesce(min(col("nlbl")), min(col("lbl")))).as("lbl"))
+        .localCheckpoint(true)
+    }
+    def jumpIns(m: DataFrame): DataFrame = {
+      val res = m.select(col("vec_id").as("j"), col("canon").as("jc"))
+        .unionByName(c2S.select(col("vec_id").as("j"), col("vec_id").as("jc")))
+      m.join(res, col("canon") === col("j"))
+        .select(col("vec_id"), col("jc").as("canon"))
+    }
+    val bFin = jumpIns(jumpIns(lbl.withColumnRenamed("lbl", "canon"))).localCheckpoint(true)
+    // 3. route: full batch map, dups vs survivors
+    val ecCanon = bFin.unionByName(finS.select(col("vec_id"), col("canon")))
+    val bMap = bExm.select(col("vec_id"), col("ec"))
+      .join(ecCanon.withColumnRenamed("vec_id", "ec"), "ec")
+      .select(col("vec_id"), col("canon"))
+      .localCheckpoint(true)
+    val bDups = bMap.filter(col("vec_id") =!= col("canon"))
+    val bSurvEmb = batchEmb.select(col("vec_id"), col("embedding"))
+      .join(bFin.filter(col("canon") === col("vec_id")).select(col("vec_id")), "vec_id")
+    // 4. survivors take the standard insert path into the survivor graph
+    val allEmb = storedEmb.select(col("vec_id"), col("embedding"))
+      .unionByName(batchEmb.select(col("vec_id"), col("embedding")))
+    val (merged, touched) =
+      nswInsertCoreT(sCells, centsS, storedGraph, bSurvEmb, allEmb, k, nprobe)
+    // 5. attach maintenance: refresh = new dups + stored dups whose
+    // canonical the merge touched; everything else passes through
+    val sDups = eExS.select(col("vec_id"), col("ec"))
+      .join(finS.select(col("vec_id").as("ec"), col("canon")), "ec")
+      .select(col("vec_id"), col("canon"))
+      .filter(col("vec_id") =!= col("canon"))
+    val refresh = sDups
+      .join(touched.withColumnRenamed("src", "canon"), Seq("canon"), "left_semi")
+      .unionByName(bDups)
+      .localCheckpoint(true)
+    val keepAtt = storedAtt
+      .join(refresh.select(col("vec_id").as("src")), Seq("src"), "left_anti")
+    val attTargets = refresh.select(col("vec_id"), col("canon").as("dst"), lit(0L).as("rn"))
+      .unionByName(refresh
+        .join(merged.select(col("src").as("canon"), col("dst"), col("rn")), "canon")
+        .select(col("vec_id"), col("dst"), col("rn")))
+    val eU = withNorm(allEmb)
+    val freshAtt = attTargets
+      .join(eU.select(col("vec_id"), col("embedding").as("xv"), col("nrm").as("xn"))
+        .hint("SHUFFLE_HASH"), "vec_id")
+      .join(eU.select(col("vec_id").as("dst"), col("embedding").as("yv"),
+        col("nrm").as("yn")).hint("SHUFFLE_HASH"), "dst")
+      .select(col("vec_id").as("src"), col("dst"),
+        round(VectorOps.dot(col("xv"), col("yv")) / (col("xn") * col("yn")), 6).as("cos"),
+        col("rn"), lit(true).as("is_attach"))
+    val edges = merged.select(col("src"), col("dst"), col("cos"), col("rn"),
+        lit(false).as("is_attach"))
+      .unionByName(keepAtt)
+      .unionByName(freshAtt)
+    // post-insert canonical map + incrementally-updated weights
+    val storedMap = eExS.select(col("vec_id"), col("ec"))
+      .join(finS.select(col("vec_id").as("ec"), col("canon")), "ec")
+      .select(col("vec_id"), col("canon"))
+    val canonMap = storedMap.unionByName(bMap)
+      .select(col("vec_id"), col("canon"),
+        (col("vec_id") =!= col("canon")).cast("long").as("is_dup"))
+    val oldW = storedMap
+      .groupBy(col("canon"))
+      .agg(count(lit(1)).as("w0"),
+        sum((col("vec_id") =!= col("canon")).cast("long")).as("d0"))
+    val deltaW = bMap
+      .groupBy(col("canon"))
+      .agg(count(lit(1)).as("w1"),
+        sum((col("vec_id") =!= col("canon")).cast("long")).as("d1"))
+    val weights = oldW.join(deltaW, Seq("canon"), "full")
+      .select(col("canon"),
+        (coalesce(col("w0"), lit(0L)) + coalesce(col("w1"), lit(0L))).as("weight"),
+        (coalesce(col("d0"), lit(0L)) + coalesce(col("d1"), lit(0L))).as("n_dups"))
+    (edges, canonMap, weights)
+  }
+
+  /** The keyed face of [[dedupedInsertBatch]]: stored = the vec_id <
+    * 4N/5 slice, batch = the rest (the [[nswGraphInsert]] split
+    * convention), all three outputs memoized off ONE probe+insert pass.
+    */
+  private def insertDedupedParts(s: SparkSession, dir: String, k: Int = 4,
+                                 nprobe: Int = 3,
+                                 tauMicros: Long = BuildDedupTauMicros)
+      : (DataFrame, DataFrame, DataFrame) = {
+    lazy val parts = {
+      val nTot = Graft.tableRows(s, dir, "embeddings")
+      val split = nTot * InsertSplitNum / InsertSplitDen
+      val eAll = Graft.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      dedupedInsertBatch(s, dir, eAll.filter(col("vec_id") < split),
+        s"nsw_dedup_ins_$split", eAll.filter(col("vec_id") >= split), k, nprobe, tauMicros)
+    }
+    val tag = s"nsw_dedup_ins_out_${k}_${nprobe}_$tauMicros"
+    (Graft.memoCache(s"${tag}_edges", dir) { parts._1 },
+      Graft.memoCache(s"${tag}_map", dir) { parts._2 },
+      Graft.memoCache(s"${tag}_weights", dir) { parts._3 })
+  }
+
+  def nswGraphInsertDeduped(s: SparkSession, dir: String): DataFrame =
+    insertDedupedParts(s, dir)._1
+
+  def dedupCanonMapInsert(s: SparkSession, dir: String): DataFrame =
+    insertDedupedParts(s, dir)._2
+
+  def dedupCanonWeightsInsert(s: SparkSession, dir: String): DataFrame =
+    insertDedupedParts(s, dir)._3
 
   def graphSearch(s: SparkSession, dir: String, k: Int = GraphSearchK,
                   beam: Int = GraphSearchBeam,
@@ -4550,53 +4785,65 @@ object Ann {
     * canon). Shared by the flat chain ([[duckDedupedBuild]]) and the
     * LAYERED dedup-gated oracles, exactly as the Spark collapse is.
     */
-  private def duckDedupCollapse: String = {
+  private def duckDedupCollapse: String = duckDedupCollapseOver("e", "")
+
+  /** The collapse CTEs over an arbitrary base table with CTE-name
+    * suffix `f` — the cross-engine [[dedupCollapseOver]]: default
+    * ("e", "") emits the full-corpus chain verbatim; the DEDUPED-insert
+    * oracle instantiates the stored slice ("es", "i").
+    */
+  private def duckDedupCollapseOver(base: String, f: String): String = {
     val rounds = (1 to BuildDedupRounds).map { r =>
-      s"""l$r AS MATERIALIZED (SELECT c.vec_id,
+      s"""l$f$r AS MATERIALIZED (SELECT c.vec_id,
          |      least(min(c.lbl), coalesce(min(n.lbl), min(c.lbl))) AS lbl
-         |      FROM l${r - 1} c LEFT JOIN ndp ON ndp.a = c.vec_id
-         |      LEFT JOIN l${r - 1} n ON n.vec_id = ndp.b
+         |      FROM l$f${r - 1} c LEFT JOIN ndp$f ON ndp$f.a = c.vec_id
+         |      LEFT JOIN l$f${r - 1} n ON n.vec_id = ndp$f.b
          |      GROUP BY c.vec_id)""".stripMargin
     }.mkString(",\n")
-    s"""exg AS (SELECT v, min(vec_id) AS ec FROM e GROUP BY v),
-       |exm AS MATERIALIZED (SELECT e.vec_id, x.ec FROM e JOIN exg x ON e.v = x.v),
-       |c1d AS MATERIALIZED (SELECT e.vec_id, e.v FROM e JOIN exm ON e.vec_id = exm.vec_id
-       |      WHERE exm.ec = e.vec_id),
-       |cend AS MATERIALIZED (SELECT vec_id AS cid, v FROM (
-       |  SELECT vec_id, v, row_number() OVER (ORDER BY vec_id) AS rnk FROM c1d)
-       |  WHERE rnk <= greatest(8, CAST(floor(sqrt((SELECT count(*) FROM c1d))) AS BIGINT))),
-       |scd AS (SELECT x.vec_id, y.cid, round($duckCosPair, 6) AS cscore
-       |       FROM c1d x JOIN (SELECT cid, v FROM cend) y ON true),
-       |asgd AS (SELECT vec_id, cid FROM (
+    s"""exg$f AS (SELECT v, min(vec_id) AS ec FROM $base GROUP BY v),
+       |exm$f AS MATERIALIZED (SELECT b.vec_id, x.ec FROM $base b JOIN exg$f x ON b.v = x.v),
+       |c1d$f AS MATERIALIZED (SELECT b.vec_id, b.v FROM $base b JOIN exm$f ON b.vec_id = exm$f.vec_id
+       |      WHERE exm$f.ec = b.vec_id),
+       |cend$f AS MATERIALIZED (SELECT vec_id AS cid, v FROM (
+       |  SELECT vec_id, v, row_number() OVER (ORDER BY vec_id) AS rnk FROM c1d$f)
+       |  WHERE rnk <= greatest(8, CAST(floor(sqrt((SELECT count(*) FROM c1d$f))) AS BIGINT))),
+       |scd$f AS (SELECT x.vec_id, y.cid, round($duckCosPair, 6) AS cscore
+       |       FROM c1d$f x JOIN (SELECT cid, v FROM cend$f) y ON true),
+       |asgd$f AS (SELECT vec_id, cid FROM (
        |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
-       |          ORDER BY cscore DESC, cid) AS rn FROM scd) WHERE rn <= 3),
-       |mc1 AS MATERIALIZED (SELECT s.vec_id, a.cid, s.v FROM c1d s JOIN asgd a ON s.vec_id = a.vec_id),
-       |ndp AS MATERIALIZED (SELECT x.vec_id AS a, y.vec_id AS b FROM mc1 x JOIN mc1 y
+       |          ORDER BY cscore DESC, cid) AS rn FROM scd$f) WHERE rn <= 3),
+       |mc1$f AS MATERIALIZED (SELECT s.vec_id, a.cid, s.v FROM c1d$f s JOIN asgd$f a ON s.vec_id = a.vec_id),
+       |ndp$f AS MATERIALIZED (SELECT x.vec_id AS a, y.vec_id AS b FROM mc1$f x JOIN mc1$f y
        |      ON x.cid = y.cid AND x.vec_id != y.vec_id
        |      WHERE CAST(round(round($duckCosPair, 6) * 1000000) AS BIGINT) >= $BuildDedupTauMicros),
-       |l0 AS (SELECT vec_id, vec_id AS lbl FROM c1d),
+       |l${f}0 AS (SELECT vec_id, vec_id AS lbl FROM c1d$f),
        |$rounds,
-       |finj AS MATERIALIZED (SELECT p.vec_id, q.lbl AS canon
-       |      FROM l$BuildDedupRounds p JOIN l$BuildDedupRounds q ON p.lbl = q.vec_id),
-       |finp AS MATERIALIZED (SELECT a.vec_id, b.canon
-       |      FROM finj a JOIN finj b ON a.canon = b.vec_id),
-       |c2d AS MATERIALIZED (SELECT c.vec_id, c.v FROM c1d c JOIN finp f ON c.vec_id = f.vec_id
+       |finj$f AS MATERIALIZED (SELECT p.vec_id, q.lbl AS canon
+       |      FROM l$f$BuildDedupRounds p JOIN l$f$BuildDedupRounds q ON p.lbl = q.vec_id),
+       |finp$f AS MATERIALIZED (SELECT a.vec_id, b.canon
+       |      FROM finj$f a JOIN finj$f b ON a.canon = b.vec_id),
+       |c2d$f AS MATERIALIZED (SELECT c.vec_id, c.v FROM c1d$f c JOIN finp$f f ON c.vec_id = f.vec_id
        |      WHERE f.canon = c.vec_id),
-       |dupd AS (SELECT x.vec_id, f.canon FROM exm x JOIN finp f ON x.ec = f.vec_id
+       |dupd$f AS (SELECT x.vec_id, f.canon FROM exm$f x JOIN finp$f f ON x.ec = f.vec_id
        |      WHERE x.vec_id != f.canon)""".stripMargin
   }
 
-  private def duckDedupedBuild: String =
-    s"""$duckDedupCollapse,
-       |md AS MATERIALIZED (SELECT m.vec_id, m.cid FROM mc1 m JOIN c2d ON m.vec_id = c2d.vec_id),
-       |${duckNswChainFromM("c2d", "d")},
-       |att0d AS (SELECT d.vec_id AS src, d.canon AS dst, CAST(0 AS BIGINT) AS rn FROM dupd d
-       |      UNION ALL SELECT d.vec_id, t.dst, t.rn FROM dupd d JOIN topkd t ON t.src = d.canon),
-       |attd AS (SELECT a.src, a.dst, round($duckCosPair, 6) AS cos, a.rn FROM att0d a
-       |      JOIN e x ON x.vec_id = a.src JOIN e y ON y.vec_id = a.dst),
-       |dedup_edges AS MATERIALIZED (
-       |  SELECT src, dst, cos, rn, false AS is_attach FROM topkd
-       |  UNION ALL SELECT src, dst, cos, rn, true AS is_attach FROM attd)""".stripMargin
+  private def duckDedupedBuild: String = duckDedupedBuildOver("e", "")
+
+  /** The full flat dedup-gated build over (`base`, suffix `f`), ending
+    * in `dedup_edges$f` — collapse + survivor chain + attach.
+    */
+  private def duckDedupedBuildOver(base: String, f: String): String =
+    s"""${duckDedupCollapseOver(base, f)},
+       |md$f AS MATERIALIZED (SELECT m.vec_id, m.cid FROM mc1$f m JOIN c2d$f ON m.vec_id = c2d$f.vec_id),
+       |${duckNswChainFromM(s"c2d$f", s"d$f")},
+       |att0d$f AS (SELECT d.vec_id AS src, d.canon AS dst, CAST(0 AS BIGINT) AS rn FROM dupd$f d
+       |      UNION ALL SELECT d.vec_id, t.dst, t.rn FROM dupd$f d JOIN topkd$f t ON t.src = d.canon),
+       |attd$f AS (SELECT a.src, a.dst, round($duckCosPair, 6) AS cos, a.rn FROM att0d$f a
+       |      JOIN $base x ON x.vec_id = a.src JOIN $base y ON y.vec_id = a.dst),
+       |dedup_edges$f AS MATERIALIZED (
+       |  SELECT src, dst, cos, rn, false AS is_attach FROM topkd$f
+       |  UNION ALL SELECT src, dst, cos, rn, true AS is_attach FROM attd$f)""".stripMargin
 
   /** The dedup-gated LAYERED build ([[hnswGraphDeduped]]) as DuckDB
     * CTEs ending in `hnsw_dedup_edges` (layer, src, dst, cos, rn,
@@ -4623,6 +4870,109 @@ object Ann {
        |  SELECT layer, src, dst, cos, rn, false AS is_attach FROM ($stack)
        |  UNION ALL SELECT CAST(0 AS BIGINT) AS layer, src, dst, cos, rn, true AS is_attach
        |  FROM atthd)""".stripMargin
+  }
+
+  /** Shared CTE chain of the DEDUPED-insert oracles
+    * ([[dedupedInsertBatch]] at the keyed 4N/5 split): the stored-slice
+    * dedup-gated build (suffix `i`), the exact probe of the stored
+    * group map, the near-dup probe against stored canonicals + batch
+    * pairs with the bounded rounds + two jumps (stored canonicals
+    * terminal), the survivor insert (the [[duckGraphInsertSql]] merge
+    * against the stored SURVIVOR graph `topkdi`), and the attach
+    * refresh. Ends in `dedup_ins_edges` / `bmap` / `smap`.
+    */
+  private def duckDedupedInsertCtes: String = {
+    val rounds = (1 to BuildDedupRounds).map { r =>
+      s"""sld$r AS MATERIALIZED (SELECT c.vec_id,
+         |      least(min(c.lbl), coalesce(min(n.lbl), min(c.lbl))) AS lbl
+         |      FROM sld${r - 1} c LEFT JOIN pbd ON pbd.a = c.vec_id
+         |      LEFT JOIN sld${r - 1} n ON n.vec_id = pbd.b
+         |      GROUP BY c.vec_id)""".stripMargin
+    }.mkString(",\n")
+    s"""spl AS MATERIALIZED (SELECT count(*) * $InsertSplitNum // $InsertSplitDen AS v FROM e),
+       |es AS MATERIALIZED (SELECT vec_id, v FROM e WHERE vec_id < (SELECT v FROM spl)),
+       |${duckDedupedBuildOver("es", "i")},
+       |bat AS MATERIALIZED (SELECT vec_id, v FROM e WHERE vec_id >= (SELECT v FROM spl)),
+       |bgrp AS (SELECT v, min(vec_id) AS bmin FROM bat GROUP BY v),
+       |bexm AS MATERIALIZED (SELECT b.vec_id, b.v, coalesce(x.ec, g.bmin) AS ec
+       |      FROM bat b LEFT JOIN exgi x ON b.v = x.v JOIN bgrp g ON b.v = g.v),
+       |bc1 AS MATERIALIZED (SELECT vec_id, v FROM bexm WHERE ec = vec_id),
+       |bscd AS (SELECT x.vec_id, y.cid, round($duckCosPair, 6) AS cscore
+       |      FROM bc1 x JOIN (SELECT cid, v FROM cendi) y ON true),
+       |bcell AS MATERIALIZED (SELECT vec_id, cid FROM (
+       |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+       |          ORDER BY cscore DESC, cid) AS rn FROM bscd) WHERE rn <= 3),
+       |psd0 AS (SELECT DISTINCT c.vec_id AS b, m.vec_id AS c FROM bcell c JOIN mdi m ON c.cid = m.cid),
+       |psd AS MATERIALIZED (SELECT p.b, p.c FROM psd0 p
+       |      JOIN e x ON x.vec_id = p.b JOIN e y ON y.vec_id = p.c
+       |      WHERE CAST(round(round($duckCosPair, 6) * 1000000) AS BIGINT) >= $BuildDedupTauMicros),
+       |pbd0 AS (SELECT DISTINCT c.vec_id AS a, d.vec_id AS b FROM bcell c JOIN bcell d
+       |      ON c.cid = d.cid AND c.vec_id != d.vec_id),
+       |pbd AS MATERIALIZED (SELECT p.a, p.b FROM pbd0 p
+       |      JOIN e x ON x.vec_id = p.a JOIN e y ON y.vec_id = p.b
+       |      WHERE CAST(round(round($duckCosPair, 6) * 1000000) AS BIGINT) >= $BuildDedupTauMicros),
+       |sld0 AS (SELECT b.vec_id, least(b.vec_id, coalesce(m.sc, b.vec_id)) AS lbl
+       |      FROM bc1 b LEFT JOIN (SELECT b AS vec_id, min(c) AS sc FROM psd GROUP BY 1) m
+       |      ON b.vec_id = m.vec_id),
+       |$rounds,
+       |jm1 AS (SELECT vec_id, lbl FROM sld$BuildDedupRounds
+       |      UNION ALL SELECT vec_id, vec_id FROM c2di),
+       |bfj AS MATERIALIZED (SELECT p.vec_id, q.lbl AS canon
+       |      FROM sld$BuildDedupRounds p JOIN jm1 q ON p.lbl = q.vec_id),
+       |jm2 AS (SELECT vec_id, canon FROM bfj UNION ALL SELECT vec_id, vec_id FROM c2di),
+       |bfin AS MATERIALIZED (SELECT a.vec_id, b.canon FROM bfj a JOIN jm2 b ON a.canon = b.vec_id),
+       |ecmap AS (SELECT vec_id, canon FROM bfin UNION ALL SELECT vec_id, canon FROM finpi),
+       |bmap AS MATERIALIZED (SELECT x.vec_id, m.canon FROM bexm x JOIN ecmap m ON x.ec = m.vec_id),
+       |bdup AS (SELECT vec_id, canon FROM bmap WHERE vec_id != canon),
+       |bsurv AS MATERIALIZED (SELECT vec_id FROM bfin WHERE canon = vec_id),
+       |bcellv AS MATERIALIZED (SELECT c.vec_id, c.cid FROM bcell c JOIN bsurv ON c.vec_id = bsurv.vec_id),
+       |acelld AS (SELECT vec_id, cid FROM mdi UNION ALL SELECT vec_id, cid FROM bcellv),
+       |npd AS (SELECT DISTINCT x.vec_id AS src, y.vec_id AS dst
+       |      FROM bcellv x JOIN acelld y ON x.cid = y.cid AND x.vec_id != y.vec_id),
+       |npcd AS MATERIALIZED (SELECT src, dst, round($duckCosPair, 6) AS cos
+       |      FROM npd JOIN e x ON x.vec_id = src JOIN e y ON y.vec_id = dst),
+       |undpd AS MATERIALIZED (SELECT src, dst, cos FROM npcd
+       |      UNION ALL SELECT dst, src, cos FROM npcd),
+       |tsrcd AS MATERIALIZED (SELECT DISTINCT src FROM undpd),
+       |toldd AS (SELECT t.src, t.dst, t.cos FROM topkdi t JOIN tsrcd ON t.src = tsrcd.src),
+       |rerd AS (SELECT src, dst, cos, CAST(rn AS BIGINT) AS rn FROM (
+       |  SELECT src, dst, cos, row_number() OVER (PARTITION BY src
+       |          ORDER BY cos DESC, dst) AS rn
+       |  FROM (SELECT DISTINCT src, dst, cos FROM (
+       |    SELECT * FROM toldd UNION ALL SELECT * FROM undpd))) WHERE rn <= 4),
+       |mgd AS MATERIALIZED (
+       |  SELECT t.src, t.dst, t.cos FROM topkdi t
+       |  WHERE t.src NOT IN (SELECT src FROM tsrcd)
+       |  UNION ALL SELECT src, dst, cos FROM rerd),
+       |undmd AS (SELECT src, dst FROM mgd UNION SELECT dst, src FROM mgd),
+       |h2d AS (SELECT DISTINCT a.src AS src, b.dst AS dst
+       |      FROM undmd a JOIN undmd b ON a.dst = b.src
+       |      WHERE a.src != b.dst AND a.src IN (SELECT src FROM tsrcd)),
+       |h2cd AS (SELECT src, dst, round($duckCosPair, 6) AS cos
+       |      FROM h2d JOIN e x ON x.vec_id = src JOIN e y ON y.vec_id = dst),
+       |tchd AS (SELECT m.src, m.dst, m.cos FROM mgd m JOIN tsrcd ON m.src = tsrcd.src),
+       |repd AS (SELECT src, dst, cos, CAST(rn AS BIGINT) AS rn FROM (
+       |  SELECT src, dst, cos, row_number() OVER (PARTITION BY src
+       |          ORDER BY cos DESC, dst) AS rn
+       |  FROM (SELECT DISTINCT src, dst, cos FROM (
+       |    SELECT * FROM tchd UNION ALL SELECT * FROM h2cd))) WHERE rn <= 4),
+       |mergedd AS MATERIALIZED (
+       |  SELECT t.src, t.dst, t.cos, t.rn FROM topkdi t
+       |  WHERE t.src NOT IN (SELECT src FROM tsrcd)
+       |  UNION ALL SELECT src, dst, cos, rn FROM repd),
+       |refr AS MATERIALIZED (SELECT d.vec_id, d.canon FROM dupdi d JOIN tsrcd t ON d.canon = t.src
+       |      UNION ALL SELECT vec_id, canon FROM bdup),
+       |keepatt AS (SELECT a.src, a.dst, a.cos, a.rn FROM attdi a
+       |      WHERE a.src NOT IN (SELECT vec_id FROM refr)),
+       |att0n AS (SELECT r.vec_id AS src, r.canon AS dst, CAST(0 AS BIGINT) AS rn FROM refr r
+       |      UNION ALL SELECT r.vec_id, m.dst, m.rn FROM refr r JOIN mergedd m ON m.src = r.canon),
+       |attn AS (SELECT a.src, a.dst, round($duckCosPair, 6) AS cos, a.rn FROM att0n a
+       |      JOIN e x ON x.vec_id = a.src JOIN e y ON y.vec_id = a.dst),
+       |smap AS (SELECT x.vec_id, f.canon FROM exmi x JOIN finpi f ON x.ec = f.vec_id),
+       |dedup_ins_edges AS (
+       |  SELECT src, dst, cos, rn, false AS is_attach FROM mergedd
+       |  UNION ALL SELECT src, dst, cos, rn, true AS is_attach FROM keepatt
+       |  UNION ALL SELECT src, dst, cos, rn, true AS is_attach FROM attn)""".stripMargin
   }
 
   /** The deduped layered descent ([[hnswSearchDeduped]]) as one DuckDB
@@ -5792,6 +6142,22 @@ object Ann {
          |FROM ($rows) r, n""".stripMargin
     },
     "ann_hnsw_search_deduped" -> duckHnswDedupedWalkSql,
+    "ann_graph_insert_deduped" ->
+      s"""WITH $duckE,
+         |$duckDedupedInsertCtes
+         |SELECT src, dst, cos, rn, is_attach FROM dedup_ins_edges""".stripMargin,
+    "embed_canon_map_insert" ->
+      s"""WITH $duckE,
+         |$duckDedupedInsertCtes,
+         |allmap AS (SELECT vec_id, canon FROM smap UNION ALL SELECT vec_id, canon FROM bmap)
+         |SELECT vec_id, canon, CAST(vec_id != canon AS BIGINT) AS is_dup FROM allmap""".stripMargin,
+    "embed_canon_weights_insert" ->
+      s"""WITH $duckE,
+         |$duckDedupedInsertCtes,
+         |allmap AS (SELECT vec_id, canon FROM smap UNION ALL SELECT vec_id, canon FROM bmap)
+         |SELECT canon, CAST(count(*) AS BIGINT) AS weight,
+         | CAST(sum(CASE WHEN vec_id != canon THEN 1 ELSE 0 END) AS BIGINT) AS n_dups
+         |FROM allmap GROUP BY canon""".stripMargin,
     "ann_graph_search_deduped" -> duckDedupedWalkSql,
     // the written-generation deduped walk is read-equivalent to the
     // live one (identical adjacency + entry rows through the parquet

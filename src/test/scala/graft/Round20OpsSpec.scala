@@ -151,6 +151,85 @@ class Round20OpsSpec extends SparkSpec {
       s"${plainTop.values.count(_ === 1.0)} plain")
   }
 
+  test("deduped insert: a pure-dup batch equals the batch rebuild on the union corpus") {
+    import spark.implicits._
+    val base = Graft.embeddings(spark, dir).filter(col("vec_id") < 40)
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val storedRep = base.select((col("vec_id") + 40L).as("vec_id"), col("embedding"), col("label"))
+    val stored = base.unionByName(storedRep)
+    val batchCopies = base.select((col("vec_id") + 80L).as("vec_id"), col("embedding"), col("label"))
+    val batchScaled = base.filter(col("vec_id") < 5)
+      .select((col("vec_id") + 120L).as("vec_id"),
+        expr("transform(embedding, x -> x * cast(1.5 as float))").as("embedding"), col("label"))
+    val batch = batchCopies.unionByName(batchScaled)
+    val unionDir = tempSfDir("embeddings" -> stored.unionByName(batch))
+
+    val (edges, cmap, weights) = Ann.dedupedInsertBatch(spark, unionDir,
+      stored.select(col("vec_id"), col("embedding")), "spec_ins_a",
+      batch.select(col("vec_id"), col("embedding")))
+    def edgeSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3), r.getBoolean(4))).toSet
+    val rebuilt = Ann.nswGraphDeduped(spark, unionDir)
+    assert(edgeSet(edges) === edgeSet(rebuilt),
+      "a pure-dup batch must stream to the exact rebuild edge frame")
+    def mapSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(mapSet(cmap) === mapSet(Ann.dedupCanonMap(spark, unionDir)),
+      "post-insert canonical map must equal the rebuild's")
+    assert(mapSet(weights) === mapSet(Ann.dedupCanonWeights(spark, unionDir)),
+      "incrementally-updated weights must equal the rebuild's exactly")
+    // the routed arrivals: every batch copy to its base, scaled
+    // near-dups through the near-dup probe, weights = 3 for re-copied
+    // bases (self + stored replica + batch copy) + 1 for scaled ones
+    val w = weights.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    (0L until 5L).foreach(i => assert(w(i) === ((4L, 3L))))
+    (5L until 40L).foreach(i => assert(w(i) === ((3L, 2L))))
+    info(s"${edgeSet(edges).size} edges stream-equal to the rebuild; weights exact")
+  }
+
+  test("deduped insert: a mixed batch routes dups and inserts survivors") {
+    val base = Graft.embeddings(spark, dir).filter(col("vec_id") < 40)
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val storedRep = base.select((col("vec_id") + 40L).as("vec_id"), col("embedding"), col("label"))
+    val stored = base.unionByName(storedRep)
+    val batchCopies = base.filter(col("vec_id") < 20)
+      .select((col("vec_id") + 80L).as("vec_id"), col("embedding"), col("label"))
+    val novel = Graft.embeddings(spark, dir)
+      .filter(col("vec_id") >= 200 && col("vec_id") < 210)
+      .select((col("vec_id") - 100L).as("vec_id"), col("embedding"), col("label"))
+    val batch = batchCopies.unionByName(novel)
+    val unionDir = tempSfDir("embeddings" -> stored.unionByName(batch))
+
+    val (edges, cmap, weights) = Ann.dedupedInsertBatch(spark, unionDir,
+      stored.select(col("vec_id"), col("embedding")), "spec_ins_b",
+      batch.select(col("vec_id"), col("embedding")))
+    val m = cmap.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (80L until 100L).foreach(v => assert(m(v) === v - 80L, s"batch copy $v must route to its base"))
+    (100L until 110L).foreach(v => assert(m(v) === v, s"novel $v must survive"))
+    // incremental weights equal a recompute over the returned map
+    val recomputed = cmap.groupBy(col("canon"))
+      .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("weight"),
+        org.apache.spark.sql.functions.sum(col("is_dup")).as("n_dups"))
+    def mapSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(mapSet(weights) === mapSet(recomputed),
+      "incremental weights must equal the recompute over the merged map")
+    // survivors joined the graph, dups did not; the whole corpus is
+    // reachable through the merged index (survivor graph + attach)
+    val graphSrcs = edges.filter(!col("is_attach")).select(col("src")).collect()
+      .map(_.getLong(0)).toSet
+    assert((100L until 110L).forall(graphSrcs.contains), "novel survivors must enter the graph")
+    assert((80L until 100L).forall(v => !graphSrcs.contains(v)), "routed dups must not")
+    val und = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint(true)
+    val entries = Graft.embeddings(spark, unionDir)
+      .filter(col("vec_id") < Ann.sqrtFanout(110L)).select(col("vec_id").as("node"))
+    val reach = Ann.censusCountsOver(und, entries, 4).maxBy(_._1)._2
+    assert(reach === 110L, s"full reach through the merged generation, got $reach/110")
+    info(s"20 dups routed, 10 survivors inserted, weights exact, reach $reach/110")
+  }
+
   test("layered dedup-gated build: dup-free corpus equals the plain layered build") {
     val base = Graft.embeddings(spark, dir).filter(col("vec_id") < 120)
       .select(col("vec_id"), col("embedding"), col("label"))
