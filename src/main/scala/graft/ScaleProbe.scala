@@ -417,6 +417,44 @@ object ScaleProbe {
         emit("probe" -> "conn_fanout", "scale" -> s"${mult}x", "sweep_sec" -> fsec,
           "reach_by_thr" -> finals.map { case (t, c) => s"$t:$c" }.mkString("\"", ",", "\""))
       }
+      if (probes("dedupdigest")) {
+        // r20: the exact collapse keyed by the raw 256-byte vector value
+        // vs the 16-byte digest — wall AND shuffle-write bytes for the
+        // isolated groupBy+join-back stage (the scaled corpora are
+        // replica corpora, the collapse's target shape). LZ4 narrows raw
+        // key-width ratios (the r18 lesson), so the cut is measured.
+        val e = spark.read.parquet(s"$dir/embeddings.parquet")
+          .select(col("vec_id"), col("embedding"))
+        val tally = new java.util.concurrent.atomic.AtomicLong()
+        val listener = new org.apache.spark.scheduler.SparkListener {
+          override def onStageCompleted(
+              sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+            tally.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+        }
+        def route(f: => Long): (Double, Long, Long) = {
+          spark.sparkContext.addSparkListener(listener)
+          tally.set(0L)
+          val (sec, n) = time(f)
+          org.apache.spark.sql.graftbridge.Bridge.drainListenerBus(spark.sparkContext)
+          spark.sparkContext.removeSparkListener(listener)
+          (sec, n, tally.get())
+        }
+        val (vsec, vn, vbytes) = route {
+          e.join(e.groupBy(col("embedding")).agg(min(col("vec_id")).as("ec")), "embedding")
+            .filter(col("vec_id") === col("ec")).count()
+        }
+        val (dsec, dn, dbytes) = route {
+          val ed = e.withColumn("dig",
+            struct(xxhash64(col("embedding")), xxhash64(reverse(col("embedding")))))
+          ed.join(ed.groupBy(col("dig")).agg(min(col("vec_id")).as("ec")), "dig")
+            .filter(col("vec_id") === col("ec")).count()
+        }
+        require(vn == dn, s"digest collapse must find the same survivors: $vn vs $dn")
+        emit("probe" -> "dedup_digest_key", "scale" -> s"${mult}x",
+          "survivors" -> vn,
+          "value_sec" -> vsec, "value_shuffle_bytes" -> vbytes,
+          "digest_sec" -> dsec, "digest_shuffle_bytes" -> dbytes)
+      }
       if (probes("conngen")) {
         // r20: the census OFF THE WRITTEN GENERATION — the artifact a
         // fleet actually monitors. The narrow-projection eager

@@ -1580,16 +1580,34 @@ object Ann {
     * Also returns the collected survivor centroid array (`cents`) —
     * the probe structure the insert assigns its batch against.
     */
-  private[graft] def dedupCollapseOver(s: SparkSession, eIn: DataFrame, tag: String,
+  private[graft] def dedupCollapseOver(s: SparkSession, eIn: DataFrame, tag0: String,
                                        dir: String, nprobe: Int,
-                                       tauMicros: Long)
+                                       tauMicros: Long,
+                                       collapseByDigest: Boolean = false)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val tag = if (collapseByDigest) s"${tag0}dig" else tag0
     val e = withNorm(eIn.select(col("vec_id"), col("embedding")))
-    // 1. exact collapse (min vec_id per identical vector)
+    // 1. exact collapse (min vec_id per identical vector). The default
+    // keys the groupBy + join-back on the raw d×4-byte VALUE so DuckDB
+    // groups identically (oracle parity); `collapseByDigest` keys them
+    // on a 128-bit digest instead — two independent xxhash64 words over
+    // the vector and its reversal — which is what a deployment ships: at
+    // d = 768 the digest cuts the collapse's shuffle key from ~3 KB to
+    // 16 B per row (the map-side partial-agg rows shrink by the same
+    // ratio — ProbeDedupDigest measures the cut at 10×/30×), at the
+    // cost of treating a 2^-128 digest collision as an exact duplicate.
+    // Spec-pinned equal to the value-keyed collapse on collision-free
+    // corpora (Round20OpsSpec).
     val eEx = Graft.memoCache(s"${tag}_eex", dir) {
-      e.join(e.groupBy(col("embedding")).agg(min(col("vec_id")).as("ec")),
-          "embedding")
-        .select(col("vec_id"), col("embedding"), col("nrm"), col("ec"))
+      if (collapseByDigest) {
+        val ed = e.withColumn("dig",
+          struct(xxhash64(col("embedding")), xxhash64(reverse(col("embedding")))))
+        ed.join(ed.groupBy(col("dig")).agg(min(col("vec_id")).as("ec")), "dig")
+          .select(col("vec_id"), col("embedding"), col("nrm"), col("ec"))
+      } else
+        e.join(e.groupBy(col("embedding")).agg(min(col("vec_id")).as("ec")),
+            "embedding")
+          .select(col("vec_id"), col("embedding"), col("nrm"), col("ec"))
     }
     val c1 = eEx.filter(col("vec_id") === col("ec"))
       .select(col("vec_id"), col("embedding"), col("nrm"))
@@ -1648,13 +1666,16 @@ object Ann {
     * `tag` — the stored-slice generation the DEDUPED insert folds into
     * rides the identical code path as the full build.
     */
-  private[graft] def nswGraphDedupedOver(s: SparkSession, eIn: DataFrame, tag: String,
+  private[graft] def nswGraphDedupedOver(s: SparkSession, eIn: DataFrame, tag0: String,
                                          dir: String, k: Int, nprobe: Int,
-                                         tauMicros: Long): DataFrame =
+                                         tauMicros: Long,
+                                         collapseByDigest: Boolean = false): DataFrame = {
+    val tag = if (collapseByDigest) s"${tag0}dig" else tag0
     Graft.memoCache(s"${tag}_graph_deduped_${k}_${nprobe}_$tauMicros", dir) {
       val e = withNorm(eIn.select(col("vec_id"), col("embedding")))
       // 1-2. the shared collapse (memoized across the flat + layered builds)
-      val (eEx, cells1, fin, _) = dedupCollapseOver(s, eIn, tag, dir, nprobe, tauMicros)
+      val (eEx, cells1, fin, _) =
+        dedupCollapseOver(s, eIn, tag0, dir, nprobe, tauMicros, collapseByDigest)
       val c1 = eEx.filter(col("vec_id") === col("ec"))
         .select(col("vec_id"), col("embedding"), col("nrm"))
       // 3. survivor graph: step-2 assignment restricted to survivors
@@ -1687,6 +1708,7 @@ object Ann {
           lit(false).as("is_attach"))
         .unionByName(att)
     }
+  }
 
   /** [[graphConnectivity]] over the DEDUP-GATED build — the proof query
     * that the repair works: census the [[nswGraphDeduped]] adjacency

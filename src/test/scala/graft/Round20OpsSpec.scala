@@ -230,6 +230,25 @@ class Round20OpsSpec extends SparkSpec {
     info(s"20 dups routed, 10 survivors inserted, weights exact, reach $reach/110")
   }
 
+  test("digest-keyed exact collapse equals the value-keyed build on collision-free corpora") {
+    import spark.implicits._
+    val base = Graft.embeddings(spark, dir).filter(col("vec_id") < 50)
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val dupCorpus = base.crossJoin(spark.range(10).toDF("rep"))
+      .select((col("vec_id") + col("rep") * 50L).as("vec_id"),
+        col("embedding"), col("label"))
+    val d = tempSfDir("embeddings" -> dupCorpus)
+    val eIn = Graft.embeddings(spark, d).select(col("vec_id"), col("embedding"))
+    def edgeSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3), r.getBoolean(4))).toSet
+    val byValue = Ann.nswGraphDedupedOver(spark, eIn, "spec_digcmp", d,
+      4, 3, Ann.BuildDedupTauMicros)
+    val byDigest = Ann.nswGraphDedupedOver(spark, eIn, "spec_digcmp", d,
+      4, 3, Ann.BuildDedupTauMicros, collapseByDigest = true)
+    assert(edgeSet(byDigest) === edgeSet(byValue),
+      "the 128-bit digest key must reproduce the value-keyed build exactly")
+  }
+
   test("layered dedup-gated build: dup-free corpus equals the plain layered build") {
     val base = Graft.embeddings(spark, dir).filter(col("vec_id") < 120)
       .select(col("vec_id"), col("embedding"), col("label"))
