@@ -482,11 +482,16 @@ object ScaleProbe {
           .select(col("doc_id"), col("text")).orderBy(col("doc_id")).limit(1000)
           .localCheckpoint(true)
         for (storedN <- Seq(10000L, 100000L, 1000000L, 10000000L)) {
+          // persist()+count(), NOT localCheckpoint: checkpoint blocks
+          // are RDD-level persists invisible to Dataset.unpersist, so
+          // the 10M-row notch (~1GB) would stay pinned across loop
+          // iterations — persist gives unpersist() real blocks to free
           val stored = spark.range(storedN).select(
               (col("id") + 10000000L).as("doc_id"),
               expr("transform(sequence(1, 12), i -> abs(xxhash64(id, i)) % 1000000006)")
                 .as("sigs"))
-            .localCheckpoint(true)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          stored.count()
           val (keptDf, sigsHandle) = graft.streaming.DedupStreams
             .nearDedupBatch(batch, stored, 500000L)
           val (sec, kept) = time(keptDf.count())
@@ -539,9 +544,8 @@ object ScaleProbe {
                 .nearDedupBatch(batch, storedSigs, 500000L)
               val n = k.count(); sh.unpersist(); n
             }
-            val (csec, _) = time(graft.streaming.DedupStreams
+            val (csec, (sigsT, bandsT)) = time(graft.streaming.DedupStreams
               .compactProbeIndexAt(spark, root, 0L))
-            val (sigsT, bandsT) = (spark.table("graft_nd_sigs"), spark.table("graft_nd_bands"))
             val (bsec, bkept, bbytes) = route {
               val (k, sh) = graft.streaming.DedupStreams
                 .nearDedupBatchWithBands(batch, sigsT, bandsT, 500000L)

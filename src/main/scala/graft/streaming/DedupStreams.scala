@@ -68,18 +68,33 @@ object DedupStreams {
     */
   def compactProbeIndexAt(s: SparkSession, root: String, g: Long,
                           buckets: Int = 32): (DataFrame, DataFrame) = {
+    // VERSIONED catalog names (root-hash + generation): a fixed name
+    // would be dropped/recreated on every refresh, invalidating the
+    // table handles a prior call returned (a maintenance-job refresh
+    // racing an in-flight probe) and preventing two roots or two
+    // generations from coexisting in one session. Stale generations of
+    // THIS root are dropped only AFTER the new pair is published.
+    val tag = java.lang.Integer.toHexString(root.hashCode)
+    val sigsName = s"graft_nd_sigs_${tag}_g$g"
+    val bandsName = s"graft_nd_bands_${tag}_g$g"
     val sigs = GenFs.chainThrough(s, root, g, "sigs", "newsigs")
-    s.sql("DROP TABLE IF EXISTS graft_nd_sigs")
+    s.sql(s"DROP TABLE IF EXISTS $sigsName")
     sigs.write.mode("overwrite")
       .bucketBy(buckets, "doc_id").sortBy("doc_id")
       .option("path", s"$root/gen=$g/sigindex")
-      .saveAsTable("graft_nd_sigs")
-    s.sql("DROP TABLE IF EXISTS graft_nd_bands")
+      .saveAsTable(sigsName)
+    s.sql(s"DROP TABLE IF EXISTS $bandsName")
     bandsOf(sigs).write.mode("overwrite")
       .bucketBy(buckets, "band_hash").sortBy("band_hash")
       .option("path", s"$root/gen=$g/bandindex")
-      .saveAsTable("graft_nd_bands")
-    (s.table("graft_nd_sigs"), s.table("graft_nd_bands"))
+      .saveAsTable(bandsName)
+    // retire older generations of this root now that the swap is live
+    s.catalog.listTables().collect().map(_.name)
+      .filter(n => (n.startsWith(s"graft_nd_sigs_${tag}_g") ||
+        n.startsWith(s"graft_nd_bands_${tag}_g")) &&
+        n != sigsName && n != bandsName)
+      .foreach(n => s.sql(s"DROP TABLE IF EXISTS $n"))
+    (s.table(sigsName), s.table(bandsName))
   }
 
   /** Start the streaming dedup: `docStream` is a streaming frame with
@@ -264,9 +279,22 @@ object DedupStreams {
     * saw. The stream itself never writes eval grams, only accounts.
     */
   def appendEvalSuite(s: SparkSession, root: String, gen: Long,
-                      evalDocs: DataFrame, k: Int = 13): Unit =
-    evalGramsOf(evalDocs, k)
-      .write.mode("overwrite").parquet(s"$root/gen=$gen/newevalgrams")
+                      evalDocs: DataFrame, k: Int = 13): Unit = {
+    // two suites can land at the same head generation: UNION with an
+    // already-committed delta instead of silently discarding it (the
+    // mode("overwrite") alone would quietly weaken decontamination).
+    // The union is materialized into executor blocks BEFORE the
+    // overwrite so the write never reads the directory it replaces.
+    val path = s"$root/gen=$gen/newevalgrams"
+    val fresh = evalGramsOf(evalDocs, k)
+    val committed = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+    val fs = committed.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val grams =
+      if (fs.exists(committed))
+        fresh.unionByName(s.read.parquet(path)).distinct().localCheckpoint(true)
+      else fresh
+    grams.write.mode("overwrite").parquet(path)
+  }
 
   /** One decontamination microbatch against the stored eval-gram chain:
     * the batch's 13-gram positions left-join the DISTINCT stored gram

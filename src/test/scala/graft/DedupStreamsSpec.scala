@@ -172,6 +172,49 @@ class DedupStreamsSpec extends SparkSpec {
     info(s"${bucketed.size} survivors on both routes")
   }
 
+  test("probe-index refresh keeps prior handles live; two suites at one generation union") {
+    import spark.implicits._
+    // versioned catalog names: a second compaction (the maintenance-job
+    // refresh) must not invalidate the table handles a prior call
+    // returned, and a second ROOT must coexist in the same session
+    val root = schemedTemp("graft-ndver")
+    val d = Graft.documents(spark, dir).select(col("doc_id"), col("text")).limit(40)
+    val empty = Seq.empty[(Long, Seq[Long])].toDF("doc_id", "sigs")
+    val (k1, s1) = DedupStreams.nearDedupBatch(d, empty, 500000L)
+    k1.select(col("doc_id"), col("sigs")).write.parquet(s"$root/gen=0/sigs")
+    s1.unpersist()
+    Seq.empty[Tuple1[Long]].toDF("doc_id").write.parquet(s"$root/gen=0/kept")
+    val (sigs0, bands0) = DedupStreams.compactProbeIndexAt(spark, root, 0L, buckets = 2)
+    val n0 = sigs0.count()
+    // a later generation of the SAME root refreshes under a NEW name
+    k1.select(col("doc_id"), col("sigs")).limit(5)
+      .write.parquet(s"$root/gen=1/newsigs")
+    Seq.empty[Tuple1[Long]].toDF("doc_id").write.parquet(s"$root/gen=1/kept")
+    val (sigs1, bands1) = DedupStreams.compactProbeIndexAt(spark, root, 1L, buckets = 2)
+    assert(sigs1.count() >= n0 && bands1.count() >= bands0.count())
+    // a second root coexists (distinct root-hash tag)
+    val root2 = schemedTemp("graft-ndver2")
+    k1.select(col("doc_id"), col("sigs")).write.parquet(s"$root2/gen=0/sigs")
+    Seq.empty[Tuple1[Long]].toDF("doc_id").write.parquet(s"$root2/gen=0/kept")
+    val (sigsB, _) = DedupStreams.compactProbeIndexAt(spark, root2, 0L, buckets = 2)
+    assert(sigsB.count() === n0)
+    assert(sigs1.count() > 0, "refreshed handle must stay readable")
+
+    // appendEvalSuite twice at ONE generation: the second suite must
+    // union with the first, not overwrite it
+    val evroot = schemedTemp("graft-evapp")
+    val s13a = "alpha " + (1 to 12).map(i => s"wa$i").mkString(" ")
+    val s13b = "bravo " + (1 to 12).map(i => s"wb$i").mkString(" ")
+    DedupStreams.appendEvalSuite(spark,
+      evroot, 0L, Seq((1L, s13a)).toDF("doc_id", "text"))
+    DedupStreams.appendEvalSuite(spark,
+      evroot, 0L, Seq((2L, s13b)).toDF("doc_id", "text"))
+    val gids = spark.read.parquet(s"$evroot/gen=0/newevalgrams")
+      .collect().map(_.getString(0)).toSet
+    assert(gids === Set(s13a.toLowerCase, s13b.toLowerCase),
+      s"both suites' grams must survive a same-generation double append, got $gids")
+  }
+
   test("streaming decontamination accounts equal the batch operator; late eval suites take effect") {
     // the third ingest-edge tier: per-batch contamination accounts
     // against the stored eval-gram chain. Parity: every generation's
