@@ -1916,28 +1916,108 @@ object Ann {
                          storedTag: String, batchEmb: DataFrame, k: Int = 4,
                          nprobe: Int = 3, tauMicros: Long = BuildDedupTauMicros)
       : (DataFrame, DataFrame, DataFrame) = {
+    val st = dedupedStoredState(s, dir, storedEmb, storedTag, k, nprobe, tauMicros)
+    val storedMap = st.storedMap
+    val (edges, bMap, _, _) = dedupedInsertOver(s, st, batchEmb, k, nprobe, tauMicros)
+    val canonMap = storedMap.unionByName(bMap)
+      .select(col("vec_id"), col("canon"),
+        (col("vec_id") =!= col("canon")).cast("long").as("is_dup"))
+    val oldW = storedMap
+      .groupBy(col("canon"))
+      .agg(count(lit(1)).as("w0"),
+        sum((col("vec_id") =!= col("canon")).cast("long")).as("d0"))
+    val deltaW = bMap
+      .groupBy(col("canon"))
+      .agg(count(lit(1)).as("w1"),
+        sum((col("vec_id") =!= col("canon")).cast("long")).as("d1"))
+    val weights = oldW.join(deltaW, Seq("canon"), "full")
+      .select(col("canon"),
+        (coalesce(col("w0"), lit(0L)) + coalesce(col("w1"), lit(0L))).as("weight"),
+        (coalesce(col("d0"), lit(0L)) + coalesce(col("d1"), lit(0L))).as("n_dups"))
+    (edges, canonMap, weights)
+  }
+
+  /** [[DedupStoredState]] derived from the in-session collapse memo —
+    * the batch API's state source ([[dedupedInsertBatch]]); the
+    * streaming tier reads the SAME frames off a generation artifact
+    * instead ([[graft.streaming.IndexStreams.maintainDedupedIndex]]).
+    */
+  private[graft] def dedupedStoredState(s: SparkSession, dir: String,
+                                        storedEmb: DataFrame, storedTag: String,
+                                        k: Int = 4, nprobe: Int = 3,
+                                        tauMicros: Long = BuildDedupTauMicros)
+      : DedupStoredState = {
     val (eExS, cells1S, finS, centsS) =
       dedupCollapseOver(s, storedEmb, storedTag, dir, nprobe, tauMicros)
     val storedDeduped = nswGraphDedupedOver(s, storedEmb, storedTag, dir, k, nprobe, tauMicros)
-    val storedGraph = storedDeduped.filter(!col("is_attach"))
-      .select(col("src"), col("dst"), col("cos"), col("rn"))
-    val storedAtt = storedDeduped.filter(col("is_attach"))
     val c2S = finS.filter(col("canon") === col("vec_id")).select(col("vec_id"))
-    // 1. exact probe: stored group map first, batch-internal groups second
+    val storedMap = eExS.select(col("vec_id"), col("ec"))
+      .join(finS.select(col("vec_id").as("ec"), col("canon")), "ec")
+      .select(col("vec_id"), col("canon"))
+    // the published stored-state face: one (value -> canon) row per
+    // distinct stored value (exact-dups of one value share a canon, so
+    // min() just collapses the duplicates) — the streaming tier reads
+    // the same map off the generation artifact instead of the collapse
+    val valueCanon = eExS.select(col("embedding"), col("ec"))
+      .join(finS.select(col("vec_id").as("ec"), col("canon")), "ec")
+      .groupBy(col("embedding")).agg(min(col("canon")).as("scanon"))
+    DedupStoredState(
+      storedEmb = storedEmb.select(col("vec_id"), col("embedding")),
+      valueCanon = valueCanon,
+      survivorCells = cells1S.join(c2S, "vec_id"),
+      cents = centsS,
+      survivors = c2S,
+      storedMap = storedMap,
+      storedGraph = storedDeduped.filter(!col("is_attach"))
+        .select(col("src"), col("dst"), col("cos"), col("rn")),
+      storedAtt = storedDeduped.filter(col("is_attach")))
+  }
+
+  /** The published stored-state face of a DEDUPED generation — exactly
+    * the frames [[dedupedInsertOver]] needs to fold a batch in with
+    * work ∝ batch, and exactly what
+    * [[graft.streaming.IndexStreams.maintainDedupedIndex]] persists per
+    * generation so NO stored-corpus recompute (collapse, assignment)
+    * ever runs on the microbatch path.
+    */
+  private[graft] case class DedupStoredState(
+      storedEmb: DataFrame,     // (vec_id, embedding) — every stored member
+      valueCanon: DataFrame,    // (embedding, scanon) — distinct stored values
+      survivorCells: DataFrame, // (vec_id, embedding, nrm, cid) — canonical cells
+      cents: DataFrame,         // the collected survivor centroid array
+      survivors: DataFrame,     // (vec_id) — stored canonicals
+      storedMap: DataFrame,     // (vec_id, canon) — full stored map
+      storedGraph: DataFrame,   // (src, dst, cos, rn) — survivor graph
+      storedAtt: DataFrame)     // (src, dst, cos, rn, is_attach) — attach rows
+
+  /** [[dedupedInsertBatch]]'s core over EXPLICIT stored state — shared
+    * by the batch API (state from the in-session collapse memo) and the
+    * streaming generation fold (state off the parquet artifact).
+    * Returns (merged edge frame, batch canon-map rows, batch-survivor
+    * cells — the `newcells` delta a generation chain persists).
+    */
+  private[graft] def dedupedInsertOver(s: SparkSession, st: DedupStoredState,
+                                       batchEmb: DataFrame, k: Int, nprobe: Int,
+                                       tauMicros: Long)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val storedGraph = st.storedGraph
+    val storedAtt = st.storedAtt
+    val c2S = st.survivors
+    // 1. exact probe: stored value->canon map first, batch-internal
+    // groups second (stored ids are below batch ids, so a stored match
+    // always wins the min-id rule)
     val eBn = withNorm(batchEmb.select(col("vec_id"), col("embedding")))
-    val exgS = eExS.groupBy(col("embedding")).agg(min(col("ec")).as("sec"))
     val bGrp = eBn.groupBy(col("embedding")).agg(min(col("vec_id")).as("bmin"))
-    val bExm = eBn.join(exgS, Seq("embedding"), "left")
+    val bExm = eBn.join(st.valueCanon, Seq("embedding"), "left")
       .join(bGrp, Seq("embedding"))
-      .select(col("vec_id"), col("embedding"), col("nrm"),
-        coalesce(col("sec"), col("bmin")).as("ec"))
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("scanon"), col("bmin"))
       .localCheckpoint(true)
     // 2. near-dup probe of batch exact-survivors
-    val bC1 = bExm.filter(col("vec_id") === col("ec"))
+    val bC1 = bExm.filter(col("scanon").isNull && col("vec_id") === col("bmin"))
       .select(col("vec_id"), col("embedding"), col("nrm"))
-    val bCells = cellsOver(bC1, centsS, nprobe)
+    val bCells = cellsOver(bC1, st.cents, nprobe)
       .localCheckpoint(true)
-    val sCells = cells1S.join(c2S, "vec_id")
+    val sCells = st.survivorCells
     val pS = bCells.as("x").join(sCells.as("y").hint("SHUFFLE_HASH"),
         col("x.cid") === col("y.cid"))
       .select(col("x.vec_id").as("b"), col("y.vec_id").as("c"),
@@ -1975,26 +2055,27 @@ object Ann {
         .select(col("vec_id"), col("jc").as("canon"))
     }
     val bFin = jumpIns(jumpIns(lbl.withColumnRenamed("lbl", "canon"))).localCheckpoint(true)
-    // 3. route: full batch map, dups vs survivors
-    val ecCanon = bFin.unionByName(finS.select(col("vec_id"), col("canon")))
-    val bMap = bExm.select(col("vec_id"), col("ec"))
-      .join(ecCanon.withColumnRenamed("vec_id", "ec"), "ec")
-      .select(col("vec_id"), col("canon"))
+    // 3. route: full batch map, dups vs survivors. Stored-value hits
+    // carry their canon directly; batch-internal groups resolve through
+    // their exact representative's near-dup canon.
+    val bMap = bExm.filter(col("scanon").isNotNull)
+        .select(col("vec_id"), col("scanon").as("canon"))
+      .unionByName(bExm.filter(col("scanon").isNull)
+        .select(col("vec_id"), col("bmin").as("ec"))
+        .join(bFin.withColumnRenamed("vec_id", "ec"), "ec")
+        .select(col("vec_id"), col("canon")))
       .localCheckpoint(true)
     val bDups = bMap.filter(col("vec_id") =!= col("canon"))
     val bSurvEmb = batchEmb.select(col("vec_id"), col("embedding"))
       .join(bFin.filter(col("canon") === col("vec_id")).select(col("vec_id")), "vec_id")
     // 4. survivors take the standard insert path into the survivor graph
-    val allEmb = storedEmb.select(col("vec_id"), col("embedding"))
+    val allEmb = st.storedEmb.select(col("vec_id"), col("embedding"))
       .unionByName(batchEmb.select(col("vec_id"), col("embedding")))
     val (merged, touched) =
-      nswInsertCoreT(sCells, centsS, storedGraph, bSurvEmb, allEmb, k, nprobe)
+      nswInsertCoreT(sCells, st.cents, storedGraph, bSurvEmb, allEmb, k, nprobe)
     // 5. attach maintenance: refresh = new dups + stored dups whose
     // canonical the merge touched; everything else passes through
-    val sDups = eExS.select(col("vec_id"), col("ec"))
-      .join(finS.select(col("vec_id").as("ec"), col("canon")), "ec")
-      .select(col("vec_id"), col("canon"))
-      .filter(col("vec_id") =!= col("canon"))
+    val sDups = st.storedMap.filter(col("vec_id") =!= col("canon"))
     val refresh = sDups
       .join(touched.withColumnRenamed("src", "canon"), Seq("canon"), "left_semi")
       .unionByName(bDups)
@@ -2018,26 +2099,17 @@ object Ann {
         lit(false).as("is_attach"))
       .unionByName(keepAtt)
       .unionByName(freshAtt)
-    // post-insert canonical map + incrementally-updated weights
-    val storedMap = eExS.select(col("vec_id"), col("ec"))
-      .join(finS.select(col("vec_id").as("ec"), col("canon")), "ec")
-      .select(col("vec_id"), col("canon"))
-    val canonMap = storedMap.unionByName(bMap)
-      .select(col("vec_id"), col("canon"),
-        (col("vec_id") =!= col("canon")).cast("long").as("is_dup"))
-    val oldW = storedMap
-      .groupBy(col("canon"))
-      .agg(count(lit(1)).as("w0"),
-        sum((col("vec_id") =!= col("canon")).cast("long")).as("d0"))
-    val deltaW = bMap
-      .groupBy(col("canon"))
-      .agg(count(lit(1)).as("w1"),
-        sum((col("vec_id") =!= col("canon")).cast("long")).as("d1"))
-    val weights = oldW.join(deltaW, Seq("canon"), "full")
-      .select(col("canon"),
-        (coalesce(col("w0"), lit(0L)) + coalesce(col("w1"), lit(0L))).as("weight"),
-        (coalesce(col("d0"), lit(0L)) + coalesce(col("d1"), lit(0L))).as("n_dups"))
-    (edges, canonMap, weights)
+    // batch-survivor cells with vectors+norms — the `newcells` delta a
+    // generation chain persists (deterministic per vector, so the
+    // stored artifact equals a recompute)
+    val bSurvCells = bCells.join(bSurvEmb.select(col("vec_id")), "vec_id")
+    // value-map delta: one row per distinct NEW value (a value already
+    // stored routes through valueCanon and never lands here)
+    val newValueCanon = bExm.filter(col("scanon").isNull)
+      .select(col("embedding"), col("bmin").as("ec")).distinct()
+      .join(bFin.withColumnRenamed("vec_id", "ec"), "ec")
+      .select(col("embedding"), col("canon").as("scanon"))
+    (edges, bMap, bSurvCells, newValueCanon)
   }
 
   /** The keyed face of [[dedupedInsertBatch]]: stored = the vec_id <

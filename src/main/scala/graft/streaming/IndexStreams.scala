@@ -189,6 +189,89 @@ object IndexStreams {
       }
       .start()
 
+  /** Publish the SEED generation of the DEDUPED index stream: the full
+    * dedup-gated build over `seedEmb` plus every stored-state frame the
+    * per-batch fold reads — members, the (value → canon) map, the full
+    * canonical map, the survivor cells (with vectors/norms) and the
+    * survivor centroid array. `edges` is written LAST = the commit
+    * marker, exactly the other index streams' convention.
+    */
+  def seedDedupedGen(s: SparkSession, dir: String, seedEmb: DataFrame,
+                     seedTag: String, genRoot: String, k: Int = 4, nprobe: Int = 3,
+                     tauMicros: Long = Ann.BuildDedupTauMicros): Unit = {
+    val st = Ann.dedupedStoredState(s, dir, seedEmb, seedTag, k, nprobe, tauMicros)
+    st.storedEmb.write.mode("overwrite").parquet(s"$genRoot/gen=0/members")
+    st.valueCanon.write.mode("overwrite").parquet(s"$genRoot/gen=0/values")
+    st.storedMap.write.mode("overwrite").parquet(s"$genRoot/gen=0/canon")
+    st.survivorCells.write.mode("overwrite").parquet(s"$genRoot/gen=0/cells")
+    st.cents.write.mode("overwrite").parquet(s"$genRoot/gen=0/cents")
+    st.storedGraph.select(col("src"), col("dst"), col("cos"), col("rn"),
+        org.apache.spark.sql.functions.lit(false).as("is_attach"))
+      .unionByName(st.storedAtt)
+      .write.mode("overwrite").parquet(s"$genRoot/gen=0/edges")
+  }
+
+  /** The DEDUPED generation's stored state at generation `g`, read
+    * entirely OFF THE ARTIFACT — no collapse, no assignment, no
+    * stored-corpus scoring ever runs on the microbatch path: members /
+    * canon / values / cells resolve through the GenFs full+delta
+    * chains, the centroid array is the epoch-fixed seed checkpoint,
+    * and the graph/attach split is one filter of the generation's
+    * edge frame.
+    */
+  private[graft] def dedupedStateAt(s: SparkSession, genRoot: String,
+                                    g: Long): Ann.DedupStoredState = {
+    val storedMap = GenFs.chainThrough(s, genRoot, g, "canon", "newcanon")
+    val edges = s.read.parquet(s"$genRoot/gen=$g/edges")
+    Ann.DedupStoredState(
+      storedEmb = membersThrough(s, genRoot, g),
+      valueCanon = GenFs.chainThrough(s, genRoot, g, "values", "newvalues"),
+      survivorCells = GenFs.chainThrough(s, genRoot, g, "cells", "newcells"),
+      cents = GenFs.chainThrough(s, genRoot, g, "cents", "newcents"),
+      survivors = storedMap.filter(col("canon") === col("vec_id")).select(col("vec_id")),
+      storedMap = storedMap,
+      storedGraph = edges.filter(!col("is_attach"))
+        .select(col("src"), col("dst"), col("cos"), col("rn")),
+      storedAtt = edges.filter(col("is_attach")))
+  }
+
+  /** Streaming maintenance of the DEDUPED index — the dup-routed fold
+    * ([[Ann.dedupedInsertOver]]) under the versioned-generation
+    * protocol: without it every arriving duplicate would wire a fresh
+    * clique into the repaired graph. Per microbatch the stored side is
+    * read off the generation artifact (state chains above), the batch
+    * routes exact/near dups to attach edges + canon-map deltas and
+    * inserts true survivors, and generation b+1 persists the deltas
+    * (`newmembers`/`newcanon`/`newvalues`/`newcells`) plus the merged
+    * `edges` (written LAST = commit). Same hole-tolerance and
+    * exactly-once-by-idempotence contract as the other index streams.
+    * Per-canon weights are a groupBy over the canon chain at any
+    * generation — derived, never stored.
+    */
+  def maintainDedupedIndex(vecStream: DataFrame, genRoot: String, checkpoint: String,
+                           k: Int = 4, nprobe: Int = 3,
+                           tauMicros: Long = Ann.BuildDedupTauMicros): StreamingQuery =
+    vecStream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val s = batch.sparkSession
+          val target = batchId + 1
+          val stored = latestGenAtMost(s, genRoot, batchId)
+          val st = dedupedStateAt(s, genRoot, stored)
+          val (edges, bMap, bCells, newVals) = Ann.dedupedInsertOver(
+            s, st, batch.select(col("vec_id"), col("embedding")), k, nprobe, tauMicros)
+          batch.select(col("vec_id"), col("embedding"))
+            .write.mode("overwrite").parquet(s"$genRoot/gen=$target/newmembers")
+          bMap.write.mode("overwrite").parquet(s"$genRoot/gen=$target/newcanon")
+          newVals.write.mode("overwrite").parquet(s"$genRoot/gen=$target/newvalues")
+          bCells.write.mode("overwrite").parquet(s"$genRoot/gen=$target/newcells")
+          edges.write.mode("overwrite").parquet(s"$genRoot/gen=$target/edges")
+        }
+        ()
+      }
+      .start()
+
   /** File-source entry point: stream (vec_id, embedding) arrivals from
     * a growing parquet dir, one file per microbatch — the spec's feed
     * and the shape of a production drop-folder ingest.

@@ -131,6 +131,74 @@ class IndexStreamsSpec extends SparkSpec {
       s"${es2.map(_._1).max + 1} layers, both equal their hnswInsertBatch twins")
   }
 
+  test("streamed DEDUPED generations: dup batches equal the rebuild, mixed batches their fold twin") {
+    import spark.implicits._
+    val (_, root) = schemedTemp("graft-dedgen")
+    val inDir = java.nio.file.Files.createTempDirectory("graft-dedin").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-dedck").toString
+    val base = Graft.embeddings(spark, dir).filter(col("vec_id") < 40)
+      .select(col("vec_id"), col("embedding"))
+    val seedEmb = base.unionByName(
+      base.select((col("vec_id") + 40L).as("vec_id"), col("embedding")))
+    // batch 1: PURE duplicates (exact copies of every base vector);
+    // batch 2: mixed (copies of bases 0..9 + 10 novel vectors)
+    val b1 = base.select((col("vec_id") + 80L).as("vec_id"), col("embedding"))
+    val b2 = base.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 120L).as("vec_id"), col("embedding"))
+      .unionByName(Graft.embeddings(spark, dir)
+        .filter(col("vec_id") >= 200 && col("vec_id") < 210)
+        .select((col("vec_id") - 70L).as("vec_id"), col("embedding")))
+    IndexStreams.seedDedupedGen(spark, root, seedEmb, "idx_ded_seed", root)
+    assert(graft.streaming.GenFs.currentGen(spark, root, "edges") === 0L)
+
+    def edgeSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3), r.getBoolean(4))).toSet
+    val q = IndexStreams.maintainDedupedIndex(
+      IndexStreams.fromParquetDir(spark, inDir, b1), root, ckpt)
+    try {
+      b1.coalesce(1).write.mode("append").parquet(inDir)
+      q.processAllAvailable()
+      b2.coalesce(1).write.mode("append").parquet(inDir)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(graft.streaming.GenFs.currentGen(spark, root, "edges") === 2L)
+
+    // the pure-dup generation equals the full REBUILD on the union
+    // corpus — the repaired index never re-fragments under arrivals
+    val got1 = spark.read.parquet(s"$root/gen=1/edges")
+    val unionDir1 = tempSfDir("embeddings" ->
+      seedEmb.unionByName(b1).withColumn("label", col("vec_id") % 4))
+    assert(edgeSet(got1) === edgeSet(Ann.nswGraphDeduped(spark, unionDir1)),
+      "a streamed pure-dup generation must equal the batch rebuild")
+
+    // the mixed generation equals its sequential fold twin (the batch
+    // API over the same stored corpus — valid because gen 1 is
+    // rebuild-equal, so the artifact state IS the collapse state)
+    val (twinEdges, twinMap, _) = Ann.dedupedInsertBatch(spark, root,
+      seedEmb.unionByName(b1), "idx_ded_twin", b2)
+    val got2 = spark.read.parquet(s"$root/gen=2/edges")
+    assert(edgeSet(got2) === edgeSet(twinEdges),
+      "a streamed mixed generation must equal its dup-routed fold twin")
+
+    // the canon chain at gen 2 equals the twin's map; weights derived
+    // from the chain equal the twin's incremental weights
+    val chainMap = graft.streaming.GenFs.chainThrough(spark, root, 2L, "canon", "newcanon")
+    val gotMap = chainMap.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val twinM = twinMap.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotMap === twinM, "canon chain diverged from the fold twin's map")
+    (80L until 120L).foreach(v => assert(gotMap(v) === v - 80L))
+    (120L until 130L).foreach(v => assert(gotMap(v) === v - 120L))
+    (130L until 140L).foreach(v => assert(gotMap(v) === v))
+    // full reach through the final generation
+    val und = got2.select(col("src"), col("dst"))
+      .union(got2.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint(true)
+    val entries = spark.range(Ann.sqrtFanout(140L)).toDF("node")
+    val reach = Ann.censusCountsOver(und, entries, 4).maxBy(_._1)._2
+    assert(reach === 140L, s"full reach through the streamed generation, got $reach/140")
+    info(s"gen1 (pure dups) rebuild-equal, gen2 (mixed) fold-twin-equal, reach $reach/140")
+  }
+
   test("empty microbatches leave generation holes the stream tolerates") {
     // the r14 wedge: gen = batchId+1 with empty batches SKIPPING their
     // write meant the batch after any empty one read a non-existent
