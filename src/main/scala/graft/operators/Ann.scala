@@ -2485,6 +2485,57 @@ object Ann {
     })
   }
 
+  private val writtenHnswDedupGens =
+    scala.collection.mutable.Map.empty[String, (DataFrame, DataFrame)]
+  Graft.onRelease(() => writtenHnswDedupGens.clear())
+
+  /** Session-memoized WRITTEN generation of the DEDUP-GATED LAYERED
+    * index — [[writtenHnswGen]]'s convention applied to the repaired
+    * hierarchy: the per-layer adjacency-with-payload (attach edges in
+    * the base layer) plus an explicit ENTRY artifact (node, nv, level)
+    * — unlike the plain layered generation, the entry set is NOT a pure
+    * vec_id function (it is the top SURVIVOR level, a product of the
+    * collapse), so a self-contained artifact must ship it.
+    */
+  def writtenHnswDedupedGen(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    synchronized {
+      writtenHnswDedupGens.getOrElseUpdate(dir, {
+        val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
+        val out = s"${Graft.artifactRoot}/graft_hnsw_dedup_gen/$safe"
+        layeredIndex(s, dir, hnswGraphDeduped(s, dir), "hnsw_dedup_search_index")
+          .write.mode("overwrite").parquet(s"$out/adjacency")
+        val (_, _, fin) = dedupCollapse(s, dir)
+        val eS = Graft.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+          .join(fin.filter(col("canon") === col("vec_id")).select(col("vec_id")), "vec_id")
+        val lvS = hnswLevelsOver(eS)
+        val mlRow = lvS.agg(max(col("level")).as("ml")).collect().head
+        val maxLevel = if (mlRow.isNullAt(0)) 0L else mlRow.getLong(0)
+        eS.join(lvS.filter(col("level") === maxLevel), "vec_id")
+          .select(col("vec_id").as("node"), col("embedding").as("nv"), col("level"))
+          .write.mode("overwrite").parquet(s"$out/entry")
+        val adj = s.read.parquet(s"$out/adjacency").persist()
+        val entry = s.read.parquet(s"$out/entry").persist()
+        Graft.trackCaches(s"written_hnsw_dedup_gen_$safe", adj, entry)
+        (adj, entry)
+      })
+    }
+
+  /** [[hnswSearchDeduped]] served OFF THE WRITTEN generation — the
+    * layered repaired index's deployment split, completing the serving
+    * matrix (flat/layered × plain/deduped × live/written).
+    * Read-equivalence ⇒ identical rows to the live descent, so the
+    * generated oracle is shared verbatim.
+    */
+  def hnswSearchDedupedFromGen(s: SparkSession, dir: String, k: Int = GraphSearchK,
+                               beam: Int = GraphSearchBeam,
+                               rounds: Int = GraphSearchRounds): DataFrame = {
+    val (adj, entry) = writtenHnswDedupedGen(s, dir)
+    val mlRow = entry.agg(max(col("level")).as("ml")).collect().head
+    val maxLevel = if (mlRow.isNullAt(0)) 0L else mlRow.getLong(0)
+    hnswWalkDriverOver(s, adj, entry.select(col("node"), col("nv")), maxLevel,
+      graphSearchQueries(s, dir), k, beam, rounds)
+  }
+
   private val writtenInt8Gens =
     scala.collection.mutable.Map.empty[String, (DataFrame, DataFrame)]
   Graft.onRelease(() => writtenInt8Gens.clear())
@@ -6236,6 +6287,9 @@ object Ann {
          |FROM ($rows) r, n""".stripMargin
     },
     "ann_hnsw_search_deduped" -> duckHnswDedupedWalkSql,
+    // read-equivalence: the layered deduped descent off the written
+    // generation returns identical rows to the live walk — shared oracle
+    "ann_hnsw_search_deduped_from_gen" -> duckHnswDedupedWalkSql,
     "ann_graph_insert_deduped" ->
       s"""WITH $duckE,
          |$duckDedupedInsertCtes
