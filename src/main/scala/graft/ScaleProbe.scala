@@ -417,6 +417,34 @@ object ScaleProbe {
         emit("probe" -> "conn_fanout", "scale" -> s"${mult}x", "sweep_sec" -> fsec,
           "reach_by_thr" -> finals.map { case (t, c) => s"$t:$c" }.mkString("\"", ",", "\""))
       }
+      if (probes("hdedupbuild")) {
+        // r20: the dedup-gated LAYERED build vs the plain hierarchy on
+        // the replica corpora — the flat dedupbuild probe's contract
+        // applied to the structure the reference serves: the collapse
+        // runs once and every layer builds on canonicals, so the cost
+        // advantage should widen with replica depth while the census
+        // returns to full reach.
+        val (psec, pedges) = time(operators.Ann.hnswGraph(spark, dir).count())
+        val plainEdges = operators.Ann.hnswGraph(spark, dir)
+        val und = plainEdges.select(col("src"), col("dst"))
+          .union(plainEdges.select(col("dst").as("src"), col("src").as("dst")))
+          .distinct().localCheckpoint(true)
+        val nTot = spark.read.parquet(s"$dir/embeddings.parquet").count()
+        val entries = spark.range(operators.Ann.sqrtFanout(nTot)).toDF("node")
+        val (pcsec, pcounts) = time(operators.Ann.censusCountsOver(und, entries, 4))
+        val preach = pcounts.maxBy(_._1)._2
+        Graft.releaseCaches()
+        val (dsec, dedges) = time(operators.Ann.hnswGraphDeduped(spark, dir).count())
+        val (dcsec, drows) = time(operators.Ann.hnswConnectivityDeduped(spark, dir).collect())
+        val dlast = drows.maxBy(_.getLong(0))
+        emit("probe" -> "hnsw_dedup_gated_build", "scale" -> s"${mult}x",
+          "plain_build_sec" -> psec, "plain_edges" -> pedges,
+          "plain_census_sec" -> pcsec,
+          "plain_reach_micros" -> preach * 1000000L / math.max(nTot, 1L),
+          "deduped_build_sec" -> dsec, "deduped_edges" -> dedges,
+          "deduped_census_sec" -> dcsec, "deduped_reach_micros" -> dlast.getLong(3),
+          "n_total" -> dlast.getLong(2))
+      }
       if (probes("dedupdigest")) {
         // r20: the exact collapse keyed by the raw 256-byte vector value
         // vs the 16-byte digest — wall AND shuffle-write bytes for the
