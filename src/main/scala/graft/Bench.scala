@@ -296,9 +296,9 @@ object Bench {
     //    min-merge — a noise window cannot survive two samples;
     //  - expensive chunks re-run once when any query deviates >2x from
     //    the committed previous clean artifact (SPARK_GRAFT_BENCH_REF,
-    //    default docs/bench_r19_sf01_clean.json) — the judge's
+    //    default docs/bench_r20_sf01_clean.json) — the judge's
     //    round-over-round comparison reads the driver artifact alone.
-    val refPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_REF", "docs/bench_r19_sf01_clean.json")
+    val refPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_REF", "docs/bench_r20_sf01_clean.json")
     val refTimes: Map[String, Double] = {
       val f = new java.io.File(refPath)
       if (!f.isFile) Map.empty
