@@ -417,6 +417,43 @@ object ScaleProbe {
         emit("probe" -> "conn_fanout", "scale" -> s"${mult}x", "sweep_sec" -> fsec,
           "reach_by_thr" -> finals.map { case (t, c) => s"$t:$c" }.mkString("\"", ",", "\""))
       }
+      if (probes("dedupinsert")) {
+        // r20: incremental maintenance of the DEDUPED generation vs the
+        // rebuild — the cost contract behind ann_graph_insert_deduped: a
+        // batch of 2000 exact-duplicate arrivals folds into the stored
+        // deduped index with work ∝ batch (probe + attach), while the
+        // alternative is a full union-corpus rebuild. Results are
+        // equal by the spec's rebuild-equality; this measures the cost
+        // gap growing with stored size.
+        val eAll = spark.read.parquet(s"$dir/embeddings.parquet")
+          .select(col("vec_id"), col("embedding"))
+        val nAll = eAll.count()
+        // batch = exact copies of the first 2000 vectors under fresh ids
+        val batch = eAll.filter(col("vec_id") < 2000)
+          .select((col("vec_id") + nAll).as("vec_id"), col("embedding"))
+          .localCheckpoint(true)
+        val unionEmb = eAll.unionByName(batch)
+        val uDir = s"/tmp/graft_scale/ins_union_x$mult"
+        if (!new java.io.File(s"$uDir/_DONE").exists()) {
+          unionEmb.withColumn("label", (col("vec_id") % 1000L).cast("int"))
+            .repartition(32)
+            .write.mode("overwrite").parquet(s"$uDir/embeddings.parquet")
+          new java.io.File(s"$uDir/_DONE").createNewFile()
+        }
+        // warm the stored-state memo first (a deployment holds the
+        // stored generation; the fold's marginal cost is the contract)
+        val (ssec, _) = time(operators.Ann
+          .dedupedStoredState(spark, dir, eAll, s"probe_ins_$mult").storedGraph.count())
+        val (isec, in) = time(operators.Ann
+          .dedupedInsertBatch(spark, dir, eAll, s"probe_ins_$mult", batch)._1.count())
+        Graft.releaseCaches()
+        val (rsec, rn) = time(operators.Ann.nswGraphDeduped(spark, uDir).count())
+        require(in == rn, s"insert/rebuild edge counts diverged: $in vs $rn")
+        emit("probe" -> "dedup_insert_vs_rebuild", "scale" -> s"${mult}x",
+          "stored_n" -> nAll, "batch_n" -> 2000,
+          "stored_state_sec" -> ssec, "insert_sec" -> isec,
+          "rebuild_sec" -> rsec, "edges" -> in)
+      }
       if (probes("hdedupbuild")) {
         // r20: the dedup-gated LAYERED build vs the plain hierarchy on
         // the replica corpora — the flat dedupbuild probe's contract

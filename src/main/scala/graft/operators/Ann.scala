@@ -3614,6 +3614,44 @@ object Ann {
         .select(col("src"), col("dst"), col("dq"), col("dn8"), col("dlabel"))
     }
 
+  /** The COMPRESSED serving index over the DEDUP-GATED build — the
+    * quantized tier of the REPAIRED graph (the deployment actually
+    * ships this composition: Qdrant = scalar quantization + HNSW, and a
+    * fleet that repairs its index quantizes the repaired one): the
+    * undirected closure of survivor + attach edges carrying int8 codes
+    * + integer-exact norms, never float vectors.
+    */
+  private def int8DedupIndex(s: SparkSession, dir: String): DataFrame =
+    Graft.memoFlat("dedup_search_index_int8", dir) {
+      val edges = nswGraphDeduped(s, dir)
+      val en = Graft.embeddings(s, dir)
+        .select(col("vec_id").as("dst"),
+          call_function("fvec_quantize", col("embedding")).as("dq"),
+          col("label").as("dlabel"))
+        .select(col("dst"), col("dq"),
+          sqrt(call_function("lvec_dot", col("dq"), col("dq")).cast("double")).as("dn8"),
+          col("dlabel"))
+      edges.select(col("src"), col("dst"))
+        .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct()
+        .join(en.hint("SHUFFLE_HASH"), "dst")
+        .select(col("src"), col("dst"), col("dq"), col("dn8"), col("dlabel"))
+    }
+
+  /** The int8 beam walk SERVED OFF the dedup-gated build — quantized ×
+    * deduped, the serving-matrix cell a deployment actually runs (4×
+    * memory cut AND clique-free reach): [[graphSearchInt8]]'s walk with
+    * only the adjacency swapped, so on a dup-free corpus the two walks
+    * are identical, and on a replica corpus the attach edges carry the
+    * walk out of the entry copy-cliques exactly like the float deduped
+    * walk (Round20OpsSpec).
+    */
+  def graphSearchInt8Deduped(s: SparkSession, dir: String, k: Int = GraphSearchK,
+                             beam: Int = GraphSearchBeam,
+                             rounds: Int = GraphSearchRounds): DataFrame =
+    graphSearchInt8DriverOver(s, int8DedupIndex(s, dir), int8Cents(s, dir),
+      graphSearchQueries(s, dir), k, beam, rounds)
+
   /** Routed entry for EXPLICIT query batches through the int8 walk —
     * [[beamSearchBatch]]'s dispatch applied to the quantized serving
     * tier; values identical on both paths (Round16OpsSpec).
@@ -5470,6 +5508,52 @@ object Ann {
        | WHERE rn <= $GraphSearchK)""".stripMargin
   }
 
+  /** The quantized walk over the DEDUP-GATED adjacency as one DuckDB
+    * statement ([[graphSearchInt8Deduped]]): [[duckGraphSearchInt8Ctes]]
+    * with the plain topk chain swapped for the deduped build — same
+    * quantization, same entry threshold, same integer-exact score.
+    */
+  private def duckGraphSearchInt8DedupedSql: String = {
+    val rounds = (1 to GraphSearchRounds).map { r =>
+      s"""s8d$r AS MATERIALIZED (SELECT q_id, node, score FROM (
+         |  SELECT q_id, node, score, row_number() OVER (PARTITION BY q_id
+         |          ORDER BY score DESC, node) AS rn
+         |  FROM (SELECT DISTINCT q_id, node, score FROM (
+         |    SELECT q_id, node, score FROM s8d${r - 1}
+         |    UNION ALL
+         |    SELECT s.q_id, u.dst AS node, round($duckCosQ8, 6) AS score
+         |    FROM s8d${r - 1} s JOIN gundd u ON u.src = s.node
+         |         JOIN e8 x ON x.vec_id = u.dst JOIN qs8 q ON q.q_id = s.q_id
+         |    WHERE u.dst != s.q_id))
+         | ) WHERE rn <= $GraphSearchBeam)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $duckE,
+       |$duckDedupedBuild,
+       |gundd AS MATERIALIZED (SELECT src, dst FROM dedup_edges
+       |       UNION SELECT dst, src FROM dedup_edges),
+       |e8 AS MATERIALIZED (SELECT vec_id, qv,
+       |  sqrt(CAST(list_sum(list_transform(range(1,65), i -> qv[i] * qv[i])) AS DOUBLE)) AS n8
+       | FROM (SELECT vec_id,
+       |   CASE WHEN scale = CAST(0 AS DOUBLE) THEN list_transform(v, x -> CAST(0 AS BIGINT))
+       |   ELSE list_transform(v, x -> CAST(round(x / scale * CAST(127 AS DOUBLE)) AS BIGINT)) END AS qv
+       |  FROM (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS scale FROM e))),
+       |qs8 AS MATERIALIZED (SELECT vec_id AS q_id, qv AS qqv, n8 AS qn8 FROM e8
+       |       WHERE vec_id % 25 = 7 ORDER BY vec_id LIMIT $GraphSearchQueryCount),
+       |s8d0 AS MATERIALIZED (SELECT q_id, node, score FROM (
+       |  SELECT q_id, node, score, row_number() OVER (PARTITION BY q_id
+       |          ORDER BY score DESC, node) AS rn
+       |  FROM (SELECT q.q_id, x.vec_id AS node, round($duckCosQ8, 6) AS score
+       |        FROM e8 x JOIN qs8 q ON x.vec_id != q.q_id
+       |        WHERE x.vec_id < (SELECT greatest(8,
+       |          CAST(floor(sqrt(count(*))) AS BIGINT)) FROM e))) WHERE rn <= 1),
+       |$rounds,
+       |fin8d AS (SELECT q_id, CAST(rn AS BIGINT) AS rn, node AS vec_id, score FROM (
+       |  SELECT q_id, node, score, row_number() OVER (PARTITION BY q_id
+       |          ORDER BY score DESC, node) AS rn FROM s8d$GraphSearchRounds)
+       | WHERE rn <= $GraphSearchK)
+       |SELECT q_id, rn, vec_id, score FROM fin8d""".stripMargin
+  }
+
   /** The FILTERED quantized walk as a DuckDB CTE chain ending in
     * `fin8f`: [[duckGraphSearchInt8Ctes]]'s float-built graph +
     * quantization with the label carried, then
@@ -6307,6 +6391,7 @@ object Ann {
          | CAST(sum(CASE WHEN vec_id != canon THEN 1 ELSE 0 END) AS BIGINT) AS n_dups
          |FROM allmap GROUP BY canon""".stripMargin,
     "ann_graph_search_deduped" -> duckDedupedWalkSql,
+    "ann_graph_search_int8_deduped" -> duckGraphSearchInt8DedupedSql,
     // the written-generation deduped walk is read-equivalent to the
     // live one (identical adjacency + entry rows through the parquet
     // artifact) — shared oracle, the walks' from-gen convention

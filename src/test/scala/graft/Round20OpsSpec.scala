@@ -230,6 +230,29 @@ class Round20OpsSpec extends SparkSpec {
     info(s"20 dups routed, 10 survivors inserted, weights exact, reach $reach/110")
   }
 
+  test("int8 deduped walk escapes the copy-cliques like the float one") {
+    import spark.implicits._
+    val base = Graft.embeddings(spark, dir).filter(col("vec_id") < 50)
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val dupCorpus = base.crossJoin(spark.range(10).toDF("rep"))
+      .select((col("vec_id") + col("rep") * 50L).as("vec_id"),
+        col("embedding"), col("label"))
+    val dupDir = tempSfDir("embeddings" -> dupCorpus)
+    def top1(df: org.apache.spark.sql.DataFrame): Map[Long, Double] =
+      df.filter(col("rn") === 1L).collect()
+        .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val plain = top1(Ann.graphSearchInt8(spark, dupDir))
+    val fixed = top1(Ann.graphSearchInt8Deduped(spark, dupDir))
+    assert(fixed.size === plain.size && fixed.nonEmpty)
+    // exact copies quantize to identical codes, so the repaired walk
+    // still recovers a score-1.0 copy for every query under int8
+    assert(fixed.values.forall(_ === 1.0),
+      s"int8 deduped walk must recover a 1.0 copy per query, " +
+        s"got ${fixed.values.count(_ === 1.0)}/${fixed.size}")
+    assert(plain.values.count(_ === 1.0) < fixed.size / 2 + 1,
+      s"expected the plain int8 walk trapped, got ${plain.values.count(_ === 1.0)}")
+  }
+
   test("digest-keyed exact collapse equals the value-keyed build on collision-free corpora") {
     import spark.implicits._
     val base = Graft.embeddings(spark, dir).filter(col("vec_id") < 50)
