@@ -3652,6 +3652,27 @@ object Ann {
     graphSearchInt8DriverOver(s, int8DedupIndex(s, dir), int8Cents(s, dir),
       graphSearchQueries(s, dir), k, beam, rounds)
 
+  /** The metadata-FILTERED dual-state walk over the DEDUP-GATED build —
+    * filtered × deduped, the reference's full deployed composition
+    * (Qdrant applies the query_filter DURING the search over an index
+    * whose long-range reach the repair restores): the exact
+    * [[graphSearchFiltered]] machinery — unfiltered navigation beam at
+    * the adaptive ef, filter-passing result accumulator — with only the
+    * adjacency swapped for the survivor+attach index, so a query whose
+    * passing answers live in OTHER copy-cliques can still reach them.
+    * On a dup-free corpus it equals [[graphSearchFiltered]].
+    */
+  def graphSearchFilteredDeduped(s: SparkSession, dir: String, k: Int = GraphSearchK,
+                                 beam: Int = GraphSearchBeam,
+                                 rounds: Int = GraphSearchRounds): DataFrame = {
+    val cents = Graft.embeddings(s, dir)
+      .filter(col("vec_id") < sqrtFanout(Graft.tableRows(s, dir, "embeddings")))
+      .select(col("vec_id").as("node"), col("embedding").as("nv"), col("label").as("nlabel"))
+    graphSearchFilteredDriverOver(s, dir, dedupedSearchIndex(s, dir), cents,
+      graphSearchQueries(s, dir), k, beam, rounds, byId = false,
+      GraphSearchFilterMod, GraphSearchFilterRes)
+  }
+
   /** Routed entry for EXPLICIT query batches through the int8 walk —
     * [[beamSearchBatch]]'s dispatch applied to the quantized serving
     * tier; values identical on both paths (Round16OpsSpec).
@@ -6392,6 +6413,17 @@ object Ann {
          |FROM allmap GROUP BY canon""".stripMargin,
     "ann_graph_search_deduped" -> duckDedupedWalkSql,
     "ann_graph_search_int8_deduped" -> duckGraphSearchInt8DedupedSql,
+    "ann_graph_search_filtered_deduped" ->
+      s"""WITH $duckE,
+         |$duckDedupedBuild,
+         |gund AS MATERIALIZED (SELECT src, dst FROM dedup_edges
+         |       UNION SELECT dst, src FROM dedup_edges),
+         |c AS MATERIALIZED (SELECT vec_id AS cid, v FROM e WHERE vec_id <
+         |        greatest(8, CAST(floor(sqrt((SELECT count(*) FROM e))) AS BIGINT))),
+         |qs AS MATERIALIZED (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 25 = 7
+         |       ORDER BY vec_id LIMIT $GraphSearchQueryCount),
+         |${duckFilteredWalkCtes("", "label", GraphSearchFilterMod, GraphSearchFilterRes)}
+         |SELECT q_id, rn, vec_id, score FROM finf""".stripMargin,
     // the written-generation deduped walk is read-equivalent to the
     // live one (identical adjacency + entry rows through the parquet
     // artifact) — shared oracle, the walks' from-gen convention

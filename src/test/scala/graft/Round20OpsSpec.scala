@@ -253,6 +253,30 @@ class Round20OpsSpec extends SparkSpec {
       s"expected the plain int8 walk trapped, got ${plain.values.count(_ === 1.0)}")
   }
 
+  test("filtered deduped walk reaches passing copies across the cliques") {
+    import spark.implicits._
+    val base = Graft.embeddings(spark, dir).filter(col("vec_id") < 50)
+      .select(col("vec_id"), col("embedding"), col("label"))
+    // every row carries a filter-PASSING label (the walk's routing is
+    // unchanged; this pins the reach property deterministically: each
+    // query has 9 passing exact copies, so a healthy filtered walk
+    // returns a 1.0 top hit for EVERY query)
+    val dupCorpus = base.crossJoin(spark.range(10).toDF("rep"))
+      .select((col("vec_id") + col("rep") * 50L).as("vec_id"),
+        col("embedding"),
+        lit(Ann.GraphSearchFilterRes).cast("int").as("label"))
+    val dupDir = tempSfDir("embeddings" -> dupCorpus)
+    def perfect(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.filter(col("rn") === 1L && col("score") === 1.0)
+        .select(col("q_id")).collect().map(_.getLong(0)).toSet
+    val plain = perfect(Ann.graphSearchFiltered(spark, dupDir))
+    val fixed = perfect(Ann.graphSearchFilteredDeduped(spark, dupDir))
+    assert(fixed.size === Ann.GraphSearchQueryCount,
+      s"every query must recover a 1.0 passing copy, got ${fixed.size}")
+    assert(plain.size < Ann.GraphSearchQueryCount / 2 + 1,
+      s"expected the plain filtered walk clique-trapped, got ${plain.size}")
+  }
+
   test("digest-keyed exact collapse equals the value-keyed build on collision-free corpora") {
     import spark.implicits._
     val base = Graft.embeddings(spark, dir).filter(col("vec_id") < 50)
