@@ -419,33 +419,49 @@ object ScaleProbe {
       }
       if (probes("dedupinsert")) {
         // r20: incremental maintenance of the DEDUPED generation vs the
-        // rebuild — the cost contract behind ann_graph_insert_deduped: a
-        // batch of 2000 exact-duplicate arrivals folds into the stored
-        // deduped index with work ∝ batch (probe + attach), while the
-        // alternative is a full union-corpus rebuild. Results are
-        // equal by the spec's rebuild-equality; this measures the cost
-        // gap growing with stored size.
-        val eAll = spark.read.parquet(s"$dir/embeddings.parquet")
+        // rebuild — the cost contract behind ann_graph_insert_deduped.
+        // The stored corpus is the scaled corpus with each replica's
+        // dims ROTATED by its copy index, so every stored vector is a
+        // distinct direction (all survive the collapse) and the rebuild
+        // pays the full N·sqrt(N) scoring pass — the scoring-dominated
+        // regime a real (mostly-unique) corpus lives in. The batch is
+        // 2000 exact copies of stored vectors: the fold routes them as
+        // dups with work ∝ batch, results rebuild-equal by the spec.
+        val permDir = s"/tmp/graft_scale/ins_perm_x$mult"
+        if (!new java.io.File(s"$permDir/_DONE").exists()) {
+          spark.read.parquet(s"$dir/embeddings.parquet")
+            .select(col("vec_id"),
+              expr("transform(sequence(0, 63), i -> embedding[cast((i + cast(vec_id / 2000 as int)) % 64 as int)])")
+                .as("embedding"),
+              col("label"))
+            .repartition(32)
+            .write.mode("overwrite").parquet(s"$permDir/embeddings.parquet")
+          new java.io.File(s"$permDir/_DONE").createNewFile()
+        }
+        val eAll = spark.read.parquet(s"$permDir/embeddings.parquet")
           .select(col("vec_id"), col("embedding"))
         val nAll = eAll.count()
-        // batch = exact copies of the first 2000 vectors under fresh ids
         val batch = eAll.filter(col("vec_id") < 2000)
           .select((col("vec_id") + nAll).as("vec_id"), col("embedding"))
           .localCheckpoint(true)
-        val unionEmb = eAll.unionByName(batch)
-        val uDir = s"/tmp/graft_scale/ins_union_x$mult"
+        val uDir = s"/tmp/graft_scale/ins_perm_union_x$mult"
         if (!new java.io.File(s"$uDir/_DONE").exists()) {
-          unionEmb.withColumn("label", (col("vec_id") % 1000L).cast("int"))
+          eAll.unionByName(batch)
+            .withColumn("label", (col("vec_id") % 1000L).cast("int"))
             .repartition(32)
             .write.mode("overwrite").parquet(s"$uDir/embeddings.parquet")
           new java.io.File(s"$uDir/_DONE").createNewFile()
         }
-        // warm the stored-state memo first (a deployment holds the
-        // stored generation; the fold's marginal cost is the contract)
-        val (ssec, _) = time(operators.Ann
-          .dedupedStoredState(spark, dir, eAll, s"probe_ins_$mult").storedGraph.count())
+        // warm the FULL stored state (a deployment holds the generation
+        // artifact — graph, attach, maps, cells; the fold's marginal
+        // cost is the contract)
+        val (ssec, _) = time {
+          val st = operators.Ann.dedupedStoredState(spark, permDir, eAll, s"probe_ins_$mult")
+          st.storedGraph.count(); st.storedMap.count()
+          st.valueCanon.count(); st.survivorCells.count()
+        }
         val (isec, in) = time(operators.Ann
-          .dedupedInsertBatch(spark, dir, eAll, s"probe_ins_$mult", batch)._1.count())
+          .dedupedInsertBatch(spark, permDir, eAll, s"probe_ins_$mult", batch)._1.count())
         Graft.releaseCaches()
         val (rsec, rn) = time(operators.Ann.nswGraphDeduped(spark, uDir).count())
         require(in == rn, s"insert/rebuild edge counts diverged: $in vs $rn")
