@@ -2539,6 +2539,28 @@ object Ann {
       })
     }
 
+  /** [[hnswConnectivityDeduped]] read off the WRITTEN layered deduped
+    * generation — what a fleet monitoring the repaired hierarchy
+    * actually censuses (the published artifact, not the build session's
+    * memo). The generation's adjacency is already the undirected
+    * per-layer closure, so the layer-blind node census is one narrow
+    * projection + distinct, eagerly checkpointed (one artifact scan per
+    * census, the from-gen convention); read-equivalence ⇒ row-equal to
+    * the live census, shared oracle.
+    */
+  def hnswConnectivityDedupedFromGen(s: SparkSession, dir: String,
+                                     rounds: Int = GraphConnRounds): DataFrame = {
+    val (adj, _) = writtenHnswDedupedGen(s, dir)
+    val und = adj.select(col("src"), col("dst")).distinct().localCheckpoint(true)
+    val nTot = Graft.tableRows(s, dir, "embeddings")
+    censusFrame(s,
+      censusCountsOver(und,
+        Graft.embeddings(s, dir).filter(col("vec_id") < sqrtFanout(nTot))
+          .select(col("vec_id").as("node")),
+        rounds),
+      nTot)
+  }
+
   /** [[hnswSearchDeduped]] served OFF THE WRITTEN generation — the
     * layered repaired index's deployment split, completing the serving
     * matrix (flat/layered × plain/deduped × live/written).
@@ -5198,6 +5220,34 @@ object Ann {
        |  UNION ALL SELECT src, dst, cos, rn, true AS is_attach FROM attn)""".stripMargin
   }
 
+  /** The layered deduped census as one DuckDB statement — shared by
+    * `ann_hnsw_conn_deduped` and its written-generation twin
+    * (read-equivalence).
+    */
+  private lazy val duckHnswConnDedupedSql: String = {
+    val steps = (1 to GraphConnRounds).map { r =>
+      s"""cchd$r AS MATERIALIZED (SELECT DISTINCT node FROM (
+         |  SELECT node FROM cchd${r - 1} UNION ALL
+         |  SELECT u.dst AS node FROM cchd${r - 1} s JOIN gundhd u ON u.src = s.node))""".stripMargin
+    }.mkString(",\n")
+    val rows = (0 to GraphConnRounds).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS round, " +
+        s"(SELECT CAST(count(*) AS BIGINT) FROM cchd$r) AS n_reached")
+      .mkString("\nUNION ALL ")
+    s"""WITH $duckE,
+       |$duckLevels,
+       |$duckHnswDedupedBuild,
+       |gundhd AS MATERIALIZED (SELECT src, dst FROM hnsw_dedup_edges
+       |       UNION SELECT dst, src FROM hnsw_dedup_edges),
+       |fbhd AS (SELECT greatest(8, CAST(floor(sqrt(count(*))) AS BIGINT)) AS t FROM e),
+       |cchd0 AS MATERIALIZED (SELECT vec_id AS node FROM e, fbhd WHERE vec_id < fbhd.t),
+       |$steps,
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM e)
+       |SELECT r.round, r.n_reached, n.n_total,
+       | r.n_reached * 1000000 // greatest(n.n_total, 1) AS reach_micros
+       |FROM ($rows) r, n""".stripMargin
+  }
+
   /** The deduped layered descent ([[hnswSearchDeduped]]) as one DuckDB
     * statement — [[duckHnswSearchCtes]]'s walk with the survivor stack
     * as the per-layer adjacency, the layer-0 adjacency including the
@@ -6387,29 +6437,10 @@ object Ann {
          |$duckLevels,
          |$duckHnswDedupedBuild
          |SELECT layer, src, dst, cos, rn, is_attach FROM hnsw_dedup_edges""".stripMargin,
-    "ann_hnsw_conn_deduped" -> {
-      val steps = (1 to GraphConnRounds).map { r =>
-        s"""cchd$r AS MATERIALIZED (SELECT DISTINCT node FROM (
-           |  SELECT node FROM cchd${r - 1} UNION ALL
-           |  SELECT u.dst AS node FROM cchd${r - 1} s JOIN gundhd u ON u.src = s.node))""".stripMargin
-      }.mkString(",\n")
-      val rows = (0 to GraphConnRounds).map(r =>
-        s"SELECT CAST($r AS BIGINT) AS round, " +
-          s"(SELECT CAST(count(*) AS BIGINT) FROM cchd$r) AS n_reached")
-        .mkString("\nUNION ALL ")
-      s"""WITH $duckE,
-         |$duckLevels,
-         |$duckHnswDedupedBuild,
-         |gundhd AS MATERIALIZED (SELECT src, dst FROM hnsw_dedup_edges
-         |       UNION SELECT dst, src FROM hnsw_dedup_edges),
-         |fbhd AS (SELECT greatest(8, CAST(floor(sqrt(count(*))) AS BIGINT)) AS t FROM e),
-         |cchd0 AS MATERIALIZED (SELECT vec_id AS node FROM e, fbhd WHERE vec_id < fbhd.t),
-         |$steps,
-         |n AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM e)
-         |SELECT r.round, r.n_reached, n.n_total,
-         | r.n_reached * 1000000 // greatest(n.n_total, 1) AS reach_micros
-         |FROM ($rows) r, n""".stripMargin
-    },
+    "ann_hnsw_conn_deduped" -> duckHnswConnDedupedSql,
+    // read-equivalence: the written generation ships the identical
+    // undirected closure, so the census shares the live oracle
+    "ann_hnsw_conn_deduped_from_gen" -> duckHnswConnDedupedSql,
     "ann_hnsw_search_deduped" -> duckHnswDedupedWalkSql,
     // read-equivalence: the layered deduped descent off the written
     // generation returns identical rows to the live walk — shared oracle
