@@ -470,6 +470,57 @@ object ScaleProbe {
           "stored_state_sec" -> ssec, "insert_sec" -> isec,
           "rebuild_sec" -> rsec, "edges" -> in)
       }
+      if (probes("hdedupinsert")) {
+        // r20b: incremental maintenance of the DEDUPED LAYERED
+        // generation vs its rebuild — the dedupinsert contract applied
+        // to the hierarchy (ann_hnsw_insert_deduped). Same
+        // rotated-replica stored corpus (all-survivor, the
+        // scoring-dominated regime), same 2000-copy dup batch; the
+        // rebuild pays the per-layer N_l·sqrt(N_l) passes while the
+        // fold's marginal cost stays ∝ batch + stored scans.
+        val permDir = s"/tmp/graft_scale/ins_perm_x$mult"
+        if (!new java.io.File(s"$permDir/_DONE").exists()) {
+          spark.read.parquet(s"$dir/embeddings.parquet")
+            .select(col("vec_id"),
+              expr("transform(sequence(0, 63), i -> embedding[cast((i + cast(vec_id / 2000 as int)) % 64 as int)])")
+                .as("embedding"),
+              col("label"))
+            .repartition(32)
+            .write.mode("overwrite").parquet(s"$permDir/embeddings.parquet")
+          new java.io.File(s"$permDir/_DONE").createNewFile()
+        }
+        val eAll = spark.read.parquet(s"$permDir/embeddings.parquet")
+          .select(col("vec_id"), col("embedding"))
+        val nAll = eAll.count()
+        val batch = eAll.filter(col("vec_id") < 2000)
+          .select((col("vec_id") + nAll).as("vec_id"), col("embedding"))
+          .localCheckpoint(true)
+        val uDir = s"/tmp/graft_scale/ins_perm_union_x$mult"
+        if (!new java.io.File(s"$uDir/_DONE").exists()) {
+          eAll.unionByName(batch)
+            .withColumn("label", (col("vec_id") % 1000L).cast("int"))
+            .repartition(32)
+            .write.mode("overwrite").parquet(s"$uDir/embeddings.parquet")
+          new java.io.File(s"$uDir/_DONE").createNewFile()
+        }
+        // warm the stored state a deployment holds: routing maps +
+        // the stored LAYERED survivor stack
+        val (ssec, _) = time {
+          val st = operators.Ann.dedupedStoredState(spark, permDir, eAll, s"probe_hins_$mult")
+          st.storedMap.count(); st.valueCanon.count(); st.survivorCells.count()
+          operators.Ann.hnswGraphDedupedOver(spark, eAll, s"probe_hins_$mult",
+            permDir, 4, 3, operators.Ann.BuildDedupTauMicros).count()
+        }
+        val (isec, in) = time(operators.Ann
+          .hnswInsertDedupedBatch(spark, permDir, eAll, s"probe_hins_$mult", batch).count())
+        Graft.releaseCaches()
+        val (rsec, rn) = time(operators.Ann.hnswGraphDeduped(spark, uDir).count())
+        require(in == rn, s"layered insert/rebuild edge counts diverged: $in vs $rn")
+        emit("probe" -> "hnsw_dedup_insert_vs_rebuild", "scale" -> s"${mult}x",
+          "stored_n" -> nAll, "batch_n" -> 2000,
+          "stored_state_sec" -> ssec, "insert_sec" -> isec,
+          "rebuild_sec" -> rsec, "edges" -> in)
+      }
       if (probes("hdedupbuild")) {
         // r20: the dedup-gated LAYERED build vs the plain hierarchy on
         // the replica corpora — the flat dedupbuild probe's contract

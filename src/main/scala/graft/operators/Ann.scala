@@ -1119,7 +1119,17 @@ object Ann {
     */
   private def hnswInsertCore(storedCells: DataFrame, batchCells: DataFrame,
                              storedEdges: DataFrame, allEmb: DataFrame,
-                             k: Int): DataFrame = {
+                             k: Int): DataFrame =
+    hnswInsertCoreT(storedCells, batchCells, storedEdges, allEmb, k)._1
+
+  /** [[hnswInsertCore]] also returning the TOUCHED base-layer srcs —
+    * the [[nswInsertCoreT]] split applied to the hierarchy: the layered
+    * DEDUPED fold needs them to refresh stored dups whose canonical's
+    * layer-0 neighborhood the merge changed.
+    */
+  private def hnswInsertCoreT(storedCells: DataFrame, batchCells: DataFrame,
+                              storedEdges: DataFrame, allEmb: DataFrame,
+                              k: Int): (DataFrame, DataFrame) = {
     val allCells = storedCells
       .select(col("layer"), col("vec_id"), col("embedding"), col("nrm"), col("cid"))
       .withColumn("stored", lit(true))
@@ -1177,7 +1187,8 @@ object Ann {
     val repaired = tch.union(h2c).distinct()
       .withColumn("rn", row_number().over(wTop).cast("long")).filter(col("rn") <= k)
       .select(col("layer"), col("src"), col("dst"), col("cos"), col("rn"))
-    merged.join(touched, Seq("layer", "src"), "left_anti").unionByName(repaired)
+    (merged.join(touched, Seq("layer", "src"), "left_anti").unionByName(repaired),
+      touched.filter(col("layer") === 0L).select(col("src")).localCheckpoint(true))
   }
 
   /** Beam width of the batch graph search (HNSW's ef). Measured recall
@@ -1777,11 +1788,24 @@ object Ann {
     */
   def hnswGraphDeduped(s: SparkSession, dir: String, k: Int = 4, nprobe: Int = 3,
                        tauMicros: Long = BuildDedupTauMicros): DataFrame =
-    Graft.memoCache(s"hnsw_graph_deduped_${k}_${nprobe}_$tauMicros", dir) {
-      val e = withNorm(Graft.embeddings(s, dir).select(col("vec_id"), col("embedding")))
-      val (eEx, _, fin) = dedupCollapse(s, dir, nprobe, tauMicros)
+    hnswGraphDedupedOver(s,
+      Graft.embeddings(s, dir).select(col("vec_id"), col("embedding")),
+      "nsw_dedup", dir, k, nprobe, tauMicros)
+
+  /** [[hnswGraphDeduped]] over an ARBITRARY corpus frame, memoized
+    * under `tag0` — the stored-slice layered generation the LAYERED
+    * deduped insert ([[hnswInsertDedupedBatch]]) folds into rides the
+    * identical code path as the full build, and shares `tag0`'s
+    * collapse memo with the flat stored state.
+    */
+  private[graft] def hnswGraphDedupedOver(s: SparkSession, eIn: DataFrame, tag0: String,
+                                          dir: String, k: Int, nprobe: Int,
+                                          tauMicros: Long): DataFrame =
+    Graft.memoCache(s"${tag0}_hnsw_graph_deduped_${k}_${nprobe}_$tauMicros", dir) {
+      val e = withNorm(eIn.select(col("vec_id"), col("embedding")))
+      val (eEx, _, fin, _) = dedupCollapseOver(s, eIn, tag0, dir, nprobe, tauMicros)
       val c2ids = fin.filter(col("canon") === col("vec_id")).select(col("vec_id"))
-      val eS = Graft.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val eS = eIn.select(col("vec_id"), col("embedding"))
         .join(c2ids, "vec_id")
       // survivor ID RANGE for the per-layer seed thresholds (one
       // footer-cheap agg job; null-safe for the empty corpus)
@@ -1994,18 +2018,22 @@ object Ann {
       storedGraph: DataFrame,   // (src, dst, cos, rn) — survivor graph
       storedAtt: DataFrame)     // (src, dst, cos, rn, is_attach) — attach rows
 
-  /** [[dedupedInsertBatch]]'s core over EXPLICIT stored state — shared
-    * by the batch API (state from the in-session collapse memo) and the
-    * streaming generation fold (state off the parquet artifact).
-    * Returns (merged edge frame, batch canon-map rows, batch-survivor
-    * cells — the `newcells` delta a generation chain persists).
+  /** The dup-ROUTING stages (1-3) of the deduped fold — exact probe,
+    * near-dup probe, full batch map — shared by the FLAT insert
+    * ([[dedupedInsertOver]]) and the LAYERED one
+    * ([[hnswInsertDedupedBatch]]): the routing decision is
+    * graph-shape-independent, so both folds consume the identical
+    * (bMap, bFin, bCells, bExm) frames. Every stage is work ∝ batch.
     */
-  private[graft] def dedupedInsertOver(s: SparkSession, st: DedupStoredState,
-                                       batchEmb: DataFrame, k: Int, nprobe: Int,
-                                       tauMicros: Long)
-      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
-    val storedGraph = st.storedGraph
-    val storedAtt = st.storedAtt
+  private[graft] case class DedupRoute(
+      bMap: DataFrame,   // (vec_id, canon) — full batch map
+      bFin: DataFrame,   // (vec_id, canon) — batch exact-survivor resolution
+      bCells: DataFrame, // batch exact-survivor cell assignment (flat cells)
+      bExm: DataFrame)   // (vec_id, embedding, nrm, scanon, bmin)
+
+  private[graft] def dedupedRouteOver(s: SparkSession, st: DedupStoredState,
+                                      batchEmb: DataFrame, nprobe: Int,
+                                      tauMicros: Long): DedupRoute = {
     val c2S = st.survivors
     // 1. exact probe: stored value->canon map first, batch-internal
     // groups second (stored ids are below batch ids, so a stored match
@@ -2078,6 +2106,27 @@ object Ann {
         .join(bFin.withColumnRenamed("vec_id", "ec"), "ec")
         .select(col("vec_id"), col("canon")))
       .localCheckpoint(true)
+    DedupRoute(bMap, bFin, bCells, bExm)
+  }
+
+  /** [[dedupedInsertBatch]]'s core over EXPLICIT stored state — shared
+    * by the batch API (state from the in-session collapse memo) and the
+    * streaming generation fold (state off the parquet artifact).
+    * Returns (merged edge frame, batch canon-map rows, batch-survivor
+    * cells — the `newcells` delta a generation chain persists).
+    */
+  private[graft] def dedupedInsertOver(s: SparkSession, st: DedupStoredState,
+                                       batchEmb: DataFrame, k: Int, nprobe: Int,
+                                       tauMicros: Long)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val storedGraph = st.storedGraph
+    val storedAtt = st.storedAtt
+    val sCells = st.survivorCells
+    val route = dedupedRouteOver(s, st, batchEmb, nprobe, tauMicros)
+    val bMap = route.bMap
+    val bFin = route.bFin
+    val bCells = route.bCells
+    val bExm = route.bExm
     val bDups = bMap.filter(col("vec_id") =!= col("canon"))
     val bSurvEmb = batchEmb.select(col("vec_id"), col("embedding"))
       .join(bFin.filter(col("canon") === col("vec_id")).select(col("vec_id")), "vec_id")
@@ -2160,6 +2209,113 @@ object Ann {
 
   def dedupCanonWeightsInsert(s: SparkSession, dir: String): DataFrame =
     insertDedupedParts(s, dir)._3
+
+  /** INCREMENTAL maintenance of the DEDUPED LAYERED generation —
+    * [[dedupedInsertBatch]]'s dup-routed fold applied to the hierarchy
+    * the reference actually serves (qdrant.py:73 = HNSW): without it, a
+    * batch containing duplicates of stored vectors re-fragments the
+    * repaired hierarchy [[hnswGraphDeduped]] builds — each arriving
+    * copy would wire fresh cliques into EVERY layer it draws. The fold
+    * reuses the flat insert's routing verbatim (stages 1-2 are
+    * graph-shape-independent, [[dedupedRouteOver]]), then:
+    *
+    *  3. SURVIVORS take the LAYERED insert path ([[hnswInsertCoreT]])
+    *     into the stored SURVIVOR stack: per-layer assignment against
+    *     the stored survivor centroids (seed thresholds scaled by the
+    *     STORED survivor ID RANGE — the stored generation's structure
+    *     is fixed, the asymmetric-insert convention), blocked pairs,
+    *     touched re-rank, one bounded per-layer NN-descent repair.
+    *     Survivor levels stay the pure vec_id draw, so a survivor
+    *     enters exactly the layers the batch REBUILD would give it.
+    *  4. ATTACH maintenance at LAYER 0 (dups never enter upper layers):
+    *     new dups get rn-0 + canonical-neighborhood edges off the
+    *     merged base layer; stored dups whose canonical's layer-0
+    *     neighborhood the merge touched refresh; the rest pass through
+    *     bit-identical. Work ∝ batch + affected, never ∝ stored mass.
+    *
+    * Returns the merged layered frame (layer, src, dst, cos, rn,
+    * is_attach). Round20OpsSpec pins that a pure-dup batch streams to
+    * the EXACT [[hnswGraphDeduped]] rebuild on the union corpus.
+    */
+  def hnswInsertDedupedBatch(s: SparkSession, dir: String, storedEmb: DataFrame,
+                             storedTag: String, batchEmb: DataFrame, k: Int = 4,
+                             nprobe: Int = 3, tauMicros: Long = BuildDedupTauMicros)
+      : DataFrame = {
+    val st = dedupedStoredState(s, dir, storedEmb, storedTag, k, nprobe, tauMicros)
+    val route = dedupedRouteOver(s, st, batchEmb, nprobe, tauMicros)
+    val bDups = route.bMap.filter(col("vec_id") =!= col("canon"))
+    val bSurvEmb = batchEmb.select(col("vec_id"), col("embedding"))
+      .join(route.bFin.filter(col("canon") === col("vec_id")).select(col("vec_id")), "vec_id")
+    // the stored LAYERED deduped generation (collapse memo shared with
+    // the flat stored state via storedTag)
+    val storedL = hnswGraphDedupedOver(s, storedEmb, storedTag, dir, k, nprobe, tauMicros)
+    val storedStack = storedL.filter(!col("is_attach"))
+      .select(col("layer"), col("src"), col("dst"), col("cos"), col("rn"))
+    val storedAttL = storedL.filter(col("is_attach"))
+    // stored survivor per-layer probe structure: same deterministic
+    // cents/cells the stored build used (idBound = survivor ID RANGE)
+    val eSurvS = storedEmb.select(col("vec_id"), col("embedding"))
+      .join(st.survivors, "vec_id")
+    val idRow = eSurvS.agg(max(col("vec_id"))).collect().head
+    val idBound = if (idRow.isNullAt(0)) 0L else idRow.getLong(0) + 1L
+    val nodesS = hnswNodesOver(eSurvS)
+    val centsL = hnswCentsOver(nodesS, hnswLevelsOver(eSurvS), idBound,
+      "hnswInsertDedupedBatch stored")
+    val storedCells = hnswCellsOver(nodesS, centsL, nprobe)
+    val survEmbAll = eSurvS.unionByName(bSurvEmb.select(col("vec_id"), col("embedding")))
+    // FAST PATH: a pure-dup batch inserts no survivors — the stored
+    // stack passes through bit-identically (the flat fold's argument)
+    val (merged, touchedL0) =
+      if (bSurvEmb.isEmpty)
+        (storedStack, storedStack.select(col("src")).limit(0).localCheckpoint(true))
+      else
+        hnswInsertCoreT(storedCells,
+          hnswCellsOver(hnswNodesOver(bSurvEmb.select(col("vec_id"), col("embedding"))),
+            centsL, nprobe),
+          storedStack, survEmbAll, k)
+    // layer-0 attach maintenance: refresh = new dups + stored dups
+    // whose canonical's base neighborhood the merge touched
+    val sDups = st.storedMap.filter(col("vec_id") =!= col("canon"))
+    val refresh = sDups
+      .join(touchedL0.withColumnRenamed("src", "canon"), Seq("canon"), "left_semi")
+      .unionByName(bDups)
+      .localCheckpoint(true)
+    val keepAtt = storedAttL
+      .join(refresh.select(col("vec_id").as("src")), Seq("src"), "left_anti")
+    val l0 = merged.filter(col("layer") === 0L)
+    val attTargets = refresh.select(col("vec_id"), col("canon").as("dst"), lit(0L).as("rn"))
+      .unionByName(refresh
+        .join(l0.select(col("src").as("canon"), col("dst"), col("rn")), "canon")
+        .select(col("vec_id"), col("dst"), col("rn")))
+    val eU = withNorm(storedEmb.select(col("vec_id"), col("embedding"))
+      .unionByName(batchEmb.select(col("vec_id"), col("embedding"))))
+    val freshAtt = attTargets
+      .join(eU.select(col("vec_id"), col("embedding").as("xv"), col("nrm").as("xn"))
+        .hint("SHUFFLE_HASH"), "vec_id")
+      .join(eU.select(col("vec_id").as("dst"), col("embedding").as("yv"),
+        col("nrm").as("yn")).hint("SHUFFLE_HASH"), "dst")
+      .select(lit(0L).as("layer"), col("vec_id").as("src"), col("dst"),
+        round(VectorOps.dot(col("xv"), col("yv")) / (col("xn") * col("yn")), 6).as("cos"),
+        col("rn"), lit(true).as("is_attach"))
+    merged.select(col("layer"), col("src"), col("dst"), col("cos"), col("rn"),
+        lit(false).as("is_attach"))
+      .unionByName(keepAtt)
+      .unionByName(freshAtt)
+  }
+
+  /** The keyed face of [[hnswInsertDedupedBatch]]: stored = the vec_id
+    * < 4N/5 slice, batch = the rest — the [[nswGraphInsert]] split
+    * convention, sharing the collapse + routing memos with
+    * [[nswGraphInsertDeduped]] through the same storedTag.
+    */
+  def hnswGraphInsertDeduped(s: SparkSession, dir: String): DataFrame =
+    Graft.memoCache("hnsw_dedup_ins_edges", dir) {
+      val nTot = Graft.tableRows(s, dir, "embeddings")
+      val split = nTot * InsertSplitNum / InsertSplitDen
+      val eAll = Graft.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      hnswInsertDedupedBatch(s, dir, eAll.filter(col("vec_id") < split),
+        s"nsw_dedup_ins_$split", eAll.filter(col("vec_id") >= split))
+    }
 
   def graphSearch(s: SparkSession, dir: String, k: Int = GraphSearchK,
                   beam: Int = GraphSearchBeam,
@@ -3474,7 +3630,9 @@ object Ann {
   private[graft] def hnswWalkFilteredDriver(s: SparkSession, dir: String, undL: DataFrame,
                                      queries: DataFrame, k: Int, beam: Int, rounds: Int,
                                      fMod: Long, fRes: Long,
-                                     byId: Boolean = false): DataFrame = {
+                                     byId: Boolean = false,
+                                     entryOverride: Option[(DataFrame, Long)] = None)
+      : DataFrame = {
     import s.implicits._
     val nTot = Graft.tableRows(s, dir, "embeddings")
     val nPass = filterPassCount(s, dir, byId, fMod, fRes)
@@ -3488,13 +3646,19 @@ object Ann {
         q -> rs.map(r => (r._2, r._3)).toSeq.distinct
           .sortBy { case (n, sc) => (-sc, n) }.take(cut)
       }
-    val lv = hnswLevels(s, dir)
-    val mlRow = lv.agg(max(col("level")).as("ml")).collect().head
-    val maxLevel = if (mlRow.isNullAt(0)) 0L else mlRow.getLong(0)
+    // entry: the full-corpus top level by default; the DEDUP-GATED
+    // callers pass the top SURVIVOR level explicitly (entry is a
+    // product of the collapse there, not a pure vec_id function)
+    val (entryNodes, maxLevel) = entryOverride.getOrElse {
+      val lv = hnswLevels(s, dir)
+      val mlRow = lv.agg(max(col("level")).as("ml")).collect().head
+      val ml = if (mlRow.isNullAt(0)) 0L else mlRow.getLong(0)
+      (Graft.embeddings(s, dir)
+        .join(lv.filter(col("level") === ml).select(col("vec_id")), "vec_id")
+        .select(col("vec_id").as("node"), col("embedding").as("nv")), ml)
+    }
     val qsDf = qrows.toSeq.toDF("q_id", "qv", "qnrm")
-    val entry = Graft.embeddings(s, dir)
-      .join(lv.filter(col("level") === maxLevel).select(col("vec_id")), "vec_id")
-      .select(col("vec_id").as("node"), col("embedding").as("nv"))
+    val entry = entryNodes
       .crossJoin(broadcast(qsDf))
       .filter(col("node") =!= col("q_id"))
       .select(col("q_id"), col("node"),
@@ -3712,6 +3876,116 @@ object Ann {
     graphSearchFilteredDriverOver(s, dir, dedupedSearchIndex(s, dir), cents,
       graphSearchQueries(s, dir), k, beam, rounds, byId = false,
       GraphSearchFilterMod, GraphSearchFilterRes)
+  }
+
+  /** [[graphSearchFilteredDeduped]] run OFF THE WRITTEN generation —
+    * the filtered×deduped cell's deployment split:
+    * [[writtenDedupedGen]]'s adjacency already carries the filterable
+    * payload (dlabel rides [[dedupedSearchIndex]]) and its entry set
+    * ships nlabel, so the metadata-constrained walk serves off the
+    * same restart-safe repaired generation the unfiltered deduped walk
+    * reads. Read-equivalence ⇒ identical rows to the live walk, shared
+    * generated oracle.
+    */
+  def graphSearchFilteredDedupedFromGen(s: SparkSession, dir: String, k: Int = GraphSearchK,
+                                        beam: Int = GraphSearchBeam,
+                                        rounds: Int = GraphSearchRounds): DataFrame = {
+    val (adjacency, entry) = writtenDedupedGen(s, dir)
+    graphSearchFilteredDriverOver(s, dir, adjacency, entry,
+      graphSearchQueries(s, dir), k, beam, rounds,
+      byId = false, GraphSearchFilterMod, GraphSearchFilterRes)
+  }
+
+  private val writtenInt8DedupGens =
+    scala.collection.mutable.Map.empty[String, (DataFrame, DataFrame)]
+  Graft.onRelease(() => writtenInt8DedupGens.clear())
+
+  /** Session-memoized WRITTEN generation of the QUANTIZED DEDUP-GATED
+    * serving index — [[writtenInt8Gen]]'s convention applied to the
+    * repaired graph: the build job publishes the survivor+attach
+    * adjacency with int8 codes + integer-exact norms (and the
+    * filterable payload) plus the quantized √N entry set; the float
+    * vectors never enter the artifact. The composition a fleet
+    * actually ships: the 4× memory cut AND the clique-free reach in
+    * one restart-safe generation.
+    */
+  def writtenInt8DedupedGen(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    synchronized {
+      writtenInt8DedupGens.getOrElseUpdate(dir, {
+        val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
+        val out = s"${Graft.artifactRoot}/graft_int8_dedup_gen/$safe"
+        int8DedupIndex(s, dir).write.mode("overwrite").parquet(s"$out/adjacency")
+        int8Cents(s, dir).write.mode("overwrite").parquet(s"$out/entry")
+        val adj = s.read.parquet(s"$out/adjacency").persist()
+        val entry = s.read.parquet(s"$out/entry").persist()
+        Graft.trackCaches(s"written_int8_dedup_gen_$safe", adj, entry)
+        (adj, entry)
+      })
+    }
+
+  /** [[graphSearchInt8Deduped]] run OFF THE WRITTEN generation — the
+    * quantized×deduped cell's deployment split through the shared int8
+    * driver core. Read-equivalence ⇒ identical rows to the live walk,
+    * so [[duckGraphSearchInt8DedupedSql]] verifies both.
+    */
+  def graphSearchInt8DedupedFromGen(s: SparkSession, dir: String, k: Int = GraphSearchK,
+                                    beam: Int = GraphSearchBeam,
+                                    rounds: Int = GraphSearchRounds): DataFrame = {
+    val (adjacency, entry) = writtenInt8DedupedGen(s, dir)
+    graphSearchInt8DriverOver(s, adjacency, entry, graphSearchQueries(s, dir), k, beam, rounds)
+  }
+
+  /** The metadata-FILTERED layered descent over the DEDUP-GATED
+    * hierarchy — filtered × layered × deduped, the last uncovered
+    * serving composition (the reference's deployed shape is exactly
+    * this stack: Qdrant applies query_filter DURING the HNSW search,
+    * qdrant.py:73 + 220-239, and a fleet that repairs its hierarchy
+    * filters the repaired one): [[hnswSearchFiltered]]'s machinery —
+    * unfiltered greedy descent through the survivor stack from the top
+    * SURVIVOR level, then the dual-state base phase (navigation beam at
+    * the adaptive ef + filter-passing accumulator) over the
+    * attach-augmented base layer — with only the index swapped for
+    * [[hnswGraphDeduped]]'s. On a dup-free corpus it equals
+    * [[hnswSearchFiltered]] whenever the survivor set is the corpus; on
+    * a replica corpus the attach edges carry the filtered walk out of
+    * the entry copy-cliques to passing copies the plain hierarchy can
+    * never reach (Round20OpsSpec).
+    */
+  def hnswSearchFilteredDeduped(s: SparkSession, dir: String, k: Int = GraphSearchK,
+                                beam: Int = GraphSearchBeam,
+                                rounds: Int = GraphSearchRounds): DataFrame = {
+    val edges = hnswGraphDeduped(s, dir)
+    val undL = layeredIndex(s, dir, edges, "hnsw_dedup_search_index")
+    val (_, _, fin) = dedupCollapse(s, dir)
+    val eS = Graft.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      .join(fin.filter(col("canon") === col("vec_id")).select(col("vec_id")), "vec_id")
+    val lvS = hnswLevelsOver(eS)
+    val mlRow = lvS.agg(max(col("level")).as("ml")).collect().head
+    val maxLevel = if (mlRow.isNullAt(0)) 0L else mlRow.getLong(0)
+    val entryNodes = eS
+      .join(lvS.filter(col("level") === maxLevel).select(col("vec_id")), "vec_id")
+      .select(col("vec_id").as("node"), col("embedding").as("nv"))
+    hnswWalkFilteredDriver(s, dir, undL, graphSearchQueries(s, dir), k, beam, rounds,
+      GraphSearchFilterMod, GraphSearchFilterRes, byId = false,
+      entryOverride = Some((entryNodes, maxLevel)))
+  }
+
+  /** [[hnswSearchFilteredDeduped]] served OFF THE WRITTEN generation —
+    * [[writtenHnswDedupedGen]]'s artifact carries the filterable
+    * payload (dlabel rides [[layeredIndex]]) and ships the survivor
+    * entry set explicitly, so the filtered repaired descent serves off
+    * the same generation the unfiltered one reads. Read-equivalence ⇒
+    * identical rows to the live walk, shared generated oracle.
+    */
+  def hnswSearchFilteredDedupedFromGen(s: SparkSession, dir: String, k: Int = GraphSearchK,
+                                       beam: Int = GraphSearchBeam,
+                                       rounds: Int = GraphSearchRounds): DataFrame = {
+    val (adj, entry) = writtenHnswDedupedGen(s, dir)
+    val mlRow = entry.agg(max(col("level")).as("ml")).collect().head
+    val maxLevel = if (mlRow.isNullAt(0)) 0L else mlRow.getLong(0)
+    hnswWalkFilteredDriver(s, dir, adj, graphSearchQueries(s, dir), k, beam, rounds,
+      GraphSearchFilterMod, GraphSearchFilterRes, byId = false,
+      entryOverride = Some((entry.select(col("node"), col("nv")), maxLevel)))
   }
 
   /** Routed entry for EXPLICIT query batches through the int8 walk —
@@ -5126,7 +5400,15 @@ object Ann {
     * against the stored SURVIVOR graph `topkdi`), and the attach
     * refresh. Ends in `dedup_ins_edges` / `bmap` / `smap`.
     */
-  private def duckDedupedInsertCtes: String = {
+  /** The shared ROUTE prelude of the DEDUPED-insert oracles — the
+    * stored-slice COLLAPSE (suffix `i`) + the batch's dup-routing
+    * (exact probe, near-dup probe with bounded rounds + two jumps,
+    * full batch map) — [[dedupedRouteOver]]'s cross-engine twin, shared
+    * by the FLAT fold chain ([[duckDedupedInsertCtes]]) and the LAYERED
+    * one ([[duckHnswDedupedInsertSql]]) exactly as the Spark routing
+    * is. Ends in `bmap`/`bdup`/`bsurv`/`bcellv`/`smap`.
+    */
+  private def duckDedupedRouteCtes: String = {
     val rounds = (1 to BuildDedupRounds).map { r =>
       s"""sld$r AS MATERIALIZED (SELECT c.vec_id,
          |      least(min(c.lbl), coalesce(min(n.lbl), min(c.lbl))) AS lbl
@@ -5136,7 +5418,9 @@ object Ann {
     }.mkString(",\n")
     s"""spl AS MATERIALIZED (SELECT count(*) * $InsertSplitNum // $InsertSplitDen AS v FROM e),
        |es AS MATERIALIZED (SELECT vec_id, v FROM e WHERE vec_id < (SELECT v FROM spl)),
-       |${duckDedupedBuildOver("es", "i")},
+       |${duckDedupCollapseOver("es", "i")},
+       |mdi AS MATERIALIZED (SELECT m.vec_id, m.cid FROM mc1i m JOIN c2di ON m.vec_id = c2di.vec_id),
+       |smap AS (SELECT x.vec_id, f.canon FROM exmi x JOIN finpi f ON x.ec = f.vec_id),
        |bat AS MATERIALIZED (SELECT vec_id, v FROM e WHERE vec_id >= (SELECT v FROM spl)),
        |bgrp AS (SELECT v, min(vec_id) AS bmin FROM bat GROUP BY v),
        |bexm AS MATERIALIZED (SELECT b.vec_id, b.v, coalesce(x.ec, g.bmin) AS ec
@@ -5170,7 +5454,23 @@ object Ann {
        |bmap AS MATERIALIZED (SELECT x.vec_id, m.canon FROM bexm x JOIN ecmap m ON x.ec = m.vec_id),
        |bdup AS (SELECT vec_id, canon FROM bmap WHERE vec_id != canon),
        |bsurv AS MATERIALIZED (SELECT vec_id FROM bfin WHERE canon = vec_id),
-       |bcellv AS MATERIALIZED (SELECT c.vec_id, c.cid FROM bcell c JOIN bsurv ON c.vec_id = bsurv.vec_id),
+       |bcellv AS MATERIALIZED (SELECT c.vec_id, c.cid FROM bcell c JOIN bsurv ON c.vec_id = bsurv.vec_id)""".stripMargin
+  }
+
+  /** Shared CTE chain of the FLAT DEDUPED-insert oracles
+    * ([[dedupedInsertBatch]] at the keyed 4N/5 split): the route
+    * prelude, the stored-slice survivor NSW chain + attach, the
+    * survivor insert (the [[duckGraphInsertSql]] merge against the
+    * stored SURVIVOR graph `topkdi`), and the attach refresh. Ends in
+    * `dedup_ins_edges` / `bmap` / `smap`.
+    */
+  private def duckDedupedInsertCtes: String = {
+    s"""$duckDedupedRouteCtes,
+       |${duckNswChainFromM("c2di", "di")},
+       |att0di AS (SELECT d.vec_id AS src, d.canon AS dst, CAST(0 AS BIGINT) AS rn FROM dupdi d
+       |      UNION ALL SELECT d.vec_id, t.dst, t.rn FROM dupdi d JOIN topkdi t ON t.src = d.canon),
+       |attdi AS (SELECT a.src, a.dst, round($duckCosPair, 6) AS cos, a.rn FROM att0di a
+       |      JOIN es x ON x.vec_id = a.src JOIN es y ON y.vec_id = a.dst),
        |acelld AS (SELECT vec_id, cid FROM mdi UNION ALL SELECT vec_id, cid FROM bcellv),
        |npd AS (SELECT DISTINCT x.vec_id AS src, y.vec_id AS dst
        |      FROM bcellv x JOIN acelld y ON x.cid = y.cid AND x.vec_id != y.vec_id),
@@ -5213,11 +5513,94 @@ object Ann {
        |      UNION ALL SELECT r.vec_id, m.dst, m.rn FROM refr r JOIN mergedd m ON m.src = r.canon),
        |attn AS (SELECT a.src, a.dst, round($duckCosPair, 6) AS cos, a.rn FROM att0n a
        |      JOIN e x ON x.vec_id = a.src JOIN e y ON y.vec_id = a.dst),
-       |smap AS (SELECT x.vec_id, f.canon FROM exmi x JOIN finpi f ON x.ec = f.vec_id),
        |dedup_ins_edges AS (
        |  SELECT src, dst, cos, rn, false AS is_attach FROM mergedd
        |  UNION ALL SELECT src, dst, cos, rn, true AS is_attach FROM keepatt
        |  UNION ALL SELECT src, dst, cos, rn, true AS is_attach FROM attn)""".stripMargin
+  }
+
+  /** One layer of the LAYERED DEDUPED-insert oracle — the exact twin of
+    * [[duckHnswInsertLayer]] with the batch restricted to ROUTE
+    * SURVIVORS (`bsurv`) and the stored side the survivor chains
+    * (suffix `hdi`). Ends in `outz$l`.
+    */
+  private def duckHnswDedupedInsertLayer(l: Int): String =
+    s"""topkimz$l AS MATERIALIZED (SELECT * FROM topkhdi$l),
+       |blz$l AS MATERIALIZED (SELECT e.vec_id, e.v FROM e JOIN lv ON e.vec_id = lv.vec_id
+       |          JOIN bsurv ON e.vec_id = bsurv.vec_id WHERE lv.level >= $l),
+       |bscz$l AS (SELECT x.vec_id, y.cid, round($duckCosPair, 6) AS cscore
+       |        FROM blz$l x JOIN (SELECT cid, v FROM chdi$l) y ON true),
+       |basgz$l AS MATERIALIZED (SELECT vec_id, cid FROM (
+       |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+       |          ORDER BY cscore DESC, cid) AS rn FROM bscz$l) WHERE rn <= 3),
+       |acellz$l AS (SELECT vec_id, cid FROM asghdi$l UNION ALL SELECT vec_id, cid FROM basgz$l),
+       |npz$l AS (SELECT DISTINCT x.vec_id AS src, y.vec_id AS dst
+       |       FROM basgz$l x JOIN acellz$l y ON x.cid = y.cid AND x.vec_id != y.vec_id),
+       |npcz$l AS MATERIALIZED (SELECT src, dst, round($duckCosPair, 6) AS cos
+       |       FROM npz$l JOIN e x ON x.vec_id = src JOIN e y ON y.vec_id = dst),
+       |undpz$l AS MATERIALIZED (SELECT src, dst, cos FROM npcz$l
+       |        UNION ALL SELECT dst, src, cos FROM npcz$l),
+       |tsrcz$l AS MATERIALIZED (SELECT DISTINCT src FROM undpz$l),
+       |toldz$l AS (SELECT t.src, t.dst, t.cos FROM topkimz$l t JOIN tsrcz$l ts ON t.src = ts.src),
+       |rerz$l AS (SELECT src, dst, cos FROM (
+       |  SELECT src, dst, cos, row_number() OVER (PARTITION BY src
+       |          ORDER BY cos DESC, dst) AS rn
+       |  FROM (SELECT DISTINCT src, dst, cos FROM (
+       |    SELECT * FROM toldz$l UNION ALL SELECT * FROM undpz$l))) WHERE rn <= 4),
+       |mgz$l AS MATERIALIZED (
+       |  SELECT t.src, t.dst, t.cos FROM topkimz$l t
+       |  WHERE t.src NOT IN (SELECT src FROM tsrcz$l)
+       |  UNION ALL SELECT src, dst, cos FROM rerz$l),
+       |undmz$l AS (SELECT src, dst FROM mgz$l UNION SELECT dst, src FROM mgz$l),
+       |h2z$l AS (SELECT DISTINCT a.src AS src, b.dst AS dst
+       |       FROM undmz$l a JOIN undmz$l b ON a.dst = b.src
+       |       WHERE a.src != b.dst AND a.src IN (SELECT src FROM tsrcz$l)),
+       |h2cz$l AS (SELECT src, dst, round($duckCosPair, 6) AS cos
+       |        FROM h2z$l JOIN e x ON x.vec_id = src JOIN e y ON y.vec_id = dst),
+       |tchz$l AS (SELECT m.src, m.dst, m.cos FROM mgz$l m JOIN tsrcz$l ts ON m.src = ts.src),
+       |repz$l AS (SELECT src, dst, cos, CAST(rn AS BIGINT) AS rn FROM (
+       |  SELECT src, dst, cos, row_number() OVER (PARTITION BY src
+       |          ORDER BY cos DESC, dst) AS rn
+       |  FROM (SELECT DISTINCT src, dst, cos FROM (
+       |    SELECT * FROM tchz$l UNION ALL SELECT * FROM h2cz$l))) WHERE rn <= 4),
+       |outz$l AS (SELECT CAST($l AS BIGINT) AS layer, t.src, t.dst, t.cos, t.rn
+       |  FROM topkimz$l t WHERE t.src NOT IN (SELECT src FROM tsrcz$l)
+       |  UNION ALL SELECT CAST($l AS BIGINT) AS layer, src, dst, cos, rn FROM repz$l)""".stripMargin
+
+  /** The LAYERED deduped insert ([[hnswInsertDedupedBatch]] at the
+    * keyed 4N/5 split) as one DuckDB statement: the shared route
+    * prelude, the stored-slice SURVIVOR layered chains (seed thresholds
+    * scaled by the stored survivor ID RANGE — [[duckHnswDedupedBuild]]'s
+    * convention), one insert chain per layer over route survivors, and
+    * the layer-0 attach refresh.
+    */
+  private def duckHnswDedupedInsertSql: String = {
+    val stored = (0 to OracleMaxLayer)
+      .map(duckHnswLayerOver(_, "c2di", "hdi", "(SELECT hb FROM hdbi)")).mkString(",\n")
+    val inserts = (0 to OracleMaxLayer).map(duckHnswDedupedInsertLayer).mkString(",\n")
+    val union = (0 to OracleMaxLayer).map(l => s"SELECT * FROM outz$l").mkString("\n  UNION ALL ")
+    s"""WITH $duckE,
+       |$duckLevels,
+       |$duckDedupedRouteCtes,
+       |hdbi AS (SELECT coalesce(max(vec_id) + 1, 0) AS hb FROM c2di),
+       |$stored,
+       |$inserts,
+       |atth0i AS (SELECT d.vec_id AS src, d.canon AS dst, CAST(0 AS BIGINT) AS rn FROM dupdi d
+       |      UNION ALL SELECT d.vec_id, t.dst, t.rn FROM dupdi d JOIN topkhdi0 t ON t.src = d.canon),
+       |atthdi AS (SELECT a.src, a.dst, round($duckCosPair, 6) AS cos, a.rn FROM atth0i a
+       |      JOIN es x ON x.vec_id = a.src JOIN es y ON y.vec_id = a.dst),
+       |refrz AS MATERIALIZED (SELECT d.vec_id, d.canon FROM dupdi d JOIN tsrcz0 t ON d.canon = t.src
+       |      UNION ALL SELECT vec_id, canon FROM bdup),
+       |keepattz AS (SELECT a.src, a.dst, a.cos, a.rn FROM atthdi a
+       |      WHERE a.src NOT IN (SELECT vec_id FROM refrz)),
+       |att0z AS (SELECT r.vec_id AS src, r.canon AS dst, CAST(0 AS BIGINT) AS rn FROM refrz r
+       |      UNION ALL SELECT r.vec_id, m.dst, m.rn FROM refrz r
+       |      JOIN (SELECT src, dst, rn FROM outz0) m ON m.src = r.canon),
+       |attz AS (SELECT a.src, a.dst, round($duckCosPair, 6) AS cos, a.rn FROM att0z a
+       |      JOIN e x ON x.vec_id = a.src JOIN e y ON y.vec_id = a.dst)
+       |SELECT layer, src, dst, cos, rn, false AS is_attach FROM ($union)
+       |UNION ALL SELECT CAST(0 AS BIGINT) AS layer, src, dst, cos, rn, true AS is_attach FROM keepattz
+       |UNION ALL SELECT CAST(0 AS BIGINT) AS layer, src, dst, cos, rn, true AS is_attach FROM attz""".stripMargin
   }
 
   /** The layered deduped census as one DuckDB statement — shared by
@@ -5295,6 +5678,109 @@ object Ann {
        |          ORDER BY score DESC, node) AS rn FROM hsd${steps.size})
        | WHERE rn <= $GraphSearchK)
        |SELECT q_id, rn, vec_id, score FROM hdfin""".stripMargin
+  }
+
+  /** The FILTERED dual-state walk over the DEDUP-GATED flat build as
+    * one DuckDB statement ([[graphSearchFilteredDeduped]] and, by
+    * read-equivalence, its written-generation split): the deduped build
+    * prelude feeding [[duckFilteredWalkCtes]]'s dual-state rounds.
+    */
+  private lazy val duckFilteredDedupedSql: String =
+    s"""WITH $duckE,
+       |$duckDedupedBuild,
+       |gund AS MATERIALIZED (SELECT src, dst FROM dedup_edges
+       |       UNION SELECT dst, src FROM dedup_edges),
+       |c AS MATERIALIZED (SELECT vec_id AS cid, v FROM e WHERE vec_id <
+       |        greatest(8, CAST(floor(sqrt((SELECT count(*) FROM e))) AS BIGINT))),
+       |qs AS MATERIALIZED (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 25 = 7
+       |       ORDER BY vec_id LIMIT $GraphSearchQueryCount),
+       |${duckFilteredWalkCtes("", "label", GraphSearchFilterMod, GraphSearchFilterRes)}
+       |SELECT q_id, rn, vec_id, score FROM finf""".stripMargin
+
+  /** The FILTERED layered descent over the DEDUP-GATED hierarchy as
+    * one DuckDB statement ([[hnswSearchFilteredDeduped]]):
+    * [[duckHnswDedupedWalkSql]]'s build + survivor-entry + unfiltered
+    * descent chain, then [[duckFilteredWalkCtes]]'s dual-state base
+    * rounds (navigation beam at the adaptive ef, filter-passing
+    * accumulator at k) over the attach-augmented base layer, seeded by
+    * the descent's arrival node where it passes.
+    */
+  private def duckHnswFilteredDedupedSql: String = {
+    val fMod = GraphSearchFilterMod
+    val fRes = GraphSearchFilterRes
+    val pass = s"(x.label % $fMod = $fRes)"
+    val gu = (0 to OracleMaxLayer).map { l =>
+      val src = if (l == 0)
+        s"(SELECT src, dst FROM hnsw_dedup_edges WHERE layer = 0)"
+      else s"topkhd$l"
+      s"""tkhd${l}u AS MATERIALIZED (SELECT src, dst FROM $src),
+         |guhd$l AS MATERIALIZED (SELECT src, dst FROM tkhd${l}u UNION SELECT dst, src FROM tkhd${l}u)""".stripMargin
+    }.mkString(",\n")
+    val descentSteps = (OracleMaxLayer to 1 by -1).flatMap(l => Seq.fill(HnswDescentRounds)(l))
+    val descent = descentSteps.zipWithIndex.map { case (l, i) =>
+      s"""hfd${i + 1} AS MATERIALIZED (SELECT q_id, node, score FROM (
+         |  SELECT q_id, node, score, row_number() OVER (PARTITION BY q_id
+         |          ORDER BY score DESC, node) AS rn
+         |  FROM (SELECT DISTINCT q_id, node, score FROM (
+         |    SELECT q_id, node, score FROM hfd$i
+         |    UNION ALL
+         |    SELECT s.q_id, u.dst AS node, round($duckCosQ, 6) AS score
+         |    FROM hfd$i s JOIN guhd$l u ON u.src = s.node
+         |         JOIN e x ON x.vec_id = u.dst JOIN qs q ON q.q_id = s.q_id
+         |    WHERE u.dst != s.q_id))
+         | ) WHERE rn <= 1)""".stripMargin
+    }.mkString(",\n")
+    val d = descentSteps.size
+    val ef = "(SELECT ef FROM efchd)"
+    val baseRounds = (1 to GraphSearchRounds).map { r =>
+      s"""scbd$r AS MATERIALIZED (
+         |  SELECT s.q_id, u.dst AS node, round($duckCosQ, 6) AS score, $pass AS pass
+         |  FROM sthd_${r - 1} s JOIN guhd0 u ON u.src = s.node
+         |       JOIN e x ON x.vec_id = u.dst JOIN qs q ON q.q_id = s.q_id
+         |  WHERE u.dst != s.q_id),
+         |sthd_$r AS MATERIALIZED (SELECT q_id, node, score FROM (
+         |  SELECT q_id, node, score, row_number() OVER (PARTITION BY q_id
+         |          ORDER BY score DESC, node) AS rn
+         |  FROM (SELECT DISTINCT q_id, node, score FROM (
+         |    SELECT q_id, node, score FROM sthd_${r - 1}
+         |    UNION ALL
+         |    SELECT q_id, node, score FROM scbd$r))
+         | ) WHERE rn <= $ef),
+         |resd_$r AS MATERIALIZED (SELECT q_id, node, score FROM (
+         |  SELECT q_id, node, score, row_number() OVER (PARTITION BY q_id
+         |          ORDER BY score DESC, node) AS rn
+         |  FROM (SELECT DISTINCT q_id, node, score FROM (
+         |    SELECT q_id, node, score FROM resd_${r - 1}
+         |    UNION ALL
+         |    SELECT q_id, node, score FROM scbd$r WHERE pass))
+         | ) WHERE rn <= $GraphSearchK)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $duckE,
+       |$duckLevels,
+       |$duckHnswDedupedBuild,
+       |$gu,
+       |qs AS MATERIALIZED (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 25 = 7
+       |       ORDER BY vec_id LIMIT $GraphSearchQueryCount),
+       |mxd AS (SELECT max(lv.level) AS ml FROM lv JOIN c2d ON lv.vec_id = c2d.vec_id),
+       |hfd0 AS MATERIALIZED (SELECT q_id, node, score FROM (
+       |  SELECT q_id, node, score, row_number() OVER (PARTITION BY q_id
+       |          ORDER BY score DESC, node) AS rn
+       |  FROM (SELECT q.q_id, x.vec_id AS node, round($duckCosQ, 6) AS score
+       |        FROM c2d x JOIN lv ON x.vec_id = lv.vec_id JOIN mxd ON lv.level = mxd.ml
+       |             JOIN qs q ON x.vec_id != q.q_id)) WHERE rn <= 1),
+       |$descent,
+       |efchd AS MATERIALIZED (SELECT least($GraphSearchEfMax, greatest($GraphSearchBeam,
+       |  $GraphSearchBeam * (SELECT count(*) FROM e)
+       |    // ($GraphSearchFilterMod * greatest((SELECT count(*) FROM e x WHERE $pass), 1)))) AS ef),
+       |sthd_0 AS MATERIALIZED (SELECT q_id, node, score FROM hfd$d),
+       |resd_0 AS MATERIALIZED (SELECT s.q_id, s.node, s.score FROM hfd$d s
+       |  JOIN e x ON x.vec_id = s.node WHERE $pass),
+       |$baseRounds,
+       |hfdfin AS (SELECT q_id, CAST(rn AS BIGINT) AS rn, node AS vec_id, score FROM (
+       |  SELECT q_id, node, score, row_number() OVER (PARTITION BY q_id
+       |          ORDER BY score DESC, node) AS rn FROM resd_$GraphSearchRounds)
+       | WHERE rn <= $GraphSearchK)
+       |SELECT q_id, rn, vec_id, score FROM hfdfin""".stripMargin
   }
 
   /** The incremental insert as DuckDB CTEs — the exact twin of
@@ -6463,17 +6949,17 @@ object Ann {
          |FROM allmap GROUP BY canon""".stripMargin,
     "ann_graph_search_deduped" -> duckDedupedWalkSql,
     "ann_graph_search_int8_deduped" -> duckGraphSearchInt8DedupedSql,
-    "ann_graph_search_filtered_deduped" ->
-      s"""WITH $duckE,
-         |$duckDedupedBuild,
-         |gund AS MATERIALIZED (SELECT src, dst FROM dedup_edges
-         |       UNION SELECT dst, src FROM dedup_edges),
-         |c AS MATERIALIZED (SELECT vec_id AS cid, v FROM e WHERE vec_id <
-         |        greatest(8, CAST(floor(sqrt((SELECT count(*) FROM e))) AS BIGINT))),
-         |qs AS MATERIALIZED (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 25 = 7
-         |       ORDER BY vec_id LIMIT $GraphSearchQueryCount),
-         |${duckFilteredWalkCtes("", "label", GraphSearchFilterMod, GraphSearchFilterRes)}
-         |SELECT q_id, rn, vec_id, score FROM finf""".stripMargin,
+    // read-equivalence: the quantized deduped walk off the written
+    // generation returns identical rows to the live walk — shared oracle
+    "ann_graph_search_int8_deduped_from_gen" -> duckGraphSearchInt8DedupedSql,
+    "ann_graph_search_filtered_deduped" -> duckFilteredDedupedSql,
+    // read-equivalence: the filtered deduped walk off the written
+    // generation returns identical rows to the live walk — shared oracle
+    "ann_graph_search_filtered_deduped_from_gen" -> duckFilteredDedupedSql,
+    "ann_hnsw_search_filtered_deduped" -> duckHnswFilteredDedupedSql,
+    // read-equivalence: the filtered layered deduped descent off the
+    // written generation returns identical rows — shared oracle
+    "ann_hnsw_search_filtered_deduped_from_gen" -> duckHnswFilteredDedupedSql,
     // the written-generation deduped walk is read-equivalent to the
     // live one (identical adjacency + entry rows through the parquet
     // artifact) — shared oracle, the walks' from-gen convention
@@ -6508,6 +6994,7 @@ object Ann {
     "ann_graph_sharded" -> duckShardedSql,
     "ann_graph_insert" -> duckGraphInsertSql,
     "ann_hnsw_insert" -> duckHnswInsertSql,
+    "ann_hnsw_insert_deduped" -> duckHnswDedupedInsertSql,
     "ann_graph_search" ->
       s"""WITH $duckE,
          |$duckGraphSearchCtes

@@ -230,6 +230,71 @@ class Round20OpsSpec extends SparkSpec {
     info(s"20 dups routed, 10 survivors inserted, weights exact, reach $reach/110")
   }
 
+  test("layered deduped insert: a pure-dup batch equals the layered rebuild on the union corpus") {
+    val base = Graft.embeddings(spark, dir).filter(col("vec_id") < 40)
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val storedRep = base.select((col("vec_id") + 40L).as("vec_id"), col("embedding"), col("label"))
+    val stored = base.unionByName(storedRep)
+    val batchCopies = base.select((col("vec_id") + 80L).as("vec_id"), col("embedding"), col("label"))
+    val batchScaled = base.filter(col("vec_id") < 5)
+      .select((col("vec_id") + 120L).as("vec_id"),
+        expr("transform(embedding, x -> x * cast(1.5 as float))").as("embedding"), col("label"))
+    val batch = batchCopies.unionByName(batchScaled)
+    val unionDir = tempSfDir("embeddings" -> stored.unionByName(batch))
+
+    val edges = Ann.hnswInsertDedupedBatch(spark, unionDir,
+      stored.select(col("vec_id"), col("embedding")), "spec_ins_hl",
+      batch.select(col("vec_id"), col("embedding")))
+    def edgeSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getBoolean(5))).toSet
+    val rebuilt = Ann.hnswGraphDeduped(spark, unionDir)
+    assert(edgeSet(edges) === edgeSet(rebuilt),
+      "a pure-dup batch must stream to the exact layered rebuild edge frame")
+    info(s"${edgeSet(edges).size} layered edges stream-equal to the rebuild")
+  }
+
+  test("layered deduped insert: a mixed batch routes dups and inserts survivors per level") {
+    val base = Graft.embeddings(spark, dir).filter(col("vec_id") < 40)
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val storedRep = base.select((col("vec_id") + 40L).as("vec_id"), col("embedding"), col("label"))
+    val stored = base.unionByName(storedRep)
+    val batchCopies = base.filter(col("vec_id") < 20)
+      .select((col("vec_id") + 80L).as("vec_id"), col("embedding"), col("label"))
+    val novel = Graft.embeddings(spark, dir)
+      .filter(col("vec_id") >= 200 && col("vec_id") < 210)
+      .select((col("vec_id") - 100L).as("vec_id"), col("embedding"), col("label"))
+    val batch = batchCopies.unionByName(novel)
+    val unionDir = tempSfDir("embeddings" -> stored.unionByName(batch))
+
+    val edges = Ann.hnswInsertDedupedBatch(spark, unionDir,
+      stored.select(col("vec_id"), col("embedding")), "spec_ins_hm",
+      batch.select(col("vec_id"), col("embedding")))
+    // survivors joined the survivor stack, routed dups did not
+    val stackSrcs = edges.filter(!col("is_attach")).select(col("src")).collect()
+      .map(_.getLong(0)).toSet
+    assert((100L until 110L).forall(stackSrcs.contains), "novel survivors must enter the stack")
+    assert((80L until 100L).forall(v => !stackSrcs.contains(v)), "routed dups must not")
+    // dups attach at the BASE layer only; each new dup lands on its base
+    val att = edges.filter(col("is_attach")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+    assert(att.forall(_._1 == 0L), "attach edges live in the base layer only")
+    val rn0 = att.filter(t => t._5 == 0L && t._2 >= 80L && t._2 < 100L)
+    rn0.foreach { case (_, d, c, cos, _) =>
+      assert(c === d - 80L && cos === 1.0, s"batch copy $d must attach to its base at 1.0")
+    }
+    // the whole union corpus stays reachable through the merged
+    // hierarchy (layer-blind census over survivor + attach edges)
+    val und = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint(true)
+    val entries = Graft.embeddings(spark, unionDir)
+      .filter(col("vec_id") < Ann.sqrtFanout(110L)).select(col("vec_id").as("node"))
+    val reach = Ann.censusCountsOver(und, entries, 4).maxBy(_._1)._2
+    assert(reach === 110L, s"full reach through the merged hierarchy, got $reach/110")
+    info(s"20 dups routed to base attach, 10 survivors inserted per their levels, reach $reach/110")
+  }
+
   test("int8 deduped walk escapes the copy-cliques like the float one") {
     import spark.implicits._
     val base = Graft.embeddings(spark, dir).filter(col("vec_id") < 50)
@@ -275,6 +340,46 @@ class Round20OpsSpec extends SparkSpec {
       s"every query must recover a 1.0 passing copy, got ${fixed.size}")
     assert(plain.size < Ann.GraphSearchQueryCount / 2 + 1,
       s"expected the plain filtered walk clique-trapped, got ${plain.size}")
+  }
+
+  test("filtered deduped layered descent reaches passing copies THROUGH the hierarchy") {
+    import spark.implicits._
+    val base = Graft.embeddings(spark, dir).filter(col("vec_id") < 50)
+      .select(col("vec_id"), col("embedding"), col("label"))
+    // all-passing labels, as in the flat filtered-deduped pin: each
+    // query has 9 passing exact copies, so a healthy filtered descent
+    // returns a 1.0 top hit for EVERY query
+    val dupCorpus = base.crossJoin(spark.range(10).toDF("rep"))
+      .select((col("vec_id") + col("rep") * 50L).as("vec_id"),
+        col("embedding"),
+        lit(Ann.GraphSearchFilterRes).cast("int").as("label"))
+    val dupDir = tempSfDir("embeddings" -> dupCorpus)
+    def perfect(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.filter(col("rn") === 1L && col("score") === 1.0)
+        .select(col("q_id")).collect().map(_.getLong(0)).toSet
+    val plain = perfect(Ann.hnswSearchFiltered(spark, dupDir))
+    val fixed = perfect(Ann.hnswSearchFilteredDeduped(spark, dupDir))
+    assert(fixed.size === Ann.GraphSearchQueryCount,
+      s"every query must recover a 1.0 passing copy through the descent, got ${fixed.size}")
+    // replicas draw different levels, so the plain hierarchy partially
+    // bridges — but the base-layer beam stays clique-trapped for a
+    // substantial fraction of queries
+    assert(plain.size < Ann.GraphSearchQueryCount,
+      s"expected the plain filtered descent partially trapped, got ${plain.size}")
+  }
+
+  test("deduped written generations serve row-identical to their live walks") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(rows(Ann.graphSearchFilteredDedupedFromGen(spark, dir)) ===
+      rows(Ann.graphSearchFilteredDeduped(spark, dir)),
+      "filtered deduped from-gen must equal the live walk")
+    assert(rows(Ann.graphSearchInt8DedupedFromGen(spark, dir)) ===
+      rows(Ann.graphSearchInt8Deduped(spark, dir)),
+      "int8 deduped from-gen must equal the live walk")
+    assert(rows(Ann.hnswSearchFilteredDedupedFromGen(spark, dir)) ===
+      rows(Ann.hnswSearchFilteredDeduped(spark, dir)),
+      "filtered layered deduped from-gen must equal the live walk")
   }
 
   test("digest-keyed exact collapse equals the value-keyed build on collision-free corpora") {
