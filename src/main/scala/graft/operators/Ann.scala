@@ -2259,9 +2259,20 @@ object Ann {
     val idRow = eSurvS.agg(max(col("vec_id"))).collect().head
     val idBound = if (idRow.isNullAt(0)) 0L else idRow.getLong(0) + 1L
     val nodesS = hnswNodesOver(eSurvS)
-    val centsL = hnswCentsOver(nodesS, hnswLevelsOver(eSurvS), idBound,
-      "hnswInsertDedupedBatch stored")
-    val storedCells = hnswCellsOver(nodesS, centsL, nprobe)
+    // memoized like the plain insert's hnswStoredCells/hnswStoredCents:
+    // the stored survivor centroid stack and cell assignment are
+    // GENERATION STATE (fixed per stored corpus), and un-memoized they
+    // were re-planned once per reference — 12 copies of the census +
+    // collect subtree in one insert plan, some of whose broadcast
+    // exchanges AQE then served as ReusedExchange (which also hid the
+    // bounded census from the plan lint's subtree walk)
+    val centsL = Graft.memoCache(s"${storedTag}_hnsw_ins_cents_$idBound", dir) {
+      hnswCentsOver(nodesS, hnswLevelsOver(eSurvS), idBound,
+        "hnswInsertDedupedBatch stored")
+    }
+    val storedCells = Graft.memoFlat(s"${storedTag}_hnsw_ins_cells_$nprobe", dir) {
+      hnswCellsOver(nodesS, centsL, nprobe)
+    }
     val survEmbAll = eSurvS.unionByName(bSurvEmb.select(col("vec_id"), col("embedding")))
     // FAST PATH: a pure-dup batch inserts no survivors — the stored
     // stack passes through bit-identically (the flat fold's argument)

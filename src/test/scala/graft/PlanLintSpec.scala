@@ -8,7 +8,7 @@ import org.apache.spark.sql.execution.{GlobalLimitExec, SortExec, SparkPlan, Tak
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
 import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
 import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
-import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeExec}
 import org.apache.spark.sql.execution.joins.CartesianProductExec
 import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
 import graft.plans.TopKPerKeyExec
@@ -117,6 +117,11 @@ class PlanLintSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       // a persisted aggregate hides behind an InMemoryTableScan leaf
       // (q_market_share's memoized nation x year rollup)
       collectWithSubqueries(p) { case s: InMemoryTableScanExec => s.relation.cachedPlan }
+        .exists(boundedInput) ||
+      // ... and a bounding subtree behind an AQE-reused exchange hides
+      // under a ReusedExchangeExec LEAF whose `child` is the original
+      // exchange (see boundedRowsBelow)
+      collectWithSubqueries(p) { case r: ReusedExchangeExec => r.child }
         .exists(boundedInput)
 
   /** Key set for the whole-frame-aggregate rule: the bounded enums PLUS
@@ -194,6 +199,15 @@ class PlanLintSpec extends SparkSpec with AdaptiveSparkPlanHelper {
           if literallyBounded(f.condition, aliases) => f
     }.nonEmpty ||
       collectWithSubqueries(p) { case s: InMemoryTableScanExec => s.relation.cachedPlan }
+        .exists(boundedRowsBelow(_, aliases)) ||
+      // AQE serves repeated subtrees as ReusedExchangeExec — a LEAF whose
+      // `child` still holds the original exchange subtree. Without this
+      // recursion a bounding aggregate/filter that happens to sit behind
+      // a reused exchange is invisible and the rule false-positives on
+      // plans whose boundedness lives in the reused original (the r20
+      // ann_hnsw_insert_deduped cached-cents plan: every input arrived
+      // via ReusedExchange, census included).
+      collectWithSubqueries(p) { case r: ReusedExchangeExec => r.child }
         .exists(boundedRowsBelow(_, aliases))
 
   /** Aggregate functions whose buffer holds EVERY input value of a
