@@ -1609,16 +1609,27 @@ object Ann {
     // cost of treating a 2^-128 digest collision as an exact duplicate.
     // Spec-pinned equal to the value-keyed collapse on collision-free
     // corpora (Round20OpsSpec).
+    // min-per-value via a whole-frame window instead of groupBy +
+    // join-back (r20 opt): the two shapes return identical rows, but the
+    // window establishes the hash(key) partitioning ONCE — one Exchange
+    // of the corpus frame vs the join's exchange-agg-then-SMJ-back,
+    // which shuffled the frame AND sorted both sides by the d×4-byte
+    // key a second time (guide §2.4: operations keyed the same way
+    // share one exchange). The key is corpus-scaling, so the per-group
+    // window state is the group itself (duplicate copies of one value),
+    // never a corpus fraction.
     val eEx = Graft.memoCache(s"${tag}_eex", dir) {
       if (collapseByDigest) {
-        val ed = e.withColumn("dig",
-          struct(xxhash64(col("embedding")), xxhash64(reverse(col("embedding")))))
-        ed.join(ed.groupBy(col("dig")).agg(min(col("vec_id")).as("ec")), "dig")
+        val wDig = Window.partitionBy(col("dig"))
+        e.withColumn("dig",
+            struct(xxhash64(col("embedding")), xxhash64(reverse(col("embedding")))))
+          .withColumn("ec", min(col("vec_id")).over(wDig))
           .select(col("vec_id"), col("embedding"), col("nrm"), col("ec"))
-      } else
-        e.join(e.groupBy(col("embedding")).agg(min(col("vec_id")).as("ec")),
-            "embedding")
+      } else {
+        val wVal = Window.partitionBy(col("embedding"))
+        e.withColumn("ec", min(col("vec_id")).over(wVal))
           .select(col("vec_id"), col("embedding"), col("nrm"), col("ec"))
+      }
     }
     val c1 = eEx.filter(col("vec_id") === col("ec"))
       .select(col("vec_id"), col("embedding"), col("nrm"))
@@ -1648,22 +1659,49 @@ object Ann {
         .select(col("a"), col("b"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       Graft.trackCaches(s"${tag}_ndpairs", nd)
-      // bounded min-label propagation (per-round lineage cuts — the
-      // census/clustersUnionFind iteration pattern) + two pointer jumps
-      var lbl = c1.select(col("vec_id"), col("vec_id").as("lbl")).localCheckpoint(true)
-      for (_ <- 1 to BuildDedupRounds) {
-        lbl = lbl
-          .join(nd.withColumnRenamed("a", "vec_id"), Seq("vec_id"), "left")
-          .join(lbl.select(col("vec_id").as("b"), col("lbl").as("nlbl")), Seq("b"), "left")
-          .groupBy(col("vec_id"))
-          .agg(least(min(col("lbl")), coalesce(min(col("nlbl")), min(col("lbl")))).as("lbl"))
-          .localCheckpoint(true)
+      // FAST PATH (r20 opt, the insert route's empty-pair argument
+      // applied to the full builds): min-label propagation over an
+      // empty pair frame is the identity, so a corpus with NO near-dup
+      // pairs at τ — the common clean-corpus case — skips the rounds'
+      // ~5 eager lineage-cut barriers (at 100 TB: 4+ full-corpus
+      // materializations) and emits the identity map directly.
+      if (nd.isEmpty) {
+        c1.select(col("vec_id"), col("vec_id").as("canon"))
+      } else {
+        // MEMBER-RESTRICTED propagation (r20 opt): only vectors that
+        // appear in a near-dup pair can ever change label (a non-member
+        // has no nd rows, so every round recomputes lbl = vec_id for
+        // it), so the bounded rounds run over the pair MEMBERS only —
+        // work ∝ dup-cluster mass, not ∝ survivor count — and the
+        // identity rows join back at the end. Result rows are
+        // bit-identical to propagating over the full survivor set
+        // (Round20OpsSpec's planted drift chain pins the radius).
+        val mem = nd.select(col("a").as("vec_id"))
+          .union(nd.select(col("b").as("vec_id")))
+          .distinct()
+        // bounded min-label propagation (per-round lineage cuts — the
+        // census/clustersUnionFind iteration pattern) + two pointer jumps
+        var lbl = mem.select(col("vec_id"), col("vec_id").as("lbl")).localCheckpoint(true)
+        for (_ <- 1 to BuildDedupRounds) {
+          lbl = lbl
+            .join(nd.withColumnRenamed("a", "vec_id"), Seq("vec_id"), "left")
+            .join(lbl.select(col("vec_id").as("b"), col("lbl").as("nlbl")), Seq("b"), "left")
+            .groupBy(col("vec_id"))
+            .agg(least(min(col("lbl")), coalesce(min(col("nlbl")), min(col("lbl")))).as("lbl"))
+            .localCheckpoint(true)
+        }
+        def jump(m: DataFrame): DataFrame = m.as("p")
+          .join(m.select(col("vec_id").as("j"), col("canon").as("jc")).as("q"),
+            col("p.canon") === col("j"))
+          .select(col("p.vec_id").as("vec_id"), col("jc").as("canon"))
+        // members carry their propagated canon (a member's canon is
+        // always itself a member — labels start as member ids and only
+        // min-merge); non-members are identity
+        val memMap = jump(jump(lbl.withColumnRenamed("lbl", "canon")))
+        c1.select(col("vec_id"))
+          .join(memMap.withColumnRenamed("canon", "mcanon"), Seq("vec_id"), "left")
+          .select(col("vec_id"), coalesce(col("mcanon"), col("vec_id")).as("canon"))
       }
-      def jump(m: DataFrame): DataFrame = m.as("p")
-        .join(m.select(col("vec_id").as("j"), col("canon").as("jc")).as("q"),
-          col("p.canon") === col("j"))
-        .select(col("p.vec_id").as("vec_id"), col("jc").as("canon"))
-      jump(jump(lbl.withColumnRenamed("lbl", "canon")))
     }
     (eEx, cells1, fin, cents)
   }
