@@ -21,6 +21,15 @@ object Graft {
     // split at runtime instead of stalling a straggler task — the safety
     // net under every self-join in the dedup family at 100 TB
     .config("spark.sql.adaptive.skewJoin.enabled", "true")
+    // the generated-class cache defaults to 100 entries, but one cold
+    // ANN graph build compiles 129-182 distinct classes (JobProbe r20:
+    // 1.2-2.0s of Janino time per build) — sequential LRU access with
+    // more classes than entries evicts everything, so a REPEAT of the
+    // same plan recompiles from scratch. 2000 entries keeps every
+    // plan's classes live for the lifetime of a bench/serving JVM at a
+    // bounded metaspace cost (classes are a few KB each); the knob is
+    // per-JVM and scale-independent (driver and executors both compile)
+    .config("spark.sql.codegen.cache.maxEntries", "2000")
     // some testdata generations write events.ts as parquet TIMESTAMP(NANOS):
     // read those as long nanos (this Spark build has no native nanos type);
     // newer generations write timestamp[us], normalized in events() below.

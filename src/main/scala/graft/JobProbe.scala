@@ -47,6 +47,30 @@ object JobProbe {
       }
     }
 
+    // per-ACTION Catalyst phase durations (analysis/optimization/
+    // planning), summed over every action a query triggers — the
+    // "driver think" between jobs
+    val phaseTotals = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+    val qeListener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             durationNs: Long): Unit = {
+        qe.tracker.phases.foreach { case (ph, sm) =>
+          phaseTotals.merge(ph, sm.endTimeMs - sm.startTimeMs, Long.box(_) + Long.box(_))
+        }
+        phaseTotals.merge("action_total_ms", durationNs / 1000000L, Long.box(_) + Long.box(_))
+        phaseTotals.merge("actions", 1L, Long.box(_) + Long.box(_))
+      }
+      override def onFailure(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(qeListener)
+    def codegenMs(): (Long, Double) = {
+      val h = org.apache.spark.metrics.source.CodegenMetrics.METRIC_COMPILATION_TIME
+      (h.getCount, h.getSnapshot.getMean * h.getCount)
+    }
+
     // same warmup as a bench chunk so the first timed query is not
     // charged JVM/codegen bring-up
     Seq("search_pipeline", "q1_agg", "events_hourly").foreach { w =>
@@ -57,16 +81,21 @@ object JobProbe {
 
     for (name <- args) {
       Graft.releaseCaches()
-      recs.clear(); order.clear()
+      recs.clear(); order.clear(); phaseTotals.clear()
+      val (cg0, cgMs0) = codegenMs()
       spark.sparkContext.addSparkListener(listener)
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, sfDir).count()
       val total = (System.nanoTime() - t0) / 1e9
       org.apache.spark.sql.graftbridge.Bridge.drainListenerBus(spark.sparkContext)
       spark.sparkContext.removeSparkListener(listener)
+      val (cg1, cgMs1) = codegenMs()
       println(f"%n=== $name: $total%.2fs total, ${order.size()} jobs ===")
-      var prevEnd = -1L
       import scala.jdk.CollectionConverters._
+      println("phases: " + phaseTotals.asScala.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"$k=${v}ms" }.mkString(" ") +
+        f" codegen_compiles=${cg1 - cg0} codegen_ms=${cgMs1 - cgMs0}%.0f")
+      var prevEnd = -1L
       for (id <- order.asScala) {
         val r = recs.get(id)
         val dur = if (r.end > 0) (r.end - r.start) / 1e3 else -1.0
