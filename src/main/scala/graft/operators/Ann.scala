@@ -1278,7 +1278,27 @@ object Ann {
         .distinct()
         .join(en.hint("SHUFFLE_HASH"), "dst")
         .select(col("src"), col("dst"), col("dv"), col("dnrm"), col("dlabel"))
+        .repartition(indexPartitions(Graft.tableRows(s, dir, "embeddings")), col("src"))
     }
+
+  /** Size-derived partition count for a SERVING INDEX frame: ~2kN
+    * undirected edge rows × ~300 B payload, sized to ≥128 MB per
+    * partition (guide §2.2: partitions in the 100 MB–1 GB range, never
+    * a core-count constant). Every beam/descent ROUND probes the
+    * checkpointed index with one job, and each job runs one task per
+    * index partition: at sf0.1 (2k vectors → ~5 MB index) the warm
+    * layered walk measured job-count-bound at ~45 ms/job across 32
+    * micro-partitions of ~150 KB — this collapses those to ONE task —
+    * while at 10^9 vectors it yields ~4.5k partitions of ~128 MB. AQE
+    * cannot make this choice for the frame: coalescePartitions'
+    * parallelismFirst default deliberately keeps defaultParallelism
+    * partitions for reduce-side parallelism, which is the right call
+    * for compute stages and the wrong one for a many-times-probed
+    * materialized index.
+    */
+  private def indexPartitions(nRows: Long, fanout: Long = 8L,
+                              rowBytes: Long = centroidRowBytes): Int =
+    math.max(1L, math.min(1L << 18, (nRows * fanout * rowBytes) >> 27)).toInt
 
   /** Serving-graph connectivity census: cumulative share of the corpus
     * reachable from the √N entry set within 0..`rounds` BFS hops over
@@ -1418,6 +1438,7 @@ object Ann {
         .distinct()
         .join(en.hint("SHUFFLE_HASH"), "dst")
         .select(col("src"), col("dst"), col("dv"), col("dnrm"), col("dlabel"))
+        .repartition(indexPartitions(Graft.tableRows(s, dir, "embeddings")), col("src"))
     }
 
   /** The batch beam walk SERVED OFF the dedup-gated build — the serving
@@ -3394,6 +3415,7 @@ object Ann {
         // (graphSearchIndex): the filterable payload a serving tier
         // stores next to the vectors, read by hnswSearchFiltered
         .select(col("layer"), col("src"), col("dst"), col("dv"), col("dnrm"), col("dlabel"))
+        .repartition(indexPartitions(Graft.tableRows(s, dir, "embeddings")), col("src"))
     }
 
   /** Routed entry for EXPLICIT query batches through the layered HNSW
@@ -3866,6 +3888,7 @@ object Ann {
         // Qdrant composes scalar quantization WITH query filters; the
         // int8-filtered walk reads dlabel/nlabel from the same artifact
         .select(col("src"), col("dst"), col("dq"), col("dn8"), col("dlabel"))
+        .repartition(indexPartitions(Graft.tableRows(s, dir, "embeddings")), col("src"))
     }
 
   /** The COMPRESSED serving index over the DEDUP-GATED build — the
@@ -3890,6 +3913,7 @@ object Ann {
         .distinct()
         .join(en.hint("SHUFFLE_HASH"), "dst")
         .select(col("src"), col("dst"), col("dq"), col("dn8"), col("dlabel"))
+        .repartition(indexPartitions(Graft.tableRows(s, dir, "embeddings")), col("src"))
     }
 
   /** The int8 beam walk SERVED OFF the dedup-gated build — quantized ×
