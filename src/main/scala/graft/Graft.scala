@@ -188,6 +188,24 @@ object Graft {
   private val teardownHooks = scala.collection.mutable.ArrayBuffer.empty[() => Unit]
   def onRelease(hook: () => Unit): Unit = synchronized { teardownHooks += hook }
 
+  /** Run INDEPENDENT driver-side branches of one query concurrently
+    * (guide §2.6: actions are only sequential because driver code calls
+    * them sequentially). Used by the sweep/curve operators whose
+    * branches each drive their own bounded job loop (selectivity-curve
+    * walks, fanout censuses): submitting them from a small pool lets
+    * each branch's tiny probe jobs back-fill the idle executor slots of
+    * the others' scheduling gaps. Branch order is preserved in the
+    * result, each branch computes exactly what the sequential loop
+    * computed (no shared mutable state beyond the synchronized session
+    * memos), so values are unchanged — only wall-clock overlaps.
+    */
+  def inParallel[A, B](xs: Seq[A])(f: A => B): Seq[B] = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    Await.result(Future.sequence(xs.map(x => Future(f(x)))), Duration.Inf)
+  }
+
   /** Absolute root for written index artifacts (generations, bucketed
     * chunk tables). CWD-relative `target/` paths let two concurrent
     * JVMs sharing a working dir clobber each other's generations with

@@ -770,6 +770,35 @@ object Ann {
   def hnswLevels(s: SparkSession, dir: String): DataFrame =
     hnswLevelsOver(Graft.embeddings(s, dir))
 
+  /** Session-memoized descent entry state of the LIVE layered walks:
+    * (top-layer entry node set with vectors, max level). Every layered
+    * serving walk starts by (a) aggregating the level draw for the max
+    * level and (b) scanning embeddings ⋈ levels for the top layer's
+    * node set — two jobs of ~0.1-0.4 s each that are a pure function of
+    * the corpus dir and were re-run by EVERY walk query (r20 JobProbe:
+    * the two biggest jobs of a warm walk). The entry set is ≤ a handful
+    * of rows (4^-Lmax of the corpus); maxLevel is one long. Memoizing
+    * them is the serving-tier reality — a deployment holds the entry
+    * points in its generation manifest (publishHnswGen already writes
+    * exactly this state) — and changes no values: same frame, same agg.
+    */
+  private val maxLevelMemo = scala.collection.mutable.Map.empty[String, Long]
+  private[graft] def hnswEntryState(s: SparkSession, dir: String): (DataFrame, Long) = {
+    val lv = hnswLevels(s, dir)
+    val ml = synchronized(maxLevelMemo.get(dir)).getOrElse {
+      val mlRow = lv.agg(max(col("level")).as("ml")).collect().head
+      val v = if (mlRow.isNullAt(0)) 0L else mlRow.getLong(0)
+      synchronized(maxLevelMemo.getOrElseUpdate(dir, v))
+    }
+    val entry = Graft.memoFlat("hnsw_entry_nodes", dir) {
+      Graft.embeddings(s, dir)
+        .join(lv.filter(col("level") === ml).select(col("vec_id")), "vec_id")
+        .select(col("vec_id").as("node"), col("embedding").as("nv"))
+    }
+    (entry, ml)
+  }
+  Graft.onRelease(() => synchronized(maxLevelMemo.clear()))
+
   /** The deterministic level draw over any (vec_id, ...) frame — a pure
     * per-row function of vec_id, so stored-slice and full-corpus builds
     * agree on every node's level (the property the layered INSERT needs:
@@ -1219,10 +1248,16 @@ object Ann {
     * [[GraphSearchQueryCount]].
     */
   private[graft] def graphSearchQueries(s: SparkSession, dir: String): DataFrame =
-    Graft.embeddings(s, dir)
-      .filter(pmod(col("vec_id"), lit(25L)) === 7L)
-      .orderBy(col("vec_id")).limit(GraphSearchQueryCount)
-      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    // session-memoized (r20 opt): ~20 serving-walk queries each collect
+    // this 20-row batch, and un-memoized every one re-ran the parquet
+    // scan + sort + limit (~0.1-0.35 s per walk). memoFlat materializes
+    // it once per dir; the batch is a pure function of the corpus.
+    Graft.memoFlat("graph_search_queries", dir) {
+      Graft.embeddings(s, dir)
+        .filter(pmod(col("vec_id"), lit(25L)) === 7L)
+        .orderBy(col("vec_id")).limit(GraphSearchQueryCount)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    }
 
   /** Batch search THROUGH the built NSW graph — the reference's actual
     * serving operation (qdrant.py:210-246 queries Qdrant's HNSW; until
@@ -1413,9 +1448,12 @@ object Ann {
     import s.implicits._
     val nTot = Graft.tableRows(s, dir, "embeddings")
     val base = sqrtFanout(nTot)
-    val rows = Seq(math.max(base / 2, 1L), base, base * 2).flatMap { f =>
+    // the three fanout censuses are independent BFS sweeps over the one
+    // memoized index — run them concurrently (Graft.inParallel): each
+    // branch's per-round jobs back-fill the others' scheduling gaps
+    val rows = Graft.inParallel(Seq(math.max(base / 2, 1L), base, base * 2)) { f =>
       censusCounts(s, dir, f, rounds).map { case (r, c) => (f, r, c) }
-    }
+    }.flatten
     rows.toDF("entry_thr", "round", "n_reached")
       .select(col("entry_thr"), col("round"), col("n_reached"),
         expr(s"n_reached * 1000000 div greatest(${nTot}L, 1L)").as("reach_micros"))
@@ -1942,20 +1980,32 @@ object Ann {
                         rounds: Int = GraphSearchRounds): DataFrame = {
     val edges = hnswGraphDeduped(s, dir)
     val undL = layeredIndex(s, dir, edges, "hnsw_dedup_search_index")
-    val (_, _, fin) = dedupCollapse(s, dir)
-    val c2ids = fin.filter(col("canon") === col("vec_id")).select(col("vec_id"))
-    val eS = Graft.embeddings(s, dir).select(col("vec_id"), col("embedding"))
-      .join(c2ids, "vec_id")
-    // entry = survivors at the top SURVIVOR level (dups hold no layer
-    // membership; the level draw stays the pure vec_id function)
-    val lvS = hnswLevelsOver(eS)
-    val mlRow = lvS.agg(max(col("level")).as("ml")).collect().head
-    val maxLevel = if (mlRow.isNullAt(0)) 0L else mlRow.getLong(0)
-    val entryNodes = eS
-      .join(lvS.filter(col("level") === maxLevel).select(col("vec_id")), "vec_id")
-      .select(col("vec_id").as("node"), col("embedding").as("nv"))
+    val (entryNodes, maxLevel) = hnswDedupedEntryState(s, dir)
     hnswWalkDriverOver(s, undL, entryNodes, maxLevel,
       graphSearchQueries(s, dir), k, beam, rounds)
+  }
+
+  /** [[hnswEntryState]] over the SURVIVOR set of the dedup collapse —
+    * entry = survivors at the top SURVIVOR level (dups hold no layer
+    * membership; the level draw stays the pure vec_id function).
+    * Session-memoized for the same reason: the plain and filtered
+    * deduped walks each re-derived this two-job state per query.
+    */
+  private[graft] def hnswDedupedEntryState(s: SparkSession, dir: String): (DataFrame, Long) = {
+    val (_, _, fin) = dedupCollapse(s, dir)
+    val eS = Graft.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      .join(fin.filter(col("canon") === col("vec_id")).select(col("vec_id")), "vec_id")
+    val lvS = hnswLevelsOver(eS)
+    val ml = synchronized(maxLevelMemo.get(s"dedup:$dir")).getOrElse {
+      val mlRow = lvS.agg(max(col("level")).as("ml")).collect().head
+      val v = if (mlRow.isNullAt(0)) 0L else mlRow.getLong(0)
+      synchronized(maxLevelMemo.getOrElseUpdate(s"dedup:$dir", v))
+    }
+    val entry = Graft.memoFlat("hnsw_dedup_entry_nodes", dir) {
+      eS.join(lvS.filter(col("level") === ml).select(col("vec_id")), "vec_id")
+        .select(col("vec_id").as("node"), col("embedding").as("nv"))
+    }
+    (entry, ml)
   }
 
   /** INCREMENTAL maintenance of the DEDUPED generation —
@@ -2508,7 +2558,18 @@ object Ann {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     var state: Map[Long, Seq[(Long, Double)]] = topPerQ(entry, 1)
     val qv = qrows.map(q => q._1 -> (q._2, q._3)).toMap
-    for (_ <- 1 to rounds) {
+    // FIXED-POINT EARLY EXIT (r20 opt): the scored set is a pure
+    // function of the frontier (deterministic cosine over a static
+    // index), so a round that leaves the beam state unchanged proves
+    // every remaining round is a no-op — skip them. Exact: the final
+    // state is bit-identical to running all `rounds` rounds; only the
+    // per-round probe JOBS are saved (measured: the beam converges by
+    // round 4-6 of 8 at sf0.1, and each skipped round is one collect
+    // job of ~60-100 ms fixed latency).
+    var r = 0
+    var converged = false
+    while (r < rounds && !converged) {
+      r += 1
       val frontier = state.toSeq.flatMap { case (q, ns) =>
         ns.map(n => (q, n._1, qv(q)._1, qv(q)._2))
       }
@@ -2522,7 +2583,9 @@ object Ann {
       // score is a pure function of (q_id, node), so the driver-side
       // distinct collapses re-discovered nodes exactly
       val pooled = state.toSeq.flatMap { case (q, ns) => ns.map(n => (q, n._1, n._2)) } ++ scored
-      state = topPerQ(pooled, beam)
+      val next = topPerQ(pooled, beam)
+      converged = next == state
+      state = next
     }
     val out = state.toSeq.flatMap { case (q, ns) =>
       ns.take(k).zipWithIndex.map { case ((n, sc), i) => (q, (i + 1).toLong, n, sc) }
@@ -3270,7 +3333,14 @@ object Ann {
     var state: Map[Long, Seq[(Long, Double)]] = topPerQ(entry.map(e => (e._1, e._2, e._3)), 1)
     var res: Map[Long, Seq[(Long, Double)]] = topPerQ(entry.filter(_._4).map(e => (e._1, e._2, e._3)), k)
     val qv = qrows.map(q => q._1 -> (q._2, q._3)).toMap
-    for (_ <- 1 to rounds) {
+    // fixed-point early exit (see beamSearchRoundsDriver): when neither
+    // the navigation beam nor the result accumulator changed, the next
+    // round's frontier — and therefore its scored set and both cuts —
+    // is identical; skipping the remaining rounds is exact.
+    var r = 0
+    var converged = false
+    while (r < rounds && !converged) {
+      r += 1
       val frontier = state.toSeq.flatMap { case (q, ns) =>
         ns.map(n => (q, n._1, qv(q)._1, qv(q)._2))
       }
@@ -3284,10 +3354,13 @@ object Ann {
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
       val pooled = state.toSeq.flatMap { case (q, ns) => ns.map(n => (q, n._1, n._2)) } ++
         scored.map(t => (t._1, t._2, t._3))
-      state = topPerQ(pooled, ef)
+      val nextState = topPerQ(pooled, ef)
       val rpooled = res.toSeq.flatMap { case (q, ns) => ns.map(n => (q, n._1, n._2)) } ++
         scored.filter(_._4).map(t => (t._1, t._2, t._3))
-      res = topPerQ(rpooled, k)
+      val nextRes = topPerQ(rpooled, k)
+      converged = nextState == state && nextRes == res
+      state = nextState
+      res = nextRes
     }
     val out = res.toSeq.flatMap { case (q, ns) =>
       ns.take(k).zipWithIndex.map { case ((n, sc), i) => (q, (i + 1).toLong, n, sc) }
@@ -3314,7 +3387,9 @@ object Ann {
     val nTot = Graft.tableRows(s, dir, "embeddings")
     val qs = graphSearchQueries(s, dir)
     val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("vec_id"))
-    FilterCurveMods.map { m =>
+    // independent selectivity branches overlapped — see
+    // hnswSearchFilteredRecall (values and union order unchanged)
+    Graft.inParallel(FilterCurveMods) { m =>
       val nPass = filterPassCount(s, dir, byId = true, m, FilterCurveRes)
       val ef = adaptiveEf(GraphSearchBeam, nTot, nPass)
       val found = graphSearchFilteredWalk(s, dir, k, GraphSearchBeam, GraphSearchRounds,
@@ -3448,13 +3523,8 @@ object Ann {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val idx = undL.repartition(col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val lv = hnswLevels(s, dir)
-    val mlRow = lv.agg(max(col("level")).as("ml")).collect().head
-    val maxLevel = if (mlRow.isNullAt(0)) 0L else mlRow.getLong(0)
-    val entry = qn.crossJoin(
-        Graft.embeddings(s, dir)
-          .join(lv.filter(col("level") === maxLevel).select(col("vec_id")), "vec_id")
-          .select(col("vec_id").as("node"), col("embedding").as("nv")))
+    val (entryNodes, maxLevel) = hnswEntryState(s, dir)
+    val entry = qn.crossJoin(entryNodes)
       .filter(col("node") =!= col("q_id"))
       .select(col("q_id"), col("node"),
         round(VectorOps.dot(col("nv"), col("qv")) / (VectorOps.norm(col("nv")) * col("qnrm")), 6)
@@ -3508,14 +3578,8 @@ object Ann {
                              queries: DataFrame, k: Int, beam: Int,
                              rounds: Int): DataFrame = {
     // entry: the top layer's node set is O(N·4^-Lmax) ≈ a handful —
-    // ONE bounded scoring job (the census collect is ≤ 17 rows)
-    val lv = hnswLevels(s, dir)
-    // null-safe: an empty corpus has no levels → no descent, empty entry
-    val mlRow = lv.agg(max(col("level")).as("ml")).collect().head
-    val maxLevel = if (mlRow.isNullAt(0)) 0L else mlRow.getLong(0)
-    val entryNodes = Graft.embeddings(s, dir)
-      .join(lv.filter(col("level") === maxLevel).select(col("vec_id")), "vec_id")
-      .select(col("vec_id").as("node"), col("embedding").as("nv"))
+    // session-memoized with the max level (hnswEntryState)
+    val (entryNodes, maxLevel) = hnswEntryState(s, dir)
     hnswWalkDriverOver(s, undL, entryNodes, maxLevel, queries, k, beam, rounds)
   }
 
@@ -3553,11 +3617,17 @@ object Ann {
     // graphSearch — same request-sized working set, same one-probe-job
     // round shape; only ≤ Q·cut·2k scored candidates ever come back)
     var state: Map[Long, Seq[(Long, Double)]] = topPerQ(entry, 1)
-    def expand(layer: Long, cut: Int): Unit = {
+    // expand returns true when the round left the state UNCHANGED —
+    // since the scored set is a pure function of the frontier, an
+    // unchanged state proves every further round at the SAME layer is a
+    // no-op, so the caller may skip them (exact fixed-point early exit;
+    // layers below still run — their edge sets differ).
+    def expand(layer: Long, cut: Int): Boolean = {
       val frontier = state.toSeq.flatMap { case (q, ns) =>
         ns.map(n => (q, n._1, qv(q)._1, qv(q)._2))
       }
-      if (frontier.nonEmpty) {
+      if (frontier.isEmpty) true
+      else {
         val stDf = frontier.toDF("q_id", "node", "qv", "qnrm")
         val scored = undL.filter(col("layer") === layer)
           .join(broadcast(stDf), col("src") === col("node"))
@@ -3567,14 +3637,25 @@ object Ann {
               .as("score"))
           .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
         val pooled = state.toSeq.flatMap { case (q, ns) => ns.map(n => (q, n._1, n._2)) } ++ scored
-        state = topPerQ(pooled, cut)
+        val next = topPerQ(pooled, cut)
+        val unchanged = next == state
+        state = next
+        unchanged
       }
     }
     // layers above maxLevel are empty by construction, so skipping them
     // driver-side equals the oracle's static OracleMaxLayer..1 descent over
     // zero-row layer CTEs
-    for (l <- maxLevel to 1L by -1L; _ <- 1 to HnswDescentRounds) expand(l, 1)
-    for (_ <- 1 to rounds) expand(0L, beam)
+    for (l <- maxLevel to 1L by -1L) {
+      var r = 0
+      var converged = false
+      while (r < HnswDescentRounds && !converged) { r += 1; converged = expand(l, 1) }
+    }
+    locally {
+      var r = 0
+      var converged = false
+      while (r < rounds && !converged) { r += 1; converged = expand(0L, beam) }
+    }
     val out = state.toSeq.flatMap { case (q, ns) =>
       ns.take(k).zipWithIndex.map { case ((n, sc), i) => (q, (i + 1).toLong, n, sc) }
     }.sortBy(r => (r._1, r._2))
@@ -3645,13 +3726,8 @@ object Ann {
     val idx = layeredIndex(s, dir, hnswGraph(s, dir), "hnsw_search_index")
       .repartition(col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val lv = hnswLevels(s, dir)
-    val mlRow = lv.agg(max(col("level")).as("ml")).collect().head
-    val maxLevel = if (mlRow.isNullAt(0)) 0L else mlRow.getLong(0)
-    val entry = qn.crossJoin(
-        Graft.embeddings(s, dir)
-          .join(lv.filter(col("level") === maxLevel).select(col("vec_id")), "vec_id")
-          .select(col("vec_id").as("node"), col("embedding").as("nv")))
+    val (entryNodes, maxLevel) = hnswEntryState(s, dir)
+    val entry = qn.crossJoin(entryNodes)
       .filter(col("node") =!= col("q_id"))
       .select(col("q_id"), col("node"),
         round(VectorOps.dot(col("nv"), col("qv")) / (VectorOps.norm(col("nv")) * col("qnrm")), 6)
@@ -3720,14 +3796,7 @@ object Ann {
     // entry: the full-corpus top level by default; the DEDUP-GATED
     // callers pass the top SURVIVOR level explicitly (entry is a
     // product of the collapse there, not a pure vec_id function)
-    val (entryNodes, maxLevel) = entryOverride.getOrElse {
-      val lv = hnswLevels(s, dir)
-      val mlRow = lv.agg(max(col("level")).as("ml")).collect().head
-      val ml = if (mlRow.isNullAt(0)) 0L else mlRow.getLong(0)
-      (Graft.embeddings(s, dir)
-        .join(lv.filter(col("level") === ml).select(col("vec_id")), "vec_id")
-        .select(col("vec_id").as("node"), col("embedding").as("nv")), ml)
-    }
+    val (entryNodes, maxLevel) = entryOverride.getOrElse(hnswEntryState(s, dir))
     val qsDf = qrows.toSeq.toDF("q_id", "qv", "qnrm")
     val entry = entryNodes
       .crossJoin(broadcast(qsDf))
@@ -3744,18 +3813,29 @@ object Ann {
       if (frontier.isEmpty) None else Some(frontier.toDF("q_id", "node", "qv", "qnrm"))
     }
     // descent: unfiltered greedy navigation, exactly hnswWalkDriver's
-    for (l <- maxLevel to 1L by -1L; _ <- 1 to HnswDescentRounds)
-      frontierDf().foreach { stDf =>
-        val scored = undL.filter(col("layer") === l)
-          .join(broadcast(stDf), col("src") === col("node"))
-          .filter(col("dst") =!= col("q_id"))
-          .select(col("q_id"), col("dst"),
-            round(VectorOps.dot(col("dv"), col("qv")) / (col("dnrm") * col("qnrm")), 6)
-              .as("score"))
-          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
-        state = topPerQ(state.toSeq.flatMap { case (q, ns) =>
-          ns.map(n => (q, n._1, n._2)) } ++ scored, 1)
+    // (with its fixed-point early exit per layer — an unchanged greedy
+    // state at a layer makes the remaining rounds there no-ops)
+    for (l <- maxLevel to 1L by -1L) {
+      var r = 0
+      var converged = false
+      while (r < HnswDescentRounds && !converged) {
+        r += 1
+        converged = true
+        frontierDf().foreach { stDf =>
+          val scored = undL.filter(col("layer") === l)
+            .join(broadcast(stDf), col("src") === col("node"))
+            .filter(col("dst") =!= col("q_id"))
+            .select(col("q_id"), col("dst"),
+              round(VectorOps.dot(col("dv"), col("qv")) / (col("dnrm") * col("qnrm")), 6)
+                .as("score"))
+            .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+          val next = topPerQ(state.toSeq.flatMap { case (q, ns) =>
+            ns.map(n => (q, n._1, n._2)) } ++ scored, 1)
+          converged = next == state
+          state = next
+        }
       }
+    }
     // base phase seed: the accumulator starts from the descent's
     // arrival node where it passes the filter (one bounded lookup job)
     val arrivals = state.toSeq.flatMap { case (q, ns) => ns.map(n => (q, n._1, n._2)) }
@@ -3771,22 +3851,34 @@ object Ann {
           .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
         topPerQ(passing, k)
       }
-    for (_ <- 1 to rounds)
-      frontierDf().foreach { stDf =>
-        val scored = undL.filter(col("layer") === 0L)
-          .join(broadcast(stDf), col("src") === col("node"))
-          .filter(col("dst") =!= col("q_id"))
-          .select(col("q_id"), col("dst"),
-            round(VectorOps.dot(col("dv"), col("qv")) / (col("dnrm") * col("qnrm")), 6)
-              .as("score"),
-            (pmod((if (byId) col("dst") else col("dlabel")).cast("long"),
-              lit(fMod)) === lit(fRes)).as("pass"))
-          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
-        state = topPerQ(state.toSeq.flatMap { case (q, ns) => ns.map(n => (q, n._1, n._2)) } ++
-          scored.map(t => (t._1, t._2, t._3)), ef)
-        res = topPerQ(res.toSeq.flatMap { case (q, ns) => ns.map(n => (q, n._1, n._2)) } ++
-          scored.filter(_._4).map(t => (t._1, t._2, t._3)), k)
+    // dual-state fixed point: both the beam and the accumulator must be
+    // unchanged before the remaining base rounds can be skipped (exact)
+    locally {
+      var r = 0
+      var converged = false
+      while (r < rounds && !converged) {
+        r += 1
+        converged = true
+        frontierDf().foreach { stDf =>
+          val scored = undL.filter(col("layer") === 0L)
+            .join(broadcast(stDf), col("src") === col("node"))
+            .filter(col("dst") =!= col("q_id"))
+            .select(col("q_id"), col("dst"),
+              round(VectorOps.dot(col("dv"), col("qv")) / (col("dnrm") * col("qnrm")), 6)
+                .as("score"),
+              (pmod((if (byId) col("dst") else col("dlabel")).cast("long"),
+                lit(fMod)) === lit(fRes)).as("pass"))
+            .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+          val nextState = topPerQ(state.toSeq.flatMap { case (q, ns) => ns.map(n => (q, n._1, n._2)) } ++
+            scored.map(t => (t._1, t._2, t._3)), ef)
+          val nextRes = topPerQ(res.toSeq.flatMap { case (q, ns) => ns.map(n => (q, n._1, n._2)) } ++
+            scored.filter(_._4).map(t => (t._1, t._2, t._3)), k)
+          converged = nextState == state && nextRes == res
+          state = nextState
+          res = nextRes
+        }
       }
+    }
     val out = res.toSeq.flatMap { case (q, ns) =>
       ns.take(k).zipWithIndex.map { case ((n, sc), i) => (q, (i + 1).toLong, n, sc) }
     }.sortBy(r => (r._1, r._2))
@@ -3806,7 +3898,11 @@ object Ann {
     val qs = graphSearchQueries(s, dir)
     val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("vec_id"))
     val undL = layeredIndex(s, dir, hnswGraph(s, dir), "hnsw_search_index")
-    FilterCurveMods.map { m =>
+    // the three selectivity branches are independent walks over the one
+    // memoized index — overlap them (Graft.inParallel, guide §2.6):
+    // each branch's bounded per-round probe jobs fill the others' gaps;
+    // branch order (and therefore the unioned output) is preserved
+    Graft.inParallel(FilterCurveMods) { m =>
       val nPass = filterPassCount(s, dir, byId = true, m, FilterCurveRes)
       val ef = adaptiveEf(GraphSearchBeam, nTot, nPass)
       val found = hnswWalkFilteredDriver(s, dir, undL, qs, k, GraphSearchBeam,
@@ -4029,15 +4125,7 @@ object Ann {
                                 rounds: Int = GraphSearchRounds): DataFrame = {
     val edges = hnswGraphDeduped(s, dir)
     val undL = layeredIndex(s, dir, edges, "hnsw_dedup_search_index")
-    val (_, _, fin) = dedupCollapse(s, dir)
-    val eS = Graft.embeddings(s, dir).select(col("vec_id"), col("embedding"))
-      .join(fin.filter(col("canon") === col("vec_id")).select(col("vec_id")), "vec_id")
-    val lvS = hnswLevelsOver(eS)
-    val mlRow = lvS.agg(max(col("level")).as("ml")).collect().head
-    val maxLevel = if (mlRow.isNullAt(0)) 0L else mlRow.getLong(0)
-    val entryNodes = eS
-      .join(lvS.filter(col("level") === maxLevel).select(col("vec_id")), "vec_id")
-      .select(col("vec_id").as("node"), col("embedding").as("nv"))
+    val (entryNodes, maxLevel) = hnswDedupedEntryState(s, dir)
     hnswWalkFilteredDriver(s, dir, undL, graphSearchQueries(s, dir), k, beam, rounds,
       GraphSearchFilterMod, GraphSearchFilterRes, byId = false,
       entryOverride = Some((entryNodes, maxLevel)))
@@ -4145,7 +4233,11 @@ object Ann {
           / (col("nn8") * col("qn8")), 6).as("score"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     var state: Map[Long, Seq[(Long, Double)]] = topPerQ(entry, 1)
-    for (_ <- 1 to rounds) {
+    // fixed-point early exit (see beamSearchRoundsDriver) — exact
+    var r = 0
+    var converged = false
+    while (r < rounds && !converged) {
+      r += 1
       val frontier = state.toSeq.flatMap { case (q, ns) =>
         ns.map(n => (q, n._1, qv(q)._1, qv(q)._2))
       }
@@ -4157,7 +4249,9 @@ object Ann {
             / (col("dn8") * col("qn8")), 6).as("score"))
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
       val pooled = state.toSeq.flatMap { case (q, ns) => ns.map(n => (q, n._1, n._2)) } ++ scored
-      state = topPerQ(pooled, beam)
+      val next = topPerQ(pooled, beam)
+      converged = next == state
+      state = next
     }
     val out = state.toSeq.flatMap { case (q, ns) =>
       ns.take(k).zipWithIndex.map { case ((n, sc), i) => (q, (i + 1).toLong, n, sc) }
@@ -4293,7 +4387,11 @@ object Ann {
     var state: Map[Long, Seq[(Long, Double)]] = topPerQ(entry.map(e => (e._1, e._2, e._3)), 1)
     var res: Map[Long, Seq[(Long, Double)]] =
       topPerQ(entry.filter(_._4).map(e => (e._1, e._2, e._3)), k)
-    for (_ <- 1 to rounds) {
+    // dual-state fixed-point early exit (see graphSearchFilteredDriverOver)
+    var r = 0
+    var converged = false
+    while (r < rounds && !converged) {
+      r += 1
       val frontier = state.toSeq.flatMap { case (q, ns) =>
         ns.map(n => (q, n._1, qv(q)._1, qv(q)._2))
       }
@@ -4305,10 +4403,13 @@ object Ann {
             / (col("dn8") * col("qn8")), 6).as("score"),
           (pmod(col("dlabel").cast("long"), lit(fMod)) === lit(fRes)).as("pass"))
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
-      state = topPerQ(state.toSeq.flatMap { case (q, ns) => ns.map(n => (q, n._1, n._2)) } ++
+      val nextState = topPerQ(state.toSeq.flatMap { case (q, ns) => ns.map(n => (q, n._1, n._2)) } ++
         scored.map(t => (t._1, t._2, t._3)), ef)
-      res = topPerQ(res.toSeq.flatMap { case (q, ns) => ns.map(n => (q, n._1, n._2)) } ++
+      val nextRes = topPerQ(res.toSeq.flatMap { case (q, ns) => ns.map(n => (q, n._1, n._2)) } ++
         scored.filter(_._4).map(t => (t._1, t._2, t._3)), k)
+      converged = nextState == state && nextRes == res
+      state = nextState
+      res = nextRes
     }
     val out = res.toSeq.flatMap { case (q, ns) =>
       ns.take(k).zipWithIndex.map { case ((n, sc), i) => (q, (i + 1).toLong, n, sc) }
