@@ -1021,13 +1021,19 @@ object Ann {
     }
 
   /** Stored-slice per-layer centroid stack (dense-id contract: stored
-    * ids run 0..split-1, so |stored| = split).
+    * ids run 0..split-1, so |stored| = split). Session-memoized (r20
+    * opt): the layered insert evaluated this ≤ 17-row census-and-
+    * collect subtree TWICE per run — once inside the memoized stored
+    * cells, once again for the batch's cell assignment — and the
+    * subtree is several stages deep (per-level census, suffix explode,
+    * threshold join, collect_list agg).
     */
-  private def hnswStoredCents(s: SparkSession, dir: String, split: Long): DataFrame = {
-    val eS = Graft.embeddings(s, dir).filter(col("vec_id") < split)
-      .select(col("vec_id"), col("embedding"))
-    hnswCentsOver(hnswNodesOver(eS), hnswLevelsOver(eS), split, "hnswGraphInsert stored")
-  }
+  private def hnswStoredCents(s: SparkSession, dir: String, split: Long): DataFrame =
+    Graft.memoFlat(s"hnsw_cents_stored_$split", dir) {
+      val eS = Graft.embeddings(s, dir).filter(col("vec_id") < split)
+        .select(col("vec_id"), col("embedding"))
+      hnswCentsOver(hnswNodesOver(eS), hnswLevelsOver(eS), split, "hnswGraphInsert stored")
+    }
 
   /** Stored-slice layered build, memoized — the generation the layered
     * insert folds into.
@@ -1369,17 +1375,36 @@ object Ann {
     * thing a fleet actually monitors) without three copies of the BFS.
     */
   private[graft] def censusCountsOver(und: DataFrame, entries: DataFrame,
-                                      rounds: Int): Seq[(Long, Long)] = {
+                                      rounds: Int,
+                                      cap: Long = Long.MaxValue): Seq[(Long, Long)] = {
     var reached = entries.select(col("node")).localCheckpoint(true)
     var frontier = reached
     val counts = scala.collection.mutable.ArrayBuffer((0L, reached.count()))
-    for (r <- 1 to rounds) {
+    // FIXED-POINT EARLY FILL (r20 opt): a round that adds no nodes had
+    // an empty frontier (reached grows iff the frontier is non-empty),
+    // so every later round leaves `reached` unchanged — emit the same
+    // count for the remaining rounds without running their jobs. Exact:
+    // the output rows are identical to running all rounds; each skipped
+    // round saves ~3 jobs + 2 checkpoints. A connected graph census
+    // converges by round 2-3 of 4 at every probed scale.
+    // `cap` = the number of census-visible nodes when the caller knows
+    // it (the corpus size): reached ⊆ corpus, so hitting the cap IS the
+    // fixed point — the remaining rounds fill without jobs. At the
+    // probed scales every census reaches 100% one round before the
+    // budget, so this saves the final full BFS round per census query.
+    var r = 1
+    var grew = true
+    while (r <= rounds && grew && counts.last._2 < cap) {
       val nbrs = und.join(frontier, col("src") === col("node"))
         .select(col("dst").as("node")).distinct()
       frontier = nbrs.join(reached, Seq("node"), "left_anti").localCheckpoint(true)
       reached = reached.unionByName(frontier).localCheckpoint(true)
-      counts += ((r.toLong, reached.count()))
+      val c = reached.count()
+      grew = c != counts.last._2
+      counts += ((r.toLong, c))
+      r += 1
     }
+    while (r <= rounds) { counts += ((r.toLong, counts.last._2)); r += 1 }
     counts.toSeq
   }
 
@@ -1393,7 +1418,7 @@ object Ann {
       graphSearchIndex(s, dir).select(col("src"), col("dst")),
       Graft.embeddings(s, dir).filter(col("vec_id") < entryThr)
         .select(col("vec_id").as("node")),
-      rounds)
+      rounds, cap = Graft.tableRows(s, dir, "embeddings"))
 
   /** (round, n_reached, n_total, reach_micros) frame from a census count
     * list — shared result shaping for the census variants.
@@ -1428,7 +1453,8 @@ object Ann {
     // single pass and the rounds probe the flat blocks).
     val und = adj.select(col("src"), col("dst")).localCheckpoint(true)
     censusFrame(s,
-      censusCountsOver(und, entry.select(col("node")), rounds),
+      censusCountsOver(und, entry.select(col("node")), rounds,
+        cap = Graft.tableRows(s, dir, "embeddings")),
       Graft.tableRows(s, dir, "embeddings"))
   }
 
@@ -1841,7 +1867,7 @@ object Ann {
       censusCountsOver(und,
         Graft.embeddings(s, dir).filter(col("vec_id") < sqrtFanout(nTot))
           .select(col("vec_id").as("node")),
-        rounds),
+        rounds, cap = nTot),
       nTot)
   }
 
@@ -1960,7 +1986,7 @@ object Ann {
       censusCountsOver(und,
         Graft.embeddings(s, dir).filter(col("vec_id") < sqrtFanout(nTot))
           .select(col("vec_id").as("node")),
-        rounds),
+        rounds, cap = nTot),
       nTot)
   }
 
@@ -2846,7 +2872,7 @@ object Ann {
       censusCountsOver(und,
         Graft.embeddings(s, dir).filter(col("vec_id") < sqrtFanout(nTot))
           .select(col("vec_id").as("node")),
-        rounds),
+        rounds, cap = nTot),
       nTot)
   }
 
