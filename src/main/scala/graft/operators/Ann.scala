@@ -894,12 +894,27 @@ object Ann {
 
   private def hnswGraphBuild(s: SparkSession, dir: String, k: Int, nprobe: Int): DataFrame = {
     val e = Graft.embeddings(s, dir).select(col("vec_id"), col("embedding"))
-    val nTot = Graft.tableRows(s, dir, "embeddings")
-    val nodes = hnswNodesOver(e)
-    val cents = hnswCentsOver(nodes, hnswLevelsOver(e), nTot, "hnswGraph")
-    val cells = hnswCellsOver(nodes, cents, nprobe)
-    hnswEdgesFromCells(e, cells, k)
+    hnswEdgesFromCells(e, hnswFullCells(s, dir, nprobe).hint("SHUFFLE_HASH"), k)
   }
+
+  /** Memoized per-layer cell assignment of the FULL corpus — the
+    * layered twin of [[nswCells]] (r20 opt): the layered build's pair
+    * self-join references its cells frame twice, and inline that meant
+    * the whole nodes→census→centroid→assignment subtree was re-planned
+    * and re-executed per reference (the flat build learned this in r12
+    * — see nswCells' measured 0.77s-vs-2.42s note). memoFlat flattens
+    * both references to one materialized scan; the SHUFFLE_HASH hint is
+    * re-applied at the use site because a hint inside a checkpointed
+    * plan is stranded (the hnswStoredGraph lesson).
+    */
+  private[graft] def hnswFullCells(s: SparkSession, dir: String, nprobe: Int): DataFrame =
+    Graft.memoFlat(s"hnsw_cells_full_$nprobe", dir) {
+      val e = Graft.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val nTot = Graft.tableRows(s, dir, "embeddings")
+      val nodes = hnswNodesOver(e)
+      val cents = hnswCentsOver(nodes, hnswLevelsOver(e), nTot, "hnswGraph")
+      hnswCellsOver(nodes, cents, nprobe)
+    }
 
   /** Layered membership frame (vec_id, embedding, nrm, layer) — norms
     * once per VECTOR, before the layer explode, so every later pair
