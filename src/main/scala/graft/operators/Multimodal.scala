@@ -106,9 +106,24 @@ object Multimodal {
     * `binary` column — the multimodal table shape. Encoding is
     * mapPartitions so a real encoder would init once per partition.
     */
+  /** doc_id driver frame of the synthetic image generators, hash-spread
+    * over the cluster's cores BEFORE the CPU-bound encode/decode
+    * kernels (r20 opt, guide §2.5): the documents scan is one ~600 KB
+    * parquet split, so un-spread every generator ran its whole
+    * encode+decode chain in ONE task (measured: phash_pairs spent 6.0s
+    * of its 6.5s in a single-task job at sf0.1 on 32 idle cores).
+    * Deterministic key (doc_id), scale-adaptive count (the cluster's
+    * defaultParallelism) — the shuffle moves only 8-byte ids.
+    */
+  private def imageDocIds(s: SparkSession, dir: String) = {
+    import s.implicits._
+    Graft.documents(s, dir).select(col("doc_id"))
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id")).as[Long]
+  }
+
   def syntheticImages(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Graft.documents(s, dir).select(col("doc_id")).as[Long]
+    imageDocIds(s, dir)
       .mapPartitions { it =>
         // codec context init would happen HERE, once per partition
         it.map { id =>
@@ -242,7 +257,7 @@ object Multimodal {
     */
   def syntheticImagesWithDups(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Graft.documents(s, dir).select(col("doc_id")).as[Long]
+    imageDocIds(s, dir)
       .mapPartitions { it =>
         it.flatMap { id =>
           // planted-row id spaces must stay disjoint: base < dup twins
@@ -295,7 +310,7 @@ object Multimodal {
     */
   def syntheticImagesMixedWithDups(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Graft.documents(s, dir).select(col("doc_id")).as[Long]
+    imageDocIds(s, dir)
       .mapPartitions { it =>
         it.flatMap { id =>
           // same disjoint-id-space guard as syntheticImagesWithDups:
